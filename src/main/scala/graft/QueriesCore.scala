@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Queries.{t, fx, fxSum, sqlFxSum}
+
+/** Batch 1 — relational core (SURVEY §2.3/§2.5/§2.6/§2.7 shapes). */
+object QueriesCore {
+
+  // =========================================================================
+  // Batch 1 — relational core (SURVEY §2.3/§2.5/§2.6/§2.7 shapes)
+  // =========================================================================
+
+  /** A1/TPC-H-Q1-style pricing summary — the headline scan+agg.
+    * Reference shape: CrawlDbReader stats (CrawlDbReader.java:371-509). */
+  val q1Pricing = Q(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          fxSum(col("l_quantity"), 2).as("sum_qty"),
+          fxSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          fxSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("sum_disc_price"),
+          fxSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 2).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlFxSum("l_quantity", 2)} AS sum_qty,
+        ${sqlFxSum("l_extendedprice", 2)} AS sum_base_price,
+        ${sqlFxSum("l_extendedprice*(1.0-l_discount)", 2)} AS sum_disc_price,
+        ${sqlFxSum("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)", 2)} AS sum_charge,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** T2 topN dump analog: top customers by revenue (score-desc top-k with
+    * total tiebreak; CrawlDbReader.java:956-1020). */
+  val q2TopCustomers = Q(
+    "q2_top_customers",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(fxSum(col("o_totalprice"), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(ROUND(o_totalprice*1e2) AS BIGINT)) AS DOUBLE)/1e2 AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 10"""))
+
+  /** A3 domain-statistics analog over the dim hierarchy (broadcast dims;
+    * DomainStatistics.java:49-253). */
+  val q3RegionRollup = Q(
+    "q3_region_rollup",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          fxSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("revenue"))
+    },
+    Some(s"""
+      SELECT r_name,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        COUNT(*) AS n_items,
+        ${sqlFxSum("l_extendedprice*(1.0-l_discount)", 2)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
+  /** J1 Inject merge: full-outer merge of seeds with existing crawldb —
+    * default flags: existing row wins, new-only becomes unfetched
+    * (Injector.java:299-395, rules at 336-349). */
+  val injectMerge = Q(
+    "inject_merge",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val seeds = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("url"), lit(1.0).as("seed_score"))
+      val db = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("url"), col("o_totalprice").as("db_score"))
+      seeds.join(db, Seq("url"), "full_outer")
+        .select(
+          col("url"),
+          when(col("db_score").isNotNull, lit("existing"))
+            .otherwise(lit("injected_unfetched")).as("status"),
+          coalesce(col("db_score"), col("seed_score")).as("score"))
+    },
+    Some("""
+      WITH seeds AS (
+        SELECT o_orderkey AS url, CAST(1.0 AS DOUBLE) AS seed_score
+        FROM orders WHERE o_orderkey % 3 = 0),
+      db AS (
+        SELECT o_orderkey AS url, o_totalprice AS db_score
+        FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT COALESCE(s.url, d.url) AS url,
+        CASE WHEN d.db_score IS NOT NULL THEN 'existing'
+             ELSE 'injected_unfetched' END AS status,
+        COALESCE(d.db_score, s.seed_score) AS score
+      FROM seeds s FULL OUTER JOIN db d ON s.url = d.url"""))
+
+  /** J2/U1 latest-wins merge: per key keep the newest record
+    * (CrawlDbReducer latest-by-fetchTime; CrawlDbMerger.java:81-110). */
+  val updatedbLatest = Q(
+    "updatedb_latest_wins",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(desc("ts"), desc("event_id"))
+      val wc = Window.partitionBy(col("user_id"), col("event_type"))
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("n_events", count(lit(1)).over(wc))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"),
+          col("n_events"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id AS last_event_id,
+             value AS last_value, n_events
+      FROM (SELECT *,
+              row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn,
+              CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+                AS n_events
+            FROM events)
+      WHERE rn = 1"""))
+
+  /** T1 Generator: per-host cap (generate.max.count) then global topN by
+    * score desc (Generator.java:178-643). Host = customer nation. */
+  val generateTopn = Q(
+    "generate_topn",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val fetchlist = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey").as("url"), col("c_nationkey").as("host"),
+          col("o_totalprice").as("score"))
+      val perHost = Window.partitionBy(col("host"))
+        .orderBy(desc("score"), asc("url"))
+      fetchlist.withColumn("host_rank", row_number().over(perHost))
+        .filter(col("host_rank") <= 20)
+        .orderBy(desc("score"), asc("url"))
+        .limit(100)
+        .select(col("url"), col("host"), col("score"))
+    },
+    Some("""
+      SELECT url, host, score FROM (
+        SELECT o_orderkey AS url, c_nationkey AS host, o_totalprice AS score,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS host_rank
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE host_rank <= 20
+      ORDER BY score DESC, url LIMIT 100"""))
+
+  /** A1 CrawlDb stats: counts, min/max/sum score, exact quantiles per
+    * status (CrawlDbReader.java:371-509; t-digest → exact percentile). */
+  val crawldbStats = Q(
+    "crawldb_stats",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_score"),
+          max(col("o_totalprice")).as("max_score"),
+          fxSum(col("o_totalprice"), 2).as("sum_score"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+    },
+    Some(s"""
+      SELECT o_orderstatus AS status,
+        COUNT(*) AS cnt,
+        MIN(o_totalprice) AS min_score,
+        MAX(o_totalprice) AS max_score,
+        ${sqlFxSum("o_totalprice", 2)} AS sum_score,
+        ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** T4 Dedup ordering: within a signature group rank by the compareOrder
+    * criteria chain and mark all but the best DUPLICATE
+    * (DeduplicationJob.java:161-247). Signature = l_orderkey group. */
+  val dedupRank = Q(
+    "dedup_rank",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(desc("l_extendedprice"), asc("l_shipdate"), asc("l_linenumber"))
+      li.withColumn("rnk", row_number().over(w))
+        .select(
+          col("l_orderkey").as("sig"),
+          col("l_linenumber").as("member"),
+          col("l_extendedprice").as("score"),
+          when(col("rnk") === 1, lit("keep")).otherwise(lit("duplicate"))
+            .as("dedup_status"))
+    },
+    Some("""
+      SELECT l_orderkey AS sig, l_linenumber AS member,
+             l_extendedprice AS score,
+             CASE WHEN rnk = 1 THEN 'keep' ELSE 'duplicate' END AS dedup_status
+      FROM (SELECT *,
+              row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_extendedprice DESC, l_shipdate, l_linenumber) AS rnk
+            FROM lineitem)"""))
+
+  /** A3/A4 domain statistics: per-host url counts + fetched counts
+    * (DomainStatistics.java:185-231, CrawlCompletionStats.java:190-250). */
+  val domainStats = Q(
+    "domain_stats",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("host"))
+        .agg(
+          count(lit(1)).as("n_urls"),
+          count(when(col("o_orderstatus") === "F", lit(1))).as("n_fetched"),
+          count(when(col("o_orderstatus") === "O", lit(1))).as("n_unfetched"))
+    },
+    Some("""
+      SELECT n_name AS host,
+        COUNT(*) AS n_urls,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fetched,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_unfetched
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""))
+
+  /** A5 protocol-status stats: counts by code with a deterministic sample
+    * url (ProtocolStatusStatistics.java:138-170; first → min for
+    * determinism). */
+  val protocolStatusStats = Q(
+    "protocol_status_stats",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type").as("code"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("event_id")).as("sample_id"),
+          fxSum(col("value"), 2).as("sum_value"))
+    },
+    Some(s"""
+      SELECT event_type AS code, COUNT(*) AS cnt,
+        MIN(event_id) AS sample_id,
+        ${sqlFxSum("value", 2)} AS sum_value
+      FROM events GROUP BY event_type"""))
+
+  /** G5 orphan detection: rows with no inbound reference — anti-join
+    * (scoring-orphan plugin; CrawlDbReducer.java:178-185). */
+  val orphanDetect = Q(
+    "orphan_detect",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey").as("url"), col("o_orderstatus").as("status"))
+    },
+    Some("""
+      SELECT o_orderkey AS url, o_orderstatus AS status
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)"""))
+
+  val all: Seq[Q] = Seq(
+    q1Pricing, q2TopCustomers, q3RegionRollup, injectMerge, updatedbLatest,
+    generateTopn, crawldbStats, dedupRank, domainStats, protocolStatusStats,
+    orphanDetect)
+}

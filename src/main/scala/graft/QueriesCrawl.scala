@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Queries.{t, fxSum, sqlFxSum}
+import graft.operators.Relational
+
+/** Batch 3 — crawl-db lifecycle operators (SURVEY §2.3 J3/J7/J8, §2.5 A2,
+  * §2.2 F6/F8, §2.7 U1/U3, §2.8 X1/X2). */
+object QueriesCrawl {
+
+  /** A2/J8 HostDb aggregate: per host per-status counts, score min/max/avg,
+    * exact quantile, and the mode of a string field with deterministic
+    * tiebreak (UpdateHostDbReducer.java:176-349). Host = nation of the
+    * ordering customer. */
+  val hostdbAgg = Q(
+    "hostdb_agg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val base = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_nationkey").as("host"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val agg = base.groupBy("host").agg(
+        count(lit(1)).as("n_urls"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_fetched"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_unfetched"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
+        min(col("o_totalprice")).as("min_score"),
+        max(col("o_totalprice")).as("max_score"),
+        (fxSum(col("o_totalprice"), 2) / count(lit(1))).as("avg_score"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_score"))
+      // mode(o_orderpriority) with (count desc, value asc) tiebreak
+      val prioCnt = base.groupBy(col("host"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pc"))
+      val topPrio = Relational
+        .latestWins(prioCnt, Seq("host"), Seq(desc("pc"), asc("o_orderpriority")))
+        .select(col("host"), col("o_orderpriority").as("top_priority"))
+      agg.join(topPrio, Seq("host"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT c_nationkey AS host, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      agg AS (
+        SELECT host,
+          COUNT(*) AS n_urls,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fetched,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_unfetched,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+          MIN(o_totalprice) AS min_score,
+          MAX(o_totalprice) AS max_score,
+          (${sqlFxSum("o_totalprice", 2)}) / COUNT(*) AS avg_score,
+          ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_score
+        FROM base GROUP BY host),
+      pc AS (SELECT host, o_orderpriority, COUNT(*) AS pc
+             FROM base GROUP BY host, o_orderpriority),
+      tp AS (SELECT host, o_orderpriority AS top_priority FROM
+             (SELECT *, row_number() OVER (PARTITION BY host
+                ORDER BY pc DESC, o_orderpriority) AS rn FROM pc)
+             WHERE rn = 1)
+      SELECT agg.*, tp.top_priority FROM agg JOIN tp USING (host)"""))
+
+  /** U1 CrawlDb merge: union N dbs, keep per key the row with max
+    * fetchTime, merge per-db counters as metadata
+    * (CrawlDbMerger.java:65-130). Two synthetic dbs = orders split by
+    * orderkey parity, keyed by customer. */
+  val crawldbMerge = Q(
+    "crawldb_merge",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val dbA = o.filter(col("o_orderkey") % 2 === 0).withColumn("db", lit("a"))
+      val dbB = o.filter(col("o_orderkey") % 2 === 1).withColumn("db", lit("b"))
+      val unioned = dbA.union(dbB)
+      val latest = Relational
+        .latestWins(unioned, Seq("o_custkey"),
+          Seq(desc("o_orderdate"), desc("o_orderkey")))
+        .select(col("o_custkey").as("url"),
+          col("o_orderkey").as("latest_key"),
+          col("db").as("winning_db"))
+      val meta = unioned.groupBy(col("o_custkey").as("url"))
+        .agg(count(when(col("db") === "a", 1)).as("n_a"),
+             count(when(col("db") === "b", 1)).as("n_b"))
+      latest.join(meta, Seq("url"))
+    },
+    Some("""
+      WITH u AS (SELECT *, CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS db
+                 FROM orders),
+      latest AS (
+        SELECT o_custkey AS url, o_orderkey AS latest_key, db AS winning_db
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM u)
+        WHERE rn = 1),
+      meta AS (
+        SELECT o_custkey AS url,
+          COUNT(*) FILTER (WHERE db = 'a') AS n_a,
+          COUNT(*) FILTER (WHERE db = 'b') AS n_b
+        FROM u GROUP BY o_custkey)
+      SELECT latest.url, latest.latest_key, latest.winning_db, meta.n_a, meta.n_b
+      FROM latest JOIN meta USING (url)"""))
+
+  /** J7/U3 Segment merge: union N tagged segments, latest segment wins per
+    * (key, part) (SegmentMerger.java:419-530). Segments = events split by
+    * event_id mod 3; part = event_type. */
+  val segmentMerge = Q(
+    "segment_merge",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val tagged = ev.withColumn("segment", col("event_id") % 3)
+      Relational
+        .latestWins(tagged, Seq("user_id", "event_type"),
+          Seq(desc("segment"), desc("ts"), desc("event_id")))
+        .select(col("user_id"), col("event_type"), col("segment"),
+          col("event_id").as("kept_event"), col("value").as("kept_value"))
+    },
+    Some("""
+      SELECT user_id, event_type, segment, event_id AS kept_event,
+             value AS kept_value
+      FROM (SELECT *, event_id % 3 AS segment,
+              row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1"""))
+
+  /** J3+F8 Indexing cogroup: multi-way left join building the document,
+    * then the eligibility/delete decision tree
+    * (IndexerMapReduce.java:309-413, NutchIndexAction ADD/DELETE). */
+  val indexDocs = Q(
+    "index_docs",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val li = t(s, dir, "lineitem")
+      val linkAgg = li.groupBy(col("l_orderkey").as("url"))
+        .agg(count(lit(1)).as("n_inlinks"),
+             fxSum(col("l_extendedprice"), 2).as("link_score"))
+      o.select(col("o_orderkey").as("url"), col("o_custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("title"),
+          col("o_totalprice").as("score"))
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"), "left")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(linkAgg, Seq("url"), "left")
+        .select(col("url"), col("title"), col("n_name").as("host"),
+          col("score"),
+          coalesce(col("n_inlinks"), lit(0L)).as("n_inlinks"),
+          coalesce(col("link_score"), lit(0.0)).as("link_score"),
+          when(col("n_inlinks").isNull, lit("delete_gone"))
+            .when(col("status") === "P", lit("skip_notmodified"))
+            .otherwise(lit("add")).as("action"))
+    },
+    Some("""
+      WITH la AS (SELECT l_orderkey AS url, COUNT(*) AS n_inlinks,
+                    CAST(SUM(CAST(ROUND(l_extendedprice*1e2) AS BIGINT)) AS DOUBLE)/1e2 AS link_score
+                  FROM lineitem GROUP BY l_orderkey)
+      SELECT o.o_orderkey AS url, o.o_orderpriority AS title,
+             n.n_name AS host, o.o_totalprice AS score,
+             COALESCE(la.n_inlinks, 0) AS n_inlinks,
+             COALESCE(la.link_score, 0.0) AS link_score,
+             CASE WHEN la.n_inlinks IS NULL THEN 'delete_gone'
+                  WHEN o.o_orderstatus = 'P' THEN 'skip_notmodified'
+                  ELSE 'add' END AS action
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN la ON o.o_orderkey = la.url"""))
+
+  /** F6 JEXL-style expression predicate → Spark SQL expr() translation
+    * (CrawlDatum.java:573-625, JexlUtil.java; Generator.java:306-311).
+    * The JEXL `score > X && status == 'O'` dialect maps 1:1 onto SQL. */
+  val jexlFilter = Q(
+    "jexl_filter",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey").as("url"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("score"),
+          (col("o_orderkey") % 4).as("retries"))
+        .filter(expr("score > 150000.0 AND status == 'O' AND retries < 3"))
+    },
+    Some("""
+      SELECT o_orderkey AS url, o_orderstatus AS status,
+             o_totalprice AS score, o_orderkey % 4 AS retries
+      FROM orders
+      WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+        AND o_orderkey % 4 < 3"""))
+
+  /** X1 URL parts: host / domain (public-suffix aware) / tld / page from
+    * synthesized URLs (util/URLUtil.java). Column-expression
+    * implementation — no UDF, stays in codegen. */
+  val urlParts = Q(
+    "url_parts",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val url = concat(lit("https://www."),
+        regexp_replace(lower(col("c_name")), "[^a-z0-9]", ""),
+        when(col("c_custkey") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/page/"), col("c_custkey"), lit("?q=1#frag"))
+      c.select(col("c_custkey").as("id"), url.as("url"))
+        .select(col("id"), col("url"),
+          graft.functions.Urls.host(col("url")).as("host"),
+          graft.functions.Urls.registeredDomain(col("url")).as("domain"),
+          graft.functions.Urls.tld(col("url")).as("tld"),
+          graft.functions.Urls.page(col("url")).as("page"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey AS id,
+          'https://www.' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+            || (CASE WHEN c_custkey % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+            || '/page/' || c_custkey || '?q=1#frag' AS url
+        FROM customer)
+      SELECT id, url,
+        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        CASE WHEN regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) LIKE '%.co.uk'
+             THEN regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                                 '([^.]+\.co\.uk)$', 1)
+             ELSE regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                                 '([^.]+\.[^.]+)$', 1) END AS domain,
+        regexp_extract(url, '\.([a-z]+)([/?#]|$)', 1) AS tld,
+        regexp_replace(url, '[?#].*$', '') AS page
+      FROM u"""))
+
+  /** F1/X2 URL normalization (column-expression subset of
+    * BasicURLNormalizer.java:57-350: lowercase scheme+host, strip default
+    * port, drop fragment, drop trailing '?', collapse '/./'). The full
+    * rule-chain normalizer lives in functions.Urls.normalize (UDF) and is
+    * spec-tested; this query checks the codegen path cross-engine. */
+  val urlNormalize = Q(
+    "url_normalize",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val messy = concat(lit("HTTP://WWW."),
+        regexp_replace(upper(col("c_name")), "[^A-Z0-9]", ""),
+        lit(".COM:80/a/./b/page"), col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, lit("?")).otherwise(lit("#sec")))
+      c.select(col("c_custkey").as("id"), messy.as("url"))
+        .select(col("id"), col("url"),
+          graft.functions.Urls.normalizeCol(col("url")).as("normalized"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey AS id,
+          'HTTP://WWW.' || regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g')
+            || '.COM:80/a/./b/page' || c_custkey
+            || (CASE WHEN c_custkey % 2 = 0 THEN '?' ELSE '#sec' END) AS url
+        FROM customer),
+      p AS (SELECT id, url,
+              lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+              regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '') AS rest
+            FROM u),
+      q AS (SELECT id, url, scheme,
+              regexp_replace(hostport, ':80$', '') AS h,
+              regexp_replace(regexp_replace(regexp_replace(rest, '#.*$', ''),
+                '\?$', ''), '/\./', '/', 'g') AS r
+            FROM p)
+      SELECT id, url, scheme || '://' || h || r AS normalized FROM q"""))
+
+  val all: Seq[Q] = Seq(
+    hostdbAgg, crawldbMerge, segmentMerge, indexDocs, jexlFilter, urlParts,
+    urlNormalize)
+}

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Queries.{t, fxSum, sqlFxSum}
+import graft.operators.Relational
+
+/** Batch 2 — link/graph operators (SURVEY §2.10, §2.5 A6-A10, §2.3 J5/J6).
+  *
+  * The synthetic link graph is lineitem viewed as an edge list
+  * src = l_orderkey → dst = l_partkey (FIXTURES.md role mapping).
+  */
+object QueriesGraph {
+
+  /** A9/U2 LinkDb invert + merge: per target collect a bounded, sorted
+    * inlink list (LinkDb.java:104-172, LinkDbMerger.java:92-117; cap =
+    * linkdb.max.inlinks analog, here 5). */
+  val linkdbInvert = Q(
+    "linkdb_invert",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li
+        .select(col("l_partkey").as("dst"), col("l_orderkey").as("src"))
+        .distinct()
+      Relational
+        .boundedMemberList(edges, "dst", col("src"), Seq(asc("src")), 5)
+        .withColumnRenamed("members", "inlinks")
+        .withColumnRenamed("n_total", "n_inlinks")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT l_partkey AS dst, l_orderkey AS src FROM lineitem),
+      r AS (SELECT dst, src,
+              row_number() OVER (PARTITION BY dst ORDER BY src) AS rn,
+              CAST(count(*) OVER (PARTITION BY dst) AS BIGINT) AS n
+            FROM e)
+      SELECT dst,
+        string_agg(CAST(src AS VARCHAR), ',' ORDER BY CAST(src AS VARCHAR)) AS inlinks,
+        MAX(n) AS n_inlinks
+      FROM r WHERE rn <= 5 GROUP BY dst"""))
+
+  /** A6 WebGraph node degrees: per URL numInlinks/numOutlinks from the
+    * edge list (WebGraph.java:484-510). Full-outer of the two degree aggs. */
+  val nodeDegrees = Q(
+    "node_degrees",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val outDeg = edges.groupBy(col("src").as("url"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inDeg = edges.groupBy(col("dst").as("url"))
+        .agg(count(lit(1)).as("in_deg"))
+      outDeg.join(inDeg, Seq("url"), "full_outer")
+        .select(col("url"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+      o AS (SELECT src AS url, COUNT(*) AS out_deg FROM e GROUP BY src),
+      i AS (SELECT dst AS url, COUNT(*) AS in_deg FROM e GROUP BY dst)
+      SELECT COALESCE(o.url, i.url) AS url,
+        COALESCE(o.out_deg, 0) AS out_deg,
+        COALESCE(i.in_deg, 0) AS in_deg
+      FROM o FULL OUTER JOIN i ON o.url = i.url"""))
+
+  /** G1 WebGraph build: explode edges, keep only the latest-timestamp edge
+    * per (src,dst) (WebGraph.java:363-429 latest-wins + dedup-by-target). */
+  val webgraphBuild = Q(
+    "webgraph_build",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(
+        col("l_orderkey").as("src"), col("l_partkey").as("dst"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        col("l_linenumber").as("line"), col("l_quantity").as("qty"))
+      Relational
+        .latestWins(edges, Seq("src", "dst"),
+          Seq(desc("ship_date"), desc("line")))
+        .select(col("src"), col("dst"),
+          date_format(col("ship_date"), "yyyy-MM-dd").as("ship_date"),
+          col("qty"))
+    },
+    Some("""
+      SELECT src, dst, strftime(ship_date, '%Y-%m-%d') AS ship_date, qty FROM (
+        SELECT l_orderkey AS src, l_partkey AS dst,
+               CAST(l_shipdate AS DATE) AS ship_date,
+               l_quantity AS qty,
+               row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                 ORDER BY CAST(l_shipdate AS DATE) DESC, l_linenumber DESC) AS rn
+        FROM lineitem)
+      WHERE rn = 1"""))
+
+  /** Number of unrolled LinkRank iterations (reference default is 10,
+    * conf/nutch-default.xml:2518; 3 here keeps the DuckDB oracle tractable
+    * — the Spark loop itself is iteration-count-agnostic). */
+  private val LINKRANK_ITERS = 3
+
+  /** G2 LinkRank: damped PageRank-style loop, score' = 0.15 + 0.85·Σ
+    * contribs (LinkRank.java:302-345, 603-605). Contributions are
+    * fixed-point quantized (1e-9) before each aggregation so every
+    * iteration is order-independent and engine-exact.
+    * Graph: lineitem edges modded to ~500 nodes for density. */
+  val linkrank = Q(
+    "linkrank",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(
+        (col("l_orderkey") % 500).as("src"),
+        (col("l_partkey") % 500 + 500).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .cache()
+      val nodes0 = edges.select(col("src").as("url"))
+        .union(edges.select(col("dst").as("url")))
+        .distinct()
+        .withColumn("score", lit(1.0))
+      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      var nodes = nodes0
+      for (_ <- 1 to LINKRANK_ITERS) {
+        val contribs = edges
+          .join(nodes, edges("src") === nodes("url"))
+          .join(outDeg, "src")
+          .select(col("dst"),
+            round(col("score") / col("out_deg") * 1e9, 0).cast("long")
+              .as("c_fx"))
+          .groupBy("dst").agg(sum(col("c_fx")).as("sum_fx"))
+        nodes = nodes0.select(col("url"))
+          .join(contribs, nodes0("url") === contribs("dst"), "left")
+          .select(col("url"),
+            (lit(0.15) + lit(0.85) *
+              (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
+              .as("score"))
+      }
+      nodes.select(col("url"), round(col("score"), 6).as("score"))
+    },
+    Some {
+      val base = """
+      WITH e AS (SELECT DISTINCT (l_orderkey % 500) AS src,
+                        (l_partkey % 500 + 500) AS dst
+                 FROM lineitem WHERE (l_orderkey % 500) <> (l_partkey % 500 + 500)),
+      n0 AS (SELECT url, CAST(1.0 AS DOUBLE) AS score FROM
+             (SELECT src AS url FROM e UNION SELECT dst AS url FROM e)),
+      od AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)"""
+      val iters = (1 to LINKRANK_ITERS).map { i =>
+        val prev = if (i == 1) "n0" else s"n${i - 1}"
+        s""",
+      c$i AS (SELECT e.dst, SUM(CAST(ROUND(n.score / od.out_deg * 1e9) AS BIGINT)) AS sum_fx
+              FROM e JOIN $prev n ON e.src = n.url JOIN od ON e.src = od.src
+              GROUP BY e.dst),
+      n$i AS (SELECT n0.url,
+                0.15 + 0.85 * (CAST(COALESCE(c$i.sum_fx, 0) AS DOUBLE) / 1e9) AS score
+              FROM n0 LEFT JOIN c$i ON n0.url = c$i.dst)"""
+      }.mkString
+      base + iters +
+        s"\n      SELECT url, ROUND(score, 6) AS score FROM n$LINKRANK_ITERS"
+    })
+
+  /** J6/G3 ScoreUpdater: push node scores back into the crawldb; clear
+    * score when the node is absent (ScoreUpdater.java:60-130). */
+  val scoreUpdater = Q(
+    "score_updater",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val nodeScore = li
+        .select(col("l_orderkey").as("url"), col("l_partkey"))
+        .distinct()
+        .groupBy("url")
+        .agg(count(lit(1)).cast("double").as("node_score"))
+      o.select(col("o_orderkey").as("url"), col("o_orderstatus").as("status"))
+        .join(nodeScore, Seq("url"), "left")
+        .select(col("url"), col("status"),
+          coalesce(col("node_score"), lit(0.0)).as("score"))
+    },
+    Some("""
+      WITH ns AS (SELECT l_orderkey AS url,
+                         CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS node_score
+                  FROM lineitem GROUP BY l_orderkey)
+      SELECT o.o_orderkey AS url, o.o_orderstatus AS status,
+             COALESCE(ns.node_score, 0.0) AS score
+      FROM orders o LEFT JOIN ns ON o.o_orderkey = ns.url"""))
+
+  /** A10 OPIC distribute-score-to-outlinks: parent score split evenly over
+    * its outlinks with an internal/external factor
+    * (OPICScoringFilter.java:99-173). Pure row math — no float sums. */
+  val opicDistribute = Q(
+    "opic_distribute",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val wc = Window.partitionBy(col("l_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .withColumn("n_outlinks", count(lit(1)).over(wc))
+        .select(
+          col("l_orderkey").as("src"),
+          col("l_partkey").as("dst"),
+          col("l_linenumber").as("line"),
+          // floor of an exact-integer-scaled share: engine-exact (round()
+          // at a half-boundary is not)
+          floor(round(col("o_totalprice") * 100, 0).cast("long") *
+            when(col("l_partkey") % 2 === 0, lit(10L)).otherwise(lit(5L)) /
+            col("n_outlinks")).cast("long").as("outlink_score_milli"))
+    },
+    Some("""
+      SELECT l_orderkey AS src, l_partkey AS dst, l_linenumber AS line,
+             CAST(FLOOR(CAST(ROUND(o_totalprice*1e2) AS BIGINT) *
+               (CASE WHEN l_partkey % 2 = 0 THEN 10 ELSE 5 END)
+               / n_outlinks) AS BIGINT) AS outlink_score_milli
+      FROM (SELECT l.*, o.o_totalprice,
+              CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_outlinks
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"""))
+
+  val all: Seq[Q] = Seq(
+    linkdbInvert, nodeDegrees, webgraphBuild, linkrank, scoreUpdater,
+    opicDistribute)
+}

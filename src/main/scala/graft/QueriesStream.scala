@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Queries.{t, fxSum, sqlFxSum}
+
+/** Batch 6 — event-stream semantics in batch form (SURVEY §2.11). The
+  * same aggregations run as true Structured Streaming in
+  * graft.streaming.EventStreams; these batch twins are the
+  * oracle-checkable surface.
+  *
+  * `events.ts` arrives in Spark as Long nanoseconds (see Tables.scala);
+  * DuckDB sees µs timestamps — all derivations go through epoch math
+  * that agrees across both.
+  */
+object QueriesStream {
+
+  /** Hourly tumbling-window aggregate (readStream → window(ts) analog). */
+  val eventsHourly = Q(
+    "events_hourly",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      // integer div, not floor(double /): ts ~1e18 exceeds double mantissa
+      ev.withColumn("hour_epoch",
+          (expr("ts div 3600000000000") * 3600).cast("long"))
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          fxSum(col("value"), 2).as("sum_value"),
+          min(col("event_id")).as("first_event"))
+    },
+    Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        ${sqlFxSum("value", 2)} AS sum_value,
+        MIN(event_id) AS first_event
+      FROM events
+      GROUP BY 1, 2"""))
+
+  /** Sessionization: per user, a >30 min gap starts a new session
+    * (flatMapGroupsWithState analog; batch twin uses lag + running sum).
+    * Gap math in exact µs integers. */
+  val sessionize = Q(
+    "sessionize",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("event_id"))
+      val base = ev
+        .withColumn("ts_us", expr("ts div 1000")) // exact integer µs
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      base.groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+          fxSum(col("value"), 2).as("sum_value"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT user_id, event_id, value,
+          epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM base),
+      sessions AS (
+        SELECT *, CAST(SUM(new_session) OVER
+          (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx,
+        COUNT(*) AS n_events,
+        MIN(event_id) AS first_event,
+        MAX(event_id) AS last_event,
+        MAX(ts_us) - MIN(ts_us) AS duration_us,
+        ${sqlFxSum("value", 2)} AS sum_value
+      FROM sessions GROUP BY user_id, session_idx"""))
+
+  /** JSON props extraction (semi-structured column handling — the
+    * MapWritable-metadata analog, SURVEY §1.3). */
+  val propsExtract = Q(
+    "props_extract",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("sample_event"))
+    },
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        COUNT(*) AS cnt,
+        MIN(event_id) AS sample_event
+      FROM events
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract)
+}

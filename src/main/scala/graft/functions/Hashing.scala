@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine hashing primitives.
+  *
+  * md5 is the only hash function shared by Spark and DuckDB, so every
+  * hash that must be oracle-checkable derives from it. Spark-only paths
+  * (xxhash64) stay available for performance-critical internal use.
+  */
+object Hashing {
+
+  /** 60-bit non-negative hash: first 15 hex chars of md5, as a long.
+    * Engine-exact: Spark `conv` ≡ DuckDB `CAST('0x'||… AS BIGINT)`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for hash families (MinHash): h_i(x) = md5(i ‖ x). */
+  def md5LongSeeded(seed: Int, c: Column): Column =
+    md5Long(concat(lit(seed.toString), lit("|"), c))
+
+  /** Fast 64-bit hash for internal (non-oracle) shuffles and sketches. */
+  def fast64(c: Column): Column = xxhash64(c)
+}

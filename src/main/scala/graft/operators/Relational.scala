@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Generic relational operator shapes shared by the Nutch-derived jobs.
+  *
+  * These are the reusable skeletons behind SURVEY §2: latest-wins merges
+  * (CrawlDbMerger.java:81-110, SegmentMerger.java:419-530), bounded top-k
+  * per group (Generator.java:486-628, CrawlDbReducer.java:359-373), and
+  * global score-descending top-N (CrawlDbReader.java:956-1020).
+  *
+  * All are expressed as window/agg plans so Catalyst handles pushdown and
+  * AQE handles skew; nothing collects to the driver.
+  */
+object Relational {
+
+  /** Keep exactly one row per key group: the first under `order`.
+    * The caller must make `order` a total order (include a unique
+    * tiebreak column) for deterministic results. */
+  def latestWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Keep at most `k` rows per group under `order` (bounded inlink lists,
+    * generate.max.count host caps). */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Exact global top-N: Spark plans TakeOrderedAndProject — no full sort
+    * materialization. Deliberately-better replacement for the reference's
+    * per-reducer quota (SURVEY §7.4). */
+  def globalTopN(df: DataFrame, order: Seq[Column], n: Int): DataFrame =
+    df.orderBy(order: _*).limit(n)
+
+  /** Per-group bounded sorted member list rendered as a string — the
+    * deterministic, hash-comparable form of a capped collect_set
+    * (LinkDbMerger.java:92-110 inlink caps). Input must be pre-deduped if
+    * set semantics are wanted. */
+  def boundedMemberList(df: DataFrame, key: String, member: Column,
+      order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val wc = Window.partitionBy(col(key))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter(col("__rn") <= k)
+      .groupBy(col(key))
+      .agg(
+        array_join(array_sort(collect_list(member.cast("string"))), ",")
+          .as("members"),
+        max(col("__n")).as("n_total"))
+  }
+}
