@@ -49,7 +49,8 @@ object Queries {
   /** All declared queries, in registration order. */
   val all: Seq[Q] =
     QueriesCore.all ++ QueriesGraph.all ++ QueriesCrawl.all ++
-      QueriesText.all ++ QueriesEmbed.all ++ QueriesStream.all
+      QueriesText.all ++ QueriesEmbed.all ++ QueriesStream.all ++
+      QueriesUpdateDb.all
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
