@@ -50,7 +50,7 @@ object Queries {
   val all: Seq[Q] =
     QueriesCore.all ++ QueriesGraph.all ++ QueriesCrawl.all ++
       QueriesText.all ++ QueriesEmbed.all ++ QueriesStream.all ++
-      QueriesUpdateDb.all
+      QueriesUpdateDb.all ++ QueriesNet.all
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.net.RegexUrlFilter
+
+/** F2 (URL filter chain) + F4/§2.11 (generator eligibility via fetch
+  * schedules) as oracle-checked queries. */
+object QueriesNet {
+
+  private val T0 = 1690000000000L
+
+  /** F2 — urlfilter-regex over synthetic URLs. The rule set is parsed by
+    * the real engine (net.RegexUrlFilter, conformance-tested against the
+    * reference's sample suites) and compiled to a codegen'd first-match-
+    * wins CASE/rlike cascade (RegexURLFilterBase.java:170-206). */
+  val urlFilter = Q(
+    "url_filter",
+    (s, dir) => {
+      val filter = RegexUrlFilter.parse(Iterator(
+        "# deny media suffixes, query-ish urls; accept the rest",
+        "-(?i)\\.(?:gif|jpg|ico|css|zip|exe)$",
+        "-[?*!@=]",
+        "+."))
+      val o = Queries.t(s, dir, "orders")
+      val urls = o.select(concat(
+        lit("http://host"), col("o_orderkey") % 25,
+        lit(".example.com/page/"), col("o_orderkey"),
+        element_at(array(lit(".html"), lit(".gif"), lit("?q=1"),
+          lit(".jpg"), lit("/")), (col("o_orderkey") % 5).cast("int") + 1))
+        .as("url"))
+      urls.filter(filter.toColumn(col("url"))).select(col("url"))
+    },
+    Some("""
+      WITH urls AS (
+        SELECT 'http://host' || CAST(o_orderkey % 25 AS VARCHAR)
+          || '.example.com/page/' || CAST(o_orderkey AS VARCHAR)
+          || CASE CAST(o_orderkey % 5 AS INTEGER)
+               WHEN 0 THEN '.html' WHEN 1 THEN '.gif' WHEN 2 THEN '?q=1'
+               WHEN 3 THEN '.jpg' ELSE '/' END AS url
+        FROM orders)
+      SELECT url FROM urls
+      WHERE NOT regexp_matches(url, '(?i)\.(?:gif|jpg|ico|css|zip|exe)$')
+        AND NOT regexp_matches(url, '[\?\*!@=]')"""))
+
+  /** F4 + §2.11 — generator eligibility: shouldFetch gate
+    * (AbstractFetchSchedule.java:190-203: due when fetchTime ≤ curTime,
+    * and a fetchTime more than maxInterval in the future is pulled back
+    * to curTime, i.e. also due), then the Generator's per-host cap +
+    * global topN (Generator.java:178-643). */
+  val generateEligibility = Q(
+    "generate_eligibility",
+    (s, dir) => {
+      val curTime = T0 + 1000L * 3600000L
+      val maxIntervalMs = 7776000000L
+      val o = Queries.t(s, dir, "orders")
+      val fetchlist = o.select(
+        col("o_orderkey").as("url"),
+        (col("o_custkey") % 50).as("host"),
+        col("o_totalprice").as("score"),
+        (lit(T0) + (col("o_orderkey") % 2000) * 10800000L).as("fetch_time"))
+      val due = fetchlist.filter(
+        col("fetch_time") <= curTime ||
+          col("fetch_time") - curTime > maxIntervalMs)
+      val perHost = Window.partitionBy(col("host"))
+        .orderBy(desc("score"), asc("url"))
+      due.withColumn("rk", row_number().over(perHost))
+        .filter(col("rk") <= 20)
+        .orderBy(desc("score"), asc("url"))
+        .limit(100)
+        .select(col("url"), col("host"), col("score"), col("fetch_time"))
+    },
+    Some(s"""
+      WITH fl AS (
+        SELECT o_orderkey AS url, o_custkey % 50 AS host,
+               o_totalprice AS score,
+               $T0 + (o_orderkey % 2000) * 10800000 AS fetch_time
+        FROM orders),
+      due AS (
+        SELECT * FROM fl
+        WHERE fetch_time <= ${T0 + 1000L * 3600000L}
+           OR fetch_time - ${T0 + 1000L * 3600000L} > 7776000000)
+      SELECT url, host, score, fetch_time FROM (
+        SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY score DESC, url) AS rk FROM due)
+      WHERE rk <= 20
+      ORDER BY score DESC, url LIMIT 100"""))
+
+  val all: Seq[Q] = Seq(urlFilter, generateEligibility)
+}

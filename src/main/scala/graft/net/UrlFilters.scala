@@ -1,0 +1,285 @@
+package graft.net
+
+import java.util.regex.Pattern
+
+import scala.collection.mutable
+
+/** URL filter extension point (reference: net/URLFilter.java — one of the
+  * 12 plugin extension points, nutch-extensionpoints/plugin.xml).
+  *
+  * Engines are immutable, Serializable rule sets parsed once on the
+  * driver and broadcast into executor-side closures — the Spark twin of
+  * the reference's per-JVM plugin instances. `filter` returns None to
+  * reject (the reference returns null).
+  */
+trait UrlFilter extends Serializable {
+  def filter(url: String): Option[String]
+  final def accepts(url: String): Boolean = filter(url).isDefined
+}
+
+/** The chain: every active filter must accept, first reject wins
+  * (URLFilters.java:57-66). */
+final class UrlFilterChain(filters: Seq[UrlFilter]) extends UrlFilter {
+  def filter(url: String): Option[String] = {
+    var u = url
+    val it = filters.iterator
+    while (it.hasNext) {
+      it.next().filter(u) match {
+        case Some(v) => u = v
+        case None => return None
+      }
+    }
+    Some(u)
+  }
+}
+
+/** One `+`/`-` regex rule, optionally scoped to a host or domain
+  * (lib-regex-filter RegexRule.java; scoping from
+  * RegexURLFilterBase.java:262-271). */
+final case class RegexRule(sign: Boolean, regex: String,
+    hostOrDomain: Option[String]) {
+  @transient private lazy val pattern = Pattern.compile(regex)
+  def matches(url: String): Boolean = pattern.matcher(url).find()
+}
+
+/** urlfilter-regex: ordered `+accept` / `-reject` regex rules, first
+  * match wins, no match rejects (RegexURLFilterBase.java:170-206,
+  * readRules at 238-283 incl. the `> host … <` scoping of NUTCH-1838).
+  */
+final class RegexUrlFilter(val rules: Seq[RegexRule]) extends UrlFilter {
+  private val hasScoped = rules.exists(_.hostOrDomain.isDefined)
+
+  /** Compile an unscoped rule set into a single codegen'd Column — the
+    * 100 TB path: first-match-wins becomes a CASE/rlike cascade inside
+    * whole-stage codegen, no UDF ser/de. Scoped (`> host`) rule sets
+    * need per-URL host extraction and stay on the scalar engine. */
+  def toColumn(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    require(!hasScoped, "scoped rule sets are not column-compilable")
+    import org.apache.spark.sql.functions.{lit, when}
+    rules.reverse.foldLeft(lit(false)) { (acc, r) =>
+      when(url.rlike(r.regex), lit(r.sign)).otherwise(acc)
+    }
+  }
+
+  def filter(url: String): Option[String] = {
+    val host = if (hasScoped) UrlParts.host(url) else None
+    val domain = if (hasScoped) UrlParts.domain(url) else None
+    rules.foreach { r =>
+      val inScope = r.hostOrDomain.forall(hd =>
+        host.contains(hd) || domain.contains(hd))
+      if (inScope && r.matches(url))
+        return if (r.sign) Some(url) else None
+    }
+    None
+  }
+}
+
+object RegexUrlFilter {
+  /** Parse the rules grammar: `+re`, `-re`, `> host`, `<`, `#` comments
+    * (RegexURLFilterBase.java:238-283). */
+  def parse(lines: Iterator[String]): RegexUrlFilter = {
+    val rules = mutable.ArrayBuffer.empty[RegexRule]
+    var scope: Option[String] = None
+    lines.foreach { line =>
+      if (line.nonEmpty) line.charAt(0) match {
+        case '+' => rules += RegexRule(sign = true, line.substring(1), scope)
+        case '-' => rules += RegexRule(sign = false, line.substring(1), scope)
+        case '>' => scope = Some(line.substring(1).trim)
+        case '<' => scope = None
+        case ' ' | '#' => ()
+        case _ => throw new IllegalArgumentException(
+          s"Invalid first character: $line")
+      }
+    }
+    new RegexUrlFilter(rules.toSeq)
+  }
+}
+
+/** urlfilter-prefix: accept iff the URL starts with any configured prefix
+  * (PrefixURLFilter.java:68-73; the reference's TrieStringMatcher is an
+  * O(|url|) prefix trie — ours is a sorted-array binary search with the
+  * same asymptotics for the rule counts that fit a broadcast). */
+final class PrefixUrlFilter(prefixes: Seq[String]) extends UrlFilter {
+  private val sorted = prefixes.sorted.toArray
+  def filter(url: String): Option[String] = {
+    // binary search for the insertion point; the candidate prefix is the
+    // greatest entry <= url, and only entries that are prefixes of url
+    // can sort in (candidate..url]
+    var lo = 0; var hi = sorted.length - 1; var found = false
+    while (lo <= hi && !found) {
+      val mid = (lo + hi) >>> 1
+      if (url.startsWith(sorted(mid))) found = true
+      else if (sorted(mid) < url) lo = mid + 1
+      else hi = mid - 1
+    }
+    if (found) Some(url) else None
+  }
+}
+
+object PrefixUrlFilter {
+  def parse(lines: Iterator[String]): PrefixUrlFilter =
+    new PrefixUrlFilter(lines.filterNot(l =>
+      l.isEmpty || l.startsWith("#")).toSeq)
+}
+
+/** urlfilter-suffix (SuffixURLFilter.java:145-254): match the URL (or
+  * just its path with `-P`) against a suffix set; `-` header = reject on
+  * match (default), `+` = accept only on match; `-I`/`+I` adds
+  * case-insensitivity. */
+final class SuffixUrlFilter(suffixes: Seq[String], modeAccept: Boolean,
+    ignoreCase: Boolean, filterFromPath: Boolean) extends UrlFilter {
+  private val set = suffixes.map(s =>
+    if (ignoreCase) s.toLowerCase else s).toArray
+
+  def filter(url: String): Option[String] = {
+    if (url == null) return None
+    var u = if (ignoreCase) url.toLowerCase else url
+    if (filterFromPath) {
+      try u = new java.net.URL(u).getPath
+      catch { case _: java.net.MalformedURLException => () }
+    }
+    // match in accept-mode rejects (the suffix set is a denylist); match
+    // in reject-mode accepts (allowlist) — SuffixURLFilter.java:162-173
+    val matched = set.exists(u.endsWith)
+    if (matched != modeAccept) Some(url) else None
+  }
+}
+
+object SuffixUrlFilter {
+  def parse(lines: Iterator[String]): SuffixUrlFilter = {
+    val suffixes = mutable.ArrayBuffer.empty[String]
+    var modeAccept = false
+    var ignoreCase = false
+    var fromPath = false
+    lines.map(_.trim).foreach { line =>
+      if (line.nonEmpty) line.charAt(0) match {
+        case '#' => ()
+        case '-' =>
+          modeAccept = false
+          if (line.contains("P")) fromPath = true
+          if (line.contains("I")) ignoreCase = true
+        case '+' =>
+          modeAccept = true
+          if (line.contains("P")) fromPath = true
+          if (line.contains("I")) ignoreCase = true
+        case _ => suffixes += (if (ignoreCase) line.toLowerCase else line)
+      }
+    }
+    new SuffixUrlFilter(suffixes.toSeq, modeAccept, ignoreCase, fromPath)
+  }
+}
+
+/** urlfilter-fast (FastURLFilter.java): host/domain-keyed deny rules so
+  * only the handful of rules scoped to a URL's own host/domain suffixes
+  * run — O(#host-labels) lookups instead of O(#rules) regex scans. The
+  * default is accept; first matching deny rule rejects. */
+final class FastUrlFilter(
+    hostRules: Map[String, Seq[FastUrlFilter.Rule]],
+    domainRules: Map[String, Seq[FastUrlFilter.Rule]],
+    maxUrlLength: Int = -1, maxPathLength: Int = -1,
+    maxQueryLength: Int = -1) extends UrlFilter {
+
+  def filter(url: String): Option[String] = {
+    if (maxUrlLength != -1 && url.length > maxUrlLength) return None
+    val u =
+      try new java.net.URL(url)
+      catch { case _: Exception => return None } // unparseable → reject
+    val path = u.getPath
+    if (maxPathLength != -1 && path.length > maxPathLength) return None
+    val query = u.getQuery
+    if (maxQueryLength != -1 && query != null &&
+      query.length > maxQueryLength) return None
+
+    val hostname = u.getHost
+    hostRules.getOrElse(hostname, Nil).foreach(r =>
+      if (r.matches(u)) return None)
+    // domain rules: full host, then every dot-suffix, then global "."
+    // (FastURLFilter.java:207-233)
+    domainRules.getOrElse(hostname, Nil).foreach(r =>
+      if (r.matches(u)) return None)
+    var start = 0
+    var pos = hostname.indexOf('.', start)
+    while (pos != -1) {
+      start = pos + 1
+      val domain = hostname.substring(start)
+      domainRules.getOrElse(domain, Nil).foreach(r =>
+        if (r.matches(u)) return None)
+      pos = hostname.indexOf('.', start)
+    }
+    domainRules.getOrElse(".", Nil).foreach(r =>
+      if (r.matches(u)) return None)
+    Some(url)
+  }
+}
+
+object FastUrlFilter {
+  /** DenyPath matches the path; DenyPathQuery matches path?query
+    * (FastURLFilter.java:363-412), both via find(). */
+  final case class Rule(regex: String, withQuery: Boolean) {
+    @transient private lazy val pattern = Pattern.compile(regex)
+    def matches(u: java.net.URL): Boolean = {
+      val hay =
+        if (withQuery)
+          u.getPath + (if (u.getQuery != null) "?" + u.getQuery else "")
+        else u.getPath
+      pattern.matcher(hay).find()
+    }
+  }
+
+  def parse(lines: Iterator[String]): FastUrlFilter = {
+    val hostRules = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[Rule]]
+    val domainRules = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[Rule]]
+    var current: Option[(Boolean, String)] = None // (isHost, name)
+    lines.foreach { raw =>
+      val line = (raw.indexOf('#') match {
+        case -1 => raw
+        case i => raw.substring(0, i)
+      }).trim
+      if (line.nonEmpty) {
+        val parts = line.split("\\s+")
+        parts(0) match {
+          case "Host" => current = Some((true, parts(1)))
+          case "Domain" => current = Some((false, parts(1)))
+          case "DenyPath" | "DenyPathQuery" =>
+            val rule = Rule(parts(1), parts(0) == "DenyPathQuery")
+            current match {
+              case Some((true, h)) =>
+                hostRules.getOrElseUpdate(h, mutable.ArrayBuffer.empty) += rule
+              case Some((false, d)) =>
+                domainRules.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += rule
+              case None => throw new IllegalArgumentException(
+                s"rule before Host/Domain: $line")
+            }
+          case _ => throw new IllegalArgumentException(s"bad rule: $line")
+        }
+      }
+    }
+    new FastUrlFilter(
+      hostRules.map { case (k, v) => k -> v.toSeq }.toMap,
+      domainRules.map { case (k, v) => k -> v.toSeq }.toMap)
+  }
+}
+
+/** Scalar host/domain helpers shared by the scoped filters
+  * (URLUtil.getHost / getDomainName). */
+object UrlParts {
+  private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)".r
+  private val suffixes2 = Set("co.uk", "com.au", "co.jp", "com.br")
+
+  def host(url: String): Option[String] =
+    hostRe.findFirstMatchIn(url).map(_.group(1).toLowerCase)
+
+  /** Registrable domain with the same minimal embedded PSL as
+    * functions.Urls.registeredDomain. */
+  def domain(url: String): Option[String] = host(url).map { h =>
+    val labels = h.split('.')
+    if (labels.length <= 2) h
+    else {
+      val last2 = labels.takeRight(2).mkString(".")
+      if (suffixes2.contains(last2)) labels.takeRight(3).mkString(".")
+      else last2
+    }
+  }
+}

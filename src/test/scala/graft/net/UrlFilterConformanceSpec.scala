@@ -1,0 +1,145 @@
+package graft.net
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conformance suites for the URL filter engines (FIXTURES.md §A7).
+  *
+  * The regex and fast engines run the reference's own sample rule/url
+  * pairs verbatim (`+url` must be accepted, `-url` rejected) when the
+  * read-only reference checkout is present; the prefix/suffix engines run
+  * the reference's JUnit data tables (TestPrefixURLFilter.java:33-58,
+  * TestSuffixURLFilter.java:34-62).
+  */
+class UrlFilterConformanceSpec extends AnyFunSuite {
+
+  private val regexSampleDir =
+    "/root/reference/src/plugin/urlfilter-regex/sample"
+  private val fastSampleDir =
+    "/root/reference/src/plugin/urlfilter-fast/sample"
+
+  private def linesOf(path: String): Seq[String] =
+    Files.readAllLines(Paths.get(path)).asScala.toSeq
+
+  private def checkUrls(name: String, accepts: String => Boolean,
+      urlLines: Seq[String]): Unit =
+    urlLines.filter(l => l.startsWith("+") || l.startsWith("-")).foreach {
+      line =>
+        val url = line.substring(1)
+        val expected = line.startsWith("+")
+        assert(accepts(url) == expected,
+          s"$name: $url expected ${if (expected) "accept" else "reject"}")
+    }
+
+  for (sample <- Seq("WholeWebCrawling", "IntranetCrawling", "Benchmarks",
+      "nutch1838")) {
+    test(s"urlfilter-regex sample conformance: $sample") {
+      assume(Files.exists(Paths.get(s"$regexSampleDir/$sample.rules")))
+      val filter = RegexUrlFilter.parse(
+        linesOf(s"$regexSampleDir/$sample.rules").iterator)
+      checkUrls(sample, filter.accepts,
+        linesOf(s"$regexSampleDir/$sample.urls"))
+    }
+  }
+
+  test("urlfilter-fast sample conformance") {
+    assume(Files.exists(Paths.get(s"$fastSampleDir/fast-urlfilter-test.txt")))
+    val filter = FastUrlFilter.parse(
+      linesOf(s"$fastSampleDir/fast-urlfilter-test.txt").iterator)
+    checkUrls("fast", filter.accepts, linesOf(s"$fastSampleDir/test.urls"))
+  }
+
+  // --- prefix: TestPrefixURLFilter.java data table ---
+
+  test("urlfilter-prefix: accept iff a configured prefix matches") {
+    val filter = PrefixUrlFilter.parse(Iterator(
+      "# this is a comment", "", "http://", "https://", "file://", "ftp://"))
+    assert(filter.accepts("http://www.example.com/"))
+    assert(filter.accepts("https://www.example.com/"))
+    assert(filter.accepts("ftp://www.example.com/"))
+    assert(filter.accepts("file://www.example.com/"))
+    assert(!filter.accepts("abcd://www.example.com/"))
+    assert(!filter.accepts("www.example.com/"))
+  }
+
+  // --- suffix: TestSuffixURLFilter.java data tables ---
+
+  private val suffixUrls = Seq(
+    "http://www.example.com/test.gif", "http://www.example.com/TEST.GIF",
+    "http://www.example.com/test.jpg", "http://www.example.com/test.JPG",
+    "http://www.example.com/test.html", "http://www.example.com/test.HTML",
+    "http://www.example.com/test.html?q=abc.js",
+    "http://www.example.com/test.js?foo=bar&baz=bar#12333")
+
+  private def suffixFilter(modeAccept: Boolean, ignoreCase: Boolean,
+      fromPath: Boolean) =
+    new SuffixUrlFilter(Seq(".gif", ".jpg", ".js"), modeAccept, ignoreCase,
+      fromPath)
+
+  test("urlfilter-suffix mode accept (deny-listed suffixes)") {
+    val f = suffixFilter(modeAccept = true, ignoreCase = false,
+      fromPath = false)
+    val expected = Seq(false, true, false, true, true, true, false, true)
+    suffixUrls.zip(expected).foreach { case (u, e) =>
+      assert(f.accepts(u) == e, u)
+    }
+  }
+
+  test("urlfilter-suffix mode reject (allow-listed suffixes)") {
+    val f = suffixFilter(modeAccept = false, ignoreCase = false,
+      fromPath = false)
+    val expected = Seq(true, false, true, false, false, false, true, false)
+    suffixUrls.zip(expected).foreach { case (u, e) =>
+      assert(f.accepts(u) == e, u)
+    }
+  }
+
+  test("urlfilter-suffix mode accept, ignore case") {
+    val f = suffixFilter(modeAccept = true, ignoreCase = true,
+      fromPath = false)
+    val expected = Seq(false, false, false, false, true, true, false, true)
+    suffixUrls.zip(expected).foreach { case (u, e) =>
+      assert(f.accepts(u) == e, u)
+    }
+  }
+
+  test("urlfilter-suffix mode accept, path-only matching") {
+    val f = suffixFilter(modeAccept = true, ignoreCase = false,
+      fromPath = true)
+    val expected = Seq(false, true, false, true, true, true, true, false)
+    suffixUrls.zip(expected).foreach { case (u, e) =>
+      assert(f.accepts(u) == e, u)
+    }
+  }
+
+  // --- chain + misc ---
+
+  test("chain: first rejecting filter wins") {
+    val chain = new UrlFilterChain(Seq(
+      PrefixUrlFilter.parse(Iterator("http://", "https://")),
+      suffixFilter(modeAccept = true, ignoreCase = true, fromPath = false)))
+    assert(chain.accepts("http://a.com/x.html"))
+    assert(!chain.accepts("ftp://a.com/x.html")) // prefix rejects
+    assert(!chain.accepts("http://a.com/x.GIF")) // suffix rejects
+  }
+
+  test("regex scoped rules only fire for their host/domain (NUTCH-1838)") {
+    val f = RegexUrlFilter.parse(Iterator(
+      "> www.example.org", "-skip", "<",
+      "> www.example.com", "+skip", "<",
+      "-."))
+    assert(!f.accepts("http://www.example.org/skip-me-now"))
+    assert(f.accepts("http://www.example.com/noone-can-skip-me"))
+    assert(!f.accepts("http://www.example.nl/i-am-filtered"))
+  }
+
+  test("toColumn refuses scoped rule sets") {
+    val f = RegexUrlFilter.parse(Iterator("> h.com", "-x", "<", "+."))
+    intercept[IllegalArgumentException] {
+      f.toColumn(org.apache.spark.sql.functions.col("u"))
+    }
+  }
+}
