@@ -37,10 +37,9 @@ object Queries {
   def sqlFxSum(expr: String, scale: Int): String =
     s"CAST(SUM(CAST(ROUND(($expr)*1e$scale) AS BIGINT)) AS DOUBLE)/1e$scale"
 
-  /** Cross-engine deterministic 60-bit hash: first 15 hex chars of md5.
-    * Spark side. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Cross-engine deterministic 60-bit hash — single implementation in
+    * functions.Hashing (two copies could silently drift). */
+  def md5Long(c: Column): Column = graft.functions.Hashing.md5Long(c)
 
   /** DuckDB side of md5Long. */
   def sqlMd5Long(expr: String): String =

@@ -185,20 +185,30 @@ object QueriesCore {
       ORDER BY score DESC, url LIMIT 100"""))
 
   /** A1 CrawlDb stats: counts, min/max/sum score, exact quantiles per
-    * status (CrawlDbReader.java:371-509; t-digest → exact percentile). */
+    * status (CrawlDbReader.java:371-509). Quantiles via the distributed
+    * sort+rank form (Relational.quantileCont) — exact quantile_cont
+    * semantics without `percentile()`'s per-group value buffer. */
   val crawldbStats = Q(
     "crawldb_stats",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      o.groupBy(col("o_orderstatus").as("status"))
+      val wRank = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+      val wAll = Window.partitionBy(col("o_orderstatus"))
+      val ranked = o
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def qc(q: Double) = round(graft.operators.Relational
+        .quantileCont(col("o_totalprice"), col("rn"), col("n"), q), 4)
+      ranked.groupBy(col("o_orderstatus").as("status"))
         .agg(
           count(lit(1)).as("cnt"),
           min(col("o_totalprice")).as("min_score"),
           max(col("o_totalprice")).as("max_score"),
           fxSum(col("o_totalprice"), 2).as("sum_score"),
-          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+          qc(0.25).as("p25"),
+          qc(0.5).as("p50"),
+          qc(0.75).as("p75"))
     },
     Some(s"""
       SELECT o_orderstatus AS status,

@@ -22,7 +22,11 @@ object QueriesCrawl {
       val base = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select(col("c_nationkey").as("host"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
-      val agg = base.groupBy("host").agg(
+      val ranked = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("o_totalprice"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("host"))))
+      val agg = ranked.groupBy("host").agg(
         count(lit(1)).as("n_urls"),
         count(when(col("o_orderstatus") === "F", 1)).as("n_fetched"),
         count(when(col("o_orderstatus") === "O", 1)).as("n_unfetched"),
@@ -30,7 +34,10 @@ object QueriesCrawl {
         min(col("o_totalprice")).as("min_score"),
         max(col("o_totalprice")).as("max_score"),
         (fxSum(col("o_totalprice"), 2) / count(lit(1))).as("avg_score"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_score"))
+        // distributed exact median — no per-group value buffer (see
+        // Relational.quantileCont)
+        round(Relational.quantileCont(col("o_totalprice"), col("rn"),
+          col("n"), 0.5), 4).as("p50_score"))
       // mode(o_orderpriority) with (count desc, value asc) tiebreak
       val prioCnt = base.groupBy(col("host"), col("o_orderpriority"))
         .agg(count(lit(1)).as("pc"))

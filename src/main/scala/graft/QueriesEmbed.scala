@@ -73,19 +73,47 @@ object QueriesEmbed {
       SELECT q_id, cand_id, cos, CAST(rn AS BIGINT) AS rank
       FROM r WHERE rn <= 5"""))
 
-  /** IVF-style pruned ANN: the `label` column acts as the coarse
-    * quantizer cell; queries only scan their own cell — the scale path
-    * (cell-local scan ≈ nprobe=1 IVF). */
+  /** Real IVF ANN: the coarse quantizer is TRAINED — one Lloyd step from
+    * the label partition (centroid = per-cell mean in fixed point), every
+    * vector is then ASSIGNED to its nearest centroid by cosine, and each
+    * query scans only its assigned cell (nprobe=1). Centroid averaging
+    * uses floor(sum/count) on exact integer sums so both engines agree
+    * bit-for-bit; assignment argmax ties break on cell asc. At scale the
+    * per-cell scan replaces the full-table pass — the brute-force query
+    * above stays as the labeled recall baseline. */
   val knnIvf = Q(
     "knn_ivf",
     (s, dir) => {
-      val e = prepared(s, dir)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val e = prepared(s, dir).cache()
+      // --- train: fixed-point mean per initial label cell ---
+      val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("cx"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cx")))),
+          p => p.getField("cx")).as("cvec"))
+        .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
+      // --- assign: nearest centroid by cosine (ties: lowest cell) ---
+      val scored = e.crossJoin(broadcast(cent.select(
+          col("label").as("cell"), col("cvec"), col("cnsq"))))
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
+          Similarity.cosineFx(Similarity.dotQ(col("qv"), col("cvec")),
+            col("nsq"), col("cnsq")).as("ccos"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("ccos"), asc("cell"))
+      val asg = scored.withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
+        .cache()
+      // --- search: queries scan their own cell only ---
+      val q = asg.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-          col("nsq").as("nq"), col("label").as("q_label"))
-      val pairs = q.join(e,
-          col("q_label") === col("label") && col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("cand_id"), col("label"),
+          col("nsq").as("nq"), col("cell").as("q_cell"))
+      val pairs = q.join(asg,
+          col("q_cell") === col("cell") && col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), col("cell"),
           Similarity.dotQ(col("q_qv"), col("qv")).as("dot"),
           col("nq"), col("nsq").as("nc"))
         .withColumn("cos", cosExpr)
@@ -94,34 +122,88 @@ object QueriesEmbed {
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("cand_id"),
-          col("label").cast("int").as("label"), col("cos"))
+          col("cell").cast("int").as("cell"), col("cos"))
     },
     Some(s"""
-      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-                 FROM embeddings WHERE vec_id % 50 = 0),
-      p AS (SELECT q_id, e.vec_id AS cand_id, e.label,
-              ROUND(CAST(${sqlDotFx("q_emb", "e.embedding")} AS DOUBLE) /
-                (sqrt(CAST(${sqlNormSqFx("q_emb")} AS DOUBLE)) *
-                 sqrt(CAST(${sqlNormSqFx("e.embedding")} AS DOUBLE))), 6) AS cos
-            FROM q JOIN embeddings e
-              ON e.label = q.q_label AND e.vec_id <> q.q_id),
-      r AS (SELECT q_id, cand_id, label, cos,
+      WITH qe AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(ROUND(x*1e6) AS BIGINT)) AS qv
+        FROM embeddings),
+      cent0 AS (
+        SELECT label, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, unnest(qv) AS x,
+                unnest(generate_series(1, len(qv))) AS i
+              FROM qe)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label AS cell, list(cx ORDER BY i) AS cvec FROM cent0
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(e.qv, c.cvec),
+               s -> s[1] * s[2])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(e.qv, x -> x*x)) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(c.cvec, x -> x*x)) AS DOUBLE)))
+            AS ccos
+        FROM qe e CROSS JOIN cent c),
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cell) AS rn
+          FROM scored) WHERE rn = 1),
+      p AS (
+        SELECT qa.vec_id AS q_id, ca.vec_id AS cand_id, ca.cell,
+          ROUND(CAST(${sqlDotFx("eq.embedding", "ec.embedding")} AS DOUBLE) /
+            (sqrt(CAST(${sqlNormSqFx("eq.embedding")} AS DOUBLE)) *
+             sqrt(CAST(${sqlNormSqFx("ec.embedding")} AS DOUBLE))), 6) AS cos
+        FROM asg qa
+        JOIN asg ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+        JOIN embeddings eq ON eq.vec_id = qa.vec_id
+        JOIN embeddings ec ON ec.vec_id = ca.vec_id
+        WHERE qa.vec_id % 50 = 0),
+      r AS (SELECT q_id, cand_id, cell, cos,
               row_number() OVER (PARTITION BY q_id
                                  ORDER BY cos DESC, cand_id) AS rn
             FROM p)
-      SELECT q_id, cand_id, label, cos FROM r WHERE rn <= 3"""))
+      SELECT q_id, cand_id, CAST(cell AS INTEGER) AS cell, cos
+      FROM r WHERE rn <= 3"""))
 
-  /** Embedding-cosine near-duplicate detection: all pairs within a label
-    * cell above a cosine threshold (cell blocking bounds the join). */
+  private val NEARDUP_BANDS = 4
+  private val NEARDUP_BITS = 8 // sign bits per band
+
+  /** Embedding-cosine near-duplicate detection, sign-LSH banded:
+    * candidate pairs share a label cell AND at least one of 4 8-bit
+    * sign-pattern bands (random-hyperplane LSH with axis-aligned
+    * planes); exact fixed-point cosine ≥ 0.9 on candidates only. The
+    * previous label-cell all-pairs join was O(n²/L) with a FIXED label
+    * count — the 256-way band split keeps buckets bounded as n grows. */
   val embedNearDup = Q(
     "embed_neardup",
     (s, dir) => {
-      val e = prepared(s, dir)
-      val a = e.select(col("vec_id").as("a_id"), col("qv").as("qa"),
-        col("nsq").as("nq"), col("label"))
-      val b = e.select(col("vec_id").as("b_id"), col("qv").as("qb"),
-        col("nsq").as("nc"), col("label").as("label_b"))
-      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+      val e = prepared(s, dir).cache()
+      val bandCols = (0 until NEARDUP_BANDS).map { b =>
+        val bits = (0 until NEARDUP_BITS).map { j =>
+          when(element_at(col("qv"), b * NEARDUP_BITS + j + 1) >= 0,
+            lit("1")).otherwise(lit("0"))
+        }
+        struct(lit(b).as("band"), concat(bits: _*).as("bv"))
+      }
+      val bands = e.select(col("vec_id"), col("label"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("label"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("qv").as("qa"),
+          col("nsq").as("nq")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("qv").as("qb"),
+          col("nsq").as("nc")), "b_id")
         .select(col("a_id"), col("b_id"),
           Similarity.dotQ(col("qa"), col("qb")).as("dot"),
           col("nq"), col("nc"))
@@ -129,15 +211,32 @@ object QueriesEmbed {
         .filter(col("cos") >= 0.9)
         .select(col("a_id"), col("b_id"), col("cos"))
     },
-    Some(s"""
+    Some {
+      def sqlBits(b: Int): String =
+        (0 until NEARDUP_BITS).map { j =>
+          s"(CASE WHEN CAST(ROUND(embedding[${b * NEARDUP_BITS + j + 1}]*1e6) AS BIGINT) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+      val bandSelects = (0 until NEARDUP_BANDS).map(b =>
+        s"SELECT vec_id, label, $b AS band, ${sqlBits(b)} AS bv FROM embeddings")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.label = b.label AND a.band = b.band AND a.bv = b.bv
+          AND a.vec_id < b.vec_id)
       SELECT a_id, b_id, cos FROM (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        SELECT c.a_id, c.b_id,
           ROUND(CAST(${sqlDotFx("a.embedding", "b.embedding")} AS DOUBLE) /
             (sqrt(CAST(${sqlNormSqFx("a.embedding")} AS DOUBLE)) *
              sqrt(CAST(${sqlNormSqFx("b.embedding")} AS DOUBLE))), 6) AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id)
-      WHERE cos >= 0.9"""))
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.a_id
+        JOIN embeddings b ON b.vec_id = c.b_id)
+      WHERE cos >= 0.9"""
+    })
 
   val all: Seq[Q] = Seq(knnBruteforce, knnIvf, embedNearDup)
 }

@@ -119,7 +119,11 @@ object QueriesGraph {
         .withColumn("score", lit(1.0))
       val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
       var nodes = nodes0
-      for (_ <- 1 to LINKRANK_ITERS) {
+      // localCheckpoint every 5th iteration: truncates lineage so the
+      // loop survives the reference's 10-iteration config without plan
+      // blowup (SURVEY §2.10) while short runs stay a single job;
+      // Bench/Verify clear the block cache per query.
+      for (it <- 1 to LINKRANK_ITERS) {
         val contribs = edges
           .join(nodes, edges("src") === nodes("url"))
           .join(outDeg, "src")
@@ -133,6 +137,7 @@ object QueriesGraph {
             (lit(0.15) + lit(0.85) *
               (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
               .as("score"))
+        if (it % 5 == 0) nodes = nodes.localCheckpoint()
       }
       nodes.select(col("url"), round(col("score"), 6).as("score"))
     },

@@ -13,6 +13,11 @@ import graft.functions.{Hashing, Similarity, TextAnalysis}
   */
 object QueriesText {
 
+  // MinHash family size/banding shared by minhash_lsh and ngram_jaccard.
+  // (Declared before first use: object vals initialize in order.)
+  private val MINHASH_H = 12
+  private val MINHASH_BAND = 3 // 4 bands of 3
+
   /** Exact dedup: hash-groupBy on md5(text); lowest doc_id in each
     * signature group is the keeper (DeduplicationJob analog with
     * deterministic total order). */
@@ -125,54 +130,97 @@ object QueriesText {
             FROM documents)
       GROUP BY lang, token"""))
 
-  /** Exact n-gram Jaccard near-dup: char-trigram sets, candidate pairs
-    * share a (source, lang) block, exact |∩|/|∪|. The inverted-index join
-    * (shingle as key) is the 100 TB-safe candidate generator — no O(n²)
-    * cross join. */
+  /** Exact n-gram Jaccard near-dup, MinHash-candidated: char 5-gram
+    * sets → 12 affine minhashes (one md5/shingle) → 4 bands of 3 →
+    * candidate pairs = band collisions → exact |∩|/|∪| on candidates
+    * only (via array_intersect of the per-doc shingle sets). The banded
+    * candidate set is linear in collisions — the unpruned inverted-index
+    * self-join it replaces was quadratic in posting length and
+    * skew-bound at scale. 5-grams, not trigrams: the trigram universe is
+    * so small that the corpus-global minimum hash is shared by huge doc
+    * groups, collapsing LSH buckets (measured 3.4M candidate pairs from
+    * 5k docs at sf0.1 vs 105k with 5-grams). Short texts (<5 chars)
+    * contribute their whole text as the single shingle on both engines. */
   val trigramJaccard = Q(
     "ngram_jaccard",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val sh = d.select(col("doc_id"), col("source"), col("lang"),
-          explode(Similarity.charShingles(col("text"), 3)).as("sh"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("source"), col("lang"), col("sh"),
-        col("doc_id").as("a_id"))
-      val b = sh.select(col("source").as("source_b"), col("lang").as("lang_b"),
-        col("sh").as("sh_b"), col("doc_id").as("b_id"))
-      val inter = a.join(b,
-          a("source") === b("source_b") && a("lang") === b("lang_b") &&
-            a("sh") === b("sh_b") && a("a_id") < b("b_id"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("n", "na"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("n", "nb"), "b_id")
+      val shArr = d.select(col("doc_id"),
+        Similarity.charShingles(col("text"), 5).as("shs"))
+        .cache() // reused for both sides of the candidate-pair join
+      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .withColumn("hb", Similarity.minhashBase(col("sh")))
+      val sig = sh.groupBy("doc_id").agg(
+        Similarity.minhashAgg(col("hb"), 0).as("m0"),
+        (1 until MINHASH_H).map(i =>
+          Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
+      val nBands = MINHASH_H / MINHASH_BAND
+      val bandCols = (0 until nBands).map { b =>
+        val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
+          .map(i => col(s"m$i"))
+        struct(lit(b).as("band"), Hashing.md5Long(concat_ws(",", ms: _*)).as("h"))
+      }
+      val bands = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+        .cache() // self-joined below; avoid recomputing the minhash sigs
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = shArr.select(col("doc_id").as("a_id"), col("shs").as("a_shs"),
+        size(col("shs")).as("na"))
+      val sb = shArr.select(col("doc_id").as("b_id"), col("shs").as("b_shs"),
+        size(col("shs")).as("nb"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter",
+          size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
         .withColumn("jaccard",
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 4))
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
     },
-    Some("""
+    Some {
+      val mins = (0 until MINHASH_H).map(i =>
+        s"${Similarity.sqlMinhashAgg("hb", i)} AS m$i").mkString(",\n            ")
+      val nBands = MINHASH_H / MINHASH_BAND
+      val bandSelects = (0 until nBands).map { b =>
+        val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${sqlMd5Long(s"($ms)")} AS h FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""
       WITH sh AS (
-        SELECT DISTINCT doc_id, source, lang, substr(text, i, 3) AS sh
-        FROM (SELECT doc_id, source, lang, text,
-                unnest(generate_series(1, length(text)-2)) AS i
-              FROM documents WHERE length(text) >= 3)),
+        SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, length(text)-4)) AS i
+              FROM documents WHERE length(text) >= 5)
+        UNION
+        SELECT doc_id, text AS sh FROM documents WHERE length(text) < 5),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shb AS (SELECT doc_id,
+                ${sqlMd5Long("sh")} % ${Similarity.MinhashP} AS hb, sh
+              FROM sh),
+      sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
       inter AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.lang = b.lang AND a.sh = b.sh
-          AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
+        SELECT c.a_id, c.b_id, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.a_id
+        JOIN sh y ON y.doc_id = c.b_id AND x.sh = y.sh
+        GROUP BY c.a_id, c.b_id)
       SELECT a_id, b_id, inter,
         ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
       FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5"""))
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5"""
+    })
 
   /** X3 TextProfileSignature-shaped fingerprint: tokens ≥2 chars with
     * count ≥2, ordered by (count desc, token), joined and md5'd
@@ -228,33 +276,36 @@ object QueriesText {
           .otherwise(lit("text/plain")).as("sniffed_type"))
     },
     Some("""
+      -- header slicing is BYTE-based on both sides: Spark substrings the
+      -- binary payload; here we hex the utf-8 bytes and take 16 hex chars
       SELECT doc_id,
         CAST(strlen(text) AS BIGINT) AS n_bytes,
         md5(text) AS digest,
-        upper(hex(substr(text, 1, 8))) AS header_hex,
-        CASE WHEN upper(hex(substr(text, 1, 8))) LIKE 'FFD8%' THEN 'image/jpeg'
-             WHEN upper(hex(substr(text, 1, 8))) LIKE '89504E47%' THEN 'image/png'
+        upper(substr(hex(encode(text)), 1, 16)) AS header_hex,
+        CASE WHEN upper(substr(hex(encode(text)), 1, 4)) = 'FFD8' THEN 'image/jpeg'
+             WHEN upper(substr(hex(encode(text)), 1, 8)) = '89504E47' THEN 'image/png'
              ELSE 'text/plain' END AS sniffed_type
       FROM documents"""))
 
-  private val MINHASH_H = 12
-  private val MINHASH_BAND = 3 // 4 bands of 3
-
-  /** MinHash + LSH near-dup: word 3-shingles → 12 md5-seeded minhashes →
-    * 4 bands of 3 → candidates = band-hash collisions → estimated
-    * Jaccard = matching minhashes / 12. Fully deterministic (md5 family)
-    * so even the LSH path is oracle-checkable. Banding keeps the
-    * candidate join linear in collisions — the 100 TB scale path. */
+  /** MinHash + LSH near-dup: word 3-shingles → 12 affine minhashes (one
+    * md5 per shingle, Similarity.minhashBase) → 4 bands of 3 →
+    * candidates = band-hash collisions → estimated Jaccard = matching
+    * minhashes / 12. Fully deterministic so even the LSH path is
+    * oracle-checkable. Banding keeps the candidate join linear in
+    * collisions — the 100 TB scale path. */
   val minhashLsh = Q(
     "minhash_lsh",
     (s, dir) => {
       val d = t(s, dir, "documents")
       val sh = d.select(col("doc_id"),
         explode(Similarity.wordShingles(col("text"), 3)).as("sh"))
+        .withColumn("hb", Similarity.minhashBase(col("sh")))
       val sig = sh.groupBy("doc_id").agg(
-        Similarity.minhashAgg(col("sh"), 0).as("m0"),
+        Similarity.minhashAgg(col("hb"), 0).as("m0"),
         (1 until MINHASH_H).map(i =>
-          Similarity.minhashAgg(col("sh"), i).as(s"m$i")): _*)
+          Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
+        .cache() // reused by bands + both candidate sides — the shingle
+                 // explode and min-aggs would otherwise recompute 3×
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>
         val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
@@ -283,7 +334,7 @@ object QueriesText {
     },
     Some {
       val mins = (0 until MINHASH_H).map(i =>
-        s"MIN(${sqlMd5Long(s"'$i|' || sh")}) AS m$i").mkString(",\n            ")
+        s"${Similarity.sqlMinhashAgg("hb", i)} AS m$i").mkString(",\n            ")
       val nBands = MINHASH_H / MINHASH_BAND
       val bandSelects = (0 until nBands).map { b =>
         val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
@@ -302,7 +353,10 @@ object QueriesText {
         UNION
         SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh
         FROM tok WHERE len(t) < 3),
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      shb AS (SELECT doc_id,
+                ${sqlMd5Long("sh")} % ${Similarity.MinhashP} AS hb
+              FROM sh),
+      sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
       bands AS (
         $bandSelects),
       cand AS (
@@ -316,63 +370,84 @@ object QueriesText {
     })
 
   private val SIMHASH_BITS = 60
+  private val SIMHASH_BANDS = 4 // 4 × 15 bits
+  private val SIMHASH_MAXHAM = 3
 
-  /** SimHash near-dup: 60-bit occurrence-weighted majority-vote hash per
-    * doc, pairs within a lang block at hamming ≤ 12. */
+  /** SimHash near-dup, banded (Manku et al., WWW'07): 60-bit
+    * occurrence-weighted majority-vote hash per doc; candidate pairs
+    * share at least one of 4 15-bit bands; exact hamming ≤ 3 on
+    * candidates. With 4 bands, any pair at hamming ≤ 3 leaves one band
+    * untouched (pigeonhole), so banding is LOSSLESS at this threshold —
+    * the oracle can therefore state the plain all-pairs definition while
+    * the Spark plan stays linear in band collisions (the previous
+    * per-lang all-pairs join was O(n²/4)). */
   val simhash = Q(
     "simhash",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"), col("lang"),
+      val tok = d.select(col("doc_id"),
           explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) >= 2)
         .withColumn("h60", Hashing.md5Long(col("token")))
       val votes = tok
-        .select(col("doc_id"), col("lang"), col("h60"),
+        .select(col("doc_id"), col("h60"),
           explode(sequence(lit(0), lit(SIMHASH_BITS - 1))).as("i"))
         .withColumn("vote",
           when(expr("(shiftright(h60, CAST(i AS INT)) & 1) = 1"), 1)
             .otherwise(-1))
-        .groupBy(col("doc_id"), col("lang"), col("i"))
+        .groupBy(col("doc_id"), col("i"))
         .agg(sum(col("vote")).as("v"))
       val sh = votes
         .withColumn("bitval",
           when(col("v") > 0,
             expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
             .otherwise(lit(0L)))
-        .groupBy(col("doc_id"), col("lang"))
+        .groupBy(col("doc_id"))
         .agg(sum(col("bitval")).as("simhash"))
-      val a = sh.select(col("lang"), col("doc_id").as("a_id"),
-        col("simhash").as("ha"))
-      val b = sh.select(col("lang").as("lang_b"), col("doc_id").as("b_id"),
-        col("simhash").as("hb"))
-      a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+        .cache() // banded below then re-joined for the exact hamming
+      val bandW = SIMHASH_BITS / SIMHASH_BANDS
+      val bandCols = (0 until SIMHASH_BANDS).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"(shiftright(simhash, ${b * bandW}) & ${(1L << bandW) - 1})")
+            .as("bv"))
+      }
+      val bands = sh.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
         .withColumn("hamming",
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= 12)
+        .filter(col("hamming") <= SIMHASH_MAXHAM)
         .select(col("a_id"), col("b_id"), col("hamming"))
     },
     Some(s"""
       WITH tok AS (
-        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents),
-      th AS (SELECT doc_id, lang, ${sqlMd5Long("token")} AS h60
+      th AS (SELECT doc_id, ${sqlMd5Long("token")} AS h60
              FROM tok WHERE length(token) >= 2),
       votes AS (
-        SELECT doc_id, lang, i,
+        SELECT doc_id, i,
           SUM(CASE WHEN ((h60 >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
         FROM (SELECT *, unnest(generate_series(0, ${SIMHASH_BITS - 1})) AS i
               FROM th)
-        GROUP BY doc_id, lang, i),
+        GROUP BY doc_id, i),
       sh AS (
-        SELECT doc_id, lang,
+        SELECT doc_id,
           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
                AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id, lang)
+        FROM votes GROUP BY doc_id)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 12"""))
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_MAXHAM"""))
 
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,

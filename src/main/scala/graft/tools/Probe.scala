@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Queries
+import graft.functions.{Hashing, Similarity}
+
+/** Ad-hoc plan/size probe (not part of the driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = Queries.t(spark, dir, "documents")
+    println("docs=" + d.count())
+    println("textlen=" + d.select(avg(length(col("text")))).first())
+    val shArr = d.select(col("doc_id"),
+      Similarity.charShingles(col("text"), 5).as("shs")).cache()
+    println("avg_shingles=" + shArr.select(avg(size(col("shs")))).first())
+    val sh = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sig = sh.groupBy("doc_id").agg(
+      Similarity.minhashAgg(col("sh"), 0).as("m0"),
+      (1 until 12).map(i => Similarity.minhashAgg(col("sh"), i).as(s"m$i")): _*)
+    val bandCols = (0 until 4).map { b =>
+      val ms = (b * 3 until (b + 1) * 3).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), Hashing.md5Long(concat_ws(",", ms: _*)).as("h"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .cache()
+    val t0 = System.nanoTime()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct().cache()
+    println("cand=" + cand.count() + " in " + (System.nanoTime()-t0)/1e9)
+    val top = bands.groupBy("band", "h").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c")).limit(5)
+    top.show(false)
+    spark.stop()
+  }
+}
