@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Scalar md5 hex (signature computation in executor-side closures —
+    * MD5Signature/TextMD5Signature analog). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 

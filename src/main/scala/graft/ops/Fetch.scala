@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Urls
+import graft.schemas._
+
+/** §2.4 — the Fetch operator (Fetcher.java:68-103 model).
+  *
+  * The reference's fetcher is a per-task thread pool pulling from
+  * per-host queues (politeness). The Spark translation: repartition the
+  * fetchlist BY HOST and sort within partitions, then one mapPartitions
+  * pass fetches sequentially — all URLs of a host land in one partition
+  * in order, so per-host serialization (the politeness invariant) holds
+  * by construction, while hosts spread across the cluster.
+  *
+  * The wire protocol is the pluggable seam (§2.9 extension point
+  * `Protocol`); `MockProtocol` serves a broadcastable in-memory site —
+  * the container has no network, and live HTTP is a deployment concern,
+  * not an engine one. */
+object Fetch {
+
+  /** Protocol status codes (ProtocolStatus.java majors). */
+  object Code {
+    val Success = 1
+    val Gone = 2 // 404/410
+    val Retry = 3 // transient failure
+    val MovedPerm = 4
+    val MovedTemp = 5
+    val NotModified = 6
+  }
+
+  final case class ProtocolOutput(code: Int, bytes: Array[Byte],
+      contentType: String, movedTo: Option[String])
+
+  /** §2.9 extension point: scheme/impl-specific page retrieval. */
+  trait Protocol extends Serializable {
+    def fetch(url: String, datum: CrawlDatum): ProtocolOutput
+  }
+
+  /** In-memory site: url → (code, body, contentType[, redirect]).
+    * Unknown URLs are Gone. */
+  final case class MockProtocol(
+      site: Map[String, (Int, String, String)],
+      redirects: Map[String, String] = Map.empty) extends Protocol {
+    def fetch(url: String, datum: CrawlDatum): ProtocolOutput =
+      site.get(url) match {
+        case Some((code, body, ct)) =>
+          ProtocolOutput(code, body.getBytes("UTF-8"), ct, redirects.get(url))
+        case None => ProtocolOutput(Code.Gone, Array.empty, "", None)
+      }
+  }
+
+  /** Map a protocol status onto the fetch-status byte the updatedb state
+    * machine consumes (Fetcher output semantics,
+    * FetcherThread.java status switch). */
+  def toFetchStatus(code: Int): Byte = code match {
+    case Code.Success => CrawlStatus.FETCH_SUCCESS
+    case Code.Gone => CrawlStatus.FETCH_GONE
+    case Code.Retry => CrawlStatus.FETCH_RETRY
+    case Code.MovedPerm => CrawlStatus.FETCH_REDIR_PERM
+    case Code.MovedTemp => CrawlStatus.FETCH_REDIR_TEMP
+    case Code.NotModified => CrawlStatus.FETCH_NOTMODIFIED
+    case _ => CrawlStatus.FETCH_RETRY
+  }
+
+  /** Fetch a generated segment: (crawl_fetch, content). */
+  def apply(fetchlist: Dataset[GenerateEntry], protocol: Protocol,
+      now: Long): (Dataset[CrawlRow], Dataset[ContentRow]) = {
+    val spark: SparkSession = fetchlist.sparkSession
+    import spark.implicits._
+    val byHost = fetchlist.toDF()
+      .withColumn("host", Urls.host(col("url")))
+      .repartition(col("host"))
+      .sortWithinPartitions(col("host"), col("url"))
+      .drop("host")
+      .as[GenerateEntry]
+    val bc = spark.sparkContext.broadcast(protocol)
+    val fetched = byHost.mapPartitions { it =>
+      it.map { e =>
+        val out = bc.value.fetch(e.url, e.datum)
+        val status = toFetchStatus(out.code)
+        val meta = out.movedTo.fold(e.datum.metadata)(m =>
+          e.datum.metadata + (CrawlDatum.ReprUrlKey -> m))
+        val datum = e.datum.copy(status = status, fetchTime = now,
+          metadata = meta)
+        (CrawlRow(e.url, datum),
+          ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
+            out.contentType, Map.empty))
+      }
+    }.cache() // one protocol pass feeds both outputs
+    (fetched.map(_._1),
+      fetched.filter(_._1.datum.status == CrawlStatus.FETCH_SUCCESS)
+        .map(_._2))
+  }
+}

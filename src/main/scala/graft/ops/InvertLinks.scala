@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Urls
+import graft.schemas.ParseDataRow
+import graft.tables.{Inlink, LinkRow}
+
+/** J10/U2 — link inversion into the LinkDb (LinkDb.java:149-239,
+  * LinkDbMerger.java:92-110).
+  *
+  * outlink (from → to, anchor) becomes inlink (to ← from); internal
+  * (same-host) links are dropped by default (db.ignore.internal.links);
+  * per-target inlink lists are bounded (db.max.inlinks) keeping the
+  * first `maxInlinks` by (fromUrl) order — deterministic, and the bound
+  * is enforced INSIDE the aggregation via a sorted slice, not by
+  * collecting unbounded lists. */
+object InvertLinks {
+
+  final case class Config(
+      maxInlinks: Int = 10000, // db.max.inlinks
+      maxAnchorLength: Int = 100, // linkdb.max.anchor.length
+      ignoreInternalLinks: Boolean = true) // db.ignore.internal.links
+
+  def apply(parseData: Dataset[ParseDataRow], existing: Dataset[LinkRow],
+      cfg: Config): Dataset[LinkRow] = {
+    val spark: SparkSession = parseData.sparkSession
+    import spark.implicits._
+    val edges = parseData.toDF()
+      .select(col("url").as("fromUrl"), explode(col("outlinks")).as("o"))
+      .select(col("fromUrl"), col("o.toUrl").as("url"),
+        substring(col("o.anchor"), 1, cfg.maxAnchorLength).as("anchor"))
+    val external =
+      if (cfg.ignoreInternalLinks)
+        edges.filter(Urls.host(col("fromUrl")) =!= Urls.host(col("url")))
+      else edges
+    val fresh = external
+      .groupBy(col("url"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("fromUrl"), col("anchor")))), 1, cfg.maxInlinks)
+        .as("inlinks"))
+      .as[LinkRow]
+    // merge with the existing db: union inlink lists, re-bound
+    fresh.union(existing)
+      .groupByKey(_.url)
+      .mapGroups { (url, it) =>
+        val merged = it.flatMap(_.inlinks).toSeq
+          .distinct.sortBy(i => (i.fromUrl, i.anchor)).take(cfg.maxInlinks)
+        LinkRow(url, merged)
+      }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.net.UrlFilter
+import graft.functions.Urls
+import graft.schemas._
+
+/** X8 + F7 — HTML parse and the crawl_parse emission
+  * (parse-html HtmlParser.java / DOMContentUtils.java semantics re-done
+  * as regex extraction — same outputs: title, visible text, resolved
+  * outlinks; ParseSegment.java:87-145 gate; ParseOutputFormat
+  * .java:221-260 SIGNATURE/LINKED/PARSE_META emission).
+  */
+object Parse {
+
+  final case class Config(
+      maxOutlinksPerPage: Int = 100, // db.max.outlinks.per.page
+      maxAnchorLength: Int = 100, // linkdb.max.anchor.length
+      interval: Int = 2592000,
+      deleteFailed: Boolean = false) // parser.delete.failed (NUTCH-1732)
+
+  private val titleRe =
+    Pattern.compile("(?is)<title[^>]*>(.*?)</title>")
+  private val hrefRe = Pattern.compile(
+    """(?is)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)["'][^>]*>(.*?)</a>""")
+  private val tagRe = Pattern.compile(
+    "(?is)<(script|style)[^>]*>.*?</\\1>|<[^>]+>")
+  private val wsRe = Pattern.compile("\\s+")
+
+  /** One page's parse: title, cleaned text, resolved outlinks. Returns
+    * Failed status when the content is not parseable as text. */
+  def parsePage(base: String, bytes: Array[Byte], contentType: String,
+      cfg: Config): (Int, String, String, Seq[Outlink]) = {
+    if (bytes == null || bytes.isEmpty ||
+        !(contentType.startsWith("text/") || contentType.isEmpty))
+      return (ParseStatusCodes.Failed, "", "", Nil)
+    val html = new String(bytes, "UTF-8")
+    val tm = titleRe.matcher(html)
+    val title = if (tm.find()) wsRe.matcher(tm.group(1)).replaceAll(" ").trim
+      else ""
+    val text = wsRe.matcher(tagRe.matcher(html).replaceAll(" "))
+      .replaceAll(" ").trim
+    val links = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val hm = hrefRe.matcher(html)
+    while (hm.find() && links.size < cfg.maxOutlinksPerPage) {
+      resolve(base, hm.group(1)).foreach { abs =>
+        if (!links.contains(abs)) {
+          val anchor = wsRe.matcher(tagRe.matcher(hm.group(2)).replaceAll(" "))
+            .replaceAll(" ").trim.take(cfg.maxAnchorLength)
+          links += abs -> anchor
+        }
+      }
+    }
+    (ParseStatusCodes.Success, title, text,
+      links.map { case (u, a) => Outlink(u, a) }.toSeq)
+  }
+
+  /** Resolve a possibly-relative href against the page base
+    * (DOMContentUtils URL resolution). */
+  def resolve(base: String, href: String): Option[String] =
+    try {
+      val u = new java.net.URI(base).resolve(href.trim).toString
+      if (u.startsWith("http://") || u.startsWith("https://")) Some(u)
+      else None
+    } catch { case _: Exception => None }
+
+  final case class ParseOutput(parseData: Dataset[ParseDataRow],
+      parseText: Dataset[ParseTextRow], crawlParse: Dataset[CrawlRow])
+
+  /** Parse a fetched segment. The gate (ParseSegment.java:87-145): only
+    * successfully fetched content is parsed. crawl_parse carries, per
+    * page: a SIGNATURE datum (md5 of parse text — TextMD5Signature
+    * analog), one LINKED datum per kept outlink with the OPIC score
+    * share score/numOutlinks (OPICScoringFilter.distributeScoreToOutlinks),
+    * and a PARSE_META datum; parse failures emit a PARSE_FAILED transient
+    * when deleteFailed is on (NUTCH-1732). */
+  def apply(fetch: Dataset[CrawlRow], content: Dataset[ContentRow],
+      cfg: Config, outlinkFilter: UrlFilter): ParseOutput = {
+    val spark: SparkSession = fetch.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((cfg, outlinkFilter))
+
+    val success = fetch
+      .filter(_.datum.status == CrawlStatus.FETCH_SUCCESS)
+      .map(r => (r.url, r.datum.score))
+      .withColumnRenamed("_1", "url").withColumnRenamed("_2", "score")
+    val joined = content.join(success, "url")
+      .select("url", "base", "bytes", "contentType", "score")
+      .as[(String, String, Array[Byte], String, Float)]
+
+    val parsed = joined.map { case (url, base, bytes, ct, score) =>
+      val (cfg0, filt) = bc.value
+      val (st, title, text, out0) = parsePage(base, bytes, ct, cfg0)
+      val outlinks = out0.flatMap(o =>
+        Urls.normalize(o.toUrl).flatMap(filt.filter)
+          .map(u => Outlink(u, o.anchor)))
+      (url, st, title, text, outlinks, score)
+    }.cache()
+
+    val parseData = parsed.map { case (url, st, title, _, outlinks, _) =>
+      ParseDataRow(url, title, outlinks, st, Map("parser" -> "html-regex"))
+    }
+    val parseText = parsed.map { case (url, _, _, text, _, _) =>
+      ParseTextRow(url, text)
+    }
+    val crawlParse = parsed.flatMap { case (url, st, title, text, outlinks, score) =>
+      val (cfg0, _) = bc.value
+      if (st == ParseStatusCodes.Success) {
+        val sig = CrawlRow(url, CrawlDatum(CrawlStatus.SIGNATURE, 0L, 0, 0,
+          0f, Some(graft.functions.TextAnalysis.md5Hex(text)), 0L, Map.empty))
+        val share = if (outlinks.nonEmpty) score / outlinks.size else 0f
+        val linked = outlinks.map(o => CrawlRow(o.toUrl,
+          CrawlDatum(CrawlStatus.LINKED, 0L, 0, cfg0.interval, share, None,
+            0L, Map.empty)))
+        val pm = CrawlRow(url, CrawlDatum(CrawlStatus.PARSE_META, 0L, 0, 0,
+          0f, None, 0L, Map("parse.title.present" -> (title.nonEmpty).toString)))
+        Seq(sig, pm) ++ linked
+      } else if (cfg0.deleteFailed) {
+        Seq(CrawlRow(url, CrawlDatum(CrawlStatus.PARSE_FAILED, 0L, 0, 0, 0f,
+          None, 0L, Map.empty)))
+      } else Nil
+    }
+    ParseOutput(parseData, parseText, crawlParse)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+
+import graft.schemas._
+
+/** Parquet-backed crawl tables with the reference's copy-on-write install
+  * semantics (CrawlDb.java:163-181 install/swap): every update writes a
+  * NEW generation directory, then atomically swaps `current` → `old` →
+  * gone. Readers of the previous generation are never disturbed — the
+  * same discipline that lets a 1000-executor job read `current` while
+  * updatedb writes the next one. */
+object Install {
+
+  /** Write-then-swap: `ds` → <table>/.tmp-<nonce>, then
+    * current → old (replacing old), tmp → current. */
+  def install[T](ds: Dataset[T], tableDir: String, nonce: String): Unit = {
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-$nonce")
+    ds.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val current = dir.resolve("current")
+    val old = dir.resolve("old")
+    if (Files.exists(old)) deleteRecursively(old)
+    if (Files.exists(current))
+      Files.move(current, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, current, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively(_))
+    Files.deleteIfExists(p)
+  }
+}
+
+/** The CrawlDb: url → CrawlDatum at <dir>/current (SURVEY §1.1). */
+final class CrawlDbTable(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  def exists: Boolean = Files.exists(Paths.get(dir, "current"))
+
+  def read(): Dataset[CrawlRow] =
+    if (exists) spark.read.parquet(s"$dir/current").as[CrawlRow]
+    else spark.emptyDataset[CrawlRow]
+
+  def install(next: Dataset[CrawlRow], nonce: String): Unit =
+    Install.install(next, dir, nonce)
+}
+
+/** One segment directory with its parquet parts (SURVEY §1.1; segment
+  * naming Generator.java:58-63). */
+final class Segment(spark: SparkSession, val dir: String) {
+  import spark.implicits._
+
+  def writeGenerate(ds: Dataset[GenerateEntry]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(s"$dir/crawl_generate")
+  def writeFetch(ds: Dataset[CrawlRow]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(s"$dir/crawl_fetch")
+  def writeContent(ds: Dataset[ContentRow]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(s"$dir/content")
+  def writeCrawlParse(ds: Dataset[CrawlRow]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(s"$dir/crawl_parse")
+  def writeParseData(ds: Dataset[ParseDataRow]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(s"$dir/parse_data")
+  def writeParseText(ds: Dataset[ParseTextRow]): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(s"$dir/parse_text")
+
+  def generate: Dataset[GenerateEntry] =
+    spark.read.parquet(s"$dir/crawl_generate").as[GenerateEntry]
+  def fetch: Dataset[CrawlRow] =
+    spark.read.parquet(s"$dir/crawl_fetch").as[CrawlRow]
+  def content: Dataset[ContentRow] =
+    spark.read.parquet(s"$dir/content").as[ContentRow]
+  def crawlParse: Dataset[CrawlRow] =
+    spark.read.parquet(s"$dir/crawl_parse").as[CrawlRow]
+  def parseData: Dataset[ParseDataRow] =
+    spark.read.parquet(s"$dir/parse_data").as[ParseDataRow]
+  def parseText: Dataset[ParseTextRow] =
+    spark.read.parquet(s"$dir/parse_text").as[ParseTextRow]
+}
+
+/** The LinkDb: url → bounded inlink list (LinkDb.java, FIXTURES §A5). */
+final case class Inlink(fromUrl: String, anchor: String)
+final case class LinkRow(url: String, inlinks: Seq[Inlink])
+
+final class LinkDbTable(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  def exists: Boolean = Files.exists(Paths.get(dir, "current"))
+
+  def read(): Dataset[LinkRow] =
+    if (exists) spark.read.parquet(s"$dir/current").as[LinkRow]
+    else spark.emptyDataset[LinkRow]
+
+  def install(next: Dataset[LinkRow], nonce: String): Unit =
+    Install.install(next, dir, nonce)
+}

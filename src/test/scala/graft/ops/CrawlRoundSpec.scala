@@ -1,0 +1,162 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.crawl.{DefaultFetchSchedule, ScheduleConfig, UpdateDb}
+import graft.net.RegexUrlFilter
+import graft.schemas.{CrawlRow, CrawlStatus => S}
+import graft.tables.{CrawlDbTable, LinkDbTable, Segment}
+
+/** End-to-end mini crawl over the table layer (SURVEY §7.2 slice):
+  * inject → generate → fetch (mock protocol) → parse → updatedb →
+  * invertlinks → index, two rounds, with row-level asserts on every
+  * stage. The mock site has an external link, duplicate content, a gone
+  * page, and a permanent redirect — the cases the reference's
+  * fetch-test-site fixture exercises (FIXTURES §A4). */
+class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
+
+  private val A = "http://site-a.example.com"
+  private val B = "http://site-b.example.com"
+
+  private val site = Map(
+    s"$A/" -> (Fetch.Code.Success,
+      s"""<html><title>A home</title><body>Welcome to site A.
+         |<a href="/page1">one</a> <a href="/page2">two</a>
+         |<a href="$B/">other site</a></body></html>""".stripMargin,
+      "text/html"),
+    s"$A/page1" -> (Fetch.Code.Success,
+      "<html><title>P</title><body>shared body text</body></html>",
+      "text/html"),
+    s"$A/page2" -> (Fetch.Code.Success, // same visible text as page1
+      "<html><title>P</title><body>shared body text</body></html>",
+      "text/html"),
+    s"$B/" -> (Fetch.Code.Success,
+      s"""<html><title>B home</title><body>Site B.
+         |<a href="/gone">dead</a> <a href="/redir">moved</a></body></html>""".stripMargin,
+      "text/html"),
+    s"$B/gone" -> (Fetch.Code.Gone, "", ""),
+    s"$B/redir" -> (Fetch.Code.MovedPerm, "", ""))
+
+  private val protocol = Fetch.MockProtocol(site,
+    redirects = Map(s"$B/redir" -> s"$B/moved-here"))
+
+  private val acceptAll = RegexUrlFilter.parse(Iterator("+."))
+  private val schedCfg = ScheduleConfig()
+  private val schedule = DefaultFetchSchedule(schedCfg)
+  private val t0 = 1700000000000L
+
+  test("two full crawl rounds over the table layer") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crawl").toString
+    val crawldb = new CrawlDbTable(spark, s"$root/crawldb")
+    val linkdb = new LinkDbTable(spark, s"$root/linkdb")
+
+    // ---- inject ----
+    val seeds = spark.createDataset(Seq(
+      "# seed list",
+      s"$A/\tnutch.score=2.0",
+      s"$B/"))
+    val db0 = Inject(crawldb.read(), seeds, Inject.Config(), acceptAll, t0)
+    crawldb.install(db0, "r0")
+    val injected = crawldb.read().collect().map(r => r.url -> r.datum).toMap
+    assert(injected.keySet == Set(s"$A/", s"$B/"))
+    assert(injected(s"$A/").status == S.DB_UNFETCHED)
+    assert(injected(s"$A/").score == 2.0f) // nutch.score honored
+    assert(injected(s"$B/").score == 1.0f) // db.score.injected default
+
+    // ---- round 1: generate / fetch / parse / updatedb ----
+    val seg1 = new Segment(spark, s"$root/segments/r1")
+    val fl1 = Generate(crawldb.read(),
+      Generate.Config(curTime = t0, segnum = 1), schedule)
+    seg1.writeGenerate(fl1)
+    assert(seg1.generate.count() == 2) // both seeds due
+
+    val now1 = t0 + 1000
+    val (fetch1, content1) = Fetch(seg1.generate, protocol, now1)
+    seg1.writeFetch(fetch1); seg1.writeContent(content1)
+    assert(seg1.fetch.collect()
+      .forall(_.datum.status == S.FETCH_SUCCESS))
+
+    val p1 = Parse(seg1.fetch, seg1.content, Parse.Config(), acceptAll)
+    seg1.writeParseData(p1.parseData); seg1.writeParseText(p1.parseText)
+    seg1.writeCrawlParse(p1.crawlParse)
+    val pd1 = seg1.parseData.collect()
+    val outlinksA = pd1.find(_.url == s"$A/").get.outlinks
+    assert(outlinksA.map(_.toUrl).toSet ==
+      Set(s"$A/page1", s"$A/page2", s"$B/")) // relative hrefs resolved
+    assert(seg1.parseText.collect().find(_.url == s"$A/").get
+      .text.contains("Welcome to site A."))
+
+    val db1 = UpdateDb(
+      crawldb.read().union(seg1.fetch).union(seg1.crawlParse),
+      now1, schedule)
+    crawldb.install(db1, "r1")
+    val after1 = crawldb.read().collect().map(r => r.url -> r.datum).toMap
+    assert(after1(s"$A/").status == S.DB_FETCHED)
+    assert(after1(s"$A/").signature.isDefined)
+    assert(after1(s"$A/page1").status == S.DB_UNFETCHED) // discovered
+    assert(after1(s"$B/gone").status == S.DB_UNFETCHED)
+    // B root got A's outlink cash on top of its injected score (OPIC)
+    assert(after1(s"$B/").score > 1.0f)
+
+    // ---- linkdb: only the external A→B link survives the invert ----
+    val ldb1 = InvertLinks(seg1.parseData, linkdb.read(),
+      InvertLinks.Config())
+    linkdb.install(ldb1, "r1")
+    val inlinks = linkdb.read().collect().map(r => r.url -> r.inlinks).toMap
+    assert(inlinks.keySet == Set(s"$B/")) // internal links ignored
+    assert(inlinks(s"$B/").map(_.fromUrl) == Seq(s"$A/"))
+    assert(inlinks(s"$B/").head.anchor == "other site")
+
+    // ---- round 2 ----
+    val fl2 = Generate(crawldb.read(),
+      Generate.Config(curTime = now1 + 1000, segnum = 2), schedule)
+    val due2 = fl2.collect().map(_.url).toSet
+    // roots are scheduled a month out; only the discovered pages are due
+    assert(due2 == Set(s"$A/page1", s"$A/page2", s"$B/gone", s"$B/redir"))
+
+    val seg2 = new Segment(spark, s"$root/segments/r2")
+    seg2.writeGenerate(fl2)
+    val now2 = now1 + 2000
+    val (fetch2, content2) = Fetch(seg2.generate, protocol, now2)
+    seg2.writeFetch(fetch2); seg2.writeContent(content2)
+    val f2 = seg2.fetch.collect().map(r => r.url -> r.datum).toMap
+    assert(f2(s"$B/gone").status == S.FETCH_GONE)
+    assert(f2(s"$B/redir").status == S.FETCH_REDIR_PERM)
+    assert(f2(s"$B/redir").metadata.get("_repr_").contains(s"$B/moved-here"))
+
+    val p2 = Parse(seg2.fetch, seg2.content, Parse.Config(), acceptAll)
+    seg2.writeParseData(p2.parseData); seg2.writeParseText(p2.parseText)
+    seg2.writeCrawlParse(p2.crawlParse)
+
+    val db2 = UpdateDb(
+      crawldb.read().union(seg2.fetch).union(seg2.crawlParse),
+      now2, schedule)
+    crawldb.install(db2, "r2")
+    val after2 = crawldb.read().collect().map(r => r.url -> r.datum).toMap
+    assert(after2(s"$B/gone").status == S.DB_GONE)
+    assert(after2(s"$B/redir").status == S.DB_REDIR_PERM)
+    assert(after2(s"$B/redir").signature.isEmpty) // NUTCH-1422
+    // duplicate content: page1/page2 share the parse-text signature
+    assert(after2(s"$A/page1").signature.isDefined)
+    assert(after2(s"$A/page1").signature == after2(s"$A/page2").signature)
+    // copy-on-write: previous generation still readable at old/
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/crawldb/old")))
+
+    // ---- index ----
+    val docs = Index(crawldb.read(),
+      seg1.fetch.union(seg2.fetch),
+      p1.parseData.union(p2.parseData),
+      p1.parseText.union(p2.parseText),
+      linkdb.read(), Index.Config(deleteGone = true))
+      .collect().map(d => d.url -> d).toMap
+    assert(docs(s"$A/").action == "add")
+    assert(docs(s"$A/").title == "A home")
+    assert(docs(s"$B/").anchors == Seq("other site"))
+    assert(docs(s"$B/gone").action == "delete")
+    assert(!docs.contains(s"$B/redir") || docs(s"$B/redir").action == "delete")
+  }
+}
