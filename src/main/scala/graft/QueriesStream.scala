@@ -7,8 +7,9 @@ import Queries.{t, fxSum, sqlFxSum}
 
 /** Batch 6 — event-stream semantics in batch form (SURVEY §2.11). The
   * same aggregations run as true Structured Streaming in
-  * graft.streaming.EventStreams; these batch twins are the
-  * oracle-checkable surface.
+  * graft.streaming.EventStreams (readStream → watermark → window, and
+  * flatMapGroupsWithState sessionization; MemoryStream-tested in
+  * EventStreamsSpec); these batch twins are the oracle-checkable surface.
   *
   * `events.ts` arrives in Spark as Long nanoseconds (see Tables.scala);
   * DuckDB sees µs timestamps — all derivations go through epoch math

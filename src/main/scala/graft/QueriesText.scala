@@ -259,8 +259,9 @@ object QueriesText {
 
   /** Multimodal column plumbing: treat text bytes as an opaque binary
     * payload; extract typed metadata (size, digest, header hex, sniffed
-    * type). The real decode step is the clearly-marked stub in
-    * operators.Multimodal — this query checks the schema/metadata path. */
+    * type). The batched decode path (with its clearly-marked stub codec)
+    * is operators.Multimodal.extract, covered by MultimodalSpec — this
+    * query checks the codegen metadata path cross-engine. */
   val multimodalMeta = Q(
     "multimodal_meta",
     (s, dir) => {

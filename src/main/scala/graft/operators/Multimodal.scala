@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (LLM-pipeline surface): image/audio/video
+  * as opaque `binary` payloads with typed metadata, batched
+  * decode/feature-extract over mapPartitions.
+  *
+  * The Spark-side plumbing — schema, header sniffing, per-partition
+  * batch shape, deterministic output — is real and tested
+  * (MultimodalSpec). The actual media decode is a clearly-marked STUB
+  * (`decodeStub`): the container ships no image/audio codecs, so it
+  * derives a deterministic fake feature vector from the payload bytes; a
+  * deployment swaps in a real decoder with the same signature.
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, digest: String,
+      sniffed_type: String)
+
+  final case class MediaFeatures(doc_id: Long, sniffed_type: String,
+      width: Int, height: Int, features: Array[Float])
+
+  /** Magic-byte content sniffing (X6 MIME resolution analog). */
+  def sniff(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0xff && at(1) == 0xd8) "image/jpeg"
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      "image/png"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F')
+      "audio/wav"
+    else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "audio/mpeg"
+    else "application/octet-stream"
+  }
+
+  /** Typed metadata pass — pure column expressions, codegen. */
+  def meta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+      md5(col(payloadCol)).as("digest"),
+      col(payloadCol).as("payload"))
+
+  /** ====== STUB ======
+    * Deterministic fake decode: 8 "features" from byte histogram moments,
+    * plus fake dimensions from the payload length. A real deployment
+    * replaces this body with an actual codec call (e.g. via JNI/ffmpeg);
+    * signature and batch shape stay identical. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1; i += 1 }
+    val n = math.max(1, bytes.length)
+    val feats = hist.map(h => h.toFloat / n)
+    (1 + n % 1024, 1 + n % 768, feats)
+  }
+
+  /** Batched feature extraction: one partition = one decode batch
+    * (the Scala twin of a pandas-UDF mapInPandas pipeline; partitions
+    * bound decoder memory at scale). */
+  def extract(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[MediaFeatures] = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val (w, h, feats) = decodeStub(bytes)
+          MediaFeatures(id, sniff(bytes), w, h, feats)
+        }
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** True Structured Streaming twins of the batch stream queries
+  * (QueriesStream): readStream → watermark → windowed agg, and stateful
+  * sessionization via flatMapGroupsWithState
+  * (KeyValueGroupedDataset.flatMapGroupsWithState — SURVEY §2.11).
+  *
+  * The batch queries stay the oracle-checkable surface; these transforms
+  * accept a streaming Dataset (e.g. MemoryStream in tests, Kafka/files
+  * in production) and are covered by EventStreamsSpec.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      ts_us: Long, value: Double)
+
+  /** Hourly tumbling-window aggregate with a 2-hour watermark. Late data
+    * beyond the watermark is dropped, matching a 2h-bounded state size.
+    * (Streaming disallows exact countDistinct; the batch twin carries the
+    * oracle-checked n_users.) */
+  def hourly(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_value_fx"),
+        min(col("event_id")).as("first_event"))
+      .select(
+        (unix_timestamp(col("window.start"))).as("hour_epoch"),
+        col("event_type"), col("n_events"),
+        (col("sum_value_fx").cast("double") / 100).as("sum_value"),
+        col("first_event"))
+
+  final case class SessionState(sessionIdx: Long, startUs: Long,
+      lastUs: Long, n: Long, firstEvent: Long, lastEvent: Long, sumFx: Long)
+
+  final case class SessionOut(user_id: Long, session_idx: Long,
+      n_events: Long, first_event: Long, last_event: Long,
+      duration_us: Long, sum_value: Double)
+
+  val GapUs: Long = 1800000000L // 30 min, exact µs integers
+
+  /** Stateful sessionization: a >30-minute gap starts a new session.
+    * Emits a session when it closes (next session opens) — the streaming
+    * form of the batch lag+running-sum twin; state is O(1) per user. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val fx = math.round(e.value * 100)
+            if (st == null) {
+              st = SessionState(1L, e.ts_us, e.ts_us, 1L, e.event_id,
+                e.event_id, fx)
+            } else if (e.ts_us - st.lastUs > GapUs) {
+              out += SessionOut(userId, st.sessionIdx, st.n, st.firstEvent,
+                st.lastEvent, st.lastUs - st.startUs, st.sumFx / 100.0)
+              st = SessionState(st.sessionIdx + 1, e.ts_us, e.ts_us, 1L,
+                e.event_id, e.event_id, fx)
+            } else {
+              st = st.copy(lastUs = e.ts_us, n = st.n + 1,
+                lastEvent = math.max(st.lastEvent, e.event_id),
+                firstEvent = math.min(st.firstEvent, e.event_id),
+                sumFx = st.sumFx + fx)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkSuite {
+
+  private val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0x01, 0x02, 0x03)
+  private val png = "PNG0123".getBytes("ISO-8859-1")
+  private val wav = "RIFF....WAVE".getBytes("ISO-8859-1")
+  private val junk = "hello".getBytes("UTF-8")
+
+  test("magic-byte sniffing") {
+    assert(Multimodal.sniff(jpeg) == "image/jpeg")
+    assert(Multimodal.sniff(png) == "image/png")
+    assert(Multimodal.sniff(wav) == "audio/wav")
+    assert(Multimodal.sniff(junk) == "application/octet-stream")
+    assert(Multimodal.sniff(Array.empty) == "application/octet-stream")
+  }
+
+  test("metadata + batched feature extraction plumbing") {
+    import spark.implicits._
+    val df = Seq((1L, jpeg), (2L, png), (3L, junk))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.meta(df, "doc_id", "payload").collect()
+    assert(meta.length == 3)
+    val m1 = meta.find(_.getLong(0) == 1L).get
+    assert(m1.getLong(1) == jpeg.length)
+    assert(m1.getString(2).length == 32) // md5 hex
+
+    val feats = Multimodal.extract(df, "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).sniffed_type == "image/jpeg")
+    assert(feats(3L).sniffed_type == "application/octet-stream")
+    assert(feats.values.forall(_.features.length == 8))
+    // deterministic: histogram fractions sum to ~1
+    assert(math.abs(feats(3L).features.sum - 1.0f) < 1e-6)
+    // stub dimensions derive from payload size — stable across runs
+    val again = Multimodal.extract(df, "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(again(1L).width == feats(1L).width)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.streaming.EventStreams.Event
+
+/** Drives the Structured Streaming transforms through MemoryStream
+  * micro-batches and asserts windowed/stateful results. */
+class EventStreamsSpec extends AnyFunSuite with SparkSuite {
+
+  private val H = 3600000000L // 1h in µs
+  private val base = 1700000000000000L // µs epoch, mid-hour agnostic
+
+  test("hourly tumbling window aggregates per event_type") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourly(in.toDS())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      val t0 = (base / H) * H // aligned hour start
+      in.addData(
+        Event(1, 10, "view", t0 + 1, 1.25),
+        Event(2, 11, "view", t0 + 2, 0.75),
+        Event(3, 10, "click", t0 + 3, 2.0),
+        Event(4, 10, "view", t0 + H + 1, 4.0)) // next hour
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+      val h0 = t0 / 1000000L
+      assert(rows((h0, "view")) == ((2L, 2.0, 1L)))
+      assert(rows((h0, "click")) == ((1L, 2.0, 3L)))
+      assert(rows((h0 + 3600, "view")) == ((1L, 4.0, 4L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart — one open session, nothing out
+      in.addData(
+        Event(1, 42, "view", base, 1.0),
+        Event(2, 42, "view", base + 600000000L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0)
+
+      // batch 2: 31-min gap — closes session 1, opens session 2
+      in.addData(Event(3, 42, "view", base + 600000000L + 1860000000L, 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[EventStreams.SessionOut]
+        .collect()
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.user_id == 42 && s.session_idx == 1)
+      assert(s.n_events == 2 && s.first_event == 1 && s.last_event == 2)
+      assert(s.duration_us == 600000000L)
+      assert(s.sum_value == 3.0)
+
+      // batch 3: another user interleaves; 31-min gap closes session 2
+      in.addData(
+        Event(5, 7, "view", base, 1.0),
+        Event(4, 42, "view", base + 600000000L + 1860000000L * 2, 8.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[EventStreams.SessionOut]
+        .collect().sortBy(s => (s.user_id, s.session_idx))
+      assert(all.length == 2) // user 7's session still open
+      assert(all.exists(s => s.user_id == 42 && s.session_idx == 2 &&
+        s.n_events == 1 && s.sum_value == 4.0))
+    } finally q.stop()
+  }
+}
