@@ -49,7 +49,8 @@ object Queries {
   val all: Seq[Q] =
     QueriesCore.all ++ QueriesGraph.all ++ QueriesCrawl.all ++
       QueriesText.all ++ QueriesEmbed.all ++ QueriesStream.all ++
-      QueriesUpdateDb.all ++ QueriesNet.all
+      QueriesUpdateDb.all ++ QueriesNet.all ++ QueriesSinks.all ++
+      QueriesFilters.all
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Queries.t
+import graft.net.RegexUrlFilter
+
+/** Batch 8 — remaining filter/enrich/quota operators: F3 CrawlDbFilter,
+  * F10 mime filter, X5 text cleanup, X10 GeoIP, X12 naive Bayes,
+  * T6 segment quota, G1/A8 webgraph dedup, J4 dedup merge-back. */
+object QueriesFilters {
+
+  /** F3 — CrawlDbFilter: normalize THEN filter in one pass over db keys
+    * (CrawlDbFiltering in CrawlDb.java; the url404Purging/filter path).
+    * Composes the F1 codegen normalizer with the F2 compiled rule
+    * cascade. */
+  val crawldbFilter = Q(
+    "crawldb_filter",
+    (s, dir) => {
+      val filter = RegexUrlFilter.parse(Iterator(
+        "-[?*!@=]",
+        "-(?i)\\.(?:gif|jpg)$",
+        "+."))
+      val c = t(s, dir, "customer")
+      val messy = concat(lit("HTTP://Host"),
+        col("c_custkey") % 40, lit(".Example.COM:80/a/./p"), col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, lit("?q=1"))
+          .when(col("c_custkey") % 4 === 1, lit(".gif"))
+          .otherwise(lit(".html")))
+      c.select(col("c_custkey").as("id"), messy.as("url"))
+        .withColumn("normalized",
+          graft.functions.Urls.normalizeCol(col("url")))
+        .filter(filter.toColumn(col("normalized")))
+        .select(col("id"), col("normalized"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey AS id,
+          'HTTP://Host' || (c_custkey % 40) || '.Example.COM:80/a/./p' || c_custkey
+            || CASE WHEN c_custkey % 4 = 0 THEN '?q=1'
+                    WHEN c_custkey % 4 = 1 THEN '.gif'
+                    ELSE '.html' END AS url
+        FROM customer),
+      n AS (SELECT id,
+              lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+              || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', '')
+              || regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
+                   '#.*$', ''), '\?$', ''), '/\./', '/', 'g') AS normalized
+            FROM u)
+      SELECT id, normalized FROM n
+      WHERE NOT regexp_matches(normalized, '[\?\*!@=]')
+        AND NOT regexp_matches(normalized, '(?i)\.(?:gif|jpg)$')"""))
+
+  /** F10 — mime-type filter (mimetype-filter plugin): allow the text
+    * types and application/pdf, drop the rest. */
+  val mimeFilter = Q(
+    "mime_filter",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val ct = element_at(array(lit("text/html"), lit("image/jpeg"),
+        lit("application/pdf"), lit("text/plain"), lit("video/mp4"),
+        lit("application/octet-stream")),
+        (col("p_partkey") % 6).cast("int") + 1)
+      p.select(col("p_partkey").as("url"), ct.as("content_type"))
+        .filter(col("content_type").startsWith("text/") ||
+          col("content_type") === "application/pdf")
+    },
+    Some("""
+      SELECT p_partkey AS url,
+        CASE CAST(p_partkey % 6 AS INTEGER)
+          WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/jpeg'
+          WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'text/plain'
+          WHEN 4 THEN 'video/mp4' ELSE 'application/octet-stream'
+        END AS content_type
+      FROM part
+      WHERE CAST(p_partkey % 6 AS INTEGER) IN (0, 2, 3)"""))
+
+  /** X5 — text cleanup: entity decode, control-char strip, whitespace
+    * collapse, trim (DOMContentUtils/StringUtil cleanup chain). */
+  val textCleanup = Q(
+    "text_cleanup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      val stripped = regexp_replace(decoded, "[\\x00-\\x1f]", " ")
+      val collapsed = trim(regexp_replace(stripped, " {2,}", " "))
+      d.select(col("doc_id"), collapsed.as("cleaned"),
+        length(collapsed).cast("long").as("n_chars"))
+    },
+    Some("""
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '[\x00-\x1f]', ' ', 'g'),
+          ' {2,}', ' ', 'g')) AS cleaned,
+        length(trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '[\x00-\x1f]', ' ', 'g'),
+          ' {2,}', ' ', 'g'))) AS n_chars
+      FROM documents"""))
+
+  /** X10 — GeoIP enrichment: broadcast range-join of synthetic IPv4 ints
+    * onto per-nation CIDR-ish ranges (index-geoip plugin shape). */
+  val geoipEnrich = Q(
+    "geoip_enrich",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      val ips = o.select(col("o_orderkey").as("url"),
+        ((col("o_orderkey") * 7919) % 25000000).as("ip"))
+      val ranges = n.select(col("n_name"),
+        (col("n_nationkey") * 1000000L).as("lo"),
+        ((col("n_nationkey") + 1) * 1000000L).as("hi"))
+      ips.join(broadcast(ranges),
+          col("ip") >= col("lo") && col("ip") < col("hi"), "left")
+        .select(col("url"), col("ip"),
+          coalesce(col("n_name"), lit("unknown")).as("geo"))
+    },
+    Some("""
+      WITH ips AS (SELECT o_orderkey AS url,
+                     (o_orderkey * 7919) % 25000000 AS ip FROM orders),
+      ranges AS (SELECT n_name, n_nationkey * 1000000 AS lo,
+                   (n_nationkey + 1) * 1000000 AS hi FROM nation)
+      SELECT url, ip, COALESCE(n_name, 'unknown') AS geo
+      FROM ips LEFT JOIN ranges ON ip >= lo AND ip < hi"""))
+
+  /** X12 — naive-Bayes-style text classifier: integer log-odds weights
+    * over marker-token occurrence counts (naivebayes-filter plugin
+    * shape; weights are a trained-model stand-in, math engine-exact). */
+  val naiveBayes = Q(
+    "naive_bayes",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val weights = Seq("the" -> 2L, "and" -> 1L, "click" -> -5L,
+        "free" -> -4L, "der" -> 3L)
+      val score = weights.map { case (w, wt) =>
+        size(regexp_extract_all(col("text"), lit(s"\\b($w)\\b"))).cast("long") * wt
+      }.reduce(_ + _)
+      d.select(col("doc_id"), score.as("log_odds"),
+        when(score >= 0, lit("ham")).otherwise(lit("spam")).as("label"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) * 2
+        + CAST(len(regexp_extract_all(text, '\band\b')) AS BIGINT) * 1
+        + CAST(len(regexp_extract_all(text, '\bclick\b')) AS BIGINT) * -5
+        + CAST(len(regexp_extract_all(text, '\bfree\b')) AS BIGINT) * -4
+        + CAST(len(regexp_extract_all(text, '\bder\b')) AS BIGINT) * 3 AS log_odds,
+        CASE WHEN
+          CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) * 2
+          + CAST(len(regexp_extract_all(text, '\band\b')) AS BIGINT) * 1
+          + CAST(len(regexp_extract_all(text, '\bclick\b')) AS BIGINT) * -5
+          + CAST(len(regexp_extract_all(text, '\bfree\b')) AS BIGINT) * -4
+          + CAST(len(regexp_extract_all(text, '\bder\b')) AS BIGINT) * 3 >= 0
+        THEN 'ham' ELSE 'spam' END AS label
+      FROM documents"""))
+
+  /** T6 — segment-count quota: the Generator's maxNumSegments split —
+    * eligible urls ranked by score fill fixed-size segments round-down
+    * (Generator.java segment spill). The oracle-tractable global rank is
+    * the test form; the production path hash-distributes the quota per
+    * partition. */
+  val segmentQuota = Q(
+    "segment_quota",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.orderBy(desc("score"), asc("url"))
+      o.select(col("o_orderkey").as("url"),
+          col("o_totalprice").as("score"))
+        .filter(col("score") > 100000.0)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3000)
+        .select(col("url"), col("score"),
+          (((col("rk") - 1) / 1000).cast("int") + 1).as("segment"))
+    },
+    Some("""
+      SELECT url, score,
+        CAST((rk - 1) // 1000 AS INTEGER) + 1 AS segment
+      FROM (SELECT o_orderkey AS url, o_totalprice AS score,
+              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders WHERE o_totalprice > 100000.0)
+      WHERE rk <= 3000"""))
+
+  /** G1/A8 — WebGraph edge dedup: one edge per (source domain → target),
+    * highest score wins (WebGraph outlink dedup by target domain +
+    * LinkRank.java:585-597 per-domain contribution dedup). */
+  val webgraphDedup = Q(
+    "webgraph_dedup",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(
+        col("l_suppkey").as("src"),
+        (col("l_suppkey") % 100).as("src_domain"),
+        (col("l_partkey") % 1000).as("dst"),
+        Queries.fx(col("l_discount"), 2).as("score_fx"))
+      val w = Window.partitionBy(col("src_domain"), col("dst"))
+        .orderBy(desc("score_fx"), asc("src"))
+      edges.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src_domain"), col("dst"), col("src").as("kept_src"),
+          col("score_fx"))
+    },
+    Some("""
+      SELECT src_domain, dst, src AS kept_src, score_fx
+      FROM (SELECT l_suppkey AS src, l_suppkey % 100 AS src_domain,
+              l_partkey % 1000 AS dst,
+              CAST(ROUND(l_discount*1e2) AS BIGINT) AS score_fx,
+              row_number() OVER (PARTITION BY l_suppkey % 100, l_partkey % 1000
+                ORDER BY CAST(ROUND(l_discount*1e2) AS BIGINT) DESC, l_suppkey) AS rn
+            FROM lineitem)
+      WHERE rn = 1"""))
+
+  /** J4 — dedup merge-back: the duplicate marks re-join the db and set
+    * DB_DUPLICATE, best-in-group keeps its status
+    * (DeduplicationJob.java:251-285 StatusUpdateReducer). */
+  val dedupMerge = Q(
+    "dedup_merge",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val db = li.select(
+        concat(col("l_orderkey"), lit("#"), col("l_linenumber")).as("url"),
+        col("l_orderkey").as("sig"),
+        col("l_linenumber").as("member"),
+        col("l_extendedprice").as("score"),
+        col("l_shipdate"),
+        when(col("l_linenumber") % 2 === 0, lit(2)).otherwise(lit(1))
+          .as("old_status"))
+      val w = Window.partitionBy(col("sig"))
+        .orderBy(desc("score"), asc("l_shipdate"), asc("member"))
+      db.withColumn("rnk", row_number().over(w))
+        .select(col("url"), col("old_status"),
+          when(col("rnk") === 1, col("old_status")).otherwise(lit(7))
+            .as("new_status"))
+    },
+    Some("""
+      SELECT url, old_status,
+        CASE WHEN rnk = 1 THEN old_status ELSE 7 END AS new_status
+      FROM (SELECT l_orderkey || '#' || l_linenumber AS url,
+              CASE WHEN l_linenumber % 2 = 0 THEN 2 ELSE 1 END AS old_status,
+              row_number() OVER (PARTITION BY l_orderkey
+                ORDER BY l_extendedprice DESC, l_shipdate, l_linenumber) AS rnk
+            FROM lineitem)"""))
+
+  val all: Seq[Q] = Seq(crawldbFilter, mimeFilter, textCleanup, geoipEnrich,
+    naiveBayes, segmentQuota, webgraphDedup, dedupMerge)
+}
