@@ -248,6 +248,45 @@ object QueriesFilters {
                 ORDER BY l_extendedprice DESC, l_shipdate, l_linenumber) AS rnk
             FROM lineitem)"""))
 
+  /** F9 — scoring-depth gate (scoring-depth plugin): outlink depth =
+    * min(parent depth)+1, links beyond max depth are cut. */
+  val scoringDepth = Q(
+    "scoring_depth",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val parents = o.select(col("o_orderkey").as("parent"),
+        (col("o_orderkey") % 5).as("depth"))
+      val edges = li.select(col("l_orderkey").as("parent"),
+        (col("l_partkey") % 10000).as("child"))
+      edges.join(parents, "parent")
+        .groupBy(col("child"))
+        .agg((min(col("depth")) + 1).as("child_depth"))
+        .filter(col("child_depth") <= 3)
+    },
+    Some("""
+      SELECT l_partkey % 10000 AS child,
+             MIN(o_orderkey % 5) + 1 AS child_depth
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 HAVING MIN(o_orderkey % 5) + 1 <= 3"""))
+
+  /** X4 — HTTP date emission (HttpDateFormat.java:46-90 IMF-fixdate);
+    * the lenient 3-form parser is functions.HttpDates (spec-tested). */
+  val httpDate = Q(
+    "http_date",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val ts = timestamp_seconds(lit(1700000000L) + (col("o_orderkey") % 100000) * 3600)
+      o.select(col("o_orderkey").as("url"),
+        date_format(ts, "EEE, dd MMM yyyy HH:mm:ss 'GMT'").as("http_date"))
+    },
+    Some("""
+      SELECT o_orderkey AS url,
+        strftime(to_timestamp(1700000000 + (o_orderkey % 100000) * 3600),
+                 '%a, %d %b %Y %H:%M:%S GMT') AS http_date
+      FROM orders"""))
+
   val all: Seq[Q] = Seq(crawldbFilter, mimeFilter, textCleanup, geoipEnrich,
-    naiveBayes, segmentQuota, webgraphDedup, dedupMerge)
+    naiveBayes, segmentQuota, webgraphDedup, dedupMerge, scoringDepth,
+    httpDate)
 }

@@ -64,10 +64,16 @@ object Urls {
 
   private val defaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
 
-  /** Characters that never need percent-escaping in a path/query
-    * (RFC 3986 unreserved + sub-delims kept literal by the reference). */
+  /** RFC 3986 unreserved — the ONLY bytes whose escapes are unescaped
+    * (BasicURLNormalizer.unescapePath: decoding a reserved byte like %26
+    * would change semantics). */
   private def isUnreserved(c: Char): Boolean =
-    c.isLetterOrDigit || "-._~!$&'()*+,;=:@/".indexOf(c) >= 0
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** Printable-ASCII chars that still must be escaped when literal
+    * (BasicURLNormalizer escape sets). */
+  private val unsafeLiteral = " \"<>[]{}|\\^`%"
 
   /** Resolve `.` and `..` path segments (BasicURLNormalizer
     * "remove relative paths" rule). */
@@ -90,8 +96,13 @@ object Urls {
     if (r == "//") "/" else r
   }
 
-  /** Canonicalize percent-escapes: unescape escapes of unreserved chars,
-    * uppercase remaining escape hex, escape stray unsafe chars. */
+  /** Canonicalize percent-escapes (BasicURLNormalizer
+    * unescapePath/escapePath, TestBasicURLNormalizer:46-110 semantics):
+    * unescape escapes of UNRESERVED bytes (%66→f, %2E→.), uppercase the
+    * kept escapes (%2f→%2F), percent-encode stray unsafe literals —
+    * controls, space, '"<>[]{}|\^`' — and non-ASCII chars as UTF-8
+    * byte sequences (ñ→%C3%B1). A lone '%' not starting a valid escape
+    * is encoded as %25. */
   private[functions] def canonEscapes(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
@@ -100,11 +111,34 @@ object Urls {
       if (c == '%' && i + 2 < s.length &&
           isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
         val v = Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
-        if (isUnreserved(v) && v != '%') sb.append(v)
+        if (isUnreserved(v)) sb.append(v)
         else sb.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
         i += 3
-      } else if (c == ' ') { sb.append("%20"); i += 1 }
-      else { sb.append(c); i += 1 }
+      } else if (c < 0x21 || c == 0x7F || unsafeLiteral.indexOf(c) >= 0) {
+        sb.append(f"%%${c.toInt}%02X")
+        i += 1
+      } else if (c > 0x7F) {
+        c.toString.getBytes("UTF-8").foreach(b =>
+          sb.append(f"%%${b & 0xff}%02X"))
+        i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Host form: only unescape unreserved escapes (example%2Ecom →
+    * example.com); IDN literals (bücher.de) pass through untouched. */
+  private def unescapeUnreserved(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        if (isUnreserved(v)) { sb.append(v); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
@@ -128,15 +162,18 @@ object Urls {
         if (authority.isEmpty) return None
         // split off fragment entirely (reference strips ref)
         val rest1 = rest0.takeWhile(_ != '#')
-        // lowercase host, strip default port
+        // lowercase host (unescaping unreserved escapes, e.g.
+        // example%2Ecom — TestBasicURLNormalizer:122), strip default or
+        // empty port ("http://example.com:/" → no port)
         val (hostPart, portPart) = authority.lastIndexOf(':') match {
           case -1 => (authority, None)
-          case i if authority.drop(i + 1).forall(_.isDigit) &&
-            authority.drop(i + 1).nonEmpty =>
+          case i if authority.drop(i + 1).isEmpty =>
+            (authority.take(i), None)
+          case i if authority.drop(i + 1).forall(_.isDigit) =>
             (authority.take(i), Some(authority.drop(i + 1).toInt))
           case _ => (authority, None)
         }
-        val hostLc = hostPart.toLowerCase
+        val hostLc = unescapeUnreserved(hostPart).toLowerCase
         val port = portPart match {
           case Some(p) if defaultPorts.get(scheme).contains(p) => ""
           case Some(p) => s":$p"
