@@ -266,7 +266,65 @@ object QueriesCrawl {
             FROM p)
       SELECT id, url, scheme || '://' || h || r AS normalized FROM q"""))
 
+  /** J8 (full) — HostDb update: this round's per-host aggregates
+    * FULL-OUTER-joined onto the previous hostdb; failure counters
+    * accumulate, score refreshes when new data exists, hosts with
+    * neither fetches nor history drop out
+    * (UpdateHostDbReducer.java:176-349: checkFailures/numRecords merge;
+    * DNS resolution is a fetch-side concern, modeled as the carried
+    * failure counter). */
+  val hostdbUpdate = Q(
+    "hostdb_update",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val cur = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy((col("c_nationkey") % 30).as("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_fetched"),
+          count(when(col("o_orderkey") % 97 === 0, 1)).as("conn_failures"),
+          fxSum(col("o_totalprice"), 2).as("sum_score"))
+      val prev = n.select((col("n_nationkey") + 15).as("host"),
+        (col("n_nationkey") % 3).cast("long").as("prev_dns_failures"),
+        (col("n_nationkey") * 100).cast("double").as("prev_score"))
+      cur.join(broadcast(prev), Seq("host"), "full_outer")
+        .select(col("host"),
+          coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+          coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
+          (coalesce(col("prev_dns_failures"), lit(0L)) +
+            coalesce(col("conn_failures"), lit(0L))).as("failures"),
+          coalesce(col("sum_score"), col("prev_score"), lit(0.0)).as("score"),
+          when(col("prev_score").isNotNull && col("n_urls").isNotNull,
+            lit("updated"))
+            .when(col("prev_score").isNotNull, lit("carried"))
+            .otherwise(lit("new")).as("origin"))
+    },
+    Some(s"""
+      WITH cur AS (
+        SELECT c_nationkey % 30 AS host,
+          COUNT(*) AS n_urls,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fetched,
+          COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS conn_failures,
+          ${sqlFxSum("o_totalprice", 2)} AS sum_score
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      prev AS (
+        SELECT n_nationkey + 15 AS host,
+          CAST(n_nationkey % 3 AS BIGINT) AS prev_dns_failures,
+          CAST(n_nationkey * 100 AS DOUBLE) AS prev_score
+        FROM nation)
+      SELECT COALESCE(cur.host, prev.host) AS host,
+        COALESCE(n_urls, 0) AS n_urls,
+        COALESCE(n_fetched, 0) AS n_fetched,
+        COALESCE(prev_dns_failures, 0) + COALESCE(conn_failures, 0) AS failures,
+        COALESCE(sum_score, prev_score, 0.0) AS score,
+        CASE WHEN prev_score IS NOT NULL AND n_urls IS NOT NULL THEN 'updated'
+             WHEN prev_score IS NOT NULL THEN 'carried'
+             ELSE 'new' END AS origin
+      FROM cur FULL OUTER JOIN prev ON cur.host = prev.host"""))
+
   val all: Seq[Q] = Seq(
     hostdbAgg, crawldbMerge, segmentMerge, indexDocs, jexlFilter, urlParts,
-    urlNormalize)
+    urlNormalize, hostdbUpdate)
 }

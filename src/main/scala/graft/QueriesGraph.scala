@@ -101,23 +101,34 @@ object QueriesGraph {
   /** G2 LinkRank: damped PageRank-style loop, score' = 0.15 + 0.85·Σ
     * contribs (LinkRank.java:302-345, 603-605). Contributions are
     * fixed-point quantized (1e-9) before each aggregation so every
-    * iteration is order-independent and engine-exact.
-    * Graph: lineitem edges modded to ~500 nodes for density. */
+    * iteration is order-independent and engine-exact. Per the
+    * reference's A8 duplicate-elimination (LinkRank.java:585-597), a
+    * target accepts at most ONE contribution per source domain — edges
+    * are deduped per (src domain, dst) with a deterministic keeper
+    * (lowest src). Graph: lineitem edges modded to ~500 nodes;
+    * domain = src % 50. */
   val linkrank = Q(
     "linkrank",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val edges = li.select(
+      val rawEdges = li.select(
         (col("l_orderkey") % 500).as("src"),
         (col("l_partkey") % 500 + 500).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
+      val wDom = Window.partitionBy((col("src") % 50).as("dom"), col("dst"))
+        .orderBy(asc("src"))
+      val edges = rawEdges
+        .withColumn("rn", row_number().over(wDom))
+        .filter(col("rn") === 1).drop("rn")
         .cache()
-      val nodes0 = edges.select(col("src").as("url"))
-        .union(edges.select(col("dst").as("url")))
+      // node set + out-degree come from the FULL graph (Node.numOutlinks);
+      // only the inbound contributions are domain-deduped
+      val nodes0 = rawEdges.select(col("src").as("url"))
+        .union(rawEdges.select(col("dst").as("url")))
         .distinct()
         .withColumn("score", lit(1.0))
-      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val outDeg = rawEdges.groupBy("src").agg(count(lit(1)).as("out_deg"))
       var nodes = nodes0
       // localCheckpoint every 5th iteration: truncates lineage so the
       // loop survives the reference's 10-iteration config without plan
@@ -143,12 +154,16 @@ object QueriesGraph {
     },
     Some {
       val base = """
-      WITH e AS (SELECT DISTINCT (l_orderkey % 500) AS src,
+      WITH e0 AS (SELECT DISTINCT (l_orderkey % 500) AS src,
                         (l_partkey % 500 + 500) AS dst
                  FROM lineitem WHERE (l_orderkey % 500) <> (l_partkey % 500 + 500)),
+      e AS (SELECT src, dst FROM
+              (SELECT *, row_number() OVER (PARTITION BY src % 50, dst
+                         ORDER BY src) AS rn FROM e0)
+            WHERE rn = 1),
       n0 AS (SELECT url, CAST(1.0 AS DOUBLE) AS score FROM
-             (SELECT src AS url FROM e UNION SELECT dst AS url FROM e)),
-      od AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)"""
+             (SELECT src AS url FROM e0 UNION SELECT dst AS url FROM e0)),
+      od AS (SELECT src, COUNT(*) AS out_deg FROM e0 GROUP BY src)"""
       val iters = (1 to LINKRANK_ITERS).map { i =>
         val prev = if (i == 1) "n0" else s"n${i - 1}"
         s""",

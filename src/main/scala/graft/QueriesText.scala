@@ -222,39 +222,63 @@ object QueriesText {
       WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5"""
     })
 
-  /** X3 TextProfileSignature-shaped fingerprint: tokens ≥2 chars with
-    * count ≥2, ordered by (count desc, token), joined and md5'd
-    * (TextProfileSignature.java:66-160 semantics, quantization
-    * simplified to the count-threshold). */
+  /** X3 — the full TextProfileSignature
+    * (TextProfileSignature.java:66-160): lowercase letter/digit runs
+    * longer than MIN_TOKEN_LEN(2), counted; QUANT =
+    * round(maxFreq·0.01) floored to {1,2}; counts rounded down to the
+    * nearest QUANT, sub-QUANT tokens dropped; profile = "tok cnt" lines
+    * sorted (cnt desc, token lex), md5'd; empty profile falls back to
+    * the plain content MD5 (MD5Signature fallback). */
   val docFingerprint = Q(
     "doc_fingerprint",
     (s, dir) => {
       val d = t(s, dir, "documents")
       val tc = d.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) >= 2)
-        .groupBy(col("doc_id"), col("token"))
+          explode(regexp_extract_all(lower(col("text")),
+            lit("([\\p{L}\\p{N}]+)"), lit(1))).as("tok"))
+        .filter(length(col("tok")) > 2)
+        .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-      val prof = tc.groupBy("doc_id")
-        .agg(md5(concat_ws(" ",
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val quantRaw = round(col("maxf") * 0.01, 0)
+      val quantized = tc
+        .withColumn("maxf", max(col("c")).over(wDoc))
+        .withColumn("quant",
+          when(quantRaw < 2, when(col("maxf") > 1, lit(2)).otherwise(lit(1)))
+            .otherwise(quantRaw).cast("long"))
+        .withColumn("qc", floor(col("c") / col("quant")) * col("quant"))
+        .filter(col("qc") >= col("quant"))
+      val prof = quantized.groupBy("doc_id")
+        .agg(md5(concat_ws("\n",
           transform(
-            array_sort(collect_list(struct((col("c") * -1).as("nc"),
-              col("token").as("token")))),
-            x => x.getField("token")))).as("fp"))
-      t(s, dir, "documents").select(col("doc_id"))
+            array_sort(collect_list(struct((col("qc") * -1).as("nc"),
+              col("tok").as("tok"),
+              concat(col("tok"), lit(" "), col("qc")).as("repr")))),
+            x => x.getField("repr")))).as("fp"))
+      d.select(col("doc_id"), col("text"))
         .join(prof, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("fp"), md5(lit(""))).as("fingerprint"))
+        .select(col("doc_id"),
+          coalesce(col("fp"), md5(col("text"))).as("fingerprint"))
     },
     Some("""
-      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                   FROM documents),
-      tc AS (SELECT doc_id, token, COUNT(*) AS c
-             FROM tok WHERE length(token) >= 2
-             GROUP BY doc_id, token HAVING COUNT(*) >= 2),
-      f AS (SELECT doc_id, md5(string_agg(token, ' ' ORDER BY c DESC, token)) AS fp
-            FROM tc GROUP BY doc_id)
-      SELECT d.doc_id, COALESCE(f.fp, md5('')) AS fingerprint
+      WITH tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[\pL\pN]+')) AS tok
+             FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS c
+             FROM tok WHERE length(tok) > 2 GROUP BY doc_id, tok),
+      mx AS (SELECT *, MAX(c) OVER (PARTITION BY doc_id) AS maxf FROM tc),
+      qn AS (SELECT *, CAST(CASE WHEN ROUND(maxf * 0.01) < 2
+                         THEN (CASE WHEN maxf > 1 THEN 2 ELSE 1 END)
+                         ELSE ROUND(maxf * 0.01) END AS BIGINT) AS quant
+             FROM mx),
+      qt AS (SELECT doc_id, tok,
+               CAST(FLOOR(c / quant) * quant AS BIGINT) AS qc, quant
+             FROM qn WHERE FLOOR(c / quant) * quant >= quant),
+      f AS (SELECT doc_id,
+              md5(string_agg(tok || ' ' || qc, chr(10)
+                             ORDER BY qc DESC, tok)) AS fp
+            FROM qt GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(f.fp, md5(d.text)) AS fingerprint
       FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id"""))
 
   /** Multimodal column plumbing: treat text bytes as an opaque binary

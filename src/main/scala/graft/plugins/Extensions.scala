@@ -1,0 +1,96 @@
+package graft.plugins
+
+import graft.schemas.{CrawlDatum, Outlink, ParseDataRow}
+
+/** §2.9 — the plugin/extension-point surface
+  * (nutch-extensionpoints/plugin.xml defines 12 extension points; each
+  * maps to a Scala trait seam here or in its home package).
+  *
+  * | Reference extension point | Trait | Impls |
+  * |---|---|---|
+  * | URLFilter            | net.UrlFilter            | Regex/Prefix/Suffix/Fast |
+  * | URLNormalizer        | plugins.UrlNormalizer    | BasicUrlNormalizer |
+  * | Protocol             | ops.Fetch.Protocol       | MockProtocol |
+  * | Parser               | plugins.Parser           | HtmlRegexParser |
+  * | HtmlParseFilter      | plugins.ParseFilter      | (open seam) |
+  * | ScoringFilter        | crawl.ScoringFilter      | Noop/Opic |
+  * | IndexingFilter       | plugins.IndexingFilter   | BasicIndexingFilter |
+  * | IndexWriter          | ops.IndexWriters.IndexWriter | JsonLines/Csv |
+  * | Exchange             | ops.IndexWriters.routeColumn | first-match rules |
+  * | FetchSchedule        | crawl.FetchSchedule      | Default/Adaptive |
+  * | Signature            | (doc_fingerprint / TextAnalysis.md5Hex) | TextProfile/MD5 |
+  * | Publisher            | plugins.Publisher        | (open seam) |
+  *
+  * Unlike the reference's classloader-per-plugin machinery, Spark ships
+  * one fat closure — the seam that matters is the TRAIT (so deployments
+  * swap implementations at session-build time), not dynamic loading.
+  */
+object Extensions {
+
+  /** URL normalization chain seam (URLNormalizers.java scopes). */
+  trait UrlNormalizer extends Serializable {
+    def normalize(url: String, scope: String): Option[String]
+  }
+
+  final class BasicUrlNormalizer extends UrlNormalizer {
+    def normalize(url: String, scope: String): Option[String] =
+      graft.functions.Urls.normalize(url)
+  }
+
+  /** Content → parse result seam (Parser extension point). */
+  trait Parser extends Serializable {
+    def parse(url: String, base: String, bytes: Array[Byte],
+        contentType: String): (Int, String, String, Seq[Outlink])
+  }
+
+  final class HtmlRegexParser(cfg: graft.ops.Parse.Config =
+      graft.ops.Parse.Config()) extends Parser {
+    def parse(url: String, base: String, bytes: Array[Byte],
+        contentType: String): (Int, String, String, Seq[Outlink]) =
+      graft.ops.Parse.parsePage(base, bytes, contentType, cfg)
+  }
+
+  /** Post-parse hook (HtmlParseFilter extension point) — open seam. */
+  trait ParseFilter extends Serializable {
+    def filter(pd: ParseDataRow, text: String): (ParseDataRow, String)
+  }
+
+  /** Document-field hook (IndexingFilter extension point). */
+  trait IndexingFilter extends Serializable {
+    /** Return None to drop the document from indexing. */
+    def filter(doc: Map[String, String], url: String,
+        datum: CrawlDatum): Option[Map[String, String]]
+  }
+
+  /** index-basic BasicIndexingFilter.java: contributes url/host fields. */
+  final class BasicIndexingFilter extends IndexingFilter {
+    def filter(doc: Map[String, String], url: String,
+        datum: CrawlDatum): Option[Map[String, String]] =
+      Some(doc + ("url" -> url) ++
+        graft.net.UrlParts.host(url).map("host" -> _))
+  }
+
+  /** Crawl-event publishing seam (Publisher extension point). */
+  trait Publisher extends Serializable {
+    def publish(event: String, payload: Map[String, String]): Unit
+  }
+
+  /** In-memory registry used by tests/deployments to assemble chains by
+    * name (PluginRepository analog, minus classloaders). */
+  final case class Registry(
+      urlFilters: Seq[graft.net.UrlFilter] = Nil,
+      normalizers: Seq[UrlNormalizer] = Seq(new BasicUrlNormalizer),
+      parser: Parser = new HtmlRegexParser(),
+      scoring: graft.crawl.ScoringFilter = graft.crawl.OpicScoring,
+      schedule: graft.crawl.FetchSchedule =
+        graft.crawl.DefaultFetchSchedule(graft.crawl.ScheduleConfig()),
+      indexingFilters: Seq[IndexingFilter] = Seq(new BasicIndexingFilter)) {
+
+    def filterChain: graft.net.UrlFilterChain =
+      new graft.net.UrlFilterChain(urlFilters)
+
+    def normalizeAndFilter(url: String, scope: String): Option[String] =
+      normalizers.foldLeft(Option(url))((u, n) =>
+        u.flatMap(n.normalize(_, scope))).flatMap(filterChain.filter)
+  }
+}
