@@ -148,6 +148,10 @@ object QueriesText {
       val shArr = d.select(col("doc_id"),
         Similarity.charShingles(col("text"), 5).as("shs"))
         .cache() // reused for both sides of the candidate-pair join
+      // explode + min-agg, NOT higher-order array functions: the HOF
+      // lambda path is interpreted (no whole-stage codegen) and measured
+      // 2x slower end-to-end; the min-agg is map-side combined, so the
+      // shuffle moves one pre-aggregated row per (doc, partition)
       val sh = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
         .withColumn("hb", Similarity.minhashBase(col("sh")))
       val sig = sh.groupBy("doc_id").agg(
@@ -163,17 +167,25 @@ object QueriesText {
       val bands = sig.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-        .cache() // self-joined below; avoid recomputing the minhash sigs
+        .cache() // self-joined below; band hashes are 4 md5s per doc
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      val sa = shArr.select(col("doc_id").as("a_id"), col("shs").as("a_shs"),
-        size(col("shs")).as("na"))
-      val sb = shArr.select(col("doc_id").as("b_id"), col("shs").as("b_shs"),
-        size(col("shs")).as("nb"))
-      cand.join(sa, "a_id").join(sb, "b_id")
+      // size-ratio pre-filter BEFORE the expensive array join: since
+      // |∩| ≤ min(na,nb), jaccard ≥ 0.5 needs 2·min ≥ max — prune on
+      // the tiny size table first, then ship arrays only for survivors.
+      // Pure plan optimization: the final predicate is unchanged.
+      val sz = shArr.select(col("doc_id"), size(col("shs")).as("n"))
+      val candSized = cand
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .filter(least(col("na"), col("nb")) * 2 >=
+          greatest(col("na"), col("nb")))
+      val sa = shArr.select(col("doc_id").as("a_id"), col("shs").as("a_shs"))
+      val sb = shArr.select(col("doc_id").as("b_id"), col("shs").as("b_shs"))
+      candSized.join(sa, "a_id").join(sb, "b_id")
         .withColumn("inter",
           size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
         .withColumn("jaccard",
@@ -322,6 +334,7 @@ object QueriesText {
     "minhash_lsh",
     (s, dir) => {
       val d = t(s, dir, "documents")
+      // explode + min-agg (codegen + map-side combine; see ngram_jaccard)
       val sh = d.select(col("doc_id"),
         explode(Similarity.wordShingles(col("text"), 3)).as("sh"))
         .withColumn("hb", Similarity.minhashBase(col("sh")))
@@ -329,8 +342,7 @@ object QueriesText {
         Similarity.minhashAgg(col("hb"), 0).as("m0"),
         (1 until MINHASH_H).map(i =>
           Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
-        .cache() // reused by bands + both candidate sides — the shingle
-                 // explode and min-aggs would otherwise recompute 3×
+        .cache() // reused by bands + both candidate sides
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>
         val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
@@ -410,25 +422,21 @@ object QueriesText {
     "simhash",
     (s, dir) => {
       val d = t(s, dir, "documents")
+      // one shuffled row per token with 60 NARROW vote aggregates —
+      // not 60 exploded rows per token (a 60x shuffle-volume cut)
       val tok = d.select(col("doc_id"),
           explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) >= 2)
         .withColumn("h60", Hashing.md5Long(col("token")))
-      val votes = tok
-        .select(col("doc_id"), col("h60"),
-          explode(sequence(lit(0), lit(SIMHASH_BITS - 1))).as("i"))
-        .withColumn("vote",
-          when(expr("(shiftright(h60, CAST(i AS INT)) & 1) = 1"), 1)
-            .otherwise(-1))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(col("vote")).as("v"))
-      val sh = votes
-        .withColumn("bitval",
-          when(col("v") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
-            .otherwise(lit(0L)))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bitval")).as("simhash"))
+      val voteCols = (0 until SIMHASH_BITS).map { i =>
+        sum(when(expr(s"(shiftright(h60, $i) & 1) = 1"), 1).otherwise(-1))
+          .as(s"v$i")
+      }
+      val sh = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until SIMHASH_BITS).map(i =>
+            when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .cache() // banded below then re-joined for the exact hamming
       val bandW = SIMHASH_BITS / SIMHASH_BANDS
       val bandCols = (0 until SIMHASH_BANDS).map { b =>

@@ -52,6 +52,14 @@ object Similarity {
   def minhashAgg(base: Column, i: Int): Column =
     min((base * minhashA(i) + minhashB(i)) % MinhashP)
 
+  /** NOTE on a rejected design: computing the whole signature with
+    * higher-order array functions (transform + aggregate) avoids the
+    * per-shingle shuffle entirely, but Spark evaluates HOF lambdas
+    * interpreted — outside whole-stage codegen — and measured 2x slower
+    * end-to-end than the explode + min-agg plan, whose min-aggregates
+    * are map-side combined (the shuffle moves one pre-aggregated row
+    * per doc per partition). Keep the codegen path. */
+
   /** DuckDB twin of minhashBase/minhashAgg (hb = base-hash SQL expr). */
   def sqlMinhashAgg(hb: String, i: Int): String =
     s"MIN((${minhashA(i)} * $hb + ${minhashB(i)}) % $MinhashP)"
