@@ -93,6 +93,27 @@ object QueriesGraph {
         FROM lineitem)
       WHERE rn = 1"""))
 
+  /** A7 — LinkRank's node/edge counting pass (LinkRank.java runCounter):
+    * the loop normalizer needs |V|; emit |V| and |E| of the webgraph. */
+  val webgraphCounts = Q(
+    "webgraph_counts",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("url"))
+        .union(edges.select(col("dst").as("url"))).distinct()
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+                 FROM lineitem),
+      n AS (SELECT src AS url FROM e UNION SELECT dst AS url FROM e)
+      SELECT (SELECT COUNT(*) FROM n) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges"""))
+
   /** Number of unrolled LinkRank iterations (reference default is 10,
     * conf/nutch-default.xml:2518; 3 here keeps the DuckDB oracle tractable
     * — the Spark loop itself is iteration-count-agnostic). */
@@ -234,6 +255,6 @@ object QueriesGraph {
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"""))
 
   val all: Seq[Q] = Seq(
-    linkdbInvert, nodeDegrees, webgraphBuild, linkrank, scoreUpdater,
-    opicDistribute)
+    linkdbInvert, nodeDegrees, webgraphBuild, webgraphCounts, linkrank,
+    scoreUpdater, opicDistribute)
 }

@@ -21,10 +21,20 @@ object Urls {
   def host(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)
 
-  /** Minimal embedded public-suffix list for registeredDomain — the
-    * reference reads domain-suffixes.xml (URLUtil.getDomainName); a real
+  /** Embedded two-label public suffixes for registeredDomain — the
+    * reference reads domain-suffixes.xml (URLUtil.getDomainName); this
+    * carries the common two-label entries of that file and a real
     * deployment swaps in the full PSL. Longest suffix wins. */
-  private val publicSuffixes2 = Seq("co.uk", "com.au", "co.jp", "com.br")
+  private[graft] val publicSuffixes2 = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.za", "co.kr", "co.id", "co.th", "co.il")
 
   /** registrable domain: one label + the public suffix. */
   def registeredDomain(url: Column): Column = {

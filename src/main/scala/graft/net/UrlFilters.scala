@@ -266,7 +266,8 @@ object FastUrlFilter {
   * (URLUtil.getHost / getDomainName). */
 object UrlParts {
   private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)".r
-  private val suffixes2 = Set("co.uk", "com.au", "co.jp", "com.br")
+  private val suffixes2: Set[String] =
+    graft.functions.Urls.publicSuffixes2.toSet
 
   def host(url: String): Option[String] =
     hostRe.findFirstMatchIn(url).map(_.group(1).toLowerCase)
