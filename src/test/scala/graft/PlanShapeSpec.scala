@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions over the sf0.001 data: the properties
+  * that keep these plans viable at 100 TB — filter pushdown into the
+  * parquet scan, column pruning, broadcast joins for dims, no
+  * accidental cartesian products, whole-stage codegen presence. */
+class PlanShapeSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String, execute: Boolean = false): String = {
+    val df = Queries.byName(name).build(spark, dir)
+    if (execute) df.collect() // AQE finalizes (and codegen-wraps) on run
+    // (count() would execute a DIFFERENT QueryExecution)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("point_lookup pushes the IN-list into the parquet scan") {
+    val p = plan("point_lookup")
+    assert(p.contains("PushedFilters: [In(o_orderkey"), p)
+  }
+
+  test("q1 pushes the date filter and prunes columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // only the 7 referenced columns reach the scan, not all 16
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("dim joins broadcast the small side") {
+    val p = plan("q2_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("geoip range join broadcasts the ranges, not the facts") {
+    val p = plan("geoip_enrich")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 25-row ranges side
+  }
+
+  test("no cartesian products outside the brute-force baseline") {
+    for (q <- Seq("minhash_lsh", "ngram_jaccard", "simhash", "embed_neardup",
+        "updatedb_state_machine", "linkrank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  // FormattedMode marks whole-stage-codegen operators with a '*' prefix
+
+  test("scans and aggregates run inside whole-stage codegen") {
+    val p = plan("crawldb_stats", execute = true)
+    assert(p.contains("* HashAggregate"), p)
+    assert(p.contains("* ColumnarToRow"), p)
+  }
+
+  test("eligibility filter runs in codegen (derived column — not pushable)") {
+    val p = plan("generate_eligibility", execute = true)
+    assert(p.contains("* Filter"), p)
+  }
+}
