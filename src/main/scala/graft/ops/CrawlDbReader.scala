@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.schemas.{CrawlRow, CrawlStatus}
+import graft.operators.Relational
+
+/** The user-facing CrawlDb read path (CrawlDbReader.java:160-1020):
+  * -stats, -dump (csv/json), -topN, -url point lookup — as operators
+  * over the real table. The oracle-checked query twins are
+  * `crawldb_stats`, `csv_dump`, `q2_top_customers`, `point_lookup`. */
+object CrawlDbReader {
+
+  private def statusNameCol = {
+    // byte → name without a UDF: chained CASE over the known statuses
+    CrawlStatus.names.foldLeft(lit("unknown")) { case (acc, (b, n)) =>
+      when(col("datum.status") === b.toInt, lit(n)).otherwise(acc)
+    }
+  }
+
+  /** -stats: per-status counts + score min/max/avg + exact quantiles
+    * (CrawlDbReader.java:371-509; distributed sort+rank quantile). */
+  def stats(db: Dataset[CrawlRow]): DataFrame = {
+    val wRank = Window.partitionBy(col("datum.status"))
+      .orderBy(col("datum.score"))
+    val wAll = Window.partitionBy(col("datum.status"))
+    db.toDF()
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(statusNameCol.as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("datum.score")).as("min_score"),
+        max(col("datum.score")).as("max_score"),
+        avg(col("datum.score")).as("avg_score"),
+        round(Relational.quantileCont(col("datum.score").cast("double"),
+          col("rn"), col("n"), 0.5), 4).as("p50_score"))
+  }
+
+  /** -dump csv lines (quoted url, status name, score, fetch time). */
+  def csvLines(db: Dataset[CrawlRow]): DataFrame =
+    db.toDF().select(concat(
+      lit("\""), col("url"), lit("\","),
+      statusNameCol, lit(","),
+      col("datum.score").cast("decimal(12,4)"), lit(","),
+      col("datum.fetchTime")).as("line"))
+
+  def dumpCsv(db: Dataset[CrawlRow], outDir: String): Unit =
+    csvLines(db).write.mode(SaveMode.Overwrite).text(outDir)
+
+  /** -dump json lines. */
+  def dumpJson(db: Dataset[CrawlRow], outDir: String): Unit =
+    db.toDF()
+      .select(to_json(struct(col("url"),
+        statusNameCol.as("status"),
+        col("datum.score").as("score"),
+        col("datum.fetchTime").as("fetchTime"),
+        col("datum.retries").as("retries"),
+        col("datum.signature").as("signature"))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(outDir)
+
+  /** -topN by score (TakeOrderedAndProject, total order via url). */
+  def topN(db: Dataset[CrawlRow], n: Int): DataFrame =
+    Relational.globalTopN(
+      db.toDF().select(col("url"), col("datum.score").as("score")),
+      Seq(desc("score"), asc("url")), n)
+
+  /** -url point lookup. */
+  def url(db: Dataset[CrawlRow], u: String): Option[CrawlRow] =
+    db.filter(col("url") === u).limit(1).collect().headOption
+}
