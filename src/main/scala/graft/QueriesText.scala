@@ -482,7 +482,72 @@ object QueriesText {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= $SIMHASH_MAXHAM"""))
 
+  /** X9 (metadata path) — HTML language detection priority chain
+    * (HTMLLanguageParser.java:83-199): dc.language meta → content-language
+    * meta → html lang attribute → HTTP header; the statistical fallback
+    * is the lang_id heuristic above (the reference delegates that part
+    * to Tika). */
+  val htmlLang = Q(
+    "html_lang",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val html = when(col("c_custkey") % 5 === 0,
+        lit("""<html><meta name="dc.language" content="fr"><meta http-equiv="content-language" content="de">"""))
+        .when(col("c_custkey") % 5 === 1,
+          lit("""<html lang="es"><meta http-equiv="content-language" content="de">"""))
+        .when(col("c_custkey") % 5 === 2, lit("""<html lang="en"><body>"""))
+        .otherwise(lit("<html><body>"))
+      def ex(c0: org.apache.spark.sql.Column, p: String) =
+        nullif(regexp_extract(c0, p, 1), lit(""))
+      c.select(col("c_custkey").as("id"), html.as("html"),
+        coalesce(
+          ex(html, """dc\.language" content="([a-z-]+)""""),
+          ex(html, """content-language" content="([a-z-]+)""""),
+          ex(html, """<html lang="([a-z-]+)""""),
+          lit("unknown")).as("lang"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT c_custkey AS id,
+          CASE WHEN c_custkey % 5 = 0 THEN '<html><meta name="dc.language" content="fr"><meta http-equiv="content-language" content="de">'
+               WHEN c_custkey % 5 = 1 THEN '<html lang="es"><meta http-equiv="content-language" content="de">'
+               WHEN c_custkey % 5 = 2 THEN '<html lang="en"><body>'
+               ELSE '<html><body>' END AS html
+        FROM customer)
+      SELECT id, html,
+        COALESCE(
+          NULLIF(regexp_extract(html, 'dc\.language" content="([a-z-]+)"', 1), ''),
+          NULLIF(regexp_extract(html, 'content-language" content="([a-z-]+)"', 1), ''),
+          NULLIF(regexp_extract(html, '<html lang="([a-z-]+)"', 1), ''),
+          'unknown') AS lang
+      FROM h"""))
+
+  /** Token counting, BPE-ish: the GPT-2-style pretokenizer regex
+    * (contractions, letter runs, digit runs, punctuation runs, each with
+    * optional leading space) — the LLM-pipeline complement to the
+    * whitespace token_stats above. */
+  val bpeTokenStats = Q(
+    "bpe_token_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val p = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+      val toks = regexp_extract_all(col("text"), lit(p), lit(0))
+      d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+          AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))
+          AS BIGINT) AS n_distinct
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
-    trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash)
+    trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
+    htmlLang, bpeTokenStats)
 }
