@@ -174,18 +174,20 @@ object QueriesCrawl {
       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       LEFT JOIN la ON o.o_orderkey = la.url"""))
 
-  /** F6 JEXL-style expression predicate → Spark SQL expr() translation
-    * (CrawlDatum.java:573-625, JexlUtil.java; Generator.java:306-311).
-    * The JEXL `score > X && status == 'O'` dialect maps 1:1 onto SQL. */
+  /** F6 JEXL expression predicate (CrawlDatum.java:573-625,
+    * JexlUtil.java; Generator.java:306-311): the REAL JEXL source string
+    * goes through net.Jexl.toSqlExpr (`==`→`=`, `&&`→AND …) and lands in
+    * Catalyst as a codegen, pushdown-eligible expression. */
   val jexlFilter = Q(
     "jexl_filter",
     (s, dir) => {
       val o = t(s, dir, "orders")
+      val jexl = "score > 150000.0 && status == 'O' && retries < 3"
       o.select(col("o_orderkey").as("url"),
           col("o_orderstatus").as("status"),
           col("o_totalprice").as("score"),
           (col("o_orderkey") % 4).as("retries"))
-        .filter(expr("score > 150000.0 AND status == 'O' AND retries < 3"))
+        .filter(expr(graft.net.Jexl.toSqlExpr(jexl)))
     },
     Some("""
       SELECT o_orderkey AS url, o_orderstatus AS status,

@@ -21,7 +21,8 @@ object Generate {
       topN: Long = Long.MaxValue, // generate.topN
       maxPerHost: Int = Int.MaxValue, // generate.max.count
       curTime: Long = 0L,
-      segnum: Int = 1)
+      segnum: Int = 1,
+      maxNumSegments: Int = 1) // generate.max.num.segments
 
   /** shouldFetch as a codegen predicate (AbstractFetchSchedule
     * .java:190-203): due now, or fetchTime so remote it gets pulled in. */
@@ -40,13 +41,25 @@ object Generate {
       .withColumn("sort_score", col("datum.score"))
     val perHost = Window.partitionBy(col("host"))
       .orderBy(desc("sort_score"), asc("url"))
+    val limit = (if (cfg.topN > Int.MaxValue) Int.MaxValue.toLong
+      else cfg.topN) * cfg.maxNumSegments
     val capped = due
       .withColumn("host_rank", row_number().over(perHost))
       .filter(col("host_rank") <= cfg.maxPerHost)
       .orderBy(desc("sort_score"), asc("url"))
-      .limit(if (cfg.topN > Int.MaxValue) Int.MaxValue else cfg.topN.toInt)
+      .limit(if (limit > Int.MaxValue) Int.MaxValue else limit.toInt)
+    // multi-segment spill (T6, generate.max.num.segments): topN-sized
+    // slices fill consecutive segments — the Spark form of the
+    // reference's per-reducer segment quota (Generator.java:486-628)
+    val seg =
+      if (cfg.maxNumSegments <= 1) lit(cfg.segnum)
+      else {
+        val wAll = Window.orderBy(desc("sort_score"), asc("url"))
+        (floor((row_number().over(wAll) - 1) / cfg.topN) + cfg.segnum)
+          .cast("int")
+      }
     capped.select(
-      lit(cfg.segnum).as("segnum"),
+      seg.as("segnum"),
       col("sort_score").as("sortScore"),
       col("url"),
       col("datum")).as[GenerateEntry]
