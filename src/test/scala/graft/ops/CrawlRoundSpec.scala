@@ -159,4 +159,44 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(docs(s"$B/gone").action == "delete")
     assert(!docs.contains(s"$B/redir") || docs(s"$B/redir").action == "delete")
   }
+
+  test("adaptive schedule grows the interval on unchanged content") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-adaptive").toString
+    val crawldb = new CrawlDbTable(spark, s"$root/crawldb")
+    val adaptive = graft.crawl.AdaptiveFetchSchedule(schedCfg)
+    val url = s"$A/page1"
+
+    val db0 = Inject(crawldb.read(),
+      spark.createDataset(Seq(url)), Inject.Config(), acceptAll, t0)
+    crawldb.install(db0, "r0")
+
+    def round(now: Long): Unit = {
+      val seg = new Segment(spark,
+        s"$root/segments/${now}")
+      seg.writeGenerate(Generate(crawldb.read(),
+        Generate.Config(curTime = now), adaptive))
+      val (f, c) = Fetch(seg.generate, protocol, now)
+      seg.writeFetch(f); seg.writeContent(c)
+      val p = Parse(seg.fetch, seg.content, Parse.Config(), acceptAll)
+      seg.writeCrawlParse(p.crawlParse)
+      crawldb.install(UpdateDb(
+        crawldb.read().union(seg.fetch).union(seg.crawlParse),
+        now, adaptive), s"r$now")
+    }
+
+    round(t0)
+    val d1 = crawldb.read().collect().head.datum
+    assert(d1.status == S.DB_FETCHED)
+    val firstInterval = d1.fetchInterval
+
+    // refetch when due: identical content → notmodified by signature
+    // (NUTCH-1341) → adaptive interval grows by inc_rate
+    round(d1.fetchTime)
+    val d2 = crawldb.read().collect().head.datum
+    assert(d2.status == S.DB_NOTMODIFIED)
+    assert(d2.signature == d1.signature)
+    assert(d2.fetchInterval > firstInterval,
+      s"interval ${d2.fetchInterval} did not grow from $firstInterval")
+  }
 }
