@@ -25,6 +25,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer costs land here, not in
+    // whichever query happens to run first
+    try {
+      Tables.names.foreach(t =>
+        Tables(spark, sfDir, t).limit(1).count())
+      spark.range(1000).selectExpr("md5(cast(id as string))").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
