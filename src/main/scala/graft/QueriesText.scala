@@ -145,29 +145,30 @@ object QueriesText {
     "ngram_jaccard",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val shArr = d.select(col("doc_id"),
-        Similarity.charShingles(col("text"), 5).as("shs"))
-        .cache() // reused for both sides of the candidate-pair join
-      // explode + min-agg, NOT higher-order array functions: the HOF
-      // lambda path is interpreted (no whole-stage codegen) and measured
-      // 2x slower end-to-end; the min-agg is map-side combined, so the
-      // shuffle moves one pre-aggregated row per (doc, partition)
-      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("sh"))
+      // ONE shuffle builds everything per doc: the 12 minhash minima,
+      // the size, and the 60-bit-hash set for exact intersection (longs
+      // intersect ~3x faster than 5-char strings and ship at 8B/elem).
+      // explode + agg, NOT higher-order array functions: the HOF lambda
+      // path is interpreted (no whole-stage codegen) and measured 2x
+      // slower; these aggs are map-side combined.
+      val sh = d.select(col("doc_id"),
+          explode(Similarity.charShingles(col("text"), 5)).as("sh"))
         .withColumn("hb", Similarity.minhashBase(col("sh")))
-      val sig = sh.groupBy("doc_id").agg(
-        Similarity.minhashAgg(col("hb"), 0).as("m0"),
-        (1 until MINHASH_H).map(i =>
-          Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
+      val per = sh.groupBy("doc_id").agg(
+        collect_list(col("hb")).as("hbs"),
+        (count(lit(1)).as("n") +:
+          (0 until MINHASH_H).map(i =>
+            Similarity.minhashAgg(col("hb"), i).as(s"m$i"))): _*)
+        .cache()
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>
         val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
           .map(i => col(s"m$i"))
         struct(lit(b).as("band"), Hashing.md5Long(concat_ws(",", ms: _*)).as("h"))
       }
-      val bands = sig.select(col("doc_id"),
+      val bands = per.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-        .cache() // self-joined below; band hashes are 4 md5s per doc
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -175,19 +176,19 @@ object QueriesText {
         .distinct()
       // size-ratio pre-filter BEFORE the expensive array join: since
       // |∩| ≤ min(na,nb), jaccard ≥ 0.5 needs 2·min ≥ max — prune on
-      // the tiny size table first, then ship arrays only for survivors.
-      // Pure plan optimization: the final predicate is unchanged.
-      val sz = shArr.select(col("doc_id"), size(col("shs")).as("n"))
+      // the tiny size columns first, then ship hash sets only for
+      // survivors. Pure plan optimization: final predicate unchanged.
+      val sz = per.select(col("doc_id"), col("n"))
       val candSized = cand
         .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
         .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .filter(least(col("na"), col("nb")) * 2 >=
           greatest(col("na"), col("nb")))
-      val sa = shArr.select(col("doc_id").as("a_id"), col("shs").as("a_shs"))
-      val sb = shArr.select(col("doc_id").as("b_id"), col("shs").as("b_shs"))
+      val sa = per.select(col("doc_id").as("a_id"), col("hbs").as("a_hbs"))
+      val sb = per.select(col("doc_id").as("b_id"), col("hbs").as("b_hbs"))
       candSized.join(sa, "a_id").join(sb, "b_id")
         .withColumn("inter",
-          size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+          size(array_intersect(col("a_hbs"), col("b_hbs"))).cast("long"))
         .withColumn("jaccard",
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 4))
@@ -223,10 +224,12 @@ object QueriesText {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
       inter AS (
-        SELECT c.a_id, c.b_id, COUNT(*) AS inter
+        -- distinct common 60-bit hashes: the relational twin of Spark's
+        -- array_intersect over the per-doc hash sets
+        SELECT c.a_id, c.b_id, COUNT(DISTINCT x.hb) AS inter
         FROM cand c
-        JOIN sh x ON x.doc_id = c.a_id
-        JOIN sh y ON y.doc_id = c.b_id AND x.sh = y.sh
+        JOIN shb x ON x.doc_id = c.a_id
+        JOIN shb y ON y.doc_id = c.b_id AND x.hb = y.hb
         GROUP BY c.a_id, c.b_id)
       SELECT a_id, b_id, inter,
         ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard

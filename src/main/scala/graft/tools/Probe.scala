@@ -8,7 +8,23 @@ import graft.functions.{Hashing, Similarity}
 
 /** Ad-hoc plan/size probe (not part of the driver contract). */
 object Probe {
+  def probeQuery(dir: String): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = sys.env("PROBE_Q")
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      graft.Queries.byName(name).build(spark, dir).count()
+      println(s"run$i: " + (System.nanoTime()-t0)/1e9)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.contains("PROBE_Q")) { probeQuery(args.headOption.getOrElse("/root/testdata/sf0.1")); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
