@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Urls
+import graft.net.Robots
 import graft.schemas._
 
 /** §2.4 — the Fetch operator (Fetcher.java:68-103 model).
@@ -65,9 +66,17 @@ object Fetch {
     case _ => CrawlStatus.FETCH_RETRY
   }
 
-  /** Fetch a generated segment: (crawl_fetch, content). */
+  val RobotsDeniedKey = "_robots_denied_"
+
+  /** Fetch a generated segment: (crawl_fetch, content).
+    *
+    * Robots handling (FetcherThread's crawler-commons check): each
+    * partition fetches a host's /robots.txt once (hosts are co-located
+    * by the repartition), caches the parsed rules, and denied URLs
+    * become FETCH_GONE with a marker — they never hit the protocol. */
   def apply(fetchlist: Dataset[GenerateEntry], protocol: Protocol,
-      now: Long): (Dataset[CrawlRow], Dataset[ContentRow]) = {
+      now: Long, agent: String = "graft",
+      honorRobots: Boolean = true): (Dataset[CrawlRow], Dataset[ContentRow]) = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val byHost = fetchlist.toDF()
@@ -76,18 +85,43 @@ object Fetch {
       .sortWithinPartitions(col("host"), col("url"))
       .drop("host")
       .as[GenerateEntry]
-    val bc = spark.sparkContext.broadcast(protocol)
+    val bc = spark.sparkContext.broadcast((protocol, agent, honorRobots))
     val fetched = byHost.mapPartitions { it =>
+      val (proto, agent0, honor) = bc.value
+      val robotsCache = scala.collection.mutable.Map.empty[String, Robots.RobotRules]
+      def rulesFor(url: String): Robots.RobotRules =
+        graft.net.UrlParts.host(url).fold(Robots.AllowAll) { h =>
+          robotsCache.getOrElseUpdate(h, {
+            val scheme = url.takeWhile(_ != ':')
+            val out = proto.fetch(s"$scheme://$h/robots.txt",
+              CrawlDatum.unfetched(0L, 0))
+            if (out.code == Code.Success)
+              Robots.parse(new String(out.bytes, "UTF-8"), agent0)
+            else Robots.AllowAll
+          })
+        }
       it.map { e =>
-        val out = bc.value.fetch(e.url, e.datum)
-        val status = toFetchStatus(out.code)
-        val meta = out.movedTo.fold(e.datum.metadata)(m =>
-          e.datum.metadata + (CrawlDatum.ReprUrlKey -> m))
-        val datum = e.datum.copy(status = status, fetchTime = now,
-          metadata = meta)
-        (CrawlRow(e.url, datum),
-          ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
-            out.contentType, Map.empty))
+        val path = e.url.replaceFirst("^[a-z]+://[^/]+", "") match {
+          case "" => "/"
+          case p => p
+        }
+        if (honor && !rulesFor(e.url).isAllowed(path)) {
+          val datum = e.datum.copy(status = CrawlStatus.FETCH_GONE,
+            fetchTime = now,
+            metadata = e.datum.metadata + (RobotsDeniedKey -> "true"))
+          (CrawlRow(e.url, datum),
+            ContentRow(e.url, e.url, Array.empty[Byte], "", Map.empty))
+        } else {
+          val out = proto.fetch(e.url, e.datum)
+          val status = toFetchStatus(out.code)
+          val meta = out.movedTo.fold(e.datum.metadata)(m =>
+            e.datum.metadata + (CrawlDatum.ReprUrlKey -> m))
+          val datum = e.datum.copy(status = status, fetchTime = now,
+            metadata = meta)
+          (CrawlRow(e.url, datum),
+            ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
+              out.contentType, Map.empty))
+        }
       }
     }.cache() // one protocol pass feeds both outputs
     (fetched.map(_._1),

@@ -160,6 +160,27 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(!docs.contains(s"$B/redir") || docs(s"$B/redir").action == "delete")
   }
 
+  test("robots.txt denies are honored before the protocol is hit") {
+    import spark.implicits._
+    val robotsSite = site ++ Map(
+      s"$A/robots.txt" -> (Fetch.Code.Success,
+        "User-agent: *\nDisallow: /page1\n", "text/plain"))
+    val proto = Fetch.MockProtocol(robotsSite)
+    val fl = Seq(
+      graft.schemas.GenerateEntry(1, 1f, s"$A/page1",
+        graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
+          0L, Map.empty)),
+      graft.schemas.GenerateEntry(1, 1f, s"$A/page2",
+        graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
+          0L, Map.empty))).toDS()
+    val (f, c) = Fetch(fl, proto, t0)
+    val statuses = f.collect().map(r => r.url -> r.datum).toMap
+    assert(statuses(s"$A/page1").status == S.FETCH_GONE)
+    assert(statuses(s"$A/page1").metadata.contains(Fetch.RobotsDeniedKey))
+    assert(statuses(s"$A/page2").status == S.FETCH_SUCCESS)
+    assert(c.collect().map(_.url).toSeq == Seq(s"$A/page2"))
+  }
+
   test("adaptive schedule grows the interval on unchanged content") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-adaptive").toString
