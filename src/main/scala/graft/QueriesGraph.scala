@@ -114,10 +114,11 @@ object QueriesGraph {
       SELECT (SELECT COUNT(*) FROM n) AS n_nodes,
              (SELECT COUNT(*) FROM e) AS n_edges"""))
 
-  /** Number of unrolled LinkRank iterations (reference default is 10,
-    * conf/nutch-default.xml:2518; 3 here keeps the DuckDB oracle tractable
-    * — the Spark loop itself is iteration-count-agnostic). */
-  private val LINKRANK_ITERS = 3
+  /** Number of LinkRank iterations — the reference default
+    * (conf/nutch-default.xml link.analyze.num.iterations = 10). The
+    * oracle unrolls the same 10 CTE steps; the Spark loop checkpoints
+    * every 5th iteration. */
+  private val LINKRANK_ITERS = 10
 
   /** G2 LinkRank: damped PageRank-style loop, score' = 0.15 + 0.85·Σ
     * contribs (LinkRank.java:302-345, 603-605). Contributions are
@@ -169,7 +170,10 @@ object QueriesGraph {
             (lit(0.15) + lit(0.85) *
               (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
               .as("score"))
-        if (it % 5 == 0) nodes = nodes.localCheckpoint()
+        // truncate lineage every 5 iterations, but not on the last one —
+        // the final plan is consumed exactly once anyway
+        if (it % 5 == 0 && it < LINKRANK_ITERS)
+          nodes = nodes.localCheckpoint()
       }
       nodes.select(col("url"), round(col("score"), 6).as("score"))
     },
