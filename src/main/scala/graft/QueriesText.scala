@@ -111,24 +111,51 @@ object QueriesText {
       FROM documents"""
     })
 
-  /** X7 outlink-extraction shape: regexp_extract_all + explode + count. */
+  /** X7 outlink extraction: the real href regex (ops/Parse.scala's
+    * extractor) over synthesized anchor markup — extract targets,
+    * explode, aggregate the inlink counts per target host (the
+    * outlink→inlink inversion's map side). */
   val outlinkExtract = Q(
     "outlink_extract",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("lang"),
-          explode(regexp_extract_all(col("text"),
-            lit("\\b(scan|join|merge|filter)\\b"))).as("token"))
-        .groupBy(col("lang"), col("token"))
-        .agg(count(lit(1)).as("cnt"))
+      val html = concat(
+        lit("<html><body><a href=\"http://t"), col("doc_id") % 50,
+        lit(".example.com/p1\">first</a> "),
+        lit("<a href=\"http://t"), (col("doc_id") * 7) % 50,
+        lit(".example.com/p2\">second</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <a href=\"http://t"), (col("doc_id") * 13) % 50,
+            lit(".example.com/p3\">third</a>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      d.select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("html"),
+            lit("href=\"([^\"]+)\""), lit(1))).as("to_url"))
+        .select(graft.functions.Urls.host(col("to_url")).as("to_host"))
+        .groupBy(col("to_host"))
+        .agg(count(lit(1)).as("n_inlinks"))
     },
     Some("""
-      SELECT lang, token, COUNT(*) AS cnt
-      FROM (SELECT lang,
-              unnest(regexp_extract_all(text, '\b(scan|join|merge|filter)\b'))
-                AS token
-            FROM documents)
-      GROUP BY lang, token"""))
+      WITH h AS (
+        SELECT doc_id,
+          '<html><body><a href="http://t' || (doc_id % 50)
+          || '.example.com/p1">first</a> '
+          || '<a href="http://t' || ((doc_id * 7) % 50)
+          || '.example.com/p2">second</a>'
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' <a href="http://t' || ((doc_id * 13) % 50)
+                 || '.example.com/p3">third</a>'
+               ELSE '' END
+          || '</body></html>' AS html
+        FROM documents),
+      links AS (
+        SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+          AS to_url
+        FROM h)
+      SELECT regexp_extract(to_url, '^[a-z]+://([^/?#]+)', 1) AS to_host,
+             COUNT(*) AS n_inlinks
+      FROM links GROUP BY 1"""))
 
   /** Exact n-gram Jaccard near-dup, MinHash-candidated: char 5-gram
     * sets → 12 affine minhashes (one md5/shingle) → 4 bands of 3 →
