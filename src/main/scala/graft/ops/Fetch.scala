@@ -109,7 +109,7 @@ object Fetch {
           val datum = e.datum.copy(status = CrawlStatus.FETCH_GONE,
             fetchTime = now,
             metadata = e.datum.metadata + (RobotsDeniedKey -> "true"))
-          (CrawlRow(e.url, datum),
+          (CrawlRow(e.url, datum) :: Nil,
             ContentRow(e.url, e.url, Array.empty[Byte], "", Map.empty))
         } else {
           val out = proto.fetch(e.url, e.datum)
@@ -118,14 +118,23 @@ object Fetch {
             e.datum.metadata + (CrawlDatum.ReprUrlKey -> m))
           val datum = e.datum.copy(status = status, fetchTime = now,
             metadata = meta)
-          (CrawlRow(e.url, datum),
+          // redirect targets are emitted as LINKED datums so updatedb
+          // discovers them (FetcherThread.java:526-531 createRedirDatum)
+          val redirLinked = out.movedTo
+            .filter(_ => status == CrawlStatus.FETCH_REDIR_PERM ||
+              status == CrawlStatus.FETCH_REDIR_TEMP)
+            .flatMap(Urls.normalize)
+            .map(target => CrawlRow(target,
+              CrawlDatum(CrawlStatus.LINKED, 0L, 0, e.datum.fetchInterval,
+                e.datum.score, None, 0L, Map.empty)))
+          (CrawlRow(e.url, datum) :: redirLinked.toList,
             ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
               out.contentType, Map.empty))
         }
       }
     }.cache() // one protocol pass feeds both outputs
-    (fetched.map(_._1),
-      fetched.filter(_._1.datum.status == CrawlStatus.FETCH_SUCCESS)
+    (fetched.flatMap(_._1),
+      fetched.filter(_._1.head.datum.status == CrawlStatus.FETCH_SUCCESS)
         .map(_._2))
   }
 }

@@ -140,6 +140,8 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(after2(s"$B/gone").status == S.DB_GONE)
     assert(after2(s"$B/redir").status == S.DB_REDIR_PERM)
     assert(after2(s"$B/redir").signature.isEmpty) // NUTCH-1422
+    // the redirect target was emitted as LINKED and is now discovered
+    assert(after2(s"$B/moved-here").status == S.DB_UNFETCHED)
     // duplicate content: page1/page2 share the parse-text signature
     assert(after2(s"$A/page1").signature.isDefined)
     assert(after2(s"$A/page1").signature == after2(s"$A/page2").signature)
