@@ -75,6 +75,12 @@ object Extensions {
     def publish(event: String, payload: Map[String, String]): Unit
   }
 
+  /** URLExemptionFilter extension point: exempt specific cross-domain
+    * URLs from the db.ignore.external rules (urlfilter-ignoreexempt). */
+  trait ExemptionFilter extends Serializable {
+    def isExempted(fromUrl: String, toUrl: String): Boolean
+  }
+
   /** In-memory registry used by tests/deployments to assemble chains by
     * name (PluginRepository analog, minus classloaders). */
   final case class Registry(
