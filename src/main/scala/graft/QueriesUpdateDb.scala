@@ -91,7 +91,19 @@ object QueriesUpdateDb {
             col("l_linenumber").cast("double"),
             lit(null).cast("string"), lit(0L)).as("datum"))
 
-      val in = olds.union(fetches).union(links).as[CrawlRow]
+      // SIGNATURE carriers (crawl_parse side): override the fetch's own
+      // signature for k%8∈{0,3} — both residues co-occur with a fetch row
+      // (k%4∈{0,3}), so the carrier always has a fetch to attach to
+      val sigCarriers = o.filter(col("k") % 8 === 0 || col("k") % 8 === 3)
+        .select(
+          col("k").cast("string").as("url"),
+          datum(lit(0x41), lit(0L), lit(0), lit(0),
+            lit(0.0),
+            substring(md5(concat(lit("s"), col("k").cast("string"))), 1, 8),
+            lit(0L)).as("datum"))
+
+      val in = olds.union(fetches).union(links).union(sigCarriers)
+        .as[CrawlRow]
       UpdateDb(in, Now, DefaultFetchSchedule(ScheduleConfig()))
         .select(
           col("url"),
@@ -142,12 +154,19 @@ object QueriesUpdateDb {
         FULL JOIN links ON COALESCE(olds.k, fetches.k) = links.k),
       sel AS (
         SELECT *,
+          -- crawl_parse SIGNATURE carrier overrides the fetch signature
+          CASE WHEN k % 8 IN (0, 3)
+               THEN substr(md5('s' || CAST(k AS VARCHAR)), 1, 8)
+               ELSE f_sig END AS eff_sig
+        FROM m),
+      sel2 AS (
+        SELECT *,
           CASE WHEN has_fetch AND f_status = 38 THEN 2
                WHEN has_fetch AND f_status = 33 AND has_old
-                    AND o_sig IS NOT NULL AND f_sig IS NOT NULL
-               THEN CASE WHEN o_sig <> f_sig THEN 1 ELSE 2 END
+                    AND o_sig IS NOT NULL AND eff_sig IS NOT NULL
+               THEN CASE WHEN o_sig <> eff_sig THEN 1 ELSE 2 END
                ELSE 0 END AS modif
-        FROM m)
+        FROM sel)
       SELECT CAST(k AS VARCHAR) AS url,
         CASE
           WHEN NOT has_fetch AND NOT has_links THEN o_status
@@ -187,8 +206,8 @@ object QueriesUpdateDb {
         END AS score,
         COALESCE(CASE
           WHEN NOT has_fetch THEN CASE WHEN has_old THEN o_sig END
-          WHEN f_status = 33 THEN CASE WHEN modif = 2 THEN o_sig ELSE f_sig END
-          WHEN f_status IN (35, 36) THEN NULL
+          WHEN f_status = 33 THEN CASE WHEN modif = 2 THEN o_sig ELSE eff_sig END
+          WHEN f_status IN (35, 36) THEN eff_sig
           WHEN f_status IN (34, 37, 38) THEN CASE WHEN has_old THEN o_sig END
         END, '') AS signature,
         CASE
@@ -198,7 +217,7 @@ object QueriesUpdateDb {
           WHEN f_status IN (35, 36) THEN f_ft
           WHEN f_status IN (34, 37) THEN CASE WHEN has_old THEN o_mt ELSE 0 END
         END AS modified_time
-      FROM sel"""))
+      FROM sel2"""))
 
   val all: Seq[Q] = Seq(updatedbStateMachine)
 }
