@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.net.RegexUrlFilter
+import graft.plugins.Extensions
+import graft.schemas.{CrawlStatus => S}
+import graft.tables.CrawlDbTable
+
+/** Drives the whole lifecycle through the bin/crawl conductor. */
+class CrawlSpec extends AnyFunSuite with SparkSuite {
+
+  private val A = "http://site-a.example.com"
+  private val B = "http://site-b.example.com"
+
+  private val site = Map(
+    s"$A/" -> (Fetch.Code.Success,
+      s"""<html><title>A</title><body><a href="/p1">p1</a>
+         |<a href="$B/">b</a></body></html>""".stripMargin, "text/html"),
+    s"$A/p1" -> (Fetch.Code.Success,
+      "<html><title>Same</title><body>same text</body></html>", "text/html"),
+    s"$B/" -> (Fetch.Code.Success,
+      "<html><title>Same</title><body>same text</body></html>", "text/html"))
+
+  test("multi-round crawl via the conductor") {
+    val root = Files.createTempDirectory("crawl-driver").toString
+    val registry = Extensions.Registry(
+      urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
+    val summary = Crawl.run(spark, root, Seq(s"$A/"),
+      Fetch.MockProtocol(site), registry,
+      Crawl.Config(rounds = 2))
+
+    assert(summary.rounds.map(_.round) == Seq(1, 2))
+    assert(summary.rounds.head.generated == 1) // just the seed
+    assert(summary.rounds(1).generated == 2) // p1 + B discovered
+    assert(summary.hosts == 2)
+    assert(summary.indexed >= 2)
+
+    val db = new CrawlDbTable(spark, s"$root/crawldb").read().collect()
+      .map(r => r.url -> r.datum).toMap
+    assert(db(s"$A/").status == S.DB_FETCHED)
+    assert(db(s"$A/p1").status == S.DB_FETCHED ||
+      db(s"$A/p1").status == S.DB_DUPLICATE)
+    // p1 and B/ share content: dedup marked exactly one of them
+    val dupCount = Seq(db(s"$A/p1").status, db(s"$B/").status)
+      .count(_ == S.DB_DUPLICATE)
+    assert(dupCount == 1, s"expected one duplicate, got $db")
+  }
+}
