@@ -197,40 +197,60 @@ object QueriesCrawl {
         AND o_orderkey % 4 < 3"""))
 
   /** X1 URL parts: host / domain (public-suffix aware) / tld / page from
-    * synthesized URLs (util/URLUtil.java). Column-expression
-    * implementation — no UDF, stays in codegen. */
+    * synthesized URLs (util/URLUtil.java). The domain/suffix come from
+    * the full vendored-PSL engine (functions/Psl.scala) via a codegen'd
+    * StaticInvoke; the synthesized suffixes cover the PSL rule classes —
+    * plain gTLD, 2- and 3-label suffixes, a numeric-label suffix, a
+    * wildcard (`*.ck` ⇒ the whole host is registrable), and a
+    * non-suffix (`nn` ⇒ host returned whole). The oracle states the
+    * expected PSL answer per class. */
   val urlParts = Q(
     "url_parts",
     (s, dir) => {
       val c = t(s, dir, "customer")
+      val sfx = element_at(
+        array(lit(".com"), lit(".co.uk"), lit(".plc.co.im"),
+          lit(".2000.hu"), lit(".ck"), lit(".nn")),
+        (col("c_custkey") % 6 + 1).cast("int"))
       val url = concat(lit("https://www."),
         regexp_replace(lower(col("c_name")), "[^a-z0-9]", ""),
-        when(col("c_custkey") % 3 === 0, lit(".co.uk")).otherwise(lit(".com")),
-        lit("/page/"), col("c_custkey"), lit("?q=1#frag"))
+        sfx, lit("/page/"), col("c_custkey"), lit("?q=1#frag"))
       c.select(col("c_custkey").as("id"), url.as("url"))
         .select(col("id"), col("url"),
           graft.functions.Urls.host(col("url")).as("host"),
           graft.functions.Urls.registeredDomain(col("url")).as("domain"),
+          graft.functions.Urls.domainSuffix(col("url")).as("suffix"),
           graft.functions.Urls.tld(col("url")).as("tld"),
           graft.functions.Urls.page(col("url")).as("page"))
     },
     Some("""
       WITH u AS (
-        SELECT c_custkey AS id,
+        SELECT c_custkey AS id, c_custkey % 6 AS cls,
           'https://www.' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
-            || (CASE WHEN c_custkey % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+            || (['.com', '.co.uk', '.plc.co.im',
+                 '.2000.hu', '.ck', '.nn'][(c_custkey % 6 + 1)::INT])
             || '/page/' || c_custkey || '?q=1#frag' AS url
-        FROM customer)
-      SELECT id, url,
-        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
-        CASE WHEN regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) LIKE '%.co.uk'
-             THEN regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
-                                 '([^.]+\.co\.uk)$', 1)
-             ELSE regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
-                                 '([^.]+\.[^.]+)$', 1) END AS domain,
+        FROM customer),
+      h AS (SELECT *, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+            FROM u)
+      SELECT id, url, host,
+        CASE cls
+          WHEN 0 THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+          WHEN 1 THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+          WHEN 2 THEN regexp_extract(host, '([^.]+\.plc\.co\.im)$', 1)
+          WHEN 3 THEN regexp_extract(host, '([^.]+\.2000\.hu)$', 1)
+          WHEN 4 THEN host
+          ELSE host END AS domain,
+        CASE cls
+          WHEN 0 THEN 'com'
+          WHEN 1 THEN 'co.uk'
+          WHEN 2 THEN 'plc.co.im'
+          WHEN 3 THEN '2000.hu'
+          WHEN 4 THEN regexp_extract(host, '([^.]+\.ck)$', 1)
+          ELSE NULL END AS suffix,
         regexp_extract(url, '\.([a-z]+)([/?#]|$)', 1) AS tld,
         regexp_replace(url, '[?#].*$', '') AS page
-      FROM u"""))
+      FROM h"""))
 
   /** F1/X2 URL normalization (column-expression subset of
     * BasicURLNormalizer.java:57-350: lowercase scheme+host, strip default

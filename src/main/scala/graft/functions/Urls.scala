@@ -1,7 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StringType
 
 /** URL part extraction + normalization (reference: util/URLUtil.java,
   * urlnormalizer-basic BasicURLNormalizer.java:57-350).
@@ -21,31 +24,25 @@ object Urls {
   def host(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)
 
-  /** Embedded two-label public suffixes for registeredDomain — the
-    * reference reads domain-suffixes.xml (URLUtil.getDomainName); this
-    * carries the common two-label entries of that file and a real
-    * deployment swaps in the full PSL. Longest suffix wins. */
-  private[graft] val publicSuffixes2 = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.nz", "net.nz", "org.nz",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
-    "co.za", "co.kr", "co.id", "co.th", "co.il")
+  /** Codegen'd static call into `Psl` — a `StaticInvoke` Catalyst
+    * expression, so the call is emitted directly inside whole-stage
+    * codegen (no UDF ser/de, no Row round-trip). */
+  private def pslCall(fn: String, arg: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.Psl"), StringType, fn,
+      Seq(ColumnBridge.expression(arg)), Seq(StringType)))
 
-  /** registrable domain: one label + the public suffix. */
-  def registeredDomain(url: Column): Column = {
-    val h = host(url)
-    val multi = publicSuffixes2.foldLeft(lit(null).cast("string")) { (acc, sfx) =>
-      val esc = sfx.replace(".", "\\.")
-      when(h.endsWith("." + sfx), regexp_extract(h, s"([^.]+\\.$esc)$$", 1))
-        .otherwise(acc)
-    }
-    coalesce(multi, regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
-  }
+  /** registrable domain: one label + the longest matching public suffix
+    * from the vendored PSL ICANN snapshot (URLUtil.getDomainName /
+    * EffectiveTldFinder.getAssignedDomain non-strict semantics: the
+    * whole host when nothing matches or the host IS a suffix). */
+  def registeredDomain(url: Column): Column =
+    pslCall("assignedDomainU", host(url))
+
+  /** the matched public suffix itself, null when none matches
+    * (URLUtil.getDomainSuffix). */
+  def domainSuffix(url: Column): Column =
+    pslCall("domainSuffixU", host(url))
 
   /** top-level domain of the host. */
   def tld(url: Column): Column =

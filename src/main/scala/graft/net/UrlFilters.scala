@@ -266,21 +266,12 @@ object FastUrlFilter {
   * (URLUtil.getHost / getDomainName). */
 object UrlParts {
   private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)".r
-  private val suffixes2: Set[String] =
-    graft.functions.Urls.publicSuffixes2.toSet
 
   def host(url: String): Option[String] =
     hostRe.findFirstMatchIn(url).map(_.group(1).toLowerCase)
 
-  /** Registrable domain with the same minimal embedded PSL as
+  /** Registrable domain via the full PSL engine — same code path as
     * functions.Urls.registeredDomain. */
-  def domain(url: String): Option[String] = host(url).map { h =>
-    val labels = h.split('.')
-    if (labels.length <= 2) h
-    else {
-      val last2 = labels.takeRight(2).mkString(".")
-      if (suffixes2.contains(last2)) labels.takeRight(3).mkString(".")
-      else last2
-    }
-  }
+  def domain(url: String): Option[String] =
+    host(url).map(graft.functions.Psl.assignedDomain)
 }
