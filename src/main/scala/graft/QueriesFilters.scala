@@ -162,31 +162,42 @@ object QueriesFilters {
         THEN 'ham' ELSE 'spam' END AS label
       FROM documents"""))
 
-  /** T6 — segment-count quota: the Generator's maxNumSegments split —
-    * eligible urls ranked by score fill fixed-size segments round-down
-    * (Generator.java segment spill). The oracle-tractable global rank is
-    * the test form; the production path hash-distributes the quota per
-    * partition. */
+  /** T6 — segment-count quota, the reference's per-reducer shape
+    * (Generator.java:440-441,546-553): urls hash into `numSelectors`
+    * buckets; each bucket ranks its own urls by score and fills
+    * localLimit-sized slices into consecutive segments. The rank window
+    * is partitioned by bucket — no task ever sees more than its bucket
+    * (the round-1/2 global `Window.orderBy` single-task sort is gone).
+    * Bucketing uses the cross-engine md5 hash so the oracle reproduces
+    * placement exactly. */
   val segmentQuota = Q(
     "segment_quota",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val w = Window.orderBy(desc("score"), asc("url"))
+      val nSel = 8
+      val localLimit = 200
+      val maxSegs = 3
+      val bucket = pmod(
+        graft.functions.Hashing.md5Long(col("url").cast("string")),
+        lit(nSel))
+      val w = Window.partitionBy(bucket).orderBy(desc("score"), asc("url"))
       o.select(col("o_orderkey").as("url"),
           col("o_totalprice").as("score"))
         .filter(col("score") > 100000.0)
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3000)
+        .filter(col("rk") <= localLimit * maxSegs)
         .select(col("url"), col("score"),
-          (((col("rk") - 1) / 1000).cast("int") + 1).as("segment"))
+          (((col("rk") - 1) / localLimit).cast("int") + 1).as("segment"))
     },
-    Some("""
+    Some(s"""
       SELECT url, score,
-        CAST((rk - 1) // 1000 AS INTEGER) + 1 AS segment
+        CAST((rk - 1) // 200 AS INTEGER) + 1 AS segment
       FROM (SELECT o_orderkey AS url, o_totalprice AS score,
-              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              row_number() OVER (
+                PARTITION BY ${Queries.sqlMd5Long("CAST(o_orderkey AS VARCHAR)")} % 8
+                ORDER BY o_totalprice DESC, o_orderkey) AS rk
             FROM orders WHERE o_totalprice > 100000.0)
-      WHERE rk <= 3000"""))
+      WHERE rk <= 600"""))
 
   /** G1/A8 — WebGraph edge dedup: one edge per (source domain → target),
     * highest score wins (WebGraph outlink dedup by target domain +

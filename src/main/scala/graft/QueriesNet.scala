@@ -87,5 +87,78 @@ object QueriesNet {
       WHERE rk <= 20
       ORDER BY score DESC, url LIMIT 100"""))
 
-  val all: Seq[Q] = Seq(urlFilter, generateEligibility)
+  /** J9 — Generate with HostDb-driven per-host overrides, run through
+    * the REAL operator (ops/Generate + UpdateHostDb.HostRow): the JEXL
+    * `generate.max.count.expr` computes a per-host cap from the host's
+    * fetched census, `generate.fetch.delay.expr` stamps
+    * `_variableFetchDelay_` into datum metadata
+    * (Generator.java:369-392,506-545). Hosts are o_custkey%50; the cap
+    * expression resolves against the broadcast hostdb columns. */
+  val generateHostdb = Q(
+    "generate_hostdb",
+    (s, dir) => {
+      import graft.ops.{Generate, UpdateHostDb}
+      import graft.schemas.{CrawlRow, CrawlStatus}
+      import s.implicits._
+      val o = Queries.t(s, dir, "orders")
+      val db = o.select(
+        concat(lit("http://h"), col("o_custkey") % 50, lit(".test/p/"),
+          col("o_orderkey")).as("url"),
+        struct(
+          lit(CrawlStatus.DB_UNFETCHED).cast("tinyint").as("status"),
+          lit(T0).as("fetchTime"),
+          lit(0).as("retries"),
+          lit(2592000).as("fetchInterval"),
+          col("o_totalprice").cast("float").as("score"),
+          lit(null).cast("string").as("signature"),
+          lit(0L).as("modifiedTime"),
+          map().cast("map<string,string>").as("metadata")).as("datum"))
+        .as[CrawlRow]
+      val hostdb = o.groupBy(
+        concat(lit("h"), col("o_custkey") % 50, lit(".test")).as("host"))
+        .agg(
+          count(when(col("o_orderstatus") === "O", 1)).as("unfetched"),
+          count(when(col("o_orderstatus") === "F", 1)).as("fetched"),
+          lit(0L).as("gone"), lit(0L).as("redirTemp"),
+          lit(0L).as("redirPerm"), lit(0L).as("notModified"),
+          lit(0L).as("dnsFailures"),
+          count(when(col("o_orderstatus") === "P", 1))
+            .as("connectionFailures"),
+          lit(0.0).as("score"), lit(T0).as("lastCheck"))
+        .as[UpdateHostDb.HostRow]
+      val fl = Generate(db,
+        Generate.Config(topN = 500, maxPerHost = 5, curTime = T0,
+          maxCountExpr = Some("1 + fetched / 100"),
+          fetchDelayExpr = Some("1000 * (1 + connectionFailures)")),
+        graft.crawl.DefaultFetchSchedule(graft.crawl.ScheduleConfig()),
+        hostDb = Some(hostdb))
+      fl.toDF().select(col("url"), col("segnum"),
+        element_at(col("datum.metadata"), Generate.VariableFetchDelayKey)
+          .as("fetch_delay_ms"))
+    },
+    Some(s"""
+      WITH hostdb AS (
+        SELECT o_custkey % 50 AS hk,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS fetched,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS connfail
+        FROM orders GROUP BY 1),
+      fl AS (
+        SELECT 'http://h' || (o_custkey % 50) || '.test/p/' || o_orderkey
+                 AS url,
+               o_custkey % 50 AS hk,
+               CAST(o_totalprice AS FLOAT4) AS score
+        FROM orders),
+      j AS (
+        SELECT fl.url, fl.score, hostdb.fetched, hostdb.connfail,
+               row_number() OVER (PARTITION BY fl.hk
+                 ORDER BY fl.score DESC, fl.url) AS rk
+        FROM fl JOIN hostdb USING (hk))
+      SELECT url, 1 AS segnum,
+             CAST(CAST(1000 * (1 + connfail) AS BIGINT) AS VARCHAR)
+               AS fetch_delay_ms
+      FROM j
+      WHERE rk <= CAST(ROUND(1 + fetched / 100) AS INT)
+      ORDER BY score DESC, url LIMIT 500"""))
+
+  val all: Seq[Q] = Seq(urlFilter, generateEligibility, generateHostdb)
 }

@@ -22,4 +22,13 @@ object Hashing {
 
   /** Fast 64-bit hash for internal (non-oracle) shuffles and sketches. */
   def fast64(c: Column): Column = xxhash64(c)
+
+  /** Scalar twin of [[md5Long]] — same 60-bit value for the same input
+    * (used by tests and driver-side code to predict bucket placement). */
+  def md5LongOf(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

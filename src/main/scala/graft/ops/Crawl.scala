@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.crawl.{FetchSchedule, UpdateDb}
 import graft.plugins.Extensions
-import graft.tables.{CrawlDbTable, LinkDbTable, Segment}
+import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
 
 /** The crawl conductor — the `bin/crawl` driver re-expressed as a
   * library call (src/bin/crawl:285-406 lifecycle: inject once, then per
@@ -24,7 +24,14 @@ object Crawl {
       roundMillis: Long = 3600 * 1000L,
       agent: String = "graft",
       dedup: Boolean = true,
-      index: Boolean = true)
+      index: Boolean = true,
+      // generate.update.crawldb: stamp _ngt_ so overlapping generates
+      // skip in-flight urls (Generator.java:707-757)
+      updateCrawlDbOnGenerate: Boolean = false,
+      // generate.max.count.expr / generate.fetch.delay.expr over the
+      // per-round hostdb (Generator.java:369-392,506-545)
+      maxCountExpr: Option[String] = None,
+      fetchDelayExpr: Option[String] = None)
 
   final case class RoundStats(round: Int, generated: Long, fetched: Long,
       dbSize: Long)
@@ -47,17 +54,32 @@ object Crawl {
         filter, cfg.startTime),
       "inject")
 
+    val hostdbTable = new HostDbTable(spark, s"$root/hostdb")
+    val useHostDb = cfg.maxCountExpr.isDefined || cfg.fetchDelayExpr.isDefined
+
     var segments = Vector.empty[Segment]
     val stats = (1 to cfg.rounds).map { r =>
       val now = cfg.startTime + r * cfg.roundMillis
       val seg = new Segment(spark, s"$root/segments/r$r")
       seg.writeGenerate(Generate(crawldb.read(),
         Generate.Config(topN = cfg.topN, maxPerHost = cfg.maxPerHost,
-          curTime = now, segnum = r), schedule))
+          curTime = now, segnum = r, maxCountExpr = cfg.maxCountExpr,
+          fetchDelayExpr = cfg.fetchDelayExpr), schedule,
+        hostDb = if (useHostDb) Some(hostdbTable.read()) else None))
       val generated = seg.generate.count()
+      if (cfg.updateCrawlDbOnGenerate)
+        crawldb.install(
+          Generate.markGenerated(crawldb.read(), seg.generate, now),
+          s"generate-mark-r$r")
 
+      // fetch ONCE: the fetch/content pair shares one physical fetch
+      // pass — persist it so the two segment writes (and the fetched
+      // count) don't re-drive the protocol
       val (fetch, content) = Fetch(seg.generate, protocol, now, cfg.agent)
-      seg.writeFetch(fetch); seg.writeContent(content)
+      fetch.persist(); content.persist()
+      try {
+        seg.writeFetch(fetch); seg.writeContent(content)
+      } finally { fetch.unpersist(); content.unpersist() }
 
       val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter)
       seg.writeParseData(parsed.parseData)
@@ -73,6 +95,11 @@ object Crawl {
         s"invertlinks-r$r")
       if (cfg.dedup)
         crawldb.install(Dedup(crawldb.read()), s"dedup-r$r")
+      // refresh the hostdb census for the next round's generator
+      if (useHostDb)
+        hostdbTable.install(
+          UpdateHostDb(crawldb.read(), hostdbTable.read(), now),
+          s"hostdb-r$r")
       segments :+= seg
       RoundStats(r, generated,
         seg.fetch.filter(_.datum.status ==
@@ -80,9 +107,11 @@ object Crawl {
         crawldb.read().count())
     }
 
-    val hostdb = UpdateHostDb(crawldb.read(),
-      spark.emptyDataset[UpdateHostDb.HostRow],
-      cfg.startTime + cfg.rounds * cfg.roundMillis)
+    val hostdb =
+      if (useHostDb) hostdbTable.read()
+      else UpdateHostDb(crawldb.read(),
+        spark.emptyDataset[UpdateHostDb.HostRow],
+        cfg.startTime + cfg.rounds * cfg.roundMillis)
 
     val indexed =
       if (cfg.index && segments.nonEmpty) {

@@ -98,3 +98,19 @@ final class LinkDbTable(spark: SparkSession, dir: String) {
   def install(next: Dataset[LinkRow], nonce: String): Unit =
     Install.install(next, dir, nonce)
 }
+
+/** The HostDb: host → census/failure counters (UpdateHostDbJob). */
+final class HostDbTable(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  def exists: Boolean = Files.exists(Paths.get(dir, "current"))
+
+  def read(): Dataset[graft.ops.UpdateHostDb.HostRow] =
+    if (exists) spark.read.parquet(s"$dir/current")
+      .as[graft.ops.UpdateHostDb.HostRow]
+    else spark.emptyDataset[graft.ops.UpdateHostDb.HostRow]
+
+  def install(next: Dataset[graft.ops.UpdateHostDb.HostRow],
+      nonce: String): Unit =
+    Install.install(next, dir, nonce)
+}

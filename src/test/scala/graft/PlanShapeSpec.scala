@@ -64,4 +64,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     val p = plan("generate_eligibility", execute = true)
     assert(p.contains("* Filter"), p)
   }
+
+  test("segment_quota ranks per bucket — no single-partition exchange") {
+    val p = plan("segment_quota")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("Generate multi-segment spill has no single-partition exchange") {
+    import spark.implicits._
+    val db = (1 to 100).map { i =>
+      graft.schemas.CrawlRow(s"http://h${i % 7}.com/p$i",
+        graft.schemas.CrawlDatum(graft.schemas.CrawlStatus.DB_UNFETCHED,
+          1L, 0, 2592000, i.toFloat, None, 0L, Map.empty))
+    }.toDS()
+    val fl = graft.ops.Generate(db,
+      graft.ops.Generate.Config(topN = 40, maxNumSegments = 2,
+        curTime = 10L, numSelectors = 4),
+      graft.crawl.DefaultFetchSchedule(graft.crawl.ScheduleConfig()))
+    val p = fl.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

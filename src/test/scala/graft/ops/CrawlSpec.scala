@@ -49,4 +49,30 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
       .count(_ == S.DB_DUPLICATE)
     assert(dupCount == 1, s"expected one duplicate, got $db")
   }
+
+  test("conductor with hostdb overrides + generate.update.crawldb") {
+    val root = Files.createTempDirectory("crawl-hostdb").toString
+    val registry = Extensions.Registry(
+      urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
+    val summary = Crawl.run(spark, root, Seq(s"$A/"),
+      Fetch.MockProtocol(site), registry,
+      Crawl.Config(rounds = 2, updateCrawlDbOnGenerate = true,
+        maxCountExpr = Some("1 + fetched"),
+        fetchDelayExpr = Some("500 * (1 + unfetched)")))
+    assert(summary.rounds.map(_.generated) == Seq(1, 2))
+
+    // the hostdb table materialized and carries the census
+    val hosts = new graft.tables.HostDbTable(spark, s"$root/hostdb")
+      .read().collect().map(h => h.host -> h).toMap
+    assert(hosts.keySet ==
+      Set("site-a.example.com", "site-b.example.com"))
+    // A/ fetched; A/p1 may have been re-marked db_duplicate by dedup
+    assert(hosts("site-a.example.com").fetched >= 1)
+
+    // _ngt_ markers were stamped at generate and stripped by updatedb
+    val db = new CrawlDbTable(spark, s"$root/crawldb").read().collect()
+    assert(db.nonEmpty)
+    assert(db.forall(!_.datum.metadata.contains(
+      graft.schemas.CrawlDatum.GenerateTimeKey)), db.mkString("\n"))
+  }
 }
