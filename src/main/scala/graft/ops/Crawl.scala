@@ -31,7 +31,9 @@ object Crawl {
       // generate.max.count.expr / generate.fetch.delay.expr over the
       // per-round hostdb (Generator.java:369-392,506-545)
       maxCountExpr: Option[String] = None,
-      fetchDelayExpr: Option[String] = None)
+      fetchDelayExpr: Option[String] = None,
+      // politeness pacing + watchdog (FetchItemQueue / Fetcher limits)
+      pacer: graft.net.Pacer.Config = graft.net.Pacer.Config())
 
   final case class RoundStats(round: Int, generated: Long, fetched: Long,
       dbSize: Long)
@@ -75,7 +77,8 @@ object Crawl {
       // fetch ONCE: the fetch/content pair shares one physical fetch
       // pass — persist it so the two segment writes (and the fetched
       // count) don't re-drive the protocol
-      val (fetch, content) = Fetch(seg.generate, protocol, now, cfg.agent)
+      val (fetch, content) = Fetch(seg.generate, protocol, now, cfg.agent,
+        pacer = cfg.pacer)
       fetch.persist(); content.persist()
       try {
         seg.writeFetch(fetch); seg.writeContent(content)

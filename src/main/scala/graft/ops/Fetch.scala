@@ -4,17 +4,20 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Urls
-import graft.net.Robots
+import graft.net.{Pacer, Robots}
 import graft.schemas._
 
 /** §2.4 — the Fetch operator (Fetcher.java:68-103 model).
   *
   * The reference's fetcher is a per-task thread pool pulling from
   * per-host queues (politeness). The Spark translation: repartition the
-  * fetchlist BY HOST and sort within partitions, then one mapPartitions
-  * pass fetches sequentially — all URLs of a host land in one partition
-  * in order, so per-host serialization (the politeness invariant) holds
-  * by construction, while hosts spread across the cluster.
+  * fetchlist BY HOST, then one mapPartitions pass runs a politeness
+  * Pacer over the partition's host queues — all URLs of a host land in
+  * one partition, the pacer serializes each host (crawl-delay aware)
+  * while interleaving ACROSS the partition's hosts
+  * (FetchItemQueues.java:81-86), and a time-limit/throughput watchdog
+  * drains leftovers as FETCH_RETRY (Fetcher.java:277-281,338-360)
+  * instead of hanging the stage on a slow host.
   *
   * The wire protocol is the pluggable seam (§2.9 extension point
   * `Protocol`); `MockProtocol` serves a broadcastable in-memory site —
@@ -73,10 +76,24 @@ object Fetch {
     * Robots handling (FetcherThread's crawler-commons check): each
     * partition fetches a host's /robots.txt once (hosts are co-located
     * by the repartition), caches the parsed rules, and denied URLs
-    * become FETCH_GONE with a marker — they never hit the protocol. */
+    * become FETCH_GONE with a marker — they never hit the protocol.
+    *
+    * Pacing: allowed URLs run through [[graft.net.Pacer]] — per-host
+    * crawl-delay (`_variableFetchDelay_` metadata > robots crawl-delay
+    * > cfg.serverDelayMs), round-robin across the partition's hosts,
+    * time-limit/throughput drain as FETCH_RETRY, hosts whose robots
+    * crawl-delay exceeds fetcher.max.crawl.delay dropped as denied.
+    * `clockFactory` injects the clock (tests: VirtualClock, no sleeps).
+    *
+    * The partition's fetchlist is materialized for queueing — its size
+    * is bounded by the Generator's topN/per-host caps, and it carries
+    * only url+datum (content never passes through the pacer). */
   def apply(fetchlist: Dataset[GenerateEntry], protocol: Protocol,
       now: Long, agent: String = "graft",
-      honorRobots: Boolean = true): (Dataset[CrawlRow], Dataset[ContentRow]) = {
+      honorRobots: Boolean = true,
+      pacer: Pacer.Config = Pacer.Config(),
+      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock)
+      : (Dataset[CrawlRow], Dataset[ContentRow]) = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val byHost = fetchlist.toDF()
@@ -100,38 +117,66 @@ object Fetch {
             else Robots.AllowAll
           })
         }
-      it.map { e =>
+      val results =
+        scala.collection.mutable.ArrayBuffer.empty[(List[CrawlRow], ContentRow)]
+      def emptyContent(e: GenerateEntry) =
+        ContentRow(e.url, e.url, Array.empty[Byte], "", Map.empty)
+      val queue = scala.collection.mutable.ArrayBuffer.empty[Pacer.Item[GenerateEntry]]
+      it.foreach { e =>
         val path = e.url.replaceFirst("^[a-z]+://[^/]+", "") match {
           case "" => "/"
           case p => p
         }
-        if (honor && !rulesFor(e.url).isAllowed(path)) {
+        val rules = if (honor) rulesFor(e.url) else Robots.AllowAll
+        if (honor && !rules.isAllowed(path)) {
           val datum = e.datum.copy(status = CrawlStatus.FETCH_GONE,
             fetchTime = now,
             metadata = e.datum.metadata + (RobotsDeniedKey -> "true"))
-          (CrawlRow(e.url, datum) :: Nil,
-            ContentRow(e.url, e.url, Array.empty[Byte], "", Map.empty))
+          results += ((CrawlRow(e.url, datum) :: Nil, emptyContent(e)))
         } else {
-          val out = proto.fetch(e.url, e.datum)
-          val status = toFetchStatus(out.code)
-          val meta = out.movedTo.fold(e.datum.metadata)(m =>
-            e.datum.metadata + (CrawlDatum.ReprUrlKey -> m))
-          val datum = e.datum.copy(status = status, fetchTime = now,
-            metadata = meta)
-          // redirect targets are emitted as LINKED datums so updatedb
-          // discovers them (FetcherThread.java:526-531 createRedirDatum)
-          val redirLinked = out.movedTo
-            .filter(_ => status == CrawlStatus.FETCH_REDIR_PERM ||
-              status == CrawlStatus.FETCH_REDIR_TEMP)
-            .flatMap(Urls.normalize)
-            .map(target => CrawlRow(target,
-              CrawlDatum(CrawlStatus.LINKED, 0L, 0, e.datum.fetchInterval,
-                e.datum.score, None, 0L, Map.empty)))
-          (CrawlRow(e.url, datum) :: redirLinked.toList,
-            ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
-              out.contentType, Map.empty))
+          queue += Pacer.Item(
+            graft.net.UrlParts.host(e.url).getOrElse(""), e,
+            e.datum.metadata.get(Generate.VariableFetchDelayKey)
+              .flatMap(s => scala.util.Try(s.toLong).toOption),
+            rules.crawlDelayMs)
         }
       }
+      Pacer.run(queue, pacer, clockFactory()) { (e, _) =>
+        // the delay override is consumed by the queue, not carried on
+        // (FetchItemQueue.addFetchItem removes it)
+        val meta0 = e.datum.metadata - Generate.VariableFetchDelayKey
+        val out = proto.fetch(e.url, e.datum)
+        val status = toFetchStatus(out.code)
+        val meta = out.movedTo.fold(meta0)(m =>
+          meta0 + (CrawlDatum.ReprUrlKey -> m))
+        val datum = e.datum.copy(status = status, fetchTime = now,
+          metadata = meta)
+        // redirect targets are emitted as LINKED datums so updatedb
+        // discovers them (FetcherThread.java:526-531 createRedirDatum)
+        val redirLinked = out.movedTo
+          .filter(_ => status == CrawlStatus.FETCH_REDIR_PERM ||
+            status == CrawlStatus.FETCH_REDIR_TEMP)
+          .flatMap(Urls.normalize)
+          .map(target => CrawlRow(target,
+            CrawlDatum(CrawlStatus.LINKED, 0L, 0, e.datum.fetchInterval,
+              e.datum.score, None, 0L, Map.empty)))
+        results += ((CrawlRow(e.url, datum) :: redirLinked.toList,
+          ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
+            out.contentType, Map.empty)))
+      } { (e, reason) =>
+        val (status, marker) = reason match {
+          case Pacer.ExcessCrawlDelay =>
+            (CrawlStatus.FETCH_GONE, RobotsDeniedKey -> "crawl-delay")
+          case Pacer.TimeLimit =>
+            (CrawlStatus.FETCH_RETRY, "_drain_" -> "timelimit")
+          case Pacer.LowThroughput =>
+            (CrawlStatus.FETCH_RETRY, "_drain_" -> "throughput")
+        }
+        val datum = e.datum.copy(status = status, fetchTime = now,
+          metadata = e.datum.metadata - Generate.VariableFetchDelayKey + marker)
+        results += ((CrawlRow(e.url, datum) :: Nil, emptyContent(e)))
+      }
+      results.iterator
     }.cache() // one protocol pass feeds both outputs
     (fetched.flatMap(_._1),
       fetched.filter(_._1.head.datum.status == CrawlStatus.FETCH_SUCCESS)

@@ -75,7 +75,8 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(seg1.generate.count() == 2) // both seeds due
 
     val now1 = t0 + 1000
-    val (fetch1, content1) = Fetch(seg1.generate, protocol, now1)
+    val (fetch1, content1) = Fetch(seg1.generate, protocol, now1,
+      pacer = graft.net.Pacer.Config(serverDelayMs = 0))
     seg1.writeFetch(fetch1); seg1.writeContent(content1)
     assert(seg1.fetch.collect()
       .forall(_.datum.status == S.FETCH_SUCCESS))
@@ -121,7 +122,8 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     val seg2 = new Segment(spark, s"$root/segments/r2")
     seg2.writeGenerate(fl2)
     val now2 = now1 + 2000
-    val (fetch2, content2) = Fetch(seg2.generate, protocol, now2)
+    val (fetch2, content2) = Fetch(seg2.generate, protocol, now2,
+      pacer = graft.net.Pacer.Config(serverDelayMs = 0))
     seg2.writeFetch(fetch2); seg2.writeContent(content2)
     val f2 = seg2.fetch.collect().map(r => r.url -> r.datum).toMap
     assert(f2(s"$B/gone").status == S.FETCH_GONE)
@@ -175,7 +177,8 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
       graft.schemas.GenerateEntry(1, 1f, s"$A/page2",
         graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
           0L, Map.empty))).toDS()
-    val (f, c) = Fetch(fl, proto, t0)
+    val (f, c) = Fetch(fl, proto, t0,
+      pacer = graft.net.Pacer.Config(serverDelayMs = 0))
     val statuses = f.collect().map(r => r.url -> r.datum).toMap
     assert(statuses(s"$A/page1").status == S.FETCH_GONE)
     assert(statuses(s"$A/page1").metadata.contains(Fetch.RobotsDeniedKey))
@@ -199,7 +202,8 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
         s"$root/segments/${now}")
       seg.writeGenerate(Generate(crawldb.read(),
         Generate.Config(curTime = now), adaptive))
-      val (f, c) = Fetch(seg.generate, protocol, now)
+      val (f, c) = Fetch(seg.generate, protocol, now,
+        pacer = graft.net.Pacer.Config(serverDelayMs = 0))
       seg.writeFetch(f); seg.writeContent(c)
       val p = Parse(seg.fetch, seg.content, Parse.Config(), acceptAll)
       seg.writeCrawlParse(p.crawlParse)

@@ -31,7 +31,8 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
       urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
     val summary = Crawl.run(spark, root, Seq(s"$A/"),
       Fetch.MockProtocol(site), registry,
-      Crawl.Config(rounds = 2))
+      Crawl.Config(rounds = 2,
+        pacer = graft.net.Pacer.Config(serverDelayMs = 0)))
 
     assert(summary.rounds.map(_.round) == Seq(1, 2))
     assert(summary.rounds.head.generated == 1) // just the seed
@@ -57,6 +58,7 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
     val summary = Crawl.run(spark, root, Seq(s"$A/"),
       Fetch.MockProtocol(site), registry,
       Crawl.Config(rounds = 2, updateCrawlDbOnGenerate = true,
+        pacer = graft.net.Pacer.Config(serverDelayMs = 0),
         maxCountExpr = Some("1 + fetched"),
         fetchDelayExpr = Some("500 * (1 + unfetched)")))
     assert(summary.rounds.map(_.generated) == Seq(1, 2))
