@@ -185,30 +185,29 @@ object QueriesCore {
       ORDER BY score DESC, url LIMIT 100"""))
 
   /** A1 CrawlDb stats: counts, min/max/sum score, exact quantiles per
-    * status (CrawlDbReader.java:371-509). Quantiles via the distributed
-    * sort+rank form (Relational.quantileCont) — exact quantile_cont
-    * semantics without `percentile()`'s per-group value buffer. */
+    * status (CrawlDbReader.java:371-509). All aggregates derive from the
+    * per-status sorted value histogram (Relational.valueHistogram →
+    * hist*): exact quantile_cont semantics with NO per-status rank
+    * window — the phase-1 shuffle keys on (status, value), so a status
+    * that dominates the crawldb still spreads across the cluster. */
   val crawldbStats = Q(
     "crawldb_stats",
     (s, dir) => {
+      import graft.operators.Relational._
       val o = t(s, dir, "orders")
-      val wRank = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"))
-      val wAll = Window.partitionBy(col("o_orderstatus"))
-      val ranked = o
-        .withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1)).over(wAll))
-      def qc(q: Double) = round(graft.operators.Relational
-        .quantileCont(col("o_totalprice"), col("rn"), col("n"), q), 4)
-      ranked.groupBy(col("o_orderstatus").as("status"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          min(col("o_totalprice")).as("min_score"),
-          max(col("o_totalprice")).as("max_score"),
-          fxSum(col("o_totalprice"), 2).as("sum_score"),
-          qc(0.25).as("p25"),
-          qc(0.5).as("p50"),
-          qc(0.75).as("p75"))
+      val h = valueHistogram(
+        o.select(col("o_orderstatus").as("status"), col("o_totalprice")),
+        Seq("status"), col("o_totalprice"))
+      def qc(q: Double) = round(histQuantileCont(col("hist"), q), 4)
+      h.select(
+        col("status"),
+        histN(col("hist")).as("cnt"),
+        histMin(col("hist")).as("min_score"),
+        histMax(col("hist")).as("max_score"),
+        histFxSum(col("hist"), 2).as("sum_score"),
+        qc(0.25).as("p25"),
+        qc(0.5).as("p50"),
+        qc(0.75).as("p75"))
     },
     Some(s"""
       SELECT o_orderstatus AS status,

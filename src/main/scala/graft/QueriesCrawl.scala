@@ -22,22 +22,23 @@ object QueriesCrawl {
       val base = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select(col("c_nationkey").as("host"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
-      val ranked = base
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("host")).orderBy(col("o_totalprice"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("host"))))
-      val agg = ranked.groupBy("host").agg(
+      val agg0 = base.groupBy("host").agg(
         count(lit(1)).as("n_urls"),
         count(when(col("o_orderstatus") === "F", 1)).as("n_fetched"),
         count(when(col("o_orderstatus") === "O", 1)).as("n_unfetched"),
         count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
         min(col("o_totalprice")).as("min_score"),
         max(col("o_totalprice")).as("max_score"),
-        (fxSum(col("o_totalprice"), 2) / count(lit(1))).as("avg_score"),
-        // distributed exact median — no per-group value buffer (see
-        // Relational.quantileCont)
-        round(Relational.quantileCont(col("o_totalprice"), col("rn"),
-          col("n"), 0.5), 4).as("p50_score"))
+        (fxSum(col("o_totalprice"), 2) / count(lit(1))).as("avg_score"))
+      // exact median from the two-phase value histogram — no per-host
+      // rank window (Relational.histQuantileCont)
+      val med = Relational
+        .valueHistogram(base.select(col("host"), col("o_totalprice")),
+          Seq("host"), col("o_totalprice"))
+        .select(col("host"),
+          round(Relational.histQuantileCont(col("hist"), 0.5), 4)
+            .as("p50_score"))
+      val agg = agg0.join(med, Seq("host"))
       // mode(o_orderpriority) with (count desc, value asc) tiebreak
       val prioCnt = base.groupBy(col("host"), col("o_orderpriority"))
         .agg(count(lit(1)).as("pc"))

