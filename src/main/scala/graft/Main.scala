@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.net.Pacer
+import graft.ops._
+import graft.plugins.Extensions
+import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
+
+/** The `bin/nutch` verb dispatcher (src/bin/nutch:243-327) as a thin CLI
+  * over the library ops. Every verb is one library call on the parquet
+  * table layer; state lives under the dirs the caller names.
+  *
+  * ```
+  * graft.Main inject    <crawldb> <seedFile>
+  * graft.Main generate  <crawldb> <segment> [-topN N] [-maxPerHost N] [-now MS]
+  * graft.Main fetch     <segment> -site <siteJson> [-now MS]
+  * graft.Main parse     <segment>
+  * graft.Main updatedb  <crawldb> <segment> [-now MS]
+  * graft.Main invertlinks <linkdb> <segment>
+  * graft.Main dedup     <crawldb>
+  * graft.Main updatehostdb <crawldb> <hostdb> [-now MS]
+  * graft.Main readdb    <crawldb> -stats | -dump <out> | -topN <N> | -url <u>
+  * graft.Main index     <crawldb> <linkdb> <segment> <outDir>
+  * graft.Main clean     <crawldb> <sinkDir>
+  * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
+  * ```
+  *
+  * The wire protocol for `fetch`/`crawl` is a site snapshot (JSON lines:
+  * url, code, body, contentType) served through MockProtocol — the
+  * sandbox has no network; a live deployment plugs a real Protocol into
+  * the same seam. */
+object Main {
+
+  private def opt(args: Seq[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Seq(`name`, v) => v }
+  private def optL(args: Seq[String], name: String, dflt: Long): Long =
+    opt(args, name).map(_.toLong).getOrElse(dflt)
+
+  private def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("graft")
+    .getOrCreate()
+
+  private def registry = Extensions.Registry(
+    urlFilters = Seq(graft.net.RegexUrlFilter.parse(Iterator("+."))))
+
+  /** Load a MockProtocol site snapshot from a JSON-lines file. */
+  def loadSite(spark: SparkSession, path: String): Fetch.MockProtocol = {
+    import spark.implicits._
+    val rows = spark.read.json(path)
+      .selectExpr("url", "cast(coalesce(code, 1) as int) as code",
+        "coalesce(body, '') as body",
+        "coalesce(contentType, 'text/html') as ct")
+      .as[(String, Int, String, String)].collect()
+    Fetch.MockProtocol(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap)
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Int = {
+    import spark.implicits._
+    val now0 = optL(args.toSeq, "-now", System.currentTimeMillis())
+    args.toList match {
+      case "inject" :: crawldb :: seeds :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        t.install(Inject(t.read(), spark.read.textFile(seeds),
+          Inject.Config(), registry.filterChain, now0), "inject")
+        println(s"inject: db=${t.read().count()}")
+        0
+      case "generate" :: crawldb :: segdir :: rest =>
+        val t = new CrawlDbTable(spark, crawldb)
+        val seg = new Segment(spark, segdir)
+        seg.writeGenerate(Generate(t.read(), Generate.Config(
+          topN = optL(rest, "-topN", Long.MaxValue),
+          maxPerHost = optL(rest, "-maxPerHost", Int.MaxValue).toInt,
+          curTime = now0), registry.schedule))
+        println(s"generate: ${seg.generate.count()} entries")
+        0
+      case "fetch" :: segdir :: rest =>
+        opt(rest, "-site") match {
+          case None => System.err.println("fetch: -site required"); 2
+          case Some(sf) =>
+            val site = loadSite(spark, sf)
+            val seg = new Segment(spark, segdir)
+            val (f, c) = Fetch(seg.generate, site, now0,
+              pacer = Pacer.Config(
+                serverDelayMs = optL(rest, "-delay", 0)))
+            f.persist(); c.persist()
+            try { seg.writeFetch(f); seg.writeContent(c) }
+            finally { f.unpersist(); c.unpersist() }
+            println(s"fetch: ${seg.fetch.count()} rows")
+            0
+        }
+      case "parse" :: segdir :: _ =>
+        val seg = new Segment(spark, segdir)
+        val p = Parse(seg.fetch, seg.content, Parse.Config(),
+          registry.filterChain)
+        seg.writeParseData(p.parseData)
+        seg.writeParseText(p.parseText)
+        seg.writeCrawlParse(p.crawlParse)
+        println(s"parse: ${seg.parseData.count()} pages")
+        0
+      case "updatedb" :: crawldb :: segdir :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        val seg = new Segment(spark, segdir)
+        t.install(graft.crawl.UpdateDb(
+          t.read().union(seg.fetch).union(seg.crawlParse), now0,
+          registry.schedule, registry.scoring), "updatedb")
+        println(s"updatedb: db=${t.read().count()}")
+        0
+      case "invertlinks" :: linkdb :: segdir :: _ =>
+        val l = new LinkDbTable(spark, linkdb)
+        val seg = new Segment(spark, segdir)
+        l.install(InvertLinks(seg.parseData, l.read(),
+          InvertLinks.Config()), "invertlinks")
+        println(s"invertlinks: ${l.read().count()} urls")
+        0
+      case "dedup" :: crawldb :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        t.install(Dedup(t.read()), "dedup")
+        println("dedup: done")
+        0
+      case "updatehostdb" :: crawldb :: hostdb :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        val h = new HostDbTable(spark, hostdb)
+        h.install(UpdateHostDb(t.read(), h.read(), now0), "updatehostdb")
+        println(s"updatehostdb: ${h.read().count()} hosts")
+        0
+      case "readdb" :: crawldb :: rest =>
+        val db = new CrawlDbTable(spark, crawldb).read()
+        rest match {
+          case "-stats" :: _ =>
+            CrawlDbReader.stats(db).orderBy("status").collect()
+              .foreach(r => println(r.mkString("\t")))
+            0
+          case "-dump" :: out :: _ =>
+            CrawlDbReader.dumpCsv(db, out); println(s"dumped to $out"); 0
+          case "-topN" :: n :: _ =>
+            CrawlDbReader.topN(db, n.toInt).collect()
+              .foreach(r => println(r.mkString("\t")))
+            0
+          case "-url" :: u :: _ =>
+            CrawlDbReader.url(db, u) match {
+              case Some(r) => println(s"${r.url}\t${r.datum.statusName}\t" +
+                s"${r.datum.score}\t${r.datum.fetchTime}"); 0
+              case None => println(s"$u not found"); 1
+            }
+          case _ =>
+            System.err.println("readdb: need -stats|-dump|-topN|-url"); 2
+        }
+      case "index" :: crawldb :: linkdb :: segdir :: out :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        val l = new LinkDbTable(spark, linkdb)
+        val seg = new Segment(spark, segdir)
+        val docs = Index(t.read(), seg.fetch, seg.parseData, seg.parseText,
+          l.read(), Index.Config())
+        new IndexWriters.JsonLinesWriter().write(docs, out)
+        println(s"index: wrote ${spark.read.text(out).count()} docs to $out")
+        0
+      case "clean" :: crawldb :: sink :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        val n = CleaningJob.cleanJsonSink(spark, sink,
+          CleaningJob.deletes(t.read()))
+        println(s"clean: removed $n docs")
+        0
+      case "sitemap" :: crawldb :: hostdb :: rest =>
+        opt(rest, "-site") match {
+          case None => System.err.println("sitemap: -site required"); 2
+          case Some(sf) =>
+            val t = new CrawlDbTable(spark, crawldb)
+            val h = new HostDbTable(spark, hostdb)
+            val hosts = h.read().map(_.host)
+            val found = Sitemap.discover(hosts, loadSite(spark, sf), now0,
+              "graft", Sitemap.Config())
+            t.install(Sitemap.merge(t.read(), found, Sitemap.Config()),
+              "sitemap")
+            println(s"sitemap: db=${t.read().count()}")
+            0
+        }
+      case "crawl" :: root :: seeds :: rest =>
+        opt(rest, "-site") match {
+          case None => System.err.println("crawl: -site required"); 2
+          case Some(sf) =>
+            val site = loadSite(spark, sf)
+            val seedList = spark.read.textFile(seeds).collect().toSeq
+            val summary = Crawl.run(spark, root, seedList, site, registry,
+              Crawl.Config(
+                rounds = optL(rest, "-rounds", 1).toInt,
+                topN = optL(rest, "-topN", Long.MaxValue),
+                startTime = now0,
+                pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0))))
+            summary.rounds.foreach(r => println(
+              s"round ${r.round}: generated=${r.generated} " +
+                s"fetched=${r.fetched} db=${r.dbSize}"))
+            println(s"indexed=${summary.indexed} hosts=${summary.hosts}")
+            0
+        }
+      case other =>
+        System.err.println(
+          s"""unknown verb: ${other.headOption.getOrElse("")}
+             |verbs: inject generate fetch parse updatedb invertlinks dedup
+             |       updatehostdb readdb index clean sitemap crawl""".stripMargin)
+        2
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val rc = try run(spark, args) finally spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+}

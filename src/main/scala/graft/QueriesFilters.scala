@@ -106,6 +106,43 @@ object QueriesFilters {
           ' {2,}', ' ', 'g'))) AS n_chars
       FROM documents"""))
 
+  /** X5 — charset detection + decompression round-trip through the REAL
+    * decoder (functions/Encoding: BOM > header > meta > UTF-8 check >
+    * windows-1252, gzip best-effort; EncodingDetector.java,
+    * GZIPUtils.java). The plan encodes each doc's synthetic content in a
+    * per-class charset (incl. gzip), then decodes with the detector —
+    * the oracle states the fixed point. Both encode and decode are
+    * codegen'd StaticInvoke scalars, not UDFs. */
+  val charsetDecode = Q(
+    "charset_decode",
+    (s, dir) => {
+      import graft.functions.Encoding
+      val d = t(s, dir, "documents")
+      val cls = (col("doc_id") % 4).cast("int")
+      val content = when(cls === 0,
+        concat(lit("naïve δοκιμή "), col("doc_id")))
+        .when(cls === 1, concat(lit("café münchen "), col("doc_id")))
+        .when(cls === 2, concat(
+          lit("<html><meta charset=\"windows-1252\"><body>soirée 10€ "),
+          col("doc_id"), lit("</body></html>")))
+        .otherwise(concat(lit("compressed content "), col("doc_id")))
+      val charset = when(cls === 1, lit("ISO-8859-1"))
+        .when(cls === 2, lit("windows-1252"))
+        .otherwise(lit("UTF-8"))
+      val bytes = Encoding.encodeCol(content, charset, cls === 3)
+      d.select(col("doc_id"),
+        Encoding.decodeCol(bytes, lit("text/html")).as("text"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'naïve δοκιμή ' || doc_id
+          WHEN 1 THEN 'café münchen ' || doc_id
+          WHEN 2 THEN '<html><meta charset="windows-1252"><body>soirée 10€ '
+                      || doc_id || '</body></html>'
+          ELSE 'compressed content ' || doc_id END AS text
+      FROM documents"""))
+
   /** X10 — GeoIP enrichment: broadcast range-join of synthetic IPv4 ints
     * onto per-nation CIDR-ish ranges (index-geoip plugin shape). */
   val geoipEnrich = Q(
@@ -297,7 +334,7 @@ object QueriesFilters {
                  '%a, %d %b %Y %H:%M:%S GMT') AS http_date
       FROM orders"""))
 
-  val all: Seq[Q] = Seq(crawldbFilter, mimeFilter, textCleanup, geoipEnrich,
-    naiveBayes, segmentQuota, webgraphDedup, dedupMerge, scoringDepth,
-    httpDate)
+  val all: Seq[Q] = Seq(crawldbFilter, mimeFilter, textCleanup, charsetDecode,
+    geoipEnrich, naiveBayes, segmentQuota, webgraphDedup, dedupMerge,
+    scoringDepth, httpDate)
 }

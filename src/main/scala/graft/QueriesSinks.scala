@@ -143,35 +143,103 @@ object QueriesSinks {
         || ',"lang":"' || lang || '"}' AS json_line
       FROM documents"""))
 
-  /** S13 — sitemap source: assemble per-host sitemap XML blobs, then
-    * extract `<loc>` entries back out (sitemap plugin SiteMapParser
-    * shape: blob → url list). */
+  /** S13 — sitemap full path, cross-engine: assemble per-host sitemap
+    * XML blobs (loc + priority + changefreq), extract the url records
+    * back out, map them onto crawl-datum fields exactly as the operator
+    * does (priority → score with the 0 ⇒ 0.5 default, changefreq →
+    * interval; SitemapProcessor.java:310-348), and merge against an
+    * existing crawldb slice — existing entries win, new entries inject
+    * (SitemapReducer.reduce:402-437). The per-host fetch/robots/index
+    * recursion runs through the Protocol seam and is covered by
+    * SitemapSpec; this query checks the parse+map+merge algebra. */
   val sitemapParse = Q(
     "sitemap_parse",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val frag = concat(lit("<url><loc>http://sm"),
-        lpad(col("o_orderkey").cast("string"), 10, "0"),
-        lit(".example.com/</loc></url>"))
-      val blobs = o.select((col("o_orderkey") % 20).as("grp"), frag.as("frag"))
+      val okey = col("o_orderkey")
+      val freqs = array(lit("always"), lit("hourly"), lit("daily"),
+        lit("weekly"), lit("monthly"), lit("yearly"), lit("never"))
+      val frag = concat(
+        lit("<url><loc>http://sm"), lpad(okey.cast("string"), 10, "0"),
+        lit(".example.com/</loc><priority>"),
+        ((okey % 11).cast("double") / 10.0).cast("string"),
+        lit("</priority><changefreq>"),
+        element_at(freqs, (okey % 7 + 1).cast("int")),
+        lit("</changefreq></url>"))
+      val blobs = o.select((okey % 20).as("grp"), frag.as("frag"))
         .groupBy("grp")
         .agg(concat(lit("<urlset>"),
           array_join(array_sort(collect_list(col("frag"))), ""),
           lit("</urlset>")).as("xml"))
-      blobs.select(col("grp"),
-          explode(regexp_extract_all(col("xml"), lit("<loc>([^<]+)</loc>"),
-            lit(1))).as("url"))
+      val recs = blobs.select(
+          explode(regexp_extract_all(col("xml"),
+            lit("<url>(.*?)</url>"), lit(1))).as("rec"))
+        .select(
+          regexp_extract(col("rec"), "<loc>([^<]+)</loc>", 1).as("url"),
+          regexp_extract(col("rec"), "<priority>([^<]+)</priority>", 1)
+            .cast("double").as("prio"),
+          regexp_extract(col("rec"), "<changefreq>([^<]+)</changefreq>", 1)
+            .as("freq"))
+      val sm = recs.select(col("url"),
+        when(col("prio") > 0, col("prio")).otherwise(0.5).as("sm_score"),
+        when(col("freq") === "always", 60) // clamped to min_interval
+          .when(col("freq") === "hourly", 3600)
+          .when(col("freq") === "daily", 86400)
+          .when(col("freq") === "weekly", 604800)
+          .when(col("freq") === "monthly", 2592000)
+          .otherwise(31536000) // yearly + never (clamped to max)
+          .as("sm_interval"))
+      val db = o.filter(okey % 3 === 0).select(
+        concat(lit("http://sm"), lpad(okey.cast("string"), 10, "0"),
+          lit(".example.com/")).as("url"),
+        col("o_totalprice").as("db_score"))
+      sm.join(db, Seq("url"), "full_outer")
+        .select(col("url"),
+          when(col("db_score").isNotNull, lit("existing"))
+            .otherwise(lit("new")).as("status"),
+          coalesce(col("db_score"), col("sm_score")).as("score"),
+          when(col("db_score").isNotNull, lit(null).cast("int"))
+            .otherwise(col("sm_interval")).as("fetch_interval"))
     },
     Some("""
       WITH blobs AS (
         SELECT o_orderkey % 20 AS grp,
           '<urlset>' || string_agg(
             '<url><loc>http://sm' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
-              || '.example.com/</loc></url>', '' ORDER BY o_orderkey)
+              || '.example.com/</loc><priority>'
+              || CAST(CAST(o_orderkey % 11 AS DOUBLE) / 10.0 AS VARCHAR)
+              || '</priority><changefreq>'
+              || (['always','hourly','daily','weekly','monthly','yearly',
+                   'never'][(o_orderkey % 7 + 1)::INT])
+              || '</changefreq></url>', '' ORDER BY o_orderkey)
             || '</urlset>' AS xml
-        FROM orders GROUP BY 1)
-      SELECT grp, unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS url
-      FROM blobs"""))
+        FROM orders GROUP BY 1),
+      recs AS (
+        SELECT unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS rec
+        FROM blobs),
+      sm AS (
+        SELECT regexp_extract(rec, '<loc>([^<]+)</loc>', 1) AS url,
+          CASE WHEN CAST(regexp_extract(rec, '<priority>([^<]+)</priority>', 1)
+                    AS DOUBLE) > 0
+               THEN CAST(regexp_extract(rec, '<priority>([^<]+)</priority>', 1)
+                    AS DOUBLE)
+               ELSE 0.5 END AS sm_score,
+          CASE regexp_extract(rec, '<changefreq>([^<]+)</changefreq>', 1)
+            WHEN 'always' THEN 60 WHEN 'hourly' THEN 3600
+            WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+            WHEN 'monthly' THEN 2592000 ELSE 31536000 END AS sm_interval
+        FROM recs),
+      db AS (
+        SELECT 'http://sm' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+            || '.example.com/' AS url,
+          o_totalprice AS db_score
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT COALESCE(sm.url, db.url) AS url,
+        CASE WHEN db_score IS NOT NULL THEN 'existing' ELSE 'new' END AS status,
+        COALESCE(db_score, sm_score) AS score,
+        CASE WHEN db_score IS NOT NULL THEN NULL
+             ELSE sm_interval END AS fetch_interval
+      FROM sm FULL OUTER JOIN db ON sm.url = db.url"""))
 
   /** S8 — exchange router (exchange-jexl): first-match expression rules
     * route each document to an index writer. */

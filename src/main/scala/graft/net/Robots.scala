@@ -28,7 +28,8 @@ object Robots {
   }
 
   final case class RobotRules(rules: Seq[Rule],
-      crawlDelayMs: Option[Long]) extends Serializable {
+      crawlDelayMs: Option[Long],
+      sitemaps: Seq[String] = Nil) extends Serializable {
     /** Longest matching rule decides; no match = allowed. */
     def isAllowed(path: String): Boolean = {
       val p = if (path.isEmpty) "/" else path
@@ -51,6 +52,7 @@ object Robots {
     var curRules = Vector.empty[Rule]
     var curDelay: Option[Long] = None
     var inGroup = false
+    var sitemaps = Vector.empty[String]
     def flush(): Unit = {
       if (curAgents.nonEmpty)
         groups :+= Group(curAgents, curRules, curDelay)
@@ -78,6 +80,8 @@ object Robots {
             inGroup = true
             curDelay = scala.util.Try(
               (value.toDouble * 1000).toLong).toOption
+          case "sitemap" => // global directive, any group
+            if (value.nonEmpty) sitemaps :+= value
           case _ => inGroup = true
         }
       }
@@ -89,6 +93,7 @@ object Robots {
         .maxByOption(_.length).map(t => (t.length, g)))
       .maxByOption(_._1).map(_._2)
       .orElse(groups.find(_.agents.contains("*")))
-    chosen.map(g => RobotRules(g.rules, g.delay)).getOrElse(AllowAll)
+    chosen.map(g => RobotRules(g.rules, g.delay, sitemaps))
+      .getOrElse(RobotRules(Nil, None, sitemaps))
   }
 }

@@ -31,13 +31,18 @@ object Parse {
   private val wsRe = Pattern.compile("\\s+")
 
   /** One page's parse: title, cleaned text, resolved outlinks. Returns
-    * Failed status when the content is not parseable as text. */
+    * Failed status when the content is not parseable as text.
+    *
+    * Bytes go through X5 first: gzip/deflate payloads are decompressed
+    * and the charset detected (BOM > header > meta > UTF-8 check >
+    * windows-1252) instead of assuming UTF-8 — functions/Encoding,
+    * after EncodingDetector.java / GZIPUtils.java. */
   def parsePage(base: String, bytes: Array[Byte], contentType: String,
       cfg: Config): (Int, String, String, Seq[Outlink]) = {
     if (bytes == null || bytes.isEmpty ||
         !(contentType.startsWith("text/") || contentType.isEmpty))
       return (ParseStatusCodes.Failed, "", "", Nil)
-    val html = new String(bytes, "UTF-8")
+    val html = graft.functions.Encoding.decode(bytes, contentType)
     val tm = titleRe.matcher(html)
     val title = if (tm.find()) wsRe.matcher(tm.group(1)).replaceAll(" ").trim
       else ""

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke of the bin/nutch-style verb dispatcher: a full
+  * inject → generate → fetch → parse → updatedb → invertlinks → dedup →
+  * updatehostdb → index → clean lifecycle through `Main.run`, plus the
+  * readdb read paths. */
+class MainCliSpec extends AnyFunSuite with SparkSuite {
+
+  private val A = "http://cli-a.example.com"
+
+  test("verb lifecycle end-to-end") {
+    val root = Files.createTempDirectory("cli").toString
+    val crawldb = s"$root/crawldb"
+    val linkdb = s"$root/linkdb"
+    val hostdb = s"$root/hostdb"
+    val seg = s"$root/segments/r1"
+    val t0 = 1700000000000L
+
+    Files.writeString(Paths.get(root, "seeds.txt"), s"$A/\n")
+    Files.writeString(Paths.get(root, "site.json"),
+      Seq(
+        s"""{"url": "$A/", "code": 1, "body": "<html><title>A</title><body><a href=\\"/p1\\">one</a></body></html>", "contentType": "text/html"}""",
+        s"""{"url": "$A/p1", "code": 1, "body": "<html><title>P1</title><body>page one</body></html>", "contentType": "text/html"}"""
+      ).mkString("\n"))
+
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+
+    assert(v("inject", crawldb, s"$root/seeds.txt", "-now", t0.toString) == 0)
+    assert(v("generate", crawldb, seg, "-topN", "10",
+      "-now", (t0 + 1000).toString) == 0)
+    assert(v("fetch", seg, "-site", s"$root/site.json",
+      "-now", (t0 + 1000).toString) == 0)
+    assert(v("parse", seg) == 0)
+    assert(v("updatedb", crawldb, seg, "-now", (t0 + 2000).toString) == 0)
+    assert(v("invertlinks", linkdb, seg) == 0)
+    assert(v("dedup", crawldb) == 0)
+    assert(v("updatehostdb", crawldb, hostdb,
+      "-now", (t0 + 3000).toString) == 0)
+
+    // read paths
+    assert(v("readdb", crawldb, "-stats") == 0)
+    assert(v("readdb", crawldb, "-topN", "5") == 0)
+    assert(v("readdb", crawldb, "-url", s"$A/") == 0)
+    assert(v("readdb", crawldb, "-url", "http://nowhere.example/") == 1)
+    assert(v("readdb", crawldb, "-dump", s"$root/dump") == 0)
+    assert(Files.list(Paths.get(root, "dump")).count() > 0)
+
+    // index + clean
+    assert(v("index", crawldb, linkdb, seg, s"$root/sink") == 0)
+    val indexed = spark.read.text(s"$root/sink").count()
+    assert(indexed >= 1)
+    assert(v("clean", crawldb, s"$root/sink") == 0)
+
+    // state sanity: the fetched seed is db_fetched, p1 discovered
+    val db = new graft.tables.CrawlDbTable(spark, crawldb).read().collect()
+    assert(db.map(_.url).toSet.contains(s"$A/p1"))
+
+    // unknown verb
+    assert(v("frobnicate") == 2)
+  }
+
+  test("conductor verb runs multi-round") {
+    val root = Files.createTempDirectory("cli-crawl").toString
+    Files.writeString(Paths.get(root, "seeds.txt"), s"$A/\n")
+    Files.writeString(Paths.get(root, "site.json"),
+      Seq(
+        s"""{"url": "$A/", "code": 1, "body": "<html><title>A</title><body><a href=\\"/p1\\">one</a></body></html>", "contentType": "text/html"}""",
+        s"""{"url": "$A/p1", "code": 1, "body": "<html><title>P1</title><body>page one</body></html>", "contentType": "text/html"}"""
+      ).mkString("\n"))
+    assert(Main.run(spark, Array("crawl", s"$root/crawl", s"$root/seeds.txt",
+      "-site", s"$root/site.json", "-rounds", "2",
+      "-now", "1700000000000")) == 0)
+    val db = new graft.tables.CrawlDbTable(spark, s"$root/crawl/crawldb")
+      .read().collect()
+    assert(db.length == 2) // seed + discovered p1
+  }
+}

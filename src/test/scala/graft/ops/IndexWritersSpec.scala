@@ -41,4 +41,36 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
     assert(archive.count() == 1)
     assert(archive.select("action").head().getString(0) == "delete")
   }
+
+  test("CleaningJob folds gone/duplicate deletes into a json sink") {
+    import spark.implicits._
+    import graft.schemas.{CrawlDatum, CrawlRow, CrawlStatus => S}
+    val base = Files.createTempDirectory("cleaning").toString
+    // add-then-delete: index four docs …
+    val four = docs.filter(col("action") === "add").union(Seq(
+      Index.Doc("http://gone.com/", "add", "G", "gone.com", "x", "d4", 1f, Nil),
+      Index.Doc("http://dup.com/", "add", "D", "dup.com", "x", "d5", 1f, Nil))
+      .toDS())
+    new IndexWriters.JsonLinesWriter().write(four, s"$base/sink")
+    assert(spark.read.text(s"$base/sink").count() == 4)
+
+    // … then the crawldb marks two of them gone/duplicate
+    def row(u: String, st: Byte) =
+      CrawlRow(u, CrawlDatum(st, 0L, 0, 0, 0f, None, 0L, Map.empty))
+    val db = Seq(
+      row("http://a.com/", S.DB_FETCHED),
+      row("http://b.com/", S.DB_FETCHED),
+      row("http://gone.com/", S.DB_GONE),
+      row("http://dup.com/", S.DB_DUPLICATE)).toDS()
+
+    val removed = CleaningJob.cleanJsonSink(spark, s"$base/sink",
+      CleaningJob.deletes(db))
+    assert(removed == 2)
+    val left = spark.read.text(s"$base/sink").as[String].collect()
+    assert(left.length == 2)
+    assert(left.forall(l => l.contains("a.com") || l.contains("b.com")))
+    // delete-action docs for downstream action-stream sinks
+    assert(CleaningJob.deleteActions(db).collect()
+      .map(_.url).toSet == Set("http://gone.com/", "http://dup.com/"))
+  }
 }
