@@ -175,7 +175,13 @@ object QueriesGraph {
         if (it % 5 == 0 && it < LINKRANK_ITERS)
           nodes = nodes.localCheckpoint()
       }
-      nodes.select(col("url"), round(col("score"), 6).as("score"))
+      // materialize the small final node table, then release the edge
+      // cache — callers that never clear the block cache (a conductor
+      // composing queries) would otherwise leak it (VERDICT r2 #5)
+      val result = nodes.select(col("url"), round(col("score"), 6).as("score"))
+        .localCheckpoint()
+      edges.unpersist()
+      result
     },
     Some {
       val base = """

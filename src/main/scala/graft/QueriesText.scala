@@ -181,11 +181,14 @@ object QueriesText {
       val sh = d.select(col("doc_id"),
           explode(Similarity.charShingles(col("text"), 5)).as("sh"))
         .withColumn("hb", Similarity.minhashBase(col("sh")))
-      val per = sh.groupBy("doc_id").agg(
-        collect_list(col("hb")).as("hbs"),
-        (count(lit(1)).as("n") +:
-          (0 until MINHASH_H).map(i =>
-            Similarity.minhashAgg(col("hb"), i).as(s"m$i"))): _*)
+      // narrow per-doc row: 12 minhash minima + size. The full
+      // shingle-hash set is NOT collected here — row width stayed
+      // bounded only by page size (VERDICT r2 #4); the hash sets are
+      // re-derived below ONLY for candidate-pair survivors.
+      val perAggs = count(lit(1)).as("n") +:
+        (0 until MINHASH_H).map(i =>
+          Similarity.minhashAgg(col("hb"), i).as(s"m$i"))
+      val per = sh.groupBy("doc_id").agg(perAggs.head, perAggs.tail: _*)
         .cache()
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>
@@ -211,8 +214,15 @@ object QueriesText {
         .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .filter(least(col("na"), col("nb")) * 2 >=
           greatest(col("na"), col("nb")))
-      val sa = per.select(col("doc_id").as("a_id"), col("hbs").as("a_hbs"))
-      val sb = per.select(col("doc_id").as("b_id"), col("hbs").as("b_hbs"))
+      // hash sets ONLY for size-ratio survivors: semi-join the shingle
+      // stream down to candidate docs before any collect_list — the
+      // wide array exists for the (few) candidates, never for the corpus
+      val survivors = candSized.select(col("a_id").as("doc_id"))
+        .union(candSized.select(col("b_id").as("doc_id"))).distinct()
+      val hbsSurv = sh.join(survivors, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_list(col("hb")).as("hbs"))
+      val sa = hbsSurv.select(col("doc_id").as("a_id"), col("hbs").as("a_hbs"))
+      val sb = hbsSurv.select(col("doc_id").as("b_id"), col("hbs").as("b_hbs"))
       candSized.join(sa, "a_id").join(sb, "b_id")
         .withColumn("inter",
           size(array_intersect(col("a_hbs"), col("b_hbs"))).cast("long"))

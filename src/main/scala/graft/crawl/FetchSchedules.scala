@@ -168,3 +168,57 @@ final case class AdaptiveFetchSchedule(cfg: ScheduleConfig = ScheduleConfig())
         modifiedTime = modifiedTime)
   }
 }
+
+/** Adaptive schedule with per-MIME inc/dec rates
+  * (MimeAdaptiveFetchSchedule.java:60-135 + adaptive-mimetypes.txt):
+  * the fetched Content-Type (stamped into datum metadata by Fetch)
+  * selects the rate pair; unknown types fall back to the configured
+  * defaults, then delegates to the adaptive arithmetic. */
+final case class MimeAdaptiveFetchSchedule(
+    cfg: ScheduleConfig = ScheduleConfig(),
+    mimeRates: Map[String, (Float, Float)] =
+      MimeAdaptiveFetchSchedule.DefaultRates) extends FetchSchedule {
+
+  override def setFetchSchedule(url: String, d0: CrawlDatum,
+      prevFetchTime: Long, prevModifiedTime: Long, fetchTime: Long,
+      modifiedTime0: Long, state: Int): CrawlDatum = {
+    val mime = d0.metadata.get(CrawlDatum.ContentTypeKey)
+      .map(MimeAdaptiveFetchSchedule.cleanMimeType)
+    val eff = mime.flatMap(mimeRates.get) match {
+      case Some((inc, dec)) => cfg.copy(incRate = inc, decRate = dec)
+      case None => cfg
+    }
+    AdaptiveFetchSchedule(eff).setFetchSchedule(url, d0, prevFetchTime,
+      prevModifiedTime, fetchTime, modifiedTime0, state)
+  }
+}
+
+object MimeAdaptiveFetchSchedule {
+
+  /** MimeUtil.cleanMimeType analog: drop parameters, lowercase. */
+  def cleanMimeType(ct: String): String =
+    ct.takeWhile(_ != ';').trim.toLowerCase
+
+  /** Parse the tab-separated `adaptive-mimetypes.txt` format:
+    * `mime<TAB>inc_rate<TAB>dec_rate`, '#' comments. */
+  def parseMimeFile(lines: Iterator[String]): Map[String, (Float, Float)] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("\t").map(_.trim).filter(_.nonEmpty) match {
+          case Array(m, inc, dec) =>
+            scala.util.Try(
+              (cleanMimeType(m), (inc.toFloat, dec.toFloat))).toOption
+          case _ => None
+        }
+      }.toMap
+
+  /** Sensible defaults mirroring the template's intent: volatile HTML
+    * adapts fast, static media slowly. */
+  val DefaultRates: Map[String, (Float, Float)] = Map(
+    "text/html" -> ((0.2f, 0.2f)),
+    "application/xhtml+xml" -> ((0.2f, 0.2f)),
+    "application/pdf" -> ((0.1f, 0.4f)),
+    "image/jpeg" -> ((0.05f, 0.5f)),
+    "image/png" -> ((0.05f, 0.5f)))
+}

@@ -147,8 +147,12 @@ object Fetch {
         val meta0 = e.datum.metadata - Generate.VariableFetchDelayKey
         val out = proto.fetch(e.url, e.datum)
         val status = toFetchStatus(out.code)
-        val meta = out.movedTo.fold(meta0)(m =>
-          meta0 + (CrawlDatum.ReprUrlKey -> m))
+        val meta1 =
+          if (out.contentType.nonEmpty)
+            meta0 + (CrawlDatum.ContentTypeKey -> out.contentType)
+          else meta0
+        val meta = out.movedTo.fold(meta1)(m =>
+          meta1 + (CrawlDatum.ReprUrlKey -> m))
         val datum = e.datum.copy(status = status, fetchTime = now,
           metadata = meta)
         // redirect targets are emitted as LINKED datums so updatedb

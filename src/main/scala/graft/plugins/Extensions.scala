@@ -37,6 +37,24 @@ object Extensions {
       graft.functions.Urls.normalize(url)
   }
 
+  /** The reference's nine normalizer scopes
+    * (URLNormalizers.java:97-119). Each pipeline stage normalizes under
+    * its own scope; a scope without a configured chain falls back to
+    * the default chain (URLNormalizers.java:156-160). */
+  object Scope {
+    val Default = "default"
+    val Partition = "partition"
+    val GenerateHostCount = "generate_host_count"
+    val Fetcher = "fetcher"
+    val Crawldb = "crawldb"
+    val Linkdb = "linkdb"
+    val Inject = "inject"
+    val Outlink = "outlink"
+    val Indexer = "indexer"
+    val All: Seq[String] = Seq(Default, Partition, GenerateHostCount,
+      Fetcher, Crawldb, Linkdb, Inject, Outlink, Indexer)
+  }
+
   /** Content → parse result seam (Parser extension point). */
   trait Parser extends Serializable {
     def parse(url: String, base: String, bytes: Array[Byte],
@@ -86,6 +104,10 @@ object Extensions {
   final case class Registry(
       urlFilters: Seq[graft.net.UrlFilter] = Nil,
       normalizers: Seq[UrlNormalizer] = Seq(new BasicUrlNormalizer),
+      // per-scope override chains; scopes not present here use
+      // `normalizers` (the default-scope chain), matching
+      // URLNormalizers.java:156-160 fallback
+      scopedNormalizers: Map[String, Seq[UrlNormalizer]] = Map.empty,
       parser: Parser = new HtmlRegexParser(),
       scoring: graft.crawl.ScoringFilter = graft.crawl.OpicScoring,
       schedule: graft.crawl.FetchSchedule =
@@ -95,8 +117,15 @@ object Extensions {
     def filterChain: graft.net.UrlFilterChain =
       new graft.net.UrlFilterChain(urlFilters)
 
+    /** The chain for a scope (default-scope fallback). */
+    def normalizerChain(scope: String): Seq[UrlNormalizer] =
+      scopedNormalizers.getOrElse(scope, normalizers)
+
+    def normalize(url: String, scope: String): Option[String] =
+      normalizerChain(scope).foldLeft(Option(url))((u, n) =>
+        u.flatMap(n.normalize(_, scope)))
+
     def normalizeAndFilter(url: String, scope: String): Option[String] =
-      normalizers.foldLeft(Option(url))((u, n) =>
-        u.flatMap(n.normalize(_, scope))).flatMap(filterChain.filter)
+      normalize(url, scope).flatMap(filterChain.filter)
   }
 }

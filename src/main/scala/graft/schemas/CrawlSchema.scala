@@ -100,6 +100,9 @@ object CrawlDatum {
   val FixedIntervalKey = "fixedInterval"
   /** Representative-URL marker (redirects). */
   val ReprUrlKey = "_repr_"
+  /** Fetched content type (HttpHeaders.WRITABLE_CONTENT_TYPE) — read by
+    * MimeAdaptiveFetchSchedule for per-MIME inc/dec rates. */
+  val ContentTypeKey = "Content-Type"
 
   def unfetched(now: Long, interval: Int, score: Float = 0.0f): CrawlDatum =
     CrawlDatum(CrawlStatus.DB_UNFETCHED, now, 0, interval, score, None, 0L,

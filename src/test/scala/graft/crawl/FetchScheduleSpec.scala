@@ -119,4 +119,38 @@ class FetchScheduleSpec extends AnyFunSuite {
     assert(sched.calculateLastFetchTime(f) ==
       f.fetchTime - f.fetchInterval.toLong * 1000)
   }
+
+  test("mime-adaptive: Content-Type selects the inc/dec rate pair") {
+    // html shrinks faster than pdf on change when rates say so
+    val rates = Map(
+      "text/html" -> ((0.4f, 0.5f)),
+      "application/pdf" -> ((0.4f, 0.1f)))
+    val sched = MimeAdaptiveFetchSchedule(
+      cfg.copy(syncDelta = false), rates)
+    def withMime(ct: String) = fresh(sched).copy(
+      metadata = Map(graft.schemas.CrawlDatum.ContentTypeKey -> ct))
+    def nextInterval(ct: String): Int =
+      sched.setFetchSchedule("u", withMime(ct), 0L, 0L, now, now,
+        FetchSchedule.STATUS_MODIFIED).fetchInterval
+    val base = cfg.defaultInterval
+    assert(nextInterval("text/html") == math.round(base * 0.5f))
+    assert(nextInterval("application/pdf; charset=x") ==
+      math.round(base * 0.9f)) // params cleaned before lookup
+    // unknown mime → configured default dec rate
+    assert(nextInterval("image/webp") ==
+      math.round(base * (1.0f - cfg.decRate)))
+    // no Content-Type at all → plain adaptive behavior
+    val plain = sched.setFetchSchedule("u", fresh(sched), 0L, 0L, now, now,
+      FetchSchedule.STATUS_NOTMODIFIED)
+    assert(plain.fetchInterval == math.round(base * (1.0f + cfg.incRate)))
+  }
+
+  test("mime-adaptive: adaptive-mimetypes.txt parsing") {
+    val parsed = MimeAdaptiveFetchSchedule.parseMimeFile(Iterator(
+      "# comment", "", "text/html\t0.2\t0.3",
+      "Application/PDF; q=1\t0.1\t0.4", "garbage-line"))
+    assert(parsed == Map(
+      "text/html" -> ((0.2f, 0.3f)),
+      "application/pdf" -> ((0.1f, 0.4f))))
+  }
 }

@@ -27,6 +27,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(links.map(_.toUrl) == Seq("http://a.com/b"))
   }
 
+  test("scoped normalizer chains override per scope, fall back to default") {
+    import Extensions.Scope
+    // an outlink-scope-only normalizer that strips query strings
+    val stripQuery = new Extensions.UrlNormalizer {
+      def normalize(url: String, scope: String): Option[String] =
+        Some(url.takeWhile(_ != '?'))
+    }
+    val reg = Extensions.Registry(
+      scopedNormalizers = Map(Scope.Outlink ->
+        Seq(stripQuery, new Extensions.BasicUrlNormalizer)))
+    // outlink scope: query stripped, then basic-normalized
+    assert(reg.normalize("HTTP://A.com/p?q=1", Scope.Outlink)
+      .contains("http://a.com/p"))
+    // every other scope falls back to the default chain (query kept)
+    for (s <- Scope.All if s != Scope.Outlink)
+      assert(reg.normalize("HTTP://A.com/p?q=1", s)
+        .contains("http://a.com/p?q=1"), s)
+    assert(Scope.All.size == 9) // the reference's nine scopes
+  }
+
   test("basic indexing filter contributes url + host fields") {
     val f = new Extensions.BasicIndexingFilter
     val datum = CrawlDatum(CrawlStatus.DB_FETCHED, 0L, 0, 0, 1f, None, 0L,
