@@ -197,11 +197,18 @@ object Main {
             println(s"indexed=${summary.indexed} hosts=${summary.hosts}")
             0
         }
+      case "startserver" :: rest =>
+        val srv = graft.service.RestServer.start(spark,
+          optL(rest, "-port", 8081).toInt)
+        println(s"graft REST server on port ${srv.port}")
+        Thread.currentThread().join() // serve until killed
+        0
       case other =>
         System.err.println(
           s"""unknown verb: ${other.headOption.getOrElse("")}
              |verbs: inject generate fetch parse updatedb invertlinks dedup
-             |       updatehostdb readdb index clean sitemap crawl""".stripMargin)
+             |       updatehostdb readdb index clean sitemap crawl
+             |       startserver""".stripMargin)
         2
     }
   }

@@ -591,8 +591,39 @@ object QueriesText {
           AS BIGINT) AS n_distinct
       FROM documents"""))
 
+  /** X9 (statistical path) — the Cavnar–Trenkle ranked-trigram-profile
+    * classifier (functions/LangId, the Tika LanguageIdentifier
+    * algorithm) run through the plan as a codegen'd StaticInvoke: each
+    * doc gets a known-language sentence (disjoint from the profile
+    * sources) plus numeric salt; the oracle states the expected code. */
+  val langIdNgram = Q(
+    "lang_id_ngram",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val sentences = Seq(
+        "the quick brown fox jumps over the lazy dog and then it runs away through the green forest with all of the other animals",
+        "der schnelle braune fuchs springt über den faulen hund und läuft dann durch den grünen wald mit allen anderen tieren davon",
+        "le renard brun et rapide saute par dessus le chien paresseux et il court ensuite dans la forêt verte avec tous les autres animaux",
+        "el rápido zorro marrón salta sobre el perro perezoso y luego corre por el bosque verde con todos los otros animales",
+        "la rapida volpe marrone salta sopra il cane pigro e poi corre attraverso il bosco verde con tutti gli altri animali",
+        "a rápida raposa marrom pula sobre o cachorro preguiçoso e depois corre pela floresta verde com todos os outros animais",
+        "de snelle bruine vos springt over de luie hond en rent daarna weg door het groene bos met alle andere dieren")
+      val text = concat(element_at(
+        array(sentences.map(lit): _*), (col("doc_id") % 7 + 1).cast("int")),
+        lit(" "), col("doc_id"))
+      d.select(col("doc_id"),
+        graft.functions.LangId.classifyCol(text).as("detected_lang"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE CAST(doc_id % 7 AS INTEGER)
+          WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+          WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'pt'
+          ELSE 'nl' END AS detected_lang
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
-    htmlLang, bpeTokenStats)
+    htmlLang, bpeTokenStats, langIdNgram)
 }

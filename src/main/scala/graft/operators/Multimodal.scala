@@ -22,16 +22,48 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, sniffed_type: String,
       width: Int, height: Int, features: Array[Float])
 
-  /** Magic-byte content sniffing (X6 MIME resolution analog). */
+  /** Magic-byte content sniffing (X6 MIME resolution — the magic-number
+    * core of what the reference delegates to Tika's MimeTypes detector;
+    * all signatures are the published public magic numbers). */
   def sniff(bytes: Array[Byte]): String = {
     def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      s.indices.forall(i => at(from + i) == s.charAt(i))
     if (at(0) == 0xff && at(1) == 0xd8) "image/jpeg"
-    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
-      "image/png"
-    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F')
-      "audio/wav"
-    else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "audio/mpeg"
-    else "application/octet-stream"
+    else if (at(0) == 0x89 && ascii(1, "PNG")) "image/png"
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) "image/gif"
+    else if (ascii(0, "BM")) "image/bmp"
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 0x2a && at(3) == 0) ||
+      (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 0x2a))
+      "image/tiff"
+    else if (ascii(0, "RIFF")) {
+      // RIFF container: subtype at offset 8
+      if (ascii(8, "WEBP")) "image/webp"
+      else if (ascii(8, "AVI ")) "video/x-msvideo"
+      else "audio/wav" // WAVE and bare RIFF default
+    }
+    else if (ascii(0, "ID3") || (at(0) == 0xff && (at(1) & 0xe0) == 0xe0))
+      "audio/mpeg"
+    else if (ascii(0, "OggS")) "audio/ogg"
+    else if (ascii(0, "fLaC")) "audio/flac"
+    else if (ascii(4, "ftyp")) "video/mp4"
+    else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
+      "video/webm"
+    else if (ascii(0, "%PDF")) "application/pdf"
+    else if (at(0) == 'P' && at(1) == 'K' && at(2) <= 7) "application/zip"
+    else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
+    else if (ascii(0, "<?xml")) "application/xml"
+    else {
+      // leading-whitespace-tolerant html sniff, then ascii-text check
+      var i = 0
+      while (i < bytes.length && i < 64 && (at(i) == ' ' || at(i) == '\t' ||
+        at(i) == '\r' || at(i) == '\n')) i += 1
+      val head = new String(bytes.slice(i, math.min(bytes.length, i + 16)),
+        java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+      if (head.startsWith("<!doctype html") || head.startsWith("<html"))
+        "text/html"
+      else "application/octet-stream"
+    }
   }
 
   /** Typed metadata pass — pure column expressions, codegen. */

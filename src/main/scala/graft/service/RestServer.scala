@@ -1,0 +1,185 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.ops._
+import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
+
+/** §3.3 — the REST admin surface (reference openapi.yaml:70-801:
+  * /admin, /job/create, /job/{id}, /job/{id}/stop, /db/crawldb,
+  * /seed/create) over the library ops, on the JDK's built-in HTTP
+  * server — zero extra dependencies.
+  *
+  * Jobs run async on a small pool with RUNNING/FINISHED/FAILED states,
+  * like the reference's JobManager; arguments arrive as query
+  * parameters (the reference takes JSON bodies — same information,
+  * no JSON parser needed). One process == one SparkSession, so job
+  * concurrency is Spark's scheduler concern, not ours. */
+object RestServer {
+
+  final case class Job(id: Long, jobType: String, args: Map[String, String]) {
+    @volatile var state: String = "RUNNING"
+    @volatile var message: String = ""
+  }
+
+  final class Server private[service] (spark: SparkSession, http: HttpServer) {
+    private val jobs = new ConcurrentHashMap[Long, Job]()
+    private val nextId = new AtomicLong(1)
+    private val pool = Executors.newFixedThreadPool(2)
+
+    def port: Int = http.getAddress.getPort
+    def stop(): Unit = { http.stop(0); pool.shutdownNow() }
+
+    private def q(ex: HttpExchange): Map[String, String] = {
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      raw.split('&').filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    }
+
+    private def reply(ex: HttpExchange, code: Int, json: String): Unit = {
+      val b = json.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    private def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    private def jobJson(j: Job): String =
+      s"""{"id":${j.id},"type":${jstr(j.jobType)},"state":${jstr(j.state)},""" +
+        s""""msg":${jstr(j.message)}}"""
+
+    /** The job verbs — the REST twin of the CLI dispatch. */
+    private def runJob(j: Job): Unit = {
+      val a = j.args
+      def crawldb = new CrawlDbTable(spark, a("crawldb"))
+      def now = a.get("now").map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
+      val registry = graft.plugins.Extensions.Registry(
+        urlFilters = Seq(graft.net.RegexUrlFilter.parse(Iterator("+."))))
+      j.jobType match {
+        case "INJECT" =>
+          import spark.implicits._
+          val seeds = a.get("seedFile")
+            .map(f => spark.read.textFile(f))
+            .getOrElse(a("seedList").split(",").toSeq.toDS())
+          crawldb.install(Inject(crawldb.read(), seeds, Inject.Config(),
+            registry.filterChain, now), s"rest-inject-${j.id}")
+          j.message = s"db=${crawldb.read().count()}"
+        case "GENERATE" =>
+          val seg = new Segment(spark, a("segment"))
+          seg.writeGenerate(Generate(crawldb.read(), Generate.Config(
+            topN = a.get("topN").map(_.toLong).getOrElse(Long.MaxValue),
+            curTime = now), registry.schedule))
+          j.message = s"generated=${seg.generate.count()}"
+        case "UPDATEDB" =>
+          val seg = new Segment(spark, a("segment"))
+          crawldb.install(graft.crawl.UpdateDb(
+            crawldb.read().union(seg.fetch).union(seg.crawlParse), now,
+            registry.schedule, registry.scoring), s"rest-updatedb-${j.id}")
+          j.message = s"db=${crawldb.read().count()}"
+        case "INVERTLINKS" =>
+          val l = new LinkDbTable(spark, a("linkdb"))
+          val seg = new Segment(spark, a("segment"))
+          l.install(InvertLinks(seg.parseData, l.read(),
+            InvertLinks.Config()), s"rest-invertlinks-${j.id}")
+          j.message = s"linkdb=${l.read().count()}"
+        case "DEDUP" =>
+          crawldb.install(Dedup(crawldb.read()), s"rest-dedup-${j.id}")
+          j.message = "ok"
+        case "UPDATEHOSTDB" =>
+          val h = new HostDbTable(spark, a("hostdb"))
+          h.install(UpdateHostDb(crawldb.read(), h.read(), now),
+            s"rest-hostdb-${j.id}")
+          j.message = s"hosts=${h.read().count()}"
+        case other => throw new IllegalArgumentException(s"job type $other")
+      }
+    }
+
+    private[service] def install(): Unit = {
+      http.createContext("/admin", (ex: HttpExchange) =>
+        reply(ex, 200,
+          s"""{"product":"graft","startDate":0,"configuration":["default"]}"""))
+      http.createContext("/job/create", (ex: HttpExchange) => {
+        val params = q(ex)
+        params.get("type") match {
+          case None => reply(ex, 400, """{"error":"type required"}""")
+          case Some(t) =>
+            val j = Job(nextId.getAndIncrement(), t.toUpperCase, params)
+            jobs.put(j.id, j)
+            pool.submit(new Runnable {
+              def run(): Unit =
+                try { runJob(j); j.state = "FINISHED" }
+                catch { case e: Throwable =>
+                  j.state = "FAILED"
+                  j.message = String.valueOf(e.getMessage)
+                }
+            })
+            reply(ex, 200, jobJson(j))
+        }
+      })
+      http.createContext("/job", (ex: HttpExchange) => {
+        // /job (list) or /job/{id}
+        val path = ex.getRequestURI.getPath.stripPrefix("/job")
+        if (path.isEmpty || path == "/")
+          reply(ex, 200, jobs.values.toArray.map {
+            case j: Job => jobJson(j)
+          }.mkString("[", ",", "]"))
+        else scala.util.Try(path.stripPrefix("/").toLong).toOption
+          .flatMap(id => Option(jobs.get(id))) match {
+          case Some(j) => reply(ex, 200, jobJson(j))
+          case None => reply(ex, 404, """{"error":"no such job"}""")
+        }
+      })
+      http.createContext("/db/crawldb", (ex: HttpExchange) => {
+        val params = q(ex)
+        params.get("crawldb") match {
+          case None => reply(ex, 400, """{"error":"crawldb required"}""")
+          case Some(dir) =>
+            val db = new CrawlDbTable(spark, dir).read()
+            params.get("url") match {
+              case Some(u) => CrawlDbReader.url(db, u) match {
+                case Some(r) => reply(ex, 200,
+                  s"""{"url":${jstr(r.url)},"status":${jstr(
+                    r.datum.statusName)},"score":${r.datum.score},""" +
+                    s""""fetchTime":${r.datum.fetchTime}}""")
+                case None => reply(ex, 404, """{"error":"not found"}""")
+              }
+              case None =>
+                val rows = CrawlDbReader.stats(db).orderBy("status")
+                  .collect().map(r =>
+                    s"""{"status":${jstr(r.getString(0))},"cnt":${
+                      r.getLong(1)}}""")
+                reply(ex, 200, rows.mkString("[", ",", "]"))
+            }
+        }
+      })
+    }
+  }
+
+  /** Start on `port` (0 = ephemeral). */
+  def start(spark: SparkSession, port: Int = 8081): Server = {
+    val http = HttpServer.create(new InetSocketAddress(port), 0)
+    http.setExecutor(Executors.newFixedThreadPool(4))
+    val s = new Server(spark, http)
+    s.install()
+    http.start()
+    s
+  }
+}

@@ -19,6 +19,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.sniff(Array.empty) == "application/octet-stream")
   }
 
+  test("extended magic table (X6 breadth)") {
+    def b(s: String) = s.getBytes("ISO-8859-1")
+    assert(Multimodal.sniff(b("GIF89a...")) == "image/gif")
+    assert(Multimodal.sniff(b("BM......")) == "image/bmp")
+    assert(Multimodal.sniff(Array[Byte]('I', 'I', 0x2a, 0))
+      == "image/tiff")
+    assert(Multimodal.sniff(b("RIFF....WEBPVP8 ")) == "image/webp")
+    assert(Multimodal.sniff(b("RIFF....AVI LIST")) == "video/x-msvideo")
+    assert(Multimodal.sniff(b("OggS....")) == "audio/ogg")
+    assert(Multimodal.sniff(b("fLaC....")) == "audio/flac")
+    assert(Multimodal.sniff(b("....ftypisom")) == "video/mp4")
+    assert(Multimodal.sniff(Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte))
+      == "video/webm")
+    assert(Multimodal.sniff(b("%PDF-1.7")) == "application/pdf")
+    assert(Multimodal.sniff(b("PK....")) == "application/zip")
+    assert(Multimodal.sniff(Array[Byte](0x1f, 0x8b.toByte, 8))
+      == "application/gzip")
+    assert(Multimodal.sniff(b("<?xml version=\"1.0\"?>"))
+      == "application/xml")
+    assert(Multimodal.sniff(b("  \n<!DOCTYPE html><html>"))
+      == "text/html")
+    assert(Multimodal.sniff(b("<html lang=\"en\">")) == "text/html")
+    // mp3 frame-sync header without ID3 tag
+    assert(Multimodal.sniff(Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte))
+      == "audio/mpeg")
+  }
+
   test("metadata + batched feature extraction plumbing") {
     import spark.implicits._
     val df = Seq((1L, jpeg), (2L, png), (3L, junk))
