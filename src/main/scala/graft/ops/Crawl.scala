@@ -33,7 +33,12 @@ object Crawl {
       maxCountExpr: Option[String] = None,
       fetchDelayExpr: Option[String] = None,
       // politeness pacing + watchdog (FetchItemQueue / Fetcher limits)
-      pacer: graft.net.Pacer.Config = graft.net.Pacer.Config())
+      pacer: graft.net.Pacer.Config = graft.net.Pacer.Config(),
+      // per-round sitemap processing (bin/crawl --sitemaps-from-hostdb)
+      sitemaps: Boolean = false,
+      // materialize the index into a JSON-lines sink and fold
+      // gone/duplicate deletes in afterwards (IndexingJob + CleaningJob)
+      indexSinkDir: Option[String] = None)
 
   final case class RoundStats(round: Int, generated: Long, fetched: Long,
       dbSize: Long)
@@ -84,7 +89,8 @@ object Crawl {
         seg.writeFetch(fetch); seg.writeContent(content)
       } finally { fetch.unpersist(); content.unpersist() }
 
-      val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter)
+      val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter,
+        registry.normalize(_, Extensions.Scope.Outlink))
       seg.writeParseData(parsed.parseData)
       seg.writeParseText(parsed.parseText)
       seg.writeCrawlParse(parsed.crawlParse)
@@ -99,10 +105,20 @@ object Crawl {
       if (cfg.dedup)
         crawldb.install(Dedup(crawldb.read()), s"dedup-r$r")
       // refresh the hostdb census for the next round's generator
-      if (useHostDb)
+      if (useHostDb || cfg.sitemaps)
         hostdbTable.install(
           UpdateHostDb(crawldb.read(), hostdbTable.read(), now),
           s"hostdb-r$r")
+      // per-round sitemap processing: discover per-host sitemaps via
+      // robots + protocol, merge declared URLs into the crawldb
+      // (SitemapProcessor; bin/crawl sitemap stage)
+      if (cfg.sitemaps)
+        crawldb.install(
+          Sitemap.merge(crawldb.read(),
+            Sitemap.discover(hostdbTable.read().map(_.host), protocol,
+              now, cfg.agent, Sitemap.Config()),
+            Sitemap.Config()),
+          s"sitemap-r$r")
       segments :+= seg
       RoundStats(r, generated,
         seg.fetch.filter(_.datum.status ==
@@ -111,7 +127,7 @@ object Crawl {
     }
 
     val hostdb =
-      if (useHostDb) hostdbTable.read()
+      if (useHostDb || cfg.sitemaps) hostdbTable.read()
       else UpdateHostDb(crawldb.read(),
         spark.emptyDataset[UpdateHostDb.HostRow],
         cfg.startTime + cfg.rounds * cfg.roundMillis)
@@ -121,8 +137,17 @@ object Crawl {
         val fetchAll = segments.map(_.fetch).reduce(_ union _)
         val pdAll = segments.map(_.parseData).reduce(_ union _)
         val ptAll = segments.map(_.parseText).reduce(_ union _)
-        Index(crawldb.read(), fetchAll, pdAll, ptAll, linkdb.read(),
-          Index.Config()).count()
+        val docs = Index(crawldb.read(), fetchAll, pdAll, ptAll,
+          linkdb.read(), Index.Config())
+        cfg.indexSinkDir match {
+          case Some(sink) =>
+            new IndexWriters.JsonLinesWriter().write(docs, sink)
+            // CleaningJob: fold gone/duplicate deletes into the sink
+            CleaningJob.cleanJsonSink(spark, sink,
+              CleaningJob.deletes(crawldb.read()))
+            spark.read.text(sink).count()
+          case None => docs.count()
+        }
       } else 0L
 
     Summary(stats, indexed, hostdb.count())

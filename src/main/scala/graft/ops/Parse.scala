@@ -83,10 +83,13 @@ object Parse {
     * and a PARSE_META datum; parse failures emit a PARSE_FAILED transient
     * when deleteFailed is on (NUTCH-1732). */
   def apply(fetch: Dataset[CrawlRow], content: Dataset[ContentRow],
-      cfg: Config, outlinkFilter: UrlFilter): ParseOutput = {
+      cfg: Config, outlinkFilter: UrlFilter,
+      // outlink-scope normalizer (URLNormalizers.SCOPE_OUTLINK); default
+      // = the basic chain, callers pass registry.normalize(_, Outlink)
+      normalizer: String => Option[String] = Urls.normalize): ParseOutput = {
     val spark: SparkSession = fetch.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((cfg, outlinkFilter))
+    val bc = spark.sparkContext.broadcast((cfg, outlinkFilter, normalizer))
 
     val success = fetch
       .filter(_.datum.status == CrawlStatus.FETCH_SUCCESS)
@@ -97,10 +100,10 @@ object Parse {
       .as[(String, String, Array[Byte], String, Float)]
 
     val parsed = joined.map { case (url, base, bytes, ct, score) =>
-      val (cfg0, filt) = bc.value
+      val (cfg0, filt, norm) = bc.value
       val (st, title, text, out0) = parsePage(base, bytes, ct, cfg0)
       val outlinks = out0.flatMap(o =>
-        Urls.normalize(o.toUrl).flatMap(filt.filter)
+        norm(o.toUrl).flatMap(filt.filter)
           .map(u => Outlink(u, o.anchor)))
       (url, st, title, text, outlinks, score)
     }.cache()
@@ -112,7 +115,7 @@ object Parse {
       ParseTextRow(url, text)
     }
     val crawlParse = parsed.flatMap { case (url, st, title, text, outlinks, score) =>
-      val (cfg0, _) = bc.value
+      val (cfg0, _, _) = bc.value
       if (st == ParseStatusCodes.Success) {
         val sig = CrawlRow(url, CrawlDatum(CrawlStatus.SIGNATURE, 0L, 0, 0,
           0f, Some(graft.functions.TextAnalysis.md5Hex(text)), 0L, Map.empty))

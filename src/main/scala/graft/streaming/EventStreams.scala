@@ -47,6 +47,22 @@ object EventStreams {
 
   val GapUs: Long = 1800000000L // 30 min, exact µs integers
 
+  /** Streaming exact dedup — the LLM-pipeline ingest shape: drop events
+    * whose dedup key (e.g. a content signature) was already seen within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keys state
+    * on the signature alone and expires it WITH the watermark — without
+    * the horizon, streaming dedup state grows forever. Keyed on
+    * (event_type, value-cents) as the stand-in signature. */
+  def dedupStream(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("sig",
+        concat_ws("|", col("event_type"),
+          round(col("value") * 100, 0).cast("long")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("sig")
+      .select(col("event_id"), col("sig"), col("ts"))
+
   /** Stateful sessionization: a >30-minute gap starts a new session.
     * Emits a session when it closes (next session opens) — the streaming
     * form of the batch lag+running-sum twin; state is O(1) per user. */

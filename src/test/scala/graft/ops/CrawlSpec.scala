@@ -77,4 +77,41 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
     assert(db.forall(!_.datum.metadata.contains(
       graft.schemas.CrawlDatum.GenerateTimeKey)), db.mkString("\n"))
   }
+
+  test("conductor with sitemap rounds and a cleaned index sink") {
+    val root = Files.createTempDirectory("crawl-sm").toString
+    val siteWithSitemap = site ++ Map(
+      s"$A/robots.txt" -> ((Fetch.Code.Success,
+        s"User-agent: *\nDisallow:\nSitemap: $A/sitemap.xml", "text/plain")),
+      s"$A/sitemap.xml" -> ((Fetch.Code.Success,
+        s"<urlset><url><loc>$A/from-sitemap</loc>" +
+          "<priority>0.8</priority></url></urlset>", "application/xml")),
+      s"$A/from-sitemap" -> ((Fetch.Code.Success,
+        "<html><title>SM</title><body>sitemap found me</body></html>",
+        "text/html")))
+    val registry = Extensions.Registry(
+      urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
+    val summary = Crawl.run(spark, root, Seq(s"$A/"),
+      Fetch.MockProtocol(siteWithSitemap), registry,
+      Crawl.Config(rounds = 3, sitemaps = true,
+        pacer = graft.net.Pacer.Config(serverDelayMs = 0),
+        indexSinkDir = Some(s"$root/sink")))
+
+    // the sitemap-declared url entered the db and was fetched in a
+    // later round
+    val db = new CrawlDbTable(spark, s"$root/crawldb").read().collect()
+      .map(r => r.url -> r.datum).toMap
+    assert(db.contains(s"$A/from-sitemap"), db.keys)
+    assert(db(s"$A/from-sitemap").status == S.DB_FETCHED ||
+      db(s"$A/from-sitemap").status == S.DB_DUPLICATE)
+
+    // the index sink materialized and contains no gone/duplicate urls
+    import spark.implicits._
+    val sinkLines = spark.read.text(s"$root/sink").as[String].collect()
+    assert(sinkLines.nonEmpty && summary.indexed == sinkLines.length.toLong)
+    val dupUrls = db.collect {
+      case (u, d) if d.status == S.DB_DUPLICATE || d.status == S.DB_GONE => u
+    }.toSet
+    assert(sinkLines.forall(l => !dupUrls.exists(u => l.contains("\"" + u + "\""))))
+  }
 }

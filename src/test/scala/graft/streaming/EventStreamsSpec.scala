@@ -77,4 +77,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
         s.n_events == 1 && s.sum_value == 4.0))
     } finally q.stop()
   }
+
+  test("streaming dedup drops repeated signatures within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupStream(in.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // same (event_type, value) signature three times + one distinct
+      in.addData(
+        Event(1, 10, "view", base, 1.25),
+        Event(2, 11, "view", base + 1000000L, 1.25), // dup sig
+        Event(3, 12, "click", base + 2000000L, 1.25))
+      q.processAllAvailable()
+      in.addData(Event(4, 13, "view", base + 3000000L, 1.25)) // dup again
+      q.processAllAvailable()
+      val out = spark.table("dedup").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(out.length == 2, out.mkString(","))
+      assert(out.map(_._2).toSet == Set("view|125", "click|125"))
+      // the survivor is the first arrival
+      assert(out.toMap.get(1L).contains("view|125"))
+    } finally q.stop()
+  }
 }
