@@ -197,6 +197,24 @@ object Main {
             println(s"indexed=${summary.indexed} hosts=${summary.hosts}")
             0
         }
+      case "warc" :: segdir :: out :: _ =>
+        val seg = new Segment(spark, segdir)
+        WarcExporter.writeLocal(
+          WarcExporter.records(seg.fetch, seg.content), out)
+        println(s"warc: exported to $out")
+        0
+      case "dump" :: segdir :: out :: rest =>
+        val seg = new Segment(spark, segdir)
+        val mimes = opt(rest, "-mimetype")
+          .map(_.split(",").toSet).getOrElse(Set.empty[String])
+        val n = FileDumper.dump(seg.content, out, mimes).count()
+        println(s"dump: $n files under $out")
+        0
+      case "commoncrawldump" :: segdir :: out :: _ =>
+        val seg = new Segment(spark, segdir)
+        CommonCrawlDumper.write(seg.fetch, seg.content, out)
+        println(s"commoncrawldump: wrote $out")
+        0
       case "startserver" :: rest =>
         val srv = graft.service.RestServer.start(spark,
           optL(rest, "-port", 8081).toInt)
@@ -208,7 +226,7 @@ object Main {
           s"""unknown verb: ${other.headOption.getOrElse("")}
              |verbs: inject generate fetch parse updatedb invertlinks dedup
              |       updatehostdb readdb index clean sitemap crawl
-             |       startserver""".stripMargin)
+             |       warc dump commoncrawldump startserver""".stripMargin)
         2
     }
   }

@@ -622,8 +622,58 @@ object QueriesText {
           ELSE 'nl' END AS detected_lang
       FROM documents"""))
 
+  /** The canonical LLM training-data prep chain as ONE pipeline:
+    * exact dedup (md5 digest, lowest doc_id survives) → quality gate
+    * (token count + mean token length bands) → per-language corpus
+    * stats. Every stage is the oracle-checked building block above,
+    * composed the way a 100 TB data-prep job would run them — dedup
+    * before scoring so the expensive stages see each payload once. */
+  val corpusClean = Q(
+    "corpus_clean",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      // stage 1: exact dedup on content digest
+      val withDigest = d.select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("digest"))
+      val w = Window.partitionBy(col("digest")).orderBy(asc("doc_id"))
+      val deduped = withDigest
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      // stage 2: quality gate
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val meanTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+      val gated = deduped
+        .withColumn("n_tokens", nTok)
+        .withColumn("mean_tok_len", meanTokLen)
+        .filter(col("n_tokens") >= 20 &&
+          col("mean_tok_len") >= 2.5 && col("mean_tok_len") <= 12.0)
+      // stage 3: per-language corpus stats
+      gated.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some("""
+      WITH dd AS (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents),
+      gated AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                    AS DOUBLE) / len(string_split(text, ' ')) AS mtl
+        FROM dd WHERE rn = 1)
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+             MIN(doc_id) AS first_doc
+      FROM gated
+      WHERE n_tokens >= 20 AND mtl >= 2.5 AND mtl <= 12.0
+      GROUP BY lang"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
-    htmlLang, bpeTokenStats, langIdNgram)
+    htmlLang, bpeTokenStats, langIdNgram, corpusClean)
 }

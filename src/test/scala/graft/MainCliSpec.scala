@@ -49,6 +49,13 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("readdb", crawldb, "-dump", s"$root/dump") == 0)
     assert(Files.list(Paths.get(root, "dump")).count() > 0)
 
+    // export verbs over the segment
+    assert(v("warc", seg, s"$root/warc") == 0)
+    assert(Files.list(Paths.get(root, "warc")).count() > 0)
+    assert(v("dump", seg, s"$root/files", "-mimetype", "text/html") == 0)
+    assert(v("commoncrawldump", seg, s"$root/cc") == 0)
+    assert(spark.read.text(s"$root/cc").count() >= 1)
+
     // index + clean
     assert(v("index", crawldb, linkdb, seg, s"$root/sink") == 0)
     val indexed = spark.read.text(s"$root/sink").count()

@@ -77,6 +77,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("generate_hostdb broadcasts the hostdb side") {
+    val p = plan("generate_hostdb")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("r3 queries plan clean: no cartesian, no single-partition exchange") {
+    for (q <- Seq("charset_decode", "lang_id_ngram", "sitemap_parse")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("StaticInvoke functions run inside codegen stages, not as UDFs") {
+    for (q <- Seq("url_parts", "charset_decode", "lang_id_ngram")) {
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q: $p")
+    }
+  }
+
   test("Generate multi-segment spill has no single-partition exchange") {
     import spark.implicits._
     val db = (1 to 100).map { i =>
