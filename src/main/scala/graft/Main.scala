@@ -197,6 +197,49 @@ object Main {
             println(s"indexed=${summary.indexed} hosts=${summary.hosts}")
             0
         }
+      case "freegen" :: urlfile :: segdir :: rest =>
+        // FreeGenerator: fetchlist straight from a url file, no crawldb
+        import graft.schemas.{CrawlDatum, GenerateEntry}
+        val reg = registry
+        val now1 = now0
+        val fl = spark.read.textFile(urlfile)
+          .flatMap(l => reg.normalizeAndFilter(l.trim,
+            Extensions.Scope.Default))
+          .map(u => GenerateEntry(1, 1.0f, u,
+            CrawlDatum.unfetched(now1, 2592000, 1.0f)))
+        new Segment(spark, segdir).writeGenerate(fl)
+        println(s"freegen: ${spark.read.parquet(s"$segdir/crawl_generate")
+          .count()} entries")
+        0
+      case "readlinkdb" :: linkdb :: rest =>
+        val l = new LinkDbTable(spark, linkdb).read()
+        rest match {
+          case "-url" :: u :: _ =>
+            l.filter(_.url == u).collect().headOption match {
+              case Some(row) =>
+                row.inlinks.foreach(i =>
+                  println(s"${i.fromUrl}\t${i.anchor}"))
+                0
+              case None => println(s"$u not found"); 1
+            }
+          case _ =>
+            l.collect().foreach(r =>
+              println(s"${r.url}\t${r.inlinks.length} inlinks"))
+            0
+        }
+      case "readseg" :: segdir :: rest =>
+        val seg = new Segment(spark, segdir)
+        val part = opt(rest, "-part").getOrElse("fetch")
+        val df = part match {
+          case "generate" => seg.generate.toDF()
+          case "fetch" => seg.fetch.toDF()
+          case "parse" => seg.parseData.toDF()
+          case "text" => seg.parseText.toDF()
+          case other =>
+            System.err.println(s"readseg: unknown part $other"); return 2
+        }
+        df.show(opt(rest, "-n").map(_.toInt).getOrElse(20), false)
+        0
       case "warc" :: segdir :: out :: _ =>
         val seg = new Segment(spark, segdir)
         WarcExporter.writeLocal(
@@ -224,9 +267,10 @@ object Main {
       case other =>
         System.err.println(
           s"""unknown verb: ${other.headOption.getOrElse("")}
-             |verbs: inject generate fetch parse updatedb invertlinks dedup
-             |       updatehostdb readdb index clean sitemap crawl
-             |       warc dump commoncrawldump startserver""".stripMargin)
+             |verbs: inject generate freegen fetch parse updatedb
+             |       invertlinks dedup updatehostdb readdb readlinkdb
+             |       readseg index clean sitemap crawl warc dump
+             |       commoncrawldump startserver""".stripMargin)
         2
     }
   }

@@ -49,6 +49,21 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("readdb", crawldb, "-dump", s"$root/dump") == 0)
     assert(Files.list(Paths.get(root, "dump")).count() > 0)
 
+    // readers over linkdb/segments. The site is single-host and
+    // db.ignore.internal.links defaults true, so the linkdb is empty
+    // and the point lookup correctly misses.
+    assert(v("readlinkdb", linkdb) == 0)
+    assert(v("readlinkdb", linkdb, "-url", s"$A/p1") == 1)
+    assert(v("readseg", seg, "-part", "generate") == 0)
+    assert(v("readseg", seg, "-part", "nope") == 2)
+
+    // freegen: fetchlist straight from a url file
+    Files.writeString(Paths.get(root, "free.txt"),
+      s"$A/free1\n$A/free2\nnot a url\n")
+    assert(v("freegen", s"$root/free.txt", s"$root/segments/free") == 0)
+    assert(spark.read.parquet(s"$root/segments/free/crawl_generate")
+      .count() == 2)
+
     // export verbs over the segment
     assert(v("warc", seg, s"$root/warc") == 0)
     assert(Files.list(Paths.get(root, "warc")).count() > 0)
