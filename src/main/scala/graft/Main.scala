@@ -84,12 +84,11 @@ object Main {
           case Some(sf) =>
             val site = loadSite(spark, sf)
             val seg = new Segment(spark, segdir)
-            val (f, c) = Fetch(seg.generate, site, now0,
+            val fr = Fetch(seg.generate, site, now0,
               pacer = Pacer.Config(
                 serverDelayMs = optL(rest, "-delay", 0)))
-            f.persist(); c.persist()
-            try { seg.writeFetch(f); seg.writeContent(c) }
-            finally { f.unpersist(); c.unpersist() }
+            try { seg.writeFetch(fr.fetch); seg.writeContent(fr.content) }
+            finally fr.release()
             println(s"fetch: ${seg.fetch.count()} rows")
             0
         }
@@ -197,6 +196,29 @@ object Main {
             println(s"indexed=${summary.indexed} hosts=${summary.hosts}")
             0
         }
+      case "domainstats" :: crawldb :: rest =>
+        // DomainStatistics: url counts by host / PSL-registered domain /
+        // suffix / tld (util/DomainStatistics.java modes)
+        import org.apache.spark.sql.functions.{col, count, lit, desc}
+        val mode = opt(rest, "-mode").getOrElse("domain")
+        val db = new CrawlDbTable(spark, crawldb).read().toDF()
+        val keyCol = mode match {
+          case "host" => graft.functions.Urls.host(col("url"))
+          case "suffix" => graft.functions.Urls.domainSuffix(col("url"))
+          case _ => graft.functions.Urls.registeredDomain(col("url"))
+        }
+        db.groupBy(keyCol.as(mode))
+          .agg(count(lit(1)).as("n_urls"))
+          .orderBy(desc("n_urls"), col(mode))
+          .collect()
+          .foreach(r => println(s"${r.get(0)}\t${r.getLong(1)}"))
+        0
+      case "protocolstats" :: crawldb :: _ =>
+        // ProtocolStatusStatistics analog over the crawldb statuses
+        CrawlDbReader.stats(new CrawlDbTable(spark, crawldb).read())
+          .orderBy("status").collect()
+          .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
+        0
       case "freegen" :: urlfile :: segdir :: rest =>
         // FreeGenerator: fetchlist straight from a url file, no crawldb
         import graft.schemas.{CrawlDatum, GenerateEntry}
@@ -270,7 +292,8 @@ object Main {
              |verbs: inject generate freegen fetch parse updatedb
              |       invertlinks dedup updatehostdb readdb readlinkdb
              |       readseg index clean sitemap crawl warc dump
-             |       commoncrawldump startserver""".stripMargin)
+             |       commoncrawldump domainstats protocolstats
+             |       startserver""".stripMargin)
         2
     }
   }

@@ -79,15 +79,13 @@ object Crawl {
           Generate.markGenerated(crawldb.read(), seg.generate, now),
           s"generate-mark-r$r")
 
-      // fetch ONCE: the fetch/content pair shares one physical fetch
-      // pass — persist it so the two segment writes (and the fetched
-      // count) don't re-drive the protocol
-      val (fetch, content) = Fetch(seg.generate, protocol, now, cfg.agent,
+      // fetch ONCE: the fetch/content pair shares one cached protocol
+      // pass; release() drops those blocks after both segment writes
+      val fr = Fetch(seg.generate, protocol, now, cfg.agent,
         pacer = cfg.pacer)
-      fetch.persist(); content.persist()
       try {
-        seg.writeFetch(fetch); seg.writeContent(content)
-      } finally { fetch.unpersist(); content.unpersist() }
+        seg.writeFetch(fr.fetch); seg.writeContent(fr.content)
+      } finally fr.release()
 
       val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter,
         registry.normalize(_, Extensions.Scope.Outlink))

@@ -71,6 +71,13 @@ object Fetch {
 
   val RobotsDeniedKey = "_robots_denied_"
 
+  /** The fetch outputs plus a handle to release the shared one-pass
+    * cache. `fetch`/`content` derive from ONE cached protocol pass;
+    * call `release()` after both are consumed or the blocks live until
+    * the session dies (a leak across rounds of a long crawl). */
+  final case class Result(fetch: Dataset[CrawlRow],
+      content: Dataset[ContentRow], release: () => Unit)
+
   /** Fetch a generated segment: (crawl_fetch, content).
     *
     * Robots handling (FetcherThread's crawler-commons check): each
@@ -92,8 +99,7 @@ object Fetch {
       now: Long, agent: String = "graft",
       honorRobots: Boolean = true,
       pacer: Pacer.Config = Pacer.Config(),
-      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock)
-      : (Dataset[CrawlRow], Dataset[ContentRow]) = {
+      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock): Result = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val byHost = fetchlist.toDF()
@@ -182,8 +188,10 @@ object Fetch {
       }
       results.iterator
     }.cache() // one protocol pass feeds both outputs
-    (fetched.flatMap(_._1),
+    Result(
+      fetched.flatMap(_._1),
       fetched.filter(_._1.head.datum.status == CrawlStatus.FETCH_SUCCESS)
-        .map(_._2))
+        .map(_._2),
+      () => { fetched.unpersist(); () })
   }
 }

@@ -71,6 +71,11 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("commoncrawldump", seg, s"$root/cc") == 0)
     assert(spark.read.text(s"$root/cc").count() >= 1)
 
+    // stats verbs (domainstats goes through the PSL engine)
+    assert(v("domainstats", crawldb, "-mode", "domain") == 0)
+    assert(v("domainstats", crawldb, "-mode", "suffix") == 0)
+    assert(v("protocolstats", crawldb) == 0)
+
     // index + clean
     assert(v("index", crawldb, linkdb, seg, s"$root/sink") == 0)
     val indexed = spark.read.text(s"$root/sink").count()

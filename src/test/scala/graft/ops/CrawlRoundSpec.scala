@@ -75,9 +75,9 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(seg1.generate.count() == 2) // both seeds due
 
     val now1 = t0 + 1000
-    val (fetch1, content1) = Fetch(seg1.generate, protocol, now1,
+    val fr1 = Fetch(seg1.generate, protocol, now1,
       pacer = graft.net.Pacer.Config(serverDelayMs = 0))
-    seg1.writeFetch(fetch1); seg1.writeContent(content1)
+    seg1.writeFetch(fr1.fetch); seg1.writeContent(fr1.content); fr1.release()
     assert(seg1.fetch.collect()
       .forall(_.datum.status == S.FETCH_SUCCESS))
 
@@ -122,9 +122,9 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     val seg2 = new Segment(spark, s"$root/segments/r2")
     seg2.writeGenerate(fl2)
     val now2 = now1 + 2000
-    val (fetch2, content2) = Fetch(seg2.generate, protocol, now2,
+    val fr2 = Fetch(seg2.generate, protocol, now2,
       pacer = graft.net.Pacer.Config(serverDelayMs = 0))
-    seg2.writeFetch(fetch2); seg2.writeContent(content2)
+    seg2.writeFetch(fr2.fetch); seg2.writeContent(fr2.content); fr2.release()
     val f2 = seg2.fetch.collect().map(r => r.url -> r.datum).toMap
     assert(f2(s"$B/gone").status == S.FETCH_GONE)
     assert(f2(s"$B/redir").status == S.FETCH_REDIR_PERM)
@@ -177,7 +177,7 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
       graft.schemas.GenerateEntry(1, 1f, s"$A/page2",
         graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
           0L, Map.empty))).toDS()
-    val (f, c) = Fetch(fl, proto, t0,
+    val graft.ops.Fetch.Result(f, c, rel) = Fetch(fl, proto, t0,
       pacer = graft.net.Pacer.Config(serverDelayMs = 0))
     val statuses = f.collect().map(r => r.url -> r.datum).toMap
     assert(statuses(s"$A/page1").status == S.FETCH_GONE)
@@ -202,9 +202,9 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
         s"$root/segments/${now}")
       seg.writeGenerate(Generate(crawldb.read(),
         Generate.Config(curTime = now), adaptive))
-      val (f, c) = Fetch(seg.generate, protocol, now,
+      val fr = Fetch(seg.generate, protocol, now,
         pacer = graft.net.Pacer.Config(serverDelayMs = 0))
-      seg.writeFetch(f); seg.writeContent(c)
+      seg.writeFetch(fr.fetch); seg.writeContent(fr.content); fr.release()
       val p = Parse(seg.fetch, seg.content, Parse.Config(), acceptAll)
       seg.writeCrawlParse(p.crawlParse)
       crawldb.install(UpdateDb(

@@ -28,7 +28,7 @@ class FetchPacingSpec extends AnyFunSuite with SparkSuite {
       .toMap)
 
   test("time limit drains the tail of a slow host as FETCH_RETRY") {
-    val (fetch, _) = Fetch(fl, proto, t0,
+    val Fetch.Result(fetch, _, _) = Fetch(fl, proto, t0,
       pacer = Pacer.Config(serverDelayMs = 100, timeLimitMs = 250),
       clockFactory = () => new Pacer.VirtualClock(0L))
     val rows = fetch.collect().map(r => r.url -> r.datum).toMap
@@ -40,7 +40,7 @@ class FetchPacingSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("zero-delay pacing fetches everything") {
-    val (fetch, content) = Fetch(fl, proto, t0,
+    val Fetch.Result(fetch, content, _) = Fetch(fl, proto, t0,
       pacer = Pacer.Config(serverDelayMs = 0))
     assert(fetch.collect().forall(_.datum.status == S.FETCH_SUCCESS))
     assert(content.count() == 5)
