@@ -44,6 +44,42 @@ object Urls {
   def domainSuffix(url: Column): Column =
     pslCall("domainSuffixU", host(url))
 
+  /** Representative URL under a redirect (URLUtil.chooseRepr:370-470):
+    * cross-domain keeps dst; permanent keeps src only when src is the
+    * site root; temporary prefers roots, then the shorter path
+    * (segment count, then length), then the shallower subdomain. */
+  def chooseRepr(src: String, dst: String, temp: Boolean): String = {
+    val partsRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)(.*)$".r
+    def parts(u: String): Option[(String, String)] = u match {
+      case partsRe(auth, file) =>
+        val h = auth.takeWhile(_ != ':').toLowerCase
+        Some((h, file))
+      case _ => None
+    }
+    (parts(src), parts(dst)) match {
+      case (Some((srcHost, srcFile)), Some((dstHost, dstFile))) =>
+        val srcDomain = Psl.assignedDomain(srcHost)
+        val dstDomain = Psl.assignedDomain(dstHost)
+        val srcRoot = srcFile == "/" || srcFile.isEmpty
+        val dstRoot = dstFile == "/" || dstFile.isEmpty
+        if (srcDomain != dstDomain) dst
+        else if (!temp) { if (srcRoot) src else dst }
+        else if (srcRoot && !dstRoot) src
+        else if (!srcRoot && dstRoot) dst
+        else if (!srcRoot && !dstRoot && srcHost == dstHost) {
+          val nSrc = srcFile.split("/").length
+          val nDst = dstFile.split("/").length
+          if (nSrc != nDst) { if (nDst < nSrc) dst else src }
+          else if (dstFile.length < srcFile.length) dst
+          else src
+        } else {
+          if (dstHost.split('.').length < srcHost.split('.').length) dst
+          else src
+        }
+      case _ => dst // malformed: keep destination
+    }
+  }
+
   /** top-level domain of the host. */
   def tld(url: Column): Column =
     regexp_extract(url, "\\.([a-z]+)(?:[/?#]|$)", 1)

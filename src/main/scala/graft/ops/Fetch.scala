@@ -157,8 +157,11 @@ object Fetch {
           if (out.contentType.nonEmpty)
             meta0 + (CrawlDatum.ContentTypeKey -> out.contentType)
           else meta0
+        // representative URL under the redirect (URLUtil.chooseRepr via
+        // FetcherThread.handleRedirect): src may stay representative
         val meta = out.movedTo.fold(meta1)(m =>
-          meta1 + (CrawlDatum.ReprUrlKey -> m))
+          meta1 + (CrawlDatum.ReprUrlKey -> Urls.chooseRepr(e.url, m,
+            temp = toFetchStatus(out.code) == CrawlStatus.FETCH_REDIR_TEMP)))
         val datum = e.datum.copy(status = status, fetchTime = now,
           metadata = meta)
         // redirect targets are emitted as LINKED datums so updatedb

@@ -67,6 +67,38 @@ class PslSpec extends AnyFunSuite with SparkSuite {
     assert(Psl.assignedDomain("a.b.kawasaki.jp") == "a.b.kawasaki.jp")
   }
 
+  test("chooseRepr matches the TestURLUtil table") {
+    import Urls.chooseRepr
+    val aDotCom = "http://www.a.com"
+    val bDotCom = "http://www.b.com"
+    val aSubDotCom = "http://www.news.a.com"
+    val aQStr = "http://www.a.com?y=1"
+    val aPath = "http://www.a.com/xyz/index.html"
+    val aPath2 = "http://www.a.com/abc/page.html"
+    val aPath3 = "http://www.news.a.com/abc/page.html"
+    // 1) different domain: keep dest, temp or perm
+    assert(chooseRepr(aDotCom, bDotCom, temp = true) == bDotCom)
+    assert(chooseRepr(aDotCom, bDotCom, temp = false) == bDotCom)
+    // 2) permanent and root: keep src
+    assert(chooseRepr(aDotCom, aQStr, temp = false) == aDotCom)
+    assert(chooseRepr(aDotCom, aPath, temp = false) == aDotCom)
+    // 3) permanent, src not root, dest root: keep dest
+    assert(chooseRepr(aPath, aDotCom, temp = false) == aDotCom)
+    // 4) permanent and neither root: keep dest
+    assert(chooseRepr(aPath, aPath2, temp = false) == aPath2)
+    // 5) temp, src root, dest not: keep src
+    assert(chooseRepr(aDotCom, aPath, temp = true) == aDotCom)
+    // 6) temp, src not root, dest root: keep dest
+    assert(chooseRepr(aPath, aDotCom, temp = true) == aDotCom)
+    // 7) temp, neither root: shortest path / shallowest host
+    assert(chooseRepr(aPath, aPath2, temp = true) == aPath2)
+    assert(chooseRepr(aPath, aPath3, temp = true) == aPath)
+    // 8) temp, both root: shortest subdomain
+    assert(chooseRepr(aDotCom, aSubDotCom, temp = true) == aDotCom)
+    // malformed: keep dest
+    assert(chooseRepr("nonsense", aDotCom, temp = true) == aDotCom)
+  }
+
   test("null/empty/userinfo edge cases") {
     assert(Psl.assignedDomain(null) == null)
     assert(Psl.assignedDomain("") == "")
