@@ -134,8 +134,38 @@ object Main {
             CrawlDbReader.stats(db).orderBy("status").collect()
               .foreach(r => println(r.mkString("\t")))
             0
-          case "-dump" :: out :: _ =>
-            CrawlDbReader.dumpCsv(db, out); println(s"dumped to $out"); 0
+          case "-dump" :: out :: dumpOpts =>
+            // dump filters (CrawlDbReader.java:892-955): -regex on url,
+            // -status name, -retry min, -expr JEXL, -sample fraction
+            import org.apache.spark.sql.functions.col
+            var d = db.toDF()
+            opt(dumpOpts, "-regex").foreach(re =>
+              d = d.filter(col("url").rlike(re)))
+            opt(dumpOpts, "-status").foreach { st =>
+              val byte = graft.schemas.CrawlStatus.names
+                .find(_._2 == st).map(_._1.toInt)
+                .getOrElse(sys.error(s"unknown status $st"))
+              d = d.filter(col("datum.status") === byte)
+            }
+            opt(dumpOpts, "-retry").foreach(n =>
+              d = d.filter(col("datum.retries") >= n.toInt))
+            opt(dumpOpts, "-expr").foreach { e =>
+              // JEXL identifiers (score, retries, fetchTime, interval)
+              // resolve against flattened datum fields
+              val flat = d.withColumn("score", col("datum.score"))
+                .withColumn("retries", col("datum.retries"))
+                .withColumn("fetchTime", col("datum.fetchTime"))
+                .withColumn("fetchInterval", col("datum.fetchInterval"))
+              d = flat.filter(org.apache.spark.sql.functions.expr(
+                graft.net.Jexl.toSqlExpr(e)))
+                .drop("score", "retries", "fetchTime", "fetchInterval")
+            }
+            opt(dumpOpts, "-sample").foreach(f =>
+              d = d.sample(f.toDouble, seed = 42L))
+            import spark.implicits._
+            CrawlDbReader.dumpCsv(
+              d.as[graft.schemas.CrawlRow], out)
+            println(s"dumped to $out"); 0
           case "-topN" :: n :: _ =>
             CrawlDbReader.topN(db, n.toInt).collect()
               .foreach(r => println(r.mkString("\t")))

@@ -48,6 +48,15 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("readdb", crawldb, "-url", "http://nowhere.example/") == 1)
     assert(v("readdb", crawldb, "-dump", s"$root/dump") == 0)
     assert(Files.list(Paths.get(root, "dump")).count() > 0)
+    // dump filters: status + regex + JEXL (p1 was discovered but not
+    // yet fetched in this single round)
+    assert(v("readdb", crawldb, "-dump", s"$root/dump2",
+      "-status", "db_unfetched", "-regex", "p1$") == 0)
+    val d2 = spark.read.text(s"$root/dump2").count()
+    assert(d2 == 1, s"expected only $A/p1, got $d2 lines")
+    assert(v("readdb", crawldb, "-dump", s"$root/dump3",
+      "-expr", "score > 100000") == 0)
+    assert(spark.read.text(s"$root/dump3").count() == 0)
 
     // readers over linkdb/segments. The site is single-host and
     // db.ignore.internal.links defaults true, so the linkdb is empty
