@@ -140,17 +140,22 @@ object QueriesGraph {
         .distinct()
       val wDom = Window.partitionBy((col("src") % 50).as("dom"), col("dst"))
         .orderBy(asc("src"))
+      // node set + out-degree come from the FULL graph (Node.numOutlinks);
+      // only the inbound contributions are domain-deduped. The out-degree
+      // join is loop-invariant — hoisted onto the cached edge table so
+      // each of the 10 iterations does ONE node join + the contribution
+      // agg, not three joins. (No broadcast hints: at real scale BOTH
+      // sides are |V|/|E|-sized — shuffle joins are the right shape.)
+      val outDeg = rawEdges.groupBy("src").agg(count(lit(1)).as("out_deg"))
       val edges = rawEdges
         .withColumn("rn", row_number().over(wDom))
         .filter(col("rn") === 1).drop("rn")
+        .join(outDeg, "src")
         .cache()
-      // node set + out-degree come from the FULL graph (Node.numOutlinks);
-      // only the inbound contributions are domain-deduped
       val nodes0 = rawEdges.select(col("src").as("url"))
         .union(rawEdges.select(col("dst").as("url")))
         .distinct()
         .withColumn("score", lit(1.0))
-      val outDeg = rawEdges.groupBy("src").agg(count(lit(1)).as("out_deg"))
       var nodes = nodes0
       // localCheckpoint every 5th iteration: truncates lineage so the
       // loop survives the reference's 10-iteration config without plan
@@ -159,7 +164,6 @@ object QueriesGraph {
       for (it <- 1 to LINKRANK_ITERS) {
         val contribs = edges
           .join(nodes, edges("src") === nodes("url"))
-          .join(outDeg, "src")
           .select(col("dst"),
             round(col("score") / col("out_deg") * 1e9, 0).cast("long")
               .as("c_fx"))
