@@ -100,30 +100,40 @@ object Pacer {
     for (h <- excess; it <- h.q) drain(it.payload, ExcessCrawlDelay)
 
     var fetched = 0L
-    var active = kept.filter(_.q.nonEmpty)
-    while (active.nonEmpty) {
-      val now = clock.now()
-      if (now >= deadline) {
-        for (h <- active; it <- h.q) drain(it.payload, TimeLimit)
-        return
+    // earliest-ready host via a heap: O(log H) per fetch instead of a
+    // linear scan over every host queue in the partition. Ties on
+    // nextTime break by arrival order (seq) = round-robin.
+    val heap = mutable.PriorityQueue.empty[(Long, Long, HostQ)](
+      Ordering.by[(Long, Long, HostQ), (Long, Long)] {
+        case (t, seq, _) => (-t, -seq)
+      })
+    var seq = 0L
+    for (h <- kept if h.q.nonEmpty) { heap.enqueue((h.nextTime, seq, h)); seq += 1 }
+    def drainAll(reason: DrainReason): Unit =
+      while (heap.nonEmpty) {
+        val (_, _, h) = heap.dequeue()
+        h.q.foreach(it => drain(it.payload, reason))
+        h.q.clear()
       }
+    while (heap.nonEmpty) {
+      val now = clock.now()
+      if (now >= deadline) { drainAll(TimeLimit); return }
       if (cfg.throughputPagesPerSec > 0 &&
           now - start > cfg.throughputCheckAfterMs &&
           fetched * 1000L < cfg.throughputPagesPerSec * (now - start)) {
-        for (h <- active; it <- h.q) drain(it.payload, LowThroughput)
-        return
+        drainAll(LowThroughput); return
       }
-      // earliest-ready host; stable order breaks ties = round-robin
-      val next = active.minBy(_.nextTime)
-      if (next.nextTime > now) {
+      val (t, _, next) = heap.head
+      if (t > now) {
         // never sleep past the deadline — drain instead on next loop
-        clock.sleepUntil(math.min(next.nextTime, deadline))
+        clock.sleepUntil(math.min(t, deadline))
       } else {
+        heap.dequeue()
         val it = next.q.dequeue()
         fetch(it.payload, clock.now())
         fetched += 1
         next.nextTime = clock.now() + next.delayMs
-        if (next.q.isEmpty) active = active.filter(_.q.nonEmpty)
+        if (next.q.nonEmpty) { heap.enqueue((next.nextTime, seq, next)); seq += 1 }
       }
     }
   }

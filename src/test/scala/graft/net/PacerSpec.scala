@@ -79,6 +79,19 @@ class PacerSpec extends AnyFunSuite {
     assert(drained.forall(_._2 == Pacer.TimeLimit))
   }
 
+  test("scales: 10k hosts x 10 items each, virtual time, sub-second") {
+    val items = for (h <- 0 until 10000; i <- 0 until 10)
+      yield Pacer.Item(s"h$h.com", s"h$h-$i")
+    val t0 = System.nanoTime()
+    val (fetched, drained) = run(items, Pacer.Config(serverDelayMs = 50))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    assert(fetched.size == 100000 && drained.isEmpty)
+    // heap scheduling: linear-ish, not O(items * hosts)
+    assert(wallMs < 5000, s"pacer took ${wallMs}ms")
+    // virtual completion time = one host's paced span (interleaved)
+    assert(fetched.map(_._2).max == 9 * 50)
+  }
+
   test("throughput floor drains when the average sinks below it") {
     val items = (1 to 50).map(i => Pacer.Item("a.com", s"a$i"))
     val (fetched, drained) = run(items,
