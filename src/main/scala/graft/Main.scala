@@ -48,10 +48,17 @@ object Main {
   private def registry = Extensions.Registry(
     urlFilters = Seq(graft.net.RegexUrlFilter.parse(Iterator("+."))))
 
-  /** Load a MockProtocol site snapshot from a JSON-lines file. */
+  /** Load a MockProtocol site snapshot from a JSON-lines file.
+    * Only `url` is required; code/body/contentType default. */
   def loadSite(spark: SparkSession, path: String): Fetch.MockProtocol = {
     import spark.implicits._
-    val rows = spark.read.json(path)
+    var df = spark.read.json(path)
+    require(df.columns.contains("url"), s"site file $path needs a url field")
+    if (!df.columns.contains("code")) df = df.selectExpr("*", "1 as code")
+    if (!df.columns.contains("body")) df = df.selectExpr("*", "'' as body")
+    if (!df.columns.contains("contentType"))
+      df = df.selectExpr("*", "'text/html' as contentType")
+    val rows = df
       .selectExpr("url", "cast(coalesce(code, 1) as int) as code",
         "coalesce(body, '') as body",
         "coalesce(contentType, 'text/html') as ct")
