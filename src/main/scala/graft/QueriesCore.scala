@@ -246,30 +246,54 @@ object QueriesCore {
                 ORDER BY l_extendedprice DESC, l_shipdate, l_linenumber) AS rnk
             FROM lineitem)"""))
 
-  /** A3/A4 domain statistics: per-host url counts + fetched counts
-    * (DomainStatistics.java:185-231, CrawlCompletionStats.java:190-250). */
+  /** A3/A4 domain statistics: url counts + fetched counts grouped by the
+    * PSL-aware registrable domain (DomainStatistics.java:185-231 `domain`
+    * mode via URLUtil.getDomainName, CrawlCompletionStats.java:190-250).
+    * URLs are synthesized across suffix classes — incl. multi-label and
+    * wildcard public suffixes — so a wrong grouping (the round-2
+    * two-label fallback) would merge or split domains and break the
+    * counts; the oracle states the per-class PSL answer. */
   val domainStats = Q(
     "domain_stats",
     (s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
+      val sfx = element_at(
+        array(lit(".com"), lit(".co.uk"), lit(".plc.co.im"),
+          lit(".2000.hu"), lit(".ck"), lit(".nn")),
+        (col("c_custkey") % 6 + 1).cast("int"))
+      val url = concat(lit("https://www.site"), col("c_custkey") % 40,
+        sfx, lit("/p/"), col("o_orderkey"))
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name").as("host"))
+        .select(url.as("url"), col("o_orderstatus"))
+        .groupBy(graft.functions.Urls.registeredDomain(col("url"))
+          .as("domain"))
         .agg(
           count(lit(1)).as("n_urls"),
           count(when(col("o_orderstatus") === "F", lit(1))).as("n_fetched"),
           count(when(col("o_orderstatus") === "O", lit(1))).as("n_unfetched"))
     },
     Some("""
-      SELECT n_name AS host,
+      WITH u AS (
+        SELECT 'https://www.site' || (c_custkey % 40)
+            || (['.com', '.co.uk', '.plc.co.im',
+                 '.2000.hu', '.ck', '.nn'][(c_custkey % 6 + 1)::INT])
+            || '/p/' || o_orderkey AS url,
+          c_custkey % 6 AS cls, o_orderstatus,
+          'site' || (c_custkey % 40) AS label
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT
+        CASE CAST(cls AS INTEGER)
+          WHEN 0 THEN label || '.com'
+          WHEN 1 THEN label || '.co.uk'
+          WHEN 2 THEN label || '.plc.co.im'
+          WHEN 3 THEN label || '.2000.hu'
+          WHEN 4 THEN 'www.' || label || '.ck'  -- *.ck: whole host
+          ELSE 'www.' || label || '.nn' END AS domain, -- no suffix: host
         COUNT(*) AS n_urls,
         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fetched,
         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_unfetched
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY n_name"""))
+      FROM u GROUP BY 1"""))
 
   /** A5 protocol-status stats: counts by code with a deterministic sample
     * url (ProtocolStatusStatistics.java:138-170; first → min for
