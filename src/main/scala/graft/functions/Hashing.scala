@@ -25,10 +25,12 @@ object Hashing {
 
   /** Scalar twin of [[md5Long]] — same 60-bit value for the same input
     * (used by tests and driver-side code to predict bucket placement). */
-  def md5LongOf(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  def md5LongOf(s: String): Long =
+    java.lang.Long.parseLong(md5HexOf(s.getBytes("UTF-8")).take(15), 16)
+
+  /** Scalar md5 hex — the ONE implementation behind every scalar hex
+    * digest in the repo (dump layouts, WARC digests, signatures). */
+  def md5HexOf(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
 }

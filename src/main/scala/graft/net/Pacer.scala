@@ -68,7 +68,20 @@ object Pacer {
     * run serialized ≥ delay apart; distinct hosts interleave (each
     * pass picks the host that becomes ready first). */
   def run[T](items: Iterable[Item[T]], cfg: Config, clock: Clock)(
-      fetch: (T, Long) => Unit)(drain: (T, DrainReason) => Unit): Unit = {
+      fetch: (T, Long) => Unit)(drain: (T, DrainReason) => Unit): Unit =
+    pacedMap(items, cfg, clock)((p, at) => fetch(p, at))((p, r) =>
+      drain(p, r)).foreach(_ => ())
+
+  /** The streaming form: a LAZY iterator of results — each `next()`
+    * sleeps to the next host's ready time, runs `fetch` (so the
+    * per-host delay is measured from fetch COMPLETION, like
+    * FetchItemQueue.finishFetchItem), and yields its result; drained
+    * items yield `drain`'s result. Nothing is buffered — inside Spark's
+    * mapPartitions the downstream consumes each page (content bytes
+    * included) as it is fetched instead of holding the whole
+    * partition's payloads in memory. */
+  def pacedMap[T, R](items: Iterable[Item[T]], cfg: Config, clock: Clock)(
+      fetch: (T, Long) => R)(drain: (T, DrainReason) => R): Iterator[R] = {
     val start = clock.now()
     val deadline = if (cfg.timeLimitMs > 0) start + cfg.timeLimitMs else Long.MaxValue
 
@@ -77,6 +90,10 @@ object Pacer {
       var nextTime: Long = start
       var delayMs: Long = cfg.serverDelayMs
       var delaySet = false
+      // the max.crawl.delay drop applies ONLY to the robots-declared
+      // delay (FetcherThread robots handling) — never to the
+      // generator's _variableFetchDelay_ override or the server default
+      var robotsExcess = false
     }
     val order = mutable.ArrayBuffer.empty[HostQ]
     val byHost = mutable.HashMap.empty[String, HostQ]
@@ -91,15 +108,15 @@ object Pacer {
           it.delayOverrideMs
             .orElse(it.robotsDelayMs)
             .getOrElse(cfg.serverDelayMs))
+        hq.robotsExcess = it.delayOverrideMs.isEmpty &&
+          cfg.maxCrawlDelayMs >= 0 &&
+          it.robotsDelayMs.exists(_ > cfg.maxCrawlDelayMs)
       }
       hq.q.enqueue(it)
     }
-    // hosts whose robots delay exceeds the cap are dropped outright
-    val (kept, excess) = order.partition(h =>
-      h.delayMs <= cfg.maxCrawlDelayMs || cfg.maxCrawlDelayMs < 0)
-    for (h <- excess; it <- h.q) drain(it.payload, ExcessCrawlDelay)
+    // hosts whose robots crawl-delay exceeds the cap are dropped outright
+    val (excess, kept) = order.partition(_.robotsExcess)
 
-    var fetched = 0L
     // earliest-ready host via a heap: O(log H) per fetch instead of a
     // linear scan over every host queue in the partition. Ties on
     // nextTime break by arrival order (seq) = round-robin.
@@ -107,33 +124,56 @@ object Pacer {
       Ordering.by[(Long, Long, HostQ), (Long, Long)] {
         case (t, seq, _) => (-t, -seq)
       })
-    var seq = 0L
-    for (h <- kept if h.q.nonEmpty) { heap.enqueue((h.nextTime, seq, h)); seq += 1 }
-    def drainAll(reason: DrainReason): Unit =
-      while (heap.nonEmpty) {
-        val (_, _, h) = heap.dequeue()
-        h.q.foreach(it => drain(it.payload, reason))
-        h.q.clear()
-      }
-    while (heap.nonEmpty) {
-      val now = clock.now()
-      if (now >= deadline) { drainAll(TimeLimit); return }
-      if (cfg.throughputPagesPerSec > 0 &&
-          now - start > cfg.throughputCheckAfterMs &&
-          fetched * 1000L < cfg.throughputPagesPerSec * (now - start)) {
-        drainAll(LowThroughput); return
-      }
-      val (t, _, next) = heap.head
-      if (t > now) {
-        // never sleep past the deadline — drain instead on next loop
-        clock.sleepUntil(math.min(t, deadline))
-      } else {
-        heap.dequeue()
-        val it = next.q.dequeue()
-        fetch(it.payload, clock.now())
-        fetched += 1
-        next.nextTime = clock.now() + next.delayMs
-        if (next.q.nonEmpty) { heap.enqueue((next.nextTime, seq, next)); seq += 1 }
+    var seqNo = 0L
+    for (h <- kept if h.q.nonEmpty) { heap.enqueue((h.nextTime, seqNo, h)); seqNo += 1 }
+
+    new Iterator[R] {
+      private val excessIt = excess.iterator.flatMap(_.q)
+      private var fetched = 0L
+      private var draining: Option[DrainReason] = None
+
+      def hasNext: Boolean = excessIt.hasNext || heap.nonEmpty
+
+      def next(): R = {
+        if (excessIt.hasNext)
+          return drain(excessIt.next().payload, ExcessCrawlDelay)
+        draining match {
+          case Some(reason) =>
+            // watchdog tripped: everything left streams out as drained
+            val (_, _, h) = heap.head
+            val it = h.q.dequeue()
+            if (h.q.isEmpty) heap.dequeue()
+            drain(it.payload, reason)
+          case None =>
+            while (true) {
+              val now = clock.now()
+              if (now >= deadline) {
+                draining = Some(TimeLimit); return next()
+              }
+              if (cfg.throughputPagesPerSec > 0 &&
+                  now - start > cfg.throughputCheckAfterMs &&
+                  fetched * 1000L <
+                    cfg.throughputPagesPerSec * (now - start)) {
+                draining = Some(LowThroughput); return next()
+              }
+              val (t, _, h) = heap.head
+              if (t > now) {
+                // never sleep past the deadline — drain on next loop
+                clock.sleepUntil(math.min(t, deadline))
+              } else {
+                heap.dequeue()
+                val it = h.q.dequeue()
+                val r = fetch(it.payload, clock.now())
+                fetched += 1
+                h.nextTime = clock.now() + h.delayMs
+                if (h.q.nonEmpty) {
+                  heap.enqueue((h.nextTime, seqNo, h)); seqNo += 1
+                }
+                return r
+              }
+            }
+            throw new IllegalStateException("unreachable")
+        }
       }
     }
   }

@@ -62,16 +62,30 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
-  // Two-phase EXACT quantiles (histogram merge) — scale-safe under group
-  // skew. The round-2 sort+rank form kept quantile_cont exact but ranked
-  // with Window.partitionBy(group): with ~9 crawldb statuses one status
+  // Two-phase EXACT quantiles (histogram merge). The round-2 sort+rank
+  // form kept quantile_cont exact but ranked with
+  // Window.partitionBy(group): with ~9 crawldb statuses one status
   // dominates a real crawl and its sort funnels through one task
   // (VERDICT r2, What's wrong #2). Here phase 1 pre-aggregates on
   // (group, value) — parallelism follows the VALUE spread — and phase 2
   // reduces each group to its sorted distinct-value histogram and
-  // interpolates inside one aggregate row. Per-group state is one entry
-  // per distinct value, never per row; no rank window anywhere.
+  // interpolates inside one aggregate row.
+  //
+  // Boundary: per-group state is one entry per DISTINCT value. That is
+  // the win whenever values are quantized/discrete (retry counts,
+  // intervals, fixed-point scores); for CONTINUOUS near-unique values
+  // at extreme scale the histogram approaches row count and the right
+  // tool is quantileApprox below (mergeable sketch, bounded state) —
+  // exactness is reserved for the oracle-checked paths where DuckDB
+  // parity demands it.
   // -------------------------------------------------------------------
+
+  /** Bounded-state quantile for continuous high-cardinality values:
+    * percentile_approx's mergeable sketch (state O(accuracy), never
+    * O(distinct values)). Not bit-comparable across engines — use the
+    * exact histogram form for oracle-checked queries. */
+  def quantileApprox(v: Column, q: Double, accuracy: Int = 10000): Column =
+    percentile_approx(v, lit(q), lit(accuracy))
 
   /** Phase 1+2: per-group sorted (v, c) histogram. */
   def valueHistogram(df: DataFrame, groups: Seq[String], value: Column): DataFrame =

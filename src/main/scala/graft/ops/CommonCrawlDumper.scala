@@ -32,17 +32,6 @@ object CommonCrawlDumper {
     }
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-
   /** Full-record JSON lines for every successfully fetched page. */
   def records(fetch: Dataset[CrawlRow], content: Dataset[ContentRow],
       agent: String = "graft"): Dataset[String] = {
@@ -59,20 +48,20 @@ object CommonCrawlDumper {
         val body = java.util.Base64.getEncoder
           .encodeToString(if (bytes == null) Array.empty[Byte] else bytes)
         val sb = new StringBuilder(256 + body.length)
-        sb.append("{\"url\":").append(jstr(url))
+        sb.append("{\"url\":").append(graft.Json.str(url))
           .append(",\"timestamp\":").append(ft)
-          .append(",\"key\":").append(jstr(reverseUrlKey(url)))
+          .append(",\"key\":").append(graft.Json.str(reverseUrlKey(url)))
           .append(",\"request\":{\"method\":\"GET\",\"client\":{")
           .append("\"hostname\":\"localhost\",\"software\":")
-          .append(jstr(s"graft ($agent)"))
-          .append("},\"headers\":{\"User-Agent\":").append(jstr(agent))
+          .append(graft.Json.str(s"graft ($agent)"))
+          .append("},\"headers\":{\"User-Agent\":").append(graft.Json.str(agent))
           .append(",\"Accept\":\"*/*\"}}")
           .append(",\"response\":{\"status\":200,\"server\":{\"hostname\":")
-          .append(jstr(host))
-          .append("},\"headers\":{\"Content-Type\":").append(jstr(ct))
+          .append(graft.Json.str(host))
+          .append("},\"headers\":{\"Content-Type\":").append(graft.Json.str(ct))
           .append(",\"Content-Length\":\"")
           .append(if (bytes == null) 0 else bytes.length)
-          .append("\"},\"body\":").append(jstr(body)).append("}}")
+          .append("\"},\"body\":").append(graft.Json.str(body)).append("}}")
         sb.toString
       }
   }

@@ -123,10 +123,13 @@ object Fetch {
             else Robots.AllowAll
           })
         }
-      val results =
-        scala.collection.mutable.ArrayBuffer.empty[(List[CrawlRow], ContentRow)]
       def emptyContent(e: GenerateEntry) =
         ContentRow(e.url, e.url, Array.empty[Byte], "", Map.empty)
+      // Pass 1 over the (small: url+datum) fetchlist partition: robots
+      // verdicts + per-host queues. Content bytes do NOT exist yet —
+      // they are produced lazily below, one page at a time, so the
+      // task never holds the partition's payloads in memory.
+      val denied = scala.collection.mutable.ArrayBuffer.empty[GenerateEntry]
       val queue = scala.collection.mutable.ArrayBuffer.empty[Pacer.Item[GenerateEntry]]
       it.foreach { e =>
         val path = e.url.replaceFirst("^[a-z]+://[^/]+", "") match {
@@ -134,12 +137,8 @@ object Fetch {
           case p => p
         }
         val rules = if (honor) rulesFor(e.url) else Robots.AllowAll
-        if (honor && !rules.isAllowed(path)) {
-          val datum = e.datum.copy(status = CrawlStatus.FETCH_GONE,
-            fetchTime = now,
-            metadata = e.datum.metadata + (RobotsDeniedKey -> "true"))
-          results += ((CrawlRow(e.url, datum) :: Nil, emptyContent(e)))
-        } else {
+        if (honor && !rules.isAllowed(path)) denied += e
+        else {
           queue += Pacer.Item(
             graft.net.UrlParts.host(e.url).getOrElse(""), e,
             e.datum.metadata.get(Generate.VariableFetchDelayKey)
@@ -147,7 +146,15 @@ object Fetch {
             rules.crawlDelayMs)
         }
       }
-      Pacer.run(queue, pacer, clockFactory()) { (e, _) =>
+      val deniedIt = denied.iterator.map { e =>
+        val datum = e.datum.copy(status = CrawlStatus.FETCH_GONE,
+          fetchTime = now,
+          metadata = e.datum.metadata + (RobotsDeniedKey -> "true"))
+        (CrawlRow(e.url, datum) :: Nil, emptyContent(e))
+      }
+      // Pass 2: the pacer's LAZY iterator — each next() sleeps, fetches
+      // ONE page, and streams its rows+content straight downstream
+      val pacedIt = Pacer.pacedMap(queue, pacer, clockFactory()) { (e, _) =>
         // the delay override is consumed by the queue, not carried on
         // (FetchItemQueue.addFetchItem removes it)
         val meta0 = e.datum.metadata - Generate.VariableFetchDelayKey
@@ -173,9 +180,9 @@ object Fetch {
           .map(target => CrawlRow(target,
             CrawlDatum(CrawlStatus.LINKED, 0L, 0, e.datum.fetchInterval,
               e.datum.score, None, 0L, Map.empty)))
-        results += ((CrawlRow(e.url, datum) :: redirLinked.toList,
+        (CrawlRow(e.url, datum) :: redirLinked.toList,
           ContentRow(e.url, out.movedTo.getOrElse(e.url), out.bytes,
-            out.contentType, Map.empty)))
+            out.contentType, Map.empty))
       } { (e, reason) =>
         val (status, marker) = reason match {
           case Pacer.ExcessCrawlDelay =>
@@ -187,9 +194,9 @@ object Fetch {
         }
         val datum = e.datum.copy(status = status, fetchTime = now,
           metadata = e.datum.metadata - Generate.VariableFetchDelayKey + marker)
-        results += ((CrawlRow(e.url, datum) :: Nil, emptyContent(e)))
+        (CrawlRow(e.url, datum) :: Nil, emptyContent(e))
       }
-      results.iterator
+      deniedIt ++ pacedIt
     }.cache() // one protocol pass feeds both outputs
     Result(
       fetched.flatMap(_._1),

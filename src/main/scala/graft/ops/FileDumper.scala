@@ -25,8 +25,7 @@ object FileDumper {
     "audio/mpeg" -> "mp3", "video/mp4" -> "mp4", "text/plain" -> "txt")
 
   def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    graft.functions.Hashing.md5HexOf(s.getBytes("UTF-8"))
 
   /** Effective MIME: magic-byte sniff first, declared type as fallback
     * (FileDumper trusts the stronger signal). */
@@ -39,36 +38,32 @@ object FileDumper {
   }
 
   /** Dump content rows whose MIME matches `mimeFilter` (empty = all)
-    * into `outDir/<md5[0,1]>/<md5[2,3]>/<md5>.<ext>`. Returns the dump
-    * manifest (what was written where). */
+    * into `outDir/<md5[0,1]>/<md5[2,3]>/<md5>.<ext>`. ONE pass: each
+    * partition sniffs, filters, writes its files, and emits its slice
+    * of the manifest — the payload bytes never re-shuffle and the
+    * content is never re-scanned. The returned manifest is
+    * materialized (cached + counted) so laziness can't defer or repeat
+    * the file writes. */
   def dump(content: Dataset[ContentRow], outDir: String,
       mimeFilter: Set[String] = Set.empty): Dataset[DumpEntry] = {
     val spark: SparkSession = content.sparkSession
     import spark.implicits._
-    val entries = content.map { c =>
-      val mime = effectiveMime(c.bytes, c.contentType)
-      val h = md5Hex(c.url)
-      val ext = extByMime.getOrElse(mime, "bin")
-      DumpEntry(c.url,
-        s"${h.substring(0, 2)}/${h.substring(2, 4)}/$h.$ext",
-        mime, c.bytes.length.toLong)
-    }
-    val keep =
-      if (mimeFilter.isEmpty) entries
-      else entries.filter(e => mimeFilter.contains(e.mime))
-    // write the selected payloads partition-locally
-    val byUrl = content.map(c => (c.url, c.bytes))
-      .toDF("url", "bytes")
-    val sel = keep.toDF().join(byUrl, "url")
-      .select("url", "path", "mime", "nBytes", "bytes")
-      .as[(String, String, String, Long, Array[Byte])]
-    sel.foreachPartition { (it: Iterator[(String, String, String, Long, Array[Byte])]) =>
-      for ((_, path, _, _, bytes) <- it) {
-        val p = java.nio.file.Paths.get(outDir, path)
-        java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.write(p, bytes)
+    val manifest = content.mapPartitions { it =>
+      it.flatMap { c =>
+        val mime = effectiveMime(c.bytes, c.contentType)
+        if (mimeFilter.nonEmpty && !mimeFilter.contains(mime)) None
+        else {
+          val h = md5Hex(c.url)
+          val ext = extByMime.getOrElse(mime, "bin")
+          val rel = s"${h.substring(0, 2)}/${h.substring(2, 4)}/$h.$ext"
+          val p = java.nio.file.Paths.get(outDir, rel)
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, c.bytes)
+          Some(DumpEntry(c.url, rel, mime, c.bytes.length.toLong))
+        }
       }
-    }
-    keep
+    }.cache()
+    manifest.count() // drive the writes exactly once
+    manifest
   }
 }

@@ -160,12 +160,14 @@ object Sitemap {
       cfg: Config): Dataset[CrawlRow] = {
     val spark = db.sparkSession
     import spark.implicits._
-    // one sitemap datum per url (highest score wins, deterministic)
-    val sm1 = sitemap.groupByKey(_.url).reduceGroups((a, b) =>
-      if (a.datum.score > b.datum.score ||
-        (a.datum.score == b.datum.score &&
-          a.datum.fetchInterval <= b.datum.fetchInterval)) a else b)
-      .map(_._2)
+    // one sitemap datum per url — TOTAL order (score desc, interval
+    // asc, modifiedTime desc) so the keeper never depends on Spark's
+    // fold order when two sitemap files declare the same url
+    val sm1 = sitemap.groupByKey(_.url).reduceGroups { (a, b) =>
+      val ka = (-a.datum.score, a.datum.fetchInterval, -a.datum.modifiedTime)
+      val kb = (-b.datum.score, b.datum.fetchInterval, -b.datum.modifiedTime)
+      if (Ordering[(Float, Int, Long)].lteq(ka, kb)) a else b
+    }.map(_._2)
     db.groupByKey(_.url).cogroup(sm1.groupByKey(_.url)) { (url, dbIt, smIt) =>
       val orig = dbIt.toSeq.headOption
       val sm = smIt.toSeq.headOption

@@ -106,9 +106,7 @@ object WarcExporter {
       }
   }
 
-  def md5Hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map(x => f"$x%02x").mkString
+  def md5Hex(b: Array[Byte]): String = graft.functions.Hashing.md5HexOf(b)
 
   /** Concatenate records into one .warc file per partition under `dir`
     * (local-FS writer for the sandbox; record order within a partition

@@ -53,17 +53,9 @@ object RestServer {
       ex.close()
     }
 
-    private def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-
     private def jobJson(j: Job): String =
-      s"""{"id":${j.id},"type":${jstr(j.jobType)},"state":${jstr(j.state)},""" +
-        s""""msg":${jstr(j.message)}}"""
+      s"""{"id":${j.id},"type":${graft.Json.str(j.jobType)},"state":${graft.Json.str(j.state)},""" +
+        s""""msg":${graft.Json.str(j.message)}}"""
 
     /** The job verbs — the REST twin of the CLI dispatch. */
     private def runJob(j: Job): Unit = {
@@ -156,7 +148,7 @@ object RestServer {
             params.get("url") match {
               case Some(u) => CrawlDbReader.url(db, u) match {
                 case Some(r) => reply(ex, 200,
-                  s"""{"url":${jstr(r.url)},"status":${jstr(
+                  s"""{"url":${graft.Json.str(r.url)},"status":${graft.Json.str(
                     r.datum.statusName)},"score":${r.datum.score},""" +
                     s""""fetchTime":${r.datum.fetchTime}}""")
                 case None => reply(ex, 404, """{"error":"not found"}""")
@@ -164,7 +156,7 @@ object RestServer {
               case None =>
                 val rows = CrawlDbReader.stats(db).orderBy("status")
                   .collect().map(r =>
-                    s"""{"status":${jstr(r.getString(0))},"cnt":${
+                    s"""{"status":${graft.Json.str(r.getString(0))},"cnt":${
                       r.getLong(1)}}""")
                 reply(ex, 200, rows.mkString("[", ",", "]"))
             }

@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
 
 /** ANN quality audit: knn_ivf vs the knn_bruteforce exact baseline on
   * sf0.001.
@@ -11,17 +14,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * 1-probe IVF is bounded by the DATA, not the index — on uniform
   * vectors every partition-pruned ANN degrades to ~1/nCells. What the
   * index must still guarantee, and what this spec asserts:
-  *   1. within the scanned cell the results are EXACT (cell-restricted
-  *      brute force agrees bit-for-bit), and
-  *   2. recall is no worse than the random-cell floor (assignment not
+  *   1. every reported similarity is EXACTLY the true fixed-point
+  *      cosine (independently recomputed from the raw embeddings);
+  *   2. per-query results are correctly ranked;
+  *   3. recall is no worse than the random-cell floor (assignment not
   *      broken).
-  * On clustered corpora (the real training-data case) property 1 is
-  * what makes recall track the clustering. */
+  * On clustered corpora (the real training-data case) these properties
+  * are what make recall track the clustering. */
 class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("IVF is exact within its cell and above the random-cell floor") {
+  test("IVF cosines are exact, ranked, and above the random-cell floor") {
+    import spark.implicits._
     val exact = Queries.byName("knn_bruteforce").build(spark, dir)
       .filter("rank <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -30,27 +35,38 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
     val ivfRows = Queries.byName("knn_ivf").build(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     spark.catalog.clearCache()
-    val ivf = ivfRows.groupBy(_._1).view
-      .mapValues(_.map(_._2).toSet).toMap
 
-    // 1. in-cell exactness: for each query, every returned candidate
-    // must beat every non-returned candidate of the same cell — i.e.
-    // the per-cell ranking is the true cosine ranking. We verify via
-    // the brute-force scores: no brute-force candidate in the SAME
-    // CELL outranks a kept one beyond top-3.
-    val cellOf = ivfRows.map(r => (r._1, r._2) -> r._3).toMap
-    val keptCos = ivfRows.map(r => (r._1, r._2) -> r._4).toMap
-    assert(keptCos.nonEmpty && cellOf.nonEmpty)
-    for ((q, cands) <- ivf) {
-      val kept = ivfRows.filter(_._1 == q)
-      assert(kept.size <= 3)
-      // scores strictly ordered within the query (ties broken by id)
-      val sorted = kept.sortBy(r => (-r._4, r._2))
-      assert(sorted.map(_._2).toSeq == kept.sortBy(r => (-r._4, r._2))
-        .map(_._2).toSeq)
+    // 1. independently recompute every reported cosine from the raw
+    // embeddings with the same fixed-point pipeline — exact match
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("qv"))
+    val pairs = ivfRows.toSeq.toDF("q_id", "cand_id", "cell", "cos")
+    val recomputed = pairs
+      .join(emb.select(col("vec_id").as("q_id"), col("qv").as("a")), "q_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("qv").as("b")),
+        "cand_id")
+      .select(col("q_id"), col("cand_id"), col("cos"),
+        round(Similarity.cosineFx(Similarity.dotQ(col("a"), col("b")),
+          Similarity.normSqQ(col("a")), Similarity.normSqQ(col("b"))), 6)
+          .as("true_cos"))
+      .collect()
+    assert(recomputed.nonEmpty)
+    recomputed.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"q=${r.getLong(0)} cand=${r.getLong(1)}: reported ${
+          r.getDouble(2)} != true ${r.getDouble(3)}")
     }
 
-    // 2. above the random-cell floor
+    // 2. per-query ranking: results arrive ordered by (cos desc, id)
+    for ((q, rows) <- ivfRows.groupBy(_._1)) {
+      val key = rows.map(r => (-r._4, r._2)).toSeq
+      assert(key == key.sorted, s"query $q results mis-ranked")
+      assert(rows.length <= 3)
+    }
+
+    // 3. above the random-cell floor
+    val ivf = ivfRows.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
     val nCells = ivfRows.map(_._3).distinct.length.toDouble.max(1.0)
     val recalls = exact.map { case (q, truth) =>
       ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size

@@ -79,6 +79,20 @@ class PacerSpec extends AnyFunSuite {
     assert(drained.forall(_._2 == Pacer.TimeLimit))
   }
 
+  test("max.crawl.delay drops only robots delays, never the generator override") {
+    // a healthy host whose hostdb-driven variable delay exceeds the cap
+    // must still be fetched (the cap targets hostile robots files only)
+    val items = Seq(
+      Pacer.Item("busy.com", "b1", delayOverrideMs = Some(60000)),
+      Pacer.Item("busy.com", "b2", delayOverrideMs = Some(60000),
+        robotsDelayMs = Some(90000)))
+    val (fetched, drained) =
+      run(items, Pacer.Config(serverDelayMs = 10, maxCrawlDelayMs = 30000))
+    assert(drained.isEmpty)
+    assert(fetched.map(_._1) == Vector("b1", "b2"))
+    assert(fetched(1)._2 - fetched(0)._2 >= 60000) // override still paces
+  }
+
   test("scales: 10k hosts x 10 items each, virtual time, sub-second") {
     val items = for (h <- 0 until 10000; i <- 0 until 10)
       yield Pacer.Item(s"h$h.com", s"h$h-$i")
