@@ -235,21 +235,40 @@ object Main {
         }
       case "domainstats" :: crawldb :: rest =>
         // DomainStatistics: url counts by host / PSL-registered domain /
-        // suffix / tld (util/DomainStatistics.java modes)
-        import org.apache.spark.sql.functions.{col, count, lit, desc}
+        // suffix / tld (util/DomainStatistics.java modes). Job-shaped:
+        // -out <dir> streams via df.write (one row per key — unbounded
+        // on a real crawl, never collected); stdout only shows -limit N.
+        import org.apache.spark.sql.functions.{col, concat_ws, count, desc, lit}
         val mode = opt(rest, "-mode").getOrElse("domain")
-        val db = new CrawlDbTable(spark, crawldb).read().toDF()
-        val keyCol = mode match {
-          case "host" => graft.functions.Urls.host(col("url"))
-          case "suffix" => graft.functions.Urls.domainSuffix(col("url"))
-          case _ => graft.functions.Urls.registeredDomain(col("url"))
+        val keyColOpt = mode match {
+          case "host" => Some(graft.functions.Urls.host(col("url")))
+          case "domain" => Some(graft.functions.Urls.registeredDomain(col("url")))
+          case "suffix" => Some(graft.functions.Urls.domainSuffix(col("url")))
+          case "tld" => Some(graft.functions.Urls.tld(col("url")))
+          case _ => None
         }
-        db.groupBy(keyCol.as(mode))
-          .agg(count(lit(1)).as("n_urls"))
-          .orderBy(desc("n_urls"), col(mode))
-          .collect()
-          .foreach(r => println(s"${r.get(0)}\t${r.getLong(1)}"))
-        0
+        keyColOpt match {
+          case None =>
+            System.err.println(s"domainstats: unknown -mode $mode " +
+              "(host|domain|suffix|tld)")
+            2
+          case Some(keyCol) =>
+            val db = new CrawlDbTable(spark, crawldb).read().toDF()
+            val stats = db.groupBy(keyCol.as(mode))
+              .agg(count(lit(1)).as("n_urls"))
+              .orderBy(desc("n_urls"), col(mode))
+            opt(rest, "-out") match {
+              case Some(out) =>
+                stats.select(concat_ws("\t", col(mode), col("n_urls")))
+                  .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                  .text(out)
+                println(s"domainstats: wrote $out")
+              case None =>
+                stats.limit(optL(rest, "-limit", 20).toInt).collect()
+                  .foreach(r => println(s"${r.get(0)}\t${r.getLong(1)}"))
+            }
+            0
+        }
       case "protocolstats" :: crawldb :: _ =>
         // ProtocolStatusStatistics analog over the crawldb statuses
         CrawlDbReader.stats(new CrawlDbTable(spark, crawldb).read())
@@ -271,19 +290,30 @@ object Main {
           .count()} entries")
         0
       case "readlinkdb" :: linkdb :: rest =>
+        // LinkDbReader: -url point lookup stays driver-side (one row);
+        // the full-db dump is a job (-dump <out>, LinkDbReader.java -dump
+        // shape) — stdout only ever shows -limit N rows.
+        import org.apache.spark.sql.functions.col
         val l = new LinkDbTable(spark, linkdb).read()
         rest match {
           case "-url" :: u :: _ =>
-            l.filter(_.url == u).collect().headOption match {
+            l.filter(col("url") === u).limit(1).collect().headOption match {
               case Some(row) =>
                 row.inlinks.foreach(i =>
                   println(s"${i.fromUrl}\t${i.anchor}"))
                 0
               case None => println(s"$u not found"); 1
             }
+          case "-dump" :: out :: _ =>
+            l.toDF().selectExpr(
+                "concat_ws('\t', url, cast(size(inlinks) as string)) as line")
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
+            println(s"readlinkdb: wrote $out")
+            0
           case _ =>
-            l.collect().foreach(r =>
-              println(s"${r.url}\t${r.inlinks.length} inlinks"))
+            l.orderBy(col("url")).limit(optL(rest, "-limit", 20).toInt)
+              .collect()
+              .foreach(r => println(s"${r.url}\t${r.inlinks.length} inlinks"))
             0
         }
       case "readseg" :: segdir :: rest =>

@@ -27,12 +27,46 @@ object QueriesEmbed {
         x -> CAST(ROUND(x*1e6) AS BIGINT) * CAST(ROUND(x*1e6) AS BIGINT)))
         AS BIGINT)"""
 
-  /** embeddings with pre-quantized vector + exact squared norm. */
-  private def prepared(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(
+  /** pre-quantized vector + exact squared norm over any embedding frame. */
+  private def prepare(df: DataFrame): DataFrame =
+    df.select(
       col("vec_id"), col("label"),
       Similarity.quantized(col("embedding")).as("qv"))
       .withColumn("nsq", Similarity.normSqQ(col("qv")))
+
+  /** embeddings with pre-quantized vector + exact squared norm. */
+  private def prepared(s: SparkSession, dir: String): DataFrame =
+    prepare(t(s, dir, "embeddings"))
+
+  private val PLANT_MOD = 100
+  private val PLANT_ID_OFFSET = 1000000L
+
+  /** embeddings plus PLANTED near-duplicates: every PLANT_MOD-th vector
+    * reappears under vec_id+1e6 with its first coordinate doubled.
+    * cos(a, a') = (1+t)/√(1+3t) for t = x₁²/|a|² ∈ [0,1], minimized at
+    * t=1/3 → cos ≥ 0.943 ALWAYS — so the ≥0.9 near-dup threshold is
+    * guaranteed to fire and the oracle comparison exercises the full
+    * band/candidate/cosine pipeline on known-positive pairs (doubling
+    * is exact in float and keeps every sign bit, so the planted copy
+    * shares all four LSH bands with its source). */
+  private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    val planted = base.filter(col("vec_id") % PLANT_MOD === 0)
+      .select((col("vec_id") + PLANT_ID_OFFSET).as("vec_id"), col("label"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(2.0f)),
+          slice(col("embedding"), 2, 100000)).as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** DuckDB twin of [[plantedEmb]] (a CTE body named `emb`). */
+  private def sqlPlantedEmb: String =
+    s"""SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + $PLANT_ID_OFFSET AS vec_id, label,
+               list_concat([CAST(embedding[1] * 2 AS FLOAT)],
+                           embedding[2:]) AS embedding
+        FROM embeddings WHERE vec_id % $PLANT_MOD = 0"""
 
   private def cosExpr = round(
     Similarity.cosineFx(col("dot"), col("nq"), col("nc")), 6)
@@ -73,14 +107,20 @@ object QueriesEmbed {
       SELECT q_id, cand_id, cos, CAST(rn AS BIGINT) AS rank
       FROM r WHERE rn <= 5"""))
 
+  private val NPROBE = 2
+
   /** Real IVF ANN: the coarse quantizer is TRAINED — one Lloyd step from
     * the label partition (centroid = per-cell mean in fixed point), every
     * vector is then ASSIGNED to its nearest centroid by cosine, and each
-    * query scans only its assigned cell (nprobe=1). Centroid averaging
-    * uses floor(sum/count) on exact integer sums so both engines agree
-    * bit-for-bit; assignment argmax ties break on cell asc. At scale the
-    * per-cell scan replaces the full-table pass — the brute-force query
-    * above stays as the labeled recall baseline. */
+    * query MULTI-PROBES its NPROBE nearest cells (the standard recall
+    * fix for queries near a cell boundary: the 2nd-closest centroid's
+    * cell holds most of the neighbors the 1st misses). Centroid
+    * averaging uses floor(sum/count) on exact integer sums so both
+    * engines agree bit-for-bit; probe/assignment ranking ties break on
+    * cell asc. At scale each query row fans out to NPROBE cell-probe
+    * rows before the cell join — work stays linear in n·nprobe/cells,
+    * never the full-table pass; the brute-force query above stays as
+    * the labeled recall baseline. */
   val knnIvf = Q(
     "knn_ivf",
     (s, dir) => {
@@ -107,11 +147,13 @@ object QueriesEmbed {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
         .cache()
-      // --- search: queries scan their own cell only ---
-      val q = asg.filter(col("vec_id") % 50 === 0)
+      // --- search: each query scans its NPROBE nearest cells ---
+      val probes = scored.filter(col("vec_id") % 50 === 0)
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= NPROBE)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
           col("nsq").as("nq"), col("cell").as("q_cell"))
-      val pairs = q.join(asg,
+      val pairs = probes.join(asg,
           col("q_cell") === col("cell") && col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"), col("cell"),
           Similarity.dotQ(col("q_qv"), col("qv")).as("dot"),
@@ -152,16 +194,20 @@ object QueriesEmbed {
           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
                    ORDER BY ccos DESC, cell) AS rn
           FROM scored) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cell) AS rn
+          FROM scored WHERE vec_id % 50 = 0) WHERE rn <= $NPROBE),
       p AS (
         SELECT qa.vec_id AS q_id, ca.vec_id AS cand_id, ca.cell,
           ROUND(CAST(${sqlDotFx("eq.embedding", "ec.embedding")} AS DOUBLE) /
             (sqrt(CAST(${sqlNormSqFx("eq.embedding")} AS DOUBLE)) *
              sqrt(CAST(${sqlNormSqFx("ec.embedding")} AS DOUBLE))), 6) AS cos
-        FROM asg qa
+        FROM probes qa
         JOIN asg ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
         JOIN embeddings eq ON eq.vec_id = qa.vec_id
-        JOIN embeddings ec ON ec.vec_id = ca.vec_id
-        WHERE qa.vec_id % 50 = 0),
+        JOIN embeddings ec ON ec.vec_id = ca.vec_id),
       r AS (SELECT q_id, cand_id, cell, cos,
               row_number() OVER (PARTITION BY q_id
                                  ORDER BY cos DESC, cand_id) AS rn
@@ -177,11 +223,15 @@ object QueriesEmbed {
     * sign-pattern bands (random-hyperplane LSH with axis-aligned
     * planes); exact fixed-point cosine ≥ 0.9 on candidates only. The
     * previous label-cell all-pairs join was O(n²/L) with a FIXED label
-    * count — the 256-way band split keeps buckets bounded as n grows. */
+    * count — the 256-way band split keeps buckets bounded as n grows.
+    * Runs over [[plantedEmb]]: the synthetic corpus is measured-uniform
+    * (no natural pair reaches 0.9), so the planted perturbed copies
+    * make the expected output non-empty — the oracle proves the
+    * pipeline finds every planted pair instead of matching 0 = 0. */
   val embedNearDup = Q(
     "embed_neardup",
     (s, dir) => {
-      val e = prepared(s, dir).cache()
+      val e = prepare(plantedEmb(s, dir)).cache()
       val bandCols = (0 until NEARDUP_BANDS).map { b =>
         val bits = (0 until NEARDUP_BITS).map { j =>
           when(element_at(col("qv"), b * NEARDUP_BITS + j + 1) >= 0,
@@ -217,10 +267,12 @@ object QueriesEmbed {
           s"(CASE WHEN CAST(ROUND(embedding[${b * NEARDUP_BITS + j + 1}]*1e6) AS BIGINT) >= 0 THEN '1' ELSE '0' END)"
         }.mkString(" || ")
       val bandSelects = (0 until NEARDUP_BANDS).map(b =>
-        s"SELECT vec_id, label, $b AS band, ${sqlBits(b)} AS bv FROM embeddings")
+        s"SELECT vec_id, label, $b AS band, ${sqlBits(b)} AS bv FROM emb")
         .mkString("\n        UNION ALL ")
       s"""
-      WITH bands AS (
+      WITH emb AS (
+        $sqlPlantedEmb),
+      bands AS (
         $bandSelects),
       cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -233,8 +285,8 @@ object QueriesEmbed {
             (sqrt(CAST(${sqlNormSqFx("a.embedding")} AS DOUBLE)) *
              sqrt(CAST(${sqlNormSqFx("b.embedding")} AS DOUBLE))), 6) AS cos
         FROM cand c
-        JOIN embeddings a ON a.vec_id = c.a_id
-        JOIN embeddings b ON b.vec_id = c.b_id)
+        JOIN emb a ON a.vec_id = c.a_id
+        JOIN emb b ON b.vec_id = c.b_id)
       WHERE cos >= 0.9"""
     })
 

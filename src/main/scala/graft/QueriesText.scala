@@ -666,7 +666,8 @@ object QueriesText {
                CAST(length(text) - (len(string_split(text, ' ')) - 1)
                     AS DOUBLE) / len(string_split(text, ' ')) AS mtl
         FROM dd WHERE rn = 1)
-      SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              MIN(doc_id) AS first_doc
       FROM gated
       WHERE n_tokens >= 20 AND mtl >= 2.5 AND mtl <= 12.0

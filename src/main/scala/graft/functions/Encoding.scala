@@ -178,20 +178,23 @@ object Encoding {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   import org.apache.spark.sql.types.{BinaryType, BooleanType, StringType}
 
-  /** decompress-if-compressed + detect + decode, as a plan column. */
+  /** decompress-if-compressed + detect + decode, as a plan column.
+    * propagateNull=false: a NULL contentType must not null the result —
+    * decodeU falls back to BOM/meta/UTF-8 detection when it is absent. */
   def decodeCol(bytes: Column, contentType: Column): Column =
     ColumnBridge.column(StaticInvoke(
       Class.forName("graft.functions.Encoding"), StringType, "decodeU",
       Seq(ColumnBridge.expression(bytes), ColumnBridge.expression(contentType)),
-      Seq(BinaryType, StringType)))
+      Seq(BinaryType, StringType), propagateNull = false))
 
-  /** fixture encoder for oracle queries (arbitrary charset + gzip). */
+  /** fixture encoder for oracle queries (arbitrary charset + gzip).
+    * propagateNull=false: encodeU defaults a NULL charset to UTF-8. */
   def encodeCol(text: Column, charset: Column, gzip: Column): Column =
     ColumnBridge.column(StaticInvoke(
       Class.forName("graft.functions.Encoding"), BinaryType, "encodeU",
       Seq(ColumnBridge.expression(text), ColumnBridge.expression(charset),
         ColumnBridge.expression(gzip)),
-      Seq(StringType, StringType, BooleanType)))
+      Seq(StringType, StringType, BooleanType), propagateNull = false))
 
   // ---- UTF8String/byte[] entry points for StaticInvoke codegen ----
 

@@ -20,25 +20,26 @@ object CrawlDbReader {
     }
   }
 
-  /** -stats: per-status counts + score min/max/avg + exact quantiles
-    * (CrawlDbReader.java:371-509). Quantile via the two-phase value
-    * histogram (Relational.histQuantileCont): the shuffle keys on
-    * (status, score), so db_unfetched dominating a real crawldb no
-    * longer funnels one status through one task. */
-  def stats(db: Dataset[CrawlRow]): DataFrame = {
-    val h = Relational.valueHistogram(
-      db.toDF().select(statusNameCol.as("status"),
-        col("datum.score").cast("double").as("score")),
-      Seq("status"), col("score"))
-    h.select(col("status"),
-      Relational.histN(col("hist")).as("cnt"),
-      Relational.histMin(col("hist")).as("min_score"),
-      Relational.histMax(col("hist")).as("max_score"),
-      (Relational.histFxSum(col("hist"), 4) /
-        Relational.histN(col("hist"))).as("avg_score"),
-      round(Relational.histQuantileCont(col("hist"), 0.5), 4)
-        .as("p50_score"))
-  }
+  /** -stats: per-status counts + score min/max/avg + median
+    * (CrawlDbReader.java:371-509). Production path uses bounded-state
+    * aggregates only: percentile_approx's mergeable sketch is
+    * O(accuracy) per group, never O(distinct scores) — on a real
+    * crawldb the score column is continuous, so the exact value
+    * histogram (one array entry per distinct value) would approach row
+    * count for the dominant status and blow the aggregation buffer.
+    * The oracle-checked exact form lives in `crawldb_stats`. */
+  def stats(db: Dataset[CrawlRow]): DataFrame =
+    db.toDF()
+      .select(statusNameCol.as("status"),
+        col("datum.score").cast("double").as("score"))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        avg(col("score")).as("avg_score"),
+        round(Relational.quantileApprox(col("score"), 0.5), 4)
+          .as("p50_score"))
 
   /** -dump csv lines (quoted url, status name, score, fetch time). */
   def csvLines(db: Dataset[CrawlRow]): DataFrame =

@@ -115,12 +115,13 @@ object WarcExporter {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     records.sort("url", "kind").foreachPartition {
       (it: Iterator[WarcRecord]) =>
-        val recs = it.toVector
-        if (recs.nonEmpty) {
+        // open lazily on the first record and write straight from the
+        // iterator — never buffer a partition of page payloads in memory
+        if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val p = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc")
           val out = java.nio.file.Files.newOutputStream(p)
-          try recs.foreach(r => out.write(r.bytes))
+          try it.foreach(r => out.write(r.bytes))
           finally out.close()
         }
     }

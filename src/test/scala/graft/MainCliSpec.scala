@@ -63,6 +63,9 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     // and the point lookup correctly misses.
     assert(v("readlinkdb", linkdb) == 0)
     assert(v("readlinkdb", linkdb, "-url", s"$A/p1") == 1)
+    // -dump is job-shaped: writes through df.write, no driver collect
+    assert(v("readlinkdb", linkdb, "-dump", s"$root/linkdump") == 0)
+    assert(Files.exists(Paths.get(root, "linkdump")))
     assert(v("readseg", seg, "-part", "generate") == 0)
     assert(v("readseg", seg, "-part", "nope") == 2)
 
@@ -83,6 +86,12 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     // stats verbs (domainstats goes through the PSL engine)
     assert(v("domainstats", crawldb, "-mode", "domain") == 0)
     assert(v("domainstats", crawldb, "-mode", "suffix") == 0)
+    assert(v("domainstats", crawldb, "-mode", "tld") == 0)
+    assert(v("domainstats", crawldb, "-mode", "bogus") == 2)
+    // -out is job-shaped: one tab-separated line per key via df.write
+    assert(v("domainstats", crawldb, "-mode", "host",
+      "-out", s"$root/domstats") == 0)
+    assert(spark.read.text(s"$root/domstats").count() >= 1)
     assert(v("protocolstats", crawldb) == 0)
 
     // index + clean

@@ -76,4 +76,42 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
       f"${nCells.toInt} cells (random floor ≈ ${1.0 / nCells}%.3f)")
     assert(mean >= 0.8 / nCells, f"recall@3 = $mean%.3f below floor")
   }
+
+  /** The real ANN acceptance bar: on a corpus where queries HAVE close
+    * neighbors (three planted scaled copies each — cosine is scale
+    * invariant, so each dup sits at cos ≈ 1.0 and lands in the same
+    * centroid cell as its query), the multi-probe IVF must find what
+    * brute force finds. The uniform-data test above can only assert a
+    * floor; this one asserts the target. */
+  test("multi-probe IVF recall@3 >= 0.9 on planted near-dup clusters") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("ivf-recall").toString
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dups = (1 to 3).map { j =>
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L + j).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit((j + 1).toFloat))
+            .as("embedding"))
+    }.reduce(_ unionByName _)
+    base.unionByName(dups)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+
+    val exact = Queries.byName("knn_bruteforce").build(spark, root)
+      .filter("rank <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    spark.catalog.clearCache()
+    val ivf = Queries.byName("knn_ivf").build(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    spark.catalog.clearCache()
+
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"planted recall@3 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.9, f"recall@3 = $mean%.3f below the 0.9 target")
+  }
 }
