@@ -114,10 +114,11 @@ object QueriesText {
       FROM documents"""
     })
 
-  /** X7 outlink extraction: the real href regex (ops/Parse.scala's
-    * extractor) over synthesized anchor markup — extract targets,
-    * explode, aggregate the inlink counts per target host (the
-    * outlink→inlink inversion's map side). */
+  /** X7 outlink extraction: href extraction over synthesized anchor
+    * markup — extract targets, explode, aggregate the inlink counts per
+    * target host (the outlink→inlink inversion's map side). The full
+    * DOM-faithful path lives in ops/Html.getOutlinks; this query keeps
+    * the oracle SQL-expressible with a plan-level regexp. */
   val outlinkExtract = Q(
     "outlink_extract",
     (s, dir) => {

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.net.UrlFilter
@@ -9,10 +7,11 @@ import graft.functions.Urls
 import graft.schemas._
 
 /** X8 + F7 — HTML parse and the crawl_parse emission
-  * (parse-html HtmlParser.java / DOMContentUtils.java semantics re-done
-  * as regex extraction — same outputs: title, visible text, resolved
-  * outlinks; ParseSegment.java:87-145 gate; ParseOutputFormat
-  * .java:221-260 SIGNATURE/LINKED/PARSE_META emission).
+  * (parse-html HtmlParser.java / DOMContentUtils.java semantics over
+  * the hand-rolled tokenizer+tree in [[Html]] — title, visible text,
+  * resolved outlinks, base-href; ParseSegment.java:87-145 gate;
+  * ParseOutputFormat.java:221-260 SIGNATURE/LINKED/PARSE_META
+  * emission).
   */
 object Parse {
 
@@ -22,43 +21,42 @@ object Parse {
       interval: Int = 2592000,
       deleteFailed: Boolean = false) // parser.delete.failed (NUTCH-1732)
 
-  private val titleRe =
-    Pattern.compile("(?is)<title[^>]*>(.*?)</title>")
-  private val hrefRe = Pattern.compile(
-    """(?is)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)["'][^>]*>(.*?)</a>""")
-  private val tagRe = Pattern.compile(
-    "(?is)<(script|style)[^>]*>.*?</\\1>|<[^>]+>")
-  private val wsRe = Pattern.compile("\\s+")
-
   /** One page's parse: title, cleaned text, resolved outlinks. Returns
     * Failed status when the content is not parseable as text.
     *
     * Bytes go through X5 first: gzip/deflate payloads are decompressed
     * and the charset detected (BOM > header > meta > UTF-8 check >
     * windows-1252) instead of assuming UTF-8 — functions/Encoding,
-    * after EncodingDetector.java / GZIPUtils.java. */
+    * after EncodingDetector.java / GZIPUtils.java. The decoded HTML
+    * then goes through the real tokenizer ([[Html.parse]]): script/
+    * style content never leaks into text, comments and CDATA are
+    * skipped, unquoted attributes parse, and a `<base href>` in HEAD
+    * re-roots relative links (HtmlParser.java base handling).
+    *
+    * Pipeline policy on top of the DOM-faithful [[Html.getOutlinks]]:
+    * keep http(s) targets only, dedup by URL keeping the first anchor,
+    * cap count and anchor length (ParseOutputFormat.java:221-260). */
   def parsePage(base: String, bytes: Array[Byte], contentType: String,
       cfg: Config): (Int, String, String, Seq[Outlink]) = {
     if (bytes == null || bytes.isEmpty ||
         !(contentType.startsWith("text/") || contentType.isEmpty))
       return (ParseStatusCodes.Failed, "", "", Nil)
     val html = graft.functions.Encoding.decode(bytes, contentType)
-    val tm = titleRe.matcher(html)
-    val title = if (tm.find()) wsRe.matcher(tm.group(1)).replaceAll(" ").trim
-      else ""
-    val text = wsRe.matcher(tagRe.matcher(html).replaceAll(" "))
-      .replaceAll(" ").trim
+    val root = Html.parse(html)
+    val baseUrl = Html.getBase(root)
+      .flatMap(h => Html.resolveUrl(base, h))
+      .getOrElse(base)
+    val title = Html.getTitle(root)
+    val text = Html.getText(root)
     val links = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val hm = hrefRe.matcher(html)
-    while (hm.find() && links.size < cfg.maxOutlinksPerPage) {
-      resolve(base, hm.group(1)).foreach { abs =>
-        if (!links.contains(abs)) {
-          val anchor = wsRe.matcher(tagRe.matcher(hm.group(2)).replaceAll(" "))
-            .replaceAll(" ").trim.take(cfg.maxAnchorLength)
-          links += abs -> anchor
-        }
+    Html.getOutlinks(baseUrl, root).iterator
+      .takeWhile(_ => links.size < cfg.maxOutlinksPerPage)
+      .foreach { o =>
+        val u = o.toUrl
+        if ((u.startsWith("http://") || u.startsWith("https://")) &&
+            !links.contains(u))
+          links += u -> o.anchor.take(cfg.maxAnchorLength)
       }
-    }
     (ParseStatusCodes.Success, title, text,
       links.map { case (u, a) => Outlink(u, a) }.toSeq)
   }
@@ -109,7 +107,7 @@ object Parse {
     }.cache()
 
     val parseData = parsed.map { case (url, st, title, _, outlinks, _) =>
-      ParseDataRow(url, title, outlinks, st, Map("parser" -> "html-regex"))
+      ParseDataRow(url, title, outlinks, st, Map("parser" -> "html"))
     }
     val parseText = parsed.map { case (url, _, _, text, _, _) =>
       ParseTextRow(url, text)
