@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -129,64 +130,83 @@ object QueriesGraph {
     * are deduped per (src domain, dst) with a deterministic keeper
     * (lowest src). Graph: lineitem edges modded to ~500 nodes;
     * domain = src % 50. */
-  val linkrank = Q(
-    "linkrank",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val rawEdges = li.select(
-        (col("l_orderkey") % 500).as("src"),
-        (col("l_partkey") % 500 + 500).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val wDom = Window.partitionBy((col("src") % 50).as("dom"), col("dst"))
-        .orderBy(asc("src"))
-      // node set + out-degree come from the FULL graph (Node.numOutlinks);
-      // only the inbound contributions are domain-deduped. The out-degree
-      // join is loop-invariant — hoisted onto the cached edge table so
-      // each of the 10 iterations does ONE node join + the contribution
-      // agg, not three joins. (No broadcast hints: at real scale BOTH
-      // sides are |V|/|E|-sized — shuffle joins are the right shape.)
-      val outDeg = rawEdges.groupBy("src").agg(count(lit(1)).as("out_deg"))
-      val edges = rawEdges
-        .withColumn("rn", row_number().over(wDom))
-        .filter(col("rn") === 1).drop("rn")
-        .join(outDeg, "src")
-        .cache()
-      val nodes0 = rawEdges.select(col("src").as("url"))
-        .union(rawEdges.select(col("dst").as("url")))
-        .distinct()
-        .withColumn("score", lit(1.0))
-      var nodes = nodes0
-      // localCheckpoint every 5th iteration: truncates lineage so the
-      // loop survives the reference's 10-iteration config without plan
-      // blowup (SURVEY §2.10) while short runs stay a single job;
-      // Bench/Verify clear the block cache per query.
-      for (it <- 1 to LINKRANK_ITERS) {
-        val contribs = edges
-          .join(nodes, edges("src") === nodes("url"))
-          .select(col("dst"),
-            round(col("score") / col("out_deg") * 1e9, 0).cast("long")
-              .as("c_fx"))
-          .groupBy("dst").agg(sum(col("c_fx")).as("sum_fx"))
-        nodes = nodes0.select(col("url"))
-          .join(contribs, nodes0("url") === contribs("dst"), "left")
-          .select(col("url"),
-            (lit(0.15) + lit(0.85) *
-              (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
-              .as("score"))
-        // truncate lineage every 5 iterations, but not on the last one —
-        // the final plan is consumed exactly once anyway
-        if (it % 5 == 0 && it < LINKRANK_ITERS)
-          nodes = nodes.localCheckpoint()
-      }
+  /** The linkrank plan, parameterized for tools.LinkrankBench's
+    * within-one-JVM variant comparison. `finalEager` materializes the
+    * final node table (localCheckpoint) so the edge cache can be
+    * released before returning; `cacheEdges` toggles the explicit edge
+    * cache vs relying on AQE exchange reuse.
+    *
+    * Measured (sf0.1, local[32], 3 reps in one JVM — LinkrankBench):
+    * lazy+nocache 2.5 s < lazy+cache 3.0 s < eager+cache 4.2-5.4 s ≈
+    * eager+nocache. The final eager checkpoint costs ~1.5-2 s (it adds
+    * a full materialize-then-rescan of the result) and the edge cache
+    * loses ~0.5 s to AQE's ReusedExchange, which already shares the
+    * edge shuffle across the loop's joins inside one job. The shipped
+    * query is therefore lazy+nocache — which also removes the block-
+    * cache leak the r3 eager+unpersist dance existed to prevent. */
+  private[graft] def buildLinkrank(s: SparkSession, dir: String,
+      finalEager: Boolean, cacheEdges: Boolean): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rawEdges = li.select(
+      (col("l_orderkey") % 500).as("src"),
+      (col("l_partkey") % 500 + 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val wDom = Window.partitionBy((col("src") % 50).as("dom"), col("dst"))
+      .orderBy(asc("src"))
+    // node set + out-degree come from the FULL graph (Node.numOutlinks);
+    // only the inbound contributions are domain-deduped. The out-degree
+    // join is loop-invariant — hoisted onto the cached edge table so
+    // each of the 10 iterations does ONE node join + the contribution
+    // agg, not three joins. (No broadcast hints: at real scale BOTH
+    // sides are |V|/|E|-sized — shuffle joins are the right shape.)
+    val outDeg = rawEdges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val edges0 = rawEdges
+      .withColumn("rn", row_number().over(wDom))
+      .filter(col("rn") === 1).drop("rn")
+      .join(outDeg, "src")
+    val edges = if (cacheEdges) edges0.cache() else edges0
+    val nodes0 = rawEdges.select(col("src").as("url"))
+      .union(rawEdges.select(col("dst").as("url")))
+      .distinct()
+      .withColumn("score", lit(1.0))
+    var nodes = nodes0
+    // localCheckpoint every 5th iteration: truncates lineage so the
+    // loop survives the reference's 10-iteration config without plan
+    // blowup (SURVEY §2.10) while short runs stay a single job;
+    // Bench/Verify clear the block cache per query.
+    for (it <- 1 to LINKRANK_ITERS) {
+      val contribs = edges
+        .join(nodes, edges("src") === nodes("url"))
+        .select(col("dst"),
+          round(col("score") / col("out_deg") * 1e9, 0).cast("long")
+            .as("c_fx"))
+        .groupBy("dst").agg(sum(col("c_fx")).as("sum_fx"))
+      nodes = nodes0.select(col("url"))
+        .join(contribs, nodes0("url") === contribs("dst"), "left")
+        .select(col("url"),
+          (lit(0.15) + lit(0.85) *
+            (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
+            .as("score"))
+      // truncate lineage every 5 iterations, but not on the last one —
+      // the final plan is consumed exactly once anyway
+      if (it % 5 == 0 && it < LINKRANK_ITERS)
+        nodes = nodes.localCheckpoint()
+    }
+    val plan = nodes.select(col("url"), round(col("score"), 6).as("score"))
+    if (finalEager) {
       // materialize the small final node table, then release the edge
       // cache — callers that never clear the block cache (a conductor
       // composing queries) would otherwise leak it (VERDICT r2 #5)
-      val result = nodes.select(col("url"), round(col("score"), 6).as("score"))
-        .localCheckpoint()
-      edges.unpersist()
+      val result = plan.localCheckpoint()
+      if (cacheEdges) edges.unpersist()
       result
-    },
+    } else plan
+  }
+
+  val linkrank = Q(
+    "linkrank",
+    (s, dir) => buildLinkrank(s, dir, finalEager = false, cacheEdges = false),
     Some {
       val base = """
       WITH e0 AS (SELECT DISTINCT (l_orderkey % 500) AS src,
