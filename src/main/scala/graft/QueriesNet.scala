@@ -160,5 +160,67 @@ object QueriesNet {
       WHERE rk <= CAST(ROUND(1 + fetched / 100) AS INT)
       ORDER BY score DESC, url LIMIT 500"""))
 
-  val all: Seq[Q] = Seq(urlFilter, generateEligibility, generateHostdb)
+  /** F2 — the domain allow/deny filter pair over a synthetic URL mix
+    * (DomainURLFilter.java / DomainDenylistURLFilter.java): hosts built
+    * so each match tier fires — registrable-domain (`okdomain.com`),
+    * exact-host (`www.exact.com`), public-suffix (`net`) on the
+    * allowlist; suffix (`org`) + host (`mail.exact.com`) on the
+    * denylist. The synthetic hosts are 3-label under com/net/org, so
+    * the oracle's last-label/last-two-label SQL equals the PSL engine's
+    * answer and both sides hash-compare. Filters run as codegen'd InSet
+    * membership — no UDF, no shuffle. */
+  val urlFilterDomain = Q(
+    "url_filter_domain",
+    (s, dir) => {
+      import graft.net.DomainUrlFilter
+      val allow = new DomainUrlFilter(
+        Set("okdomain.com", "www.exact.com", "net"), deny = false)
+      val deny = new DomainUrlFilter(
+        Set("org", "mail.exact.com"), deny = true)
+      val o = Queries.t(s, dir, "orders")
+      val k = col("o_orderkey")
+      val host = when(k % 4 === 0,
+          concat(lit("a"), k % 7, lit(".okdomain.com")))
+        .when(k % 4 === 1,
+          concat(when(k % 8 === 1, lit("www")).otherwise(lit("mail")),
+            lit(".exact.com")))
+        .when(k % 4 === 2, concat(lit("x"), k % 5, lit(".thing.net")))
+        .otherwise(concat(lit("y"), k % 5, lit(".nope.org")))
+      o.select(concat(lit("http://"), host, lit("/p/"), k).as("url"))
+        .select(col("url"),
+          allow.toColumn(col("url")).as("allowed"),
+          deny.toColumn(col("url")).as("deny_pass"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT 'http://' ||
+          CASE CAST(o_orderkey % 4 AS INTEGER)
+            WHEN 0 THEN 'a' || CAST(o_orderkey % 7 AS VARCHAR)
+                        || '.okdomain.com'
+            WHEN 1 THEN (CASE WHEN o_orderkey % 8 = 1 THEN 'www'
+                         ELSE 'mail' END) || '.exact.com'
+            WHEN 2 THEN 'x' || CAST(o_orderkey % 5 AS VARCHAR)
+                        || '.thing.net'
+            ELSE 'y' || CAST(o_orderkey % 5 AS VARCHAR) || '.nope.org'
+          END || '/p/' || CAST(o_orderkey AS VARCHAR) AS url
+        FROM orders),
+      q AS (
+        SELECT url,
+          regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+          regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+            '([^.]+)$', 1) AS suffix,
+          regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+            '([^.]+\.[^.]+)$', 1) AS dom
+        FROM u)
+      SELECT url,
+        (suffix IN ('okdomain.com', 'www.exact.com', 'net')
+          OR dom IN ('okdomain.com', 'www.exact.com', 'net')
+          OR host IN ('okdomain.com', 'www.exact.com', 'net')) AS allowed,
+        (host <> '' AND NOT (suffix IN ('org', 'mail.exact.com')
+          OR dom IN ('org', 'mail.exact.com')
+          OR host IN ('org', 'mail.exact.com'))) AS deny_pass
+      FROM q"""))
+
+  val all: Seq[Q] = Seq(urlFilter, generateEligibility, generateHostdb,
+    urlFilterDomain)
 }

@@ -262,6 +262,67 @@ object FastUrlFilter {
   }
 }
 
+/** urlfilter-domain / urlfilter-domaindenylist: membership of the URL's
+  * host, PSL-registrable domain, or public suffix in a rule set — the
+  * most commonly configured filter pair in real crawls
+  * (DomainURLFilter.java:78-184, DomainDenylistURLFilter.java:78-182).
+  *
+  * `deny = false` (urlfilter-domain): allow only matching URLs; an
+  * EMPTY rule set allows everything (NUTCH-2189). `deny = true`
+  * (urlfilter-domaindenylist): reject matching URLs. Unparseable URLs
+  * are rejected by both engines (both reference filters return null
+  * from their catch block). Rule entries are lowercase hostnames,
+  * registrable domains, or bare suffixes, one per line, `#` comments. */
+final class DomainUrlFilter(val rules: Set[String], val deny: Boolean)
+    extends UrlFilter {
+
+  def filter(url: String): Option[String] = {
+    if (!deny && rules.isEmpty) return Some(url) // NUTCH-2189
+    UrlParts.host(url) match {
+      case None => None
+      case Some(h) =>
+        val matched = rules.contains(graft.functions.Psl.domainSuffix(h)) ||
+          rules.contains(graft.functions.Psl.assignedDomain(h)) ||
+          rules.contains(h)
+        if (matched != deny) Some(url) else None
+    }
+  }
+
+  /** The scale path: membership as a codegen'd Column predicate. The
+    * three lookups compile to InSet (O(1) hash per row) over the
+    * PSL-backed host/domain/suffix expressions — no UDF, no shuffle;
+    * rule sets ride the plan as literals (broadcast-sized by nature:
+    * a domain list is KBs even at millions of crawled hosts). */
+  def toColumn(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    import graft.functions.Urls
+    if (!deny && rules.isEmpty) lit(true)
+    else {
+      val rs = rules.toSeq
+      val matched = coalesce(
+        Urls.domainSuffix(url).isin(rs: _*) ||
+          Urls.registeredDomain(url).isin(rs: _*) ||
+          Urls.host(url).isin(rs: _*),
+        lit(false))
+      // unparseable URLs (no host) reject in both engines; the
+      // regexp_extract host is '' when nothing matches, never null
+      if (deny) Urls.host(url) =!= lit("") && !matched else matched
+    }
+  }
+}
+
+object DomainUrlFilter {
+  /** Rule-file parser (readConfiguration in both reference filters):
+    * trim, drop blanks and `#` comments, lowercase. */
+  def parse(lines: Iterator[String], deny: Boolean = false): DomainUrlFilter =
+    new DomainUrlFilter(
+      lines.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.toLowerCase)
+        .toSet,
+      deny)
+}
+
 /** Scalar host/domain helpers shared by the scoped filters
   * (URLUtil.getHost / getDomainName). */
 object UrlParts {

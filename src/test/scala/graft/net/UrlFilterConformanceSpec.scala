@@ -142,4 +142,53 @@ class UrlFilterConformanceSpec extends AnyFunSuite {
       f.toColumn(org.apache.spark.sql.functions.col("u"))
     }
   }
+
+  // --- urlfilter-domain / urlfilter-domaindenylist ---
+  // The reference's sample rule file + assertion tables
+  // (urlfilter-domain/data/hosts.txt, TestDomainURLFilter.java:30-47,
+  // TestDomainDenylistURLFilter.java:30-47): suffix, then registrable
+  // domain, then exact host.
+
+  private val domainRules = Iterator(
+    "# comments start with the pound sign",
+    "net", "apache.org", "be", "www.yahoo.com")
+
+  private val domainTable = Seq(
+    "http://lucene.apache.org" -> true, // domain
+    "http://hadoop.apache.org" -> true, // domain
+    "http://www.apache.org" -> true, // domain
+    "http://www.google.com" -> false,
+    "http://mail.yahoo.com" -> false, // host-only entry, other host
+    "http://www.foobar.net" -> true, // suffix
+    "http://www.foobas.net" -> true, // suffix
+    "http://www.yahoo.com" -> true, // exact host
+    "http://www.foobar.be" -> true, // suffix
+    "http://www.adobe.com" -> false)
+
+  test("urlfilter-domain allowlist matches the reference table") {
+    val f = DomainUrlFilter.parse(domainRules, deny = false)
+    domainTable.foreach { case (u, e) => assert(f.accepts(u) == e, u) }
+  }
+
+  test("urlfilter-domaindenylist inverts it") {
+    val f = DomainUrlFilter.parse(
+      Iterator("net", "apache.org", "be", "www.yahoo.com"), deny = true)
+    domainTable.foreach { case (u, e) => assert(f.accepts(u) == !e, u) }
+  }
+
+  test("urlfilter-domain: empty rule set allows everything (NUTCH-2189)") {
+    val allow = DomainUrlFilter.parse(Iterator.empty, deny = false)
+    val deny = DomainUrlFilter.parse(Iterator.empty, deny = true)
+    assert(allow.accepts("http://anything.example.com/"))
+    assert(deny.accepts("http://anything.example.com/"))
+    // the allowlist's NUTCH-2189 short-circuit fires before URL parsing
+    // (reference returns the url untouched); the denylist has no such
+    // short-circuit and rejects what it cannot parse
+    assert(allow.accepts("not a url"))
+    assert(!deny.accepts("not a url"))
+    // with rules present, junk rejects on both engines
+    assert(!DomainUrlFilter.parse(Iterator("net")).accepts("not a url"))
+    assert(!DomainUrlFilter.parse(Iterator("net"), deny = true)
+      .accepts("not a url"))
+  }
 }
