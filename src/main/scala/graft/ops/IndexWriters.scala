@@ -39,6 +39,59 @@ object IndexWriters {
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(outDir)
   }
 
+  /** S7 live-sink analog — indexer-solr/indexer-elastic over HTTP
+    * (SolrIndexWriter.java:118-230 write/delete/commit flow,
+    * IndexWriters.java:354): every partition POSTs JSON-lines bulk
+    * batches to `<endpoint>/update`, then ONE driver-side
+    * `<endpoint>/commit` seals the job — the same batch+commit protocol
+    * the reference drives through SolrClient, expressed as plain HTTP
+    * so it runs against any localhost fixture (no egress in this
+    * sandbox; a live Solr/ES URL drops in unchanged).
+    *
+    * Bulk lines are the JsonLinesWriter document shape; `action` is
+    * "add" or "delete" (NutchIndexAction), so CleaningJob's
+    * deleteActions stream drives deletions through the same writer.
+    * JSON is built on the plan (codegen'd to_json) — executors ship
+    * strings, never Row objects; non-2xx responses throw so the Spark
+    * task fails and retries rather than dropping documents. */
+  final class HttpBulkWriter(val endpoint: String, val batchSize: Int = 250,
+      val name: String = "http") extends IndexWriter {
+    def write(docs: Dataset[Index.Doc], outDir: String): Unit = {
+      import docs.sparkSession.implicits._
+      val lines = docs.toDF()
+        .select(to_json(struct(col("url"), col("action"), col("title"),
+          col("host"), col("digest"), col("boost"))).as("value"))
+        .as[String]
+      val (ep, bs) = (endpoint, batchSize)
+      lines.foreachPartition { (it: Iterator[String]) =>
+        it.grouped(bs).foreach(batch =>
+          HttpBulkWriter.post(s"$ep/update", batch.mkString("\n")))
+      }
+      HttpBulkWriter.post(s"$endpoint/commit", "")
+    }
+  }
+
+  object HttpBulkWriter {
+    /** Minimal POST; returns the status code, throws on non-2xx. */
+    private[graft] def post(url: String, body: String): Int = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        conn.setFixedLengthStreamingMode(bytes.length)
+        val out = conn.getOutputStream
+        try out.write(bytes) finally out.close()
+        val code = conn.getResponseCode
+        if (code < 200 || code >= 300)
+          throw new java.io.IOException(s"POST $url -> HTTP $code")
+        code
+      } finally conn.disconnect()
+    }
+  }
+
   /** First-match routing rules: (writerName, predicate column). */
   def routeColumn(rules: Seq[(String, org.apache.spark.sql.Column)],
       default: String): org.apache.spark.sql.Column =

@@ -73,4 +73,66 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
     assert(CleaningJob.deleteActions(db).collect()
       .map(_.url).toSet == Set("http://gone.com/", "http://dup.com/"))
   }
+
+  test("HttpBulkWriter add-then-delete over real local HTTP") {
+    import spark.implicits._
+    import graft.schemas.{CrawlDatum, CrawlRow, CrawlStatus => S}
+    // a mock Solr/ES: /update ingests bulk JSON lines into an index
+    // keyed by url (delete actions remove), /commit counts commits
+    val index = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val urlRe = """"url":"([^"]+)"""".r
+    val actRe = """"action":"([^"]+)"""".r
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/update",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        body.linesIterator.filter(_.nonEmpty).foreach { line =>
+          val url = urlRe.findFirstMatchIn(line).map(_.group(1))
+          val act = actRe.findFirstMatchIn(line).map(_.group(1))
+          (url, act) match {
+            case (Some(u), Some("delete")) => index.remove(u)
+            case (Some(u), _) => index.put(u, line)
+            case _ => ()
+          }
+        }
+        ex.sendResponseHeaders(200, -1); ex.close()
+      })
+    http.createContext("/commit",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        commits.incrementAndGet()
+        ex.sendResponseHeaders(200, -1); ex.close()
+      })
+    http.start()
+    val endpoint = s"http://127.0.0.1:${http.getAddress.getPort}"
+    try {
+      val writer = new IndexWriters.HttpBulkWriter(endpoint, batchSize = 2)
+      writer.write(docs.filter(col("action") === "add"), "")
+      assert(index.size == 2)
+      assert(index.containsKey("http://a.com/") &&
+        index.containsKey("http://b.com/"))
+      assert(commits.get == 1)
+
+      // CleaningJob deletes drive removal through the same writer
+      def row(u: String, st: Byte) =
+        CrawlRow(u, CrawlDatum(st, 0L, 0, 0, 0f, None, 0L, Map.empty))
+      val db = Seq(
+        row("http://a.com/", S.DB_GONE),
+        row("http://b.com/", S.DB_FETCHED)).toDS()
+      writer.write(CleaningJob.deleteActions(db), "")
+      assert(index.size == 1 && index.containsKey("http://b.com/"))
+      assert(commits.get == 2)
+
+      // non-2xx must throw (task retry semantics, not silent drops)
+      http.createContext("/broken/update",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(500, -1); ex.close()
+        })
+      val bad = new IndexWriters.HttpBulkWriter(s"$endpoint/broken")
+      intercept[org.apache.spark.SparkException] {
+        bad.write(docs.filter(col("action") === "add"), "")
+      }
+    } finally http.stop(0)
+  }
 }
