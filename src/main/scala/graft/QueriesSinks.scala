@@ -262,6 +262,49 @@ object QueriesSinks {
              ELSE 'default' END AS writer
       FROM orders"""))
 
+  /** S5 — ARC source roundtrip (ArcRecordReader.java:39-210): per-doc
+    * single-member gzip ARC fragments are built IN the plan (header
+    * line `URL IP date mime length` + payload through the codegen'd
+    * gzip encoder), then parsed back by the real ArcSource reader —
+    * member framing, header split, declared-length truncation, and
+    * timestamp parse all get an independent SQL oracle that computes
+    * the same fields straight from `documents`. */
+  val arcRoundtrip = Q(
+    "arc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.ArcSource
+      val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val url = concat(lit("http://arc"), col("doc_id"),
+        lit(".example.com/p"))
+      val ip = concat(lit("10.0.0."), col("doc_id") % 250)
+      val body = substring(col("text"), 1, 200)
+      val header = concat(url, lit(" "), ip,
+        lit(" 20240101120000 text/html "),
+        octet_length(encode(body, "UTF-8")), lit("\n"))
+      val blob = graft.functions.Encoding.encodeCol(
+        concat(header, body), lit("UTF-8"), lit(true))
+      d.select(col("doc_id"), blob.as("blob"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          ArcSource.records(bytes).map(r => (id, r.url, r.ip, r.timestamp,
+            r.contentType, r.declaredLength,
+            new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        .toDF("doc_id", "url", "ip", "ts", "content_type", "declared_len",
+          "body")
+    },
+    Some("""
+      SELECT doc_id,
+        'http://arc' || CAST(doc_id AS VARCHAR) || '.example.com/p' AS url,
+        '10.0.0.' || CAST(doc_id % 250 AS VARCHAR) AS ip,
+        CAST(1704110400000 AS BIGINT) AS ts,
+        'text/html' AS content_type,
+        CAST(octet_length(encode(substr(text, 1, 200))) AS BIGINT)
+          AS declared_len,
+        substr(text, 1, 200) AS body
+      FROM documents WHERE doc_id < 50"""))
+
   val all: Seq[Q] = Seq(seedScan, pointLookup, csvDump, warcExport,
-    commoncrawlDump, sitemapParse, exchangeRoute)
+    commoncrawlDump, sitemapParse, exchangeRoute, arcRoundtrip)
 }

@@ -110,5 +110,39 @@ object QueriesStream {
       FROM events
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract)
+  /** Batch twin of streaming.EventStreams.dedupStream (§2.11): drop
+    * events whose dedup signature (event_type + value-cents, the
+    * content-signature stand-in) was already seen, keeping the earliest
+    * (ts, event_id) arrival — the deterministic batch statement of
+    * dropDuplicatesWithinWatermark's keep-first semantics. Same sig
+    * expression as the streaming op, so the oracle-checked row set is
+    * what the stream would emit under in-order delivery. */
+  val dedupStreamBatch = Q(
+    "dedup_stream_batch",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("sig"))
+        .orderBy(asc("ts_us"), asc("event_id"))
+      ev.withColumn("ts_us", expr("ts div 1000")) // exact integer µs
+        .withColumn("sig", concat_ws("|", col("event_type"),
+          round(col("value") * 100, 0).cast("long")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("sig"), col("ts_us"))
+    },
+    Some("""
+      WITH sigged AS (
+        SELECT event_id,
+          event_type || '|' ||
+            CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) AS sig,
+          epoch_us(ts) AS ts_us
+        FROM events),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY sig
+                    ORDER BY ts_us, event_id) AS rn
+        FROM sigged)
+      SELECT event_id, sig, ts_us FROM ranked WHERE rn = 1"""))
+
+  val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract,
+    dedupStreamBatch)
 }
