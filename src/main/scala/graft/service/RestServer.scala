@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
 import graft.ops._
 import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
 
-/** §3.3 — the REST admin surface (reference openapi.yaml:70-801:
-  * /admin, /job/create, /job/{id}, /job/{id}/stop, /db/crawldb,
-  * /seed/create) over the library ops, on the JDK's built-in HTTP
-  * server — zero extra dependencies.
+/** §3.3 — the REST service surface (reference openapi.yaml:70-801:
+  * /admin, /config CRUD, /job create/list/get, /db/crawldb, /seed
+  * list/create, /reader paged sequence/link/node reads) over the
+  * library ops, on the JDK's built-in HTTP server — zero extra
+  * dependencies.
   *
   * Jobs run async on a small pool with RUNNING/FINISHED/FAILED states,
   * like the reference's JobManager; arguments arrive as query
@@ -32,6 +33,20 @@ object RestServer {
     private val jobs = new ConcurrentHashMap[Long, Job]()
     private val nextId = new AtomicLong(1)
     private val pool = Executors.newFixedThreadPool(2)
+
+    // /config store (openapi.yaml:129-288): id → mutable property map,
+    // pre-seeded with "default" like the reference's ConfManager
+    private val configs =
+      new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+    locally {
+      val dflt = new ConcurrentHashMap[String, String]()
+      dflt.put("http.agent.name", "graft")
+      dflt.put("http.robots.agents", "graft,*")
+      configs.put("default", dflt)
+    }
+    // /seed store (openapi.yaml:535-589): name → (dir path, urls)
+    private val seedLists =
+      new ConcurrentHashMap[String, (String, Seq[String])]()
 
     def port: Int = http.getAddress.getPort
     def stop(): Unit = { http.stop(0); pool.shutdownNow() }
@@ -52,6 +67,22 @@ object RestServer {
       ex.getResponseBody.write(b)
       ex.close()
     }
+
+    private def replyText(ex: HttpExchange, code: Int, text: String): Unit = {
+      val b = text.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    private def replyEmpty(ex: HttpExchange, code: Int): Unit = {
+      ex.sendResponseHeaders(code, -1)
+      ex.close()
+    }
+
+    private def body(ex: HttpExchange): String =
+      new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
     private def jobJson(j: Job): String =
       s"""{"id":${j.id},"type":${graft.Json.str(j.jobType)},"state":${graft.Json.str(j.state)},""" +
@@ -139,6 +170,138 @@ object RestServer {
           case None => reply(ex, 404, """{"error":"no such job"}""")
         }
       })
+      // ---- /config CRUD (openapi.yaml:129-288) -------------------- //
+      http.createContext("/config", (ex: HttpExchange) => {
+        val segs = ex.getRequestURI.getPath.stripPrefix("/config")
+          .split("/").filter(_.nonEmpty).toList
+        (ex.getRequestMethod, segs) match {
+          case ("GET", Nil) =>
+            reply(ex, 200, configs.keySet().toArray.map {
+              case k: String => graft.Json.str(k)
+            }.sorted.mkString("[", ",", "]"))
+          case ("POST", List("create")) =>
+            val p = q(ex)
+            p.get("configId") match {
+              case None => reply(ex, 400, """{"error":"configId required"}""")
+              case Some(id) =>
+                val m = new ConcurrentHashMap[String, String]()
+                (p - "configId").foreach { case (k, v) => m.put(k, v) }
+                configs.put(id, m)
+                replyText(ex, 200, id)
+            }
+          case ("GET", List(id)) => Option(configs.get(id)) match {
+            case Some(m) =>
+              reply(ex, 200, m.entrySet().toArray.map {
+                case e: java.util.Map.Entry[_, _] =>
+                  s"${graft.Json.str(e.getKey.toString)}:${graft.Json.str(e.getValue.toString)}"
+              }.sorted.mkString("{", ",", "}"))
+            case None => reply(ex, 404, """{"error":"no such config"}""")
+          }
+          case ("DELETE", List(id)) =>
+            if (configs.remove(id) != null) replyEmpty(ex, 204)
+            else reply(ex, 404, """{"error":"no such config"}""")
+          case ("GET", List(id, prop)) =>
+            Option(configs.get(id)).flatMap(m => Option(m.get(prop))) match {
+              case Some(v) => replyText(ex, 200, v)
+              case None => reply(ex, 404, """{"error":"no such property"}""")
+            }
+          case ("PUT", List(id, prop)) => Option(configs.get(id)) match {
+            case Some(m) => m.put(prop, body(ex)); replyText(ex, 200, "")
+            case None => reply(ex, 404, """{"error":"no such config"}""")
+          }
+          case _ => reply(ex, 404, """{"error":"bad config request"}""")
+        }
+      })
+
+      // ---- /seed (openapi.yaml:535-589) --------------------------- //
+      http.createContext("/seed", (ex: HttpExchange) => {
+        val segs = ex.getRequestURI.getPath.stripPrefix("/seed")
+          .split("/").filter(_.nonEmpty).toList
+        (ex.getRequestMethod, segs) match {
+          case ("POST", List("create")) =>
+            val p = q(ex)
+            (p.get("name"), p.get("urls")) match {
+              case (Some(name), Some(urls)) =>
+                val list = urls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                val dir = java.nio.file.Files.createTempDirectory(
+                  s"graft-seed-$name-")
+                java.nio.file.Files.writeString(dir.resolve("seeds.txt"),
+                  list.mkString("", "\n", "\n"))
+                seedLists.put(name, (dir.toString, list))
+                replyText(ex, 200, dir.toString)
+              case _ =>
+                reply(ex, 400, """{"error":"name and urls required"}""")
+            }
+          case ("GET", Nil) =>
+            reply(ex, 200, seedLists.entrySet().toArray.map {
+              case e: java.util.Map.Entry[_, _] =>
+                val (path, urls) = e.getValue.asInstanceOf[(String, Seq[String])]
+                s"${graft.Json.str(e.getKey.toString)}:{" +
+                  s""""name":${graft.Json.str(e.getKey.toString)},""" +
+                  s""""seedFilePath":${graft.Json.str(path)},""" +
+                  s""""urls":${urls.map(graft.Json.str).mkString("[", ",", "]")}}"""
+            }.sorted.mkString("{", ",", "}"))
+          case _ => reply(ex, 404, """{"error":"bad seed request"}""")
+        }
+      })
+
+      // ---- /reader paged table reads (openapi.yaml:590-773) ------- //
+      // nrows/start/end page through a DETERMINISTIC ordering with
+      // plan-side offset+limit — the driver only ever holds one page
+      // (capped at 1000 rows); count=true returns text/plain like the
+      // reference.
+      def readerPage(ex: HttpExchange,
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        val p = q(ex)
+        if (p.get("count").contains("true")) replyText(ex, 200, df.count().toString)
+        else {
+          val start = p.get("start").map(_.toInt).getOrElse(0)
+          val lim = math.max(0, Seq(
+            p.get("end").map(_.toInt - start),
+            p.get("nrows").map(_.toInt), Some(1000)).flatten.min)
+          val rows = df.offset(start).limit(lim).toJSON.collect()
+          reply(ex, 200, rows.mkString("[", ",", "]"))
+        }
+      }
+      def withPath(ex: HttpExchange)(f: String => Unit): Unit =
+        q(ex).get("path") match {
+          case Some(path) => try f(path) catch {
+            case e: Exception =>
+              reply(ex, 500, s"""{"error":${graft.Json.str(
+                String.valueOf(e.getMessage))}}""")
+          }
+          case None => reply(ex, 400, """{"error":"path required"}""")
+        }
+      import org.apache.spark.sql.functions.{col, explode}
+      http.createContext("/reader/sequence/read", (ex: HttpExchange) =>
+        withPath(ex) { path =>
+          val df = spark.read.parquet(path)
+          readerPage(ex, df.orderBy(df.columns.map(col).toSeq: _*))
+        })
+      http.createContext("/reader/link", (ex: HttpExchange) =>
+        reply(ex, 200,
+          """{"url":"string","fromUrl":"string","anchor":"string"}"""))
+      http.createContext("/reader/link/read", (ex: HttpExchange) =>
+        withPath(ex) { path =>
+          readerPage(ex, new LinkDbTable(spark, path).read().toDF()
+            .select(col("url"), explode(col("inlinks")).as("il"))
+            .select(col("url"), col("il.fromUrl").as("fromUrl"),
+              col("il.anchor").as("anchor"))
+            .orderBy("url", "fromUrl"))
+        })
+      http.createContext("/reader/node", (ex: HttpExchange) =>
+        reply(ex, 200,
+          """{"url":"string","status":"string","score":"number","fetchTime":"number"}"""))
+      http.createContext("/reader/node/read", (ex: HttpExchange) =>
+        withPath(ex) { path =>
+          readerPage(ex, new CrawlDbTable(spark, path).read().toDF()
+            .select(col("url"),
+              col("datum.status").cast("int").as("status"),
+              col("datum.score").as("score"),
+              col("datum.fetchTime").as("fetchTime"))
+            .orderBy("url"))
+        })
+
       http.createContext("/db/crawldb", (ex: HttpExchange) => {
         val params = q(ex)
         params.get("crawldb") match {

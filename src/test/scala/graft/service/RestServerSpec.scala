@@ -77,4 +77,99 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
       assert(awaitJob(base, badId) == "FAILED")
     } finally srv.stop()
   }
+
+  private def put(url: String, body: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def delete(url: String): Int =
+    client.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+
+  test("config CRUD endpoints") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      // list has the seeded default
+      assert(get(s"$base/config")._2.contains("\"default\""))
+      // default carries the agent name, also readable as a single prop
+      val (c1, props) = get(s"$base/config/default")
+      assert(c1 == 200 && props.contains("\"http.agent.name\":\"graft\""))
+      assert(get(s"$base/config/default/http.agent.name") == ((200, "graft")))
+      // create + read back
+      val (c2, id) = post(s"$base/config/create?configId=mine&a.b=1")
+      assert(c2 == 200 && id == "mine")
+      assert(get(s"$base/config/mine")._2.contains("\"a.b\":\"1\""))
+      // property update
+      assert(put(s"$base/config/mine/a.b", "42")._1 == 200)
+      assert(get(s"$base/config/mine/a.b") == ((200, "42")))
+      // delete
+      assert(delete(s"$base/config/mine") == 204)
+      assert(get(s"$base/config/mine")._1 == 404)
+      // errors
+      assert(get(s"$base/config/nosuch")._1 == 404)
+      assert(get(s"$base/config/default/nosuch.prop")._1 == 404)
+      assert(post(s"$base/config/create")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("seed list create + listing writes a real seed file") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val (c1, path) = post(s"$base/seed/create?name=s1" +
+        "&urls=http://a.example.com/,http://b.example.com/")
+      assert(c1 == 200, path)
+      val lines = Files.readAllLines(Paths.get(path, "seeds.txt"))
+      assert(lines.size == 2 && lines.get(0) == "http://a.example.com/")
+      val (c2, listing) = get(s"$base/seed")
+      assert(c2 == 200 && listing.contains("\"s1\"") &&
+        listing.contains("http://b.example.com/"), listing)
+      assert(post(s"$base/seed/create?name=x")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("reader endpoints page deterministically with offset/limit") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val root = Files.createTempDirectory("rest-reader").toString
+
+      // a parquet "sequence file" of 10 rows
+      import spark.implicits._
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .write.parquet(s"$root/seq")
+      assert(get(s"$base/reader/sequence/read?path=$root/seq&count=true")
+        == ((200, "10")))
+      val (c1, page) = get(
+        s"$base/reader/sequence/read?path=$root/seq&start=2&end=5")
+      assert(c1 == 200, page)
+      val ks = "\"k\":(\\d+)".r.findAllMatchIn(page).map(_.group(1)).toSeq
+      assert(ks == Seq("2", "3", "4"), page)
+
+      // node read over a crawldb written through an inject job
+      val (_, created) = post(s"$base/job/create?type=inject" +
+        s"&crawldb=$root/crawldb&seedList=http://n1.example.com/," +
+        "http://n2.example.com/&now=1700000000000")
+      val id = "\"id\":(\\d+)".r.findFirstMatchIn(created).get.group(1)
+      assert(awaitJob(base, id) == "FINISHED")
+      assert(get(s"$base/reader/node/read?path=$root/crawldb&count=true")
+        == ((200, "2")))
+      val (c3, nodes) = get(
+        s"$base/reader/node/read?path=$root/crawldb&nrows=1")
+      assert(c3 == 200 && nodes.contains("http://n1.example.com/") &&
+        !nodes.contains("http://n2.example.com/"), nodes)
+
+      // link schema + read (empty linkdb pages to an empty array)
+      assert(get(s"$base/reader/link")._2.contains("\"fromUrl\""))
+      assert(get(s"$base/reader/node")._2.contains("\"status\""))
+      assert(get(s"$base/reader/link/read?path=$root/linkdb")._2 == "[]")
+      // errors
+      assert(get(s"$base/reader/sequence/read?path=$root/nope")._1 == 500)
+      assert(get(s"$base/reader/sequence/read")._1 == 400)
+    } finally srv.stop()
+  }
 }
