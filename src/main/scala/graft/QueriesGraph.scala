@@ -67,6 +67,30 @@ object QueriesGraph {
         COALESCE(i.in_deg, 0) AS in_deg
       FROM o FULL OUTER JOIN i ON o.url = i.url"""))
 
+  /** T3 NodeDumper: top-k webgraph nodes by a chosen metric — here
+    * inlink count desc, url asc tiebreak (NodeDumper.java:84-170
+    * -inlinks/-topn mode). Plans as TakeOrderedAndProject via
+    * Relational.globalTopN: each partition keeps k candidates, the
+    * driver merges k·P rows — no global sort materialization at any
+    * graph size. */
+  val nodedumpTopk = Q(
+    "nodedump_topk",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = li
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      val inDeg = edges.groupBy(col("dst").as("url"))
+        .agg(count(lit(1)).as("in_deg"))
+      Relational.globalTopN(inDeg, Seq(desc("in_deg"), asc("url")), 25)
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+                 FROM lineitem)
+      SELECT dst AS url, COUNT(*) AS in_deg
+      FROM e GROUP BY dst
+      ORDER BY in_deg DESC, url LIMIT 25"""))
+
   /** G1 WebGraph build: explode edges, keep only the latest-timestamp edge
     * per (src,dst) (WebGraph.java:363-429 latest-wins + dedup-by-target). */
   val webgraphBuild = Q(
@@ -289,6 +313,6 @@ object QueriesGraph {
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"""))
 
   val all: Seq[Q] = Seq(
-    linkdbInvert, nodeDegrees, webgraphBuild, webgraphCounts, linkrank,
-    scoreUpdater, opicDistribute)
+    linkdbInvert, nodeDegrees, nodedumpTopk, webgraphBuild, webgraphCounts,
+    linkrank, scoreUpdater, opicDistribute)
 }

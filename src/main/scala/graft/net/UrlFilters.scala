@@ -35,11 +35,16 @@ final class UrlFilterChain(filters: Seq[UrlFilter]) extends UrlFilter {
 
 /** One `+`/`-` regex rule, optionally scoped to a host or domain
   * (lib-regex-filter RegexRule.java; scoping from
-  * RegexURLFilterBase.java:262-271). */
+  * RegexURLFilterBase.java:262-271). `fullMatch` switches from the
+  * regex plugin's substring search to the automaton plugin's
+  * whole-string acceptance (AutomatonURLFilter.Rule.match:115-117 —
+  * `RunAutomaton.run` accepts the entire input or nothing). */
 final case class RegexRule(sign: Boolean, regex: String,
-    hostOrDomain: Option[String]) {
+    hostOrDomain: Option[String], fullMatch: Boolean = false) {
   @transient private lazy val pattern = Pattern.compile(regex)
-  def matches(url: String): Boolean = pattern.matcher(url).find()
+  def matches(url: String): Boolean =
+    if (fullMatch) pattern.matcher(url).matches()
+    else pattern.matcher(url).find()
 }
 
 /** urlfilter-regex: ordered `+accept` / `-reject` regex rules, first
@@ -57,7 +62,9 @@ final class RegexUrlFilter(val rules: Seq[RegexRule]) extends UrlFilter {
     require(!hasScoped, "scoped rule sets are not column-compilable")
     import org.apache.spark.sql.functions.{lit, when}
     rules.reverse.foldLeft(lit(false)) { (acc, r) =>
-      when(url.rlike(r.regex), lit(r.sign)).otherwise(acc)
+      // full-match rules anchor explicitly: rlike is substring search
+      val re = if (r.fullMatch) s"^(?:${r.regex})$$" else r.regex
+      when(url.rlike(re), lit(r.sign)).otherwise(acc)
     }
   }
 
@@ -77,13 +84,16 @@ final class RegexUrlFilter(val rules: Seq[RegexRule]) extends UrlFilter {
 object RegexUrlFilter {
   /** Parse the rules grammar: `+re`, `-re`, `> host`, `<`, `#` comments
     * (RegexURLFilterBase.java:238-283). */
-  def parse(lines: Iterator[String]): RegexUrlFilter = {
+  def parse(lines: Iterator[String],
+      fullMatch: Boolean = false): RegexUrlFilter = {
     val rules = mutable.ArrayBuffer.empty[RegexRule]
     var scope: Option[String] = None
     lines.foreach { line =>
       if (line.nonEmpty) line.charAt(0) match {
-        case '+' => rules += RegexRule(sign = true, line.substring(1), scope)
-        case '-' => rules += RegexRule(sign = false, line.substring(1), scope)
+        case '+' => rules += RegexRule(sign = true, line.substring(1), scope,
+          fullMatch)
+        case '-' => rules += RegexRule(sign = false, line.substring(1), scope,
+          fullMatch)
         case '>' => scope = Some(line.substring(1).trim)
         case '<' => scope = None
         case ' ' | '#' => ()
@@ -93,6 +103,17 @@ object RegexUrlFilter {
     }
     new RegexUrlFilter(rules.toSeq)
   }
+}
+
+/** urlfilter-automaton: the same first-match-wins rule grammar, but each
+  * rule accepts the WHOLE url or nothing (AutomatonURLFilter.java:41-118
+  * runs a dk.brics DFA over the full input; rule-file grammar shared via
+  * RegexURLFilterBase). The automaton library's point is throughput —
+  * here the scale path is the same codegen'd column cascade, so the
+  * engine reduces to anchored-match rules. */
+object AutomatonUrlFilter {
+  def parse(lines: Iterator[String]): RegexUrlFilter =
+    RegexUrlFilter.parse(lines, fullMatch = true)
 }
 
 /** urlfilter-prefix: accept iff the URL starts with any configured prefix
@@ -321,6 +342,70 @@ object DomainUrlFilter {
         .map(_.toLowerCase)
         .toSet,
       deny)
+}
+
+/** urlfilter-validator: RFC 2396-shaped syntactic URL validation
+  * (UrlValidator.java:57-388, derived from Apache commons-validator).
+  * Accepts only printable-ASCII URLs whose scheme is alphabetic, whose
+  * authority is an IPv4 address (octets ≤ 255) or a dotted hostname
+  * (≥ 2 segments, TLD ≥ 2 chars starting alphabetic, optional 1-5
+  * digit port), whose path stays in the allowed charset without
+  * climbing above root via `..`, any query. Conformance-tested against
+  * TestUrlValidator.java:41-76. */
+object ValidatorUrlFilter extends UrlFilter {
+  private val atom = "[^\\s;/@&=,.?:+$]+"
+  private val urlRe = Pattern.compile(
+    "(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?")
+  private val legalAscii = Pattern.compile("[\\x21-\\x7E]+")
+  private val schemeRe = Pattern.compile("[a-zA-Z]+")
+  private val authorityRe = Pattern.compile("([a-zA-Z\\d\\-\\.]*)(:\\d*)?(.*)?")
+  private val ipv4Re = Pattern.compile(
+    "(\\d{1,3})[.](\\d{1,3})[.](\\d{1,3})[.](\\d{1,3})")
+  private val domainRe = Pattern.compile(s"$atom(\\.$atom)*")
+  private val portRe = Pattern.compile(":(\\d{1,5})")
+  private val pathRe = Pattern.compile("(/[-\\w:@&?=+,.!/~*'%$_;\\(\\)]*)?")
+
+  private def countOf(token: String, s: String): Int = {
+    var i = 0; var n = 0
+    while ({ i = s.indexOf(token, i); i >= 0 }) { i += 1; n += 1 }
+    n
+  }
+
+  private def validAuthority(auth: String): Boolean = {
+    val m = authorityRe.matcher(auth)
+    if (!m.matches()) return false
+    val host = m.group(1)
+    val ip = ipv4Re.matcher(host)
+    val isIp = ip.matches() &&
+      (1 to 4).forall(i => ip.group(i).toInt <= 255)
+    val isHostname = !isIp && domainRe.matcher(host).matches() && {
+      val segs = host.split("\\.")
+      val top = segs.last
+      segs.length >= 2 && top.length >= 2 && top.head.isLetter
+    }
+    if (!isIp && !isHostname) return false
+    val port = m.group(2)
+    if (port != null && !portRe.matcher(port).matches()) return false
+    val extra = m.group(3)
+    extra == null || extra.trim.isEmpty
+  }
+
+  private def validPath(path: String): Boolean =
+    path != null && pathRe.matcher(path).matches() && {
+      val dots = countOf("..", path)
+      dots <= 0 ||
+        (countOf("/", path) - countOf("//", path) - 1) > dots
+    }
+
+  def filter(url: String): Option[String] = {
+    if (url == null || !legalAscii.matcher(url).matches()) return None
+    val m = urlRe.matcher(url)
+    val ok = m.matches() &&
+      m.group(2) != null && schemeRe.matcher(m.group(2)).matches() &&
+      m.group(4) != null && validAuthority(m.group(4)) &&
+      validPath(m.group(5))
+    if (ok) Some(url) else None
+  }
 }
 
 /** Scalar host/domain helpers shared by the scoped filters

@@ -45,6 +45,49 @@ class UrlFilterConformanceSpec extends AnyFunSuite {
     }
   }
 
+  // --- automaton: same grammar, whole-string acceptance ---
+
+  private val automatonSampleDir =
+    "/root/reference/src/plugin/urlfilter-automaton/sample"
+
+  for (sample <- Seq("WholeWebCrawling", "IntranetCrawling", "Benchmarks")) {
+    test(s"urlfilter-automaton sample conformance: $sample") {
+      assume(Files.exists(Paths.get(s"$automatonSampleDir/$sample.rules")))
+      val filter = AutomatonUrlFilter.parse(
+        linesOf(s"$automatonSampleDir/$sample.rules").iterator)
+      checkUrls(sample, filter.accepts,
+        linesOf(s"$automatonSampleDir/$sample.urls"))
+    }
+  }
+
+  test("automaton full-match differs from regex substring search") {
+    // '-nutch' as a substring rule rejects any url containing it; as an
+    // automaton rule it only matches the exact string 'nutch'
+    val sub = RegexUrlFilter.parse(Iterator("-nutch", "+."))
+    val full = AutomatonUrlFilter.parse(Iterator("-nutch", "+.*"))
+    assert(!sub.accepts("http://nutch.example.com/"))
+    assert(full.accepts("http://nutch.example.com/"))
+  }
+
+  // --- validator: TestUrlValidator.java:41-76 table ---
+
+  test("urlfilter-validator conformance table") {
+    val v = ValidatorUrlFilter
+    assert(!v.accepts("example.com/file[/].html"))
+    assert(!v.accepts("http://www.example.com/space here.html"))
+    assert(!v.accepts("/main.html"))
+    assert(!v.accepts("www.example.com/main.html"))
+    assert(!v.accepts("ftp:www.example.com/main.html"))
+    assert(!v.accepts("http://999.000.456.32/nutch/trunk/README.txt"))
+    assert(!v.accepts(" http://www.example.com/ma|in\\toc.html"))
+    assert(v.accepts("https://issues.apache.org/jira/NUTCH-1127"))
+    assert(v.accepts("http://domain.tld/function.cgi?url=http://fonzi.com/" +
+      "&amp;name=Fonzi&amp;mood=happy&amp;coat=leather"))
+    assert(v.accepts("http://validator.w3.org/feed/check.cgi?url=" +
+      "http%3A%2F%2Ffeeds.feedburner.com%2Fperishablepress"))
+    assert(v.accepts("ftp://alfa.bravo.pi/mike/check/plan.pdf"))
+  }
+
   test("urlfilter-fast sample conformance") {
     assume(Files.exists(Paths.get(s"$fastSampleDir/fast-urlfilter-test.txt")))
     val filter = FastUrlFilter.parse(
