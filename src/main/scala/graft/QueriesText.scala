@@ -674,8 +674,77 @@ object QueriesText {
       WHERE n_tokens >= 20 AND mtl >= 2.5 AND mtl <= 12.0
       GROUP BY lang"""))
 
+  private val CC_ITERS = 10
+
+  /** Near-dup CLUSTER resolution: candidate pairs (minhash_lsh's output
+    * shape) only say "A ~ B"; choosing one keeper per duplicate GROUP
+    * needs the transitive closure — A~B, B~C must collapse to one
+    * cluster even when A and C share no band. Connected components via
+    * iterative min-label propagation: each round every node takes the
+    * min label among itself and its neighbors — one shuffle join + one
+    * agg per round, the standard scalable CC shape (alternating
+    * large-star/small-star cuts rounds to O(log n) at web scale; the
+    * fixed synthetic graph here has diameter ≤ 9, so 10 unrolled rounds
+    * are provably converged and the oracle can state the same rounds as
+    * CTEs). Graph: 8-node chains mod 2000 plus +1000 cross-links —
+    * multi-hop clusters a plain groupBy cannot resolve. Output: one row
+    * per cluster with its representative (min node), size, max node. */
+  val dedupClusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey") % 2000
+      val e0 = o.select(k.as("a"),
+          when(k % 8 === 0, k).otherwise(k - 1).as("b"))
+        .unionByName(o.select(k.as("a"), ((k + 1000) % 2000).as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val nodes = edges.select(col("a").as("node")).distinct()
+      var labels = nodes.withColumn("label", col("node"))
+      for (it <- 1 to CC_ITERS) {
+        val viaNbr = edges.join(labels, edges("b") === labels("node"))
+          .select(col("a").as("node"), col("label"))
+        labels = labels.unionByName(viaNbr)
+          .groupBy("node").agg(min(col("label")).as("label"))
+        if (it % 5 == 0 && it < CC_ITERS)
+          labels = labels.localCheckpoint() // bound lineage like linkrank
+      }
+      labels.groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_node"))
+    },
+    Some {
+      val base = """
+      WITH e0 AS (
+        SELECT DISTINCT (o_orderkey % 2000) AS a,
+          CASE WHEN (o_orderkey % 2000) % 8 = 0 THEN o_orderkey % 2000
+               ELSE (o_orderkey % 2000) - 1 END AS b
+        FROM orders
+        UNION
+        SELECT DISTINCT (o_orderkey % 2000) AS a,
+          ((o_orderkey % 2000) + 1000) % 2000 AS b
+        FROM orders),
+      e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+      e AS (SELECT a, b FROM e1 UNION SELECT b AS a, a AS b FROM e1),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)"""
+      val iters = (1 to CC_ITERS).map { i =>
+        val prev = s"l${i - 1}"
+        s""",
+      l$i AS (
+        SELECT node, MIN(label) AS label FROM (
+          SELECT node, label FROM $prev
+          UNION ALL
+          SELECT e.a AS node, p.label FROM e JOIN $prev p ON e.b = p.node)
+        GROUP BY node)"""
+      }.mkString
+      base + iters + s"""
+      SELECT label AS cluster, COUNT(*) AS n_members, MAX(node) AS max_node
+      FROM l$CC_ITERS GROUP BY label"""
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
-    htmlLang, bpeTokenStats, langIdNgram, corpusClean)
+    htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters)
 }

@@ -100,6 +100,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("nodedump_topk plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("nodedump_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("url_filter_domain is a pure map: no shuffle at all") {
+    val p = plan("url_filter_domain")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p) // InSet membership stays codegen'd
+  }
+
+  test("r4 queries plan clean: no cartesian, no single-partition exchange") {
+    for (q <- Seq("arc_roundtrip", "dedup_stream_batch", "dedup_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("Generate multi-segment spill has no single-partition exchange") {
     import spark.implicits._
     val db = (1 to 100).map { i =>
