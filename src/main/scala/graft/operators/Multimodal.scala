@@ -24,7 +24,12 @@ object Multimodal {
 
   /** Magic-byte content sniffing (X6 MIME resolution — the magic-number
     * core of what the reference delegates to Tika's MimeTypes detector;
-    * all signatures are the published public magic numbers). */
+    * all signatures are the published public magic numbers). ~40 types:
+    * images (jpeg/png/gif/bmp/tiff/webp/avif/heif/ico/psd), audio
+    * (mpeg/ogg/flac/wav/aiff/midi/m4a), video (mp4/quicktime/webm/avi),
+    * fonts, archives (zip/gzip/bzip2/xz/zstd/7z/rar/tar), data formats
+    * (parquet/orc/avro/sqlite), executables (class/wasm/elf),
+    * documents (pdf/rtf/xml/html + ISO-media brand dispatch). */
   def sniff(bytes: Array[Byte]): String = {
     def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
     def ascii(from: Int, s: String): Boolean =
@@ -46,12 +51,45 @@ object Multimodal {
       "audio/mpeg"
     else if (ascii(0, "OggS")) "audio/ogg"
     else if (ascii(0, "fLaC")) "audio/flac"
-    else if (ascii(4, "ftyp")) "video/mp4"
+    else if (ascii(0, "FORM") && ascii(8, "AIFF")) "audio/aiff"
+    else if (ascii(0, "MThd")) "audio/midi"
+    else if (ascii(4, "ftyp")) {
+      // ISO base media container: brand at offset 8 picks the type
+      if (ascii(8, "avif")) "image/avif"
+      else if (ascii(8, "heic") || ascii(8, "heix") || ascii(8, "mif1"))
+        "image/heif"
+      else if (ascii(8, "qt  ")) "video/quicktime"
+      else if (ascii(8, "M4A ")) "audio/mp4"
+      else "video/mp4"
+    }
     else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
       "video/webm"
+    else if (at(0) == 0 && at(1) == 0 && at(2) == 1 && at(3) == 0)
+      "image/vnd.microsoft.icon"
+    else if (ascii(0, "8BPS")) "image/vnd.adobe.photoshop"
+    else if (ascii(0, "wOFF")) "font/woff"
+    else if (ascii(0, "wOF2")) "font/woff2"
     else if (ascii(0, "%PDF")) "application/pdf"
+    else if (ascii(0, "{\\rtf")) "application/rtf"
     else if (at(0) == 'P' && at(1) == 'K' && at(2) <= 7) "application/zip"
     else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
+    else if (ascii(0, "BZh")) "application/x-bzip2"
+    else if (at(0) == 0xfd && ascii(1, "7zXZ")) "application/x-xz"
+    else if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f && at(3) == 0xfd)
+      "application/zstd"
+    else if (ascii(0, "7z") && at(2) == 0xbc && at(3) == 0xaf)
+      "application/x-7z-compressed"
+    else if (ascii(0, "Rar!") && at(4) == 0x1a && at(5) == 0x07)
+      "application/vnd.rar"
+    else if (ascii(257, "ustar")) "application/x-tar"
+    else if (at(0) == 0xca && at(1) == 0xfe && at(2) == 0xba && at(3) == 0xbe)
+      "application/java-vm"
+    else if (at(0) == 0 && ascii(1, "asm")) "application/wasm"
+    else if (at(0) == 0x7f && ascii(1, "ELF")) "application/x-executable"
+    else if (ascii(0, "SQLite format 3")) "application/vnd.sqlite3"
+    else if (ascii(0, "PAR1")) "application/vnd.apache.parquet"
+    else if (ascii(0, "ORC")) "application/x-orc"
+    else if (ascii(0, "Obj") && at(3) == 0x01) "application/avro"
     else if (ascii(0, "<?xml")) "application/xml"
     else {
       // leading-whitespace-tolerant html sniff, then ascii-text check

@@ -46,6 +46,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       == "audio/mpeg")
   }
 
+  test("r4 magic table breadth: media brands, archives, data formats") {
+    def b(x: String) = x.getBytes("ISO-8859-1")
+    // ISO base-media brand dispatch
+    assert(Multimodal.sniff(b("....ftypavif....")) == "image/avif")
+    assert(Multimodal.sniff(b("....ftypheic....")) == "image/heif")
+    assert(Multimodal.sniff(b("....ftypqt  ....")) == "video/quicktime")
+    assert(Multimodal.sniff(b("....ftypM4A ....")) == "audio/mp4")
+    // audio/fonts/images
+    assert(Multimodal.sniff(b("FORM....AIFF")) == "audio/aiff")
+    assert(Multimodal.sniff(b("MThd....")) == "audio/midi")
+    assert(Multimodal.sniff(Array[Byte](0, 0, 1, 0, 1))
+      == "image/vnd.microsoft.icon")
+    assert(Multimodal.sniff(b("8BPS....")) == "image/vnd.adobe.photoshop")
+    assert(Multimodal.sniff(b("wOFF....")) == "font/woff")
+    assert(Multimodal.sniff(b("wOF2....")) == "font/woff2")
+    // archives
+    assert(Multimodal.sniff(b("BZh9....")) == "application/x-bzip2")
+    assert(Multimodal.sniff(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0))
+      == "application/x-xz")
+    assert(Multimodal.sniff(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte))
+      == "application/zstd")
+    assert(Multimodal.sniff(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte))
+      == "application/x-7z-compressed")
+    assert(Multimodal.sniff(b("Rar!") ++ Array[Byte](0x1a, 0x07))
+      == "application/vnd.rar")
+    assert(Multimodal.sniff(
+      new Array[Byte](257) ++ b("ustar")) == "application/x-tar")
+    // executables + data formats
+    assert(Multimodal.sniff(Array[Byte](0xca.toByte, 0xfe.toByte,
+      0xba.toByte, 0xbe.toByte)) == "application/java-vm")
+    assert(Multimodal.sniff(Array[Byte](0, 'a', 's', 'm', 1))
+      == "application/wasm")
+    assert(Multimodal.sniff(Array[Byte](0x7f) ++ b("ELF"))
+      == "application/x-executable")
+    assert(Multimodal.sniff(b("SQLite format 3 "))
+      == "application/vnd.sqlite3")
+    assert(Multimodal.sniff(b("PAR1....")) == "application/vnd.apache.parquet")
+    assert(Multimodal.sniff(b("ORC.....")) == "application/x-orc")
+    assert(Multimodal.sniff(b("Obj") ++ Array[Byte](0x01))
+      == "application/avro")
+    assert(Multimodal.sniff(b("{\\rtf1\\ansi")) == "application/rtf")
+  }
+
   test("metadata + batched feature extraction plumbing") {
     import spark.implicits._
     val df = Seq((1L, jpeg), (2L, png), (3L, junk))
