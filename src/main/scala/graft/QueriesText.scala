@@ -699,8 +699,13 @@ object QueriesText {
         .unionByName(o.select(k.as("a"), ((k + 1000) % 2000).as("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
+      // the symmetrized edge set is tiny (|V| ≤ 2000 here; at real
+      // scale it's the near-dup pair list, orders of magnitude below
+      // the corpus) and every round joins against it — materialize it
+      // ONCE instead of re-deriving from the base table per iteration
       val edges = e0.unionByName(
         e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .localCheckpoint()
       val nodes = edges.select(col("a").as("node")).distinct()
       var labels = nodes.withColumn("label", col("node"))
       for (it <- 1 to CC_ITERS) {
