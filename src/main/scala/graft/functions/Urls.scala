@@ -44,6 +44,13 @@ object Urls {
   def domainSuffix(url: Column): Column =
     pslCall("domainSuffixU", host(url))
 
+  /** host-column variants for callers that pre-extract the authority
+    * (Psl.cleanHost strips userinfo/port and lowercases either way). */
+  def registeredDomainOfHost(hostCol: Column): Column =
+    pslCall("assignedDomainU", hostCol)
+  def domainSuffixOfHost(hostCol: Column): Column =
+    pslCall("domainSuffixU", hostCol)
+
   /** Representative URL under a redirect (URLUtil.chooseRepr:370-470):
     * cross-domain keeps dst; permanent keeps src only when src is the
     * site root; temporary prefers roots, then the shorter path

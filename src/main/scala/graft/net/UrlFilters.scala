@@ -62,8 +62,9 @@ final class RegexUrlFilter(val rules: Seq[RegexRule]) extends UrlFilter {
     require(!hasScoped, "scoped rule sets are not column-compilable")
     import org.apache.spark.sql.functions.{lit, when}
     rules.reverse.foldLeft(lit(false)) { (acc, r) =>
-      // full-match rules anchor explicitly: rlike is substring search
-      val re = if (r.fullMatch) s"^(?:${r.regex})$$" else r.regex
+      // full-match rules anchor explicitly: rlike is substring search.
+      // \z, not $ — $ matches before a trailing newline, matches() not
+      val re = if (r.fullMatch) s"^(?:${r.regex})\\z" else r.regex
       when(url.rlike(re), lit(r.sign)).otherwise(acc)
     }
   }
@@ -315,19 +316,24 @@ final class DomainUrlFilter(val rules: Set[String], val deny: Boolean)
     * rule sets ride the plan as literals (broadcast-sized by nature:
     * a domain list is KBs even at millions of crawled hosts). */
   def toColumn(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{coalesce, lit}
+    import org.apache.spark.sql.functions.{coalesce, lit, lower, regexp_extract}
     import graft.functions.Urls
     if (!deny && rules.isEmpty) lit(true)
     else {
+      // canonicalize like the scalar path: case-tolerant scheme,
+      // userinfo/port stripped, lowercased — otherwise the row engine
+      // and the column engine disagree on e.g. WWW.Exact.Com:8080
+      val host = lower(regexp_extract(url,
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
       val rs = rules.toSeq
       val matched = coalesce(
-        Urls.domainSuffix(url).isin(rs: _*) ||
-          Urls.registeredDomain(url).isin(rs: _*) ||
-          Urls.host(url).isin(rs: _*),
+        Urls.domainSuffixOfHost(host).isin(rs: _*) ||
+          Urls.registeredDomainOfHost(host).isin(rs: _*) ||
+          host.isin(rs: _*),
         lit(false))
       // unparseable URLs (no host) reject in both engines; the
       // regexp_extract host is '' when nothing matches, never null
-      if (deny) Urls.host(url) =!= lit("") && !matched else matched
+      if (deny) host =!= lit("") && !matched else matched
     }
   }
 }

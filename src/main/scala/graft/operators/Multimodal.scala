@@ -73,7 +73,8 @@ object Multimodal {
     else if (ascii(0, "{\\rtf")) "application/rtf"
     else if (at(0) == 'P' && at(1) == 'K' && at(2) <= 7) "application/zip"
     else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
-    else if (ascii(0, "BZh")) "application/x-bzip2"
+    else if (ascii(0, "BZh") && at(3) >= '1' && at(3) <= '9')
+      "application/x-bzip2" // level digit required: "BZhello" is text
     else if (at(0) == 0xfd && ascii(1, "7zXZ")) "application/x-xz"
     else if (at(0) == 0x28 && at(1) == 0xb5 && at(2) == 0x2f && at(3) == 0xfd)
       "application/zstd"
@@ -88,7 +89,8 @@ object Multimodal {
     else if (at(0) == 0x7f && ascii(1, "ELF")) "application/x-executable"
     else if (ascii(0, "SQLite format 3")) "application/vnd.sqlite3"
     else if (ascii(0, "PAR1")) "application/vnd.apache.parquet"
-    else if (ascii(0, "ORC")) "application/x-orc"
+    else if (ascii(0, "ORC") && at(3) >= 0 && at(3) < 0x20)
+      "application/x-orc" // next byte non-printable: "ORCHESTRA" is text
     else if (ascii(0, "Obj") && at(3) == 0x01) "application/avro"
     else if (ascii(0, "<?xml")) "application/xml"
     else {

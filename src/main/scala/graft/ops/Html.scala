@@ -106,6 +106,25 @@ object Html {
     -1
   }
 
+  /** Position of the real close tag of a raw-text element: `</name`
+    * counts only when followed by '>', '/', whitespace, or EOF — the
+    * HTML5 script-data rule; `</scriptfoo` inside JS must NOT end the
+    * element. */
+  private def rawTextCloseAt(s: String, name: String, from: Int): Int = {
+    val tag = "</" + name
+    var i = from
+    while (i >= 0) {
+      val idx = indexOfIgnoreCase(s, tag, i)
+      if (idx == -1) return -1
+      val after = idx + tag.length
+      if (after >= s.length) return idx
+      val c = s.charAt(after)
+      if (c == '>' || c == '/' || c.isWhitespace) return idx
+      i = idx + 1
+    }
+    -1
+  }
+
   /** Parse an HTML string into a tree under a synthetic `#root`. Never
     * throws: unterminated constructs run to EOF, stray end tags are
     * dropped, unclosed elements close implicitly at EOF. */
@@ -206,7 +225,7 @@ object Html {
       if (!selfClose && !isVoid) stack += e
       if (!selfClose && !isVoid && rawTextTags.contains(name)) {
         // raw-text content: everything until the matching close tag
-        val close = indexOfIgnoreCase(html, "</" + name, j)
+        val close = rawTextCloseAt(html, name, j)
         val raw = if (close == -1) html.substring(j)
           else html.substring(j, close)
         if (raw.nonEmpty)
@@ -429,30 +448,49 @@ object Html {
   def getOutlinks(base: String, root: HNode,
       useFormAction: Boolean = true,
       ignoreTags: Set[String] = Set.empty): Seq[Outlink] = {
-    val params = linkParamsFor(useFormAction, ignoreTags)
     val out = ArrayBuffer.empty[Outlink]
-    def walk(h: HNode): Unit = h match {
+    foreachOutlink(base, root, useFormAction, ignoreTags) { o =>
+      out += o; true
+    }
+    out.toSeq
+  }
+
+  /** Streaming form of [[getOutlinks]]: `f` returns false to stop the
+    * walk — so a caller with an outlink cap (db.max.outlinks.per.page)
+    * never pays text-walk + URL-resolution for the links beyond it.
+    * Link-farm pages are exactly where that matters. */
+  def foreachOutlink(base: String, root: HNode,
+      useFormAction: Boolean = true,
+      ignoreTags: Set[String] = Set.empty)(f: Outlink => Boolean): Unit = {
+    val params = linkParamsFor(useFormAction, ignoreTags)
+    var stop = false
+    def walk(h: HNode): Unit = if (!stop) h match {
       case e: HElem =>
         params.get(e.name) match {
           case Some(p) =>
             if (!shouldThrowAway(e, p)) {
-              var linkText = getText(e, abortOnNestedAnchors = true).trim
-              if (linkText.isEmpty) linkText = imgAltText(e)
               val target = e.attr(p.attrName)
               val noFollow =
                 e.attr("rel").exists(r => nofollowRe.matcher(r).find())
-              val post =
+              // method is only meaningful on form (DOMContentUtils
+              // checks it inside the linkParams element's attrs; only
+              // form carries a method in practice — an <a method=post>
+              // must still link)
+              val post = e.name == "form" &&
                 e.attr("method").exists(_.equalsIgnoreCase("post"))
-              if (target.isDefined && !noFollow && !post)
-                resolveUrl(base, target.get)
-                  .foreach(u => out += Outlink(u, linkText))
+              if (target.isDefined && !noFollow && !post) {
+                var linkText = getText(e, abortOnNestedAnchors = true).trim
+                if (linkText.isEmpty) linkText = imgAltText(e)
+                resolveUrl(base, target.get).foreach { u =>
+                  if (!f(Outlink(u, linkText))) stop = true
+                }
+              }
             }
-            if (p.childLen != 0) e.children.foreach(walk)
+            if (!stop && p.childLen != 0) e.children.foreach(walk)
           case None => e.children.foreach(walk)
         }
       case _ => ()
     }
     walk(root)
-    out.toSeq
   }
 }

@@ -49,26 +49,18 @@ object Parse {
     val title = Html.getTitle(root)
     val text = Html.getText(root)
     val links = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    Html.getOutlinks(baseUrl, root).iterator
-      .takeWhile(_ => links.size < cfg.maxOutlinksPerPage)
-      .foreach { o =>
-        val u = o.toUrl
-        if ((u.startsWith("http://") || u.startsWith("https://")) &&
-            !links.contains(u))
-          links += u -> o.anchor.take(cfg.maxAnchorLength)
-      }
+    // streaming walk: stop as soon as the cap is full — a link-farm
+    // page never pays text-walk + resolution beyond maxOutlinksPerPage
+    Html.foreachOutlink(baseUrl, root) { o =>
+      val u = o.toUrl
+      if ((u.startsWith("http://") || u.startsWith("https://")) &&
+          !links.contains(u))
+        links += u -> o.anchor.take(cfg.maxAnchorLength)
+      links.size < cfg.maxOutlinksPerPage
+    }
     (ParseStatusCodes.Success, title, text,
       links.map { case (u, a) => Outlink(u, a) }.toSeq)
   }
-
-  /** Resolve a possibly-relative href against the page base
-    * (DOMContentUtils URL resolution). */
-  def resolve(base: String, href: String): Option[String] =
-    try {
-      val u = new java.net.URI(base).resolve(href.trim).toString
-      if (u.startsWith("http://") || u.startsWith("https://")) Some(u)
-      else None
-    } catch { case _: Exception => None }
 
   final case class ParseOutput(parseData: Dataset[ParseDataRow],
       parseText: Dataset[ParseTextRow], crawlParse: Dataset[CrawlRow])

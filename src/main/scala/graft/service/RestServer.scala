@@ -221,14 +221,24 @@ object RestServer {
           case ("POST", List("create")) =>
             val p = q(ex)
             (p.get("name"), p.get("urls")) match {
+              case (Some(name), _) if !name.matches("[A-Za-z0-9._-]{1,64}") =>
+                // a path separator in the name must be a 400, not an
+                // unanswered exchange from createTempDirectory throwing
+                reply(ex, 400, """{"error":"invalid seed list name"}""")
               case (Some(name), Some(urls)) =>
-                val list = urls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-                val dir = java.nio.file.Files.createTempDirectory(
-                  s"graft-seed-$name-")
-                java.nio.file.Files.writeString(dir.resolve("seeds.txt"),
-                  list.mkString("", "\n", "\n"))
-                seedLists.put(name, (dir.toString, list))
-                replyText(ex, 200, dir.toString)
+                try {
+                  val list =
+                    urls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                  val dir = java.nio.file.Files.createTempDirectory(
+                    s"graft-seed-$name-")
+                  java.nio.file.Files.writeString(dir.resolve("seeds.txt"),
+                    list.mkString("", "\n", "\n"))
+                  seedLists.put(name, (dir.toString, list))
+                  replyText(ex, 200, dir.toString)
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"error":${graft.Json.str(String.valueOf(e.getMessage))}}""")
+                }
               case _ =>
                 reply(ex, 400, """{"error":"name and urls required"}""")
             }

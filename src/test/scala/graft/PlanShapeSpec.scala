@@ -120,6 +120,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("DomainUrlFilter column and scalar engines agree on tricky URLs") {
+    import spark.implicits._
+    import graft.net.{AutomatonUrlFilter, DomainUrlFilter}
+    val urls = Seq(
+      "http://WWW.Yahoo.Com/", // case
+      "http://www.yahoo.com:8080/x", // port
+      "HTTP://www.foobar.net/", // uppercase scheme
+      "http://user@www.foobar.be/", // userinfo
+      "http://mail.yahoo.com/",
+      "http://www.adobe.com/",
+      "not a url")
+    for (deny <- Seq(false, true)) {
+      val f = new DomainUrlFilter(
+        Set("net", "apache.org", "be", "www.yahoo.com"), deny)
+      val colResults = urls.toDF("url")
+        .select(f.toColumn(org.apache.spark.sql.functions.col("url")))
+        .as[Boolean].collect()
+      urls.zip(colResults).foreach { case (u, c) =>
+        assert(f.accepts(u) == c, s"deny=$deny url=$u")
+      }
+    }
+    // automaton full-match column path: \z anchor, not $ (a trailing
+    // newline must fail the match exactly like Pattern.matches does)
+    val af = AutomatonUrlFilter.parse(Iterator("+http://ok.example.com/"))
+    val in = Seq("http://ok.example.com/", "http://ok.example.com/\n")
+    val colRes = in.toDF("url")
+      .select(af.toColumn(org.apache.spark.sql.functions.col("url")))
+      .as[Boolean].collect()
+    assert(colRes.toSeq == in.map(af.accepts))
+    assert(colRes.toSeq == Seq(true, false))
+  }
+
   test("Generate multi-segment spill has no single-partition exchange") {
     import spark.implicits._
     val db = (1 to 100).map { i =>

@@ -83,7 +83,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.sniff(b("SQLite format 3 "))
       == "application/vnd.sqlite3")
     assert(Multimodal.sniff(b("PAR1....")) == "application/vnd.apache.parquet")
-    assert(Multimodal.sniff(b("ORC.....")) == "application/x-orc")
+    assert(Multimodal.sniff(b("ORC") ++ Array[Byte](1))
+      == "application/x-orc")
+    // short ASCII prefixes must not steal ordinary text
+    assert(Multimodal.sniff(b("ORCHESTRA rehearsal"))
+      == "application/octet-stream")
+    assert(Multimodal.sniff(b("BZhello world"))
+      == "application/octet-stream")
     assert(Multimodal.sniff(b("Obj") ++ Array[Byte](0x01))
       == "application/avro")
     assert(Multimodal.sniff(b("{\\rtf1\\ansi")) == "application/rtf")

@@ -230,6 +230,42 @@ class HtmlSpec extends AnyFunSuite {
     assert(tokens(Html.getText(Html.parse(html))) == Seq("before", "after"))
   }
 
+  test("'</scriptfoo' inside script data does not end the element") {
+    // HTML5 script-data rule: '</script' only closes when followed by
+    // '>', '/', or whitespace — a longer name is still script content
+    val html = "<html><body><script>document.write('</scriptfoo>')" +
+      "</script><p>Hello <a href=\"http://x.example.com/\">link</a></p>" +
+      "</body></html>"
+    val root = Html.parse(html)
+    assert(tokens(Html.getText(root)) == Seq("Hello", "link"))
+    assert(Html.getOutlinks("http://x.example.com/", root)
+      .map(_.toUrl) == Seq("http://x.example.com/"))
+  }
+
+  test("method=post only suppresses forms, never anchors") {
+    val html = "<html><body>" +
+      "<a href=\"http://t.example.com/next\" method=\"post\">go</a>" +
+      "</body></html>"
+    assert(Html.getOutlinks("http://t.example.com/", Html.parse(html))
+      .map(_.toUrl) == Seq("http://t.example.com/next"))
+  }
+
+  test("foreachOutlink stops the walk when the callback says so") {
+    val html = "<html><body>" + (1 to 50).map(i =>
+      s"""<a href="http://cap.example.com/p$i">a$i</a>""").mkString +
+      "</body></html>"
+    var seen = 0
+    Html.foreachOutlink("http://cap.example.com/", Html.parse(html)) { _ =>
+      seen += 1; seen < 3
+    }
+    assert(seen == 3)
+    // parsePage honors the cap through the same early exit
+    val (_, _, _, links) = Parse.parsePage("http://cap.example.com/",
+      html.getBytes("UTF-8"), "text/html",
+      Parse.Config(maxOutlinksPerPage = 5))
+    assert(links.length == 5)
+  }
+
   test("entities decode in text, attrs, and title; malformed stay literal") {
     assert(Html.decodeEntities("a &lt;b&gt; &amp; &#65;&#x42; c") ==
       "a <b> & AB c")
