@@ -12,7 +12,7 @@ import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
   * table layer; state lives under the dirs the caller names.
   *
   * ```
-  * graft.Main inject    <crawldb> <seedFile>
+  * graft.Main inject    <crawldb> <seedFile> [-filters <confDir>]
   * graft.Main generate  <crawldb> <segment> [-topN N] [-maxPerHost N] [-now MS]
   * graft.Main fetch     <segment> -site <siteJson> [-now MS]
   * graft.Main parse     <segment>
@@ -45,8 +45,42 @@ object Main {
     .appName("graft")
     .getOrCreate()
 
-  private def registry = Extensions.Registry(
-    urlFilters = Seq(graft.net.RegexUrlFilter.parse(Iterator("+."))))
+  /** Build the URL filter chain from a conf dir (`-filters <dir>`, the
+    * bin/nutch conf/ analog): each engine activates when its rule file
+    * exists — validator-urlfilter.txt (presence enables the syntax
+    * validator), prefix-urlfilter.txt, suffix-urlfilter.txt,
+    * domain-urlfilter.txt, domaindenylist-urlfilter.txt,
+    * automaton-urlfilter.txt, fast-urlfilter.txt, regex-urlfilter.txt —
+    * chained in that order, first reject wins. Without `-filters` the
+    * chain is accept-all, as before. */
+  private def registry(args: Seq[String]): Extensions.Registry = {
+    import scala.jdk.CollectionConverters._
+    import graft.net._
+    val filters = opt(args, "-filters") match {
+      case None => Seq[UrlFilter](RegexUrlFilter.parse(Iterator("+.")))
+      case Some(dir) =>
+        def lines(f: String): Option[Iterator[String]] = {
+          val p = java.nio.file.Paths.get(dir, f)
+          if (java.nio.file.Files.exists(p))
+            Some(java.nio.file.Files.readAllLines(p).iterator().asScala)
+          else None
+        }
+        val fs = Seq[Option[UrlFilter]](
+          lines("validator-urlfilter.txt").map(_ => ValidatorUrlFilter),
+          lines("prefix-urlfilter.txt").map(PrefixUrlFilter.parse),
+          lines("suffix-urlfilter.txt").map(SuffixUrlFilter.parse),
+          lines("domain-urlfilter.txt").map(l => DomainUrlFilter.parse(l)),
+          lines("domaindenylist-urlfilter.txt")
+            .map(l => DomainUrlFilter.parse(l, deny = true)),
+          lines("automaton-urlfilter.txt").map(AutomatonUrlFilter.parse),
+          lines("fast-urlfilter.txt").map(FastUrlFilter.parse),
+          lines("regex-urlfilter.txt").map(l => RegexUrlFilter.parse(l))
+        ).flatten
+        if (fs.isEmpty) Seq[UrlFilter](RegexUrlFilter.parse(Iterator("+.")))
+        else fs
+    }
+    Extensions.Registry(urlFilters = filters)
+  }
 
   /** Load a MockProtocol site snapshot from a JSON-lines file.
     * Only `url` is required; code/body/contentType default. */
@@ -69,11 +103,12 @@ object Main {
   def run(spark: SparkSession, args: Array[String]): Int = {
     import spark.implicits._
     val now0 = optL(args.toSeq, "-now", System.currentTimeMillis())
+    lazy val reg = registry(args.toSeq)
     args.toList match {
       case "inject" :: crawldb :: seeds :: _ =>
         val t = new CrawlDbTable(spark, crawldb)
         t.install(Inject(t.read(), spark.read.textFile(seeds),
-          Inject.Config(), registry.filterChain, now0), "inject")
+          Inject.Config(), reg.filterChain, now0), "inject")
         println(s"inject: db=${t.read().count()}")
         0
       case "generate" :: crawldb :: segdir :: rest =>
@@ -82,7 +117,7 @@ object Main {
         seg.writeGenerate(Generate(t.read(), Generate.Config(
           topN = optL(rest, "-topN", Long.MaxValue),
           maxPerHost = optL(rest, "-maxPerHost", Int.MaxValue).toInt,
-          curTime = now0), registry.schedule))
+          curTime = now0), reg.schedule))
         println(s"generate: ${seg.generate.count()} entries")
         0
       case "fetch" :: segdir :: rest =>
@@ -102,7 +137,7 @@ object Main {
       case "parse" :: segdir :: _ =>
         val seg = new Segment(spark, segdir)
         val p = Parse(seg.fetch, seg.content, Parse.Config(),
-          registry.filterChain)
+          reg.filterChain)
         seg.writeParseData(p.parseData)
         seg.writeParseText(p.parseText)
         seg.writeCrawlParse(p.crawlParse)
@@ -113,7 +148,7 @@ object Main {
         val seg = new Segment(spark, segdir)
         t.install(graft.crawl.UpdateDb(
           t.read().union(seg.fetch).union(seg.crawlParse), now0,
-          registry.schedule, registry.scoring), "updatedb")
+          reg.schedule, reg.scoring), "updatedb")
         println(s"updatedb: db=${t.read().count()}")
         0
       case "invertlinks" :: linkdb :: segdir :: _ =>
@@ -221,7 +256,7 @@ object Main {
           case Some(sf) =>
             val site = loadSite(spark, sf)
             val seedList = spark.read.textFile(seeds).collect().toSeq
-            val summary = Crawl.run(spark, root, seedList, site, registry,
+            val summary = Crawl.run(spark, root, seedList, site, reg,
               Crawl.Config(
                 rounds = optL(rest, "-rounds", 1).toInt,
                 topN = optL(rest, "-topN", Long.MaxValue),
@@ -278,10 +313,12 @@ object Main {
       case "freegen" :: urlfile :: segdir :: rest =>
         // FreeGenerator: fetchlist straight from a url file, no crawldb
         import graft.schemas.{CrawlDatum, GenerateEntry}
-        val reg = registry
         val now1 = now0
+        // strict local: a lazy val's LazyRef (+ Main$) is not
+        // serializable and must not ride into the executor closure
+        val reg1 = reg
         val fl = spark.read.textFile(urlfile)
-          .flatMap(l => reg.normalizeAndFilter(l.trim,
+          .flatMap(l => reg1.normalizeAndFilter(l.trim,
             Extensions.Scope.Default))
           .map(u => GenerateEntry(1, 1.0f, u,
             CrawlDatum.unfetched(now1, 2592000, 1.0f)))

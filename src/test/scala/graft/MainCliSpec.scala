@@ -108,6 +108,25 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("frobnicate") == 2)
   }
 
+  test("inject honors a -filters conf dir (domain allow + denylist)") {
+    val root = Files.createTempDirectory("cli-filters").toString
+    Files.writeString(Paths.get(root, "seeds.txt"),
+      "http://keep.example.com/\nhttp://drop.example.org/\n" +
+        "http://denied.example.com/\n")
+    val conf = Files.createDirectory(Paths.get(root, "conf"))
+    // allow example.com, then denylist the one bad host
+    Files.writeString(conf.resolve("domain-urlfilter.txt"),
+      "# allow\nexample.com\n")
+    Files.writeString(conf.resolve("domaindenylist-urlfilter.txt"),
+      "denied.example.com\n")
+    assert(Main.run(spark, Array("inject", s"$root/crawldb",
+      s"$root/seeds.txt", "-filters", conf.toString,
+      "-now", "1700000000000")) == 0)
+    val urls = new graft.tables.CrawlDbTable(spark, s"$root/crawldb")
+      .read().collect().map(_.url).toSet
+    assert(urls == Set("http://keep.example.com/"))
+  }
+
   test("conductor verb runs multi-round") {
     val root = Files.createTempDirectory("cli-crawl").toString
     Files.writeString(Paths.get(root, "seeds.txt"), s"$A/\n")
