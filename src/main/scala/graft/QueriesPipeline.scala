@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Queries.t
+
+/** Batch 5 — training-data-pipeline operators beyond the reference's own
+  * surface: repetition-based quality rules (Gopher-style), PII scrubbing,
+  * benchmark decontamination, and token-budget sampling. All run over the
+  * `documents` table; signals that the synthetic corpus lacks (PII
+  * strings) are PLANTED identically on both engines so every oracle
+  * checks real work (the embed_neardup pattern).
+  *
+  * Scale notes are per query; none uses an unpartitioned window, a
+  * driver collect, or an unbounded per-group state.
+  */
+object QueriesPipeline {
+
+  /** DuckDB word-k-gram builder (1-based list indexing, k fixed) — the
+    * oracle twin of the plan-side posexplode+lead gram construction. */
+  private def sqlWordGrams(wordsExpr: String, k: Int): String = {
+    val parts = (0 until k).map(j => s"$wordsExpr[i + $j]").mkString(", ")
+    s"""CASE WHEN len($wordsExpr) >= $k
+          THEN [concat_ws(' ', $parts)
+                for i in range(1, len($wordsExpr) - ${k - 1} + 1)]
+          ELSE [] END"""
+  }
+
+  /** Gopher-style repetition quality rules: per doc, the fraction of
+    * bigram occurrences taken by the single most frequent bigram
+    * (top2_frac) and the fraction of trigram occurrences that are
+    * repeats of an already-seen trigram (dup3_frac), both in basis
+    * points, plus the keep/reject decision at the published-style
+    * thresholds (top-2gram ≤ 20%, duplicated 3-grams ≤ 18%).
+    *
+    * Shape: posexplode tokens → lead() grams over (doc_id, pos) → count
+    * per (doc, gram) → per-doc max/sums. Everything stays in whole-stage
+    * codegen (an array-building `transform` lambda here is interpreted
+    * per element — measured 4× slower end-to-end); the window partitions
+    * by doc_id, so its state is one document's tokens.
+    */
+  val qualityGopher = Q(
+    "quality_gopher",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = d
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("w"),
+          lead(col("w"), 1).over(w).as("w1"),
+          lead(col("w"), 2).over(w).as("w2"))
+      val g2 = toks.where(col("w1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+      val g3 = toks.where(col("w2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") - 1).as("dup3"), sum(col("c")).as("n3"))
+      val top2bp = floor(col("top2") * 10000.0 / col("n2")).cast("long")
+      val dup3bp = floor(col("dup3") * 10000.0 / col("n3")).cast("long")
+      g2.join(g3, "doc_id")
+        .select(col("doc_id"),
+          top2bp.as("top2_frac_bp"),
+          dup3bp.as("dup3_frac_bp"),
+          when(top2bp <= 2000 && dup3bp <= 1800, lit("keep"))
+            .otherwise(lit("reject")).as("gopher_verdict"))
+    },
+    Some {
+      val words = "string_split(text, ' ')"
+      s"""
+      WITH docs AS (
+        SELECT doc_id,
+          ${sqlWordGrams(words, 2)} AS g2,
+          ${sqlWordGrams(words, 3)} AS g3
+        FROM documents),
+      c2 AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS g FROM docs) GROUP BY 1, 2),
+      a2 AS (
+        SELECT doc_id, MAX(c) AS top2, SUM(c) AS n2 FROM c2 GROUP BY 1),
+      c3 AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(g3) AS g FROM docs) GROUP BY 1, 2),
+      a3 AS (
+        SELECT doc_id, SUM(c - 1) AS dup3, SUM(c) AS n3 FROM c3 GROUP BY 1)
+      SELECT a2.doc_id,
+        CAST(FLOOR(top2 * 10000.0 / n2) AS BIGINT) AS top2_frac_bp,
+        CAST(FLOOR(dup3 * 10000.0 / n3) AS BIGINT) AS dup3_frac_bp,
+        CASE WHEN FLOOR(top2 * 10000.0 / n2) <= 2000
+              AND FLOOR(dup3 * 10000.0 / n3) <= 1800
+             THEN 'keep' ELSE 'reject' END AS gopher_verdict
+      FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id"""
+    })
+
+  // PII patterns shared by both engines (Java regex and RE2 read these
+  // identically: plain classes, no lookaround, no backrefs).
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IPV4_RE =
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrub: redact emails / IPv4 addresses / phone-shaped numbers to
+    * typed placeholders and report per-doc hit counts plus the signature
+    * of the scrubbed text. The corpus is synthetic word salad, so the
+    * PII is PLANTED deterministically from doc_id (identically in the
+    * oracle) — every row exercises all three patterns.
+    *
+    * Pure codegen'd row-local expressions: zero shuffles beyond the
+    * scan; at 100 TB this is a map-only pass.
+    */
+  val piiScrub = Q(
+    "pii_scrub",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or admin"),
+        col("doc_id"), lit("@mail.test call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), col("doc_id") % 256, lit(".0.1"))
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, EMAIL_RE, "<EMAIL>"),
+          IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+      d.select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(EMAIL_RE), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(planted, lit(IPV4_RE), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(planted, lit(PHONE_RE), lit(0)))
+          .cast("long").as("n_phone"),
+        md5(scrubbed).as("scrubbed_sig"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or admin'
+            || doc_id || '@mail.test call 555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' from 10.' || (doc_id % 256) || '.0.1' AS planted
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(planted, '$EMAIL_RE')) AS BIGINT)
+          AS n_email,
+        CAST(len(regexp_extract_all(planted, '$IPV4_RE')) AS BIGINT)
+          AS n_ip,
+        CAST(len(regexp_extract_all(planted, '$PHONE_RE')) AS BIGINT)
+          AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(planted,
+          '$EMAIL_RE', '<EMAIL>', 'g'),
+          '$IPV4_RE', '<IP>', 'g'),
+          '$PHONE_RE', '<PHONE>', 'g')) AS scrubbed_sig
+      FROM p"""))
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 8-gram with a "benchmark" set (every 25th document — the standard
+    * eval-set-leaked-into-the-crawl setup). Corpus-side grams are
+    * DISTINCT per doc before the join; benchmark grams are distinct
+    * globally and broadcast (eval sets are small by construction — a
+    * benchmark is thousands of documents, not billions). Matched docs
+    * report how many distinct benchmark grams they share.
+    *
+    * The hit set is exactly the planted benchmark docs themselves
+    * (self-contamination) plus any natural collisions — non-vacuous on
+    * every row of the benchmark.
+    */
+  val decontaminate = Q(
+    "decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 to 7).map(j => lead(col("w"), j).over(w).as(s"w$j"))
+      val gramCols = col("w") +: (1 to 7).map(j => col(s"w$j"))
+      val grams = d
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id") +: col("w") +: leads: _*)
+        .where(col("w7").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"))
+        .distinct()
+      val bench = broadcast(
+        grams.where(col("doc_id") % 25 === 0).select(col("g")).distinct())
+      grams.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared_grams"))
+    },
+    Some {
+      val grams =
+        s"""SELECT doc_id, unnest(list_distinct(
+              ${sqlWordGrams("string_split(text, ' ')", 8)})) AS g
+            FROM documents"""
+      s"""
+      WITH grams AS ($grams),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0)
+      SELECT doc_id, COUNT(DISTINCT grams.g) AS n_shared_grams
+      FROM grams JOIN bench ON grams.g = bench.g
+      GROUP BY 1"""
+    })
+
+  /** Token-budget stratified sampling: sample each language down to an
+    * expected per-language token budget with deterministic
+    * hash-Bernoulli selection — pass 1 aggregates per-language token
+    * totals (5 groups), pass 2 broadcasts the keep-rate and keeps rows
+    * where md5(doc_id)'s low bits fall under rate·2^20. No window, no
+    * sort, no per-group state beyond one counter: the scalable
+    * alternative to rank-and-cut sampling (which needs a per-language
+    * total sort).
+    */
+  val sampleStratified = Q(
+    "sample_stratified",
+    (s, dir) => {
+      val budget = 5000L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .as("n_tokens"))
+      val totals = d.groupBy("lang")
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+        .select(col("lang"),
+          least(lit(1.0), lit(budget.toDouble) / col("lang_tokens"))
+            .as("rate"))
+      val bucket = pmod(Queries.md5Long(col("doc_id").cast("string")),
+        lit(1048576L))
+      d.join(broadcast(totals), "lang")
+        .where(bucket < floor(col("rate") * 1048576.0))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    },
+    Some {
+      val grams = Queries.sqlMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT lang,
+          LEAST(1.0, 5000.0 / SUM(n_tokens)) AS rate
+        FROM d GROUP BY 1)
+      SELECT doc_id, d.lang, n_tokens
+      FROM d JOIN r ON d.lang = r.lang
+      WHERE ($grams % 1048576 + 1048576) % 1048576
+              < FLOOR(rate * 1048576.0)"""
+    })
+
+  val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
+    sampleStratified)
+}

@@ -23,7 +23,45 @@ object Probe {
     spark.stop()
   }
 
+  def probeGopher(dir: String): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = Queries.t(spark, dir, "documents")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    val words = d.select(col("doc_id"), split(col("text"), " ").as("words"))
+    time("split_only") { words.count() }
+    val g2simple = words.select(col("doc_id"),
+      transform(sequence(lit(0), size(col("words")) - 2),
+        i => concat_ws(" ", element_at(col("words"), i + 1),
+          element_at(col("words"), i + 2))).as("g2"))
+    time("transform_nowhen") { g2simple.count() }
+    time("transform_explode") {
+      g2simple.select(col("doc_id"), explode(col("g2")).as("g")).count() }
+    time("full_agg") {
+      g2simple.select(col("doc_id"), explode(col("g2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c"))).count() }
+    val guarded = words.select(col("doc_id"),
+      when(size(col("words")) >= 2,
+        transform(sequence(lit(0), size(col("words")) - 2),
+          i => concat_ws(" ", element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2))))
+        .otherwise(array().cast("array<string>")).as("g2"))
+    time("guarded_explode") {
+      guarded.select(col("doc_id"), explode(col("g2")).as("g")).count() }
+    guarded.select(col("doc_id"), explode(col("g2")).as("g"))
+      .explain("formatted")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.contains("PROBE_GOPHER")) { probeGopher(args.headOption.getOrElse("/root/testdata/sf0.1")); return }
     if (sys.env.contains("PROBE_Q")) { probeQuery(args.headOption.getOrElse("/root/testdata/sf0.1")); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
