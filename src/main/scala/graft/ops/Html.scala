@@ -335,6 +335,59 @@ object Html {
     res
   }
 
+  /** Heading texts for one tag in document order (headings plugin —
+    * HeadingsParseFilter.getElement walks the DOM collecting each
+    * heading's text; the filter keeps the first unless multivalued).
+    * Trimmed, whitespace-collapsed via getText, empties dropped. */
+  def getHeadings(root: HNode, tag: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    def walk(h: HNode): Unit = h match {
+      case e: HElem =>
+        if (e.name == tag) {
+          val t = getText(e).trim
+          if (t.nonEmpty) out += t
+        } else e.children.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    out.result()
+  }
+
+  /** Creative-Commons license discovery with the reference's tier order
+    * (CCParseFilter.Walker: rdf-in-comment > anchor rel="license" >
+    * anchor href under creativecommons.org/licenses). Returns
+    * (licenseUrl, location∈{rdf,rel,a}). */
+  def getLicense(root: HNode): Option[(String, String)] = {
+    val rdfLicRe = java.util.regex.Pattern.compile(
+      "<cc:license\\s+rdf:resource=\"([^\"]+)\"|" +
+        "xmlns:cc=[^>]*>.*?rdf:resource=\"(http[^\"]*licenses[^\"]*)\"",
+      java.util.regex.Pattern.DOTALL)
+    var rdf: Option[String] = None
+    var rel: Option[String] = None
+    var anchor: Option[String] = None
+    def walk(h: HNode): Unit = h match {
+      case HComment(t) if rdf.isEmpty && t.contains("rdf:RDF") =>
+        val m = rdfLicRe.matcher(t)
+        if (m.find())
+          rdf = Option(m.group(1)).orElse(Option(m.group(2)))
+      case e: HElem =>
+        if (e.name == "a" || e.name == "link") {
+          val href = e.attr("href")
+          if (rel.isEmpty &&
+              e.attr("rel").exists(_.equalsIgnoreCase("license")))
+            rel = href
+          if (anchor.isEmpty &&
+              href.exists(_.contains("creativecommons.org/licenses/")))
+            anchor = href
+        }
+        e.children.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    rdf.map((_, "rdf")).orElse(rel.map((_, "rel")))
+      .orElse(anchor.map((_, "a")))
+  }
+
   /** `base href` before `body`, if any (DOMContentUtils.getBase). */
   def getBase(root: HNode): Option[String] = {
     var res: Option[String] = None
