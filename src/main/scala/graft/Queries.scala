@@ -50,7 +50,7 @@ object Queries {
     QueriesCore.all ++ QueriesGraph.all ++ QueriesCrawl.all ++
       QueriesText.all ++ QueriesEmbed.all ++ QueriesStream.all ++
       QueriesUpdateDb.all ++ QueriesNet.all ++ QueriesSinks.all ++
-      QueriesFilters.all ++ QueriesPipeline.all
+      QueriesFilters.all ++ QueriesPipeline.all ++ QueriesPlugins.all
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

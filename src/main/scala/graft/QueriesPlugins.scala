@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries.t
+import graft.ops.{Feed, Html}
+import graft.plugins.Subcollections
+
+/** Batch 6 — parse/indexing plugin analogs wired as oracle-checked
+  * queries: RSS/Atom feed parsing (parse-feed), subcollection tagging
+  * (subcollection), heading extraction (headings), and Creative-Commons
+  * license discovery (creativecommons).
+  *
+  * Oracle strategy: the inputs are synthesized CLOSED-FORM from doc_id
+  * (feeds/pages with entities, CDATA, nesting, tier conflicts), the
+  * engine side runs the REAL hand-rolled parsers (Feed.parseFeed /
+  * Html.parse) through a UDF, and the oracle states the expected output
+  * directly as SQL arithmetic — so a hash match proves the parser
+  * reproduces the closed form, a stronger check than running the same
+  * regex on both sides. The UDF stages are map-only (no shuffle); at
+  * 100 TB each is one pass over the content column, exactly how the
+  * reference runs its parse filters per fetched page.
+  */
+object QueriesPlugins {
+
+  // 2024-01-06 is a Saturday; varying only the time keeps the weekday
+  // token of the synthesized pubDate valid under strict RFC-1123 parse.
+  private val Jan6_2024Utc = 1704499200L
+
+  private val parseFeedUdf =
+    udf((xml: String) => Feed.parseFeed(xml).map(i =>
+      (i.url, i.title, i.author, i.publishedMs, i.text, i.feedTitle)))
+
+  /** parse-feed (FeedParser.java): one sub-document per feed item keyed
+    * by the item link, text = title + description. The synthesized RSS
+    * exercises entity decode in titles, CDATA descriptions (no entity
+    * decode inside), dc:creator vs author precedence, RFC-822 pubDate
+    * parsing, and the linkless-item drop. */
+  val feedParse = Q(
+    "feed_parse",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val hh = lpad((col("doc_id") % 24).cast("string"), 2, "0")
+      val mm = lpad((col("doc_id") % 60).cast("string"), 2, "0")
+      val ss = lpad(((col("doc_id") * 7) % 60).cast("string"), 2, "0")
+      val rss = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+          "<title>Feed &amp; Channel "), col("doc_id"),
+        lit("</title><link>http://feeds.example.com/"), col("doc_id"),
+        lit("</link><item><title>Item One &amp; more "), col("doc_id"),
+        lit("</title><link>http://feeds.example.com/"), col("doc_id"),
+        lit("/a</link><description><![CDATA[Body <b>"), col("doc_id"),
+        lit("</b>]]></description><author>alice@example.com</author>" +
+          "<pubDate>Sat, 06 Jan 2024 "),
+        hh, lit(":"), mm, lit(":"), ss,
+        lit(" GMT</pubDate></item><item><title>Item Two "), col("doc_id"),
+        lit("</title><link>http://feeds.example.com/"), col("doc_id"),
+        lit("/b</link><description>Plain &lt;body&gt; "), col("doc_id"),
+        lit("</description><dc:creator>bob</dc:creator></item>" +
+          "<item><title>NoLink</title></item></channel></rss>"))
+      d.select(col("doc_id"), explode(parseFeedUdf(rss)).as("item"))
+        .select(col("doc_id"),
+          col("item._1").as("url"),
+          col("item._2").as("title"),
+          col("item._3").as("author"),
+          col("item._4").as("published_ms"),
+          col("item._5").as("text"),
+          col("item._6").as("feed_title"))
+    },
+    Some(s"""
+      SELECT doc_id,
+        'http://feeds.example.com/' || doc_id || '/a' AS url,
+        'Item One & more ' || doc_id AS title,
+        'alice@example.com' AS author,
+        CAST(($Jan6_2024Utc + (doc_id % 24) * 3600 + (doc_id % 60) * 60
+              + (doc_id * 7) % 60) * 1000 AS BIGINT) AS published_ms,
+        'Item One & more ' || doc_id || ' Body <b>' || doc_id || '</b>'
+          AS text,
+        'Feed & Channel ' || doc_id AS feed_title
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+        'http://feeds.example.com/' || doc_id || '/b' AS url,
+        'Item Two ' || doc_id AS title,
+        'bob' AS author,
+        CAST(NULL AS BIGINT) AS published_ms,
+        'Item Two ' || doc_id || ' Plain <body> ' || doc_id AS text,
+        'Feed & Channel ' || doc_id AS feed_title
+      FROM documents"""))
+
+  // Registration-order collections; "news" blacklists its archive, the
+  // case-insensitive "shop" matches mixed-case carts.
+  private val colls = Seq(
+    Subcollections.Subcollection("news", "News",
+      Seq("/news/"), Seq("/news/archive")),
+    Subcollections.Subcollection("docs", "Docs", Seq("/docs/"), Nil),
+    Subcollections.Subcollection("shop", "Shop",
+      Seq("/cart/", ".shop.example"), Seq("/cart/empty"),
+      caseInsensitive = true))
+
+  /** subcollection (Subcollection.filter + SubcollectionIndexingFilter):
+    * blacklist-first substring matching per collection, matching ids
+    * comma-joined in registration order into the document's
+    * `subcollection` field ('' when none). */
+  val subcollectionTag = Q(
+    "subcollection_tag",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val url = concat(lit("http://w"), col("c_custkey") % 20,
+        when(col("c_custkey") % 7 === 0, lit(".shop.Example.com"))
+          .otherwise(lit(".example.com")),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit("/news/story"), col("c_custkey")))
+          .when(col("c_custkey") % 5 === 1,
+            concat(lit("/news/archive/"), col("c_custkey")))
+          .when(col("c_custkey") % 5 === 2,
+            concat(lit("/docs/page"), col("c_custkey")))
+          .when(col("c_custkey") % 5 === 3,
+            concat(lit("/Cart/"), col("c_custkey")))
+          .otherwise(concat(lit("/x/"), col("c_custkey"))))
+      c.select(col("c_custkey").as("id"), url.as("url"))
+        .select(col("id"), col("url"),
+          Subcollections.tagCol(col("url"), colls).as("collections"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey AS id,
+          'http://w' || (c_custkey % 20)
+          || CASE WHEN c_custkey % 7 = 0 THEN '.shop.Example.com'
+                  ELSE '.example.com' END
+          || CASE WHEN c_custkey % 5 = 0 THEN '/news/story' || c_custkey
+                  WHEN c_custkey % 5 = 1 THEN '/news/archive/' || c_custkey
+                  WHEN c_custkey % 5 = 2 THEN '/docs/page' || c_custkey
+                  WHEN c_custkey % 5 = 3 THEN '/Cart/' || c_custkey
+                  ELSE '/x/' || c_custkey END AS url
+        FROM customer)
+      SELECT id, url,
+        concat_ws(',',
+          CASE WHEN url NOT LIKE '%/news/archive%'
+                AND url LIKE '%/news/%' THEN 'news' END,
+          CASE WHEN url LIKE '%/docs/%' THEN 'docs' END,
+          CASE WHEN lower(url) NOT LIKE '%/cart/empty%'
+                AND (lower(url) LIKE '%/cart/%'
+                     OR lower(url) LIKE '%.shop.example%') THEN 'shop' END)
+          AS collections
+      FROM u"""))
+
+  private val headingsUdf = udf((html: String) => {
+    val root = Html.parse(html)
+    (Html.getHeadings(root, "h1"), Html.getHeadings(root, "h2"))
+  })
+
+  /** headings (HeadingsParseFilter): heading texts in document order with
+    * getText collapse — nested inline markup flattened, whitespace
+    * collapsed, empty headings dropped. First h1 is the single-valued
+    * field; h2s joined as the multivalued form. */
+  val headingsExtract = Q(
+    "headings_extract",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><h1>Main &amp; "), col("doc_id"),
+        lit("</h1><p>x</p><h2>  First\t"), col("doc_id"),
+        lit(" </h2><h2><b>Second</b> "), col("doc_id"),
+        lit("</h2><h2>   </h2>"),
+        when(col("doc_id") % 4 === 0, lit("<h1>Extra</h1>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      d.select(col("doc_id"), headingsUdf(html).as("h"))
+        .select(col("doc_id"),
+          col("h._1").getItem(0).as("h1"),
+          size(col("h._1")).cast("long").as("n_h1"),
+          concat_ws("|", col("h._2")).as("h2_all"))
+    },
+    Some("""
+      SELECT doc_id,
+        'Main & ' || doc_id AS h1,
+        CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_h1,
+        'First ' || doc_id || '|Second ' || doc_id AS h2_all
+      FROM documents"""))
+
+  private val licenseUdf = udf((html: String) =>
+    Html.getLicense(Html.parse(html)))
+
+  /** creativecommons (CCParseFilter.Walker): license URL discovery with
+    * the reference's tier order — rdf-in-comment beats rel="license"
+    * beats a bare creativecommons.org/licenses anchor. doc_id % 6 == 1
+    * pages carry BOTH a rel link and a bare anchor, proving rel wins. */
+  val ccLicense = Q(
+    "cc_license",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val rdf = lit("<!-- <rdf:RDF xmlns:cc=\"http://web.resource.org/cc/\">" +
+        "<cc:license rdf:resource=\"http://creativecommons.org/licenses/by/4.0/\"/>" +
+        "</rdf:RDF> -->")
+      val rel = lit("<a rel=\"license\" " +
+        "href=\"http://creativecommons.org/licenses/by-sa/4.0/\">license</a>")
+      val bare = lit("<a " +
+        "href=\"http://creativecommons.org/licenses/by-nc/4.0/\">cc</a>")
+      val html = concat(lit("<html><head>"),
+        when(col("doc_id") % 3 === 0, rdf).otherwise(lit("")),
+        lit("</head><body><p>page "), col("doc_id"), lit("</p>"),
+        when(col("doc_id") % 3 === 1, rel).otherwise(lit("")),
+        when(col("doc_id") % 3 === 2 || col("doc_id") % 6 === 1, bare)
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      d.select(col("doc_id"), licenseUdf(html).as("lic"))
+        .select(col("doc_id"),
+          col("lic._1").as("license_url"),
+          col("lic._2").as("license_loc"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+               THEN 'http://creativecommons.org/licenses/by/4.0/'
+             WHEN doc_id % 3 = 1
+               THEN 'http://creativecommons.org/licenses/by-sa/4.0/'
+             ELSE 'http://creativecommons.org/licenses/by-nc/4.0/' END
+          AS license_url,
+        CASE WHEN doc_id % 3 = 0 THEN 'rdf'
+             WHEN doc_id % 3 = 1 THEN 'rel'
+             ELSE 'a' END AS license_loc
+      FROM documents"""))
+
+  val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
+    ccLicense)
+}
