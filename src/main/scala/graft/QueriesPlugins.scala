@@ -222,6 +222,94 @@ object QueriesPlugins {
              ELSE 'a' END AS license_loc
       FROM documents"""))
 
+  // Multi-engine normalizer chain, built once on the driver and closed
+  // over by the UDF (rules broadcast with the task closure — no
+  // per-executor file reads). Engine order mirrors a typical reference
+  // `urlnormalizer.order`: regex, querystring, slash, ajax, host,
+  // protocol.
+  private lazy val normalizerChain: Seq[graft.plugins.Extensions.UrlNormalizer] = {
+    import graft.plugins.Normalizers._
+    Seq(
+      new RegexUrlNormalizer(RegexUrlNormalizer.parseRules(
+        """<regex-normalize><regex>
+          |<pattern>(?i)(;?\b_?(l|j|bv_)?(sid|phpsessid|sessionid)=.*?)(\?|&amp;|#|$)</pattern>
+          |<substitution>$4</substitution>
+          |</regex></regex-normalize>""".stripMargin)),
+      new QuerystringUrlNormalizer,
+      new SlashUrlNormalizer(Map(
+        "slashadd.example.com" -> true, "slashrem.example.com" -> false)),
+      new AjaxUrlNormalizer,
+      new HostUrlNormalizer(Map("*.hosts.example.com" -> "www.example.com")),
+      new ProtocolUrlNormalizer(Map("secure.example.com" -> "https"),
+        Map.empty))
+  }
+
+  private lazy val normalizeChainUdf = {
+    val chain = normalizerChain
+    udf((url: String) => chain.foldLeft(Option(url))((u, n) =>
+      u.flatMap(n.normalize(_, graft.plugins.Extensions.Scope.Crawldb))).orNull)
+  }
+
+  /** F1 (full) — the URL-normalizer ENGINE FAMILY run as one chain:
+    * regex (session-id strip, RegexURLNormalizer.java:332), querystring
+    * sort (QuerystringURLNormalizer.java:85), per-host trailing-slash
+    * policy both directions (SlashURLNormalizer.java:211), #!-AJAX
+    * rewrite (AjaxURLNormalizer.java:239), wildcard host remap
+    * (HostURLNormalizer.java:140), and scheme forcing
+    * (ProtocolURLNormalizer.java:204). Seven URL classes each exercise
+    * one engine; the oracle states the expected rewrite closed-form, so
+    * a hash match proves every engine's semantics, not just one. */
+  val urlNormalizeChain = Q(
+    "url_normalize_chain",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val cls = (k % 7).cast("int")
+      val url =
+        when(cls === 0, concat(lit("http://regex.example.com/foo.php;jsessionid=A"),
+          k, lit("?f="), k))
+        .when(cls === 1, concat(lit("http://qs.example.com/p?c="), k,
+          lit("&a=1&b="), k))
+        .when(cls === 2, concat(lit("http://slashadd.example.com/page"), k))
+        .when(cls === 3, concat(lit("http://slashrem.example.com/a/b"), k,
+          lit("/")))
+        .when(cls === 4, concat(lit("http://s"), k % 3,
+          lit(".hosts.example.com/x"), k))
+        .when(cls === 5, concat(lit("http://secure.example.com/p"), k))
+        .otherwise(concat(lit("http://ajax.example.com/p"), k,
+          lit("#!key="), k))
+      c.select(k.as("id"), url.as("url"))
+        .select(col("id"), col("url"),
+          normalizeChainUdf(col("url")).as("normalized"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey AS id, (c_custkey % 7)::INT AS cls,
+          CASE (c_custkey % 7)::INT
+            WHEN 0 THEN 'http://regex.example.com/foo.php;jsessionid=A'
+                        || c_custkey || '?f=' || c_custkey
+            WHEN 1 THEN 'http://qs.example.com/p?c=' || c_custkey
+                        || '&a=1&b=' || c_custkey
+            WHEN 2 THEN 'http://slashadd.example.com/page' || c_custkey
+            WHEN 3 THEN 'http://slashrem.example.com/a/b' || c_custkey || '/'
+            WHEN 4 THEN 'http://s' || (c_custkey % 3)
+                        || '.hosts.example.com/x' || c_custkey
+            WHEN 5 THEN 'http://secure.example.com/p' || c_custkey
+            ELSE 'http://ajax.example.com/p' || c_custkey
+                 || '#!key=' || c_custkey END AS url
+        FROM customer)
+      SELECT id, url,
+        CASE cls
+          WHEN 0 THEN 'http://regex.example.com/foo.php?f=' || id
+          WHEN 1 THEN 'http://qs.example.com/p?a=1&b=' || id || '&c=' || id
+          WHEN 2 THEN 'http://slashadd.example.com/page' || id || '/'
+          WHEN 3 THEN 'http://slashrem.example.com/a/b' || id
+          WHEN 4 THEN 'http://www.example.com/x' || id
+          WHEN 5 THEN 'https://secure.example.com/p' || id
+          ELSE 'http://ajax.example.com/p' || id
+               || '?_escaped_fragment_=key=' || id END AS normalized
+      FROM u"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
-    ccLicense)
+    ccLicense, urlNormalizeChain)
 }

@@ -9,9 +9,9 @@ import graft.schemas.{CrawlDatum, Outlink, ParseDataRow}
   * | Reference extension point | Trait | Impls |
   * |---|---|---|
   * | URLFilter            | net.UrlFilter            | Regex/Prefix/Suffix/Fast |
-  * | URLNormalizer        | plugins.UrlNormalizer    | BasicUrlNormalizer |
+  * | URLNormalizer        | plugins.UrlNormalizer    | Basic + Normalizers.{Regex,Querystring,Slash,Ajax,Host,Protocol,Pass} |
   * | Protocol             | ops.Fetch.Protocol       | MockProtocol |
-  * | Parser               | plugins.Parser           | HtmlRegexParser |
+  * | Parser               | plugins.Parser           | HtmlTokenizerParser (wraps Html.scala tokenizer) |
   * | HtmlParseFilter      | plugins.ParseFilter      | (open seam) |
   * | ScoringFilter        | crawl.ScoringFilter      | Noop/Opic |
   * | IndexingFilter       | plugins.IndexingFilter   | BasicIndexingFilter |
@@ -61,7 +61,7 @@ object Extensions {
         contentType: String): (Int, String, String, Seq[Outlink])
   }
 
-  final class HtmlRegexParser(cfg: graft.ops.Parse.Config =
+  final class HtmlTokenizerParser(cfg: graft.ops.Parse.Config =
       graft.ops.Parse.Config()) extends Parser {
     def parse(url: String, base: String, bytes: Array[Byte],
         contentType: String): (Int, String, String, Seq[Outlink]) =
@@ -108,7 +108,7 @@ object Extensions {
       // `normalizers` (the default-scope chain), matching
       // URLNormalizers.java:156-160 fallback
       scopedNormalizers: Map[String, Seq[UrlNormalizer]] = Map.empty,
-      parser: Parser = new HtmlRegexParser(),
+      parser: Parser = new HtmlTokenizerParser(),
       scoring: graft.crawl.ScoringFilter = graft.crawl.OpicScoring,
       schedule: graft.crawl.FetchSchedule =
         graft.crawl.DefaultFetchSchedule(graft.crawl.ScheduleConfig()),

@@ -17,7 +17,7 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("parser seam delegates to the html parser") {
-    val p = new Extensions.HtmlRegexParser()
+    val p = new Extensions.HtmlTokenizerParser()
     val (st, title, text, links) = p.parse("http://a.com/", "http://a.com/",
       "<html><title>T</title><a href=\"/b\">B</a></html>".getBytes("UTF-8"),
       "text/html")
