@@ -6,7 +6,14 @@ import org.apache.spark.sql.SparkSession
   * an "errors" map, timing −1), never swallowed — a broken query must not
   * look fast. The block-manager cache is cleared between queries so
   * intra-query .cache() calls (minhash/simhash/ivf) can't leak memory
-  * into later measurements. */
+  * into later measurements.
+  *
+  * Each query runs REPS times (default 3, `SPARK_GRAFT_BENCH_REPS`) in
+  * one JVM; the headline number per query is the MEDIAN and the "min"
+  * map carries the per-query best. A contended container inflates wall
+  * clock uniformly — the median de-noises the individual spike, the min
+  * approximates the uncontended cost, and the before/after system load
+  * averages let a reader judge whether the run was clean. */
 object Bench {
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -16,15 +23,21 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadAvg
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not in
     // whichever query happens to run first
     try {
@@ -33,25 +46,35 @@ object Bench {
       spark.range(1000).selectExpr("md5(cast(id as string))").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
+      var err: Option[String] = None
+      val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
         catch { case e: Throwable =>
-          Some(e.getClass.getSimpleName + ": " +
+          err = Some(e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replace('\n', ' ').take(160))
         }
-      spark.catalog.clearCache()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isDefined) -1.0 else sec, err)
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.toVector
+      if (err.isDefined) (name, -1.0, -1.0, err)
+      else {
+        val sorted = times.sorted
+        (name, sorted(sorted.length / 2), sorted.head, None)
+      }
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val loadAfter = loadAvg
+    val qs = results.map { case (k, med, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val mins = results.map { case (k, _, mn, _) => jstr(k) + ":" + mn }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    if (results.exists(_._3.isDefined)) {
-      results.foreach { case (k, _, e) =>
+    val totalMin = results.filter(_._3 >= 0).map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    if (results.exists(_._4.isDefined)) {
+      results.foreach { case (k, _, _, e) =>
         e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
       }
       sys.exit(1)

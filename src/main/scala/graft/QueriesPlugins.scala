@@ -310,6 +310,189 @@ object QueriesPlugins {
                || '?_escaped_fragment_=key=' || id END AS normalized
       FROM u"""))
 
+  private val enrichUdf = udf((anchors: Seq[String], contentType: String,
+      lastModified: String, modifiedMs: Long, fetchMs: Long,
+      disposition: String, title: String, html: String) => {
+    import graft.plugins.IndexingFilters._
+    val (lm, date) = docDate(Option(lastModified), modifiedMs, fetchMs)
+    val resetTitle =
+      if (title != null) title
+      else dispositionFilename(disposition).orNull
+    val metas = metatagEntries(graft.ops.Html.getMetaTags(
+      graft.ops.Html.parse(html)))
+    (dedupAnchors(anchors).mkString("|"),
+      typeFields(contentType).mkString("|"),
+      lm, date, resetTitle,
+      metas.map { case (k, v) => s"$k=$v" }.mkString("|"))
+  })
+
+  /** Indexing-filter enrichment — index-anchor
+    * (AnchorIndexingFilter.java:85-112: case-insensitive anchor dedup),
+    * index-more (MoreIndexingFilter.java:112-310: last-modified/date
+    * resolution incl. non-HTTP date fallback, type multivalue from the
+    * content type, Content-Disposition title reset) and parse-metatags
+    * (MetaTagsParser.java:97-124 over HTMLMetaProcessor's general +
+    * http-equiv groups, body metas excluded). Headers/anchors/html are
+    * planted closed-form per doc_id; the oracle states each filter's
+    * expected contribution directly. */
+  val indexEnriched = Q(
+    "index_enriched",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val anchors = array(lit("Home"), lit("home"),
+        concat(lit("Link"), k), lit("HOME"), concat(lit("link"), k))
+      val contentType =
+        when(k % 3 === 0, lit("text/HTML; charset=utf-8"))
+          .when(k % 3 === 1, lit("application/pdf"))
+          .otherwise(lit(null: String))
+      val lastModified =
+        when(k % 4 === 0, concat(lit("Sat, 06 Jan 2024 "),
+          lpad((k % 24).cast("string"), 2, "0"), lit(":00:07 GMT")))
+          .when(k % 4 === 1, lit("2024/01/06"))
+          .when(k % 4 === 2, lit("not a date"))
+          .otherwise(lit(null: String))
+      val modifiedMs = when(k % 2 === 0, lit(1700000000000L) + k * 1000)
+        .otherwise(lit(0L))
+      val fetchMs = lit(1710000000000L) + k * 1000
+      val disposition = when(k % 5 === 0,
+        concat(lit("inline; filename=\"report"), k, lit(".pdf\"")))
+        .otherwise(lit(null: String))
+      val title = when(k % 5 <= 1, lit(null: String))
+        .otherwise(concat(lit("T"), k))
+      val html = concat(
+        lit("<html><head><meta name=\"Keywords\" content=\"kw"), k,
+        lit(",alpha\"><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html\"><meta name=\"description\" content=\"d"), k,
+        lit("\"></head><body><meta name=\"inbody\" content=\"x\">" +
+          "</body></html>"))
+      d.select(k.as("doc_id"),
+          enrichUdf(anchors, contentType, lastModified, modifiedMs, fetchMs,
+            disposition, title, html).as("e"))
+        .select(col("doc_id"),
+          col("e._1").as("anchors"),
+          col("e._2").as("type_fields"),
+          col("e._3").as("last_modified_ms"),
+          col("e._4").as("date_ms"),
+          col("e._5").as("title"),
+          col("e._6").as("metatags"))
+    },
+    Some("""
+      SELECT doc_id,
+        'Home|Link' || doc_id AS anchors,
+        CASE WHEN doc_id % 3 = 0 THEN 'text/html|text|html'
+             WHEN doc_id % 3 = 1 THEN 'application/pdf|application|pdf'
+             ELSE '' END AS type_fields,
+        CASE WHEN doc_id % 4 = 0
+               THEN CAST(1704499207000 + (doc_id % 24) * 3600000 AS BIGINT)
+             WHEN doc_id % 4 = 1 THEN CAST(1704499200000 AS BIGINT)
+             ELSE CAST(NULL AS BIGINT) END AS last_modified_ms,
+        CASE WHEN doc_id % 4 = 0
+               THEN CAST(1704499207000 + (doc_id % 24) * 3600000 AS BIGINT)
+             WHEN doc_id % 4 = 1 THEN CAST(1704499200000 AS BIGINT)
+             WHEN doc_id % 2 = 0 THEN CAST(1700000000000 + doc_id * 1000 AS BIGINT)
+             ELSE CAST(1710000000000 + doc_id * 1000 AS BIGINT) END AS date_ms,
+        CASE WHEN doc_id % 5 = 0 THEN 'report' || doc_id || '.pdf'
+             WHEN doc_id % 5 = 1 THEN NULL
+             ELSE 'T' || doc_id END AS title,
+        'metatag.keywords=kw' || doc_id
+          || ',alpha|metatag.description=d' || doc_id
+          || '|metatag.content-type=text/html' AS metatags
+      FROM documents"""))
+
+  private val zipParseUdf = udf((k: Long, truncated: Boolean) => {
+    import graft.ops.ZipParse
+    val html = (s"""<html><body>Zip body $k """ +
+      s"""<a href="http://x.example.com/l$k">L$k</a></body></html>""")
+      .getBytes("UTF-8")
+    val inner = ZipParse.build(Seq(s"c$k.txt" -> s"inner c$k".getBytes("UTF-8")))
+    val bytes = ZipParse.build(Seq(
+      s"a$k.html" -> html,
+      "notes/" -> Array.empty[Byte],
+      s"notes/b$k.txt" -> s"plain b$k".getBytes("UTF-8"),
+      "README" -> "no extension".getBytes("UTF-8"),
+      "inner.zip" -> inner))
+    // the truncation case declares one byte more than the payload has
+    val declared = Some(bytes.length.toLong + (if (truncated) 1 else 0))
+    val r = ZipParse.parse(s"http://files.example.com/z$k.zip", bytes,
+      declaredLength = declared)
+    (r.status, r.nMembers, r.text, r.outlinks.map(_.toUrl).mkString("|"))
+  })
+
+  /** parse-zip analog (ZipParser.java:57-110, ZipTextExtractor.java:
+    * 62-115): member walk through the REAL parse gate — html member
+    * parsed for text+outlinks, txt member decoded, extension-less member
+    * and directory skipped, nested zip expanded one level, and the
+    * Content-Length truncation check failing the whole parse. Payloads
+    * are plan-synthesized zips (arc_roundtrip pattern); the oracle
+    * states the concatenated member text closed-form. */
+  val zipParse = Q(
+    "zip_parse",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      d.select(k.as("doc_id"),
+          zipParseUdf(k, k % 5 === 0).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("status"),
+          col("r._2").as("n_members"),
+          col("r._3").as("text"),
+          col("r._4").as("outlinks"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS status,
+        CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 3 END AS n_members,
+        CASE WHEN doc_id % 5 = 0 THEN ''
+             ELSE 'a' || doc_id || '.html Zip body ' || doc_id || ' L'
+               || doc_id || ' notes/b' || doc_id || '.txt plain b' || doc_id
+               || ' inner.zip c' || doc_id || '.txt inner c' || doc_id END
+          AS text,
+        CASE WHEN doc_id % 5 = 0 THEN ''
+             ELSE 'http://x.example.com/l' || doc_id END AS outlinks
+      FROM documents"""))
+
+  private val jsLinksUdf = udf((html: String, base: String) =>
+    graft.ops.JsParse.htmlJsLinks(graft.ops.Html.parse(html), base)
+      .map(_.toUrl).mkString("|"))
+
+  /** parse-js analog (JSParseFilter.java:82-265): quoted URL-shaped
+    * literals harvested from script bodies, on* event handlers and
+    * javascript: hrefs; www.-literals get http://, relative ones resolve
+    * against the page URL, &amp; unescapes, non-URL-shaped literals
+    * drop. Planted closed-form per doc_id. */
+  val jsOutlinks = Q(
+    "js_outlinks",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val base = concat(lit("http://www.site"), k % 20,
+        lit(".example.com/dir/page"), k, lit(".html"))
+      val html = concat(
+        lit("<html><body><script>var u = \"http://js"), k,
+        lit(".example.com/a.html\"; var r = \"rel"), k,
+        lit("/x.html\"; var n = \"plainword\";</script>" +
+          "<div onclick=\"nav('http://click"), k,
+        lit(".example.com/b.html?x=1&amp;y=2')\">d</div>"),
+        when(k % 2 === 0,
+          concat(lit("<a href=\"javascript:open('www.bare"), k,
+            lit(".example.com/c.html')\">j</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      d.select(k.as("doc_id"),
+        jsLinksUdf(html, base).as("js_links"))
+    },
+    Some("""
+      SELECT doc_id,
+        'http://js' || doc_id || '.example.com/a.html'
+          || '|http://www.site' || (doc_id % 20)
+          || '.example.com/dir/rel' || doc_id || '/x.html'
+          || '|http://click' || doc_id || '.example.com/b.html?x=1&y=2'
+          || CASE WHEN doc_id % 2 = 0
+               THEN '|http://www.bare' || doc_id || '.example.com/c.html'
+               ELSE '' END AS js_links
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
-    ccLicense, urlNormalizeChain)
+    ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks)
 }

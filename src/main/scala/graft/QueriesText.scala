@@ -748,8 +748,53 @@ object QueriesText {
       FROM l$CC_ITERS GROUP BY label"""
     })
 
+  private val synthDimsUdf = udf((fmt: Int, w: Int, h: Int) => {
+    import graft.operators.Multimodal
+    val bytes = fmt match {
+      case 0 => Multimodal.Synth.png(w, h)
+      case 1 => Multimodal.Synth.gif(w, h)
+      case _ => Multimodal.Synth.jpeg(w, h)
+    }
+    val dims = Multimodal.imageDims(bytes)
+    (Multimodal.sniff(bytes), dims.map(_._1), dims.map(_._2),
+      bytes.length.toLong)
+  })
+
+  /** X6 (real header decode) — image dimensions parsed from container
+    * headers only: PNG IHDR (spec §11.2.2), GIF logical screen
+    * descriptor (§18), JPEG SOFn marker scan (ITU T.81 §B.2.2). The
+    * payloads are plan-synthesized VALID container prefixes (the
+    * arc_roundtrip pattern) with dims a closed form of doc_id; the
+    * oracle states sniffed type, width, height, and byte length
+    * directly, so a hash match proves magic-sniff ∘ header-parse
+    * reproduces the planted dims — no codec, no stub. */
+  val multimodalDims = Q(
+    "multimodal_dims",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthDimsUdf((k % 3).cast("int"),
+        (lit(100) + k % 50).cast("int"), (lit(200) + k % 30).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("width"),
+          col("r._3").as("height"),
+          col("r._4").as("n_bytes"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE (doc_id % 3)::INT WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS sniffed_type,
+        (100 + doc_id % 50)::INT AS width,
+        (200 + doc_id % 30)::INT AS height,
+        CAST(CASE (doc_id % 3)::INT WHEN 0 THEN 26 WHEN 1 THEN 11
+             ELSE 30 END AS BIGINT) AS n_bytes
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
-    htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters)
+    htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
+    multimodalDims)
 }

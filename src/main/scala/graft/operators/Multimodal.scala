@@ -114,10 +114,90 @@ object Multimodal {
       md5(col(payloadCol)).as("digest"),
       col(payloadCol).as("payload"))
 
-  /** ====== STUB ======
-    * Deterministic fake decode: 8 "features" from byte histogram moments,
-    * plus fake dimensions from the payload length. A real deployment
-    * replaces this body with an actual codec call (e.g. via JNI/ffmpeg);
+  /** REAL header-only dimension decode — no codec needed, the published
+    * container layouts carry width/height in the first bytes:
+    *   - PNG: IHDR data at offset 16 (8-byte magic + 4 length + "IHDR"),
+    *     width/height big-endian u32 (PNG spec §11.2.2).
+    *   - GIF: logical screen descriptor at offset 6, width/height
+    *     little-endian u16 (GIF89a spec §18).
+    *   - BMP: BITMAPINFOHEADER at offset 18/22, little-endian i32
+    *     (height's sign encodes row order — absolute value).
+    *   - JPEG: marker scan to the first SOFn (C0–CF minus C4/C8/CC);
+    *     height/width big-endian u16 at +5/+7 in the frame header
+    *     (ITU T.81 §B.2.2). Standalone markers (01, D0–D9) have no
+    *     length field; fill bytes before a marker are skipped.
+    * Returns None for non-image or cut-off payloads. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def be32(i: Int): Int = (at(i) << 24) | (at(i + 1) << 16) |
+      (at(i + 2) << 8) | at(i + 3)
+    def be16(i: Int): Int = (at(i) << 8) | at(i + 1)
+    def le16(i: Int): Int = at(i) | (at(i + 1) << 8)
+    def le32(i: Int): Int = at(i) | (at(i + 1) << 8) | (at(i + 2) << 16) |
+      (at(i + 3) << 24)
+    sniff(bytes) match {
+      case "image/png" if bytes.length >= 24 =>
+        Some((be32(16), be32(20)))
+      case "image/gif" if bytes.length >= 10 =>
+        Some((le16(6), le16(8)))
+      case "image/bmp" if bytes.length >= 26 =>
+        Some((le32(18), math.abs(le32(22))))
+      case "image/jpeg" =>
+        var i = 2
+        var res: Option[(Int, Int)] = None
+        while (res.isEmpty && i + 3 < bytes.length) {
+          if (at(i) != 0xff) i += 1 // fill/garbage byte: resync
+          else {
+            val marker = at(i + 1)
+            if (marker == 0xff) i += 1 // padding FF before marker
+            else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9))
+              i += 2 // standalone, no length
+            else if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              if (i + 8 < bytes.length)
+                res = Some((be16(i + 7), be16(i + 5)))
+              i = bytes.length // stop either way
+            } else i += 2 + be16(i + 2) // skip segment (len incl. itself)
+          }
+        }
+        res
+      case _ => None
+    }
+  }
+
+  /** Deterministic synthetic image fixtures (header + minimal body) for
+    * oracle queries and specs — each is a VALID container prefix whose
+    * dims round-trip through [[imageDims]]. */
+  object Synth {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(26)
+      out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      out.putInt(13).put("IHDR".getBytes("ASCII"))
+      out.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      out.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("ASCII") ++ Array(
+        (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0.toByte)
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI + APP0(JFIF, 16 bytes) + SOF0
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++
+        "JFIF".getBytes("ASCII") ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++
+        Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3)
+    }
+  }
+
+  /** ====== STUB (features only) ======
+    * Dimensions are REAL (header parse via [[imageDims]]); the feature
+    * vector is a deterministic fake from byte-histogram moments — the
+    * container ships no pixel codecs. A real deployment replaces the
+    * feature computation with an actual decoder (e.g. via JNI/ffmpeg);
     * signature and batch shape stay identical. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val hist = new Array[Long](8)
@@ -125,7 +205,8 @@ object Multimodal {
     while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1; i += 1 }
     val n = math.max(1, bytes.length)
     val feats = hist.map(h => h.toFloat / n)
-    (1 + n % 1024, 1 + n % 768, feats)
+    val (w, h) = imageDims(bytes).getOrElse((1 + n % 1024, 1 + n % 768))
+    (w, h, feats)
   }
 
   /** Batched feature extraction: one partition = one decode batch

@@ -388,6 +388,57 @@ object Html {
       .orElse(anchor.map((_, "a")))
   }
 
+  /** Meta-tag harvest (parse-html HTMLMetaProcessor.getMetaTags:55-170):
+    * `<meta name=… content=…>` into general tags, `<meta http-equiv=…
+    * content=…>` into http-equiv tags — names lowercased, document
+    * order kept, metas under `<body>` ignored. Robots directives
+    * (`none|noindex|nofollow|noarchive`) set the boolean gates the
+    * indexing eligibility tree reads. */
+  final case class MetaTags(
+      general: Seq[(String, String)],
+      httpEquiv: Seq[(String, String)],
+      noIndex: Boolean,
+      noFollow: Boolean,
+      noCache: Boolean)
+
+  def getMetaTags(root: HNode): MetaTags = {
+    val gen = Vector.newBuilder[(String, String)]
+    val equiv = Vector.newBuilder[(String, String)]
+    var noIndex, noFollow, noCache = false
+    def walk(h: HNode): Unit = h match {
+      case e: HElem if e.name == "body" => () // metas only above body
+      case e: HElem =>
+        if (e.name == "meta") {
+          val content = e.attr("content")
+          (e.attr("name"), content) match {
+            case (Some(n), Some(c)) =>
+              val name = n.toLowerCase
+              gen += name -> c
+              if (name == "robots") {
+                val d = c.toLowerCase
+                if (d.contains("none")) { noIndex = true; noFollow = true }
+                if (d.contains("noindex")) noIndex = true
+                if (d.contains("nofollow")) noFollow = true
+                if (d.contains("noarchive")) noCache = true
+              }
+            case _ => ()
+          }
+          (e.attr("http-equiv"), content) match {
+            case (Some(n), Some(c)) =>
+              val name = n.toLowerCase
+              equiv += name -> c
+              if (name == "pragma" && c.toLowerCase.contains("no-cache"))
+                noCache = true
+            case _ => ()
+          }
+        }
+        e.children.foreach(walk)
+      case _ => ()
+    }
+    walk(root)
+    MetaTags(gen.result(), equiv.result(), noIndex, noFollow, noCache)
+  }
+
   /** `base href` before `body`, if any (DOMContentUtils.getBase). */
   def getBase(root: HNode): Option[String] = {
     var res: Option[String] = None

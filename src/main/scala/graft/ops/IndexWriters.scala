@@ -73,13 +73,14 @@ object IndexWriters {
 
   object HttpBulkWriter {
     /** Minimal POST; returns the status code, throws on non-2xx. */
-    private[graft] def post(url: String, body: String): Int = {
+    private[graft] def post(url: String, body: String,
+        contentType: String = "application/json"): Int = {
       val conn = new java.net.URL(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
         conn.setRequestMethod("POST")
         conn.setDoOutput(true)
-        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setRequestProperty("Content-Type", contentType)
         val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         conn.setFixedLengthStreamingMode(bytes.length)
         val out = conn.getOutputStream
@@ -89,6 +90,122 @@ object IndexWriters {
           throw new java.io.IOException(s"POST $url -> HTTP $code")
         code
       } finally conn.disconnect()
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // S7 engine-specific sink dialects
+  // -------------------------------------------------------------------------
+
+  /** Frames doc batches into an engine's bulk wire format. Adds and
+    * deletes arrive pre-split because Solr's XML update message allows
+    * one root element per request (SolrIndexWriter.java buffers
+    * inputDocs and deleteIds separately and flushes each on its own);
+    * dialects that can mix (ES `_bulk`) emit a single body. */
+  trait BulkDialect extends Serializable {
+    def name: String
+    def updatePath: String
+    def contentType: String
+    /** One or more request bodies for the batch, in send order. */
+    def frame(adds: Seq[Index.Doc], deleteIds: Seq[String]): Seq[String]
+    /** (path, body) of the job-sealing commit request, if the engine
+      * has one. */
+    def commit: Option[(String, String)]
+  }
+
+  /** indexer-solr dialect: the classic XML update message
+    * (SolrIndexWriter.java:118-230 write/delete flow as wire XML —
+    * `<add><doc><field name=…>` documents, `<delete><id>` tombstones,
+    * `<commit/>` to seal). */
+  final class SolrXmlDialect extends BulkDialect {
+    val name = "solr"
+    val updatePath = "/update"
+    val contentType = "text/xml"
+
+    private def esc(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      s.foreach {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case '\'' => sb.append("&apos;")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+    private def field(n: String, v: String): String =
+      s"""<field name="$n">${esc(v)}</field>"""
+
+    def frame(adds: Seq[Index.Doc], deleteIds: Seq[String]): Seq[String] = {
+      val addBody =
+        if (adds.isEmpty) None
+        else Some(adds.map(d =>
+          "<doc>" + field("id", d.url) + field("title", d.title) +
+            field("host", d.host) + field("digest", d.digest) +
+            field("boost", d.boost.toString) + "</doc>")
+          .mkString("<add>", "", "</add>"))
+      val delBody =
+        if (deleteIds.isEmpty) None
+        else Some(deleteIds.map(id => s"<id>${esc(id)}</id>")
+          .mkString("<delete>", "", "</delete>"))
+      addBody.toSeq ++ delBody.toSeq
+    }
+
+    def commit: Option[(String, String)] = Some(("/update", "<commit/>"))
+  }
+
+  /** indexer-elastic dialect: `_bulk` action-and-metadata framing —
+    * `{"index":{"_id":…}}` + source line per add, `{"delete":{"_id":…}}`
+    * per tombstone, newline-terminated ndjson body, `/_refresh` as the
+    * commit analog (ElasticIndexWriter's BulkProcessor wire format). */
+  final class EsBulkDialect extends BulkDialect {
+    val name = "elastic"
+    val updatePath = "/_bulk"
+    val contentType = "application/x-ndjson"
+
+    private def j(s: String): String = graft.Json.str(s)
+
+    def frame(adds: Seq[Index.Doc], deleteIds: Seq[String]): Seq[String] = {
+      if (adds.isEmpty && deleteIds.isEmpty) return Nil
+      val sb = new StringBuilder
+      adds.foreach { d =>
+        sb.append(s"""{"index":{"_id":${j(d.url)}}}""").append('\n')
+        sb.append(s"""{"url":${j(d.url)},"title":${j(d.title)},""" +
+          s""""host":${j(d.host)},"digest":${j(d.digest)},""" +
+          s""""boost":${d.boost}}""").append('\n')
+      }
+      deleteIds.foreach(id =>
+        sb.append(s"""{"delete":{"_id":${j(id)}}}""").append('\n'))
+      Seq(sb.toString)
+    }
+
+    def commit: Option[(String, String)] = Some(("/_refresh", ""))
+  }
+
+  /** HttpBulkWriter generalized over a [[BulkDialect]]: same per-
+    * partition batch+POST shape, same non-2xx → task-retry contract,
+    * engine-specific body framing. The delete flow (CleaningJob
+    * deleteActions) rides the `action` column into the dialect's
+    * tombstone form. */
+  final class DialectBulkWriter(val endpoint: String,
+      val dialect: BulkDialect, val batchSize: Int = 250)
+      extends IndexWriter {
+    def name: String = dialect.name
+    def write(docs: Dataset[Index.Doc], outDir: String): Unit = {
+      val (ep, d, bs) = (endpoint, dialect, batchSize)
+      docs.foreachPartition { (it: Iterator[Index.Doc]) =>
+        it.grouped(bs).foreach { batch =>
+          val (dels, adds) = batch.partition(_.action == "delete")
+          d.frame(adds, dels.map(_.url))
+            .foreach(body =>
+              HttpBulkWriter.post(ep + d.updatePath, body, d.contentType))
+        }
+      }
+      dialect.commit.foreach { case (path, body) =>
+        HttpBulkWriter.post(endpoint + path, body, dialect.contentType)
+      }
     }
   }
 

@@ -19,6 +19,97 @@ object UpdateHostDb {
       dnsFailures: Long, connectionFailures: Long, score: Double,
       lastCheck: Long)
 
+  /** J8 DNS-check seam (ResolverThread.java:112-178). The reference
+    * spawns resolver threads per host inside the reducer; the Spark
+    * shape is a map over the merged hostdb with the SAME outcome table:
+    *
+    *   resolves, new host          → new_known_host, lastCheck refreshed
+    *   resolves, had dnsFailures   → rediscovered_host, failures reset
+    *   resolves, known             → existing_known_host
+    *   fails, new host             → new_unknown_host, dnsFailures = 1
+    *   fails, known                → existing_unknown_host, failures+1,
+    *                                 kept/purged by the threshold rule
+    *                                 (ResolverThread.java:146-155: kept
+    *                                 when threshold == -1 or threshold <
+    *                                 failures — the reference's literal
+    *                                 condition, mirrored as-is)
+    */
+  trait Resolver extends Serializable {
+    /** true when the host resolves (InetAddress.getByName succeeding). */
+    def resolve(host: String): Boolean
+  }
+
+  /** Live DNS via the JVM resolver — the deployment impl (unused in the
+    * sandbox: no resolver here; specs use [[MockResolver]]). */
+  object DnsResolver extends Resolver {
+    def resolve(host: String): Boolean =
+      try { java.net.InetAddress.getByName(host); true }
+      catch { case _: java.net.UnknownHostException => false }
+  }
+
+  /** Planted-failure resolver for tests/oracles. */
+  final case class MockResolver(failing: Set[String]) extends Resolver {
+    def resolve(host: String): Boolean = !failing.contains(host)
+  }
+
+  /** Counter mirror of the reference's NutchMetrics hostdb group. */
+  final case class CheckStats(checked: Long, newKnown: Long,
+      existingKnown: Long, rediscovered: Long, newUnknown: Long,
+      existingUnknown: Long, purged: Long)
+
+  /** Run the DNS check over a merged hostdb: returns the surviving rows
+    * (purged hosts dropped) and the outcome counters. One map pass — at
+    * scale the resolver cost dominates, so hosts stay partitioned as
+    * the merge left them (no extra shuffle). */
+  def check(rows: Dataset[HostRow], resolver: Resolver, now: Long,
+      purgeFailedHostsThreshold: Int = -1): (Dataset[HostRow], CheckStats) = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val accs = Seq("checked", "new_known", "existing_known", "rediscovered",
+      "new_unknown", "existing_unknown", "purged")
+      .map(n => n -> sc.longAccumulator(s"hostdb_$n")).toMap
+    val bc = sc.broadcast((resolver, purgeFailedHostsThreshold))
+    val out = rows.mapPartitions { it =>
+      val (r, threshold) = bc.value
+      it.flatMap { h =>
+        val isNew = h.lastCheck == 0L
+        accs("checked").add(1L)
+        if (r.resolve(h.host)) {
+          val name =
+            if (isNew) "new_known"
+            else if (h.dnsFailures > 0) "rediscovered"
+            else "existing_known"
+          accs(name).add(1L)
+          Some(h.copy(lastCheck = now,
+            dnsFailures = if (h.dnsFailures > 0 && !isNew) 0L
+              else h.dnsFailures))
+        } else if (isNew) {
+          accs("new_unknown").add(1L)
+          Some(h.copy(lastCheck = now, dnsFailures = 1L))
+        } else {
+          val failures = h.dnsFailures + 1
+          if (threshold == -1 || threshold < failures) {
+            accs("existing_unknown").add(1L)
+            Some(h.copy(lastCheck = now, dnsFailures = failures))
+          } else {
+            accs("purged").add(1L)
+            None
+          }
+        }
+      }
+    }
+    // the map runs lazily; counters are valid only after an action —
+    // materialize here (hostdb rounds install the result anyway)
+    val materialized = out.cache()
+    materialized.count()
+    val stats = CheckStats(accs("checked").value, accs("new_known").value,
+      accs("existing_known").value, accs("rediscovered").value,
+      accs("new_unknown").value, accs("existing_unknown").value,
+      accs("purged").value)
+    (materialized, stats)
+  }
+
   def apply(db: Dataset[CrawlRow], prev: Dataset[HostRow],
       now: Long): Dataset[HostRow] = {
     val spark: SparkSession = db.sparkSession

@@ -95,6 +95,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.sniff(b("{\\rtf1\\ansi")) == "application/rtf")
   }
 
+  test("real header-only dimension decode: PNG/GIF/BMP/JPEG") {
+    // synthesized fixtures round-trip their planted dims
+    assert(Multimodal.imageDims(Multimodal.Synth.png(640, 480))
+      .contains((640, 480)))
+    assert(Multimodal.imageDims(Multimodal.Synth.gif(320, 200))
+      .contains((320, 200)))
+    assert(Multimodal.imageDims(Multimodal.Synth.jpeg(1920, 1080))
+      .contains((1920, 1080)))
+    // JPEG with a padding FF and a restart marker before SOF
+    val weird = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte, // padding FF
+      0xff.toByte, 0x01) ++ // standalone TEM marker
+      Multimodal.Synth.jpeg(12, 34).drop(2)
+    assert(Multimodal.imageDims(weird).contains((12, 34)))
+    // BMP: 26+ byte BITMAPINFOHEADER prefix, negative height (top-down)
+    val bmp = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(800).putInt(-600)
+    assert(Multimodal.imageDims(bmp.array()).contains((800, 600)))
+    // non-images and cut-off headers: None
+    assert(Multimodal.imageDims(junk).isEmpty)
+    assert(Multimodal.imageDims(Multimodal.Synth.png(1, 1).take(20)).isEmpty)
+    assert(Multimodal.imageDims(jpeg).isEmpty) // SOI but no SOF
+  }
+
   test("metadata + batched feature extraction plumbing") {
     import spark.implicits._
     val df = Seq((1L, jpeg), (2L, png), (3L, junk))

@@ -135,4 +135,86 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
       }
     } finally http.stop(0)
   }
+
+  test("Solr XML dialect: exact add/delete/commit request bodies") {
+    // dialect framing is pure — assert the exact wire bytes first
+    val d = new IndexWriters.SolrXmlDialect
+    val adds = Seq(Index.Doc("http://a.com/?q=1&r=2", "add", "A <Title>",
+      "a.com", "body", "d1", 2.0f, Nil))
+    assert(d.frame(adds, Seq("http://gone.com/")) == Seq(
+      """<add><doc><field name="id">http://a.com/?q=1&amp;r=2</field>""" +
+        """<field name="title">A &lt;Title&gt;</field>""" +
+        """<field name="host">a.com</field>""" +
+        """<field name="digest">d1</field>""" +
+        """<field name="boost">2.0</field></doc></add>""",
+      "<delete><id>http://gone.com/</id></delete>"))
+    assert(d.frame(Nil, Nil).isEmpty)
+    assert(d.commit.contains(("/update", "<commit/>")))
+
+    // then the full writer against a recording fixture server
+    val (http, endpoint, requests) = recordingServer("/update")
+    try {
+      new IndexWriters.DialectBulkWriter(endpoint, d, batchSize = 10)
+        .write(docs.coalesce(1), "")
+      val bodies = requests()
+      assert(bodies.count(_._2.startsWith("<add>")) == 1)
+      assert(bodies.count(_._2.startsWith("<delete>")) == 1)
+      assert(bodies.last._2 == "<commit/>")
+      assert(bodies.forall(_._1 == "/update"))
+      val add = bodies.find(_._2.startsWith("<add>")).get._2
+      assert(add.contains("""<field name="id">http://a.com/</field>"""))
+      assert(add.contains("""<field name="id">http://b.com/</field>"""))
+      assert(bodies.find(_._2.startsWith("<delete>")).get._2 ==
+        "<delete><id>http://c.com/</id></delete>")
+    } finally http.stop(0)
+  }
+
+  test("ES _bulk dialect: action-and-metadata framing + _refresh") {
+    val d = new IndexWriters.EsBulkDialect
+    val adds = Seq(Index.Doc("http://a.com/", "add", "A \"quoted\"",
+      "a.com", "body", "d1", 2.0f, Nil))
+    assert(d.frame(adds, Seq("http://gone.com/")) == Seq(
+      "{\"index\":{\"_id\":\"http://a.com/\"}}\n" +
+        "{\"url\":\"http://a.com/\",\"title\":\"A \\\"quoted\\\"\"," +
+        "\"host\":\"a.com\",\"digest\":\"d1\",\"boost\":2.0}\n" +
+        "{\"delete\":{\"_id\":\"http://gone.com/\"}}\n"))
+    assert(d.frame(Nil, Nil).isEmpty)
+    assert(d.commit.contains(("/_refresh", "")))
+
+    val (http, endpoint, requests) = recordingServer("/_bulk", "/_refresh")
+    try {
+      new IndexWriters.DialectBulkWriter(endpoint, d, batchSize = 10)
+        .write(docs.coalesce(1), "")
+      val bodies = requests()
+      // one mixed ndjson body + the refresh
+      val bulk = bodies.filter(_._1 == "/_bulk")
+      assert(bulk.length == 1)
+      val lines = bulk.head._2.linesIterator.toSeq
+      assert(bulk.head._2.endsWith("\n")) // _bulk requires the trailing \n
+      assert(lines.count(_.startsWith("{\"index\":")) == 2)
+      assert(lines.count(_.startsWith("{\"delete\":")) == 1)
+      assert(lines.contains("{\"delete\":{\"_id\":\"http://c.com/\"}}"))
+      assert(bodies.last._1 == "/_refresh")
+    } finally http.stop(0)
+  }
+
+  /** Local fixture server recording (path, body) of each POST. */
+  private def recordingServer(paths: String*)
+      : (com.sun.net.httpserver.HttpServer,
+         String, () => Seq[(String, String)]) = {
+    val requests =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    paths.foreach(p => http.createContext(p,
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        requests.add((ex.getRequestURI.getPath,
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8")))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }))
+    http.start()
+    (http, s"http://127.0.0.1:${http.getAddress.getPort}",
+      () => { import scala.jdk.CollectionConverters._
+        requests.asScala.toSeq })
+  }
 }

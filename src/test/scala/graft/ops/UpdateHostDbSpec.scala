@@ -35,4 +35,45 @@ class UpdateHostDbSpec extends AnyFunSuite with SparkSuite {
     val g = out("gone-host.com") // absent this round: carried forward
     assert(g.score == 7.0 && g.lastCheck == 2L && g.dnsFailures == 5)
   }
+
+  test("resolver check: outcome table of ResolverThread.java:112-178") {
+    import spark.implicits._
+    def h(host: String, dnsFailures: Long, lastCheck: Long) =
+      UpdateHostDb.HostRow(host, 1, 1, 0, 0, 0, 0, dnsFailures, 0, 1.0,
+        lastCheck)
+    val rows = Seq(
+      h("new-ok.com", 0, 0L), // new + resolves -> new_known
+      h("known-ok.com", 0, 5L), // known + resolves -> existing_known
+      h("redisc.com", 3, 5L), // known + resolves + failures -> reset
+      h("new-bad.com", 0, 0L), // new + fails -> dnsFailures = 1, kept
+      h("old-bad.com", 7, 5L), // known + fails -> failures+1, kept
+      h("purge-me.com", 1, 5L) // known + fails, threshold rule purges
+    ).toDS()
+    val resolver = UpdateHostDb.MockResolver(
+      Set("new-bad.com", "old-bad.com", "purge-me.com"))
+    // threshold 3: kept when threshold < failures (the reference's
+    // literal keep-condition) — old-bad reaches 8 > 3 and survives,
+    // purge-me reaches 2 <= 3 and is purged
+    val (out, stats) = UpdateHostDb.check(rows, resolver, now,
+      purgeFailedHostsThreshold = 3)
+    val m = out.collect().map(r => r.host -> r).toMap
+    assert(!m.contains("purge-me.com"))
+    assert(m("new-ok.com").dnsFailures == 0 &&
+      m("new-ok.com").lastCheck == now)
+    assert(m("redisc.com").dnsFailures == 0) // rediscovered: reset
+    assert(m("new-bad.com").dnsFailures == 1)
+    assert(m("old-bad.com").dnsFailures == 8)
+    assert(stats.checked == 6 && stats.newKnown == 1 &&
+      stats.existingKnown == 1 && stats.rediscovered == 1 &&
+      stats.newUnknown == 1 && stats.existingUnknown == 1 &&
+      stats.purged == 1)
+    // dnsFailures > 0 survive a subsequent merge (the r6 gap: a DNS
+    // failure path that can actually be exercised end-to-end)
+    val merged = UpdateHostDb(
+      spark.emptyDataset[CrawlRow], out, now + 1000).collect()
+      .map(r => r.host -> r).toMap
+    assert(merged("new-bad.com").dnsFailures == 1)
+    assert(merged("old-bad.com").dnsFailures == 8)
+    out.unpersist()
+  }
 }
