@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** STATUS.md's "Oracle query inventory" section must equal the live
+  * registry in both directions — the doc is the map the next round
+  * navigates by, and a stale inventory misdirects it (the r6 verdict's
+  * bookkeeping finding). */
+class StatusInventorySpec extends AnyFunSuite {
+
+  test("STATUS.md oracle inventory == oracle-checked query registry") {
+    val status = new String(
+      Files.readAllBytes(Paths.get("STATUS.md")), "UTF-8")
+    val marker = "## Oracle query inventory"
+    assert(status.contains(marker), "inventory section missing")
+    val section = status.substring(status.indexOf(marker))
+      .split("\n## ", 2)(0)
+    val listed = "`([a-z][a-z0-9_]*)`".r
+      .findAllMatchIn(section).map(_.group(1)).toSet
+    val oracle = Queries.all.filter(_.oracle.isDefined).map(_.name).toSet
+    val missingFromDoc = oracle -- listed
+    val staleInDoc = listed -- oracle
+    assert(missingFromDoc.isEmpty,
+      s"queries not listed in STATUS.md: $missingFromDoc")
+    assert(staleInDoc.isEmpty,
+      s"STATUS.md lists non-existent queries: $staleInDoc")
+    // the declared count in the heading stays honest too
+    val count = s"$marker \\((\\d+)\\)".r
+      .findFirstMatchIn(section).map(_.group(1).toInt)
+    assert(count.contains(oracle.size),
+      s"inventory heading count ${count} != ${oracle.size}")
+  }
+}
