@@ -493,6 +493,115 @@ object QueriesPlugins {
                ELSE '' END AS js_links
       FROM documents"""))
 
+  private val relTagUdf = udf((html: String) =>
+    graft.plugins.ParseFilters.relTags(graft.ops.Html.parse(html))
+      .mkString("|"))
+
+  /** microformats-reltag (RelTagParser.java:61-135): rel="tag" anchors
+    * → URL-decoded last path segment, deduped + sorted (TreeSet);
+    * relative hrefs and rel-less/href-less anchors drop. Closed-form:
+    * per doc the tag set is {alpha<k%7>, big data} — "big data" from a
+    * %20-encoded segment, the duplicate and decoy anchors ignored. */
+  val reltagTags = Q(
+    "reltag_tags",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"http://t.example.com/tag/alpha"), k % 7,
+        lit("\" rel=\"tag\">a</a>" +
+          "<a href=\"http://t.example.com/tag/big%20data\" rel=\"TAG\">b</a>" +
+          "<a href=\"http://t.example.com/tag/alpha"), k % 7,
+        lit("\" rel=\"tag\">dup</a>" +
+          "<a href=\"http://t.example.com/tag/decoy\">no rel</a>" +
+          "<a href=\"/rel/tag\" rel=\"tag\">relative</a></body></html>"))
+      d.select(k.as("doc_id"), relTagUdf(html).as("tags"))
+    },
+    Some("""
+      SELECT doc_id,
+        'alpha' || (doc_id % 7) || '|big data' AS tags
+      FROM documents"""))
+
+  private val regexFlagsUdf = udf((html: String, text: String) => {
+    import graft.plugins.ParseFilters._
+    val rules = Seq(
+      RegexParseRule("hasPrice", "text",
+        java.util.regex.Pattern.compile("\\$\\d+")),
+      RegexParseRule("hasForm", "html",
+        java.util.regex.Pattern.compile("<form\\b")))
+    regexFlags(html, text, rules).map { case (f, v) => s"$f=$v" }
+      .mkString(",")
+  })
+
+  /** parsefilter-regex (RegexParseFilter.java:58-90): boolean fields
+    * from regex probes against raw html vs extracted text. Planted so
+    * hasPrice=true iff doc_id%2=0 and hasForm=true iff doc_id%3=0. */
+  val parsefilterRegex = Q(
+    "parsefilter_regex",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val html = concat(lit("<html><body>"),
+        when(k % 3 === 0, lit("<form action=\"/buy\">")).otherwise(lit("")),
+        lit("page "), k, lit("</body></html>"))
+      val text = concat(lit("item "), k,
+        when(k % 2 === 0, concat(lit(" costs $"), k)).otherwise(lit("")))
+      d.select(k.as("doc_id"), regexFlagsUdf(html, text).as("flags"))
+    },
+    Some("""
+      SELECT doc_id,
+        'hasPrice=' || (doc_id % 2 = 0)
+          || ',hasForm=' || (doc_id % 3 = 0) AS flags
+      FROM documents"""))
+
+  private val replaceLinksUdf = udf((url: String, host: String,
+      title: String, outlinks: Seq[String]) => {
+    import graft.plugins.IndexingFilters._
+    val conf = ReplaceConf.parse(
+      "hostmatch=.*\\.example\\.com\n" +
+        "title=/draft/final/\n" +
+        "urlmatch=.*/special/.*\n" +
+        "title:subtitle=/(.+)/[$1]/")
+    val doc = conf(Map("url" -> url, "host" -> host, "title" -> title))
+    val (outs, _) = linkFields(url, outlinks, Nil,
+      ignoreSameHostOut = true)
+    (doc.getOrElse("title", ""), doc.getOrElse("subtitle", ""),
+      outs.mkString("|"))
+  })
+
+  /** index-replace (ReplaceIndexer.java:128-290) + index-links
+    * (LinksIndexingFilter.java:69-160) composed: host-matched in-place
+    * title rewrite, url-matched write into a NEW subtitle field, and
+    * outlink fields with same-host suppression — all closed-form. */
+  val indexReplaceLinks = Q(
+    "index_replace_links",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val host = concat(lit("w"), k % 10, lit(".example.com"))
+      val url = concat(lit("http://"), host,
+        when(k % 4 === 0, lit("/special/p")).otherwise(lit("/p")), k)
+      val title = concat(lit("draft doc "), k)
+      val outlinks = array(
+        concat(lit("http://"), host, lit("/self"), k), // same host: dropped
+        concat(lit("http://out"), k % 5, lit(".example.org/x"), k))
+      d.select(k.as("doc_id"),
+          replaceLinksUdf(url, host, title, outlinks).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("title"),
+          col("r._2").as("subtitle"),
+          col("r._3").as("outlink_fields"))
+    },
+    Some("""
+      SELECT doc_id,
+        'final doc ' || doc_id AS title,
+        CASE WHEN doc_id % 4 = 0 THEN '[final doc ' || doc_id || ']'
+             ELSE '' END AS subtitle,
+        'http://out' || (doc_id % 5) || '.example.org/x' || doc_id
+          AS outlink_fields
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
-    ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks)
+    ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks,
+    reltagTags, parsefilterRegex, indexReplaceLinks)
 }

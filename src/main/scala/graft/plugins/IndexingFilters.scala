@@ -178,6 +178,149 @@ object IndexingFilters {
   }
 
   // -------------------------------------------------------------------------
+  // index-links (LinksIndexingFilter.java:69-160)
+  // -------------------------------------------------------------------------
+
+  /** Outlink/inlink document fields: each link URL (or, in hosts-only
+    * mode, its deduped lowercase host), with optional suppression of
+    * links pointing to/from the document's own host
+    * (index.links.outlinks.host.ignore / inlinks.host.ignore /
+    * hosts.only). Returns (outlinkFields, inlinkFields). */
+  def linkFields(url: String, outlinks: Seq[String], inlinks: Seq[String],
+      ignoreSameHostOut: Boolean = false, ignoreSameHostIn: Boolean = false,
+      hostsOnly: Boolean = false): (Seq[String], Seq[String]) = {
+    val docHost = graft.net.UrlParts.host(url).map(_.toLowerCase)
+    def side(links: Seq[String], ignoreSame: Boolean): Seq[String] = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      links.flatMap { link =>
+        graft.net.UrlParts.host(link).map(_.toLowerCase) match {
+          case None => None // malformed: logged + skipped in the reference
+          case Some(h) =>
+            val value = if (hostsOnly) h else link
+            if (hostsOnly && !seen.add(h)) None
+            else if (ignoreSame && docHost.contains(h)) None
+            else Some(value)
+        }
+      }
+    }
+    (side(outlinks, ignoreSameHostOut), side(inlinks, ignoreSameHostIn))
+  }
+
+  // -------------------------------------------------------------------------
+  // index-replace (ReplaceIndexer.java:128-290, FieldReplacer.java)
+  // -------------------------------------------------------------------------
+
+  /** One `field[:toField]=/regexp/replacement/[flags]` instruction. */
+  final case class FieldReplacer(field: String, toField: String,
+      pattern: Pattern, replacement: String) extends Serializable {
+    def replace(value: String): String =
+      pattern.matcher(value).replaceAll(replacement)
+  }
+
+  /** Replacement sets keyed by host- or url-match patterns, applied in
+    * declaration order. */
+  final case class ReplaceConf(
+      byHost: Seq[(Pattern, Seq[FieldReplacer])],
+      byUrl: Seq[(Pattern, Seq[FieldReplacer])]) extends Serializable {
+
+    /** Apply every matching set to the doc (doReplace,
+      * ReplaceIndexer.java:250-290: the key field — host or url — must
+      * match the set's pattern; each replacer rewrites its source
+      * field's value into the target field when the field exists). */
+    def apply(doc: Map[String, String]): Map[String, String] = {
+      def run(d: Map[String, String], key: String,
+          sets: Seq[(Pattern, Seq[FieldReplacer])]): Map[String, String] =
+        d.get(key) match {
+          case None => d
+          case Some(keyValue) =>
+            sets.foldLeft(d) { case (acc, (p, replacers)) =>
+              if (!p.matcher(keyValue).matches()) acc
+              else replacers.foldLeft(acc) { (m, r) =>
+                m.get(r.field).fold(m)(v => m + (r.toField -> r.replace(v)))
+              }
+            }
+        }
+      run(run(doc, "host", byHost), "url", byUrl)
+    }
+  }
+
+  object ReplaceConf {
+    /** Parse the `index.replace.regexp` property: one instruction per
+      * line; `hostmatch=`/`urlmatch=` lines open a new match set (the
+      * parse starts in a match-everything host set), other lines are
+      * `field[:toField]=/regexp/replacement/[flags]` with the
+      * value's first char as the delimiter and an optional integer
+      * Pattern-flags tail (parseConf, ReplaceIndexer.java:128-230). */
+    def parse(prop: String): ReplaceConf = {
+      val byHost = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[FieldReplacer]]
+      val byUrl = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[FieldReplacer]]
+      var hostPattern = ".*"
+      var urlPattern: Option[String] = None
+      prop.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val eq = line.indexOf('=')
+        if (eq > 0) {
+          val name = line.substring(0, eq).trim
+          val value = line.substring(eq + 1)
+          name match {
+            case "hostmatch" =>
+              urlPattern = None; hostPattern = value.trim
+            case "urlmatch" =>
+              urlPattern = Some(value.trim)
+            case _ =>
+              parseInstruction(name, value).foreach { fr =>
+                urlPattern match {
+                  case Some(up) =>
+                    byUrl(up) = byUrl.getOrElse(up, Vector.empty) :+ fr
+                  case None =>
+                    byHost(hostPattern) =
+                      byHost.getOrElse(hostPattern, Vector.empty) :+ fr
+                }
+              }
+          }
+        }
+      }
+      def compiled(m: scala.collection.mutable.LinkedHashMap[String,
+          Vector[FieldReplacer]]): Seq[(Pattern, Seq[FieldReplacer])] =
+        m.toSeq.flatMap { case (p, frs) =>
+          try Some(Pattern.compile(p) -> (frs: Seq[FieldReplacer]))
+          catch { case _: java.util.regex.PatternSyntaxException => None }
+        }
+      ReplaceConf(compiled(byHost), compiled(byUrl))
+    }
+
+    private def parseInstruction(name: String, value: String)
+        : Option[FieldReplacer] = {
+      val (field, toField) = name.split(":", 2) match {
+        case Array(f, t) => (f.trim, t.trim)
+        case _ => (name, name)
+      }
+      val v = value.trim
+      if (v.length < 2) return None
+      val sep = v.charAt(0)
+      val parts = v.substring(1).split(Pattern.quote(sep.toString), -1)
+      if (parts.length < 2) return None
+      val (regex, replacement) = (parts(0), parts(1))
+      val flags =
+        if (parts.length > 2 && parts(2).nonEmpty)
+          scala.util.Try(parts(2).trim.toInt).toOption.getOrElse(0)
+        else 0
+      try Some(FieldReplacer(field, toField,
+        Pattern.compile(regex, flags), replacement))
+      catch { case _: java.util.regex.PatternSyntaxException => None }
+    }
+  }
+
+  /** Registry-pluggable form of index-replace. */
+  final class ReplaceIndexingFilter(conf: ReplaceConf)
+      extends IndexingFilter {
+    def filter(doc: Map[String, String], url: String,
+        datum: CrawlDatum): Option[Map[String, String]] =
+      Some(conf(doc))
+  }
+
+  // -------------------------------------------------------------------------
   // parse-metatags
   // -------------------------------------------------------------------------
 
