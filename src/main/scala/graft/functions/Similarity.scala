@@ -14,25 +14,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+  /** Shingling as a codegen'd StaticInvoke (the Psl pattern), NOT a
+    * higher-order-function composition. The HOF form
+    * (`transform(sequence(...), i => ...)`) has no codegen: Spark
+    * evaluates it interpreted, and every `element_at(t, i)` inside the
+    * lambda RE-EVALUATES the `split` — O(words²) string splits per doc.
+    * Profiled on sf0.1: the interpreted form spent 100+ CPU-seconds in
+    * `StringSplit.nullSafeEval` under `ArrayTransform.eval` with all GC
+    * threads pegged (allocation churn), and query times swung 10→280 s
+    * run-to-run. The scalar walks the UTF8String once, byte-exact with
+    * the column semantics it replaces (split keeps empty tokens,
+    * substring is character-based, dedup keeps first occurrence). */
+  private def shingleCall(fn: String, text: Column, k: Int): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ShingleOps"),
+      ArrayType(StringType, containsNull = false), fn,
+      Seq(ColumnBridge.expression(text), Literal(k)),
+      Seq(StringType, IntegerType)))
+
   /** Character n-gram set of a string, as an array column (deduped).
     * Guarded for strings shorter than n. */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array(text))
+    shingleCall("charShingles", text, n)
 
   /** Word w-shingles from a whitespace-tokenized string (deduped). */
-  def wordShingles(text: Column, w: Int): Column = {
-    val t = split(text, " ")
-    when(size(t) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - (w - 1)),
-        i => concat_ws(" ",
-          (0 until w).map(o => element_at(t, i + o)): _*))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
+  def wordShingles(text: Column, w: Int): Column =
+    shingleCall("wordShingles", text, w)
 
   /** MinHash family: ONE md5 per shingle, then affine rehashes
     * h_i(x) = (a_i·(md5(x) mod P) + b_i) mod P over a 30-bit prime —
@@ -67,24 +79,39 @@ object Similarity {
   /** Fixed-point quantization of a float/double to long at 10^6. */
   def fxq(c: Column): Column = round(c * 1e6, 0).cast("long")
 
+  /** Vector math as codegen'd StaticInvokes into [[VecOps]] — the
+    * aggregate/zip_with/transform HOF forms these replace are
+    * interpreted (same pathology as shingleCall, linear not quadratic,
+    * but still off-codegen allocation churn per pair in the knn scans). */
+  private def vecCall(fn: String, ret: org.apache.spark.sql.types.DataType,
+      elem: org.apache.spark.sql.types.DataType, args: Column*): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.VecOps"), ret, fn,
+      args.map(ColumnBridge.expression),
+      args.map(_ => ArrayType(elem)), returnNullable = false))
+
+  import org.apache.spark.sql.types.{FloatType, LongType}
+
   /** Exact integer dot product of two float-array columns (quantized). */
   def dotFx(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => fxq(x) * fxq(y)), lit(0L), _ + _)
+    vecCall("dotFx", LongType, FloatType, a, b)
 
   /** Exact integer squared norm of a float-array column (quantized). */
   def normSqFx(a: Column): Column =
-    aggregate(transform(a, x => fxq(x) * fxq(x)), lit(0L), _ + _)
+    vecCall("normSqFx", LongType, FloatType, a)
 
   /** Pre-quantized long array — compute once per vector, not per pair. */
-  def quantized(a: Column): Column = transform(a, fxq(_))
+  def quantized(a: Column): Column =
+    vecCall("quantize", ArrayType(LongType, containsNull = false),
+      FloatType, a)
 
   /** Dot product of two pre-quantized long arrays. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    vecCall("dotQ", LongType, LongType, a, b)
 
   /** Squared norm of a pre-quantized long array. */
   def normSqQ(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    vecCall("normSqQ", LongType, LongType, a)
 
   /** Cosine similarity from the exact integer pieces — one double
     * expression, identical on both engines. */
