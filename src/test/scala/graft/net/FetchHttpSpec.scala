@@ -136,6 +136,48 @@ class FetchHttpSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("full crawl round over real HTTP: inject -> generate -> fetch -> parse -> updatedb") {
+    assume(Files.exists(Paths.get(fixtureDir)))
+    withServer { (_, base) =>
+      import graft.ops.{Fetch, Generate, Inject, Parse}
+      import graft.crawl.{DefaultFetchSchedule, ScheduleConfig, UpdateDb}
+      import graft.tables.{CrawlDbTable, Segment}
+      import spark.implicits._
+      val root = Files.createTempDirectory("graft-http-round").toString
+      val crawldb = new CrawlDbTable(spark, s"$root/crawldb")
+      val acceptAll = RegexUrlFilter.parse(Iterator("+."))
+      val schedule = DefaultFetchSchedule(ScheduleConfig())
+
+      val db0 = Inject(crawldb.read(),
+        spark.createDataset(Seq(s"$base/index.html")),
+        Inject.Config(), acceptAll, t0)
+      crawldb.install(db0, "r0")
+
+      val seg = new Segment(spark, s"$root/segments/1")
+      seg.writeGenerate(Generate(crawldb.read(),
+        Generate.Config(curTime = t0), schedule))
+      val fr = Fetch(seg.generate, new HttpProtocol(), t0,
+        pacer = Pacer.Config(serverDelayMs = 0))
+      seg.writeFetch(fr.fetch); seg.writeContent(fr.content); fr.release()
+      val p = Parse(seg.fetch, seg.content, Parse.Config(), acceptAll)
+      seg.writeParseData(p.parseData); seg.writeParseText(p.parseText)
+      seg.writeCrawlParse(p.crawlParse)
+      crawldb.install(UpdateDb(
+        crawldb.read().union(seg.fetch).union(seg.crawlParse),
+        t0, schedule), "r1")
+
+      val db = crawldb.read().collect().map(r => r.url -> r.datum).toMap
+      // the seed is fetched, and index.html's three outlinks
+      // (TestFetcher's fixture pages) are discovered as unfetched
+      assert(db(s"$base/index.html").status ==
+        graft.schemas.CrawlStatus.DB_FETCHED)
+      for (page <- Seq("pagea.html", "pageb.html", "dup_of_pagea.html"))
+        assert(db.get(s"$base/$page").map(_.status)
+          .contains(graft.schemas.CrawlStatus.DB_UNFETCHED),
+          s"missing discovered outlink $page")
+    }
+  }
+
   test("connection refused maps to retry (transient)") {
     // bind+close to get a port that is definitely not listening
     val ss = new java.net.ServerSocket(0)
