@@ -126,11 +126,9 @@ object Main {
           case Some(sf) =>
             val site = loadSite(spark, sf)
             val seg = new Segment(spark, segdir)
-            val fr = Fetch(seg.generate, site, now0,
+            Fetch.toSegment(seg.generate, site, now0, seg,
               pacer = Pacer.Config(
                 serverDelayMs = optL(rest, "-delay", 0)))
-            try { seg.writeFetch(fr.fetch); seg.writeContent(fr.content) }
-            finally fr.release()
             println(s"fetch: ${seg.fetch.count()} rows")
             0
         }

@@ -248,6 +248,83 @@ object QueriesPipeline {
               < FLOOR(rate * 1048576.0)"""
     })
 
+  /** C4/RefinedWeb-style cross-document LINE-level exact dedup: chunk
+    * each document into 10-word "lines", hash each line, and across the
+    * whole corpus keep a repeated line only in its first-occurrence
+    * document (min doc_id — C4 keeps one occurrence; the rest are
+    * boilerplate). The synthetic corpus has no naturally repeated
+    * 10-grams (vocab^10 dwarfs the corpus), so a boilerplate line is
+    * PLANTED identically on both engines (docs with doc_id % 7 == 0 get
+    * it prepended — the pii_scrub pattern), making the dedup provably
+    * non-vacuous: every 7th doc shares its first line and only the
+    * smallest doc_id keeps it.
+    *
+    * Shape: explode a 0..n_lines-1 sequence against the kept words
+    * array, `slice` out each line (codegen — no interpreted HOF lambda
+    * builds the line list), hash with the shared md5-60bit, then ONE
+    * shuffle groups lines by hash for (keeper, distinct-doc count) and
+    * one join + per-doc agg scores the documents. At 100 TB the
+    * group-by key is the 60-bit hash, not the line text, so shuffle
+    * width is constant per line; the words array is carried through the
+    * explode only within a partition (never shuffled).
+    */
+  val lineDedup = Q(
+    "line_dedup",
+    (s, dir) => {
+      val boiler =
+        "cookie policy accepted please subscribe to our newsletter today now ok"
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val lines = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0),
+            (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
+        .select(col("doc_id"), col("line_no"),
+          Queries.md5Long(concat_ws(" ",
+            slice(col("ws"), col("line_no") * 10 + 1, lit(10)))).as("lh"))
+      val groups = lines.groupBy("lh")
+        .agg(min(col("doc_id")).as("keeper"),
+          countDistinct(col("doc_id")).as("nd"))
+      lines.join(groups, "lh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("nd") === 1 || col("keeper") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          (col("n_lines") - col("n_kept")).as("n_dropped"))
+    },
+    Some {
+      val lh = Queries.sqlMd5Long(
+        "array_to_string(ws[line_no*10+1 : line_no*10+10], ' ')")
+      s"""
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN 'cookie policy accepted please subscribe to our newsletter today now ok ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM p),
+      l0 AS (
+        SELECT doc_id, ws,
+          unnest(range(0, CAST(CEIL(len(ws)/10.0) AS BIGINT))) AS line_no
+        FROM w),
+      l AS (SELECT doc_id, line_no, $lh AS lh FROM l0),
+      g AS (
+        SELECT lh, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS nd
+        FROM l GROUP BY 1)
+      SELECT l.doc_id,
+        COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN nd = 1 OR keeper = l.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        COUNT(*) - CAST(SUM(CASE WHEN nd = 1 OR keeper = l.doc_id
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM l JOIN g USING (lh)
+      GROUP BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
-    sampleStratified)
+    sampleStratified, lineDedup)
 }

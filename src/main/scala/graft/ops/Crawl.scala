@@ -79,13 +79,11 @@ object Crawl {
           Generate.markGenerated(crawldb.read(), seg.generate, now),
           s"generate-mark-r$r")
 
-      // fetch ONCE: the fetch/content pair shares one cached protocol
-      // pass; release() drops those blocks after both segment writes
-      val fr = Fetch(seg.generate, protocol, now, cfg.agent,
+      // fetch ONCE, stream-to-parquet: the protocol pass writes a staged
+      // file and crawl_fetch/content are DERIVED from it — no executor
+      // block-cache holding payloads (the 100 TB shape)
+      Fetch.toSegment(seg.generate, protocol, now, seg, cfg.agent,
         pacer = cfg.pacer)
-      try {
-        seg.writeFetch(fr.fetch); seg.writeContent(fr.content)
-      } finally fr.release()
 
       val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter,
         registry.normalize(_, Extensions.Scope.Outlink))

@@ -102,6 +102,62 @@ object Fetch {
       clockFactory: () => Pacer.Clock = () => Pacer.SystemClock): Result = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
+    val fetched = protocolPass(fetchlist, protocol, now, agent,
+      honorRobots, pacer, clockFactory).cache() // one pass feeds both
+    Result(
+      fetched.flatMap(_._1),
+      fetched.filter(_._1.head.datum.status == CrawlStatus.FETCH_SUCCESS)
+        .map(_._2),
+      () => { fetched.unpersist(); () })
+  }
+
+  /** The 100 TB shape (stream-to-parquet): run the protocol pass ONCE,
+    * write it straight to a staged parquet under the segment, then
+    * DERIVE crawl_fetch and content from the written file — no executor
+    * block-cache holding payloads until a release() call. The fetch-row
+    * derivation reads only the `rows` column (parquet column pruning:
+    * payload bytes are never deserialized for it); the content
+    * derivation rewrites success payloads only, the same bytes
+    * writeContent moves on the cached path. The staging file is deleted
+    * after both tables land. */
+  def toSegment(fetchlist: Dataset[GenerateEntry], protocol: Protocol,
+      now: Long, seg: graft.tables.Segment, agent: String = "graft",
+      honorRobots: Boolean = true,
+      pacer: Pacer.Config = Pacer.Config(),
+      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock): Unit = {
+    val spark: SparkSession = fetchlist.sparkSession
+    import spark.implicits._
+    val stagingDir = s"${seg.dir}/fetch_staged"
+    protocolPass(fetchlist, protocol, now, agent, honorRobots, pacer,
+      clockFactory)
+      .toDF("rows", "content")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stagingDir)
+    val st = spark.read.parquet(stagingDir)
+    seg.writeFetch(st.select(explode(col("rows")).as("r"))
+      .select(col("r.url"), col("r.datum")).as[CrawlRow])
+    seg.writeContent(st
+      .filter(col("rows").getItem(0)("datum")("status") ===
+        CrawlStatus.FETCH_SUCCESS.toInt)
+      .select(col("content.url"), col("content.base"), col("content.bytes"),
+        col("content.contentType"), col("content.meta"))
+      .as[ContentRow])
+    // staged payloads served their purpose; drop them
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(stagingDir))
+  }
+
+  /** One streamed protocol pass: per partition, robots + pacing +
+    * fetch, emitting (crawl rows, content) per URL. NOT cached — the
+    * caller decides whether to cache (apply) or write-then-derive
+    * (toSegment). */
+  private def protocolPass(fetchlist: Dataset[GenerateEntry],
+      protocol: Protocol, now: Long, agent: String,
+      honorRobots: Boolean,
+      pacer: Pacer.Config,
+      clockFactory: () => Pacer.Clock)
+      : Dataset[(List[CrawlRow], ContentRow)] = {
+    val spark: SparkSession = fetchlist.sparkSession
+    import spark.implicits._
     val byHost = fetchlist.toDF()
       .withColumn("host", Urls.host(col("url")))
       .repartition(col("host"))
@@ -109,7 +165,7 @@ object Fetch {
       .drop("host")
       .as[GenerateEntry]
     val bc = spark.sparkContext.broadcast((protocol, agent, honorRobots))
-    val fetched = byHost.mapPartitions { it =>
+    byHost.mapPartitions { it =>
       val (proto, agent0, honor) = bc.value
       val robotsCache = scala.collection.mutable.Map.empty[String, Robots.RobotRules]
       def rulesFor(url: String): Robots.RobotRules =
@@ -197,11 +253,6 @@ object Fetch {
         (CrawlRow(e.url, datum) :: Nil, emptyContent(e))
       }
       deniedIt ++ pacedIt
-    }.cache() // one protocol pass feeds both outputs
-    Result(
-      fetched.flatMap(_._1),
-      fetched.filter(_._1.head.datum.status == CrawlStatus.FETCH_SUCCESS)
-        .map(_._2),
-      () => { fetched.unpersist(); () })
+    }
   }
 }

@@ -164,6 +164,42 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(!docs.contains(s"$B/redir") || docs(s"$B/redir").action == "delete")
   }
 
+  test("Fetch.toSegment (stream-to-parquet) matches the cached path") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tosegment").toString
+    val fl = Seq(
+      graft.schemas.GenerateEntry(1, 1f, s"$A/",
+        graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
+          0L, Map.empty)),
+      graft.schemas.GenerateEntry(1, 1f, s"$B/gone",
+        graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
+          0L, Map.empty)),
+      graft.schemas.GenerateEntry(1, 1f, s"$B/redir",
+        graft.schemas.CrawlDatum(S.DB_UNFETCHED, t0, 0, 2592000, 1f, None,
+          0L, Map.empty))).toDS()
+
+    // cached path
+    val fr = Fetch(fl, protocol, t0,
+      pacer = graft.net.Pacer.Config(serverDelayMs = 0))
+    val cachedFetch = fr.fetch.collect().map(r => r.url -> r.datum.status)
+      .sortBy(_._1).toSeq
+    val cachedContent = fr.content.collect().map(_.url).sorted.toSeq
+    fr.release()
+
+    // streamed path: one write, tables derived from the staged file
+    val seg = new Segment(spark, s"$root/seg")
+    Fetch.toSegment(fl, protocol, t0, seg,
+      pacer = graft.net.Pacer.Config(serverDelayMs = 0))
+    assert(seg.fetch.collect().map(r => r.url -> r.datum.status)
+      .sortBy(_._1).toSeq == cachedFetch)
+    assert(seg.content.collect().map(_.url).sorted.toSeq == cachedContent)
+    // payload bytes survive the staging round-trip
+    val body = seg.content.collect().find(_.url == s"$A/").get
+    assert(new String(body.bytes, "UTF-8").contains("Welcome to site A."))
+    // the staging file is cleaned up after derivation
+    assert(!Files.exists(java.nio.file.Paths.get(s"${seg.dir}/fetch_staged")))
+  }
+
   test("robots.txt denies are honored before the protocol is hit") {
     import spark.implicits._
     val robotsSite = site ++ Map(
