@@ -325,6 +325,118 @@ object QueriesPipeline {
       GROUP BY 1"""
     })
 
+  /** Per-document top-3 distinctive terms by an INTEGER-EXACT tf-idf
+    * variant: score = (tf * n_docs * 10000) div df — linear inverse
+    * document frequency instead of log(N/df), so the score is computed
+    * in pure 64-bit integer arithmetic and is bit-identical across
+    * engines (a log would differ in the last ulp between libm
+    * implementations and flip a floor at the boundary). Rank ordering
+    * equals log-idf ordering whenever tf is equal (both are monotone in
+    * 1/df), which is what a keyword extractor actually consumes.
+    *
+    * Shape: one shuffle for per-(doc, term) counts, one for document
+    * frequency, a broadcast single-row corpus count, then a window
+    * partitioned by doc_id (bounded by the doc's distinct terms) for
+    * the top-3 with a total (score desc, term) tiebreak.
+    */
+  val tfidfTopterms = Q(
+    "tfidf_topterms",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tot = d.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val tf = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df_, "term").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("term"),
+          expr("(tf * n_docs * 10000) DIV df").as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      sc AS (
+        SELECT doc_id, tf.term AS term, (tf * n_docs * 10000) // df AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN tot)
+      SELECT doc_id, term, score, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rk
+        FROM sc)
+      WHERE rk <= 3"""))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every 5-word shingle, slide a window of 4
+    * consecutive shingle hashes, select each window's minimum — the
+    * guarantee is that any shared run of 8 words produces at least one
+    * shared selected hash. The fingerprint is the distinct selected
+    * hashes per document; emitted as a count plus an order-independent
+    * integer digest (sum of hash mod 1e9 over the DISTINCT set, so the
+    * digest never depends on row order and stays far below 2^63).
+    *
+    * Shape: posexplode + lead() builds shingles (the quality_gopher
+    * gram pattern — stays in codegen), the min-over-4 window and the
+    * distinct both partition by doc_id only (state = one document).
+    */
+  val winnowFingerprint = Q(
+    "winnow_fingerprint",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val grams = toks.select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("w"), lead(col("w"), 1).over(wp),
+            lead(col("w"), 2).over(wp), lead(col("w"), 3).over(wp),
+            lead(col("w"), 4).over(wp)).as("g"),
+          lead(col("w"), 4).over(wp).isNotNull.as("full_gram"))
+        .where(col("full_gram"))
+        .select(col("doc_id"), col("pos"), Queries.md5Long(col("g")).as("h"))
+      val sel = grams.select(col("doc_id"), col("pos"),
+          min(col("h")).over(wp.rowsBetween(0, 3)).as("mh"),
+          lead(col("h"), 3).over(wp).isNotNull.as("full_win"))
+        .where(col("full_win"))
+        .select(col("doc_id"), col("mh")).distinct()
+      sel.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          sum(col("mh") % 1000000000L).as("fp_digest"))
+    },
+    Some {
+      val h = Queries.sqlMd5Long(
+        "array_to_string(ws[pos : pos+4], ' ')")
+      s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      g AS (
+        SELECT doc_id, pos, $h AS h
+        FROM (SELECT doc_id, ws,
+                unnest(range(1, len(ws) + 1)) AS pos
+              FROM w)
+        WHERE pos + 4 <= len(ws)),
+      sel AS (
+        SELECT DISTINCT doc_id, mh FROM (
+          SELECT doc_id, pos,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+            LEAD(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS h3
+          FROM g)
+        WHERE h3 IS NOT NULL)
+      SELECT doc_id, COUNT(*) AS n_fp,
+        CAST(SUM(mh % 1000000000) AS BIGINT) AS fp_digest
+      FROM sel GROUP BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
-    sampleStratified, lineDedup)
+    sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint)
 }
