@@ -753,7 +753,9 @@ object QueriesText {
     val bytes = fmt match {
       case 0 => Multimodal.Synth.png(w, h)
       case 1 => Multimodal.Synth.gif(w, h)
-      case _ => Multimodal.Synth.jpeg(w, h)
+      case 2 => Multimodal.Synth.jpeg(w, h)
+      case 3 => Multimodal.Synth.webp(w, h)
+      case _ => Multimodal.Synth.webpLossless(w, h)
     }
     val dims = Multimodal.imageDims(bytes)
     (Multimodal.sniff(bytes), dims.map(_._1), dims.map(_._2),
@@ -762,8 +764,9 @@ object QueriesText {
 
   /** X6 (real header decode) — image dimensions parsed from container
     * headers only: PNG IHDR (spec §11.2.2), GIF logical screen
-    * descriptor (§18), JPEG SOFn marker scan (ITU T.81 §B.2.2). The
-    * payloads are plan-synthesized VALID container prefixes (the
+    * descriptor (§18), JPEG SOFn marker scan (ITU T.81 §B.2.2), WebP
+    * VP8X canvas and VP8L packed minus-one dims (RFC 9649 §2.5/§3).
+    * The payloads are plan-synthesized VALID container prefixes (the
     * arc_roundtrip pattern) with dims a closed form of doc_id; the
     * oracle states sniffed type, width, height, and byte length
     * directly, so a hash match proves magic-sniff ∘ header-parse
@@ -773,7 +776,7 @@ object QueriesText {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val k = col("doc_id")
-      val r = synthDimsUdf((k % 3).cast("int"),
+      val r = synthDimsUdf((k % 5).cast("int"),
         (lit(100) + k % 50).cast("int"), (lit(200) + k % 30).cast("int"))
       d.select(k.as("doc_id"), r.as("r"))
         .select(col("doc_id"),
@@ -784,17 +787,82 @@ object QueriesText {
     },
     Some("""
       SELECT doc_id,
-        CASE (doc_id % 3)::INT WHEN 0 THEN 'image/png'
-             WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS sniffed_type,
+        CASE (doc_id % 5)::INT WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg'
+             ELSE 'image/webp' END AS sniffed_type,
         (100 + doc_id % 50)::INT AS width,
         (200 + doc_id % 30)::INT AS height,
-        CAST(CASE (doc_id % 3)::INT WHEN 0 THEN 26 WHEN 1 THEN 11
-             ELSE 30 END AS BIGINT) AS n_bytes
+        CAST(CASE (doc_id % 5)::INT WHEN 0 THEN 26 WHEN 1 THEN 11
+             WHEN 2 THEN 30 WHEN 3 THEN 30 ELSE 25 END AS BIGINT)
+          AS n_bytes
+      FROM documents"""))
+
+  private val synthAudioUdf = udf((fmt: Int, a: Int, b: Int, c: Long) => {
+    import graft.operators.Multimodal
+    val bytes = fmt match {
+      case 0 => Multimodal.Synth.wav(a, b, c)
+      case 1 => Multimodal.Synth.flac(a, b, c)
+      case _ => Multimodal.Synth.mp3(a, b, c == 1L)
+    }
+    val m = Multimodal.audioMeta(bytes)
+    (Multimodal.sniff(bytes), m.map(_._1), m.map(_._2), m.map(_._3),
+      bytes.length.toLong)
+  })
+
+  /** X6 (real header decode, audio) — sample rate / channel count /
+    * per-container detail (WAV data-chunk sample count, FLAC STREAMINFO
+    * total samples, MP3 frame bitrate kbps) parsed from the published
+    * header layouts; same plan-synthesized-payload pattern as
+    * multimodal_dims, so the oracle's closed forms prove the parse. */
+  val audioMeta = Q(
+    "audio_meta",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val fmt = (k % 3).cast("int")
+      // per-format synth params, all closed forms of doc_id
+      val a = when(fmt === 0, lit(8000) + (k % 5).cast("int") * 8000)
+        .otherwise(when(fmt === 1, lit(44100))
+          .otherwise(lit(1) + (k % 14).cast("int"))) // mp3: bitrate idx
+      val b = when(fmt === 0, lit(1) + (k % 2).cast("int"))
+        .otherwise(when(fmt === 1, lit(1) + (k % 8).cast("int"))
+          .otherwise(expr("(doc_id DIV 3) % 3").cast("int"))) // mp3: sr idx
+      val c = when(fmt === 0, lit(1000L) + k % 977)
+        .otherwise(when(fmt === 1, lit(100000L) + k)
+          .otherwise((k % 2).cast("long"))) // mp3: 1 = mono
+      val r = synthAudioUdf(fmt, a.cast("int"), b.cast("int"), c)
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("sample_rate"),
+          col("r._3").as("channels"),
+          col("r._4").as("detail"),
+          col("r._5").as("n_bytes"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE (doc_id % 3)::INT WHEN 0 THEN 'audio/wav'
+             WHEN 1 THEN 'audio/flac' ELSE 'audio/mpeg' END AS sniffed_type,
+        CASE (doc_id % 3)::INT WHEN 0 THEN (8000 + (doc_id % 5) * 8000)::INT
+             WHEN 1 THEN 44100
+             ELSE ([44100, 48000, 32000])[((doc_id // 3) % 3)::INT + 1]
+        END AS sample_rate,
+        CASE (doc_id % 3)::INT WHEN 0 THEN (1 + doc_id % 2)::INT
+             WHEN 1 THEN (1 + doc_id % 8)::INT
+             ELSE CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+        END AS channels,
+        CAST(CASE (doc_id % 3)::INT WHEN 0 THEN 1000 + doc_id % 977
+             WHEN 1 THEN 100000 + doc_id
+             ELSE ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                    256, 320])[(1 + doc_id % 14)::INT]
+        END AS BIGINT) AS detail,
+        CAST(CASE (doc_id % 3)::INT WHEN 0 THEN 44 WHEN 1 THEN 26
+             ELSE 14 END AS BIGINT) AS n_bytes
       FROM documents"""))
 
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
-    multimodalDims)
+    multimodalDims, audioMeta)
 }

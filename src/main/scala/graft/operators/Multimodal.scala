@@ -161,6 +161,82 @@ object Multimodal {
           }
         }
         res
+      case "image/webp" if bytes.length >= 16 =>
+        // chunk FourCC at 12 picks the WebP flavor (RFC 9649 §2):
+        def le24(i: Int): Int = at(i) | (at(i + 1) << 8) | (at(i + 2) << 16)
+        val cc = new String(bytes.slice(12, 16),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        cc match {
+          case "VP8X" if bytes.length >= 30 =>
+            // extended: canvas width/height minus one, 24-bit LE at 24/27
+            Some((le24(24) + 1, le24(27) + 1))
+          case "VP8 " if bytes.length >= 30 &&
+            at(23) == 0x9d && at(24) == 0x01 && at(25) == 0x2a =>
+            // lossy: 14-bit LE dims after the 3-byte frame tag + sync code
+            Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+          case "VP8L" if bytes.length >= 25 && at(20) == 0x2f =>
+            // lossless: 14+14 bit minus-one dims packed after signature
+            val v = le32(21)
+            Some(((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** REAL header-only AUDIO metadata decode — (sample_rate_hz, channels,
+    * detail) where detail is per-container: WAV → sample count in the
+    * data chunk, FLAC → total samples from STREAMINFO, MP3 → frame
+    * bitrate in kbps. Layouts are the published specs:
+    *   - WAV: RIFF/WAVE canonical 44-byte header — fmt chunk carries
+    *     channels (LE u16 @22), sample rate (LE u32 @24), block align
+    *     (LE u16 @32); data chunk size (LE u32 @40) / block align =
+    *     samples.
+    *   - FLAC: STREAMINFO (first metadata block, @18 after "fLaC" +
+    *     block header + block sizes/frame sizes): 20-bit sample rate,
+    *     3-bit channels-1, 5-bit bps-1, 36-bit total samples.
+    *   - MP3: optional ID3v2 (syncsafe size @6, frame data at 10+size),
+    *     then the 4-byte MPEG-1 Layer III frame header: bitrate index
+    *     (b2>>4) and sample-rate index (b2>>2)&3 into the published
+    *     tables, channel mode b3>>6 (3 = mono).
+    * Returns None for non-audio or cut-off payloads. */
+  def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def le16(i: Int): Int = at(i) | (at(i + 1) << 8)
+    def le32(i: Int): Long = (at(i) | (at(i + 1) << 8) | (at(i + 2) << 16) |
+      (at(i + 3) << 24)).toLong & 0xffffffffL
+    def be32(i: Int): Long = ((at(i) << 24) | (at(i + 1) << 16) |
+      (at(i + 2) << 8) | at(i + 3)).toLong & 0xffffffffL
+    sniff(bytes) match {
+      case "audio/wav" if bytes.length >= 44 &&
+        new String(bytes.slice(12, 16), "ISO-8859-1") == "fmt " =>
+        val channels = le16(22)
+        val sr = le32(24).toInt
+        val blockAlign = le16(32)
+        val dataSize = le32(40)
+        if (channels > 0 && blockAlign > 0)
+          Some((sr, channels, dataSize / blockAlign))
+        else None
+      case "audio/flac" if bytes.length >= 26 && (at(4) & 0x7f) == 0 =>
+        val sr = (at(18) << 12) | (at(19) << 4) | (at(20) >> 4)
+        val channels = ((at(20) >> 1) & 0x7) + 1
+        val total = ((at(21) & 0xf).toLong << 32) | be32(22)
+        Some((sr, channels, total))
+      case "audio/mpeg" =>
+        val frameAt =
+          if (at(0) == 'I' && at(1) == 'D' && at(2) == '3')
+            10 + ((at(6) << 21) | (at(7) << 14) | (at(8) << 7) | at(9))
+          else 0
+        if (at(frameAt) == 0xff && (at(frameAt + 1) & 0xfe) == 0xfa) {
+          // MPEG-1 Layer III only — the table every crawler actually hits
+          val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)
+          val rates = Array(44100, 48000, 32000, 0)
+          val br = bitrates(at(frameAt + 2) >> 4)
+          val sr = rates((at(frameAt + 2) >> 2) & 3)
+          val channels = if ((at(frameAt + 3) >> 6) == 3) 1 else 2
+          if (br > 0 && sr > 0) Some((sr, channels, br.toLong)) else None
+        } else None
       case _ => None
     }
   }
@@ -191,6 +267,51 @@ object Multimodal {
           ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
           ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3)
     }
+    private def le24(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16b(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def webp(w: Int, h: Int): Array[Byte] =
+      "RIFF".getBytes("ASCII") ++ le32(22) ++ "WEBPVP8X".getBytes("ASCII") ++
+        le32(10) ++ Array[Byte](0, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1)
+    def webpLossless(w: Int, h: Int): Array[Byte] = {
+      val v = (w - 1) | ((h - 1) << 14)
+      "RIFF".getBytes("ASCII") ++ le32(17) ++ "WEBPVP8L".getBytes("ASCII") ++
+        le32(5) ++ Array(0x2f.toByte) ++ le32(v.toLong)
+    }
+    def wav(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+      val blockAlign = channels * 2 // 16-bit PCM
+      val dataSize = nSamples * blockAlign
+      "RIFF".getBytes("ASCII") ++ le32(36 + dataSize) ++
+        "WAVEfmt ".getBytes("ASCII") ++ le32(16) ++
+        le16b(1) ++ le16b(channels) ++ le32(sampleRate.toLong) ++
+        le32(sampleRate.toLong * blockAlign) ++ le16b(blockAlign) ++
+        le16b(16) ++ "data".getBytes("ASCII") ++ le32(dataSize)
+    }
+    def flac(sampleRate: Int, channels: Int, totalSamples: Long)
+        : Array[Byte] = {
+      val b20 = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+        ((16 - 1) >> 4)).toByte // low 4 sr bits, channels-1, bps-1 top bit
+      val b21 = ((((16 - 1) & 0xf) << 4) |
+        ((totalSamples >> 32) & 0xf).toInt).toByte
+      "fLaC".getBytes("ASCII") ++
+        Array[Byte](0, 0, 0, 34) ++ // STREAMINFO block header, len 34
+        Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++ // block/frame sizes
+        Array(((sampleRate >> 12) & 0xff).toByte,
+          ((sampleRate >> 4) & 0xff).toByte, b20, b21) ++
+        Array(((totalSamples >> 24) & 0xff).toByte,
+          ((totalSamples >> 16) & 0xff).toByte,
+          ((totalSamples >> 8) & 0xff).toByte, (totalSamples & 0xff).toByte)
+    }
+    def mp3(bitrateIdx: Int, srIdx: Int, mono: Boolean): Array[Byte] =
+      "ID3".getBytes("ASCII") ++
+        Array[Byte](4, 0, 0, 0, 0, 0, 0) ++ // v2.4, no flags, size 0
+        Array(0xff.toByte, 0xfb.toByte, // MPEG-1 Layer III, no CRC
+          ((bitrateIdx << 4) | (srIdx << 2)).toByte,
+          (if (mono) 0xc0 else 0x00).toByte)
   }
 
   /** ====== STUB (features only) ======

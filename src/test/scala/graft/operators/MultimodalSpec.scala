@@ -143,4 +143,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       .collect().map(f => f.doc_id -> f).toMap
     assert(again(1L).width == feats(1L).width)
   }
+
+  test("WebP dims: VP8X canvas, VP8L packed, VP8 lossy sync-coded") {
+    assert(Multimodal.imageDims(Multimodal.Synth.webp(1920, 1080))
+      .contains((1920, 1080)))
+    assert(Multimodal.imageDims(Multimodal.Synth.webpLossless(333, 77))
+      .contains((333, 77)))
+    // max 24-bit canvas round-trips
+    assert(Multimodal.imageDims(Multimodal.Synth.webp(16383, 16383))
+      .contains((16383, 16383)))
+    // hand-built VP8 lossy frame header (sync code 9d 01 2a, 14-bit LE dims)
+    val vp8 = "RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte](30, 0, 0, 0) ++ "WEBPVP8 ".getBytes("ISO-8859-1") ++
+      Array[Byte](10, 0, 0, 0) ++ Array[Byte](0, 0, 0) ++
+      Array(0x9d.toByte, 0x01.toByte, 0x2a.toByte) ++
+      Array[Byte]((640 & 0xff).toByte, (640 >> 8).toByte,
+        (480 & 0xff).toByte, (480 >> 8).toByte)
+    assert(Multimodal.imageDims(vp8).contains((640, 480)))
+    // truncated VP8X: None, not garbage
+    assert(Multimodal.imageDims(Multimodal.Synth.webp(10, 10).take(28)).isEmpty)
+  }
+
+  test("audio header metadata: WAV fmt, FLAC STREAMINFO, MP3 frame header") {
+    assert(Multimodal.audioMeta(Multimodal.Synth.wav(44100, 2, 88200L))
+      .contains((44100, 2, 88200L)))
+    assert(Multimodal.audioMeta(Multimodal.Synth.wav(8000, 1, 12345L))
+      .contains((8000, 1, 12345L)))
+    // FLAC: 36-bit total samples survives (> 2^32)
+    assert(Multimodal.audioMeta(
+      Multimodal.Synth.flac(96000, 8, 8589934593L)) // 2^33 + 1
+      .contains((96000, 8, 8589934593L)))
+    // MP3: idx 9 = 128 kbps, sr idx 0 = 44100, stereo
+    assert(Multimodal.audioMeta(Multimodal.Synth.mp3(9, 0, mono = false))
+      .contains((44100, 2, 128L)))
+    assert(Multimodal.audioMeta(Multimodal.Synth.mp3(14, 2, mono = true))
+      .contains((32000, 1, 320L)))
+    // free-format bitrate (idx 0) is unparseable: None
+    assert(Multimodal.audioMeta(Multimodal.Synth.mp3(0, 0, mono = false)).isEmpty)
+    // non-audio: None
+    assert(Multimodal.audioMeta(junk).isEmpty)
+    assert(Multimodal.audioMeta(Multimodal.Synth.png(5, 5)).isEmpty)
+  }
 }
