@@ -167,4 +167,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("r7 queries plan clean: no cartesian, no single-partition exchange") {
+    for (q <- Seq("line_dedup", "winnow_fingerprint", "audio_meta")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
+      spark.catalog.clearCache()
+    }
+    // tfidf's corpus count is a single-row global agg (broadcast after):
+    // the one SinglePartition exchange carries one row, so only the
+    // cartesian check applies
+    val p = plan("tfidf_topterms")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("winnow/tfidf windows all partition by doc_id (bounded state)") {
+    for (q <- Seq("tfidf_topterms", "winnow_fingerprint")) {
+      val p = plan(q)
+      // every Window operator line must carry a partition spec on doc_id
+      p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+        assert(l.contains("doc_id"), s"$q window without doc_id: $l")
+      }
+    }
+  }
 }
