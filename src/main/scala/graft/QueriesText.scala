@@ -860,9 +860,41 @@ object QueriesText {
              ELSE 14 END AS BIGINT) AS n_bytes
       FROM documents"""))
 
+  private val synthMp4Udf = udf((ts: Long, dur: Long) =>
+    graft.operators.Multimodal.Synth.mp4(ts, dur))
+
+  /** X6 (real header decode, video) + frame-sample plumbing: MP4 movie
+    * duration parsed from the ISO-BMFF mvhd box (timescale 600 — the
+    * classic QuickTime tick rate — with planted per-doc durations),
+    * then one row per 1-second sample point via a codegen `sequence`
+    * explode. The oracle restates duration and timeline in closed form,
+    * so a hash match proves box-walk ∘ mvhd-parse ∘ timeline-explode;
+    * the per-frame pixel extraction stays a labeled stub
+    * (Multimodal.frameSample scaladoc). */
+  val videoFrames = Q(
+    "video_frames",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          synthMp4Udf(lit(600L), lit(3000L) + col("doc_id") % 4200)
+            .as("payload"))
+      graft.operators.Multimodal.frameSample(d, "doc_id", "payload", 1000L)
+    },
+    Some("""
+      SELECT doc_id, duration_ms, frame_idx,
+        CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
+      FROM (
+        SELECT doc_id, duration_ms,
+          unnest(range(0, duration_ms // 1000 + 1)) AS frame_idx
+        FROM (
+          SELECT doc_id,
+            CAST(((3000 + doc_id % 4200) * 1000) // 600 AS BIGINT)
+              AS duration_ms
+          FROM documents))"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
-    multimodalDims, audioMeta)
+    multimodalDims, audioMeta, videoFrames)
 }

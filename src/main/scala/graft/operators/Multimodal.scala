@@ -106,6 +106,53 @@ object Multimodal {
     }
   }
 
+  /** REAL header-only VIDEO metadata decode — (timescale_hz,
+    * duration_ticks, duration_ms) from the ISO-BMFF movie header: walk
+    * the top-level box list to `moov`, then its children to `mvhd`
+    * (ISO/IEC 14496-12 §8.2.2); version 0 carries u32
+    * timescale/duration, version 1 u64 (u32 timescales in practice).
+    * Works on any MP4/M4A/MOV brand the sniffer admits. Returns None
+    * for non-ISO-BMFF or truncated payloads. */
+  def videoMeta(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def be32(i: Int): Long = ((at(i) << 24) | (at(i + 1) << 16) |
+      (at(i + 2) << 8) | at(i + 3)).toLong & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(
+      bytes.slice(i, i + 4), java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!(sniff(bytes) match {
+      case "video/mp4" | "video/quicktime" | "audio/mp4" | "image/avif" |
+        "image/heif" => true
+      case _ => false
+    })) return None
+    def findBox(from: Int, to: Int, name: String): Option[Int] = {
+      var o = from
+      while (o + 8 <= to) {
+        val size = be32(o)
+        if (fourcc(o + 4) == name) return Some(o)
+        if (size < 8) return None // malformed/size-0-to-eof: stop
+        o += size.toInt
+      }
+      None
+    }
+    for {
+      moov <- findBox(0, bytes.length, "moov")
+      mvhd <- findBox(moov + 8,
+        math.min(bytes.length, (moov + be32(moov)).toInt), "mvhd")
+      r <- at(mvhd + 8) match {
+        case 0 if mvhd + 28 <= bytes.length =>
+          val ts = be32(mvhd + 20)
+          val dur = be32(mvhd + 24)
+          if (ts > 0) Some((ts, dur, dur * 1000L / ts)) else None
+        case 1 if mvhd + 40 <= bytes.length =>
+          val ts = be32(mvhd + 28)
+          val dur = be64(mvhd + 32)
+          if (ts > 0) Some((ts, dur, dur * 1000L / ts)) else None
+        case _ => None
+      }
+    } yield r
+  }
+
   /** Typed metadata pass — pure column expressions, codegen. */
   def meta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(
@@ -312,6 +359,18 @@ object Multimodal {
         Array(0xff.toByte, 0xfb.toByte, // MPEG-1 Layer III, no CRC
           ((bitrateIdx << 4) | (srIdx << 2)).toByte,
           (if (mono) 0xc0 else 0x00).toByte)
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def mp4(timescale: Long, durationTicks: Long): Array[Byte] = {
+      val ftyp = be32(16) ++ "ftypisom".getBytes("ASCII") ++ be32(0)
+      val mvhdPayload = Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ be32(timescale) ++ be32(durationTicks)
+      val mvhd = be32(8L + mvhdPayload.length) ++
+        "mvhd".getBytes("ASCII") ++ mvhdPayload
+      val moov = be32(8L + mvhd.length) ++ "moov".getBytes("ASCII") ++ mvhd
+      ftyp ++ moov
+    }
   }
 
   /** ====== STUB (features only) ======
@@ -345,5 +404,63 @@ object Multimodal {
           MediaFeatures(id, sniff(bytes), w, h, feats)
         }
       }
+  }
+
+  final case class ResizedMedia(doc_id: Long, src_width: Int,
+      src_height: Int, out_width: Int, out_height: Int, payload: Array[Byte])
+
+  /** Aspect-preserving resize plumbing: REAL geometry (source dims from
+    * the header parse, fit-inside-box output dims by exact integer
+    * scaling) around a STUB pixel pass (deterministic payload derived
+    * from source bytes + target dims — a deployment swaps in a real
+    * scaler with the same batch shape). Rows whose payload carries no
+    * parseable dims are dropped, mirroring a decode-failure filter. */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          imageDims(bytes).collect { case (w, h) if w > 0 && h > 0 =>
+            // fit inside maxW×maxH, never upscale, floor-exact
+            val num = math.min(math.min(maxW.toLong * h, maxH.toLong * w),
+              w.toLong * h) // scale numerator: min(maxW/w, maxH/h, 1)·w·h
+            val ow = (num / h).toInt
+            val oh = (num / w).toInt
+            val stub = java.util.Arrays.copyOf(bytes,
+              math.min(bytes.length, 16)) ++
+              Array((ow & 0xff).toByte, (oh & 0xff).toByte)
+            ResizedMedia(id, w, h, ow, oh, stub)
+          }
+        }
+      }
+  }
+
+  /** Video frame sampling plumbing: REAL timeline (duration from the
+    * mvhd header parse), one output row per sampled timestamp at a
+    * fixed interval — the explode is a codegen `sequence`, the frame
+    * payload a labeled STUB (no codec in the container; a deployment
+    * maps the (doc_id, ts_ms) pairs through a real frame extractor
+    * with the same partition-batched shape). */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      intervalMs: Long): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val metaDf = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          videoMeta(bytes).map { case (ts, dur, ms) => (id, ts, dur, ms) }
+        }
+      }
+      .toDF("doc_id", "timescale_hz", "duration_ticks", "duration_ms")
+    metaDf.select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L),
+          expr(s"duration_ms DIV $intervalMs"))).as("frame_idx"))
+      .select(col("doc_id"), col("duration_ms"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * intervalMs).cast("long").as("ts_ms"))
   }
 }

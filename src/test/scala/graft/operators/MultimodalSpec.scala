@@ -184,4 +184,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.audioMeta(junk).isEmpty)
     assert(Multimodal.audioMeta(Multimodal.Synth.png(5, 5)).isEmpty)
   }
+
+  test("video metadata: mvhd box walk, duration in ticks and ms") {
+    // timescale 600, 3000 ticks = 5000 ms
+    assert(Multimodal.videoMeta(Multimodal.Synth.mp4(600L, 3000L))
+      .contains((600L, 3000L, 5000L)))
+    // ms rounding floors: 599 ticks at 600 Hz = 998 ms
+    assert(Multimodal.videoMeta(Multimodal.Synth.mp4(600L, 599L))
+      .contains((600L, 599L, 998L)))
+    // truncated before mvhd payload: None, not garbage
+    assert(Multimodal.videoMeta(Multimodal.Synth.mp4(600L, 3000L).take(30))
+      .isEmpty)
+    // non-ISO-BMFF: None
+    assert(Multimodal.videoMeta(junk).isEmpty)
+    assert(Multimodal.videoMeta(Multimodal.Synth.wav(8000, 1, 10L)).isEmpty)
+  }
+
+  test("frameSample explodes one row per interval tick from the real header") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.Synth.mp4(600L, 3000L)),  // 5000 ms → idx 0..5
+      (2L, Multimodal.Synth.mp4(1000L, 1500L)), // 1500 ms → idx 0..1
+      (3L, "nonsense".getBytes("UTF-8")))       // unparseable → dropped
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.frameSample(df, "doc_id", "payload", 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.count(_._1 == 1L) == 6)
+    assert(rows.count(_._1 == 2L) == 2)
+    assert(!rows.exists(_._1 == 3L))
+    assert(rows.filter(_._1 == 2L).map(_._3).sorted.toSeq == Seq(0L, 1000L))
+  }
+
+  test("resize keeps aspect ratio, never upscales, drops undecodable rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.Synth.png(1000, 500)), // 2:1 → fits 100x50
+      (2L, Multimodal.Synth.gif(50, 20)),    // smaller than box: unchanged
+      (3L, junk))                            // no dims → dropped
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resize(df, "doc_id", "payload", 100, 100)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).out_width == 100 && out(1L).out_height == 50)
+    assert(out(2L).out_width == 50 && out(2L).out_height == 20)
+    assert(!out.contains(3L))
+    assert(out(1L).src_width == 1000 && out(1L).src_height == 500)
+  }
 }
