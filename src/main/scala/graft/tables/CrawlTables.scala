@@ -82,6 +82,36 @@ final class Segment(spark: SparkSession, val dir: String) {
     spark.read.parquet(s"$dir/parse_text").as[ParseTextRow]
 }
 
+/** Opt-in url-bucketed table layout — the 100 TB co-located-join path.
+  * Two tables written with the same bucket count on `url` join with
+  * ZERO Exchange on either side (bucket layout satisfies the join's
+  * required distribution), which turns the per-round url-keyed joins —
+  * dedup merge-back, indexing cogroup, linkdb merge — from
+  * both-sides-shuffled into local merges; at 10^9-row CrawlDb scale
+  * the avoided shuffle dominates the round's cost. Bucket metadata
+  * lives in the session catalog (saveAsTable is how Spark records it);
+  * `path` keeps the data external under the caller's table directory,
+  * so the copy-on-write Install discipline carries over by writing a
+  * new generation table name and dropping the old one.
+  * BucketedSpec asserts the Exchange-free plan against a plain-parquet
+  * A/B of the same join. */
+object Bucketed {
+
+  def install[T](ds: Dataset[T], tableName: String, path: String,
+      buckets: Int): Unit = {
+    val spark = ds.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    ds.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "url").sortBy("url")
+      .option("path", path).format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  def read(spark: SparkSession, tableName: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.table(tableName)
+}
+
 /** The LinkDb: url → bounded inlink list (LinkDb.java, FIXTURES §A5). */
 final case class Inlink(fromUrl: String, anchor: String)
 final case class LinkRow(url: String, inlinks: Seq[Inlink])
