@@ -382,6 +382,180 @@ object Main {
         CommonCrawlDumper.write(seg.fetch, seg.content, out)
         println(s"commoncrawldump: wrote $out")
         0
+      case "mergedb" :: out :: dbs if dbs.nonEmpty =>
+        // CrawlDbMerger: latest fetchTime wins per url (CrawlDbMerger.java)
+        import org.apache.spark.sql.functions.{col, desc}
+        val merged = graft.operators.Relational.latestWins(
+          dbs.filterNot(_.startsWith("-"))
+            .map(d => new CrawlDbTable(spark, d).read().toDF())
+            .reduce(_ union _),
+          Seq("url"), Seq(desc("datum.fetchTime"), col("url")))
+        new CrawlDbTable(spark, out)
+          .install(merged.as[graft.schemas.CrawlRow], "mergedb")
+        println(s"mergedb: ${new CrawlDbTable(spark, out).read().count()} urls")
+        0
+      case "mergesegs" :: out :: segs if segs.nonEmpty =>
+        SegmentMergerOp(spark,
+          segs.filterNot(_.startsWith("-")).map(new Segment(spark, _)),
+          new Segment(spark, out))
+        println(s"mergesegs: wrote $out")
+        0
+      case "mergelinkdb" :: out :: dbs if dbs.nonEmpty =>
+        val merged = InvertLinks.merge(
+          dbs.filterNot(_.startsWith("-"))
+            .map(d => new LinkDbTable(spark, d).read()),
+          InvertLinks.Config())
+        new LinkDbTable(spark, out).install(merged, "mergelinkdb")
+        println(s"mergelinkdb: ${new LinkDbTable(spark, out).read().count()} urls")
+        0
+      case "readhostdb" :: hostdb :: rest =>
+        val h = new HostDbTable(spark, hostdb).read()
+        opt(rest, "-dump") match {
+          case Some(out) =>
+            h.toDF().selectExpr(
+                "concat_ws('\t', host, cast(fetched as string), " +
+                  "cast(unfetched as string)) as line")
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
+            println(s"readhostdb: wrote $out"); 0
+          case None =>
+            h.orderBy("host").limit(optL(rest, "-limit", 20).toInt)
+              .collect()
+              .foreach(r => println(s"${r.host}\t${r.fetched}\t${r.unfetched}"))
+            0
+        }
+      case "webgraph" :: wgdir :: segdir :: _ =>
+        WebGraphOp.build(spark, new Segment(spark, segdir).parseData, wgdir)
+        println(s"webgraph: ${spark.read.parquet(s"$wgdir/nodes").count()} " +
+          "nodes")
+        0
+      case "linkrank" :: wgdir :: rest =>
+        WebGraphOp.linkrank(spark, wgdir,
+          optL(rest, "-iterations", 10).toInt)
+        println("linkrank: done")
+        0
+      case "scoreupdater" :: crawldb :: wgdir :: _ =>
+        val t = new CrawlDbTable(spark, crawldb)
+        t.install(WebGraphOp.scoreUpdater(t.read(), spark, wgdir),
+          "scoreupdater")
+        println(s"scoreupdater: db=${t.read().count()}")
+        0
+      case "nodedumper" :: wgdir :: rest =>
+        WebGraphOp.nodeDumper(spark, wgdir,
+            opt(rest, "-by").getOrElse("score"),
+            optL(rest, "-topn", 20).toInt)
+          .collect()
+          .foreach(r => println(r.mkString("\t")))
+        0
+      case "filterchecker" :: rest =>
+        // URLFilterChecker: one url per non-flag arg, "+url" accepted,
+        // "-url" rejected by the -filters chain
+        val urls = rest.filterNot(_.startsWith("-"))
+          .filterNot(u => opt(rest, "-filters").contains(u))
+        urls.foreach { u =>
+          val ok = reg.filterChain.accepts(u)
+          println(s"${if (ok) "+" else "-"}$u")
+        }
+        0
+      case "normalizerchecker" :: rest =>
+        val scope = opt(rest, "-scope")
+          .flatMap(s => Extensions.Scope.All.find(_.equalsIgnoreCase(s)))
+          .getOrElse(Extensions.Scope.Default)
+        rest.filterNot(_.startsWith("-"))
+          .filterNot(u => opt(rest, "-scope").contains(u))
+          .foreach(u => println(reg.normalize(u, scope).getOrElse("")))
+        0
+      case "parsechecker" :: rest =>
+        // ParserChecker: fetch ONE url through the protocol seam, run
+        // the real parse, print status/title/outlinks/text head
+        (opt(rest, "-site"), opt(rest, "-url")) match {
+          case (Some(sf), Some(u)) =>
+            val proto = loadSite(spark, sf)
+            val (code, body, ct) = proto.site.getOrElse(u, (14, "", ""))
+            if (code != 1) { println(s"fetch failed: code $code"); 1 }
+            else {
+              val fetchDs = Seq(graft.schemas.CrawlRow(u,
+                graft.schemas.CrawlDatum(
+                  graft.schemas.CrawlStatus.FETCH_SUCCESS, now0, 0,
+                  2592000, 1f, None, 0L, Map.empty))).toDS()
+              val contentDs = Seq(graft.schemas.ContentRow(u, u,
+                body.getBytes("UTF-8"), ct, Map.empty)).toDS()
+              // strict local: a lazy val's LazyRef (+ Main$) must not
+              // ride into the executor closure (the freegen rule)
+              val reg1 = reg
+              val p = Parse(fetchDs, contentDs, Parse.Config(),
+                reg1.filterChain,
+                reg1.normalize(_, Extensions.Scope.Outlink))
+              p.parseData.collect().foreach { d =>
+                println(s"status: ${d.parseStatus}")
+                println(s"title: ${d.title}")
+                d.outlinks.foreach(o =>
+                  println(s"outlink: ${o.toUrl}\t${o.anchor}"))
+              }
+              p.parseText.collect().foreach(t =>
+                println(s"text: ${t.text.take(200)}"))
+              0
+            }
+          case _ =>
+            System.err.println("parsechecker: -site and -url required"); 2
+        }
+      case "indexchecker" :: rest =>
+        // IndexingFiltersChecker: one url through fetch→parse→index,
+        // print the document's fields
+        (opt(rest, "-site"), opt(rest, "-url")) match {
+          case (Some(sf), Some(u)) =>
+            val proto = loadSite(spark, sf)
+            val (code, body, ct) = proto.site.getOrElse(u, (14, "", ""))
+            if (code != 1) { println(s"fetch failed: code $code"); 1 }
+            else {
+              val datum = graft.schemas.CrawlDatum(
+                graft.schemas.CrawlStatus.DB_FETCHED, now0, 0,
+                2592000, 1f, Some("sig"), 0L, Map.empty)
+              val db = Seq(graft.schemas.CrawlRow(u, datum)).toDS()
+              val fetchDs = Seq(graft.schemas.CrawlRow(u,
+                datum.copy(status =
+                  graft.schemas.CrawlStatus.FETCH_SUCCESS))).toDS()
+              val contentDs = Seq(graft.schemas.ContentRow(u, u,
+                body.getBytes("UTF-8"), ct, Map.empty)).toDS()
+              // strict local: a lazy val's LazyRef (+ Main$) must not
+              // ride into the executor closure (the freegen rule)
+              val reg1 = reg
+              val p = Parse(fetchDs, contentDs, Parse.Config(),
+                reg1.filterChain,
+                reg1.normalize(_, Extensions.Scope.Outlink))
+              val docs = Index(db, fetchDs, p.parseData, p.parseText,
+                spark.emptyDataset[graft.tables.LinkRow], Index.Config())
+              docs.collect().foreach { d =>
+                println(s"url: ${d.url}")
+                println(s"action: ${d.action}")
+                println(s"title: ${d.title}")
+                println(s"host: ${d.host}")
+                println(s"digest: ${d.digest}")
+                println(s"boost: ${d.boost}")
+                d.anchors.foreach(a => println(s"anchor: $a"))
+                println(s"content: ${d.content.take(200)}")
+              }
+              0
+            }
+          case _ =>
+            System.err.println("indexchecker: -site and -url required"); 2
+        }
+      case "robotsparser" :: robotsFile :: agent :: urls =>
+        val rules = graft.net.Robots.parse(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(robotsFile)), "UTF-8"), agent)
+        urls.foreach { u =>
+          val path = java.net.URI.create(u).getPath match {
+            case null | "" => "/"
+            case p => p
+          }
+          println(s"${if (rules.isAllowed(path)) "allowed" else "forbidden"}" +
+            s"\t$u")
+        }
+        0
+      case "showproperties" :: _ =>
+        spark.conf.getAll.toSeq.sortBy(_._1)
+          .foreach { case (k, v) => println(s"$k=$v") }
+        0
       case "startserver" :: rest =>
         val srv = graft.service.RestServer.start(spark,
           optL(rest, "-port", 8081).toInt)
@@ -393,9 +567,12 @@ object Main {
           s"""unknown verb: ${other.headOption.getOrElse("")}
              |verbs: inject generate freegen fetch parse updatedb
              |       invertlinks dedup updatehostdb readdb readlinkdb
-             |       readseg index clean sitemap crawl warc dump
-             |       commoncrawldump domainstats protocolstats
-             |       startserver""".stripMargin)
+             |       readseg readhostdb index clean sitemap crawl warc
+             |       dump commoncrawldump domainstats protocolstats
+             |       mergedb mergesegs mergelinkdb webgraph linkrank
+             |       scoreupdater nodedumper filterchecker
+             |       normalizerchecker parsechecker indexchecker
+             |       robotsparser showproperties startserver""".stripMargin)
         2
     }
   }

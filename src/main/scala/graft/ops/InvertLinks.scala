@@ -42,7 +42,17 @@ object InvertLinks {
         .as("inlinks"))
       .as[LinkRow]
     // merge with the existing db: union inlink lists, re-bound
-    fresh.union(existing)
+    merge(Seq(fresh, existing), cfg)
+  }
+
+  /** U2 LinkDbMerger (LinkDbMerger.java:92-110): union N link dbs,
+    * per-url distinct inlinks with the deterministic (fromUrl, anchor)
+    * order, re-bounded to maxInlinks. One shuffle on url; per-group
+    * state is one url's bounded inlink list. */
+  def merge(dbs: Seq[Dataset[LinkRow]], cfg: Config): Dataset[LinkRow] = {
+    val spark: SparkSession = dbs.head.sparkSession
+    import spark.implicits._
+    dbs.reduce(_ union _)
       .groupByKey(_.url)
       .mapGroups { (url, it) =>
         val merged = it.flatMap(_.inlinks).toSeq

@@ -142,4 +142,100 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
       .read().collect()
     assert(db.length == 2) // seed + discovered p1
   }
+
+  test("merge verbs, webgraph family, checkers, readhostdb, showproperties") {
+    val root = Files.createTempDirectory("cli-verbs2").toString
+    val B = "http://cli-b.example.org"
+    val t0 = 1700000000000L
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+
+    // two-host site with cross-host links for a real link graph
+    Files.writeString(Paths.get(root, "site.json"),
+      Seq(
+        s"""{"url": "$A/", "code": 1, "body": "<html><title>A</title><body><a href=\\"$B/\\">to b</a></body></html>", "contentType": "text/html"}""",
+        s"""{"url": "$B/", "code": 1, "body": "<html><title>B</title><body><a href=\\"$A/\\">to a</a><a href=\\"$A/x\\">ax</a></body></html>", "contentType": "text/html"}"""
+      ).mkString("\n"))
+    Files.writeString(Paths.get(root, "seedsA.txt"), s"$A/\n")
+    Files.writeString(Paths.get(root, "seedsB.txt"), s"$B/\n")
+
+    // two independent crawldbs + segments (one host each)
+    for ((tag, seeds) <- Seq("a" -> "seedsA.txt", "b" -> "seedsB.txt")) {
+      assert(v("inject", s"$root/db_$tag", s"$root/$seeds",
+        "-now", t0.toString) == 0)
+      assert(v("generate", s"$root/db_$tag", s"$root/seg_$tag",
+        "-now", (t0 + 1000).toString) == 0)
+      assert(v("fetch", s"$root/seg_$tag", "-site", s"$root/site.json",
+        "-now", (t0 + 1000).toString) == 0)
+      assert(v("parse", s"$root/seg_$tag") == 0)
+      assert(v("invertlinks", s"$root/ldb_$tag", s"$root/seg_$tag") == 0)
+      assert(v("updatedb", s"$root/db_$tag", s"$root/seg_$tag",
+        "-now", (t0 + 2000).toString) == 0)
+    }
+
+    // mergedb: union of the two one-host dbs
+    assert(v("mergedb", s"$root/db_m", s"$root/db_a", s"$root/db_b") == 0)
+    val mergedUrls = new graft.tables.CrawlDbTable(spark, s"$root/db_m")
+      .read().collect().map(_.url).toSet
+    assert(mergedUrls.contains(s"$A/") && mergedUrls.contains(s"$B/"))
+
+    // mergesegs: latest-wins union of the two segments
+    assert(v("mergesegs", s"$root/seg_m", s"$root/seg_a",
+      s"$root/seg_b") == 0)
+    assert(spark.read.parquet(s"$root/seg_m/crawl_fetch").count() >= 2)
+
+    // mergelinkdb: both cross-host inlink sets survive
+    assert(v("mergelinkdb", s"$root/ldb_m", s"$root/ldb_a",
+      s"$root/ldb_b") == 0)
+    val l = new graft.tables.LinkDbTable(spark, s"$root/ldb_m")
+      .read().collect().map(r => r.url -> r.inlinks.map(_.fromUrl)).toMap
+    assert(l(s"$B/").contains(s"$A/"))
+    assert(l(s"$A/").contains(s"$B/"))
+
+    // webgraph → linkrank → nodedumper → scoreupdater over merged seg
+    assert(v("webgraph", s"$root/wg", s"$root/seg_m") == 0)
+    val nodes = spark.read.parquet(s"$root/wg/nodes")
+    assert(nodes.count() >= 3) // A/, B/, A/x
+    assert(v("linkrank", s"$root/wg", "-iterations", "3") == 0)
+    val scored = spark.read.parquet(s"$root/wg/nodes")
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[Double]("score")).toMap
+    // every node got a damped score; linked-to nodes beat the floor
+    assert(scored.values.forall(_ >= 0.15))
+    assert(scored(s"$A/") > 0.15)
+    assert(v("nodedumper", s"$root/wg", "-by", "inlinks", "-topn", "2") == 0)
+    assert(v("scoreupdater", s"$root/db_m", s"$root/wg") == 0)
+    val dbScores = new graft.tables.CrawlDbTable(spark, s"$root/db_m")
+      .read().collect().map(r => r.url -> r.datum.score).toMap
+    assert(math.abs(dbScores(s"$A/") - scored(s"$A/")) < 1e-5)
+
+    // readhostdb
+    assert(v("updatehostdb", s"$root/db_m", s"$root/hostdb",
+      "-now", (t0 + 3000).toString) == 0)
+    assert(v("readhostdb", s"$root/hostdb", "-limit", "5") == 0)
+    assert(v("readhostdb", s"$root/hostdb", "-dump", s"$root/hdump") == 0)
+    assert(spark.read.text(s"$root/hdump").count() >= 2)
+
+    // checkers
+    val conf = Files.createDirectory(Paths.get(root, "conf"))
+    Files.writeString(conf.resolve("regex-urlfilter.txt"),
+      "-\\.(gif|jpg)$\n+.\n")
+    assert(v("filterchecker", "-filters", conf.toString,
+      s"$A/page.html", s"$A/pic.gif") == 0)
+    assert(v("normalizerchecker", "-scope", "default",
+      s"$A/a/../b.html") == 0)
+    assert(v("parsechecker", "-site", s"$root/site.json",
+      "-url", s"$B/") == 0)
+    assert(v("parsechecker", "-site", s"$root/site.json",
+      "-url", s"$B/missing") == 1)
+    assert(v("indexchecker", "-site", s"$root/site.json",
+      "-url", s"$A/") == 0)
+
+    // robotsparser over a rule file
+    Files.writeString(Paths.get(root, "robots.txt"),
+      "User-agent: *\nDisallow: /private\n")
+    assert(v("robotsparser", s"$root/robots.txt", "graft",
+      s"$A/public.html", s"$A/private/x.html") == 0)
+
+    assert(v("showproperties") == 0)
+  }
 }
