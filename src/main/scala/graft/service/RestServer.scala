@@ -131,6 +131,31 @@ object RestServer {
           h.install(UpdateHostDb(crawldb.read(), h.read(), now),
             s"rest-hostdb-${j.id}")
           j.message = s"hosts=${h.read().count()}"
+        case "FETCH" =>
+          // site snapshot through the protocol seam (the CLI's -site)
+          val seg = new Segment(spark, a("segment"))
+          Fetch.toSegment(seg.generate,
+            graft.Main.loadSite(spark, a("siteFile")), now, seg)
+          j.message = s"fetched=${seg.fetch.count()}"
+        case "PARSE" =>
+          val seg = new Segment(spark, a("segment"))
+          val p = Parse(seg.fetch, seg.content, Parse.Config(),
+            registry.filterChain)
+          seg.writeParseData(p.parseData)
+          seg.writeParseText(p.parseText)
+          seg.writeCrawlParse(p.crawlParse)
+          j.message = s"parsed=${seg.parseData.count()}"
+        case "INDEX" =>
+          val l = new LinkDbTable(spark, a("linkdb"))
+          val seg = new Segment(spark, a("segment"))
+          val docs = Index(crawldb.read(), seg.fetch, seg.parseData,
+            seg.parseText, l.read(), Index.Config())
+          new IndexWriters.JsonLinesWriter().write(docs, a("out"))
+          j.message = s"indexed=${spark.read.text(a("out")).count()}"
+        case "READDB" =>
+          j.message = CrawlDbReader.stats(crawldb.read())
+            .orderBy("status").collect()
+            .map(r => r.mkString(":")).mkString(",")
         case other => throw new IllegalArgumentException(s"job type $other")
       }
     }

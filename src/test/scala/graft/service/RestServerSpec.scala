@@ -78,6 +78,41 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
     } finally srv.stop()
   }
 
+  test("full job-type surface: fetch, parse, index, readdb (openapi JobType)") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val root = Files.createTempDirectory("rest-jobs").toString
+      val A = "http://rest-a.example.com"
+      Files.writeString(java.nio.file.Paths.get(root, "site.json"),
+        s"""{"url": "$A/", "code": 1, "body": "<html><title>RA</title><body><a href=\\"/p\\">p</a></body></html>", "contentType": "text/html"}""")
+
+      def job(q: String): String = {
+        val (c, body) = post(s"$base/job/create?$q")
+        assert(c == 200, body)
+        val id = "\"id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+        assert(awaitJob(base, id) == "FINISHED", s"$q -> $body")
+        get(s"$base/job/$id")._2
+      }
+
+      job(s"type=inject&crawldb=$root/db&seedList=$A/&now=1700000000000")
+      job(s"type=generate&crawldb=$root/db&segment=$root/seg" +
+        "&now=1700000001000")
+      val f = job(s"type=fetch&segment=$root/seg" +
+        s"&siteFile=$root/site.json&now=1700000001000")
+      assert(f.contains("fetched=1"), f)
+      val p = job(s"type=parse&segment=$root/seg")
+      assert(p.contains("parsed=1"), p)
+      job(s"type=updatedb&crawldb=$root/db&segment=$root/seg" +
+        "&now=1700000002000")
+      val ix = job(s"type=index&crawldb=$root/db&linkdb=$root/ldb" +
+        s"&segment=$root/seg&out=$root/sink")
+      assert(ix.contains("indexed="), ix)
+      val rd = job(s"type=readdb&crawldb=$root/db")
+      assert(rd.contains("db_fetched"), rd)
+    } finally srv.stop()
+  }
+
   private def put(url: String, body: String): (Int, String) = {
     val r = client.send(HttpRequest.newBuilder(URI.create(url))
       .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
