@@ -255,15 +255,30 @@ object Multimodal {
     def be32(i: Int): Long = ((at(i) << 24) | (at(i + 1) << 16) |
       (at(i + 2) << 8) | at(i + 3)).toLong & 0xffffffffL
     sniff(bytes) match {
-      case "audio/wav" if bytes.length >= 44 &&
-        new String(bytes.slice(12, 16), "ISO-8859-1") == "fmt " =>
-        val channels = le16(22)
-        val sr = le32(24).toInt
-        val blockAlign = le16(32)
-        val dataSize = le32(40)
-        if (channels > 0 && blockAlign > 0)
-          Some((sr, channels, dataSize / blockAlign))
-        else None
+      case "audio/wav" if bytes.length >= 36 =>
+        // chunk walk from offset 12: real WAVs interleave LIST/fact/cue
+        // chunks between fmt and data — fixed offsets would read garbage
+        def fourcc(i: Int): String = new String(bytes.slice(i, i + 4),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        var o = 12
+        var fmt = -1
+        var dataSize = -1L
+        while ((fmt < 0 || dataSize < 0) && o + 8 <= bytes.length) {
+          val id = fourcc(o)
+          val size = le32(o + 4)
+          if (id == "fmt ") fmt = o + 8
+          else if (id == "data") dataSize = size
+          if (size < 0 || size > bytes.length) o = bytes.length // malformed
+          else o += 8 + size.toInt + (size.toInt & 1) // chunks word-aligned
+        }
+        if (fmt >= 0 && dataSize >= 0 && fmt + 16 <= bytes.length) {
+          val channels = le16(fmt + 2)
+          val sr = le32(fmt + 4).toInt
+          val blockAlign = le16(fmt + 12)
+          if (channels > 0 && blockAlign > 0)
+            Some((sr, channels, dataSize / blockAlign))
+          else None
+        } else None
       case "audio/flac" if bytes.length >= 26 && (at(4) & 0x7f) == 0 =>
         val sr = (at(18) << 12) | (at(19) << 4) | (at(20) >> 4)
         val channels = ((at(20) >> 1) & 0x7) + 1

@@ -183,6 +183,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // non-audio: None
     assert(Multimodal.audioMeta(junk).isEmpty)
     assert(Multimodal.audioMeta(Multimodal.Synth.png(5, 5)).isEmpty)
+    // non-canonical WAV: a LIST chunk between fmt and data still parses
+    // (the chunk walk, not fixed offsets)
+    val canonical = Multimodal.Synth.wav(22050, 2, 441L)
+    val withList = canonical.take(36) ++
+      "LIST".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("ISO-8859-1") ++ canonical.drop(36)
+    assert(Multimodal.audioMeta(withList).contains((22050, 2, 441L)))
+    // malformed chunk size: None, no infinite walk
+    val bad = canonical.take(36) ++
+      "LIST".getBytes("ISO-8859-1") ++
+      Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    assert(Multimodal.audioMeta(bad).isEmpty)
   }
 
   test("video metadata: mvhd box walk, duration in ticks and ms") {
