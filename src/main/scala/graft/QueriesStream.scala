@@ -143,6 +143,40 @@ object QueriesStream {
         FROM sigged)
       SELECT event_id, sig, ts_us FROM ranked WHERE rn = 1"""))
 
+  /** Sliding-window rate metric: 10-minute windows every 5 minutes per
+    * event_type — the overlapping-window shape `window(ts, "10 minutes",
+    * "5 minutes")` computes in Structured Streaming
+    * (EventStreams.slidingRate is the true streaming twin; this batch
+    * form is the oracle surface). Each event lands in exactly
+    * 10/5 = 2 windows, generated by an explode over k ∈ {0,1} and exact
+    * integer slot math (ns DIV 300e9 — no float epoch). One shuffle on
+    * (win_start, event_type); window count per event is a constant, so
+    * the blowup factor is bounded at any scale. */
+  val slidingRate = Q(
+    "sliding_rate",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.withColumn("slot", expr("ts div 300000000000"))
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("slot"), explode(sequence(lit(0L), lit(1L))).as("k"))
+        .withColumn("win_start", (col("slot") - col("k")) * 300)
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("first_event"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, user_id, event_id,
+          epoch_us(ts) // 300000000 AS slot,
+          unnest([0, 1]) AS k
+        FROM events)
+      SELECT CAST((slot - k) * 300 AS BIGINT) AS win_start, event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(event_id) AS first_event
+      FROM b GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract,
-    dedupStreamBatch)
+    dedupStreamBatch, slidingRate)
 }

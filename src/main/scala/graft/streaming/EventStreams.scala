@@ -47,6 +47,22 @@ object EventStreams {
 
   val GapUs: Long = 1800000000L // 30 min, exact µs integers
 
+  /** Sliding-window rate metric: 10-minute windows every 5 minutes per
+    * event_type with a 2-hour watermark — each event lands in exactly 2
+    * overlapping windows, so state is bounded by (horizon/slide) ×
+    * distinct event types. Batch oracle twin: QueriesStream.slidingRate
+    * (exact integer slot math, same window starts). */
+  def slidingRate(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("first_event"))
+
   /** Streaming exact dedup — the LLM-pipeline ingest shape: drop events
     * whose dedup key (e.g. a content signature) was already seen within
     * the watermark horizon. `dropDuplicatesWithinWatermark` keys state

@@ -38,6 +38,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding 10/5-minute windows: each event lands in two windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val M5 = 300000000L // 5 min in µs
+    val in = MemoryStream[Event]
+    val q = EventStreams.slidingRate(in.toDS())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      val t0 = (base / M5) * M5 // aligned 5-min slot start
+      in.addData(
+        Event(1, 10, "view", t0 + 1, 1.0), // windows t0-5m and t0
+        Event(2, 11, "view", t0 + M5 + 1, 1.0)) // windows t0 and t0+5m
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val s0 = t0 / 1000000L
+      assert(rows((s0 - 300, "view")) == ((1L, 1L)))
+      assert(rows((s0, "view")) == ((2L, 1L))) // overlap window sees both
+      assert(rows((s0 + 300, "view")) == ((1L, 2L)))
+      // exactly 2 window memberships per event
+      assert(rows.values.map(_._1).sum == 4)
+      // the batch twin produces the same window starts for this data
+      val batchStarts = Seq(t0 + 1, t0 + M5 + 1).flatMap { us =>
+        val slot = (us * 1000) / 300000000000L // ns DIV 300e9
+        Seq(slot * 300, (slot - 1) * 300)
+      }.toSet
+      assert(rows.keySet.map(_._1) == batchStarts)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
