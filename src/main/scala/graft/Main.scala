@@ -37,6 +37,19 @@ object Main {
   private def optL(args: Seq[String], name: String, dflt: Long): Long =
     opt(args, name).map(_.toLong).getOrElse(dflt)
 
+  /** Positional args only: drop every `-flag` AND its value, so
+    * `mergesegs out s1 s2 -now 123` doesn't read "123" as a segment. */
+  private def positional(args: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var skip = false
+    args.foreach { a =>
+      if (skip) skip = false
+      else if (a.startsWith("-")) skip = true
+      else out += a
+    }
+    out.result()
+  }
+
   private def session(): SparkSession = SparkSession.builder()
     .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
     .config("spark.sql.shuffle.partitions",
@@ -383,27 +396,29 @@ object Main {
         println(s"commoncrawldump: wrote $out")
         0
       case "mergedb" :: out :: dbs if dbs.nonEmpty =>
-        // CrawlDbMerger: latest fetchTime wins per url (CrawlDbMerger.java)
-        import org.apache.spark.sql.functions.{col, desc}
+        // CrawlDbMerger: latest fetchTime wins per url (CrawlDbMerger.java).
+        // The datum-digest tiebreak makes the order TOTAL (latestWins
+        // contract): equal fetchTimes pick the same winner every run.
+        import org.apache.spark.sql.functions.{col, desc, md5, to_json, struct}
         val merged = graft.operators.Relational.latestWins(
-          dbs.filterNot(_.startsWith("-"))
+          positional(dbs)
             .map(d => new CrawlDbTable(spark, d).read().toDF())
             .reduce(_ union _),
-          Seq("url"), Seq(desc("datum.fetchTime"), col("url")))
+          Seq("url"),
+          Seq(desc("datum.fetchTime"), md5(to_json(struct(col("datum"))))))
         new CrawlDbTable(spark, out)
           .install(merged.as[graft.schemas.CrawlRow], "mergedb")
         println(s"mergedb: ${new CrawlDbTable(spark, out).read().count()} urls")
         0
       case "mergesegs" :: out :: segs if segs.nonEmpty =>
         SegmentMergerOp(spark,
-          segs.filterNot(_.startsWith("-")).map(new Segment(spark, _)),
+          positional(segs).map(new Segment(spark, _)),
           new Segment(spark, out))
         println(s"mergesegs: wrote $out")
         0
       case "mergelinkdb" :: out :: dbs if dbs.nonEmpty =>
         val merged = InvertLinks.merge(
-          dbs.filterNot(_.startsWith("-"))
-            .map(d => new LinkDbTable(spark, d).read()),
+          positional(dbs).map(d => new LinkDbTable(spark, d).read()),
           InvertLinks.Config())
         new LinkDbTable(spark, out).install(merged, "mergelinkdb")
         println(s"mergelinkdb: ${new LinkDbTable(spark, out).read().count()} urls")
@@ -449,9 +464,7 @@ object Main {
       case "filterchecker" :: rest =>
         // URLFilterChecker: one url per non-flag arg, "+url" accepted,
         // "-url" rejected by the -filters chain
-        val urls = rest.filterNot(_.startsWith("-"))
-          .filterNot(u => opt(rest, "-filters").contains(u))
-        urls.foreach { u =>
+        positional(rest).foreach { u =>
           val ok = reg.filterChain.accepts(u)
           println(s"${if (ok) "+" else "-"}$u")
         }
@@ -460,8 +473,7 @@ object Main {
         val scope = opt(rest, "-scope")
           .flatMap(s => Extensions.Scope.All.find(_.equalsIgnoreCase(s)))
           .getOrElse(Extensions.Scope.Default)
-        rest.filterNot(_.startsWith("-"))
-          .filterNot(u => opt(rest, "-scope").contains(u))
+        positional(rest)
           .foreach(u => println(reg.normalize(u, scope).getOrElse("")))
         0
       case "parsechecker" :: rest =>

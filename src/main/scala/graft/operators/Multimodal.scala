@@ -114,31 +114,40 @@ object Multimodal {
     * Works on any MP4/M4A/MOV brand the sniffer admits. Returns None
     * for non-ISO-BMFF or truncated payloads. */
   def videoMeta(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
-    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def at(i: Int): Int =
+      if (i >= 0 && i < bytes.length) bytes(i) & 0xff else -1
     def be32(i: Int): Long = ((at(i) << 24) | (at(i + 1) << 16) |
       (at(i + 2) << 8) | at(i + 3)).toLong & 0xffffffffL
     def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def fourcc(i: Int): String = new String(
-      bytes.slice(i, i + 4), java.nio.charset.StandardCharsets.ISO_8859_1)
+      bytes.slice(math.max(0, i), math.max(0, i + 4)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!(sniff(bytes) match {
       case "video/mp4" | "video/quicktime" | "audio/mp4" | "image/avif" |
         "image/heif" => true
       case _ => false
     })) return None
-    def findBox(from: Int, to: Int, name: String): Option[Int] = {
+    // box walk in Long offsets: a hostile 32-bit size field must neither
+    // wrap the cursor negative nor throw — malformed input yields None
+    def findBox(from: Long, to: Long, name: String): Option[Long] = {
       var o = from
       while (o + 8 <= to) {
-        val size = be32(o)
-        if (fourcc(o + 4) == name) return Some(o)
-        if (size < 8) return None // malformed/size-0-to-eof: stop
-        o += size.toInt
+        val size = be32(o.toInt)
+        if (fourcc(o.toInt + 4) == name) return Some(o)
+        val step =
+          if (size == 0) return None // last box, extends to EOF — done
+          else if (size == 1) be64(o.toInt + 8) // 64-bit largesize
+          else size
+        if (step < 8) return None // malformed
+        o += step
       }
       None
     }
     for {
-      moov <- findBox(0, bytes.length, "moov")
+      moov <- findBox(0, bytes.length.toLong, "moov").map(_.toInt)
       mvhd <- findBox(moov + 8,
-        math.min(bytes.length, (moov + be32(moov)).toInt), "mvhd")
+        math.min(bytes.length.toLong, moov + be32(moov)), "mvhd")
+        .map(_.toInt)
       r <- at(mvhd + 8) match {
         case 0 if mvhd + 28 <= bytes.length =>
           val ts = be32(mvhd + 20)
@@ -442,8 +451,10 @@ object Multimodal {
             // fit inside maxW×maxH, never upscale, floor-exact
             val num = math.min(math.min(maxW.toLong * h, maxH.toLong * w),
               w.toLong * h) // scale numerator: min(maxW/w, maxH/h, 1)·w·h
-            val ow = (num / h).toInt
-            val oh = (num / w).toInt
+            // floor-exact, clamped to 1: a 3×1000 into 100×100 must give
+            // 1×100, never a degenerate zero dimension
+            val ow = math.max(1L, num / h).toInt
+            val oh = math.max(1L, num / w).toInt
             val stub = java.util.Arrays.copyOf(bytes,
               math.min(bytes.length, 16)) ++
               Array((ow & 0xff).toByte, (oh & 0xff).toByte)

@@ -132,18 +132,21 @@ object Fetch {
       clockFactory)
       .toDF("rows", "content")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stagingDir)
-    val st = spark.read.parquet(stagingDir)
-    seg.writeFetch(st.select(explode(col("rows")).as("r"))
-      .select(col("r.url"), col("r.datum")).as[CrawlRow])
-    seg.writeContent(st
-      .filter(col("rows").getItem(0)("datum")("status") ===
-        CrawlStatus.FETCH_SUCCESS.toInt)
-      .select(col("content.url"), col("content.base"), col("content.bytes"),
-        col("content.contentType"), col("content.meta"))
-      .as[ContentRow])
-    // staged payloads served their purpose; drop them
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(stagingDir))
+    try {
+      val st = spark.read.parquet(stagingDir)
+      seg.writeFetch(st.select(explode(col("rows")).as("r"))
+        .select(col("r.url"), col("r.datum")).as[CrawlRow])
+      seg.writeContent(st
+        .filter(col("rows").getItem(0)("datum")("status") ===
+          CrawlStatus.FETCH_SUCCESS.toInt)
+        .select(col("content.url"), col("content.base"), col("content.bytes"),
+          col("content.contentType"), col("content.meta"))
+        .as[ContentRow])
+    } finally
+      // staged payloads must not outlive the derivation — a failed write
+      // would otherwise leak the round's page bytes on disk
+      graft.tables.Install.deleteRecursively(
+        java.nio.file.Paths.get(stagingDir))
   }
 
   /** One streamed protocol pass: per partition, robots + pacing +

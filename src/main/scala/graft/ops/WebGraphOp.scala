@@ -39,7 +39,9 @@ object WebGraphOp {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/outlinks")))
         spark.read.parquet(s"$dir/outlinks")
       else fresh.limit(0)
-    val edges = Relationalize.latestWins(prior.unionByName(fresh))
+    // one row per (src, dst); deterministic keeper by anchor
+    val edges = graft.operators.Relational.latestWins(
+      prior.unionByName(fresh), Seq("src", "dst"), Seq(desc("anchor")))
     // two-generation write: outlinks_next → swap, so the read of the
     // prior generation above never races its own overwrite
     edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/outlinks_next")
@@ -56,15 +58,6 @@ object WebGraphOp {
         lit(1.0).as("score"))
     nodes.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_next")
     swap(dir, "nodes")
-  }
-
-  private object Relationalize {
-    /** Keep one row per (src, dst): deterministic keeper by anchor. */
-    def latestWins(edges: DataFrame): DataFrame = {
-      val w = Window.partitionBy("src", "dst").orderBy(desc("anchor"))
-      edges.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
   }
 
   private def swap(dir: String, part: String): Unit = {

@@ -210,6 +210,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // non-ISO-BMFF: None
     assert(Multimodal.videoMeta(junk).isEmpty)
     assert(Multimodal.videoMeta(Multimodal.Synth.wav(8000, 1, 10L)).isEmpty)
+    // hostile box sizes: top-bit-set (would wrap an Int cursor negative)
+    // and near-Int.MaxValue — None, never a thrown index error
+    val good = Multimodal.Synth.mp4(600L, 3000L)
+    for (sz <- Seq(0x80000004L, 0x7fffffffL, 9L)) {
+      val evil = good.clone()
+      // rewrite the ftyp box size field (offset 0, big-endian u32)
+      evil(0) = ((sz >> 24) & 0xff).toByte
+      evil(1) = ((sz >> 16) & 0xff).toByte
+      evil(2) = ((sz >> 8) & 0xff).toByte
+      evil(3) = (sz & 0xff).toByte
+      assert(Multimodal.videoMeta(evil).isEmpty, s"size $sz")
+    }
+    // size==1 largesize walk: ftyp re-encoded as a 64-bit-size box still
+    // reaches moov (header grows by 8, so pad the largesize to match)
+    val ftyp64 = Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 24) ++ // largesize = 24
+      "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0)
+    val mp4b = ftyp64 ++ good.drop(16) // original moov follows
+    assert(Multimodal.videoMeta(mp4b).contains((600L, 3000L, 5000L)))
   }
 
   test("frameSample explodes one row per interval tick from the real header") {
