@@ -209,9 +209,14 @@ object Urls {
         val slash = after.indexWhere(c => c == '/' || c == '?' || c == '#')
         val (authority, rest0) =
           if (slash < 0) (after, "") else (after.take(slash), after.drop(slash))
-        if (authority.isEmpty) return None
         // split off fragment entirely (reference strips ref)
         val rest1 = rest0.takeWhile(_ != '#')
+        if (authority.isEmpty)
+          // file: URLs legitimately carry an empty authority
+          // (file:///path — RFC 8089); other schemes need a host
+          return if (scheme == "file" && rest1.startsWith("/"))
+            Some(s"$scheme://$rest1")
+          else None
         // lowercase host (unescaping unreserved escapes, e.g.
         // example%2Ecom — TestBasicURLNormalizer:122), strip default or
         // empty port ("http://example.com:/" → no port)

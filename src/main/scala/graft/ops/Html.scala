@@ -468,7 +468,10 @@ object Html {
           val rightMost = if (idx != -1) path.substring(idx + 1) else ""
           new java.net.URL(b, rightMost + target)
         } else new java.net.URL(b, target)
-      Some(u.toString)
+      // java.net.URL prints empty-authority file URLs as "file:/path";
+      // canonicalize to the RFC 8089 "file:///path" form the scheme
+      // checks and the normalizer expect
+      Some(u.toString.replaceFirst("^file:/(?!/)", "file:///"))
     } catch { case _: Exception => None }
   }
 

@@ -53,7 +53,10 @@ object Parse {
     // page never pays text-walk + resolution beyond maxOutlinksPerPage
     Html.foreachOutlink(baseUrl, root) { o =>
       val u = o.toUrl
-      if ((u.startsWith("http://") || u.startsWith("https://")) &&
+      // the crawlable scheme set (reference protocol plugins: lib-http,
+      // protocol-file, protocol-ftp); mailto/javascript/data stay out
+      if ((u.startsWith("http://") || u.startsWith("https://") ||
+          u.startsWith("file://") || u.startsWith("ftp://")) &&
           !links.contains(u))
         links += u -> o.anchor.take(cfg.maxAnchorLength)
       links.size < cfg.maxOutlinksPerPage
