@@ -19,7 +19,8 @@ object Parse {
       maxOutlinksPerPage: Int = 100, // db.max.outlinks.per.page
       maxAnchorLength: Int = 100, // linkdb.max.anchor.length
       interval: Int = 2592000,
-      deleteFailed: Boolean = false) // parser.delete.failed (NUTCH-1732)
+      deleteFailed: Boolean = false, // parser.delete.failed (NUTCH-1732)
+      ignoreExternalLinks: Boolean = false) // db.ignore.external.links
 
   /** One page's parse: title, cleaned text, resolved outlinks. Returns
     * Failed status when the content is not parseable as text.
@@ -79,10 +80,16 @@ object Parse {
       cfg: Config, outlinkFilter: UrlFilter,
       // outlink-scope normalizer (URLNormalizers.SCOPE_OUTLINK); default
       // = the basic chain, callers pass registry.normalize(_, Outlink)
-      normalizer: String => Option[String] = Urls.normalize): ParseOutput = {
+      normalizer: String => Option[String] = Urls.normalize,
+      // URLExemptionFilter chain (urlfilter-ignoreexempt): consulted
+      // ONLY when ignoreExternalLinks drops a cross-host outlink
+      // (ParseOutputFormat.filterNormalize exemption check)
+      exemption: graft.plugins.Extensions.ExemptionFilter =
+        graft.plugins.NoExemptions): ParseOutput = {
     val spark: SparkSession = fetch.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((cfg, outlinkFilter, normalizer))
+    val bc = spark.sparkContext.broadcast(
+      (cfg, outlinkFilter, normalizer, exemption))
 
     val success = fetch
       .filter(_.datum.status == CrawlStatus.FETCH_SUCCESS)
@@ -93,10 +100,14 @@ object Parse {
       .as[(String, String, Array[Byte], String, Float)]
 
     val parsed = joined.map { case (url, base, bytes, ct, score) =>
-      val (cfg0, filt, norm) = bc.value
+      val (cfg0, filt, norm, exempt) = bc.value
       val (st, title, text, out0) = parsePage(base, bytes, ct, cfg0)
+      val fromHost = graft.net.UrlParts.host(url)
       val outlinks = out0.flatMap(o =>
         norm(o.toUrl).flatMap(filt.filter)
+          .filter(u => !cfg0.ignoreExternalLinks ||
+            graft.net.UrlParts.host(u) == fromHost ||
+            exempt.isExempted(url, u))
           .map(u => Outlink(u, o.anchor)))
       (url, st, title, text, outlinks, score)
     }.cache()
@@ -108,7 +119,7 @@ object Parse {
       ParseTextRow(url, text)
     }
     val crawlParse = parsed.flatMap { case (url, st, title, text, outlinks, score) =>
-      val (cfg0, _, _) = bc.value
+      val (cfg0, _, _, _) = bc.value
       if (st == ParseStatusCodes.Success) {
         val sig = CrawlRow(url, CrawlDatum(CrawlStatus.SIGNATURE, 0L, 0, 0,
           0f, Some(graft.functions.TextAnalysis.md5Hex(text)), 0L, Map.empty))
