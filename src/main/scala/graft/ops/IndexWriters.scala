@@ -209,6 +209,54 @@ object IndexWriters {
     }
   }
 
+  /** indexer-kafka analog (indexer-kafka/.../KafkaIndexWriter.java
+    * produce loop), brokerless: a keyed partitioned APPEND LOG. Records
+    * route to `hash(url) mod N` log-partitions — the producer's default
+    * key partitioner — and each log-partition is one ordered file of
+    * `offset \t key \t json` lines with per-partition monotone offsets.
+    * `repartition(N, part)` gives every log-partition exactly one Spark
+    * task (the partition affinity a producer gives a broker partition),
+    * so offsets need no cross-task coordination; records are sorted
+    * (part, key) within the task so offsets are deterministic — a
+    * documented divergence from a live producer's arrival order. A real
+    * Kafka deployment swaps the file append for a producer.send with
+    * the same framing. */
+  final class PartitionedLogWriter(val partitions: Int,
+      val name: String = "kafkalog") extends IndexWriter {
+    def write(docs: Dataset[Index.Doc], outDir: String): Unit = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val n = partitions
+      val out = java.nio.file.Paths.get(outDir)
+      if (java.nio.file.Files.exists(out))
+        graft.tables.Install.deleteRecursively(out)
+      java.nio.file.Files.createDirectories(out)
+      docs.toDF()
+        .withColumn("value", to_json(struct(col("url"), col("action"),
+          col("title"), col("host"), col("digest"), col("boost"))))
+        .withColumn("part", pmod(hash(col("url")), lit(n)))
+        .repartition(n, col("part"))
+        .sortWithinPartitions("part", "url")
+        .select(col("part"), col("url").as("key"), col("value"))
+        .as[(Int, String, String)]
+        .foreachPartition { (it: Iterator[(Int, String, String)]) =>
+          var cur = -1
+          var w: java.io.PrintWriter = null
+          var off = 0L
+          it.foreach { case (p, k, v) =>
+            if (p != cur) {
+              if (w != null) w.close()
+              cur = p; off = 0L
+              w = new java.io.PrintWriter(new java.io.FileWriter(
+                s"$outDir/partition-$p.log", true))
+            }
+            w.println(s"$off\t$k\t$v"); off += 1
+          }
+          if (w != null) w.close()
+        }
+    }
+  }
+
   /** First-match routing rules: (writerName, predicate column). */
   def routeColumn(rules: Seq[(String, org.apache.spark.sql.Column)],
       default: String): org.apache.spark.sql.Column =

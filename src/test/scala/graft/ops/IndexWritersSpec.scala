@@ -198,6 +198,48 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
     } finally http.stop(0)
   }
 
+  test("partitioned log writer: keyed routing, contiguous offsets, framing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("kafkalog").toString
+    val many = (1 to 40).map(i =>
+      Index.Doc(s"http://h$i.example.com/", "add", s"T$i", s"h$i.example.com",
+        "", s"d$i", 1f, Nil)).toDS()
+    new IndexWriters.PartitionedLogWriter(4).write(many, out)
+
+    val files = Files.list(java.nio.file.Paths.get(out)).iterator()
+    import scala.jdk.CollectionConverters._
+    val parts = files.asScala.toSeq.map(_.getFileName.toString).sorted
+    assert(parts.nonEmpty && parts.size <= 4)
+    assert(parts.forall(_.matches("partition-[0-3]\\.log")))
+
+    val records = parts.flatMap { f =>
+      Files.readAllLines(java.nio.file.Paths.get(out, f)).asScala
+        .map { l =>
+          val Array(off, key, json) = l.split("\t", 3)
+          (f, off.toLong, key, json)
+        }
+    }
+    // every doc lands in exactly one partition
+    assert(records.map(_._3).toSet.size == 40 && records.size == 40)
+    // offsets are contiguous from 0 within each partition file
+    records.groupBy(_._1).foreach { case (f, rs) =>
+      assert(rs.map(_._2).sorted == (0L until rs.size).toSeq, f)
+    }
+    // framing is the JSON-lines document shape
+    assert(records.forall(r => r._4.startsWith("{\"url\":\"http://")))
+    // routing is stable: a rewrite assigns every key the same partition
+    val assign1 = records.map(r => r._3 -> r._1).toMap
+    new IndexWriters.PartitionedLogWriter(4).write(many, out)
+    val records2 = Files.list(java.nio.file.Paths.get(out)).iterator()
+      .asScala.toSeq.flatMap { p =>
+        Files.readAllLines(p).asScala.map { l =>
+          val Array(_, key, _) = l.split("\t", 3)
+          key -> p.getFileName.toString
+        }
+      }.toMap
+    assert(records2 == assign1)
+  }
+
   /** Local fixture server recording (path, body) of each POST. */
   private def recordingServer(paths: String*)
       : (com.sun.net.httpserver.HttpServer,
