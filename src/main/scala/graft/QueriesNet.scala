@@ -221,6 +221,63 @@ object QueriesNet {
           OR host IN ('org', 'mail.exact.com'))) AS deny_pass
       FROM q"""))
 
+  private val robotsUdf = org.apache.spark.sql.functions.udf(
+    (k: Long) => {
+      val v = (k % 4).toInt
+      val delay = 1 + k % 7
+      val content = v match {
+        case 0 => s"User-agent: *\nDisallow: /private/\nCrawl-delay: $delay\n"
+        case 1 => "User-agent: graft\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /none\n" +
+          "Sitemap: http://example.com/s.xml\n"
+        case 2 => "User-agent: *\nDisallow: /*.pdf$\n"
+        case _ => "User-agent: *\nAllow: /private/ok\nDisallow: /private/\n"
+      }
+      val path = v match {
+        case 0 => if (k % 2 == 0) "/private/page.html" else "/open/x.html"
+        case 1 => "/anything.html"
+        case 2 => if (k % 2 == 0) "/doc.pdf" else "/doc.pdfx"
+        case _ => if (k % 2 == 0) "/private/ok.html" else "/private/no.html"
+      }
+      val rules = graft.net.Robots.parse(content, "graft")
+      (rules.isAllowed(path), rules.crawlDelayMs, rules.sitemaps.size)
+    })
+
+  /** robots.txt semantics as an oracle query (the multimodal_dims
+    * pattern): per doc, a plan-synthesized robots.txt exercises one of
+    * four REP features — prefix Disallow + Crawl-delay, agent-specific
+    * group overriding `*` (+ Sitemap discovery), `*`/`$` wildcard
+    * rules, and Allow/Disallow longest-match precedence — and the
+    * oracle restates the verdicts in closed form, so a hash match
+    * proves group selection, precedence, wildcards, crawl-delay
+    * extraction, and sitemap collection all at once. The parser itself
+    * is the one the fetch pacer consults (net/Robots.scala, the
+    * crawler-commons SimpleRobotRulesParser subset). */
+  val robotsParse = Q(
+    "robots_parse",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = Queries.t(s, dir, "documents")
+      val r = robotsUdf(col("doc_id"))
+      d.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("allowed"),
+          col("r._2").as("crawl_delay_ms"),
+          col("r._3").as("n_sitemaps"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE (doc_id % 4)::INT
+          WHEN 0 THEN doc_id % 2 = 1
+          WHEN 1 THEN FALSE
+          WHEN 2 THEN doc_id % 2 = 1
+          ELSE doc_id % 2 = 0
+        END AS allowed,
+        CASE WHEN doc_id % 4 = 0 THEN (1 + doc_id % 7) * 1000
+        END AS crawl_delay_ms,
+        CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_sitemaps
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(urlFilter, generateEligibility, generateHostdb,
-    urlFilterDomain)
+    urlFilterDomain, robotsParse)
 }
