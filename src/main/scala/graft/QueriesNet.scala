@@ -278,6 +278,35 @@ object QueriesNet {
         CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_sitemaps
       FROM documents"""))
 
+  /** External-command integration at scale (the parse-ext/RDD.pipe
+    * shape): stream every partition's documents through ONE external
+    * process (`tr a-z A-Z`) — stdin lines out stdout lines, one fork
+    * per partition, not per record — and prove the round-trip against
+    * DuckDB's UPPER. Rows ride as `doc_id \t text` frames (documents
+    * are single-line by construction); digits pass through tr
+    * unchanged. This is the scalable form of plugins.ExtParser's
+    * per-record command: at 100 TB you fork ~one process per task,
+    * never per page. */
+  val extPipe = Q(
+    "ext_pipe",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val d = Queries.t(s, dir, "documents")
+      val piped = d
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("line"))
+        .as[String]
+        .rdd.pipe(Seq("tr", "a-z", "A-Z"))
+      s.createDataset(piped)
+        .map { l =>
+          val i = l.indexOf('\t')
+          (l.take(i).toLong, l.drop(i + 1))
+        }
+        .toDF("doc_id", "upper_text")
+    },
+    Some("""
+      SELECT doc_id, UPPER(text) AS upper_text FROM documents"""))
+
   val all: Seq[Q] = Seq(urlFilter, generateEligibility, generateHostdb,
-    urlFilterDomain, robotsParse)
+    urlFilterDomain, robotsParse, extPipe)
 }
