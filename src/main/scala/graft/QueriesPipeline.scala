@@ -437,6 +437,50 @@ object QueriesPipeline {
       FROM sel GROUP BY 1"""
     })
 
+  /** Frequency-based rarity scoring — the log-free integer-exact form
+    * of the unigram-surprisal filter corpus pipelines use to flag
+    * outlier documents (gibberish, wrong-language, boilerplate): each
+    * token occurrence contributes `corpus_tokens DIV corpus_count(w)`
+    * (the integer inverse relative frequency), so a doc full of rare
+    * tokens scores high and a stopword-heavy doc low, with no libm in
+    * the oracle path (a log-probability would differ in the last ulp
+    * across engines). Emitted absolute and per-token (×10000, integer
+    * divided — a floor-exact per-token average).
+    *
+    * Shape: one shuffle for corpus term counts, one broadcast single-row
+    * total, one join + per-doc agg — no window, no vocabulary-wide sort
+    * (a dense_rank formulation would need a global window over the
+    * vocabulary; the DIV form avoids it). */
+  val rarityScore = Q(
+    "rarity_score",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tf = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = tf.agg(count(lit(1)).as("n_total"))
+      tf.join(cnt, "w").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("n_total DIV cnt")).as("rarity"))
+        .select(col("doc_id"), col("n_tokens"), col("rarity"),
+          expr("(rarity * 10000) DIV n_tokens").as("rarity_per_token_bp"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      c AS (SELECT w, COUNT(*) AS cnt FROM tf GROUP BY 1),
+      t AS (SELECT COUNT(*) AS n_total FROM tf)
+      SELECT doc_id,
+        COUNT(*) AS n_tokens,
+        CAST(SUM(n_total // cnt) AS BIGINT) AS rarity,
+        (CAST(SUM(n_total // cnt) AS BIGINT) * 10000) // COUNT(*)
+          AS rarity_per_token_bp
+      FROM tf JOIN c USING (w) CROSS JOIN t
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
-    sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint)
+    sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
+    rarityScore)
 }
