@@ -175,6 +175,27 @@ object QueriesCrawl {
       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       LEFT JOIN la ON o.o_orderkey = la.url"""))
 
+  /** index-jexl-filter (JexlIndexingFilter.java:53-102): the JEXL
+    * document gate applied AFTER the indexing cogroup assembles the doc
+    * — the same `Index.Config.jexlFilter` path, demonstrated over the
+    * index_docs fixture so the predicate sees joined fields (host from
+    * the customer⋈nation side, link_score from the linkdb side) plus
+    * the action decision. Exercises the `=~` list-membership translation
+    * the reference evaluates via JexlContext collections. */
+  val indexJexl = Q(
+    "index_jexl",
+    (s, dir) => {
+      val jexl = "action == 'add' && " +
+        "(host =~ ('CHINA','INDIA') || link_score > 200000.0)"
+      indexDocs.build(s, dir)
+        .filter(expr(graft.net.Jexl.toSqlExpr(jexl)))
+    },
+    Some(s"""
+      WITH docs AS (${indexDocs.oracle.get})
+      SELECT * FROM docs
+      WHERE action = 'add'
+        AND (host IN ('CHINA','INDIA') OR link_score > 200000.0)"""))
+
   /** F6 JEXL expression predicate (CrawlDatum.java:573-625,
     * JexlUtil.java; Generator.java:306-311): the REAL JEXL source string
     * goes through net.Jexl.toSqlExpr (`==`→`=`, `&&`→AND …) and lands in
@@ -348,6 +369,6 @@ object QueriesCrawl {
       FROM cur FULL OUTER JOIN prev ON cur.host = prev.host"""))
 
   val all: Seq[Q] = Seq(
-    hostdbAgg, crawldbMerge, segmentMerge, indexDocs, jexlFilter, urlParts,
-    urlNormalize, hostdbUpdate)
+    hostdbAgg, crawldbMerge, segmentMerge, indexDocs, indexJexl, jexlFilter,
+    urlParts, urlNormalize, hostdbUpdate)
 }

@@ -320,6 +320,45 @@ object Html {
     sb.toString
   }
 
+  /** parsefilter-debug support (DebugParseFilter.java:46-54 serializes
+    * the DOM via DomUtil.saveDom): render the parsed tree back to
+    * markup so a reader can inspect how the tokenizer interpreted a
+    * document — attribute order and quoting normalized, text re-escaped,
+    * comments preserved, void elements without close tags, the
+    * synthetic `#root` wrapper elided. */
+  def renderDom(node: HNode): String = {
+    val sb = new StringBuilder
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def walk(h: HNode): Unit = h match {
+      case HText(t) => sb.append(esc(t))
+      case HComment(t) => sb.append("<!--").append(t).append("-->")
+      case e: HElem =>
+        val isRoot = e.name == "#root"
+        if (!isRoot) {
+          sb.append('<').append(e.name)
+          e.attrs.foreach { case (k, v) =>
+            sb.append(' ').append(k).append("=\"")
+              .append(esc(v).replace("\"", "&quot;")).append('"')
+          }
+          sb.append('>')
+        }
+        if (isRoot || !voidTags.contains(e.name)) {
+          // raw-text content (script/style) was captured verbatim and
+          // must re-emit verbatim — escaping would corrupt the code
+          if (rawTextTags.contains(e.name) && !rcdataTags.contains(e.name))
+            e.children.foreach {
+              case HText(t) => sb.append(t)
+              case c => walk(c)
+            }
+          else e.children.foreach(walk)
+          if (!isRoot) sb.append("</").append(e.name).append('>')
+        }
+    }
+    walk(node)
+    sb.toString
+  }
+
   /** First `title` text before `body` (DOMContentUtils.getTitle). */
   def getTitle(root: HNode): String = {
     var res = ""

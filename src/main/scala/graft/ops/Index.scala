@@ -14,7 +14,17 @@ object Index {
 
   final case class Config(
       deleteGone: Boolean = false, // indexer.delete.gone
-      skipNotModified: Boolean = true) // indexer.skip.notmodified
+      skipNotModified: Boolean = true, // indexer.skip.notmodified
+      // index-jexl-filter (JexlIndexingFilter.java:53-102): keep only
+      // documents whose JEXL predicate over the assembled doc fields
+      // (url, title, host, content, digest, boost, anchors, action)
+      // evaluates true. The reference walks a JexlContext per document;
+      // here the expression lands in Catalyst via Jexl.toSqlExpr, so the
+      // gate is codegen'd and prunable instead of a per-doc script call.
+      // A predicate that errors fails the query (vs the reference's
+      // warn-and-drop) — surfacing the broken expression beats silently
+      // indexing nothing.
+      jexlFilter: Option[String] = None)
 
   final case class Doc(url: String, action: String, title: String,
       host: String, content: String, digest: String, boost: Float,
@@ -61,6 +71,8 @@ object Index {
         coalesce(col("signature"), lit("")).as("digest"),
         col("score").as("boost"),
         coalesce(col("anchors"), array()).as("anchors"))
+      .transform(df => cfg.jexlFilter.fold(df)(j =>
+        df.filter(expr(graft.net.Jexl.toSqlExpr(j)))))
       .as[Doc]
   }
 }

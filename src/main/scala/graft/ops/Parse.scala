@@ -15,12 +15,29 @@ import graft.schemas._
   */
 object Parse {
 
+  /** scoring-metadata (MetadataScoringFilter.java:56-125): three
+    * propagation hops, each a configured key list — datum metadata →
+    * content metadata (`scoring.db.md`, passScoreBeforeParsing), content
+    * metadata → parse metadata (`scoring.content.md`,
+    * passScoreAfterParsing), parse metadata → every outlink's datum
+    * (`scoring.parse.md`, distributeScoreToOutlinks). The LINKED datums
+    * carry the keys through updatedb into the next round's crawldb. */
+  final case class ScoringMetadata(
+      datumMd: Seq[String] = Nil, // scoring.db.md
+      contentMd: Seq[String] = Nil, // scoring.content.md
+      parseMd: Seq[String] = Nil) // scoring.parse.md
+
   final case class Config(
       maxOutlinksPerPage: Int = 100, // db.max.outlinks.per.page
       maxAnchorLength: Int = 100, // linkdb.max.anchor.length
       interval: Int = 2592000,
       deleteFailed: Boolean = false, // parser.delete.failed (NUTCH-1732)
-      ignoreExternalLinks: Boolean = false) // db.ignore.external.links
+      ignoreExternalLinks: Boolean = false, // db.ignore.external.links
+      scoringMetadata: ScoringMetadata = ScoringMetadata(),
+      // parsefilter-debug (DebugParseFilter.java:46-54): serialize the
+      // parsed DOM into parse_meta("DOM") — costs a second parse of the
+      // page, so strictly a diagnostic switch
+      debugDom: Boolean = false)
 
   /** One page's parse: title, cleaned text, resolved outlinks. Returns
     * Failed status when the content is not parseable as text.
@@ -93,13 +110,15 @@ object Parse {
 
     val success = fetch
       .filter(_.datum.status == CrawlStatus.FETCH_SUCCESS)
-      .map(r => (r.url, r.datum.score))
-      .withColumnRenamed("_1", "url").withColumnRenamed("_2", "score")
+      .map(r => (r.url, r.datum.score, r.datum.metadata))
+      .toDF("url", "score", "datum_meta")
     val joined = content.join(success, "url")
-      .select("url", "base", "bytes", "contentType", "score")
-      .as[(String, String, Array[Byte], String, Float)]
+      .select("url", "base", "bytes", "contentType", "meta", "score",
+        "datum_meta")
+      .as[(String, String, Array[Byte], String, Map[String, String], Float,
+        Map[String, String])]
 
-    val parsed = joined.map { case (url, base, bytes, ct, score) =>
+    val parsed = joined.map { case (url, base, bytes, ct, cMeta, score, dMeta) =>
       val (cfg0, filt, norm, exempt) = bc.value
       val (st, title, text, out0) = parsePage(base, bytes, ct, cfg0)
       val fromHost = graft.net.UrlParts.host(url)
@@ -109,31 +128,51 @@ object Parse {
             graft.net.UrlParts.host(u) == fromHost ||
             exempt.isExempted(url, u))
           .map(u => Outlink(u, o.anchor)))
-      (url, st, title, text, outlinks, score)
+      // scoring-metadata hop 1+2: datum → content (passScoreBeforeParsing),
+      // then content → parse (passScoreAfterParsing) — each key list only
+      // copies keys actually present at its source
+      val sm = cfg0.scoringMetadata
+      val contentMeta = sm.datumMd.foldLeft(cMeta)((m, k) =>
+        dMeta.get(k).fold(m)(v => m + (k -> v)))
+      val fromContent = sm.contentMd.flatMap(k =>
+        contentMeta.get(k).map(k -> _)).toMap
+      val domMeta =
+        if (cfg0.debugDom && st == ParseStatusCodes.Success)
+          Map("DOM" -> Html.renderDom(Html.parse(
+            graft.functions.Encoding.decode(bytes, ct))))
+        else Map.empty[String, String]
+      val parseMeta = Map("parser" -> "html") ++ fromContent ++ domMeta
+      (url, st, title, text, outlinks, score, parseMeta)
     }.cache()
 
-    val parseData = parsed.map { case (url, st, title, _, outlinks, _) =>
-      ParseDataRow(url, title, outlinks, st, Map("parser" -> "html"))
+    val parseData = parsed.map { case (url, st, title, _, outlinks, _, pm) =>
+      ParseDataRow(url, title, outlinks, st, pm)
     }
-    val parseText = parsed.map { case (url, _, _, text, _, _) =>
+    val parseText = parsed.map { case (url, _, _, text, _, _, _) =>
       ParseTextRow(url, text)
     }
-    val crawlParse = parsed.flatMap { case (url, st, title, text, outlinks, score) =>
-      val (cfg0, _, _, _) = bc.value
-      if (st == ParseStatusCodes.Success) {
-        val sig = CrawlRow(url, CrawlDatum(CrawlStatus.SIGNATURE, 0L, 0, 0,
-          0f, Some(graft.functions.TextAnalysis.md5Hex(text)), 0L, Map.empty))
-        val share = if (outlinks.nonEmpty) score / outlinks.size else 0f
-        val linked = outlinks.map(o => CrawlRow(o.toUrl,
-          CrawlDatum(CrawlStatus.LINKED, 0L, 0, cfg0.interval, share, None,
-            0L, Map.empty)))
-        val pm = CrawlRow(url, CrawlDatum(CrawlStatus.PARSE_META, 0L, 0, 0,
-          0f, None, 0L, Map("parse.title.present" -> (title.nonEmpty).toString)))
-        Seq(sig, pm) ++ linked
-      } else if (cfg0.deleteFailed) {
-        Seq(CrawlRow(url, CrawlDatum(CrawlStatus.PARSE_FAILED, 0L, 0, 0, 0f,
-          None, 0L, Map.empty)))
-      } else Nil
+    val crawlParse = parsed.flatMap {
+      case (url, st, title, text, outlinks, score, pMeta) =>
+        val (cfg0, _, _, _) = bc.value
+        if (st == ParseStatusCodes.Success) {
+          val sig = CrawlRow(url, CrawlDatum(CrawlStatus.SIGNATURE, 0L, 0, 0,
+            0f, Some(graft.functions.TextAnalysis.md5Hex(text)), 0L, Map.empty))
+          // scoring-metadata hop 3 (distributeScoreToOutlinks): configured
+          // parse-meta keys ride every LINKED datum to the next round
+          val outMd = cfg0.scoringMetadata.parseMd.flatMap(k =>
+            pMeta.get(k).map(k -> _)).toMap
+          val share = if (outlinks.nonEmpty) score / outlinks.size else 0f
+          val linked = outlinks.map(o => CrawlRow(o.toUrl,
+            CrawlDatum(CrawlStatus.LINKED, 0L, 0, cfg0.interval, share, None,
+              0L, outMd)))
+          val pm = CrawlRow(url, CrawlDatum(CrawlStatus.PARSE_META, 0L, 0, 0,
+            0f, None, 0L,
+            Map("parse.title.present" -> (title.nonEmpty).toString)))
+          Seq(sig, pm) ++ linked
+        } else if (cfg0.deleteFailed) {
+          Seq(CrawlRow(url, CrawlDatum(CrawlStatus.PARSE_FAILED, 0L, 0, 0, 0f,
+            None, 0L, Map.empty)))
+        } else Nil
     }
     ParseOutput(parseData, parseText, crawlParse)
   }

@@ -8,16 +8,17 @@ import graft.schemas.{CrawlDatum, Outlink, ParseDataRow}
   *
   * | Reference extension point | Trait | Impls |
   * |---|---|---|
-  * | URLFilter            | net.UrlFilter            | Regex/Prefix/Suffix/Fast |
+  * | URLFilter            | net.UrlFilter            | Regex/Prefix/Suffix/Fast/Domain/DomainDenylist/Automaton/Validator |
   * | URLNormalizer        | plugins.UrlNormalizer    | Basic + Normalizers.{Regex,Querystring,Slash,Ajax,Host,Protocol,Pass} |
-  * | Protocol             | ops.Fetch.Protocol       | MockProtocol |
-  * | Parser               | plugins.Parser           | HtmlTokenizerParser (wraps Html.scala tokenizer) |
-  * | HtmlParseFilter      | plugins.ParseFilter      | (open seam) |
-  * | ScoringFilter        | crawl.ScoringFilter      | Noop/Opic |
-  * | IndexingFilter       | plugins.IndexingFilter   | BasicIndexingFilter |
-  * | IndexWriter          | ops.IndexWriters.IndexWriter | JsonLines/Csv |
-  * | Exchange             | ops.IndexWriters.routeColumn | first-match rules |
-  * | FetchSchedule        | crawl.FetchSchedule      | Default/Adaptive |
+  * | URLExemptionFilter   | Extensions.ExemptionFilter | Exemptions (urlfilter-ignoreexempt) |
+  * | Protocol             | ops.Fetch.Protocol       | MockProtocol/HttpProtocol/FileProtocol |
+  * | Parser               | plugins.Parser           | HtmlTokenizerParser (wraps Html.scala tokenizer) + ZipParse/JsParse/ExtParser |
+  * | HtmlParseFilter      | plugins.ParseFilter      | parsefilter-regex/naive-bayes analogs (QueriesPlugins); Parse.Config.debugDom = parsefilter-debug |
+  * | ScoringFilter        | crawl.ScoringFilter      | Noop/Opic; Parse.ScoringMetadata = scoring-metadata hops |
+  * | IndexingFilter       | plugins.IndexingFilter   | Basic/Static/Tld/UrlMeta/Metadata/Replace/Arbitrary (+ anchor/more/metatags scalars; Index.Config.jexlFilter = index-jexl-filter) |
+  * | IndexWriter          | ops.IndexWriters.IndexWriter | JsonLines/Csv/HttpBulk/Dialect(Solr XML, ES _bulk)/PartitionedLog |
+  * | Exchange             | ops.IndexWriters.routeColumn | first-match rules (exchange-jexl) |
+  * | FetchSchedule        | crawl.FetchSchedule      | Default/Adaptive/MimeAdaptive |
   * | Signature            | (doc_fingerprint / TextAnalysis.md5Hex) | TextProfile/MD5 |
   * | Publisher            | plugins.Publisher        | (open seam) |
   *

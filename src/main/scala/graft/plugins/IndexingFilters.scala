@@ -178,6 +178,67 @@ object IndexingFilters {
   }
 
   // -------------------------------------------------------------------------
+  // index-arbitrary (ArbitraryIndexingFilter.java:158-313)
+  // -------------------------------------------------------------------------
+
+  /** index-arbitrary: a user-supplied value function adds/overwrites one
+    * document field. The reference reflection-instantiates a POJO per
+    * document (url prepended to the constructor args) and calls a
+    * configured method; the Scala-first seam is the function itself —
+    * `fn(url, doc)` — with [[ArbitraryIndexingFilter.reflective]]
+    * reproducing the reference's Class.forName wiring for POJO reuse.
+    *
+    * Add-vs-overwrite follows doc.add/removeField semantics mapped onto
+    * the flat doc map: existing value + add → multivalue joined with
+    * `|`; overwrite → replaced; a None result under overwrite clears the
+    * field (the reference's remove-then-add-null path). */
+  final class ArbitraryIndexingFilter(fieldName: String,
+      fn: (String, Map[String, String]) => Option[String],
+      overwrite: Boolean = false) extends IndexingFilter {
+    def filter(doc: Map[String, String], url: String,
+        datum: CrawlDatum): Option[Map[String, String]] =
+      fn(url, doc) match {
+        case Some(v) =>
+          val merged = doc.get(fieldName) match {
+            case Some(prev) if !overwrite => s"$prev|$v"
+            case _ => v
+          }
+          Some(doc + (fieldName -> merged))
+        case None =>
+          Some(if (overwrite) doc - fieldName else doc)
+      }
+  }
+
+  object ArbitraryIndexingFilter {
+    /** The reference's reflection path (filter(),
+      * ArbitraryIndexingFilter.java:177-243): instantiate
+      * `className(String[])` with the document URL prepended to
+      * `constructorArgs`, call `methodName` — no-arg, or
+      * `(String[])`-arg when `methodArgs` is non-empty — and use the
+      * result's toString as the field value. Reflection failures skip
+      * the field (the reference logs and continues). */
+    def reflective(fieldName: String, className: String,
+        constructorArgs: Seq[String] = Nil, methodName: String,
+        methodArgs: Seq[String] = Nil, overwrite: Boolean = false)
+        : ArbitraryIndexingFilter =
+      new ArbitraryIndexingFilter(fieldName, (url, _) => {
+        try {
+          val cls = Class.forName(className)
+          val ctor = cls.getDeclaredConstructor(classOf[Array[String]])
+          // single String[] argument, not varargs-spread
+          val instance = ctor.newInstance(
+            (url +: constructorArgs).toArray: AnyRef)
+          val result =
+            if (methodArgs.nonEmpty)
+              cls.getDeclaredMethod(methodName, classOf[Array[String]])
+                .invoke(instance, methodArgs.toArray: AnyRef)
+            else cls.getMethod(methodName).invoke(instance)
+          Option(result).map(_.toString)
+        } catch { case _: ReflectiveOperationException => None }
+      }, overwrite)
+  }
+
+  // -------------------------------------------------------------------------
   // index-links (LinksIndexingFilter.java:69-160)
   // -------------------------------------------------------------------------
 

@@ -162,6 +162,18 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(docs(s"$B/").anchors == Seq("other site"))
     assert(docs(s"$B/gone").action == "delete")
     assert(!docs.contains(s"$B/redir") || docs(s"$B/redir").action == "delete")
+
+    // index-jexl-filter: the JEXL doc gate over the assembled documents
+    val jdocs = Index(crawldb.read(),
+      seg1.fetch.union(seg2.fetch),
+      p1.parseData.union(p2.parseData),
+      p1.parseText.union(p2.parseText),
+      linkdb.read(), Index.Config(deleteGone = true,
+        jexlFilter = Some("action == 'add' && host == 'site-a.example.com'")))
+      .collect().map(_.url).toSet
+    assert(jdocs == docs.collect { case (u, d)
+      if d.action == "add" && d.host == "site-a.example.com" => u }.toSet)
+    assert(jdocs.contains(s"$A/"))
   }
 
   test("Fetch.toSegment (stream-to-parquet) matches the cached path") {

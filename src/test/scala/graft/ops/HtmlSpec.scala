@@ -273,4 +273,19 @@ class HtmlSpec extends AnyFunSuite {
     val t = Html.getTitle(Html.parse("<title>a &amp; b</title>"))
     assert(t == "a & b")
   }
+
+  test("renderDom: normalized serialization of the parsed tree") {
+    // unquoted attr -> quoted; entity round-trips escaped; void element
+    // without close tag; implied </p> materialized
+    assert(Html.renderDom(Html.parse(
+      "<html><body><p class=x>A &amp; B<br></body></html>")) ==
+      "<html><body><p class=\"x\">A &amp; B<br></p></body></html>")
+    // comments preserved; script content verbatim (no escaping), even
+    // with markup-significant characters inside
+    val js = "<body><!-- note --><script>if (a < b && c) go()</script></body>"
+    assert(Html.renderDom(Html.parse(js)) == js)
+    // attribute values re-escape quotes
+    assert(Html.renderDom(Html.parse("<a title='say \"hi\"' href=/x>y</a>")) ==
+      "<a title=\"say &quot;hi&quot;\" href=\"/x\">y</a>")
+  }
 }

@@ -5,6 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Html
 import graft.plugins.IndexingFilters._
 
+/** POJO target for the reflective index-arbitrary path (the shape the
+  * reference instantiates via Class.forName — a String[] constructor
+  * receiving the doc url first, ArbitraryIndexingFilter.java:211-229). */
+class ArbitraryPojo(args: Array[String]) {
+  def urlTag(): String = "seen:" + args.mkString(",")
+  def joined(xs: Array[String]): String = args(0) + "#" + xs.mkString("+")
+  def giveNull(): String = null
+}
+
 /** Scalar semantics of the index-anchor / index-more / parse-metatags
   * analogs (reference expectations inline per function). */
 class IndexingFiltersSpec extends AnyFunSuite {
@@ -102,6 +111,60 @@ class IndexingFiltersSpec extends AnyFunSuite {
     }
     assert(doc.get.keySet == Set("url", "host", "source", "tld",
       "nutch.score.operator"))
+  }
+
+  test("index-arbitrary: function path add/append/overwrite/clear") {
+    import graft.schemas.CrawlDatum
+    val datum = CrawlDatum(1.toByte, 0L, 0, 0, 0f, None, 0L, Map.empty)
+    val url = "http://example.com/a"
+
+    // add to an absent field
+    val f1 = new ArbitraryIndexingFilter("grade",
+      (u, _) => Some("A:" + u.length))
+    assert(f1.filter(Map.empty, url, datum).get ==
+      Map("grade" -> ("A:" + url.length)))
+    // default add semantics: existing value becomes a | multivalue
+    assert(f1.filter(Map("grade" -> "old"), url, datum).get("grade") ==
+      "old|A:" + url.length)
+    // overwrite replaces
+    val f2 = new ArbitraryIndexingFilter("grade", (_, _) => Some("new"),
+      overwrite = true)
+    assert(f2.filter(Map("grade" -> "old"), url, datum).get("grade") == "new")
+    // None + overwrite clears the field; None + add leaves it alone
+    val fNone = new ArbitraryIndexingFilter("grade", (_, _) => None,
+      overwrite = true)
+    assert(!fNone.filter(Map("grade" -> "old"), url, datum).get.contains("grade"))
+    val fKeep = new ArbitraryIndexingFilter("grade", (_, _) => None)
+    assert(fKeep.filter(Map("grade" -> "old"), url, datum).get("grade") == "old")
+    // the value function can read sibling doc fields
+    val f3 = new ArbitraryIndexingFilter("echo",
+      (_, doc) => doc.get("title").map(_.toUpperCase))
+    assert(f3.filter(Map("title" -> "hi"), url, datum).get("echo") == "HI")
+  }
+
+  test("index-arbitrary: reflective path mirrors the POJO wiring") {
+    import graft.schemas.CrawlDatum
+    val datum = CrawlDatum(1.toByte, 0L, 0, 0, 0f, None, 0L, Map.empty)
+    val url = "http://example.com/a"
+    val cls = classOf[ArbitraryPojo].getName
+
+    // no-arg method; url is prepended to the constructor args
+    val f1 = ArbitraryIndexingFilter.reflective("tag", cls,
+      Seq("k1", "k2"), "urlTag")
+    assert(f1.filter(Map.empty, url, datum).get("tag") ==
+      s"seen:$url,k1,k2")
+    // String[]-arg method
+    val f2 = ArbitraryIndexingFilter.reflective("tag", cls,
+      Nil, "joined", Seq("x", "y"))
+    assert(f2.filter(Map.empty, url, datum).get("tag") == s"$url#x+y")
+    // null return -> treated as absent
+    val f3 = ArbitraryIndexingFilter.reflective("tag", cls, Nil, "giveNull")
+    assert(!f3.filter(Map.empty, url, datum).get.contains("tag"))
+    // reflection failure (missing class/method) skips the field
+    val f4 = ArbitraryIndexingFilter.reflective("tag", "no.such.Cls", Nil, "m")
+    assert(f4.filter(Map("a" -> "1"), url, datum).get == Map("a" -> "1"))
+    val f5 = ArbitraryIndexingFilter.reflective("tag", cls, Nil, "nope")
+    assert(f5.filter(Map.empty, url, datum).get == Map.empty)
   }
 
   test("metatag entries: prefix, name filter, multivalue kept") {
