@@ -25,7 +25,7 @@ object QueriesGraph {
         .select(col("l_partkey").as("dst"), col("l_orderkey").as("src"))
         .distinct()
       Relational
-        .boundedMemberList(edges, "dst", col("src"), Seq(asc("src")), 5)
+        .boundedMemberList(edges, "dst", col("src"), 5)
         .withColumnRenamed("members", "inlinks")
         .withColumnRenamed("n_total", "n_inlinks")
     },

@@ -136,19 +136,22 @@ object Relational {
 
   /** Per-group bounded sorted member list rendered as a string — the
     * deterministic, hash-comparable form of a capped collect_set
-    * (LinkDbMerger.java:92-110 inlink caps). Input must be pre-deduped if
-    * set semantics are wanted. */
+    * (LinkDbMerger.java:92-110 inlink caps): the k smallest members per
+    * key, joined sorted, plus the group's total count. Input must be
+    * pre-deduped if set semantics are wanted.
+    *
+    * One aggregation pass on [[graft.plans.BoundedTopK]] — per-group
+    * state is O(k) on every task, with map-side partial combine; the
+    * earlier window form sorted the hot key's entire group in one task
+    * before truncating (AQE cannot split a window partition). */
   def boundedMemberList(df: DataFrame, key: String, member: Column,
-      order: Seq[Column], k: Int): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(order: _*)
-    val wc = Window.partitionBy(col(key))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wc))
-      .filter(col("__rn") <= k)
-      .groupBy(col(key))
+      k: Int): DataFrame =
+    df.groupBy(col(key))
       .agg(
-        array_join(array_sort(collect_list(member.cast("string"))), ",")
-          .as("members"),
-        max(col("__n")).as("n_total"))
-  }
+        // selection under the member's NATURAL ordering; rendering
+        // re-sorts the ≤k strings lexically for hash-stable output
+        array_join(array_sort(transform(
+          graft.plans.BoundedTopK.boundedSortedList(member, k),
+          _.cast("string"))), ",").as("members"),
+        count(lit(1)).as("n_total"))
 }

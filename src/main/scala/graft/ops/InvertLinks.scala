@@ -35,10 +35,13 @@ object InvertLinks {
       if (cfg.ignoreInternalLinks)
         edges.filter(Urls.host(col("fromUrl")) =!= Urls.host(col("url")))
       else edges
+    // bounded-state top-k: a hot target URL (millions of inlinks) never
+    // holds more than maxInlinks entries in any task's aggregation
+    // buffer — see graft.plans.BoundedTopK vs collect_list-then-slice
     val fresh = external
       .groupBy(col("url"))
-      .agg(slice(array_sort(collect_list(
-        struct(col("fromUrl"), col("anchor")))), 1, cfg.maxInlinks)
+      .agg(graft.plans.BoundedTopK.boundedSortedList(
+        struct(col("fromUrl"), col("anchor")), cfg.maxInlinks)
         .as("inlinks"))
       .as[LinkRow]
     // merge with the existing db: union inlink lists, re-bound
