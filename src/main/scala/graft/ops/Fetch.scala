@@ -33,6 +33,18 @@ object Fetch {
     val MovedPerm = 4
     val MovedTemp = 5
     val NotModified = 6
+
+    /** ProtocolStatus.java:103-120 codeToName — the string the END
+      * publish event carries (FetcherThread.java:438 status.getName). */
+    def name(code: Int): String = code match {
+      case Success => "success"
+      case Gone => "gone"
+      case Retry => "retry"
+      case MovedPerm => "moved"
+      case MovedTemp => "temp_moved"
+      case NotModified => "notmodified"
+      case _ => "exception"
+    }
   }
 
   final case class ProtocolOutput(code: Int, bytes: Array[Byte],
@@ -99,11 +111,13 @@ object Fetch {
       now: Long, agent: String = "graft",
       honorRobots: Boolean = true,
       pacer: Pacer.Config = Pacer.Config(),
-      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock): Result = {
+      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock,
+      publisher: Option[graft.plugins.Publishers.Factory] = None): Result = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val fetched = protocolPass(fetchlist, protocol, now, agent,
-      honorRobots, pacer, clockFactory).cache() // one pass feeds both
+      honorRobots, pacer, clockFactory, publisher)
+      .cache() // one pass feeds both
     Result(
       fetched.flatMap(_._1),
       fetched.filter(_._1.head.datum.status == CrawlStatus.FETCH_SUCCESS)
@@ -124,12 +138,13 @@ object Fetch {
       now: Long, seg: graft.tables.Segment, agent: String = "graft",
       honorRobots: Boolean = true,
       pacer: Pacer.Config = Pacer.Config(),
-      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock): Unit = {
+      clockFactory: () => Pacer.Clock = () => Pacer.SystemClock,
+      publisher: Option[graft.plugins.Publishers.Factory] = None): Unit = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val stagingDir = s"${seg.dir}/fetch_staged"
     protocolPass(fetchlist, protocol, now, agent, honorRobots, pacer,
-      clockFactory)
+      clockFactory, publisher)
       .toDF("rows", "content")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stagingDir)
     try {
@@ -157,7 +172,8 @@ object Fetch {
       protocol: Protocol, now: Long, agent: String,
       honorRobots: Boolean,
       pacer: Pacer.Config,
-      clockFactory: () => Pacer.Clock)
+      clockFactory: () => Pacer.Clock,
+      publisherFactory: Option[graft.plugins.Publishers.Factory] = None)
       : Dataset[(List[CrawlRow], ContentRow)] = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
@@ -167,9 +183,14 @@ object Fetch {
       .sortWithinPartitions(col("host"), col("url"))
       .drop("host")
       .as[GenerateEntry]
-    val bc = spark.sparkContext.broadcast((protocol, agent, honorRobots))
+    val bc = spark.sparkContext
+      .broadcast((protocol, agent, honorRobots, publisherFactory))
     byHost.mapPartitions { it =>
-      val (proto, agent0, honor) = bc.value
+      val (proto, agent0, honor, pubF) = bc.value
+      // one publisher per partition = one broker channel per task
+      // (FetcherThread's one-channel-per-thread shape); closed when the
+      // partition's lazy iterator drains
+      val pub = pubF.map(_())
       val robotsCache = scala.collection.mutable.Map.empty[String, Robots.RobotRules]
       def rulesFor(url: String): Robots.RobotRules =
         graft.net.UrlParts.host(url).fold(Robots.AllowAll) { h =>
@@ -213,11 +234,19 @@ object Fetch {
       }
       // Pass 2: the pacer's LAZY iterator — each next() sleeps, fetches
       // ONE page, and streams its rows+content straight downstream
-      val pacedIt = Pacer.pacedMap(queue, pacer, clockFactory()) { (e, _) =>
+      val pacedIt = Pacer.pacedMap(queue, pacer, clockFactory()) { (e, t) =>
         // the delay override is consumed by the queue, not carried on
         // (FetchItemQueue.addFetchItem removes it)
         val meta0 = e.datum.metadata - Generate.VariableFetchDelayKey
+        // publisher START/END bracket the protocol call
+        // (FetcherThread.java:354,438); robots-denied and watchdog-
+        // drained items never reach the protocol, so they raise neither
+        pub.foreach(_.publish(graft.plugins.Publishers.FetchEvent(
+          graft.plugins.Publishers.EventType.Start, e.url, t, Map.empty)))
         val out = proto.fetch(e.url, e.datum)
+        pub.foreach(_.publish(graft.plugins.Publishers.FetchEvent(
+          graft.plugins.Publishers.EventType.End, e.url, t,
+          Map("status" -> Code.name(out.code)))))
         val status = toFetchStatus(out.code)
         val meta1 =
           if (out.contentType.nonEmpty)
@@ -255,7 +284,8 @@ object Fetch {
           metadata = e.datum.metadata - Generate.VariableFetchDelayKey + marker)
         (CrawlRow(e.url, datum) :: Nil, emptyContent(e))
       }
-      deniedIt ++ pacedIt
+      val outIt = deniedIt ++ pacedIt
+      pub.fold(outIt)(p => graft.plugins.Publishers.closing(outIt, p))
     }
   }
 }

@@ -102,24 +102,31 @@ object Parse {
       // ONLY when ignoreExternalLinks drops a cross-host outlink
       // (ParseOutputFormat.filterNormalize exemption check)
       exemption: graft.plugins.Extensions.ExemptionFilter =
-        graft.plugins.NoExemptions): ParseOutput = {
+        graft.plugins.NoExemptions,
+      // Publisher seam: a REPORT event per successfully parsed page
+      // (FetcherThread.java:853 — title/content-type/score/fetch-time
+      // plus the kept outlink targets)
+      publisher: Option[graft.plugins.Publishers.Factory] = None)
+      : ParseOutput = {
     val spark: SparkSession = fetch.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
-      (cfg, outlinkFilter, normalizer, exemption))
+      (cfg, outlinkFilter, normalizer, exemption, publisher))
 
     val success = fetch
       .filter(_.datum.status == CrawlStatus.FETCH_SUCCESS)
-      .map(r => (r.url, r.datum.score, r.datum.metadata))
-      .toDF("url", "score", "datum_meta")
+      .map(r => (r.url, r.datum.score, r.datum.fetchTime, r.datum.metadata))
+      .toDF("url", "score", "fetch_time", "datum_meta")
     val joined = content.join(success, "url")
       .select("url", "base", "bytes", "contentType", "meta", "score",
-        "datum_meta")
+        "fetch_time", "datum_meta")
       .as[(String, String, Array[Byte], String, Map[String, String], Float,
-        Map[String, String])]
+        Long, Map[String, String])]
 
-    val parsed = joined.map { case (url, base, bytes, ct, cMeta, score, dMeta) =>
-      val (cfg0, filt, norm, exempt) = bc.value
+    val parsed = joined.mapPartitions { rows =>
+      val (cfg0, filt, norm, exempt, pubF) = bc.value
+      val pub = pubF.map(_())
+      val out = rows.map { case (url, base, bytes, ct, cMeta, score, ft, dMeta) =>
       val (st, title, text, out0) = parsePage(base, bytes, ct, cfg0)
       val fromHost = graft.net.UrlParts.host(url)
       val outlinks = out0.flatMap(o =>
@@ -142,7 +149,17 @@ object Parse {
             graft.functions.Encoding.decode(bytes, ct))))
         else Map.empty[String, String]
       val parseMeta = Map("parser" -> "html") ++ fromContent ++ domMeta
+      if (st == ParseStatusCodes.Success)
+        pub.foreach(_.publish(graft.plugins.Publishers.FetchEvent(
+          graft.plugins.Publishers.EventType.Report, url, ft, Map(
+            "title" -> title,
+            "contentType" -> ct,
+            "score" -> score.toString,
+            "fetchTime" -> ft.toString,
+            "outlinks" -> outlinks.map(_.toUrl).mkString(" ")))))
       (url, st, title, text, outlinks, score, parseMeta)
+      }
+      pub.fold(out)(p => graft.plugins.Publishers.closing(out, p))
     }.cache()
 
     val parseData = parsed.map { case (url, st, title, _, outlinks, _, pm) =>
@@ -153,7 +170,7 @@ object Parse {
     }
     val crawlParse = parsed.flatMap {
       case (url, st, title, text, outlinks, score, pMeta) =>
-        val (cfg0, _, _, _) = bc.value
+        val (cfg0, _, _, _, _) = bc.value
         if (st == ParseStatusCodes.Success) {
           val sig = CrawlRow(url, CrawlDatum(CrawlStatus.SIGNATURE, 0L, 0, 0,
             0f, Some(graft.functions.TextAnalysis.md5Hex(text)), 0L, Map.empty))

@@ -20,7 +20,7 @@ import graft.schemas.{CrawlDatum, Outlink, ParseDataRow}
   * | Exchange             | ops.IndexWriters.routeColumn | first-match rules (exchange-jexl) |
   * | FetchSchedule        | crawl.FetchSchedule      | Default/Adaptive/MimeAdaptive |
   * | Signature            | (doc_fingerprint / TextAnalysis.md5Hex) | TextProfile/MD5 |
-  * | Publisher            | plugins.Publisher        | (open seam) |
+  * | Publisher            | plugins.Publishers.Publisher | HttpPublisher (publish-rabbitmq wire shape) + CollectingPublisher (tests); START/END raised by ops.Fetch |
   *
   * Unlike the reference's classloader-per-plugin machinery, Spark ships
   * one fat closure — the seam that matters is the TRAIT (so deployments
@@ -87,11 +87,6 @@ object Extensions {
         datum: CrawlDatum): Option[Map[String, String]] =
       Some(doc + ("url" -> url) ++
         graft.net.UrlParts.host(url).map("host" -> _))
-  }
-
-  /** Crawl-event publishing seam (Publisher extension point). */
-  trait Publisher extends Serializable {
-    def publish(event: String, payload: Map[String, String]): Unit
   }
 
   /** URLExemptionFilter extension point: exempt specific cross-domain
