@@ -527,7 +527,87 @@ object QueriesPipeline {
       GROUP BY 1"""
     })
 
+  /** Cross-document repeated-SPAN detection — the exact-substring dedup
+    * family (dedup at ≥W-token-run granularity rather than line or
+    * whole-doc): every OVERLAPPING 15-word window is hashed, a window
+    * hash seen in more than one document marks that position
+    * duplicated, and each doc reports its window count, duplicated
+    * count, and duplicated fraction (basis points, integer-exact) — the
+    * number a span-removal or doc-drop threshold consumes. Planted
+    * signal: docs with doc_id % 11 == 3 share a prepended 30-word
+    * paragraph, so its 16 interior windows are cross-doc duplicates by
+    * construction (the corpus also has natural ones).
+    *
+    * Scale shape: one shuffle on the 8-byte window hash with map-side
+    * partial aggregation, then a hash join back and a per-doc agg —
+    * work linear in corpus tokens, state bounded per hash group. The
+    * suffix-array formulation of this operator is sequential; the
+    * hashed-window join is the distributable equivalent at fixed W.
+    * Overlap means 15× the hash rows of line_dedup — the payload is
+    * only (hash, doc_id), and the count-distinct partial-aggregates
+    * before the shuffle. */
+  val spanDedup = Q(
+    "span_dedup",
+    (s, dir) => {
+      val W = 15
+      val para = "shared press release paragraph syndicated verbatim " +
+        "across partner outlets today with identical wording and no " +
+        "attribution beyond the original newswire byline copy desk " +
+        "issued by the communications office this week"
+      require(para.split(" ").length == 30)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val wins = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("ws")) - W)).as("p"), col("ws"))
+        .select(col("doc_id"),
+          Queries.md5Long(concat_ws(" ",
+            slice(col("ws"), col("p") + 1, lit(W)))).as("h"))
+      val g = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      // inner-join shape on purpose: docs shorter than W words have no
+      // windows and drop from the report (identically in the oracle) —
+      // and a left join back to `documents` would be ELIMINATED by the
+      // optimizer under the bench's count() action, making the bench
+      // time a fiction
+      wins.join(g, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          expr("n_dup_windows * 10000 div n_windows").as("dup_bp"))
+    },
+    Some {
+      val para = "shared press release paragraph syndicated verbatim " +
+        "across partner outlets today with identical wording and no " +
+        "attribution beyond the original newswire byline copy desk " +
+        "issued by the communications office this week"
+      val h = Queries.sqlMd5Long("array_to_string(ws[p+1 : p+15], ' ')")
+      s"""
+      WITH p0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3 THEN '$para ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM p0),
+      wins0 AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws) - 14)) AS p
+        FROM w WHERE len(ws) >= 15),
+      wins AS (SELECT doc_id, $h AS h FROM wins0),
+      g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_windows,
+        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_windows,
+        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+          // COUNT(*) AS dup_bp
+      FROM wins JOIN g USING (h) GROUP BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
-    rarityScore, pipelineCompose)
+    rarityScore, pipelineCompose, spanDedup)
 }

@@ -170,7 +170,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
 
   test("r7 queries plan clean: no cartesian, no single-partition exchange") {
     for (q <- Seq("line_dedup", "winnow_fingerprint", "audio_meta",
-        "video_frames", "sliding_rate")) {
+        "video_frames", "sliding_rate", "span_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
