@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -222,13 +224,17 @@ object IndexWriters {
     * Kafka deployment swaps the file append for a producer.send with
     * the same framing. */
   final class PartitionedLogWriter(val partitions: Int,
-      val name: String = "kafkalog") extends IndexWriter {
+      val name: String = "kafkalog",
+      // append=true continues each log-partition from its stored next
+      // offset (the producer-across-jobs shape); false wipes the topic
+      val append: Boolean = false) extends IndexWriter {
     def write(docs: Dataset[Index.Doc], outDir: String): Unit = {
       val spark = docs.sparkSession
       import spark.implicits._
       val n = partitions
+      val appnd = append
       val out = java.nio.file.Paths.get(outDir)
-      if (java.nio.file.Files.exists(out))
+      if (!appnd && java.nio.file.Files.exists(out))
         graft.tables.Install.deleteRecursively(out)
       java.nio.file.Files.createDirectories(out)
       docs.toDF()
@@ -243,17 +249,96 @@ object IndexWriters {
           var cur = -1
           var w: java.io.PrintWriter = null
           var off = 0L
+          def seal(): Unit = if (w != null) {
+            w.close()
+            // next-offset sidecar: O(1) append resumption — no tail
+            // scan of a large log to find where offsets left off
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/partition-$cur.next"),
+              off.toString)
+          }
           it.foreach { case (p, k, v) =>
             if (p != cur) {
-              if (w != null) w.close()
-              cur = p; off = 0L
+              seal()
+              cur = p
+              val sidecar =
+                java.nio.file.Paths.get(s"$outDir/partition-$p.next")
+              off =
+                if (appnd && java.nio.file.Files.exists(sidecar))
+                  java.nio.file.Files.readString(sidecar).trim.toLong
+                else 0L
               w = new java.io.PrintWriter(new java.io.FileWriter(
-                s"$outDir/partition-$p.log", true))
+                s"$outDir/partition-$p.log", appnd))
             }
             w.println(s"$off\t$k\t$v"); off += 1
           }
-          if (w != null) w.close()
+          seal()
         }
+    }
+  }
+
+  /** Consumer side of [[PartitionedLogWriter]]'s log — the
+    * consumer-group batch semantics a Kafka reader gives: `read` parses
+    * the whole topic, `poll(group)` returns only records past the
+    * group's committed offsets, `commit(group)` advances them.
+    * Committed state is one tiny `offsets-<group>.tsv` of
+    * `partition \t nextOffset` — the "__consumer_offsets" analog, small
+    * enough to broadcast into the poll filter. */
+  object PartitionedLogReader {
+
+    /** Whole topic as (part, offset, key, value) — offsets as written,
+      * partition recovered from the file name, one task per log file. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      spark.read.text(s"$dir/partition-*.log")
+        .withColumn("part", regexp_extract(
+          input_file_name(), "partition-(\\d+)\\.log", 1).cast("int"))
+        .withColumn("f", split(col("value"), "\t", 3))
+        .select(col("part"), col("f").getItem(0).cast("long").as("offset"),
+          col("f").getItem(1).as("key"), col("f").getItem(2).as("value"))
+
+    private def offsetsFile(dir: String, group: String) =
+      java.nio.file.Paths.get(s"$dir/offsets-$group.tsv")
+
+    /** The group's committed next-offset per partition (empty map =
+      * consume from the beginning). */
+    def committed(dir: String, group: String): Map[Int, Long] = {
+      val f = offsetsFile(dir, group)
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else java.nio.file.Files.readAllLines(f).asScala
+        .filter(_.nonEmpty)
+        .map { l => val a = l.split("\t"); a(0).toInt -> a(1).toLong }
+        .toMap
+    }
+
+    /** Records the group has not yet consumed. The committed map rides
+      * the filter as a literal map_filter-free CASE chain — partitions
+      * number in the dozens, not millions. */
+    def poll(spark: org.apache.spark.sql.SparkSession, dir: String,
+        group: String): org.apache.spark.sql.DataFrame = {
+      val next = committed(dir, group)
+      val base = read(spark, dir)
+      if (next.isEmpty) base
+      else {
+        val floor = next.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+          when(col("part") === p, lit(o)).otherwise(acc)
+        }
+        base.filter(col("offset") >= floor)
+      }
+    }
+
+    /** Advance the group to `upToNext` (merged over prior commits),
+      * atomically (temp file + move). */
+    def commit(dir: String, group: String, upToNext: Map[Int, Long]): Unit = {
+      val merged = committed(dir, group) ++ upToNext
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), s".offsets-$group", ".tmp")
+      java.nio.file.Files.writeString(tmp,
+        merged.toSeq.sorted.map { case (p, o) => s"$p\t$o" }
+          .mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, offsetsFile(dir, group),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

@@ -208,7 +208,8 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
 
     val files = Files.list(java.nio.file.Paths.get(out)).iterator()
     import scala.jdk.CollectionConverters._
-    val parts = files.asScala.toSeq.map(_.getFileName.toString).sorted
+    val parts = files.asScala.toSeq.map(_.getFileName.toString)
+      .filter(_.endsWith(".log")).sorted
     assert(parts.nonEmpty && parts.size <= 4)
     assert(parts.forall(_.matches("partition-[0-3]\\.log")))
 
@@ -231,7 +232,8 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
     val assign1 = records.map(r => r._3 -> r._1).toMap
     new IndexWriters.PartitionedLogWriter(4).write(many, out)
     val records2 = Files.list(java.nio.file.Paths.get(out)).iterator()
-      .asScala.toSeq.flatMap { p =>
+      .asScala.toSeq.filter(_.getFileName.toString.endsWith(".log"))
+      .flatMap { p =>
         Files.readAllLines(p).asScala.map { l =>
           val Array(_, key, _) = l.split("\t", 3)
           key -> p.getFileName.toString
