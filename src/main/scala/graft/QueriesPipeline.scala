@@ -607,7 +607,77 @@ object QueriesPipeline {
       FROM wins JOIN g USING (h) GROUP BY 1"""
     })
 
+  /** Deterministic training-shard assignment + per-shard manifest: docs
+    * route to `md5(doc_id) mod 16` shards (content-independent, so a
+    * re-run or a late-arriving column never reshuffles the assignment),
+    * and each shard reports its doc count, token sum, and doc_id bounds
+    * — what a dataloader manifest records per shard file. One hash
+    * group-by; at 100 TB the same query with shards ≈ files is the
+    * write-side planning pass before a partitioned export. */
+  val shardAssign = Q(
+    "shard_assign",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .withColumn("shard",
+          Queries.md5Long(col("doc_id").cast("string")) % 16)
+      d.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
+    Some {
+      val h = Queries.sqlMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""
+      SELECT $h % 16 AS shard,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM documents GROUP BY 1"""
+    })
+
+  /** Context-window packing estimate at C = 2048: per doc,
+    * ceil(tokens/C) sequences and the padding those sequences waste
+    * under one-doc-per-sequence-run packing; aggregated per language
+    * with the waste fraction in basis points (all 64-bit integer
+    * arithmetic). The number a data-mixing plan consumes to decide
+    * whether concat-and-chunk or best-fit packing is worth it. Pure
+    * map + one agg. */
+  val packEstimate = Q(
+    "pack_estimate",
+    (s, dir) => {
+      val C = 2048L
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .select(col("lang"), col("nt"),
+          expr(s"(nt + ${C - 1}) div $C").as("nseq"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nseq")).as("n_seqs"),
+          (sum(col("nseq")) * C - sum(col("nt"))).as("waste_tokens"))
+        .withColumn("waste_bp",
+          expr(s"waste_tokens * 10000 div (n_seqs * $C)"))
+    },
+    Some {
+      """
+      WITH d AS (
+        SELECT lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          (CAST(len(string_split(text, ' ')) AS BIGINT) + 2047) // 2048
+            AS nseq
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        SUM(nt) AS n_tokens,
+        SUM(nseq) AS n_seqs,
+        SUM(nseq) * 2048 - SUM(nt) AS waste_tokens,
+        (SUM(nseq) * 2048 - SUM(nt)) * 10000 // (SUM(nseq) * 2048)
+          AS waste_bp
+      FROM d GROUP BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
-    rarityScore, pipelineCompose, spanDedup)
+    rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate)
 }

@@ -20,9 +20,10 @@ import graft.schemas._
   * instead of hanging the stage on a slow host.
   *
   * The wire protocol is the pluggable seam (§2.9 extension point
-  * `Protocol`); `MockProtocol` serves a broadcastable in-memory site —
-  * the container has no network, and live HTTP is a deployment concern,
-  * not an engine one. */
+  * `Protocol`): `MockProtocol` serves a broadcastable in-memory site
+  * for tests, and [[graft.net.HttpProtocol]] is the real-socket
+  * adapter (JDK HttpClient, content-limit truncation, status mapping
+  * — FetchHttpSpec drives it against localhost fixtures). */
 object Fetch {
 
   /** Protocol status codes (ProtocolStatus.java majors). */
