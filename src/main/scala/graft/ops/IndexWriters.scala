@@ -212,17 +212,25 @@ object IndexWriters {
   }
 
   /** indexer-kafka analog (indexer-kafka/.../KafkaIndexWriter.java
-    * produce loop), brokerless: a keyed partitioned APPEND LOG. Records
-    * route to `hash(url) mod N` log-partitions — the producer's default
-    * key partitioner — and each log-partition is one ordered file of
-    * `offset \t key \t json` lines with per-partition monotone offsets.
-    * `repartition(N, part)` gives every log-partition exactly one Spark
-    * task (the partition affinity a producer gives a broker partition),
-    * so offsets need no cross-task coordination; records are sorted
-    * (part, key) within the task so offsets are deterministic — a
-    * documented divergence from a live producer's arrival order. A real
-    * Kafka deployment swaps the file append for a producer.send with
-    * the same framing. */
+    * produce loop), brokerless: a keyed partitioned APPEND LOG stored
+    * the way a broker stores it — per-partition directories of rolled
+    * SEGMENT files named by base offset
+    * (`partition-<p>/<baseOffset%020d>.log`), each an ordered file of
+    * `offset \t key \t json` lines with per-partition monotone
+    * offsets. Records route to `hash(url) mod N` log-partitions (the
+    * producer's default key partitioner); `repartition(N, part)` gives
+    * every log-partition exactly one Spark task (the partition affinity
+    * a producer gives a broker partition), so offsets need no
+    * cross-task coordination; records are sorted (part, key) within
+    * the task so offsets are deterministic — a documented divergence
+    * from a live producer's arrival order. Each write batch rolls one
+    * new segment per non-empty partition, which is what lets Spark's
+    * file STREAMING source tail the topic (new segment files are the
+    * discoverable units — [[PartitionedLogReader.stream]]).
+    *
+    * Delivery on task retry is at-least-once (a retried task rewrites
+    * its segment files; the next-offset sidecar only advances at seal),
+    * matching a non-idempotent producer. */
   final class PartitionedLogWriter(val partitions: Int,
       val name: String = "kafkalog",
       // append=true continues each log-partition from its stored next
@@ -251,24 +259,27 @@ object IndexWriters {
           var off = 0L
           def seal(): Unit = if (w != null) {
             w.close()
-            // next-offset sidecar: O(1) append resumption — no tail
-            // scan of a large log to find where offsets left off
+            // next-offset sidecar: O(1) append resumption — no segment
+            // listing or tail scan to find where offsets left off
             java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(s"$outDir/partition-$cur.next"),
+              java.nio.file.Paths.get(
+                s"$outDir/partition-$cur/next-offset"),
               off.toString)
           }
           it.foreach { case (p, k, v) =>
             if (p != cur) {
               seal()
               cur = p
-              val sidecar =
-                java.nio.file.Paths.get(s"$outDir/partition-$p.next")
+              val pdir = java.nio.file.Paths.get(s"$outDir/partition-$p")
+              java.nio.file.Files.createDirectories(pdir)
+              val sidecar = pdir.resolve("next-offset")
               off =
                 if (appnd && java.nio.file.Files.exists(sidecar))
                   java.nio.file.Files.readString(sidecar).trim.toLong
                 else 0L
+              // roll a fresh segment at this batch's base offset
               w = new java.io.PrintWriter(new java.io.FileWriter(
-                s"$outDir/partition-$p.log", appnd))
+                s"$outDir/partition-$p/${"%020d".format(off)}.log", false))
             }
             w.println(s"$off\t$k\t$v"); off += 1
           }
@@ -286,16 +297,35 @@ object IndexWriters {
     * enough to broadcast into the poll filter. */
   object PartitionedLogReader {
 
-    /** Whole topic as (part, offset, key, value) — offsets as written,
-      * partition recovered from the file name, one task per log file. */
-    def read(spark: org.apache.spark.sql.SparkSession, dir: String)
+    /** `offset \t key \t json` lines → (part, offset, key, value);
+      * the partition comes from the segment's directory name. */
+    private def parse(lines: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
-      spark.read.text(s"$dir/partition-*.log")
+      lines
         .withColumn("part", regexp_extract(
-          input_file_name(), "partition-(\\d+)\\.log", 1).cast("int"))
+          input_file_name(), "partition-(\\d+)/", 1).cast("int"))
         .withColumn("f", split(col("value"), "\t", 3))
         .select(col("part"), col("f").getItem(0).cast("long").as("offset"),
           col("f").getItem(1).as("key"), col("f").getItem(2).as("value"))
+
+    private def segmentGlob(dir: String) = s"$dir/partition-*/*.log"
+
+    /** Whole topic as (part, offset, key, value) — offsets as written,
+      * one task per segment file. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      parse(spark.read.text(segmentGlob(dir)))
+
+    /** Structured-Streaming tail of the topic: every segment file a
+      * producer rolls is one discoverable unit for the file source, so
+      * each write batch arrives as (part, offset, key, value) rows in a
+      * micro-batch — the consumer-poll loop as a stream. (File sources
+      * track FILES, which is exactly why the writer rolls segments
+      * instead of appending in place — an in-place append would be
+      * invisible to the stream.) */
+    def stream(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame =
+      parse(spark.readStream.text(segmentGlob(dir)))
 
     private def offsetsFile(dir: String, group: String) =
       java.nio.file.Paths.get(s"$dir/offsets-$group.tsv")

@@ -114,7 +114,9 @@ object Publishers {
           try out.write(bytes) finally out.close()
           conn.getResponseCode: Unit // drain; status intentionally unchecked
         } finally conn.disconnect()
-      } catch { case _: java.io.IOException => () } // fire-and-forget
+      } catch { // fire-and-forget: a broker failure never fails the task
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
   }
 

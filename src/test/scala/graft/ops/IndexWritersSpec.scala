@@ -206,18 +206,26 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
         "", s"d$i", 1f, Nil)).toDS()
     new IndexWriters.PartitionedLogWriter(4).write(many, out)
 
-    val files = Files.list(java.nio.file.Paths.get(out)).iterator()
     import scala.jdk.CollectionConverters._
-    val parts = files.asScala.toSeq.map(_.getFileName.toString)
-      .filter(_.endsWith(".log")).sorted
+    val parts = Files.list(java.nio.file.Paths.get(out)).iterator()
+      .asScala.toSeq.map(_.getFileName.toString).sorted
     assert(parts.nonEmpty && parts.size <= 4)
-    assert(parts.forall(_.matches("partition-[0-3]\\.log")))
+    assert(parts.forall(_.matches("partition-[0-3]")))
+    // broker-style storage: per-partition dirs of base-offset-named
+    // segments; a single write batch rolls exactly one segment
+    val segs = parts.map { p =>
+      val fs = Files.list(java.nio.file.Paths.get(out, p)).iterator()
+        .asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.endsWith(".log")).sorted
+      assert(fs == Seq("%020d.log".format(0)), p)
+      p -> fs.head
+    }
 
-    val records = parts.flatMap { f =>
-      Files.readAllLines(java.nio.file.Paths.get(out, f)).asScala
+    val records = segs.flatMap { case (p, f) =>
+      Files.readAllLines(java.nio.file.Paths.get(out, p, f)).asScala
         .map { l =>
           val Array(off, key, json) = l.split("\t", 3)
-          (f, off.toLong, key, json)
+          (p, off.toLong, key, json)
         }
     }
     // every doc lands in exactly one partition
@@ -231,14 +239,9 @@ class IndexWritersSpec extends AnyFunSuite with SparkSuite {
     // routing is stable: a rewrite assigns every key the same partition
     val assign1 = records.map(r => r._3 -> r._1).toMap
     new IndexWriters.PartitionedLogWriter(4).write(many, out)
-    val records2 = Files.list(java.nio.file.Paths.get(out)).iterator()
-      .asScala.toSeq.filter(_.getFileName.toString.endsWith(".log"))
-      .flatMap { p =>
-        Files.readAllLines(p).asScala.map { l =>
-          val Array(_, key, _) = l.split("\t", 3)
-          key -> p.getFileName.toString
-        }
-      }.toMap
+    val records2 = IndexWriters.PartitionedLogReader.read(spark, out)
+      .collect()
+      .map(r => r.getString(2) -> s"partition-${r.getInt(0)}").toMap
     assert(records2 == assign1)
   }
 

@@ -55,6 +55,32 @@ class PartitionedLogSpec extends AnyFunSuite with SparkSuite {
       r.getString(2) + "\"")))
   }
 
+  test("streaming tail: each appended batch arrives as new micro-batch rows") {
+    val out = Files.createTempDirectory("graft-klog-stream").toString
+    val w = new IndexWriters.PartitionedLogWriter(2, append = true)
+    w.write(docs("http://s.com/1", "http://s.com/2", "http://s.com/3"), out)
+
+    val q = IndexWriters.PartitionedLogReader.stream(spark, out)
+      .writeStream.format("memory").queryName("klog_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("klog_tail").count() == 3)
+      // producer rolls a new segment; the file source discovers it
+      w.write(docs("http://s.com/4", "http://s.com/5"), out)
+      q.processAllAvailable()
+      val rows = spark.table("klog_tail").collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getString(2)).toSet ==
+        (1 to 5).map(i => s"http://s.com/$i").toSet)
+      // offsets are monotone per partition across the stream
+      rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+        val offs = rs.map(_.getLong(1)).sorted.toSeq
+        assert(offs == (0L until rs.length.toLong), offs)
+      }
+    } finally q.stop()
+  }
+
   test("non-append write resets the topic and its offsets") {
     val out = Files.createTempDirectory("graft-klog2").toString
     val appender = new IndexWriters.PartitionedLogWriter(2, append = true)
