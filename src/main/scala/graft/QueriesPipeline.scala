@@ -480,53 +480,6 @@ object QueriesPipeline {
       FROM tf JOIN c USING (w) CROSS JOIN t
       GROUP BY 1"""))
 
-  /** The composed training-data gate — three independent filters
-    * chained the way a production corpus build runs them, reusing the
-    * EXACT query builders (and, on the oracle side, their SQL bodies as
-    * CTEs) so the composition can never drift from the pieces:
-    * keep a document iff it loses no line to cross-document boilerplate
-    * dedup (line_dedup n_dropped = 0), passes the Gopher repetition
-    * rules, and sits below the rarity-outlier threshold (400000 bp —
-    * the corpus mass sits near 295k and the gibberish tail above 1M).
-    * Output: per-language survivor counts + token sums — the numbers a
-    * mixing step consumes next. Three joins on doc_id, each side
-    * already aggregated to one row per doc; no new shuffle shape. */
-  val pipelineCompose = Q(
-    "pipeline_compose",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("nt"))
-      val gopher = qualityGopher.build(s, dir)
-        .select(col("doc_id"), col("gopher_verdict"))
-      val lines = lineDedup.build(s, dir)
-        .select(col("doc_id"), col("n_dropped"))
-      val rare = rarityScore.build(s, dir)
-        .select(col("doc_id"), col("rarity_per_token_bp"))
-      d.join(gopher, "doc_id").join(lines, "doc_id").join(rare, "doc_id")
-        .where(col("gopher_verdict") === "keep" &&
-          col("n_dropped") === 0 &&
-          col("rarity_per_token_bp") < 400000L)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-    },
-    Some {
-      val g = qualityGopher.oracle.get
-      val l = lineDedup.oracle.get
-      val r = rarityScore.oracle.get
-      s"""
-      WITH g AS ($g), l AS ($l), r AS ($r),
-      d AS (SELECT doc_id, lang,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-            FROM documents)
-      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
-      FROM d JOIN g USING (doc_id) JOIN l USING (doc_id)
-        JOIN r USING (doc_id)
-      WHERE g.gopher_verdict = 'keep' AND l.n_dropped = 0
-        AND r.rarity_per_token_bp < 400000
-      GROUP BY 1"""
-    })
-
   /** Cross-document repeated-SPAN detection — the exact-substring dedup
     * family (dedup at ≥W-token-run granularity rather than line or
     * whole-doc): every OVERLAPPING 15-word window is hashed, a window
@@ -605,6 +558,61 @@ object QueriesPipeline {
         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
           // COUNT(*) AS dup_bp
       FROM wins JOIN g USING (h) GROUP BY 1"""
+    })
+
+  /** The composed training-data gate — three independent filters
+    * chained the way a production corpus build runs them, reusing the
+    * EXACT query builders (and, on the oracle side, their SQL bodies as
+    * CTEs) so the composition can never drift from the pieces:
+    * keep a document iff it loses no line to cross-document boilerplate
+    * dedup (line_dedup n_dropped = 0), passes the Gopher repetition
+    * rules, sits below the rarity-outlier threshold (400000 bp —
+    * the corpus mass sits near 295k and the gibberish tail above 1M),
+    * and has under 20% of its 15-word spans duplicated across documents
+    * (span_dedup dup_bp < 2000 — drops the syndicated/near-copy tail
+    * the line gate is too coarse to see). Output: per-language survivor
+    * counts + token sums — the numbers a mixing step consumes next.
+    * Four joins on doc_id, each side already aggregated to one row per
+    * doc; no new shuffle shape. */
+  val pipelineCompose = Q(
+    "pipeline_compose",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      val gopher = qualityGopher.build(s, dir)
+        .select(col("doc_id"), col("gopher_verdict"))
+      val lines = lineDedup.build(s, dir)
+        .select(col("doc_id"), col("n_dropped"))
+      val rare = rarityScore.build(s, dir)
+        .select(col("doc_id"), col("rarity_per_token_bp"))
+      val spans = spanDedup.build(s, dir)
+        .select(col("doc_id"), col("dup_bp"))
+      d.join(gopher, "doc_id").join(lines, "doc_id").join(rare, "doc_id")
+        .join(spans, "doc_id")
+        .where(col("gopher_verdict") === "keep" &&
+          col("n_dropped") === 0 &&
+          col("rarity_per_token_bp") < 400000L &&
+          col("dup_bp") < 2000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    },
+    Some {
+      val g = qualityGopher.oracle.get
+      val l = lineDedup.oracle.get
+      val r = rarityScore.oracle.get
+      val sp = spanDedup.oracle.get
+      s"""
+      WITH g AS ($g), l AS ($l), r AS ($r), sp AS ($sp),
+      d AS (SELECT doc_id, lang,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+            FROM documents)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM d JOIN g USING (doc_id) JOIN l USING (doc_id)
+        JOIN r USING (doc_id) JOIN sp USING (doc_id)
+      WHERE g.gopher_verdict = 'keep' AND l.n_dropped = 0
+        AND r.rarity_per_token_bp < 400000 AND sp.dup_bp < 2000
+      GROUP BY 1"""
     })
 
   /** Deterministic training-shard assignment + per-shard manifest: docs
