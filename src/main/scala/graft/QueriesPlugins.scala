@@ -601,7 +601,57 @@ object QueriesPlugins {
           AS outlink_fields
       FROM documents"""))
 
+  private val containerDetectUdf = udf((k: Long) => {
+    import graft.ops.ZipParse.build
+    val b = "body".getBytes("UTF-8")
+    val bytes = (k % 7) match {
+      case 0 => build(Seq("[Content_Types].xml" -> b,
+        s"word/document$k.xml" -> b))
+      case 1 => build(Seq("[Content_Types].xml" -> b,
+        s"xl/workbook$k.xml" -> b))
+      case 2 => build(Seq("[Content_Types].xml" -> b,
+        s"ppt/presentation$k.xml" -> b))
+      case 3 => build(Seq("mimetype" -> "application/epub+zip".getBytes("UTF-8"),
+        s"OEBPS/content$k.opf" -> b))
+      case 4 => build(Seq(
+        "mimetype" ->
+          "application/vnd.oasis.opendocument.text".getBytes("UTF-8"),
+        s"content$k.xml" -> b))
+      case 5 => build(Seq("META-INF/MANIFEST.MF" -> b, s"A$k.class" -> b))
+      case _ => build(Seq(s"docs$k.txt" -> b))
+    }
+    graft.operators.Multimodal.sniffDeep(bytes)
+  })
+
+  /** X6 breadth — container-aware MIME detection (the Tika zip-
+    * container heuristics: OOXML marker + part roots, ODF/EPUB
+    * self-declaring `mimetype` first entry, jar manifest). Payloads are
+    * plan-synthesized zips per doc_id (the zip_parse pattern); the
+    * oracle states the expected type closed-form, so every detection
+    * branch is exercised on ~1/7 of the corpus. */
+  val containerDetect = Q(
+    "container_detect",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        containerDetectUdf(col("doc_id")).as("detected_type"))
+    },
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN
+            'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+          WHEN 1 THEN
+            'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+          WHEN 2 THEN
+            'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+          WHEN 3 THEN 'application/epub+zip'
+          WHEN 4 THEN 'application/vnd.oasis.opendocument.text'
+          WHEN 5 THEN 'application/java-archive'
+          ELSE 'application/zip' END AS detected_type
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
     ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks,
-    reltagTags, parsefilterRegex, indexReplaceLinks)
+    reltagTags, parsefilterRegex, indexReplaceLinks, containerDetect)
 }

@@ -106,6 +106,69 @@ object Multimodal {
     }
   }
 
+  /** [[sniff]] plus ZIP-container refinement: a bare `application/zip`
+    * verdict is re-classified by member inventory the way Tika's
+    * container-aware detector does it (public container conventions) —
+    * OOXML's `[Content_Types].xml` marker with the word/ xl/ ppt/ part
+    * roots, ODF and EPUB's self-declaring first `mimetype` entry
+    * (stored verbatim per their specs, so its body IS the type), and a
+    * jar's `META-INF/MANIFEST.MF`. Anything unrecognized stays
+    * `application/zip`. */
+  def sniffDeep(bytes: Array[Byte]): String = {
+    val base = sniff(bytes)
+    if (base == "application/zip") zipContainerType(bytes) else base
+  }
+
+  /** Member-inventory classification of a zip payload. Reads entry
+    * NAMES only (capped at the first 64 — container markers live at the
+    * head) plus the tiny body of a `mimetype` entry if present; never
+    * decompresses document content. Malformed archives fall back to
+    * `application/zip`. */
+  def zipContainerType(bytes: Array[Byte]): String = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      var names = List.empty[String]
+      var mimetypeBody: Option[String] = None
+      var e = zin.getNextEntry
+      var n = 0
+      while (e != null && n < 64) {
+        names ::= e.getName
+        if (e.getName == "mimetype" && mimetypeBody.isEmpty) {
+          val buf = new java.io.ByteArrayOutputStream(64)
+          val chunk = new Array[Byte](64)
+          var r = zin.read(chunk)
+          while (r > 0 && buf.size < 256) { buf.write(chunk, 0, r); r = zin.read(chunk) }
+          // a media type has a slash; anything else is not a declaration
+          mimetypeBody = Some(buf.toString("UTF-8").trim)
+            .filter(s => s.nonEmpty && s.contains('/'))
+        }
+        n += 1
+        e = zin.getNextEntry
+      }
+      val ns = names.toSet
+      mimetypeBody match {
+        case Some(m) => m // ODF / EPUB self-declare
+        case None if ns.contains("[Content_Types].xml") =>
+          if (names.exists(_.startsWith("word/")))
+            "application/vnd.openxmlformats-officedocument" +
+              ".wordprocessingml.document"
+          else if (names.exists(_.startsWith("xl/")))
+            "application/vnd.openxmlformats-officedocument" +
+              ".spreadsheetml.sheet"
+          else if (names.exists(_.startsWith("ppt/")))
+            "application/vnd.openxmlformats-officedocument" +
+              ".presentationml.presentation"
+          else "application/zip"
+        case None if ns.contains("META-INF/MANIFEST.MF") =>
+          "application/java-archive"
+        case None => "application/zip"
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => "application/zip"
+    } finally zin.close()
+  }
+
   /** REAL header-only VIDEO metadata decode — (timescale_hz,
     * duration_ticks, duration_ms) from the ISO-BMFF movie header: walk
     * the top-level box list to `moov`, then its children to `mvhd`
