@@ -260,4 +260,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(!out.contains(3L))
     assert(out(1L).src_width == 1000 && out(1L).src_height == 500)
   }
+
+  test("zip container refinement edge cases") {
+    import graft.ops.ZipParse.build
+    val b = "x".getBytes("UTF-8")
+    // non-zip input passes sniffDeep through untouched
+    assert(Multimodal.sniffDeep(png) == "image/png")
+    // truncated/garbage after the PK magic degrades to plain zip
+    val corrupt = Array[Byte]('P', 'K', 3, 4) ++
+      "garbage-not-a-zip".getBytes("ISO-8859-1")
+    assert(Multimodal.sniffDeep(corrupt) == "application/zip")
+    // a mimetype entry whose body is not a media type (no slash) is
+    // ignored; the manifest still classifies the archive
+    val junkMime = build(Seq("mimetype" -> "notamime".getBytes("UTF-8"),
+      "META-INF/MANIFEST.MF" -> b))
+    assert(Multimodal.zipContainerType(junkMime) == "application/java-archive")
+    // OOXML marker without a recognized part root stays plain zip
+    val bareOoxml = build(Seq("[Content_Types].xml" -> b, "other/part" -> b))
+    assert(Multimodal.zipContainerType(bareOoxml) == "application/zip")
+    // self-declaration wins over the manifest (ODF jars exist)
+    val odfJar = build(Seq(
+      "mimetype" ->
+        "application/vnd.oasis.opendocument.spreadsheet".getBytes("UTF-8"),
+      "META-INF/MANIFEST.MF" -> b))
+    assert(Multimodal.zipContainerType(odfJar) ==
+      "application/vnd.oasis.opendocument.spreadsheet")
+  }
 }
