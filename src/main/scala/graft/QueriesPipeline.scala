@@ -685,7 +685,43 @@ object QueriesPipeline {
       FROM d GROUP BY 1"""
     })
 
+  /** Corpus mixture report — the data-card numbers per source: doc and
+    * token counts, language diversity, and the dominant language's
+    * share in basis points (integer-exact). Two cheap aggregations:
+    * (source, lang) partials roll up to per-source rows, so the only
+    * shuffle key is the group key — no window, no per-group sort. */
+  val corpusMixture = Q(
+    "corpus_mixture",
+    (s, dir) => {
+      val byLang = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("nd"), sum(col("nt")).as("tok"))
+      byLang.groupBy("source")
+        .agg(sum(col("nd")).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          count(lit(1)).as("n_langs"),
+          max(col("nd")).as("top_lang_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"),
+          expr("top_lang_docs * 10000 div n_docs").as("top_lang_share_bp"))
+    },
+    Some("""
+      WITH bl AS (
+        SELECT source, lang, COUNT(*) AS nd,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+        FROM documents GROUP BY 1, 2)
+      SELECT source,
+        CAST(SUM(nd) AS BIGINT) AS n_docs,
+        SUM(tok) AS n_tokens,
+        COUNT(*) AS n_langs,
+        CAST(MAX(nd) AS BIGINT) * 10000 // CAST(SUM(nd) AS BIGINT)
+          AS top_lang_share_bp
+      FROM bl GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
-    rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate)
+    rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
+    corpusMixture)
 }
