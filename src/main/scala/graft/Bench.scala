@@ -49,7 +49,13 @@ object Bench {
       var err: Option[String] = None
       val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // noop sink, not .count(): count() lets Catalyst prune every
+        // output column and eliminate left joins whose right side is a
+        // provably-unique aggregate, so join-shaped queries (index_docs,
+        // score_updater, doc_fingerprint) would bench as bare scans.
+        // The noop sink consumes all columns of every row — the full
+        // plan executes, nothing written.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           err = Some(e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replace('\n', ' ').take(160))

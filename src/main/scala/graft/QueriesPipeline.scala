@@ -523,10 +523,7 @@ object QueriesPipeline {
       val g = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       // inner-join shape on purpose: docs shorter than W words have no
-      // windows and drop from the report (identically in the oracle) —
-      // and a left join back to `documents` would be ELIMINATED by the
-      // optimizer under the bench's count() action, making the bench
-      // time a fiction
+      // windows and drop from the report (identically in the oracle)
       wins.join(g, "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"),
@@ -677,11 +674,11 @@ object QueriesPipeline {
             AS nseq
         FROM documents)
       SELECT lang, COUNT(*) AS n_docs,
-        SUM(nt) AS n_tokens,
-        SUM(nseq) AS n_seqs,
-        SUM(nseq) * 2048 - SUM(nt) AS waste_tokens,
-        (SUM(nseq) * 2048 - SUM(nt)) * 10000 // (SUM(nseq) * 2048)
-          AS waste_bp
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(nseq) AS BIGINT) AS n_seqs,
+        CAST(SUM(nseq) * 2048 - SUM(nt) AS BIGINT) AS waste_tokens,
+        CAST((SUM(nseq) * 2048 - SUM(nt)) * 10000
+          // (SUM(nseq) * 2048) AS BIGINT) AS waste_bp
       FROM d GROUP BY 1"""
     })
 
@@ -714,7 +711,7 @@ object QueriesPipeline {
         FROM documents GROUP BY 1, 2)
       SELECT source,
         CAST(SUM(nd) AS BIGINT) AS n_docs,
-        SUM(tok) AS n_tokens,
+        CAST(SUM(tok) AS BIGINT) AS n_tokens,
         COUNT(*) AS n_langs,
         CAST(MAX(nd) AS BIGINT) * 10000 // CAST(SUM(nd) AS BIGINT)
           AS top_lang_share_bp

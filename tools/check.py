@@ -10,6 +10,7 @@ cell values exactly (floats via repr). Prints PASS/FAIL per query.
 """
 import json, math, os, sys
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -32,14 +33,21 @@ def cells_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb
-        except (TypeError, ValueError):
-            return False
+    a_f = isinstance(a, (float, np.floating))
+    b_f = isinstance(b, (float, np.floating))
+    a_i = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_i = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    # Type-strict across the int/float divide: the driver hashes the
+    # serialized values, so DuckDB widening SUM(BIGINT) -> HUGEINT ->
+    # float ("1435.0") mismatches Spark's long ("1435") even when the
+    # numeric values agree. Coercing here (the pre-r8 behavior) made
+    # the local board lie green while the driver board was red.
+    if (a_f and b_i) or (a_i and b_f):
+        return False
+    if a_f and b_f:
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return float(a) == float(b)
     return str(a) == str(b)
 
 
