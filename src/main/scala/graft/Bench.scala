@@ -45,7 +45,12 @@ object Bench {
         Tables(spark, sfDir, t).limit(1).count())
       spark.range(1000).selectExpr("md5(cast(id as string))").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
         val t0 = System.nanoTime()

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Generic relational operator shapes shared by the Nutch-derived jobs.
   *
@@ -95,9 +97,19 @@ object Relational {
       .agg(sort_array(collect_list(struct(col("v"), col("c"))))
         .as("hist"))
 
+  // hist* statistics are codegen'd StaticInvoke scalars (HistOps) —
+  // the aggregate(...) HOF forms they replace run interpreted and
+  // re-walk the histogram once per derived output column (see
+  // graft.functions.HistOps for the measured cost).
+  private def histCall(fn: String, dt: org.apache.spark.sql.types.DataType,
+      args: Column*): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.HistOps"), dt, fn,
+      args.map(ColumnBridge.expression)))
+
   /** Row count of the group from its histogram. */
   def histN(hist: Column): Column =
-    aggregate(hist, lit(0L), (a, x) => a + x.getField("c"))
+    histCall("histN", org.apache.spark.sql.types.LongType, hist)
 
   /** min/max from the sorted histogram. */
   def histMin(hist: Column): Column = element_at(hist, 1).getField("v")
@@ -106,33 +118,16 @@ object Relational {
   /** Order-independent fixed-point sum from the histogram (same value
     * as Queries.fxSum over the raw rows). */
   def histFxSum(hist: Column, scale: Int): Column =
-    (aggregate(hist, lit(0L), (a, x) =>
-      a + round(x.getField("v") * math.pow(10, scale), 0).cast("long") *
-        x.getField("c")).cast("double") / math.pow(10, scale))
+    histCall("histFxSum", org.apache.spark.sql.types.DoubleType,
+      hist, lit(scale))
 
   /** EXACT linear-interpolated quantile (quantile_cont semantics) over
     * a sorted (v, c) histogram — same interpolation arithmetic as
     * [[quantileCont]] (lo·(1−f) + hi·f), so results are bit-identical
     * to the rank form and to DuckDB under the same rounding. */
-  def histQuantileCont(hist: Column, q: Double): Column = {
-    val n = histN(hist)
-    val pos = (n - 1).cast("double") * lit(q)
-    val k = floor(pos) // 0-based lower rank
-    val frac = pos - k
-    val zero = struct(lit(0L).as("cum"),
-      lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"))
-    val scanned = aggregate(hist, zero, (st, x) => {
-      val cum2 = st.getField("cum") + x.getField("c")
-      struct(cum2.as("cum"),
-        coalesce(st.getField("lo"),
-          when(k < cum2, x.getField("v").cast("double"))).as("lo"),
-        coalesce(st.getField("hi"),
-          when(k + 1 < cum2, x.getField("v").cast("double"))).as("hi"))
-    })
-    when(frac === 0 || scanned.getField("hi").isNull, scanned.getField("lo"))
-      .otherwise(scanned.getField("lo") * (lit(1.0) - frac) +
-        scanned.getField("hi") * frac)
-  }
+  def histQuantileCont(hist: Column, q: Double): Column =
+    histCall("histQuantileCont", org.apache.spark.sql.types.DoubleType,
+      hist, lit(q))
 
   /** Per-group bounded sorted member list rendered as a string — the
     * deterministic, hash-comparable form of a capped collect_set
