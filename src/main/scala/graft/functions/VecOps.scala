@@ -31,8 +31,14 @@ object VecOps {
     new GenericArrayData(out)
   }
 
-  /** Dot product of two pre-quantized long vectors (Similarity.dotQ);
-    * zip_with semantics: the shorter length wins, missing elems are 0. */
+  /** Dot product of two pre-quantized long vectors (Similarity.dotQ).
+    * INTENTIONAL divergence from the zip_with form replaced: zip_with
+    * pads the shorter array with nulls (result length = max), so the
+    * old aggregate returned NULL on length-mismatched vectors; this
+    * scalar truncates to the shorter length and returns a number.
+    * Embedding vectors are fixed-width in this corpus, so behavior
+    * differs only on malformed input — where a defined truncation
+    * beats a silent NULL that drops the row from similarity results. */
   def dotQ(a: ArrayData, b: ArrayData): Long = {
     if (a == null || b == null) return 0L
     val xs = a.toLongArray()

@@ -37,7 +37,13 @@ object Parse {
       // parsefilter-debug (DebugParseFilter.java:46-54): serialize the
       // parsed DOM into parse_meta("DOM") — costs a second parse of the
       // page, so strictly a diagnostic switch
-      debugDom: Boolean = false)
+      debugDom: Boolean = false,
+      // file:/ftp: outlinks are OPT-IN, mirroring the reference's
+      // default regex-urlfilter.txt `-^(file|ftp|mailto)` posture: a
+      // deployment that composes FileProtocol with an empty filter
+      // chain must not be steerable by hostile remote HTML into
+      // crawling executor-local files
+      followFileSchemes: Boolean = false)
 
   /** One page's parse: title, cleaned text, resolved outlinks. Returns
     * Failed status when the content is not parseable as text.
@@ -72,9 +78,11 @@ object Parse {
     Html.foreachOutlink(baseUrl, root) { o =>
       val u = o.toUrl
       // the crawlable scheme set (reference protocol plugins: lib-http,
-      // protocol-file, protocol-ftp); mailto/javascript/data stay out
+      // protocol-file, protocol-ftp); mailto/javascript/data stay out,
+      // and file:/ftp: only when the deployment opted in (see Config)
       if ((u.startsWith("http://") || u.startsWith("https://") ||
-          u.startsWith("file://") || u.startsWith("ftp://")) &&
+          (cfg.followFileSchemes &&
+            (u.startsWith("file://") || u.startsWith("ftp://")))) &&
           !links.contains(u))
         links += u -> o.anchor.take(cfg.maxAnchorLength)
       links.size < cfg.maxOutlinksPerPage

@@ -62,20 +62,28 @@ object Publishers {
   type Factory = () => Publisher
 
   /** Wraps `it` so `publisher.close()` fires exactly once when the
-    * iterator drains — the partition-lifetime hook mapPartitions lacks.
-    * (If the task dies mid-iteration the JVM-level connection cleanup
-    * is the broker client's problem, same as the reference's thread
-    * kill path.) */
-  def closing[A](it: Iterator[A], p: Publisher): Iterator[A] =
+    * partition is done with it. Drain is the fast path, but drain
+    * alone is NOT partition lifetime: a limit/take pushed into the
+    * scan or a task abort consumes the iterator partially, which for
+    * a buffering publisher (HttpPublisher batch) would silently drop
+    * everything buffered. So when a task is live we also register a
+    * TaskContext completion listener — Spark's actual end-of-partition
+    * hook, which fires on success AND failure. */
+  def closing[A](it: Iterator[A], p: Publisher): Iterator[A] = {
+    val closeOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeNow(): Unit =
+      if (closeOnce.compareAndSet(false, true)) p.close()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeNow())
     new Iterator[A] {
-      private var closed = false
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { closed = true; p.close() }
+        if (!h) closeNow()
         h
       }
       def next(): A = it.next()
     }
+  }
 
   /** The publish-rabbitmq shape over the sandbox's reachable wire
     * (localhost HTTP): each batch of events is one POST of

@@ -211,6 +211,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(links.map(_.toUrl) == Seq("http://other.example.com/dir/x.html"))
   }
 
+  test("file:/ftp: outlinks are opt-in (reference scheme-denylist posture)") {
+    val html = "<html><body>" +
+      "<a href=\"http://ok.com/a\">a</a>" +
+      "<a href=\"file:///etc/passwd\">f</a>" +
+      "<a href=\"ftp://ftp.example.com/pub\">p</a>" +
+      "<a href=\"mailto:x@y.z\">m</a></body></html>"
+    val bytes = html.getBytes("UTF-8")
+    val (_, _, _, deny) = Parse.parsePage("http://h.com/",
+      bytes, "text/html", Parse.Config())
+    assert(deny.map(_.toUrl) == Seq("http://ok.com/a"),
+      "default config must not follow file:/ftp: (hostile HTML could " +
+        "otherwise steer a FileProtocol deployment into local files)")
+    val (_, _, _, allow) = Parse.parsePage("http://h.com/",
+      bytes, "text/html", Parse.Config(followFileSchemes = true))
+    assert(allow.map(_.toUrl) == Seq("http://ok.com/a",
+      "file:///etc/passwd", "ftp://ftp.example.com/pub"))
+  }
+
   test("tokenizer survives malformed real-web markup") {
     // unclosed tags, stray end tags, unquoted/duplicate attrs, CDATA,
     // conditional-comment-ish junk, entities in attrs, EOF inside tag

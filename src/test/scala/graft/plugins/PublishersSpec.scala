@@ -89,6 +89,27 @@ class PublishersSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("closing fires close() on partial consumption via task listener") {
+    val id = "pubspec-partial"
+    Collected.drain(id)
+    // 1000-row single partition, but limit(1) consumes one element —
+    // iterator-drain close never fires; only the TaskContext completion
+    // listener can flush a buffering publisher here
+    import spark.implicits._
+    val got = spark.range(0, 1000, 1, 1).as[Long].mapPartitions { it =>
+      val pub: Publisher = new Publisher {
+        def publish(e: FetchEvent): Unit = ()
+        override def close(): Unit = new CollectingPublisher(id).publish(
+          FetchEvent(EventType.Report, "closed", 0L, Map.empty))
+      }
+      closing(it, pub)
+    }.limit(1).collect()
+    assert(got.length == 1)
+    val events = Collected.drain(id)
+    assert(events.map(_.url) == Seq("closed"),
+      "close() must fire exactly once at task completion")
+  }
+
   test("parse raises REPORT with title/score/outlinks per parsed page") {
     import spark.implicits._
     val fetch = Seq(CrawlRow("http://s.com/p",
