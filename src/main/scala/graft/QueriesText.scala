@@ -892,9 +892,72 @@ object QueriesText {
               AS duration_ms
           FROM documents))"""))
 
+  private val synthPixelsUdf = udf((fmt: Int, w: Int, h: Int, seed: Int) => {
+    import graft.operators.{Multimodal, PixelCodec}
+    val bytes =
+      if (fmt == 0) PixelCodec.synthPng(w, h, seed)
+      else PixelCodec.synthBmp(w, h, seed)
+    PixelCodec.decodePixels(bytes).map { case (dw, dh, rgb) =>
+      val (sr, sg, sb) = PixelCodec.channelSums(rgb)
+      (Multimodal.sniff(bytes), dw, dh, sr, sg, sb)
+    }
+  })
+
+  /** X6 (REAL pixel decode) — full PNG inflate + per-scanline unfilter
+    * (spec §9; the synth side cycles all five filter types) and 24-bit
+    * BMP row decode, to exact per-channel pixel sums. The planted image
+    * is the gradient (x, y, x+y+seed) at dims small enough that no
+    * channel wraps mod 256, so the oracle states the channel sums in
+    * closed form: a hash match proves the decoder reconstructed every
+    * pixel byte exactly — through zlib, filter prediction, and BMP's
+    * bottom-up padded rows. JPEG stays a labeled stub (real DCT). */
+  val pixelStats = Q(
+    "pixel_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthPixelsUdf((k % 2).cast("int"),
+        (lit(8) + k % 24).cast("int"), (lit(8) + k % 16).cast("int"),
+        (k % 97).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("width"),
+          col("r._3").as("height"),
+          col("r._4").as("sum_r"),
+          col("r._5").as("sum_g"),
+          col("r._6").as("sum_b"))
+        .withColumn("mean_r_milli",
+          expr("sum_r * 1000 div (width * height)"))
+        .withColumn("mean_b_milli",
+          expr("sum_b * 1000 div (width * height)"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CAST(8 + doc_id % 24 AS BIGINT) AS w,
+          CAST(8 + doc_id % 16 AS BIGINT) AS h,
+          CAST(doc_id % 97 AS BIGINT) AS seed
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END
+          AS sniffed_type,
+        CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
+        CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
+        CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+        CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+             + w * h * seed AS BIGINT) AS sum_b,
+        CAST((h * (w * (w - 1) // 2)) * 1000 // (w * h) AS BIGINT)
+          AS mean_r_milli,
+        CAST((h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+              + w * h * seed) * 1000 // (w * h) AS BIGINT)
+          AS mean_b_milli
+      FROM p"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
-    multimodalDims, audioMeta, videoFrames)
+    multimodalDims, audioMeta, videoFrames, pixelStats)
 }

@@ -463,9 +463,11 @@ object Multimodal {
   /** ====== STUB (features only) ======
     * Dimensions are REAL (header parse via [[imageDims]]); the feature
     * vector is a deterministic fake from byte-histogram moments — the
-    * container ships no pixel codecs. A real deployment replaces the
-    * feature computation with an actual decoder (e.g. via JNI/ffmpeg);
-    * signature and batch shape stay identical. */
+    * container ships no pixel codecs for JPEG/GIF/WebP (DCT/LZW/VP8).
+    * PNG and BMP no longer reach this stub — [[PixelCodec]] decodes
+    * them for real via [[decodeFeatures]]. A real deployment replaces
+    * the remaining stub formats with an actual decoder (e.g. via
+    * JNI/ffmpeg); signature and batch shape stay identical. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val hist = new Array[Long](8)
     var i = 0
@@ -476,9 +478,23 @@ object Multimodal {
     (w, h, feats)
   }
 
+  /** Full decode where no codec is needed: PNG (zlib + scanline
+    * filters) and BMP (raw rows) reconstruct real pixels and real
+    * channel statistics ([[PixelCodec]]); everything else falls back
+    * to [[decodeStub]]. Returns (w, h, feats, decoded-for-real). */
+  def decodeFeatures(bytes: Array[Byte]): (Int, Int, Array[Float], Boolean) =
+    PixelCodec.decodePixels(bytes) match {
+      case Some((w, h, rgb)) =>
+        (w, h, PixelCodec.pixelFeatures(w, h, rgb), true)
+      case None =>
+        val (w, h, feats) = decodeStub(bytes)
+        (w, h, feats, false)
+    }
+
   /** Batched feature extraction: one partition = one decode batch
     * (the Scala twin of a pandas-UDF mapInPandas pipeline; partitions
-    * bound decoder memory at scale). */
+    * bound decoder memory at scale). PNG/BMP rows carry REAL pixel
+    * statistics; stub-decoded formats are distinguishable by sniff. */
   def extract(df: DataFrame, idCol: String, payloadCol: String)
       : Dataset[MediaFeatures] = {
     val spark: SparkSession = df.sparkSession
@@ -487,7 +503,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          val (w, h, feats) = decodeStub(bytes)
+          val (w, h, feats, _) = decodeFeatures(bytes)
           MediaFeatures(id, sniff(bytes), w, h, feats)
         }
       }

@@ -286,4 +286,102 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.zipContainerType(odfJar) ==
       "application/vnd.oasis.opendocument.spreadsheet")
   }
+
+  test("Paeth predictor matches the spec definition") {
+    // spec §9.4: nearest of left/up/upper-left to p = a+b-c, ties
+    // breaking left, then up
+    assert(PixelCodec.paeth(0, 0, 0) == 0)
+    assert(PixelCodec.paeth(10, 20, 15) == 15) // p=15: pc=0 smallest -> c
+    assert(PixelCodec.paeth(1, 200, 100) == 100) // p=101: pc=1 smallest -> c
+    assert(PixelCodec.paeth(10, 10, 0) == 10) // p=20: pa=pb=10 tie -> left
+    assert(PixelCodec.paeth(100, 50, 10) == 100) // p=140: pa=40 pb=90 pc=130
+    assert(PixelCodec.paeth(50, 100, 10) == 100) // symmetric: up wins
+  }
+
+  test("PNG round trip reconstructs exact pixels through all 5 filters") {
+    // synthPng cycles filter types y % 5; any unfilter bug breaks sums
+    val bytes = PixelCodec.synthPng(23, 17, 31)
+    val Some((w, h, rgb)) = PixelCodec.decodePng(bytes)
+    assert((w, h) == (23, 17) && rgb.length == 23 * 17 * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      assert((rgb(p) & 0xff) == x && (rgb(p + 1) & 0xff) == y &&
+        (rgb(p + 2) & 0xff) == (x + y + 31),
+        s"pixel ($x,$y) filter ${y % 5}")
+    }
+    // header-only dims path agrees with the full decode
+    assert(Multimodal.imageDims(bytes).contains((23, 17)))
+  }
+
+  // minimal PNG builder for layouts synthPng doesn't emit
+  private def rawPng(w: Int, h: Int, colorType: Int, channels: Int,
+      pix: Array[Byte], interlace: Int = 0): Array[Byte] = {
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h)
+      System.arraycopy(pix, y * stride, raw, y * (1 + stride) + 1, stride)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(interlace.toByte).array()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  test("PNG gray and RGBA layouts normalize to RGB; exotic ones refuse") {
+    val gray = rawPng(2, 2, 0, 1, Array[Byte](10, 20, 30, 40))
+    assert(PixelCodec.decodePng(gray).map(_._3.toSeq).contains(
+      Seq[Byte](10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40)))
+    val rgba = rawPng(1, 2, 6, 4,
+      Array[Byte](1, 2, 3, -1, 4, 5, 6, -128))
+    assert(PixelCodec.decodePng(rgba).map(_._3.toSeq).contains(
+      Seq[Byte](1, 2, 3, 4, 5, 6)))
+    // Adam7 interlace: honestly refused, not mis-decoded
+    assert(PixelCodec.decodePng(
+      rawPng(2, 2, 2, 3, new Array[Byte](12), interlace = 1)).isEmpty)
+    // truncated zlib stream
+    val full = PixelCodec.synthPng(16, 16, 0)
+    assert(PixelCodec.decodePng(full.take(full.length - 20)).isEmpty)
+    // header-only prefix (the old Synth.png fixture): dims parse but
+    // pixel decode must refuse rather than fabricate
+    assert(PixelCodec.decodePng(Multimodal.Synth.png(5, 5)).isEmpty)
+  }
+
+  test("BMP bottom-up rows, BGR order, and 4-byte padding decode") {
+    val bytes = PixelCodec.synthBmp(5, 4, 7) // rowSize 16 > 15: padded
+    val Some((w, h, rgb)) = PixelCodec.decodeBmp(bytes)
+    assert((w, h) == (5, 4))
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      assert((rgb(p) & 0xff) == x && (rgb(p + 1) & 0xff) == y &&
+        (rgb(p + 2) & 0xff) == (x + y + 7), s"pixel ($x,$y)")
+    }
+    assert(PixelCodec.decodeBmp(bytes.take(53)).isEmpty)
+  }
+
+  test("decodeFeatures: real stats for PNG/BMP, stub elsewhere") {
+    val (w, h, feats, real) =
+      Multimodal.decodeFeatures(PixelCodec.synthPng(10, 10, 0))
+    assert(real && (w, h) == (10, 10))
+    // mean R over gradient x=0..9 is 4.5; aspect 1.0
+    assert(math.abs(feats(0) - 4.5f) < 1e-5 && feats(7) == 1.0f)
+    val (_, _, _, bmpReal) =
+      Multimodal.decodeFeatures(PixelCodec.synthBmp(4, 4, 0))
+    assert(bmpReal)
+    val (_, _, _, jpegReal) =
+      Multimodal.decodeFeatures(Multimodal.Synth.jpeg(10, 10))
+    assert(!jpegReal, "JPEG is a genuine codec: stays on the labeled stub")
+  }
 }
