@@ -438,6 +438,21 @@ object Main {
               .foreach(r => println(s"${r.host}\t${r.fetched}\t${r.unfetched}"))
             0
         }
+      // per-job counter readback (the NutchMetrics observability
+      // surface the conductor appends under <root>/metrics): summed
+      // across rounds, or -round N for one round's raw rows
+      case "metrics" :: dir :: rest =>
+        import org.apache.spark.sql.functions.col
+        val t = new graft.ops.Metrics.Table(spark, dir)
+        val rows = opt(rest, "-round") match {
+          case Some(r) => t.read().where(col("round") === r.toInt)
+            .orderBy("job", "name")
+            .select(col("job"), col("name"), col("value"))
+          case None => t.summary()
+        }
+        rows.collect().foreach(r =>
+          println(s"${r.getString(0)}\t${r.getString(1)}\t${r.getLong(2)}"))
+        0
       case "webgraph" :: wgdir :: segdir :: _ =>
         WebGraphOp.build(spark, new Segment(spark, segdir).parseData, wgdir)
         println(s"webgraph: ${spark.read.parquet(s"$wgdir/nodes").count()} " +

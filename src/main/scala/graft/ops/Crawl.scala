@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.crawl.{FetchSchedule, UpdateDb}
 import graft.plugins.Extensions
@@ -38,7 +38,10 @@ object Crawl {
       sitemaps: Boolean = false,
       // materialize the index into a JSON-lines sink and fold
       // gone/duplicate deletes in afterwards (IndexingJob + CleaningJob)
-      indexSinkDir: Option[String] = None)
+      indexSinkDir: Option[String] = None,
+      // per-job counter rows appended to <root>/metrics each round
+      // (the NutchMetrics/LatencyTracker observability surface)
+      metrics: Boolean = true)
 
   final case class RoundStats(round: Int, generated: Long, fetched: Long,
       dbSize: Long)
@@ -63,16 +66,28 @@ object Crawl {
 
     val hostdbTable = new HostDbTable(spark, s"$root/hostdb")
     val useHostDb = cfg.maxCountExpr.isDefined || cfg.fetchDelayExpr.isDefined
+    val metricsTable =
+      if (cfg.metrics) Some(new Metrics.Table(spark, s"$root/metrics"))
+      else None
+    def record(r: Int, job: String, wallMs: Long, counters: DataFrame*)
+        : Unit =
+      metricsTable.foreach { t =>
+        counters.foreach(t.append)
+        t.append(Metrics.gauge(spark, r, job, "wall_ms", wallMs))
+      }
 
     var segments = Vector.empty[Segment]
     val stats = (1 to cfg.rounds).map { r =>
       val now = cfg.startTime + r * cfg.roundMillis
       val seg = new Segment(spark, s"$root/segments/r$r")
-      seg.writeGenerate(Generate(crawldb.read(),
-        Generate.Config(topN = cfg.topN, maxPerHost = cfg.maxPerHost,
-          curTime = now, segnum = r, maxCountExpr = cfg.maxCountExpr,
-          fetchDelayExpr = cfg.fetchDelayExpr), schedule,
-        hostDb = if (useHostDb) Some(hostdbTable.read()) else None))
+      val (_, genMs) = Metrics.timed {
+        seg.writeGenerate(Generate(crawldb.read(),
+          Generate.Config(topN = cfg.topN, maxPerHost = cfg.maxPerHost,
+            curTime = now, segnum = r, maxCountExpr = cfg.maxCountExpr,
+            fetchDelayExpr = cfg.fetchDelayExpr), schedule,
+          hostDb = if (useHostDb) Some(hostdbTable.read()) else None))
+      }
+      record(r, "generator", genMs, Metrics.generator(r, seg.generate))
       val generated = seg.generate.count()
       if (cfg.updateCrawlDbOnGenerate)
         crawldb.install(
@@ -82,19 +97,28 @@ object Crawl {
       // fetch ONCE, stream-to-parquet: the protocol pass writes a staged
       // file and crawl_fetch/content are DERIVED from it — no executor
       // block-cache holding payloads (the 100 TB shape)
-      Fetch.toSegment(seg.generate, protocol, now, seg, cfg.agent,
-        pacer = cfg.pacer)
+      val (_, fetchMs) = Metrics.timed {
+        Fetch.toSegment(seg.generate, protocol, now, seg, cfg.agent,
+          pacer = cfg.pacer)
+      }
+      record(r, "fetcher", fetchMs, Metrics.fetcher(r, seg.fetch, seg.content))
 
-      val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter,
-        registry.normalize(_, Extensions.Scope.Outlink))
-      seg.writeParseData(parsed.parseData)
-      seg.writeParseText(parsed.parseText)
-      seg.writeCrawlParse(parsed.crawlParse)
+      val (_, parseMs) = Metrics.timed {
+        val parsed = Parse(seg.fetch, seg.content, Parse.Config(), filter,
+          registry.normalize(_, Extensions.Scope.Outlink))
+        seg.writeParseData(parsed.parseData)
+        seg.writeParseText(parsed.parseText)
+        seg.writeCrawlParse(parsed.crawlParse)
+      }
+      record(r, "parser", parseMs,
+        Metrics.parser(r, seg.parseData, seg.crawlParse))
 
-      crawldb.install(
-        UpdateDb(crawldb.read().union(seg.fetch).union(seg.crawlParse),
-          now, schedule, registry.scoring),
-        s"updatedb-r$r")
+      val (_, updMs) = Metrics.timed {
+        crawldb.install(
+          UpdateDb(crawldb.read().union(seg.fetch).union(seg.crawlParse),
+            now, schedule, registry.scoring),
+          s"updatedb-r$r")
+      }
       linkdb.install(
         InvertLinks(seg.parseData, linkdb.read(), InvertLinks.Config()),
         s"invertlinks-r$r")
@@ -115,6 +139,9 @@ object Crawl {
               now, cfg.agent, Sitemap.Config()),
             Sitemap.Config()),
           s"sitemap-r$r")
+      // post-updatedb/dedup db census (crawldb job includes the round's
+      // update + dedup wall time)
+      record(r, "crawldb", updMs, Metrics.crawldb(r, crawldb.read()))
       segments :+= seg
       RoundStats(r, generated,
         seg.fetch.filter(_.datum.status ==
@@ -145,6 +172,8 @@ object Crawl {
           case None => docs.count()
         }
       } else 0L
+    metricsTable.foreach(_.append(
+      Metrics.gauge(spark, cfg.rounds, "indexer", "indexed_total", indexed)))
 
     Summary(stats, indexed, hostdb.count())
   }

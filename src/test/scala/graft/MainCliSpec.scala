@@ -141,6 +141,17 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     val db = new graft.tables.CrawlDbTable(spark, s"$root/crawl/crawldb")
       .read().collect()
     assert(db.length == 2) // seed + discovered p1
+    // the conductor appended per-job counters; the metrics verb reads
+    // them back (summed across rounds, and raw per round)
+    assert(Main.run(spark,
+      Array("metrics", s"$root/crawl/metrics")) == 0)
+    assert(Main.run(spark,
+      Array("metrics", s"$root/crawl/metrics", "-round", "1")) == 0)
+    val m = new graft.ops.Metrics.Table(spark, s"$root/crawl/metrics")
+      .summary().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("fetcher", "fetched_total")) == 2) // seed r1, p1 r2
+    assert(m(("generator", "records_generated_total")) == 2)
   }
 
   test("merge verbs, webgraph family, checkers, readhostdb, showproperties") {

@@ -49,6 +49,30 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
     val dupCount = Seq(db(s"$A/p1").status, db(s"$B/").status)
       .count(_ == S.DB_DUPLICATE)
     assert(dupCount == 1, s"expected one duplicate, got $db")
+
+    // per-job metrics rows per round (the NutchMetrics table analog)
+    val m = new Metrics.Table(spark, s"$root/metrics").read().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(m((1, "generator", "records_generated_total")) == 1)
+    assert(m((2, "generator", "records_generated_total")) == 2)
+    assert(m((1, "fetcher", "fetched_total")) == 1)
+    assert(m((2, "fetcher", "fetched_total")) == 2)
+    assert(m((1, "fetcher", "robots_denied_total")) == 0)
+    assert(m((1, "parser", "outlinks_detected_total")) == 2) // p1 + B
+    assert(m((1, "parser", "added_links_total")) == 2)
+    assert(m((2, "parser", "added_links_total")) == 0) // leaf pages
+    assert(m((1, "fetcher", "bytes_downloaded_total")) > 0)
+    assert(m((2, "crawldb", "db_size_total")) == 3)
+    assert(m((2, "crawldb", "db_duplicate_total")) == 1)
+    assert(m((2, "indexer", "indexed_total")) == summary.indexed)
+    // every job stamped its wall clock
+    for (job <- Seq("generator", "fetcher", "parser", "crawldb"))
+      assert(m((1, job, "wall_ms")) >= 0, job)
+    // summary sums counters across rounds
+    val s2 = new Metrics.Table(spark, s"$root/metrics").summary().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(s2(("fetcher", "fetched_total")) == 3)
   }
 
   test("conductor with hostdb overrides + generate.update.crawldb") {
