@@ -337,6 +337,56 @@ object Main {
         println(s"freegen: ${spark.read.parquet(s"$segdir/crawl_generate")
           .count()} entries")
         0
+      // DMOZ RDF dump -> seed list (tools/DmozParser.java): streamed
+      // StAX parse with the adult gate, topic prefixes, 1/N sampling
+      case "dmozparser" :: rdfFile :: rest =>
+        val cfg = DmozParser.Config(
+          subsetDenom = optL(rest, "-subset", 1).toInt,
+          includeAdult = rest.contains("-includeAdult"),
+          topicPrefixes = opt(rest, "-topic").toSeq,
+          hashSkew = optL(rest, "-skew", 0).toInt)
+        val in = new java.io.FileInputStream(rdfFile)
+        try {
+          val urls = DmozParser.parse(in, cfg)
+          opt(rest, "-out") match {
+            case Some(out) =>
+              val w = java.nio.file.Files.newBufferedWriter(
+                java.nio.file.Paths.get(out))
+              try {
+                var n = 0L
+                urls.foreach { u => w.write(u); w.write("\n"); n += 1 }
+                println(s"dmozparser: wrote $n urls to $out")
+              } finally w.close()
+            case None => urls.foreach(println)
+          }
+          0
+        } finally in.close()
+      // bulk host-resolution check over a url file
+      // (tools/ResolveUrls.java counters: total/resolved/errored) —
+      // distributed over the distinct hosts through the Resolver seam
+      case "resolveurls" :: urlfile :: rest =>
+        import org.apache.spark.sql.functions.col
+        val resolver: UpdateHostDb.Resolver = opt(rest, "-mockfail")
+          .map(f => UpdateHostDb.MockResolver(f.split(",").toSet))
+          .getOrElse(UpdateHostDb.DnsResolver)
+        import spark.implicits._
+        import org.apache.spark.sql.functions.trim
+        val hosts = spark.read.textFile(urlfile)
+          .select(graft.functions.Urls.host(trim(col("value"))).as("host"))
+          .where(col("host") =!= "").distinct().as[String]
+        val resolved = hosts.mapPartitions(_.map(h => (h, resolver.resolve(h))))
+          .toDF("host", "ok").cache()
+        try {
+          val total = resolved.count()
+          val good = resolved.where(col("ok")).count()
+          resolved.orderBy("host")
+            .limit(optL(rest, "-limit", 20).toInt).collect()
+            .foreach(r => println(
+              s"${r.getString(0)}\t${if (r.getBoolean(1)) "ok" else "FAILED"}"))
+          println(s"resolveurls: hosts=$total resolved=$good " +
+            s"errored=${total - good}")
+          0
+        } finally { resolved.unpersist(); () }
       case "readlinkdb" :: linkdb :: rest =>
         // LinkDbReader: -url point lookup stays driver-side (one row);
         // the full-db dump is a job (-dump <out>, LinkDbReader.java -dump

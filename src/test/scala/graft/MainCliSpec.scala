@@ -249,4 +249,62 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
 
     assert(v("showproperties") == 0)
   }
+
+  test("dmozparser streams RDF to a seed list with the reference gates") {
+    val root = Files.createTempDirectory("cli-dmoz").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val rdf = """<?xml version="1.0" encoding="UTF-8"?>
+      |<RDF xmlns:r="http://www.w3.org/TR/RDF/" xmlns:d="http://purl.org/dc/elements/1.0/">
+      |<Topic r:id="Top/Computers/Internet"><link r:resource="http://a.example.com/"/></Topic>
+      |<ExternalPage about="http://a.example.com/"><d:Title>A</d:Title></ExternalPage>
+      |<ExternalPage about="http://b.example.com/"><d:Title>B</d:Title></ExternalPage>
+      |<Topic r:id="Top/Adult/Stuff"/>
+      |<ExternalPage about="http://x.example.com/"><d:Title>X</d:Title></ExternalPage>
+      |<Topic r:id="Top/Sports/Soccer"/>
+      |<ExternalPage about="http://c.example.com/"><d:Title>C</d:Title></ExternalPage>
+      |</RDF>""".stripMargin
+    Files.writeString(Paths.get(root, "content.rdf"), rdf)
+
+    // default: adult section dropped, everything else kept
+    assert(v("dmozparser", s"$root/content.rdf",
+      "-out", s"$root/seeds.txt") == 0)
+    val seeds = Files.readAllLines(Paths.get(root, "seeds.txt"))
+    assert(seeds.toArray.toSeq == Seq("http://a.example.com/",
+      "http://b.example.com/", "http://c.example.com/"))
+
+    // adult opt-in restores x; topic prefix narrows to Sports
+    assert(v("dmozparser", s"$root/content.rdf", "-includeAdult",
+      "-out", s"$root/seeds2.txt") == 0)
+    assert(Files.readAllLines(Paths.get(root, "seeds2.txt")).size == 4)
+    assert(v("dmozparser", s"$root/content.rdf", "-topic", "Top/Sports",
+      "-out", s"$root/seeds3.txt") == 0)
+    assert(Files.readAllLines(Paths.get(root, "seeds3.txt")).toArray.toSeq ==
+      Seq("http://c.example.com/"))
+
+    // 1/N sampling is deterministic and a strict subset
+    assert(v("dmozparser", s"$root/content.rdf", "-subset", "2",
+      "-out", s"$root/seeds4.txt") == 0)
+    val sub = Files.readAllLines(Paths.get(root, "seeds4.txt"))
+    assert(sub.size < 3 && sub.stream().allMatch(seeds.contains(_)))
+
+    // the seed list feeds inject like any other
+    assert(v("inject", s"$root/crawldb", s"$root/seeds.txt",
+      "-now", "1700000000000") == 0)
+    assert(new graft.tables.CrawlDbTable(spark, s"$root/crawldb")
+      .read().count() == 3)
+  }
+
+  test("resolveurls checks hosts through the Resolver seam") {
+    val root = Files.createTempDirectory("cli-resolve").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    Files.writeString(Paths.get(root, "urls.txt"),
+      Seq("http://localhost/a", "http://localhost/b",
+        "http://bad.example.invalid/x").mkString("\n"))
+    // MockResolver path: planted failure counted, dup host deduped
+    assert(v("resolveurls", s"$root/urls.txt",
+      "-mockfail", "bad.example.invalid") == 0)
+    // DnsResolver path: localhost resolves without network egress
+    Files.writeString(Paths.get(root, "urls2.txt"), "http://localhost/\n")
+    assert(v("resolveurls", s"$root/urls2.txt") == 0)
+  }
 }
