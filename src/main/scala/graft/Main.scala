@@ -272,7 +272,8 @@ object Main {
                 rounds = optL(rest, "-rounds", 1).toInt,
                 topN = optL(rest, "-topN", Long.MaxValue),
                 startTime = now0,
-                pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0))))
+                pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0)),
+                buckets = opt(rest, "-buckets").map(_.toInt)))
             summary.rounds.foreach(r => println(
               s"round ${r.round}: generated=${r.generated} " +
                 s"fetched=${r.fetched} db=${r.dbSize}"))

@@ -41,7 +41,12 @@ object Crawl {
       indexSinkDir: Option[String] = None,
       // per-job counter rows appended to <root>/metrics each round
       // (the NutchMetrics/LatencyTracker observability surface)
-      metrics: Boolean = true)
+      metrics: Boolean = true,
+      // url-bucketed CrawlDb layout (tables.BucketedCrawlDbTable):
+      // every url-keyed join reads the db side Exchange-free — the
+      // co-located-join default for a CrawlDb that outweighs its
+      // per-round segments by orders of magnitude
+      buckets: Option[Int] = None)
 
   final case class RoundStats(round: Int, generated: Long, fetched: Long,
       dbSize: Long)
@@ -53,7 +58,11 @@ object Crawl {
       protocol: Fetch.Protocol, registry: Extensions.Registry,
       cfg: Config): Summary = {
     import spark.implicits._
-    val crawldb = new CrawlDbTable(spark, s"$root/crawldb")
+    val crawldb: graft.tables.CrawlDbStore = cfg.buckets match {
+      case Some(n) =>
+        new graft.tables.BucketedCrawlDbTable(spark, s"$root/crawldb", n)
+      case None => new CrawlDbTable(spark, s"$root/crawldb")
+    }
     val linkdb = new LinkDbTable(spark, s"$root/linkdb")
     val schedule: FetchSchedule = registry.schedule
     val filter = registry.filterChain

@@ -36,8 +36,17 @@ object Install {
   }
 }
 
+/** What the conductor needs from a CrawlDb, layout-agnostic: plain
+  * generation-swapped parquet ([[CrawlDbTable]]) or the url-bucketed
+  * layout ([[BucketedCrawlDbTable]]). */
+trait CrawlDbStore {
+  def read(): Dataset[CrawlRow]
+  def install(next: Dataset[CrawlRow], nonce: String): Unit
+}
+
 /** The CrawlDb: url → CrawlDatum at <dir>/current (SURVEY §1.1). */
-final class CrawlDbTable(spark: SparkSession, dir: String) {
+final class CrawlDbTable(spark: SparkSession, dir: String)
+    extends CrawlDbStore {
   import spark.implicits._
 
   def exists: Boolean = Files.exists(Paths.get(dir, "current"))
@@ -48,6 +57,50 @@ final class CrawlDbTable(spark: SparkSession, dir: String) {
 
   def install(next: Dataset[CrawlRow], nonce: String): Unit =
     Install.install(next, dir, nonce)
+}
+
+/** The CrawlDb over the url-bucketed layout ([[Bucketed]]): every
+  * generation is a bucketed catalog table under `<dir>/g<N>`, with a
+  * GENERATION pointer file playing the role of the `current` symlink.
+  * Same copy-on-write discipline as [[Install]] — a new generation is
+  * fully written before the pointer moves, the previous generation
+  * survives one swap for in-flight readers, older ones are dropped.
+  *
+  * What it buys at scale: every url-keyed join against the CrawlDb —
+  * the indexing cogroup, dedup merge-back, linkdb-side joins — reads
+  * the db side WITHOUT an Exchange (the bucket layout already
+  * satisfies the join's required distribution), so the 10^9-row side
+  * of the per-round joins never reshuffles; only the small per-round
+  * segment side moves. */
+final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
+    val buckets: Int) extends CrawlDbStore {
+  import spark.implicits._
+
+  private val tag =
+    "graft_crawldb_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
+      "_" + Integer.toHexString(dir.hashCode)
+  private def genFile = Paths.get(dir, "GENERATION")
+  private def generation: Long =
+    if (Files.exists(genFile)) Files.readString(genFile).trim.toLong else 0L
+  private def tableName(g: Long) = s"${tag}_g$g"
+
+  def read(): Dataset[CrawlRow] = {
+    val g = generation
+    if (g == 0L) spark.emptyDataset[CrawlRow]
+    else spark.table(tableName(g)).as[CrawlRow]
+  }
+
+  def install(next: Dataset[CrawlRow], nonce: String): Unit = {
+    val g = generation + 1
+    Files.createDirectories(Paths.get(dir))
+    Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", buckets)
+    Files.writeString(genFile, g.toString)
+    // keep g-1 for in-flight readers (the `old` generation); drop g-2
+    if (g >= 3) {
+      spark.sql(s"DROP TABLE IF EXISTS `${tableName(g - 2)}`")
+      Install.deleteRecursively(Paths.get(dir, s"g${g - 2}"))
+    }
+  }
 }
 
 /** One segment directory with its parquet parts (SURVEY §1.1; segment

@@ -274,4 +274,66 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     assert(d2.fetchInterval > firstInterval,
       s"interval ${d2.fetchInterval} did not grow from $firstInterval")
   }
+
+  test("bucketed CrawlDb layout: conductor A/B identical, join Exchange-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.plugins.Extensions
+    val A = "http://bk-a.example.com"
+    val site = Map(
+      s"$A/" -> (Fetch.Code.Success,
+        """<html><title>A</title><body><a href="/p1">p1</a>
+          |<a href="/p2">p2</a></body></html>""".stripMargin, "text/html"),
+      s"$A/p1" -> (Fetch.Code.Success,
+        "<html><title>P1</title><body>one</body></html>", "text/html"),
+      s"$A/p2" -> (Fetch.Code.Success,
+        "<html><title>P2</title><body>two</body></html>", "text/html"))
+    val registry = Extensions.Registry(
+      urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
+    def runIt(buckets: Option[Int]): (String, Crawl.Summary) = {
+      val root = Files.createTempDirectory("crawl-ab").toString
+      val s = Crawl.run(spark, root, Seq(s"$A/"),
+        Fetch.MockProtocol(site), registry,
+        Crawl.Config(rounds = 2, buckets = buckets,
+          pacer = graft.net.Pacer.Config(serverDelayMs = 0)))
+      (root, s)
+    }
+    val (plainRoot, plainSum) = runIt(None)
+    val (bRoot, bSum) = runIt(Some(8))
+
+    // byte-identical rounds and final db between the two layouts
+    assert(bSum == plainSum)
+    def dump(store: graft.tables.CrawlDbStore) =
+      store.read().collect().map(r => r.url -> r.datum).toMap
+    val plainDb = dump(new graft.tables.CrawlDbTable(
+      spark, s"$plainRoot/crawldb"))
+    val bDb = dump(new graft.tables.BucketedCrawlDbTable(
+      spark, s"$bRoot/crawldb", 8))
+    assert(bDb == plainDb)
+
+    // the db side of a url join over the bucketed current generation
+    // plans with NO Exchange under the bucketed scan (the segment side
+    // — tiny per round — is the only shuffle)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val db = new graft.tables.BucketedCrawlDbTable(
+        spark, s"$bRoot/crawldb", 8).read().toDF()
+      val seg = new graft.tables.Segment(spark, s"$bRoot/segments/r1")
+        .fetch.toDF().select(col("url"), col("datum").as("fetchDatum"))
+      val joined = db.join(seg, "url")
+      joined.collect()
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+      // every Exchange in the plan repartitions the SEGMENT side
+      // (fetchDatum columns) into the db's 8-bucket layout; the db
+      // side (datum) reads in place — no Exchange carries it
+      val exchanges = plan.split("\n\n").filter(s =>
+        s.contains(") Exchange"))
+      assert(exchanges.nonEmpty, plan)
+      assert(exchanges.forall(_.contains("fetchDatum")), plan)
+      assert(exchanges.forall(_.contains("hashpartitioning(url")), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
