@@ -90,8 +90,10 @@ class FileProtocolSpec extends AnyFunSuite {
       try {
         val dirFetch = fr.content.collect()
         assert(dirFetch.length == 1)
+        // a deployment composing FileProtocol opts into file: outlinks
+        // explicitly (Parse.Config gate; default denies the scheme)
         val parsed = graft.ops.Parse(fr.fetch, fr.content,
-          graft.ops.Parse.Config(),
+          graft.ops.Parse.Config(followFileSchemes = true),
           RegexUrlFilter.parse(Iterator("+.")))
         val outlinks = parsed.parseData.collect()
           .flatMap(_.outlinks.map(_.toUrl)).toSet
