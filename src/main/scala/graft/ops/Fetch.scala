@@ -84,6 +84,14 @@ object Fetch {
 
   val RobotsDeniedKey = "_robots_denied_"
 
+  /** Per-URL protocol elapsed ms (HttpBase.java:61 RESPONSE_TIME
+    * `_rs_`, stored when http.store.responsetime). OFF by default here
+    * — wall-clock metadata would break the byte-identical A/B
+    * guarantees the specs hold (toSegment ≡ cached path, bucketed ≡
+    * plain conductor); a deployment turns it on for the
+    * fetch_latency_* metrics ([[Metrics]]). */
+  val ResponseTimeKey = "_rs_"
+
   /** The fetch outputs plus a handle to release the shared one-pass
     * cache. `fetch`/`content` derive from ONE cached protocol pass;
     * call `release()` after both are consumed or the blocks live until
@@ -113,11 +121,12 @@ object Fetch {
       honorRobots: Boolean = true,
       pacer: Pacer.Config = Pacer.Config(),
       clockFactory: () => Pacer.Clock = () => Pacer.SystemClock,
-      publisher: Option[graft.plugins.Publishers.Factory] = None): Result = {
+      publisher: Option[graft.plugins.Publishers.Factory] = None,
+      storeResponseTime: Boolean = false): Result = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val fetched = protocolPass(fetchlist, protocol, now, agent,
-      honorRobots, pacer, clockFactory, publisher)
+      honorRobots, pacer, clockFactory, publisher, storeResponseTime)
       .cache() // one pass feeds both
     Result(
       fetched.flatMap(_._1),
@@ -140,12 +149,13 @@ object Fetch {
       honorRobots: Boolean = true,
       pacer: Pacer.Config = Pacer.Config(),
       clockFactory: () => Pacer.Clock = () => Pacer.SystemClock,
-      publisher: Option[graft.plugins.Publishers.Factory] = None): Unit = {
+      publisher: Option[graft.plugins.Publishers.Factory] = None,
+      storeResponseTime: Boolean = false): Unit = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
     val stagingDir = s"${seg.dir}/fetch_staged"
     protocolPass(fetchlist, protocol, now, agent, honorRobots, pacer,
-      clockFactory, publisher)
+      clockFactory, publisher, storeResponseTime)
       .toDF("rows", "content")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stagingDir)
     try {
@@ -174,7 +184,8 @@ object Fetch {
       honorRobots: Boolean,
       pacer: Pacer.Config,
       clockFactory: () => Pacer.Clock,
-      publisherFactory: Option[graft.plugins.Publishers.Factory] = None)
+      publisherFactory: Option[graft.plugins.Publishers.Factory] = None,
+      storeResponseTime: Boolean = false)
       : Dataset[(List[CrawlRow], ContentRow)] = {
     val spark: SparkSession = fetchlist.sparkSession
     import spark.implicits._
@@ -185,9 +196,10 @@ object Fetch {
       .drop("host")
       .as[GenerateEntry]
     val bc = spark.sparkContext
-      .broadcast((protocol, agent, honorRobots, publisherFactory))
+      .broadcast((protocol, agent, honorRobots, publisherFactory,
+        storeResponseTime))
     byHost.mapPartitions { it =>
-      val (proto, agent0, honor, pubF) = bc.value
+      val (proto, agent0, honor, pubF, storeRs) = bc.value
       // one publisher per partition = one broker channel per task
       // (FetcherThread's one-channel-per-thread shape); closed when the
       // partition's lazy iterator drains
@@ -244,15 +256,20 @@ object Fetch {
         // drained items never reach the protocol, so they raise neither
         pub.foreach(_.publish(graft.plugins.Publishers.FetchEvent(
           graft.plugins.Publishers.EventType.Start, e.url, t, Map.empty)))
+        val t0 = System.nanoTime()
         val out = proto.fetch(e.url, e.datum)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000L
         pub.foreach(_.publish(graft.plugins.Publishers.FetchEvent(
           graft.plugins.Publishers.EventType.End, e.url, t,
           Map("status" -> Code.name(out.code)))))
         val status = toFetchStatus(out.code)
+        val metaRs =
+          if (storeRs) meta0 + (ResponseTimeKey -> elapsedMs.toString)
+          else meta0
         val meta1 =
           if (out.contentType.nonEmpty)
-            meta0 + (CrawlDatum.ContentTypeKey -> out.contentType)
-          else meta0
+            metaRs + (CrawlDatum.ContentTypeKey -> out.contentType)
+          else metaRs
         // representative URL under the redirect (URLUtil.chooseRepr via
         // FetcherThread.handleRedirect): src may stay representative
         val meta = out.movedTo.fold(meta1)(m =>

@@ -44,6 +44,26 @@ object Metrics {
   private def cnt(cond: org.apache.spark.sql.Column) =
     sum(when(cond, 1L).otherwise(0L))
 
+  /** LatencyTracker analog (metrics/LatencyTracker.java suffixes):
+    * count/sum plus approximate percentiles over the `_rs_` response
+    * times the protocol pass records when storeResponseTime is on —
+    * percentile_approx is Spark's mergeable bounded-state sketch, the
+    * same accuracy/state trade the reference's TDigest makes. Rows
+    * without `_rs_` (the flag off, robots-denied, drained) contribute
+    * nothing; all-absent yields count 0 and zeroed gauges. */
+  private def latencyPairs(md: org.apache.spark.sql.Column)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    val rs = md.getItem(Fetch.ResponseTimeKey).cast("long")
+    def pct(q: Double) =
+      coalesce(percentile_approx(rs, lit(q), lit(10000)), lit(0L))
+    Seq(
+      "fetch_latency_count_total" -> cnt(rs.isNotNull),
+      "fetch_latency_sum_ms" -> sum(coalesce(rs, lit(0L))),
+      "fetch_latency_p50_ms" -> pct(0.5),
+      "fetch_latency_p95_ms" -> pct(0.95),
+      "fetch_latency_p99_ms" -> pct(0.99))
+  }
+
   /** nutch_fetcher group (NutchMetrics.java GROUP_FETCHER): outcome
     * counters from the fetch segment's own markers — success, failures,
     * robots denials (incl. the crawl-delay refusal), watchdog drains,
@@ -60,12 +80,12 @@ object Metrics {
       "failed_fetches_total" ->
         cnt(st === CrawlStatus.FETCH_GONE && robots.isNull),
       "not_fetched_total" -> cnt(st === CrawlStatus.FETCH_RETRY),
-      "robots_denied_total" -> cnt(robots === "robots"),
+      "robots_denied_total" -> cnt(robots === "true"),
       "robots_denied_maxcrawldelay_total" -> cnt(robots === "crawl-delay"),
       "hit_by_timelimit_total" -> cnt(drain === "timelimit"),
       "hit_by_throughput_threshold_total" -> cnt(drain === "throughput"),
       "redirects_total" -> cnt(st === CrawlStatus.FETCH_REDIR_PERM ||
-        st === CrawlStatus.FETCH_REDIR_TEMP)))
+        st === CrawlStatus.FETCH_REDIR_TEMP)) ++ latencyPairs(md))
     val bytes = unpivot(content.toDF(), round, "fetcher", Seq(
       "bytes_downloaded_total" ->
         sum(coalesce(octet_length(col("bytes")).cast("long"), lit(0L)))))

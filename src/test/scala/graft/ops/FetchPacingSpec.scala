@@ -45,4 +45,30 @@ class FetchPacingSpec extends AnyFunSuite with SparkSuite {
     assert(fetch.collect().forall(_.datum.status == S.FETCH_SUCCESS))
     assert(content.count() == 5)
   }
+
+  test("storeResponseTime records _rs_ and feeds fetch_latency metrics") {
+    // default OFF: no _rs_ (determinism — byte-identical A/B specs)
+    val Fetch.Result(f0, _, r0) = Fetch(fl, proto, t0,
+      pacer = Pacer.Config(serverDelayMs = 0))
+    assert(f0.collect().forall(
+      !_.datum.metadata.contains(Fetch.ResponseTimeKey)))
+    r0()
+
+    val Fetch.Result(f1, _, r1) = Fetch(fl, proto, t0,
+      pacer = Pacer.Config(serverDelayMs = 0), storeResponseTime = true)
+    val rows = f1.collect()
+    assert(rows.forall(r =>
+      r.datum.metadata.get(Fetch.ResponseTimeKey).exists(v =>
+        v.toLong >= 0L)), rows.map(_.datum.metadata).toSeq)
+
+    // the LatencyTracker-analog gauges aggregate the recorded values
+    import spark.implicits._
+    val m = Metrics.fetcher(1, f1,
+        spark.emptyDataset[graft.schemas.ContentRow]).collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(m("fetch_latency_count_total") == 5)
+    assert(m("fetch_latency_sum_ms") >= 0)
+    assert(m("fetch_latency_p50_ms") <= m("fetch_latency_p99_ms"))
+    r1()
+  }
 }
