@@ -717,8 +717,102 @@ object QueriesPipeline {
           AS top_lang_share_bp
       FROM bl GROUP BY 1"""))
 
+  /** Deterministic per-source downsampling cap — the data-mixing
+    * operator that stops over-represented sources from dominating a
+    * training mix: each source keeps at most TARGET docs, selected by
+    * md5 coin-flip at rate_bp = min(10000, TARGET·10000 div c_s) basis
+    * points, so selection is content-keyed (stable across runs and
+    * partitionings, the embed_neardup determinism discipline) and
+    * integer-exact. Reported per source: population, the computed rate,
+    * kept count — the numbers a mixture rebalance consumes.
+    *
+    * Shape: one count aggregation, a broadcast join of the tiny
+    * per-source rate table back onto the scan, one filtered count —
+    * no window, no sort; map-side combine does the heavy lifting at
+    * 100 TB. */
+  val sampleCap = Q(
+    "sample_cap",
+    (s, dir) => {
+      val target = 400L
+      val d = t(s, dir, "documents")
+      val rates = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr(s"$target * 10000 div n_docs")))
+      d.select(col("doc_id"), col("source"),
+          (Queries.md5Long(col("doc_id").cast("string")) % 10000L)
+            .as("coin"))
+        .join(broadcast(rates), "source")
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("rate_bp")).as("rate_bp"),
+          sum(when(col("coin") < col("rate_bp"), 1L).otherwise(0L))
+            .as("n_kept"))
+    },
+    Some {
+      val coin = Queries.sqlMd5Long("CAST(doc_id AS VARCHAR)")
+      s"""
+      WITH r AS (
+        SELECT source, COUNT(*) AS n_docs,
+          LEAST(10000, 400 * 10000 // COUNT(*)) AS rate_bp
+        FROM documents GROUP BY 1)
+      SELECT source,
+        CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        CAST(MAX(rate_bp) AS BIGINT) AS rate_bp,
+        CAST(SUM(CASE WHEN $coin % 10000 < rate_bp THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept
+      FROM documents JOIN r USING (source)
+      GROUP BY 1"""
+    })
+
+  /** Concat-and-chunk packing manifest at C = 2048 — the OTHER packing
+    * strategy pack_estimate prices: per language, documents concatenate
+    * in doc_id order and split into fixed C-token chunks. Per doc: its
+    * starting chunk, whether it straddles a chunk boundary, and per
+    * language the total chunk count plus straddler count — what a
+    * packing job needs to materialize sequence shards and what a
+    * data-mixing plan reads to weigh boundary-truncation damage
+    * against pack_estimate's padding waste.
+    *
+    * Shape: a per-language running token sum (window ordered by doc_id
+    * — partitioned state, one language per group, no global sort) and
+    * one aggregation. Integer-exact throughout. */
+  val packChunks = Q(
+    "pack_chunks",
+    (s, dir) => {
+      val C = 2048L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .withColumn("cum", sum(col("nt")).over(w))
+        .withColumn("start_chunk", expr(s"(cum - nt) div $C"))
+        .withColumn("end_chunk", expr(s"(cum - 1) div $C"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max(expr(s"(cum + ${C - 1}) div $C")).as("n_chunks"),
+          sum(when(col("end_chunk") > col("start_chunk"), 1L)
+            .otherwise(0L)).as("n_straddlers"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, nt,
+          SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d)
+      SELECT lang,
+        COUNT(*) AS n_docs,
+        CAST(MAX((cum + 2047) // 2048) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN (cum - 1) // 2048 > (cum - nt) // 2048
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      FROM c GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
-    corpusMixture)
+    corpusMixture, sampleCap, packChunks)
 }

@@ -78,12 +78,15 @@ final class HttpProtocol(
         else None
       Fetch.ProtocolOutput(major, bytes, contentType, moved)
     } catch {
-      case _: java.io.IOException | _: InterruptedException =>
-        // connect refused / reset / timeout — transient, retry later
-        Fetch.ProtocolOutput(Fetch.Code.Retry, Array.empty, "", None)
-      case _: IllegalArgumentException =>
+      case e @ (_: java.io.IOException | _: InterruptedException) =>
+        // connect refused / reset / timeout — transient, retry later;
+        // the ErrorTracker category rides along for errors_* metrics
+        Fetch.ProtocolOutput(Fetch.Code.Retry, Array.empty, "", None,
+          errorCategory = Some(graft.ops.Metrics.Errors.categorize(e)))
+      case e: IllegalArgumentException =>
         // unparseable URL — permanently unfetchable
-        Fetch.ProtocolOutput(Fetch.Code.Gone, Array.empty, "", None)
+        Fetch.ProtocolOutput(Fetch.Code.Gone, Array.empty, "", None,
+          errorCategory = Some(graft.ops.Metrics.Errors.categorize(e)))
     }
   }
 

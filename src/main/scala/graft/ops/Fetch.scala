@@ -49,7 +49,10 @@ object Fetch {
   }
 
   final case class ProtocolOutput(code: Int, bytes: Array[Byte],
-      contentType: String, movedTo: Option[String])
+      contentType: String, movedTo: Option[String],
+      // ErrorTracker taxonomy (Metrics.Errors.categorize) when the
+      // protocol call failed on an exception rather than a status code
+      errorCategory: Option[String] = None)
 
   /** §2.9 extension point: scheme/impl-specific page retrieval. */
   trait Protocol extends Serializable {
@@ -263,9 +266,11 @@ object Fetch {
           graft.plugins.Publishers.EventType.End, e.url, t,
           Map("status" -> Code.name(out.code)))))
         val status = toFetchStatus(out.code)
+        val metaErr = out.errorCategory
+          .fold(meta0)(c => meta0 + (Metrics.Errors.MetadataKey -> c))
         val metaRs =
-          if (storeRs) meta0 + (ResponseTimeKey -> elapsedMs.toString)
-          else meta0
+          if (storeRs) metaErr + (ResponseTimeKey -> elapsedMs.toString)
+          else metaErr
         val meta1 =
           if (out.contentType.nonEmpty)
             metaRs + (CrawlDatum.ContentTypeKey -> out.contentType)

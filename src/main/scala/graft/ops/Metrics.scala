@@ -85,7 +85,10 @@ object Metrics {
       "hit_by_timelimit_total" -> cnt(drain === "timelimit"),
       "hit_by_throughput_threshold_total" -> cnt(drain === "throughput"),
       "redirects_total" -> cnt(st === CrawlStatus.FETCH_REDIR_PERM ||
-        st === CrawlStatus.FETCH_REDIR_TEMP)) ++ latencyPairs(md))
+        st === CrawlStatus.FETCH_REDIR_TEMP)) ++ latencyPairs(md) ++
+      (("errors_total" -> cnt(md.getItem(Errors.MetadataKey).isNotNull)) +:
+        Errors.categories.map(c =>
+          s"errors_${c}_total" -> cnt(md.getItem(Errors.MetadataKey) === c))))
     val bytes = unpivot(content.toDF(), round, "fetcher", Seq(
       "bytes_downloaded_total" ->
         sum(coalesce(octet_length(col("bytes")).cast("long"), lit(0L)))))
@@ -132,6 +135,43 @@ object Metrics {
         statuses.map { case (n, b) =>
           s"db_${n}_total" -> cnt(col("datum.status") === b)
         })
+  }
+
+  /** ErrorTracker analog (metrics/ErrorTracker.java:285-340 categorize
+    * ladder): map a throwable to the reference's error taxonomy —
+    * timeout before the general IOException, specific network types,
+    * URL errors before IOException (MalformedURLException extends it),
+    * remaining IO as network, then protocol/parsing by class name,
+    * OTHER as the floor. The category rides fetch metadata (`_error_`)
+    * and lands as `errors_<cat>_total` counters. */
+  object Errors {
+    val MetadataKey = "_error_"
+
+    def categorize(t: Throwable): String = {
+      if (t == null) return "other"
+      val cn = t.getClass.getName
+      if (t.isInstanceOf[java.net.SocketTimeoutException] ||
+          cn.contains("TimeoutException") || cn.contains("Timeout"))
+        "timeout"
+      else if (t.isInstanceOf[java.net.SocketException] ||
+          t.isInstanceOf[java.net.UnknownHostException] ||
+          cn.contains("ConnectException") ||
+          cn.contains("NoRouteToHostException") ||
+          cn.contains("ConnectionRefusedException"))
+        "network"
+      else if (t.isInstanceOf[java.net.MalformedURLException] ||
+          cn.contains("URISyntaxException") ||
+          t.isInstanceOf[IllegalArgumentException])
+        "url"
+      else if (t.isInstanceOf[java.io.IOException]) "network"
+      else if (cn.contains("ProtocolException")) "protocol"
+      else if (cn.contains("ParseException") || cn.contains("SAXException"))
+        "parsing"
+      else "other"
+    }
+
+    val categories: Seq[String] =
+      Seq("network", "timeout", "url", "protocol", "parsing", "other")
   }
 
   /** A single gauge row (wall_ms per job, indexed_total, …). */

@@ -337,6 +337,29 @@ object RestServer {
             .orderBy("url"))
         })
 
+      // per-job counters from a crawl root's metrics table (the
+      // NutchMetrics observability surface): summed across rounds, or
+      // one round's raw rows with ?round=N
+      http.createContext("/metrics", (ex: HttpExchange) => {
+        val params = q(ex)
+        params.get("dir") match {
+          case None => reply(ex, 400, """{"error":"dir required"}""")
+          case Some(dir) =>
+            val t = new graft.ops.Metrics.Table(spark, dir)
+            val rows = params.get("round") match {
+              case Some(r) => t.read()
+                .where(col("round") === r.toInt)
+                .orderBy("job", "name")
+                .select(col("job"), col("name"), col("value"))
+              case None => t.summary()
+            }
+            val body = rows.collect().map(r =>
+              s"""{"job":${graft.Json.str(r.getString(0))},"name":${
+                graft.Json.str(r.getString(1))},"value":${r.getLong(2)}}""")
+            reply(ex, 200, body.mkString("[", ",", "]"))
+        }
+      })
+
       http.createContext("/db/crawldb", (ex: HttpExchange) => {
         val params = q(ex)
         params.get("crawldb") match {

@@ -207,4 +207,25 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
       assert(get(s"$base/reader/sequence/read")._1 == 400)
     } finally srv.stop()
   }
+
+  test("/metrics reads back a crawl root's counter table") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val dir = Files.createTempDirectory("rest-metrics").toString + "/m"
+      val t = new graft.ops.Metrics.Table(spark, dir)
+      t.append(graft.ops.Metrics.gauge(spark, 1, "fetcher",
+        "fetched_total", 7))
+      t.append(graft.ops.Metrics.gauge(spark, 2, "fetcher",
+        "fetched_total", 5))
+
+      assert(get(s"$base/metrics")._1 == 400)
+      val (c1, summed) = get(s"$base/metrics?dir=$dir")
+      assert(c1 == 200 && summed.contains(
+        """{"job":"fetcher","name":"fetched_total","value":12}"""), summed)
+      val (c2, r1) = get(s"$base/metrics?dir=$dir&round=1")
+      assert(c2 == 200 && r1.contains("\"value\":7") &&
+        !r1.contains("\"value\":5"), r1)
+    } finally srv.stop()
+  }
 }
