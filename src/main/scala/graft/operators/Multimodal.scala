@@ -512,12 +512,14 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, src_width: Int,
       src_height: Int, out_width: Int, out_height: Int, payload: Array[Byte])
 
-  /** Aspect-preserving resize plumbing: REAL geometry (source dims from
-    * the header parse, fit-inside-box output dims by exact integer
-    * scaling) around a STUB pixel pass (deterministic payload derived
-    * from source bytes + target dims — a deployment swaps in a real
-    * scaler with the same batch shape). Rows whose payload carries no
-    * parseable dims are dropped, mirroring a decode-failure filter. */
+  /** Aspect-preserving resize: REAL geometry (source dims from the
+    * header parse, fit-inside-box output dims by exact integer
+    * scaling), and for PNG/BMP inputs a REAL pixel pass — decode via
+    * [[PixelCodec]], nearest-neighbor sample, re-encode as a 24-bit
+    * BMP (a real, decodable payload). Formats whose decode needs a
+    * genuine codec (JPEG/GIF/WebP) keep the deterministic stub payload
+    * with the same batch shape; rows with no parseable dims are
+    * dropped, mirroring a decode-failure filter. */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     val spark: SparkSession = df.sparkSession
@@ -534,10 +536,16 @@ object Multimodal {
             // 1×100, never a degenerate zero dimension
             val ow = math.max(1L, num / h).toInt
             val oh = math.max(1L, num / w).toInt
-            val stub = java.util.Arrays.copyOf(bytes,
-              math.min(bytes.length, 16)) ++
-              Array((ow & 0xff).toByte, (oh & 0xff).toByte)
-            ResizedMedia(id, w, h, ow, oh, stub)
+            val payload = PixelCodec.decodePixels(bytes) match {
+              case Some((dw, dh, rgb)) =>
+                PixelCodec.encodeBmp(ow, oh,
+                  PixelCodec.scaleRgb(rgb, dw, dh, ow, oh))
+              case None =>
+                java.util.Arrays.copyOf(bytes,
+                  math.min(bytes.length, 16)) ++
+                  Array((ow & 0xff).toByte, (oh & 0xff).toByte)
+            }
+            ResizedMedia(id, w, h, ow, oh, payload)
           }
         }
       }

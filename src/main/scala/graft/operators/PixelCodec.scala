@@ -221,6 +221,56 @@ object PixelCodec {
       mean(sl).toFloat, (w.toDouble / h).toFloat)
   }
 
+  /** Nearest-neighbor scale of packed RGB — the classic integer
+    * sampling grid (sx = x·w div ow), exact and deterministic. */
+  def scaleRgb(rgb: Array[Byte], w: Int, h: Int, ow: Int,
+      oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        val s = (sy * w + sx) * 3
+        val d = (y * ow + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode packed RGB as a 24-bit bottom-up BMP — the trivially
+    * encodable interchange container (no compressor needed), so a
+    * real resize can emit a real, decodable payload. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var yOut = 0
+    while (yOut < h) {
+      val y = h - 1 - yOut // bottom row first
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        out.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s)) // RGB -> BGR
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowSize) { out.put(0.toByte); pad += 1 }
+      yOut += 1
+    }
+    out.array()
+  }
+
   // ==== encoders: deterministic full-image fixtures (Synth family) ====
 
   /** A REAL compressed PNG (8-bit RGB, non-interlaced) whose pixel at
@@ -289,29 +339,19 @@ object PixelCodec {
   /** A 24-bit bottom-up BMP with the same pixel formula as [[synthPng]],
     * so PNG and BMP rows share one oracle closed form. */
   def synthBmp(w: Int, h: Int, seed: Int): Array[Byte] = {
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    val dataSize = rowSize * h
-    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
-      .putInt(0).putInt(54) // reserved, pixel-data offset
-    out.putInt(40).putInt(w).putInt(h) // positive height: bottom-up
-      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
-      .putInt(2835).putInt(2835).putInt(0).putInt(0)
-    var yOut = 0
-    while (yOut < h) {
-      val y = h - 1 - yOut // file stores bottom row first
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
       var x = 0
       while (x < w) {
-        out.put(((x + y + seed) % 256).toByte) // B
-        out.put((y % 256).toByte) // G
-        out.put((x % 256).toByte) // R
+        val d = (y * w + x) * 3
+        rgb(d) = (x % 256).toByte
+        rgb(d + 1) = (y % 256).toByte
+        rgb(d + 2) = ((x + y + seed) % 256).toByte
         x += 1
       }
-      var pad = w * 3
-      while (pad < rowSize) { out.put(0.toByte); pad += 1 }
-      yOut += 1
+      y += 1
     }
-    out.array()
+    encodeBmp(w, h, rgb)
   }
 }

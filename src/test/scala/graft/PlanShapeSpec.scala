@@ -192,4 +192,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("pack_chunks running sum partitions by lang — never global") {
+    val p = plan("pack_chunks")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("lang"), s"window without lang partition: $l")
+    }
+  }
+
+  test("sample_cap broadcasts the per-source rate table") {
+    val p = plan("sample_cap", execute = true)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

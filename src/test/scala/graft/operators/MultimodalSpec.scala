@@ -371,6 +371,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(PixelCodec.decodeBmp(bytes.take(53)).isEmpty)
   }
 
+  test("resize performs a REAL pixel pass on decodable inputs") {
+    import spark.implicits._
+    // 20x10 gradient PNG fit into 10x10 -> 10x5 real BMP
+    val src = PixelCodec.synthPng(20, 10, 0)
+    val out = Multimodal.resize(
+      Seq((1L, src)).toDF("doc_id", "payload"), "doc_id", "payload",
+      10, 10).collect().head
+    assert((out.out_width, out.out_height) == (10, 5))
+    val Some((w, h, rgb)) = PixelCodec.decodeBmp(out.payload)
+    assert((w, h) == (10, 5))
+    // nearest neighbor: out pixel (x,y) samples src (2x, 2y) ->
+    // r = 2x, g = 2y, b = 2x+2y
+    for (y <- 0 until 5; x <- 0 until 10) {
+      val p = (y * 10 + x) * 3
+      assert((rgb(p) & 0xff) == 2 * x && (rgb(p + 1) & 0xff) == 2 * y &&
+        (rgb(p + 2) & 0xff) == 2 * x + 2 * y, s"($x,$y)")
+    }
+    // undecodable input (header-only JPEG) keeps the stub payload shape
+    val stub = Multimodal.resize(
+      Seq((2L, Multimodal.Synth.jpeg(40, 20))).toDF("doc_id", "payload"),
+      "doc_id", "payload", 10, 10).collect().head
+    assert((stub.out_width, stub.out_height) == (10, 5))
+    assert(Multimodal.sniff(stub.payload) == "image/jpeg") // prefix copy
+  }
+
   test("decodeFeatures: real stats for PNG/BMP, stub elsewhere") {
     val (w, h, feats, real) =
       Multimodal.decodeFeatures(PixelCodec.synthPng(10, 10, 0))
