@@ -273,7 +273,8 @@ object Main {
                 topN = optL(rest, "-topN", Long.MaxValue),
                 startTime = now0,
                 pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0)),
-                buckets = opt(rest, "-buckets").map(_.toInt)))
+                buckets = opt(rest, "-buckets").map(_.toInt),
+                storeResponseTime = rest.contains("-responsetime")))
             summary.rounds.foreach(r => println(
               s"round ${r.round}: generated=${r.generated} " +
                 s"fetched=${r.fetched} db=${r.dbSize}"))

@@ -50,7 +50,9 @@ object PixelCodec {
       val len = be32(pos)
       val typ = fourcc(pos + 4)
       val dataStart = pos + 8
-      if (len < 0 || dataStart + len > bytes.length) return None
+      // long arithmetic: a crafted len near Int.MaxValue must fail the
+      // bounds check, not wrap negative and index out of bounds
+      if (len < 0 || dataStart.toLong + len > bytes.length) return None
       typ match {
         case "IHDR" =>
           if (len < 13) return None
@@ -126,9 +128,11 @@ object PixelCodec {
     def le32(p: Int): Int = le16(p) | (le16(p + 2) << 16)
     val dataOffset = le32(10)
     val headerSize = le32(14)
-    if (headerSize < 40) return None
+    if (headerSize < 40 || dataOffset < 54) return None
     val w = le32(18)
     val hRaw = le32(22)
+    // Int.MinValue survives math.abs negative — reject it explicitly
+    if (hRaw == Int.MinValue) return None
     val bottomUp = hRaw > 0
     val h = math.abs(hRaw)
     val bpp = le16(28)
@@ -312,7 +316,14 @@ object PixelCodec {
       }
       y += 1
     }
-    // deflate
+    assemblePng(w, h, colorType = 2, interlace = 0, raw)
+  }
+
+  /** Deflate + chunk-frame raw (filtered) scanlines into a PNG file —
+    * shared by [[synthPng]] and test fixtures building exotic layouts
+    * (gray/RGBA/interlaced), so chunk framing has ONE implementation. */
+  private[graft] def assemblePng(w: Int, h: Int, colorType: Int,
+      interlace: Int, raw: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater()
     deflater.setInput(raw)
     deflater.finish()
@@ -329,8 +340,8 @@ object PixelCodec {
       out.array()
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
       chunk("IEND", Array.empty)

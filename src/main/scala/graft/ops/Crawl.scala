@@ -46,7 +46,10 @@ object Crawl {
       // every url-keyed join reads the db side Exchange-free — the
       // co-located-join default for a CrawlDb that outweighs its
       // per-round segments by orders of magnitude
-      buckets: Option[Int] = None)
+      buckets: Option[Int] = None,
+      // record per-URL protocol elapsed ms (_rs_) so the metrics table
+      // carries real fetch_latency_* percentiles (http.store.responsetime)
+      storeResponseTime: Boolean = false)
 
   final case class RoundStats(round: Int, generated: Long, fetched: Long,
       dbSize: Long)
@@ -108,7 +111,7 @@ object Crawl {
       // block-cache holding payloads (the 100 TB shape)
       val (_, fetchMs) = Metrics.timed {
         Fetch.toSegment(seg.generate, protocol, now, seg, cfg.agent,
-          pacer = cfg.pacer)
+          pacer = cfg.pacer, storeResponseTime = cfg.storeResponseTime)
       }
       record(r, "fetcher", fetchMs, Metrics.fetcher(r, seg.fetch, seg.content))
 
@@ -131,8 +134,10 @@ object Crawl {
       linkdb.install(
         InvertLinks(seg.parseData, linkdb.read(), InvertLinks.Config()),
         s"invertlinks-r$r")
-      if (cfg.dedup)
-        crawldb.install(Dedup(crawldb.read()), s"dedup-r$r")
+      val (_, dedupMs) = Metrics.timed {
+        if (cfg.dedup)
+          crawldb.install(Dedup(crawldb.read()), s"dedup-r$r")
+      }
       // refresh the hostdb census for the next round's generator
       if (useHostDb || cfg.sitemaps)
         hostdbTable.install(
@@ -150,7 +155,7 @@ object Crawl {
           s"sitemap-r$r")
       // post-updatedb/dedup db census (crawldb job includes the round's
       // update + dedup wall time)
-      record(r, "crawldb", updMs, Metrics.crawldb(r, crawldb.read()))
+      record(r, "crawldb", updMs + dedupMs, Metrics.crawldb(r, crawldb.read()))
       segments :+= seg
       RoundStats(r, generated,
         seg.fetch.filter(_.datum.status ==

@@ -345,18 +345,26 @@ object RestServer {
         params.get("dir") match {
           case None => reply(ex, 400, """{"error":"dir required"}""")
           case Some(dir) =>
-            val t = new graft.ops.Metrics.Table(spark, dir)
-            val rows = params.get("round") match {
-              case Some(r) => t.read()
-                .where(col("round") === r.toInt)
-                .orderBy("job", "name")
-                .select(col("job"), col("name"), col("value"))
-              case None => t.summary()
+            try {
+              val t = new graft.ops.Metrics.Table(spark, dir)
+              val rows = params.get("round") match {
+                case Some(r) => t.read()
+                  .where(col("round") === r.toInt)
+                  .orderBy("job", "name")
+                  .select(col("job"), col("name"), col("value"))
+                case None => t.summary()
+              }
+              val body = rows.collect().map(r =>
+                s"""{"job":${graft.Json.str(r.getString(0))},"name":${
+                  graft.Json.str(r.getString(1))},"value":${r.getLong(2)}}""")
+              reply(ex, 200, body.mkString("[", ",", "]"))
+            } catch {
+              case _: NumberFormatException =>
+                reply(ex, 400, """{"error":"round must be an integer"}""")
+              case e: Exception =>
+                reply(ex, 500, s"""{"error":${graft.Json.str(
+                  String.valueOf(e.getMessage))}}""")
             }
-            val body = rows.collect().map(r =>
-              s"""{"job":${graft.Json.str(r.getString(0))},"name":${
-                graft.Json.str(r.getString(1))},"value":${r.getLong(2)}}""")
-            reply(ex, 200, body.mkString("[", ",", "]"))
         }
       })
 

@@ -87,14 +87,28 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
   def read(): Dataset[CrawlRow] = {
     val g = generation
     if (g == 0L) spark.emptyDataset[CrawlRow]
-    else spark.table(tableName(g)).as[CrawlRow]
+    else {
+      // the GENERATION pointer survives the process but saveAsTable's
+      // catalog entry is session-scoped: a NEW session resuming this
+      // root re-registers the generation's parquet before reading, so
+      // the bucketed layout (and its Exchange-free joins) carries
+      // across JVMs like the plain layout's <dir>/current does
+      if (!spark.catalog.tableExists(tableName(g)))
+        Bucketed.register(spark, tableName(g), s"$dir/g$g", buckets)
+      spark.table(tableName(g)).as[CrawlRow]
+    }
   }
 
   def install(next: Dataset[CrawlRow], nonce: String): Unit = {
     val g = generation + 1
     Files.createDirectories(Paths.get(dir))
     Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", buckets)
-    Files.writeString(genFile, g.toString)
+    // pointer swap mirrors Install's discipline: write-then-atomic-move,
+    // never an in-place rewrite a crash could truncate
+    val tmp = Paths.get(dir, s".GENERATION-$nonce")
+    Files.writeString(tmp, g.toString)
+    Files.move(tmp, genFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     // keep g-1 for in-flight readers (the `old` generation); drop g-2
     if (g >= 3) {
       spark.sql(s"DROP TABLE IF EXISTS `${tableName(g - 2)}`")
@@ -163,6 +177,19 @@ object Bucketed {
   def read(spark: SparkSession, tableName: String)
       : org.apache.spark.sql.DataFrame =
     spark.table(tableName)
+
+  /** Re-register an EXISTING bucketed parquet directory (written by
+    * [[install]] in an earlier session) under `tableName` without
+    * rewriting data: the files already carry saveAsTable's bucket-id
+    * naming, so a CREATE TABLE with the matching CLUSTERED BY spec
+    * restores the bucket metadata a new session's catalog lost. */
+  def register(spark: SparkSession, tableName: String, path: String,
+      buckets: Int): Unit = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS `$tableName` ($schema)
+      USING parquet OPTIONS (path '$path')
+      CLUSTERED BY (url) SORTED BY (url) INTO $buckets BUCKETS""")
+  }
 }
 
 /** The LinkDb: url → bounded inlink list (LinkDb.java, FIXTURES §A5). */

@@ -313,31 +313,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.imageDims(bytes).contains((23, 17)))
   }
 
-  // minimal PNG builder for layouts synthPng doesn't emit
+  // minimal PNG builder for layouts synthPng doesn't emit: unfiltered
+  // scanlines handed to the ONE shared chunk/deflate assembler
   private def rawPng(w: Int, h: Int, colorType: Int, channels: Int,
       pix: Array[Byte], interlace: Int = 0): Array[Byte] = {
     val stride = w * channels
     val raw = new Array[Byte](h * (1 + stride))
     for (y <- 0 until h)
       System.arraycopy(pix, y * stride, raw, y * (1 + stride) + 1, stride)
-    val d = new java.util.zip.Deflater()
-    d.setInput(raw); d.finish()
-    val z = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(12 + data.length)
-      out.putInt(data.length).put(typ.getBytes("ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(typ.getBytes("ASCII")); crc.update(data)
-      out.putInt(crc.getValue.toInt).array()
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
-      .put(interlace.toByte).array()
-    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
-      chunk("IEND", Array.empty)
+    PixelCodec.assemblePng(w, h, colorType, interlace, raw)
   }
 
   test("PNG gray and RGBA layouts normalize to RGB; exotic ones refuse") {
@@ -357,6 +341,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // header-only prefix (the old Synth.png fixture): dims parse but
     // pixel decode must refuse rather than fabricate
     assert(PixelCodec.decodePng(Multimodal.Synth.png(5, 5)).isEmpty)
+  }
+
+  test("hostile containers refuse (None) instead of throwing") {
+    // PNG chunk length near Int.MaxValue must fail the bounds check,
+    // not wrap negative and index out of bounds
+    val evil = PixelCodec.synthPng(4, 4, 0)
+    val bb = java.nio.ByteBuffer.wrap(evil)
+    bb.putInt(8, 0x7ffffff0) // IHDR declared length
+    assert(PixelCodec.decodePng(evil).isEmpty)
+    val evil2 = PixelCodec.synthPng(4, 4, 0)
+    // corrupt the IDAT length field (chunk 2 at offset 8+25)
+    java.nio.ByteBuffer.wrap(evil2).putInt(33, 0x7ffffff0)
+    assert(PixelCodec.decodePng(evil2).isEmpty)
+
+    // BMP negative data offset / Int.MinValue height
+    val bmp = PixelCodec.synthBmp(4, 4, 0)
+    val b1 = bmp.clone()
+    java.nio.ByteBuffer.wrap(b1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, 0x80000000)
+    assert(PixelCodec.decodeBmp(b1).isEmpty)
+    val b2 = bmp.clone()
+    java.nio.ByteBuffer.wrap(b2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, Int.MinValue)
+    assert(PixelCodec.decodeBmp(b2).isEmpty)
   }
 
   test("BMP bottom-up rows, BGR order, and 4-byte padding decode") {

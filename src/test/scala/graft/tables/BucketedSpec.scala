@@ -67,4 +67,36 @@ class BucketedSpec extends AnyFunSuite with SparkSuite {
     assert(Bucketed.read(spark, "b_gen").count() == 150)
     spark.sql("DROP TABLE IF EXISTS b_gen")
   }
+
+  test("bucketed crawldb resumes after a catalog wipe (new JVM)") {
+    import spark.implicits._
+    import graft.schemas.{CrawlDatum, CrawlRow}
+    val root = Files.createTempDirectory("graft-bucketed3").toString
+    val t = new BucketedCrawlDbTable(spark, root, buckets = 4)
+    val data = (1 to 60).map(i =>
+      CrawlRow(s"http://h${i % 7}.com/p$i", CrawlDatum.unfetched(i.toLong, 30)))
+    t.install(data.toDS(), "n1")
+    assert(t.read().count() == 60)
+
+    // simulate a fresh JVM: the GENERATION pointer survives on disk but
+    // saveAsTable's catalog entry does not — drop it
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_crawldb_"))
+    assert(tbl.nonEmpty)
+    tbl.foreach(n => spark.sql(s"DROP TABLE `$n`"))
+
+    val t2 = new BucketedCrawlDbTable(spark, root, buckets = 4)
+    val resumed = t2.read()
+    assert(resumed.collect().map(_.url).sorted.toSeq ==
+      data.map(_.url).sorted)
+    // the re-registered table still carries the bucket layout
+    val n2 = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_crawldb_"))
+    assert(n2.nonEmpty)
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `${n2.head}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("4"), desc)
+    assert(desc.get("Bucket Columns").exists(_.contains("url")), desc)
+    n2.foreach(n => spark.sql(s"DROP TABLE `$n`"))
+  }
 }
