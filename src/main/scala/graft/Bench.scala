@@ -27,6 +27,21 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Accumulates shuffle write bytes across completed stages — zeroed
+    * before each query so the JSON can report per-query shuffle volume,
+    * the direct scale signal: a query whose shuffle is a small multiple
+    * of its output at sf0.1 is one whose plan survives a 1000× scale-up,
+    * while a scan-sized shuffle flags a missing broadcast/pushdown. */
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def reset(): Unit = bytes.set(0L)
+    def mb: Double = bytes.get() / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,11 +63,15 @@ object Bench {
     // local iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
+      var shuffleMb = 0.0
       val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+        meter.reset()
         val t0 = System.nanoTime()
         // noop sink, not .count(): count() lets Catalyst prune every
         // output column and eliminate left joins whose right side is a
@@ -66,26 +85,34 @@ object Bench {
             String.valueOf(e.getMessage).replace('\n', ' ').take(160))
         }
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // flush the async listener bus so the meter has this query's
+        // stages before we read it (outside the timed window)
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        shuffleMb = meter.mb
+        dt
       }.toVector
-      if (err.isDefined) (name, -1.0, -1.0, err)
+      if (err.isDefined) (name, -1.0, -1.0, -1.0, err)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.length / 2), sorted.head, None)
+        (name, sorted(sorted.length / 2), sorted.head, shuffleMb, None)
       }
     }
     val loadAfter = loadAvg
-    val qs = results.map { case (k, med, _, _) => jstr(k) + ":" + med }
+    val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _) => jstr(k) + ":" + mn }
+    val mins = results.map { case (k, _, mn, _, _) => jstr(k) + ":" + mn }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val shufs = results.map { case (k, _, _, sh, _) =>
+      jstr(k) + ":" + (math.round(sh * 100) / 100.0) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMin = results.filter(_._3 >= 0).map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
-    if (results.exists(_._4.isDefined)) {
-      results.foreach { case (k, _, _, e) =>
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    if (results.exists(_._5.isDefined)) {
+      results.foreach { case (k, _, _, _, e) =>
         e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
       }
       sys.exit(1)
