@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   *   - Every top-k has a total tiebreak order on a unique key.
   *   - Aggregate/computed columns are aliased identically on both sides.
   *   - Cross-engine hashing uses md5 (the only hash both engines share).
+  *   - EVERY integer aggregate in the oracle's FINAL SELECT is wrapped
+  *     in CAST(... AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT,
+  *     which serializes as a float ("1435.0") and fails the driver's
+  *     hash compare on numerically equal values (the round-7 board's
+  *     only two reds). tools/check.py is type-strict on the int/float
+  *     divide precisely to catch this locally.
   */
 final case class Q(
     name: String,
