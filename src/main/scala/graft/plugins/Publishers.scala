@@ -141,6 +141,30 @@ object Publishers {
         }.toMap
   }
 
+  /** File-log publisher: the streaming-observability seam. Each
+    * publisher instance (= one fetch/parse task) buffers its events and
+    * seals ONE segment file of [[FetchEvent.toJson]] lines on close —
+    * written to a temp name and atomically moved, because Structured
+    * Streaming file sources discover whole files (a partially-written
+    * segment must never be visible). The segment-per-task shape is the
+    * same rolled-segment discipline as PartitionedLogWriter, and
+    * [[graft.streaming.MetricsStream]] tails the directory into
+    * windowed fetch counters. */
+  final class FileLogPublisher(dir: String) extends Publisher {
+    private val buf = new scala.collection.mutable.ArrayBuffer[String]
+    def publish(e: FetchEvent): Unit = buf += e.toJson
+    override def close(): Unit = if (buf.nonEmpty) {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      val name = s"events-${java.util.UUID.randomUUID()}"
+      val tmp = d.resolve(s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, buf.mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, d.resolve(s"$name.log"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      buf.clear()
+    }
+  }
+
   /** Test publisher: events land in a JVM-wide queue under `id`.
     * local-mode executors share the JVM, so a spec can assert the exact
     * event stream a fetch emitted. */
