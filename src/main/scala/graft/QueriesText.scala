@@ -894,9 +894,11 @@ object QueriesText {
 
   private val synthPixelsUdf = udf((fmt: Int, w: Int, h: Int, seed: Int) => {
     import graft.operators.{Multimodal, PixelCodec}
-    val bytes =
-      if (fmt == 0) PixelCodec.synthPng(w, h, seed)
-      else PixelCodec.synthBmp(w, h, seed)
+    val bytes = fmt match {
+      case 0 => PixelCodec.synthPng(w, h, seed)
+      case 1 => PixelCodec.synthBmp(w, h, seed)
+      case _ => PixelCodec.synthGif(w, h, seed)
+    }
     PixelCodec.decodePixels(bytes).map { case (dw, dh, rgb) =>
       val (sr, sg, sb) = PixelCodec.channelSums(rgb)
       (Multimodal.sniff(bytes), dw, dh, sr, sg, sb)
@@ -904,19 +906,23 @@ object QueriesText {
   })
 
   /** X6 (REAL pixel decode) — full PNG inflate + per-scanline unfilter
-    * (spec §9; the synth side cycles all five filter types) and 24-bit
-    * BMP row decode, to exact per-channel pixel sums. The planted image
-    * is the gradient (x, y, x+y+seed) at dims small enough that no
+    * (spec §9; the synth side cycles all five filter types), 24-bit
+    * BMP row decode, and GIF LZW decompression (real dictionary
+    * compression on the synth side — 9-bit codes growing with the
+    * table) to exact per-channel pixel sums. The planted PNG/BMP image
+    * is the gradient (x, y, x+y+seed), the GIF a grayscale ramp
+    * x+y+seed over a 256-gray palette, at dims small enough that no
     * channel wraps mod 256, so the oracle states the channel sums in
-    * closed form: a hash match proves the decoder reconstructed every
-    * pixel byte exactly — through zlib, filter prediction, and BMP's
-    * bottom-up padded rows. JPEG stays a labeled stub (real DCT). */
+    * closed form: a hash match proves each decoder reconstructed every
+    * pixel byte exactly — through zlib, filter prediction, BMP's
+    * bottom-up padded rows, and LZW code-by-code. Only the lossy
+    * formats (JPEG DCT, WebP VP8) stay behind the labeled stub. */
   val pixelStats = Q(
     "pixel_stats",
     (s, dir) => {
       val d = t(s, dir, "documents")
       val k = col("doc_id")
-      val r = synthPixelsUdf((k % 2).cast("int"),
+      val r = synthPixelsUdf((k % 3).cast("int"),
         (lit(8) + k % 24).cast("int"), (lit(8) + k % 16).cast("int"),
         (k % 97).cast("int"))
       d.select(k.as("doc_id"), r.as("r"))
@@ -935,25 +941,30 @@ object QueriesText {
     Some("""
       WITH p AS (
         SELECT doc_id,
+          doc_id % 3 AS fmt,
           CAST(8 + doc_id % 24 AS BIGINT) AS w,
           CAST(8 + doc_id % 16 AS BIGINT) AS h,
           CAST(doc_id % 97 AS BIGINT) AS seed
-        FROM documents)
+        FROM documents),
+      f AS (
+        SELECT doc_id, fmt, w, h, seed,
+          h * (w * (w - 1) // 2) AS sx,
+          w * (h * (h - 1) // 2) AS sy,
+          h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+            + w * h * seed AS sg
+        FROM p)
       SELECT doc_id,
-        CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END
-          AS sniffed_type,
+        CASE fmt WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+                 ELSE 'image/gif' END AS sniffed_type,
         CAST(w AS INT) AS width,
         CAST(h AS INT) AS height,
-        CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
-        CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
-        CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
-             + w * h * seed AS BIGINT) AS sum_b,
-        CAST((h * (w * (w - 1) // 2)) * 1000 // (w * h) AS BIGINT)
-          AS mean_r_milli,
-        CAST((h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
-              + w * h * seed) * 1000 // (w * h) AS BIGINT)
-          AS mean_b_milli
-      FROM p"""))
+        CAST(CASE WHEN fmt = 2 THEN sg ELSE sx END AS BIGINT) AS sum_r,
+        CAST(CASE WHEN fmt = 2 THEN sg ELSE sy END AS BIGINT) AS sum_g,
+        CAST(sg AS BIGINT) AS sum_b,
+        CAST(CASE WHEN fmt = 2 THEN sg ELSE sx END * 1000 // (w * h)
+          AS BIGINT) AS mean_r_milli,
+        CAST(sg * 1000 // (w * h) AS BIGINT) AS mean_b_milli
+      FROM f"""))
 
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,

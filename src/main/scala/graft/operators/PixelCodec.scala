@@ -2,11 +2,16 @@ package graft.operators
 
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Real pixel decode for the codec-free container: PNG and BMP are the
-  * two raster formats whose full decode needs no codec library — PNG is
-  * zlib (JDK Inflater) plus five per-scanline prediction filters (PNG
-  * spec §9, RFC 2083), BMP is raw padded rows. JPEG/GIF/WebP stay
-  * behind [[Multimodal.decodeStub]] (DCT/LZW/VP8 are genuine codecs).
+/** Real pixel decode for the codec-free container: PNG, BMP and GIF
+  * are the raster formats whose full decode needs no codec library —
+  * PNG is zlib (JDK Inflater) plus five per-scanline prediction
+  * filters (PNG spec §9, RFC 2083), BMP is raw padded rows, GIF is
+  * LZW (GIF89a spec appendix F) over an indexed palette, implemented
+  * here bit-exactly including 9→12-bit code growth, deferred-clear
+  * table-full behavior, and 4-pass interlacing. Only the LOSSY
+  * formats (JPEG/WebP — DCT/VP8) stay behind [[Multimodal.decodeStub]]:
+  * their inverse transforms are decoder-implementation-defined at the
+  * rounding level, so a first-party decode could not be oracle-exact.
   *
   * The reference delegates image parsing to an external library
   * (src/plugin/parse-tika); here the decode is first-party so the
@@ -159,12 +164,177 @@ object PixelCodec {
     Some((w, h, rgb))
   }
 
-  /** Dispatch: PNG and BMP decode for real; every other payload → None
-    * (caller falls back to the labeled stub). */
+  /** Decode the first frame of a GIF87a/GIF89a image: palette lookup
+    * over a full LZW decompression of the image data, honoring local
+    * color tables and the 4-pass interlace row order. Extensions
+    * (graphic control, comments, application) are skipped; later
+    * frames of an animation are ignored — frame 1 is the still.
+    * Returns None on any malformed structure. */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 13) return None
+    val hdr = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var globalPal: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      if (pos + n > bytes.length) return None
+      globalPal = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+    }
+    // walk blocks to the first image descriptor
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while (pos < bytes.length && bytes(pos) != 0)
+            pos += 1 + (bytes(pos) & 0xff)
+          if (pos >= bytes.length) return None
+          pos += 1 // block terminator
+        case 0x2c =>
+          if (pos + 10 > bytes.length) return None
+          val w = le16(pos + 5); val h = le16(pos + 7)
+          val ip = bytes(pos + 9) & 0xff
+          pos += 10
+          var pal = globalPal
+          if ((ip & 0x80) != 0) { // local color table wins
+            val n = 3 * (1 << ((ip & 7) + 1))
+            if (pos + n > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+            pos += n
+          }
+          if (pal == null || w <= 0 || h <= 0 ||
+              w.toLong * h > 64L * 1024 * 1024) return None
+          if (pos >= bytes.length) return None
+          val minCode = bytes(pos) & 0xff
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < bytes.length && bytes(pos) != 0) {
+            val n = bytes(pos) & 0xff
+            if (pos + 1 + n > bytes.length) return None
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          if (pos >= bytes.length) return None
+          val idx = gifLzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          val rgb = new Array[Byte](w * h * 3)
+          val nColors = pal.length / 3
+          var i = 0 // STORED row index; deinterlaceRow maps it to display
+          while (i < h) {
+            val dispRow = if ((ip & 0x40) != 0) deinterlaceRow(i, h) else i
+            var x = 0
+            while (x < w) {
+              val ci = idx(i * w + x) & 0xff
+              if (ci >= nColors) return None
+              val d = (dispRow * w + x) * 3
+              rgb(d) = pal(ci * 3)
+              rgb(d + 1) = pal(ci * 3 + 1)
+              rgb(d + 2) = pal(ci * 3 + 2)
+              x += 1
+            }
+            i += 1
+          }
+          return Some((w, h, rgb))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Output row for interlace pass order (GIF89a spec appendix E):
+    * stored row i of an h-row interlaced image lands at this display
+    * row — passes start at 0,4,2,1 with strides 8,8,4,2. */
+  private[operators] def deinterlaceRow(i: Int, h: Int): Int = {
+    val p1 = (h + 7) / 8          // rows 0, 8, 16, ...
+    val p2 = (h + 3) / 8          // rows 4, 12, ...
+    val p3 = (h + 1) / 4          // rows 2, 6, ...
+    if (i < p1) i * 8
+    else if (i < p1 + p2) 4 + (i - p1) * 8
+    else if (i < p1 + p2 + p3) 2 + (i - p1 - p2) * 4
+    else 1 + (i - p1 - p2 - p3) * 2
+  }
+
+  /** GIF-flavor LZW decode: codes packed LSB-first, width grows from
+    * minCode+1 up to 12 bits as the table fills, CLEAR resets, table
+    * stops growing at 4096 (deferred clear — decode continues with the
+    * frozen table). Returns exactly `expect` palette indices, or None
+    * on a malformed stream. */
+  private[operators] def gifLzwDecode(data: Array[Byte], minCode: Int,
+      expect: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    // table as (prefix link, suffix byte): entry strings are walked
+    // back-to-front through prefix links — O(1) per added entry, no
+    // per-entry array copies on a 4096-entry table
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expect)
+    var outN = 0
+    var next = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var di = 0
+    val tail = new Array[Byte](4096) // scratch for reversed entry walk
+    def emit(code: Int): Int = { // returns first byte of the entry
+      var c = code; var n = 0
+      while (c >= clear) { tail(n) = suffix(c); n += 1; c = prefix(c) }
+      val first = c // literal at the root of the prefix chain
+      if (outN + n + 1 > expect) return -1
+      out(outN) = first.toByte; outN += 1
+      var i = n - 1
+      while (i >= 0) { out(outN) = tail(i); outN += 1; i -= 1 }
+      first & 0xff
+    }
+    def firstCharOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (outN < expect) {
+      while (accBits < width) {
+        if (di >= data.length) return None // truncated
+        acc |= (data(di) & 0xffL) << accBits
+        accBits += 8; di += 1
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) { next = end + 1; width = minCode + 1; prev = -1 }
+      else if (code == end) return if (outN == expect) Some(out) else None
+      else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        out(outN) = code.toByte; outN += 1
+        prev = code
+      } else {
+        // either an existing entry, or (KwKwK) the one being defined now
+        if (code > next || (code == next && next >= 4096)) return None
+        // adding the entry BEFORE emitting makes the KwKwK case
+        // (code == next: prev's string + prev's first char) uniform
+        val first = firstCharOf(if (code == next) prev else code)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        if (emit(code) < 0) return None // over-long output: malformed
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** Dispatch: PNG, BMP and GIF decode for real; every other payload →
+    * None (caller falls back to the labeled stub). */
   def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (bytes == null || bytes.length < 2) None
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I') decodeGif(bytes)
     else None
 
   private def toRgb(img: Array[Byte], w: Int, h: Int,
@@ -345,6 +515,100 @@ object PixelCodec {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
       chunk("IEND", Array.empty)
+  }
+
+  /** GIF-flavor LZW ENCODE of palette indices: a real dictionary
+    * compressor (hash-map of (prefix code, byte) → code), emitting
+    * codes LSB-first with the decoder-matched width schedule — the
+    * encoder bumps width when `next == (1 << width) + 1`, one later
+    * than the decoder's `next == 1 << width`, because the decoder adds
+    * its table entry one code behind the encoder. A CLEAR is emitted
+    * when the table approaches full. Exercised against [[gifLzwDecode]]
+    * by randomized round-trip property tests. */
+  private[operators] def gifLzwEncode(indices: Array[Byte],
+      minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += width
+      while (accBits >= 8) {
+        out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var next = end + 1
+    def reset(): Unit = { dict.clear(); next = end + 1 }
+    put(clear)
+    if (indices.nonEmpty) {
+      var cur: Int = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val px = indices(i) & 0xff
+        val key = (cur << 8) | px
+        val hit = dict.get(key)
+        if (hit != null) cur = hit
+        else {
+          put(cur)
+          dict.put(key, next); next += 1
+          if (next == (1 << width) + 1 && width < 12) width += 1
+          if (next >= 4095) { // table nearly full: clear both sides
+            put(clear); reset(); width = minCode + 1
+          }
+          cur = px
+        }
+        i += 1
+      }
+      put(cur)
+      // the decoder adds one more table entry on receiving this final
+      // code and may cross a width boundary BEFORE reading END — mirror
+      // that accounting or END arrives one bit narrow
+      next += 1
+      if (next == (1 << width) + 1 && width < 12) width += 1
+    }
+    put(end)
+    if (accBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** A REAL compressed GIF89a: grayscale gradient v = x + y + seed over
+    * a 256-entry gray ramp palette, LZW-compressed by [[gifLzwEncode]].
+    * Caller keeps w + h + seed < 257 so no channel wraps and the
+    * channel sums have the closed form h·w(w−1)/2 + w·h(h−1)/2 + w·h·seed
+    * (identical for R, G and B — the palette is gray). */
+  def synthGif(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w + h + seed < 257, "gradient must not wrap mod 256")
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { idx(y * w + x) = (x + y + seed).toByte; x += 1 }
+      y += 1
+    }
+    val lzw = gifLzwEncode(idx, minCode = 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | 7) // global color table, 2^8 entries
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x2c) // image descriptor: full frame, no local table
+    le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(8) // LZW min code size
+    var off = 0
+    while (off < lzw.length) { // ≤255-byte data sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
   }
 
   /** A 24-bit bottom-up BMP with the same pixel formula as [[synthPng]],

@@ -404,7 +404,7 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(Multimodal.sniff(stub.payload) == "image/jpeg") // prefix copy
   }
 
-  test("decodeFeatures: real stats for PNG/BMP, stub elsewhere") {
+  test("decodeFeatures: real stats for PNG/BMP/GIF, stub for lossy") {
     val (w, h, feats, real) =
       Multimodal.decodeFeatures(PixelCodec.synthPng(10, 10, 0))
     assert(real && (w, h) == (10, 10))
@@ -413,8 +413,103 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val (_, _, _, bmpReal) =
       Multimodal.decodeFeatures(PixelCodec.synthBmp(4, 4, 0))
     assert(bmpReal)
+    val (_, _, _, gifReal) =
+      Multimodal.decodeFeatures(PixelCodec.synthGif(9, 7, 3))
+    assert(gifReal, "GIF LZW decodes for real since r8")
     val (_, _, _, jpegReal) =
       Multimodal.decodeFeatures(Multimodal.Synth.jpeg(10, 10))
     assert(!jpegReal, "JPEG is a genuine codec: stays on the labeled stub")
+  }
+
+  test("GIF round trip reconstructs exact pixels through real LZW") {
+    val bytes = PixelCodec.synthGif(23, 17, 31)
+    val Some((w, h, rgb)) = PixelCodec.decodeGif(bytes)
+    assert((w, h) == (23, 17) && rgb.length == 23 * 17 * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      val v = x + y + 31 // gray ramp palette: all three channels = v
+      assert((rgb(p) & 0xff) == v && (rgb(p + 1) & 0xff) == v &&
+        (rgb(p + 2) & 0xff) == v, s"pixel ($x,$y)")
+    }
+    // dispatch + header-dims agreement
+    assert(PixelCodec.decodePixels(bytes).isDefined)
+    assert(Multimodal.imageDims(bytes).contains((23, 17)))
+    assert(Multimodal.sniff(bytes) == "image/gif")
+  }
+
+  test("GIF LZW survives adversarial streams: KwKwK, width growth, " +
+      "table-full clear") {
+    def roundTrip(idx: Array[Byte], minCode: Int): Unit = {
+      val enc = PixelCodec.gifLzwEncode(idx, minCode)
+      val dec = PixelCodec.gifLzwDecode(enc, minCode, idx.length)
+      assert(dec.isDefined, s"decode failed: n=${idx.length} min=$minCode")
+      assert(java.util.Arrays.equals(dec.get, idx),
+        s"mismatch: n=${idx.length} min=$minCode")
+    }
+    // all-same-symbol: maximal KwKwK chains (code == next every step)
+    roundTrip(Array.fill(5000)(0.toByte), 2)
+    roundTrip(Array.fill(5000)(7.toByte), 8)
+    // random 256-symbol stream long enough to cross 9→10→11→12 bit
+    // widths AND hit the table-full clear (≥3837 dictionary misses)
+    val rnd = new scala.util.Random(42)
+    roundTrip(Array.fill(60000)((rnd.nextInt(256)).toByte), 8)
+    // 4-symbol alphabet at the minimum code size
+    roundTrip(Array.fill(20000)((rnd.nextInt(4)).toByte), 2)
+    // highly repetitive with bursts: long dictionary hits then misses
+    val bursty = Array.tabulate(30000) { i =>
+      (if ((i / 500) % 2 == 0) i % 3 else rnd.nextInt(256)).toByte
+    }
+    roundTrip(bursty, 8)
+    // single pixel and tiny images
+    roundTrip(Array[Byte](5), 8)
+    roundTrip(Array[Byte](1, 1), 2)
+  }
+
+  test("GIF interlace: stored pass order maps back to display rows") {
+    // h=10 pass rows: 0,8 | 4 | 2,6 | 1,3,5,7,9
+    assert((0 until 10).map(PixelCodec.deinterlaceRow(_, 10)) ==
+      Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+    // build an interlaced GIF by hand: rows stored in pass order, each
+    // display row y filled with value y; decode must un-shuffle
+    val w = 4; val h = 10
+    val stored = new Array[Byte](w * h)
+    for (i <- 0 until h; x <- 0 until w)
+      stored(i * w + x) = PixelCodec.deinterlaceRow(i, h).toByte
+    val lzw = PixelCodec.gifLzwEncode(stored, 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h); out.write(0x80 | 7); out.write(0); out.write(0)
+    for (c <- 0 until 256) { out.write(c); out.write(c); out.write(c) }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+    out.write(0x40) // interlace flag, no local table
+    out.write(8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0); out.write(0x3b)
+    val Some((dw, dh, rgb)) = PixelCodec.decodeGif(out.toByteArray)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((rgb((y * w + x) * 3) & 0xff) == y, s"row $y x $x")
+  }
+
+  test("hostile GIFs refuse (None) instead of throwing") {
+    val good = PixelCodec.synthGif(8, 8, 0)
+    // truncated mid-LZW-data
+    assert(PixelCodec.decodeGif(good.take(good.length - 10)).isEmpty)
+    // truncated inside the palette
+    assert(PixelCodec.decodeGif(good.take(20)).isEmpty)
+    // header-only fixture (Synth.gif): no image data at all
+    assert(PixelCodec.decodeGif(Multimodal.Synth.gif(5, 5)).isEmpty)
+    // extension block that never terminates
+    val ext = good.take(13 + 768).toArray ++
+      Array[Byte](0x21, 0xf9.toByte, 4) ++ Array.fill(200)(1.toByte)
+    assert(PixelCodec.decodeGif(ext).isEmpty)
+    // trailer before any image descriptor
+    assert(PixelCodec.decodeGif(
+      good.take(13 + 768).toArray :+ 0x3b.toByte).isEmpty)
   }
 }
