@@ -966,9 +966,62 @@ object QueriesText {
         CAST(sg * 1000 // (w * h) AS BIGINT) AS mean_b_milli
       FROM f"""))
 
+  private val synthPcmUdf = udf((n: Int, seed: Int) => {
+    import graft.operators.Multimodal
+    Multimodal.pcmStats(Multimodal.Synth.wavPcm(16000, n, seed))
+      .map(s => (s.n_samples, s.sum_abs, s.sum_sq, s.peak, s.trough,
+        s.zero_cross))
+  })
+
+  /** X6 (REAL audio sample decode) — full 16-bit PCM WAV decode to
+    * integer-exact waveform statistics, the audio analog of
+    * pixel_stats: the planted clip is the sawtooth ((i+seed) mod 200)
+    * − 100, and the oracle RECOMPUTES every sample from (n, seed) via
+    * a correlated unnest + lag window, so a hash match proves the
+    * decoder reconstructed the entire sample stream — chunk walk, LE
+    * int16 sign extension, and the strict-sign-flip zero-crossing rule
+    * included. Compressed audio (FLAC/MP3) stays header-only: those
+    * are genuine codecs. */
+  val audioStats = Q(
+    "audio_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthPcmUdf((lit(400) + k % 300).cast("int"),
+        (k % 200).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("n_samples"),
+          col("r._2").as("sum_abs"),
+          col("r._3").as("sum_sq"),
+          col("r._4").as("peak"),
+          col("r._5").as("trough"),
+          col("r._6").as("zero_cross"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, 400 + doc_id % 300 AS n, doc_id % 200 AS seed
+        FROM documents),
+      s AS (
+        SELECT doc_id, i, ((i + seed) % 200) - 100 AS v
+        FROM (SELECT doc_id, seed, unnest(range(n)) AS i FROM p)),
+      w AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_samples,
+        CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        CAST(MAX(v) AS INT) AS peak,
+        CAST(MIN(v) AS INT) AS trough,
+        CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      FROM w GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
-    multimodalDims, audioMeta, videoFrames, pixelStats)
+    multimodalDims, audioMeta, videoFrames, pixelStats, audioStats)
 }

@@ -377,6 +377,66 @@ object Multimodal {
     }
   }
 
+  /** Decoded PCM waveform statistics — integer-exact, one streaming
+    * pass over the sample data (no sample array materialized; executor
+    * memory per row is O(1) regardless of clip length). */
+  final case class PcmStats(n_samples: Long, sum_abs: Long, sum_sq: Long,
+      peak: Int, trough: Int, zero_cross: Long)
+
+  /** REAL audio SAMPLE decode for the codec-free container: 16-bit PCM
+    * WAV needs no codec — samples are raw LE int16 in the data chunk,
+    * the audio analog of PNG/BMP/GIF on the image side. Computes
+    * waveform statistics over the interleaved sample stream (mono
+    * fixtures; for multi-channel input the stats are channel-mixed by
+    * construction — documented, deterministic). Zero crossings count
+    * strict sign flips (prev·cur < 0); zero samples break no run.
+    * Compressed audio (FLAC/MP3) stays header-only ([[audioMeta]]) —
+    * those are genuine codecs. Returns None unless the payload is a
+    * well-formed PCM(1) 16-bit WAV with an in-bounds data chunk. */
+  def pcmStats(bytes: Array[Byte]): Option[PcmStats] = {
+    if (sniff(bytes) != "audio/wav" || bytes.length < 36) return None
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def le16(i: Int): Int = at(i) | (at(i + 1) << 8)
+    def le32(i: Int): Long = (at(i) | (at(i + 1) << 8) | (at(i + 2) << 16) |
+      (at(i + 3) << 24)).toLong & 0xffffffffL
+    def fourcc(i: Int): String = new String(bytes.slice(i, i + 4),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    var o = 12
+    var fmt = -1
+    var dataAt = -1; var dataSize = -1L
+    while ((fmt < 0 || dataAt < 0) && o + 8 <= bytes.length) {
+      val id = fourcc(o)
+      val size = le32(o + 4)
+      if (id == "fmt ") fmt = o + 8
+      else if (id == "data") { dataAt = o + 8; dataSize = size }
+      if (size < 0 || size > bytes.length) o = bytes.length // malformed
+      else o += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmt < 0 || dataAt < 0 || fmt + 16 > bytes.length) return None
+    val codec = le16(fmt)
+    val bits = le16(fmt + 14)
+    if (codec != 1 || bits != 16) return None // PCM 16-bit only
+    if (dataAt.toLong + dataSize > bytes.length || dataSize % 2 != 0)
+      return None
+    val n = dataSize / 2
+    var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+    var peak = Int.MinValue; var trough = Int.MaxValue
+    var prev = 0
+    var i = 0L
+    while (i < n) {
+      val p = dataAt + (i * 2).toInt
+      val s = (le16(p) << 16) >> 16 // sign-extend int16
+      sumAbs += math.abs(s); sumSq += s.toLong * s
+      if (s > peak) peak = s
+      if (s < trough) trough = s
+      if (i > 0 && prev.toLong * s < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    if (n == 0) { peak = 0; trough = 0 }
+    Some(PcmStats(n, sumAbs, sumSq, peak, trough, zc))
+  }
+
   /** Deterministic synthetic image fixtures (header + minimal body) for
     * oracle queries and specs — each is a VALID container prefix whose
     * dims round-trip through [[imageDims]]. */
@@ -426,6 +486,23 @@ object Multimodal {
         le16b(1) ++ le16b(channels) ++ le32(sampleRate.toLong) ++
         le32(sampleRate.toLong * blockAlign) ++ le16b(blockAlign) ++
         le16b(16) ++ "data".getBytes("ASCII") ++ le32(dataSize)
+    }
+
+    /** A COMPLETE mono 16-bit PCM WAV (header + real sample data): the
+      * deterministic sawtooth s(i) = ((i + seed) mod 200) − 100, so
+      * waveform statistics have a form the oracle can recompute
+      * directly from (n, seed). */
+    def wavPcm(sampleRate: Int, nSamples: Int, seed: Int): Array[Byte] = {
+      val header = wav(sampleRate, 1, nSamples.toLong)
+      val out = java.util.Arrays.copyOf(header, header.length + nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (i + seed) % 200 - 100
+        out(header.length + i * 2) = (s & 0xff).toByte
+        out(header.length + i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
     }
     def flac(sampleRate: Int, channels: Int, totalSamples: Long)
         : Array[Byte] = {

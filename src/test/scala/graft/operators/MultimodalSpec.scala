@@ -496,6 +496,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
       assert((rgb((y * w + x) * 3) & 0xff) == y, s"row $y x $x")
   }
 
+  test("PCM WAV sample decode: exact waveform stats, refusals honest") {
+    val n = 523; val seed = 37
+    val bytes = Multimodal.Synth.wavPcm(16000, n, seed)
+    val Some(st) = Multimodal.pcmStats(bytes)
+    // independent recompute of the sawtooth
+    val samples = (0 until n).map(i => (i + seed) % 200 - 100)
+    assert(st.n_samples == n)
+    assert(st.sum_abs == samples.map(math.abs).sum)
+    assert(st.sum_sq == samples.map(s => s.toLong * s).sum)
+    assert(st.peak == samples.max && st.trough == samples.min)
+    assert(st.zero_cross == samples.sliding(2).count(p =>
+      p.head.toLong * p(1) < 0))
+    // header-only fixture declares data it doesn't carry: refuse
+    assert(Multimodal.pcmStats(Multimodal.Synth.wav(8000, 1, 100L)).isEmpty)
+    // truncated sample stream
+    assert(Multimodal.pcmStats(bytes.take(bytes.length - 11)).isEmpty)
+    // non-16-bit PCM: flip the bits-per-sample field (offset 34)
+    val b8 = bytes.clone(); b8(34) = 8
+    assert(Multimodal.pcmStats(b8).isEmpty)
+    // non-PCM codec id (offset 20)
+    val alaw = bytes.clone(); alaw(20) = 6
+    assert(Multimodal.pcmStats(alaw).isEmpty)
+    // negative samples survive sign extension: seed forcing min -100
+    val Some(st2) = Multimodal.pcmStats(Multimodal.Synth.wavPcm(8000, 200, 0))
+    assert(st2.trough == -100 && st2.peak == 99)
+  }
+
   test("hostile GIFs refuse (None) instead of throwing") {
     val good = PixelCodec.synthGif(8, 8, 0)
     // truncated mid-LZW-data
