@@ -168,13 +168,18 @@ object PixelCodec {
     * over a full LZW decompression of the image data, honoring local
     * color tables and the 4-pass interlace row order. Extensions
     * (graphic control, comments, application) are skipped; later
-    * frames of an animation are ignored — frame 1 is the still.
-    * Returns None on any malformed structure. */
+    * frames of an animation are ignored — frame 1 is the still. The
+    * frame must COVER the logical screen (offset 0,0, same dims):
+    * optimized/animated GIFs whose first frame is a partial patch are
+    * refused rather than decoded into pixels inconsistent with the
+    * header dims other consumers report. Returns None on any
+    * malformed structure. */
   def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 13) return None
     val hdr = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
     def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    val screenW = le16(6); val screenH = le16(8)
     val packed = bytes(10) & 0xff
     var pos = 13
     var globalPal: Array[Byte] = null
@@ -196,7 +201,16 @@ object PixelCodec {
           pos += 1 // block terminator
         case 0x2c =>
           if (pos + 10 > bytes.length) return None
+          val left = le16(pos + 1); val top = le16(pos + 3)
           val w = le16(pos + 5); val h = le16(pos + 7)
+          // only FULL-frame stills decode here: a frame at an offset or
+          // smaller than the logical screen (optimized/animated GIFs)
+          // would make these pixels geometrically inconsistent with the
+          // header dims every other consumer (imageDims, resize) reports
+          // — refuse honestly and let callers fall back, the same
+          // posture as PNG Adam7
+          if (left != 0 || top != 0 || w != screenW || h != screenH)
+            return None
           val ip = bytes(pos + 9) & 0xff
           pos += 10
           var pal = globalPal
@@ -574,6 +588,37 @@ object PixelCodec {
     out.toByteArray
   }
 
+  /** GIF89a container framing around already-encoded indices: gray
+    * 256-ramp global palette, one full-frame image descriptor,
+    * ≤255-byte data sub-blocks — ONE writer shared by [[synthGif]] and
+    * the interlace test fixture, so container layout can't diverge
+    * from the path the decoder is tested against. */
+  private[operators] def assembleGif(w: Int, h: Int, indices: Array[Byte],
+      interlace: Boolean): Array[Byte] = {
+    val lzw = gifLzwEncode(indices, minCode = 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | 7) // global color table, 2^8 entries
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x2c) // image descriptor: full frame, no local table
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlace) 0x40 else 0)
+    out.write(8) // LZW min code size
+    var off = 0
+    while (off < lzw.length) { // ≤255-byte data sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** A REAL compressed GIF89a: grayscale gradient v = x + y + seed over
     * a 256-entry gray ramp palette, LZW-compressed by [[gifLzwEncode]].
     * Caller keeps w + h + seed < 257 so no channel wraps and the
@@ -588,27 +633,7 @@ object PixelCodec {
       while (x < w) { idx(y * w + x) = (x + y + seed).toByte; x += 1 }
       y += 1
     }
-    val lzw = gifLzwEncode(idx, minCode = 8)
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF89a".getBytes("ASCII"))
-    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    le16(w); le16(h)
-    out.write(0x80 | 7) // global color table, 2^8 entries
-    out.write(0); out.write(0)
-    var c = 0
-    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
-    out.write(0x2c) // image descriptor: full frame, no local table
-    le16(0); le16(0); le16(w); le16(h); out.write(0)
-    out.write(8) // LZW min code size
-    var off = 0
-    while (off < lzw.length) { // ≤255-byte data sub-blocks
-      val n = math.min(255, lzw.length - off)
-      out.write(n); out.write(lzw, off, n)
-      off += n
-    }
-    out.write(0) // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
+    assembleGif(w, h, idx, interlace = false)
   }
 
   /** A 24-bit bottom-up BMP with the same pixel formula as [[synthPng]],

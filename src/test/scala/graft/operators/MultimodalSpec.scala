@@ -469,31 +469,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     // h=10 pass rows: 0,8 | 4 | 2,6 | 1,3,5,7,9
     assert((0 until 10).map(PixelCodec.deinterlaceRow(_, 10)) ==
       Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
-    // build an interlaced GIF by hand: rows stored in pass order, each
-    // display row y filled with value y; decode must un-shuffle
+    // interlaced GIF through the SAME container writer as synthGif:
+    // rows stored in pass order, each display row y filled with value
+    // y; decode must un-shuffle
     val w = 4; val h = 10
     val stored = new Array[Byte](w * h)
     for (i <- 0 until h; x <- 0 until w)
       stored(i * w + x) = PixelCodec.deinterlaceRow(i, h).toByte
-    val lzw = PixelCodec.gifLzwEncode(stored, 8)
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF89a".getBytes("ASCII"))
-    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    le16(w); le16(h); out.write(0x80 | 7); out.write(0); out.write(0)
-    for (c <- 0 until 256) { out.write(c); out.write(c); out.write(c) }
-    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
-    out.write(0x40) // interlace flag, no local table
-    out.write(8)
-    var off = 0
-    while (off < lzw.length) {
-      val n = math.min(255, lzw.length - off)
-      out.write(n); out.write(lzw, off, n); off += n
-    }
-    out.write(0); out.write(0x3b)
-    val Some((dw, dh, rgb)) = PixelCodec.decodeGif(out.toByteArray)
+    val bytes = PixelCodec.assembleGif(w, h, stored, interlace = true)
+    val Some((dw, dh, rgb)) = PixelCodec.decodeGif(bytes)
     assert((dw, dh) == (w, h))
     for (y <- 0 until h; x <- 0 until w)
       assert((rgb((y * w + x) * 3) & 0xff) == y, s"row $y x $x")
+  }
+
+  test("GIF partial frame (offset or sub-screen) refuses honestly") {
+    // a frame smaller than the logical screen, or at an offset, would
+    // decode pixels inconsistent with the header dims — must be None
+    val good = PixelCodec.synthGif(8, 8, 0)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    val desc = 13 + 768 // image descriptor offset (no extensions)
+    assert((good(desc) & 0xff) == 0x2c)
+    // frame 4x8 at origin: narrower than the 8x8 screen
+    assert(PixelCodec.decodeGif(patched(_(desc + 5) = 4)).isEmpty)
+    // full-size frame but at left offset 1
+    assert(PixelCodec.decodeGif(patched(_(desc + 1) = 1)).isEmpty)
+    // top offset 2
+    assert(PixelCodec.decodeGif(patched(_(desc + 3) = 2)).isEmpty)
   }
 
   test("PCM WAV sample decode: exact waveform stats, refusals honest") {
