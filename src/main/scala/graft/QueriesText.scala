@@ -1019,9 +1019,66 @@ object QueriesText {
                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
       FROM w GROUP BY 1"""))
 
+  private val synthFlacUdf = udf((n: Int, seed: Int) => {
+    import graft.operators.Multimodal
+    Multimodal.flacStats(Multimodal.Synth.flacPcm(16000, n, seed))
+      .map(s => (s.n_samples, s.sum_abs, s.sum_sq, s.peak, s.trough,
+        s.zero_cross))
+  })
+
+  /** X6 (REAL compressed-audio decode) — FLAC through the first-party
+    * rice/fixed-predictor codec ([[graft.operators.FlacCodec]],
+    * RFC 9639) to the same integer-exact waveform statistics as
+    * audio_stats: the planted clip is the sawtooth ((i+seed) mod 200)
+    * − 100, REALLY compressed on the synth side (~4× smaller than the
+    * raw PCM, frame CRCs and stream MD5 included), and the oracle
+    * RECOMPUTES every sample from (n, seed), so a hash match proves
+    * the decoder reconstructed the entire compressed stream —
+    * frame/subframe headers, rice unary/remainder bits, predictor
+    * restoration, CRC-8/CRC-16 and the MD5 signature. Clip lengths
+    * cross the 4096-sample frame boundary so multi-frame assembly is
+    * in the proved path. Only lossy audio (MP3) remains header-only. */
+  val flacStats = Q(
+    "flac_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthFlacUdf((lit(3900) + k % 400).cast("int"),
+        (k % 193).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("n_samples"),
+          col("r._2").as("sum_abs"),
+          col("r._3").as("sum_sq"),
+          col("r._4").as("peak"),
+          col("r._5").as("trough"),
+          col("r._6").as("zero_cross"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, 3900 + doc_id % 400 AS n, doc_id % 193 AS seed
+        FROM documents),
+      s AS (
+        SELECT doc_id, i, ((i + seed) % 200) - 100 AS v
+        FROM (SELECT doc_id, seed, unnest(range(n)) AS i FROM p)),
+      w AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_samples,
+        CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        CAST(MAX(v) AS INT) AS peak,
+        CAST(MIN(v) AS INT) AS trough,
+        CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      FROM w GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
-    multimodalDims, audioMeta, videoFrames, pixelStats, audioStats)
+    multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
+    flacStats)
 }

@@ -1,0 +1,624 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+/** First-party FLAC codec (RFC 9639) — extends the codec-free decode
+  * story from lossless images (PNG/BMP/GIF in [[PixelCodec]]) to
+  * COMPRESSED lossless audio: FLAC's entropy layer is rice-coded
+  * linear-prediction residuals, fully specified and integer-exact, so
+  * unlike JPEG/MP3 a first-party decode can be oracle-exact down to
+  * the last sample.
+  *
+  * The reference's media parsing delegates audio containers to an
+  * external library (src/plugin/parse-tika); here both sides are
+  * first-party so a round-trip proves the decoder against planted
+  * closed-form waveforms (the `flac_stats` oracle query), the same
+  * discipline as the GIF LZW encoder/decoder pair.
+  *
+  * Decoder coverage (everything a subset-compliant encoder may emit):
+  * STREAMINFO + skipped metadata blocks; fixed and variable blocking;
+  * all block-size/sample-rate/sample-size header codes; UTF-8 coded
+  * frame/sample numbers; subframe types CONSTANT, VERBATIM, FIXED
+  * (orders 0–4) and LPC (orders 1–32, quantized coefficients with
+  * negative-shift guard); rice and rice2 residual partitions including
+  * escape (raw) partitions; wasted-bits shifting; stereo
+  * left-side/right-side/mid-side decorrelation (side channel +1 bit);
+  * CRC-8 header and CRC-16 frame verification; STREAMINFO MD5 check
+  * over the decoded stream when present.
+  *
+  * Encoder (mono 16-bit, the synth side of the oracle): per-frame best
+  * fixed predictor (orders 0–2) chosen by residual magnitude, optimal
+  * single-partition rice parameter, CONSTANT and VERBATIM fallbacks,
+  * real CRCs and stream MD5 — a genuine compressor: the sawtooth test
+  * signal compresses ~4× vs raw PCM.
+  */
+object FlacCodec {
+
+  final case class FlacAudio(sampleRate: Int, channels: Int, bps: Int,
+                             samples: Array[Array[Int]])
+
+  // ---- CRCs (FLAC frame polynomials) ----
+
+  private[operators] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[operators] def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---- bit IO (MSB-first, as the FLAC bitstream) ----
+
+  private final class BitReader(bytes: Array[Byte]) {
+    var pos: Int = 0 // bit position
+    def bytePos: Int = pos >>> 3
+    def atByteBoundary: Boolean = (pos & 7) == 0
+    def alignToByte(): Unit = pos = (pos + 7) & ~7
+    def remainingBits: Int = bytes.length * 8 - pos
+    def readBit(): Int = {
+      val b = (bytes(pos >>> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      b
+    }
+    /** n ≤ 32 unsigned bits. */
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readBitsLong(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** n ≤ 32 signed (two's complement) bits. */
+    def readSigned(n: Int): Int =
+      if (n == 0) 0
+      else {
+        val v = readBits(n)
+        (v << (32 - n)) >> (32 - n)
+      }
+    /** Unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit((v >>> i) & 1); i -= 1 }
+    }
+    def writeBitsLong(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def padToByte(): Unit = while (nBits != 0) writeBit(0)
+    def toBytes: Array[Byte] = { padToByte(); out.toByteArray }
+  }
+
+  // ---- encode (mono, 16-bit) ----
+
+  private val MaxBlock = 4096
+
+  private def zigzag(v: Int): Int = (v << 1) ^ (v >> 31)
+
+  /** Residuals of the fixed predictor of the given order over s,
+    * starting at index `order`. */
+  private def fixedResidual(s: Array[Int], order: Int): Array[Int] = {
+    val r = new Array[Int](s.length - order)
+    var i = order
+    while (i < s.length) {
+      val v = order match {
+        case 0 => s(i)
+        case 1 => s(i) - s(i - 1)
+        case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
+        case 3 => s(i) - 3 * s(i - 1) + 3 * s(i - 2) - s(i - 3)
+        case _ => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
+      }
+      r(i - order) = v
+      i += 1
+    }
+    r
+  }
+
+  /** Exact bit cost of one rice partition at parameter k. */
+  private def riceCost(res: Array[Int], k: Int): Long = {
+    var c = 0L
+    var i = 0
+    while (i < res.length) {
+      c += (zigzag(res(i)).toLong >>> k) + 1 + k
+      i += 1
+    }
+    c
+  }
+
+  private def writeRice(w: BitWriter, res: Array[Int], k: Int): Unit = {
+    var i = 0
+    while (i < res.length) {
+      val u = zigzag(res(i))
+      var q = u >>> k
+      while (q > 0) { w.writeBit(0); q -= 1 }
+      w.writeBit(1)
+      w.writeBits(u & ((1 << k) - 1), k)
+      i += 1
+    }
+  }
+
+  private def writeUtf8Number(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    if (v < 0x80) out.write(v.toInt)
+    else {
+      // count of payload bits determines the byte count
+      var nBytes = 2
+      while (nBytes < 7 && v >= (1L << (nBytes * 5 + 1))) nBytes += 1
+      val lead = (0xff << (8 - nBytes)) & 0xff
+      out.write(lead | ((v >>> ((nBytes - 1) * 6)) & ((1 << (7 - nBytes)) - 1)).toInt)
+      var i = nBytes - 2
+      while (i >= 0) {
+        out.write(0x80 | ((v >>> (i * 6)) & 0x3f).toInt)
+        i -= 1
+      }
+    }
+  }
+
+  /** Encode mono 16-bit samples as a subset FLAC stream: STREAMINFO
+    * (with real MD5) + fixed-blocking frames of ≤4096 samples, each a
+    * best-of fixed-predictor rice subframe (constant/verbatim when
+    * cheaper). */
+  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(samples.nonEmpty, "cannot encode an empty clip")
+    require(sampleRate > 0 && sampleRate < (1 << 20), "sample rate out of range")
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+      "samples must fit 16 bits")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+
+    val nFrames = math.max(1, (samples.length + MaxBlock - 1) / MaxBlock)
+    val frames = new Array[Array[Byte]](nFrames)
+    var f = 0
+    var off = 0
+    var minFs = Int.MaxValue; var maxFs = 0
+    var minBs = Int.MaxValue; var maxBs = 0
+    while (f < nFrames) {
+      val n = math.min(MaxBlock, math.max(0, samples.length - off))
+      val block = java.util.Arrays.copyOfRange(samples, off, off + n)
+      frames(f) = encodeFrame(block, f.toLong)
+      minFs = math.min(minFs, frames(f).length)
+      maxFs = math.max(maxFs, frames(f).length)
+      // last block is excluded from min/max blocksize unless it is the
+      // only one (RFC 9639 §8.2)
+      if (f < nFrames - 1 || nFrames == 1) {
+        minBs = math.min(minBs, n); maxBs = math.max(maxBs, n)
+      }
+      off += n
+      f += 1
+    }
+    if (minBs == Int.MaxValue) { minBs = samples.length; maxBs = samples.length }
+
+    val md5 = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < samples.length) {
+      md5.update((samples(i) & 0xff).toByte)
+      md5.update(((samples(i) >> 8) & 0xff).toByte)
+      i += 1
+    }
+
+    val si = new BitWriter
+    si.writeBits(0x80, 8) // last-metadata-block flag + type 0 (STREAMINFO)
+    si.writeBits(34, 24)
+    si.writeBits(math.max(16, minBs), 16) // spec floor of 16
+    si.writeBits(math.max(16, maxBs), 16)
+    si.writeBits(minFs, 24)
+    si.writeBits(maxFs, 24)
+    si.writeBits(sampleRate, 20)
+    si.writeBits(0, 3) // channels - 1 = 0 (mono)
+    si.writeBits(15, 5) // bps - 1 = 15
+    si.writeBitsLong(samples.length.toLong, 36)
+    val siBytes = si.toBytes
+    out.write(siBytes, 0, siBytes.length)
+    out.write(md5.digest(), 0, 16)
+
+    f = 0
+    while (f < nFrames) { out.write(frames(f), 0, frames(f).length); f += 1 }
+    out.toByteArray
+  }
+
+  private def encodeFrame(s: Array[Int], frameNo: Long): Array[Byte] = {
+    val head = new java.io.ByteArrayOutputStream()
+    head.write(0xff); head.write(0xf8) // sync + fixed blocking
+    // blocksize code 0b0111 = 16-bit value-1 follows; sample rate code
+    // 0b0000 = from STREAMINFO
+    head.write(0x70)
+    // channel 0 (mono), sample size 0b100 (16 bit), reserved 0
+    head.write(0x08)
+    writeUtf8Number(head, frameNo)
+    val bsM1 = math.max(0, s.length - 1)
+    head.write((bsM1 >> 8) & 0xff); head.write(bsM1 & 0xff)
+    val hb = head.toByteArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(hb, 0, hb.length)
+    body.write(crc8(hb, 0, hb.length))
+
+    val w = new BitWriter
+    encodeSubframe(w, s)
+    val sb = w.toBytes
+    body.write(sb, 0, sb.length)
+    val all = body.toByteArray
+    val c16 = crc16(all, 0, all.length)
+    body.write((c16 >> 8) & 0xff); body.write(c16 & 0xff)
+    body.toByteArray
+  }
+
+  private def encodeSubframe(w: BitWriter, s: Array[Int]): Unit = {
+    val constant = s.nonEmpty && s.forall(_ == s(0))
+    if (constant) {
+      w.writeBits(0, 1); w.writeBits(0, 6); w.writeBits(0, 1)
+      w.writeBits(s(0) & 0xffff, 16)
+      return
+    }
+    // best fixed order 0..2 by total residual magnitude
+    var bestOrder = 0
+    var bestCost = Long.MaxValue
+    var bestRes: Array[Int] = null
+    var bestK = 0
+    var o = 0
+    while (o <= math.min(2, s.length - 1)) {
+      val res = fixedResidual(s, o)
+      var k = 0
+      var kBest = 0
+      var kCost = Long.MaxValue
+      while (k <= 14) {
+        val c = riceCost(res, k)
+        if (c < kCost) { kCost = c; kBest = k }
+        k += 1
+      }
+      val total = kCost + o.toLong * 16
+      if (total < bestCost) {
+        bestCost = total; bestOrder = o; bestRes = res; bestK = kBest
+      }
+      o += 1
+    }
+    if (bestCost >= s.length.toLong * 16) {
+      // verbatim is cheaper (high-entropy block)
+      w.writeBits(0, 1); w.writeBits(1, 6); w.writeBits(0, 1)
+      var i = 0
+      while (i < s.length) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+      return
+    }
+    w.writeBits(0, 1)
+    w.writeBits(0x08 | bestOrder, 6) // FIXED, order
+    w.writeBits(0, 1) // no wasted bits
+    var i = 0
+    while (i < bestOrder) { w.writeBits(s(i) & 0xffff, 16); i += 1 }
+    w.writeBits(0, 2) // residual method: rice, 4-bit params
+    w.writeBits(0, 4) // partition order 0
+    w.writeBits(bestK, 4)
+    writeRice(w, bestRes, bestK)
+  }
+
+  // ---- decode ----
+
+  /** Decode a FLAC stream. None on any malformation: bad magic, bad
+    * CRC, reserved codes, out-of-bounds reads, or an MD5 mismatch
+    * against a non-zero STREAMINFO signature. */
+  def decode(bytes: Array[Byte]): Option[FlacAudio] =
+    try decodeOrThrow(bytes)
+    catch { case _: Exception => None }
+
+  private def decodeOrThrow(bytes: Array[Byte]): Option[FlacAudio] = {
+    if (bytes.length < 42) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'))
+      return None
+    val r = new BitReader(bytes)
+    r.pos = 32
+    // metadata blocks
+    var sampleRate = 0; var channels = 0; var bps = 0
+    var totalSamples = 0L
+    var md5Sig: Array[Byte] = null
+    var sawStreamInfo = false
+    var last = false
+    while (!last) {
+      last = r.readBit() == 1
+      val typ = r.readBits(7)
+      val len = r.readBits(24)
+      if (typ == 0) {
+        if (len != 34) return None
+        r.readBits(16); r.readBits(16) // min/max blocksize
+        r.readBits(24); r.readBits(24) // min/max framesize
+        sampleRate = r.readBits(20)
+        channels = r.readBits(3) + 1
+        bps = r.readBits(5) + 1
+        totalSamples = r.readBitsLong(36)
+        md5Sig = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { md5Sig(i) = r.readBits(8).toByte; i += 1 }
+        if (md5Sig.forall(_ == 0)) md5Sig = null
+        sawStreamInfo = true
+      } else {
+        if (r.remainingBits < len.toLong * 8) return None
+        r.pos += len * 8
+      }
+    }
+    if (!sawStreamInfo || sampleRate == 0 || bps < 4 || bps > 32) return None
+
+    val chans = Array.fill(channels)(new java.util.ArrayList[Integer]())
+    var decoded = 0L
+    while ((totalSamples == 0L || decoded < totalSamples) && r.remainingBits >= 32) {
+      val frame = decodeFrame(r, bytes, sampleRate, channels, bps)
+      var c = 0
+      while (c < channels) {
+        val arr = frame(c)
+        var i = 0
+        while (i < arr.length) { chans(c).add(arr(i)); i += 1 }
+        c += 1
+      }
+      decoded += frame(0).length
+    }
+    if (totalSamples != 0L && decoded < totalSamples) return None
+    val outLen =
+      if (totalSamples != 0L) totalSamples.toInt else chans(0).size()
+    val out = Array.ofDim[Int](channels, outLen)
+    var c = 0
+    while (c < channels) {
+      var i = 0
+      while (i < outLen) { out(c)(i) = chans(c).get(i); i += 1 }
+      c += 1
+    }
+    if (md5Sig != null && bps % 8 == 0) {
+      val md5 = MessageDigest.getInstance("MD5")
+      val nb = bps / 8
+      var i = 0
+      while (i < outLen) {
+        c = 0
+        while (c < channels) {
+          var b = 0
+          while (b < nb) { md5.update(((out(c)(i) >> (8 * b)) & 0xff).toByte); b += 1 }
+          c += 1
+        }
+        i += 1
+      }
+      if (!java.util.Arrays.equals(md5.digest(), md5Sig)) return None
+    }
+    Some(FlacAudio(sampleRate, channels, bps, out))
+  }
+
+  private def decodeFrame(r: BitReader, bytes: Array[Byte], siRate: Int,
+                          siChannels: Int, siBps: Int): Array[Array[Int]] = {
+    require(r.atByteBoundary, "frame must start on a byte boundary")
+    val frameStart = r.bytePos
+    val sync = r.readBits(14)
+    require(sync == 0x3ffe, "bad sync code")
+    require(r.readBit() == 0, "reserved bit set")
+    val variableBlocking = r.readBit() == 1
+    val bsCode = r.readBits(4)
+    val srCode = r.readBits(4)
+    val chanAsn = r.readBits(4)
+    val ssCode = r.readBits(3)
+    require(r.readBit() == 0, "reserved bit set")
+    // UTF-8 coded frame/sample number
+    readUtf8Number(r, if (variableBlocking) 7 else 6)
+    val blockSize = bsCode match {
+      case 0 => throw new IllegalArgumentException("reserved blocksize code")
+      case 1 => 192
+      case c if c >= 2 && c <= 5 => 576 << (c - 2)
+      case 6 => r.readBits(8) + 1
+      case 7 => r.readBits(16) + 1
+      case c => 256 << (c - 8)
+    }
+    srCode match {
+      case 0 => siRate
+      case 12 => r.readBits(8) * 1000
+      case 13 => r.readBits(16)
+      case 14 => r.readBits(16) * 10
+      case 15 => throw new IllegalArgumentException("invalid sample rate code")
+      case _ => () // tabled rates carry no extra bits
+    }
+    val bps = ssCode match {
+      case 0 => siBps
+      case 1 => 8
+      case 2 => 12
+      case 4 => 16
+      case 5 => 20
+      case 6 => 24
+      case 7 => 32
+      case _ => throw new IllegalArgumentException("reserved sample size code")
+    }
+    val nChannels = if (chanAsn < 8) chanAsn + 1 else 2
+    require(nChannels == siChannels, "channel count mismatch vs STREAMINFO")
+    require(chanAsn <= 10, "reserved channel assignment")
+    val headerEnd = r.bytePos
+    val headerCrc = r.readBits(8)
+    require(crc8(bytes, frameStart, headerEnd) == headerCrc, "frame header CRC")
+
+    val chans = new Array[Array[Int]](nChannels)
+    var c = 0
+    while (c < nChannels) {
+      val extra = chanAsn match {
+        case 8 => if (c == 1) 1 else 0  // left/side: side is ch1
+        case 9 => if (c == 0) 1 else 0  // right/side: side is ch0
+        case 10 => if (c == 1) 1 else 0 // mid/side: side is ch1
+        case _ => 0
+      }
+      chans(c) = decodeSubframe(r, blockSize, bps + extra)
+      c += 1
+    }
+    r.alignToByte()
+    val frameEnd = r.bytePos
+    val frameCrc = r.readBits(16)
+    require(crc16(bytes, frameStart, frameEnd) == frameCrc, "frame CRC")
+
+    chanAsn match {
+      case 8 => // left/side -> right = left - side
+        var i = 0
+        while (i < blockSize) { chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+      case 9 => // right/side (ch0 = side, ch1 = right) -> left = right + side
+        var i = 0
+        while (i < blockSize) {
+          val side = chans(0)(i)
+          chans(0)(i) = chans(1)(i) + side
+          i += 1
+        }
+      case 10 => // mid/side
+        var i = 0
+        while (i < blockSize) {
+          val side = chans(1)(i)
+          val m2 = (chans(0)(i) << 1) | (side & 1)
+          chans(0)(i) = (m2 + side) >> 1
+          chans(1)(i) = (m2 - side) >> 1
+          i += 1
+        }
+      case _ => ()
+    }
+    chans
+  }
+
+  private def readUtf8Number(r: BitReader, maxBytes: Int): Long = {
+    val b0 = r.readBits(8)
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var nBytes = 0
+    var mask = 0x80
+    while ((b0 & mask) != 0) { nBytes += 1; mask >>= 1 }
+    require(nBytes >= 2 && nBytes <= maxBytes, "malformed UTF-8 coded number")
+    var v: Long = (b0 & (0xff >> (nBytes + 1))).toLong
+    var i = 1
+    while (i < nBytes) {
+      val b = r.readBits(8)
+      require((b & 0xc0) == 0x80, "malformed UTF-8 continuation")
+      v = (v << 6) | (b & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  private def decodeSubframe(r: BitReader, n: Int, bps: Int): Array[Int] = {
+    require(r.readBit() == 0, "subframe padding bit set")
+    val typ = r.readBits(6)
+    val wasted =
+      if (r.readBit() == 1) r.readUnary() + 1 else 0
+    val effBps = bps - wasted
+    require(effBps > 0 && effBps <= 32, "wasted bits exceed sample size")
+    val out = new Array[Int](n)
+    if (typ == 0) { // CONSTANT
+      val v = r.readSigned(effBps)
+      java.util.Arrays.fill(out, v)
+    } else if (typ == 1) { // VERBATIM
+      var i = 0
+      while (i < n) { out(i) = r.readSigned(effBps); i += 1 }
+    } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
+      val order = typ & 0x07
+      require(order <= n, "predictor order exceeds block size")
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(effBps); i += 1 }
+      val res = decodeResidual(r, n, order)
+      i = order
+      while (i < n) {
+        val p = order match {
+          case 0 => 0L
+          case 1 => out(i - 1).toLong
+          case 2 => 2L * out(i - 1) - out(i - 2)
+          case 3 => 3L * out(i - 1) - 3L * out(i - 2) + out(i - 3)
+          case _ => 4L * out(i - 1) - 6L * out(i - 2) + 4L * out(i - 3) - out(i - 4)
+        }
+        out(i) = (res(i - order) + p).toInt
+        i += 1
+      }
+    } else if ((typ & 0x20) == 0x20) { // LPC
+      val order = (typ & 0x1f) + 1
+      require(order <= n, "predictor order exceeds block size")
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(effBps); i += 1 }
+      val precision = r.readBits(4) + 1
+      require(precision <= 15, "invalid LPC precision")
+      val shift = r.readSigned(5)
+      require(shift >= 0, "negative LPC shift is reserved")
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = r.readSigned(precision); i += 1 }
+      val res = decodeResidual(r, n, order)
+      i = order
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * out(i - 1 - j); j += 1 }
+        out(i) = (res(i - order) + (acc >> shift)).toInt
+        i += 1
+      }
+    } else throw new IllegalArgumentException(s"reserved subframe type $typ")
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { out(i) = out(i) << wasted; i += 1 }
+    }
+    out
+  }
+
+  private def decodeResidual(r: BitReader, blockSize: Int, order: Int): Array[Int] = {
+    val method = r.readBits(2)
+    require(method <= 1, "reserved residual coding method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrder = r.readBits(4)
+    val nParts = 1 << partOrder
+    require((blockSize & (nParts - 1)) == 0, "block size not divisible by partitions")
+    val partLen = blockSize >> partOrder
+    require(partLen > order || partOrder == 0, "first partition underflows")
+    val out = new Array[Int](blockSize - order)
+    var idx = 0
+    var p = 0
+    while (p < nParts) {
+      val count = if (p == 0) partLen - order else partLen
+      val param = r.readBits(paramBits)
+      if (param == escape) {
+        val rawBits = r.readBits(5)
+        var i = 0
+        while (i < count) { out(idx) = r.readSigned(rawBits); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary()
+          val rem = r.readBits(param)
+          val u = (q.toLong << param) | rem
+          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+          idx += 1
+          i += 1
+        }
+      }
+      p += 1
+    }
+    out
+  }
+}

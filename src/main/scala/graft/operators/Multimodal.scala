@@ -390,8 +390,9 @@ object Multimodal {
     * fixtures; for multi-channel input the stats are channel-mixed by
     * construction — documented, deterministic). Zero crossings count
     * strict sign flips (prev·cur < 0); zero samples break no run.
-    * Compressed audio (FLAC/MP3) stays header-only ([[audioMeta]]) —
-    * those are genuine codecs. Returns None unless the payload is a
+    * FLAC joins the sample-exact path through the first-party
+    * [[FlacCodec]] ([[flacStats]]); only lossy audio (MP3) stays
+    * header-only ([[audioMeta]]). Returns None unless the payload is a
     * well-formed PCM(1) 16-bit WAV with an in-bounds data chunk. */
   def pcmStats(bytes: Array[Byte]): Option[PcmStats] = {
     if (sniff(bytes) != "audio/wav" || bytes.length < 36) return None
@@ -436,6 +437,36 @@ object Multimodal {
     if (n == 0) { peak = 0; trough = 0 }
     Some(PcmStats(n, sumAbs, sumSq, peak, trough, zc))
   }
+
+  /** [[PcmStats]] over an already-decoded sample array — the exact
+    * rules [[pcmStats]] applies to raw WAV data (strict-sign-flip zero
+    * crossings, zero peak/trough on empty input). */
+  def sampleStats(samples: Array[Int]): PcmStats = {
+    var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+    var peak = Int.MinValue; var trough = Int.MaxValue
+    var prev = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      sumAbs += math.abs(s.toLong); sumSq += s.toLong * s
+      if (s > peak) peak = s
+      if (s < trough) trough = s
+      if (i > 0 && prev.toLong * s < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    if (samples.isEmpty) { peak = 0; trough = 0 }
+    PcmStats(samples.length.toLong, sumAbs, sumSq, peak, trough, zc)
+  }
+
+  /** REAL compressed-audio sample decode: FLAC through the first-party
+    * [[FlacCodec]] (rice-coded prediction residuals — RFC 9639) down
+    * to the exact PCM stream, then the same waveform statistics as
+    * [[pcmStats]]. Mono channel 0; None for non-FLAC payloads or any
+    * bitstream/CRC/MD5 malformation. */
+  def flacStats(bytes: Array[Byte]): Option[PcmStats] =
+    if (sniff(bytes) != "audio/flac") None
+    else FlacCodec.decode(bytes).map(a => sampleStats(a.samples(0)))
 
   /** Deterministic synthetic image fixtures (header + minimal body) for
     * oracle queries and specs — each is a VALID container prefix whose
@@ -504,6 +535,17 @@ object Multimodal {
       }
       out
     }
+    /** The [[wavPcm]] sawtooth clip, REALLY FLAC-compressed through
+      * [[FlacCodec.encode]] (fixed predictors + rice residuals, frame
+      * CRCs, stream MD5) — the compressed-audio twin of the synth-side
+      * GIF LZW encoder. */
+    def flacPcm(sampleRate: Int, nSamples: Int, seed: Int): Array[Byte] = {
+      val samples = new Array[Int](nSamples)
+      var i = 0
+      while (i < nSamples) { samples(i) = (i + seed) % 200 - 100; i += 1 }
+      FlacCodec.encode(samples, sampleRate)
+    }
+
     def flac(sampleRate: Int, channels: Int, totalSamples: Long)
         : Array[Byte] = {
       val b20 = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
