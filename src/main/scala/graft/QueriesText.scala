@@ -966,6 +966,68 @@ object QueriesText {
         CAST(sg * 1000 // (w * h) AS BIGINT) AS mean_b_milli
       FROM f"""))
 
+  private val synthJpegUdf = udf((bw: Int, bh: Int, seed: Int, dri: Int) => {
+    import graft.operators.{JpegCodec, Multimodal, PixelCodec}
+    val bytes = JpegCodec.synthDcOnlyGray(bw, bh, 16,
+      b => ((b * 13 + seed) % 120) - 60, dri)
+    PixelCodec.decodePixels(bytes).map { case (w, h, rgb) =>
+      val (sr, sg, sb) = PixelCodec.channelSums(rgb)
+      (Multimodal.sniff(bytes), w, h, sr, sg, sb)
+    }
+  })
+
+  /** X6 (REAL JPEG decode) — baseline JPEG through the first-party
+    * [[graft.operators.JpegCodec]] (marker walk, DHT canonical
+    * Huffman, DC-difference prediction, dequantize, IDCT, restart
+    * markers on every 4th doc) to exact channel sums. The planted
+    * stream is DC-ONLY (each 8×8 block a constant), the one JPEG
+    * family whose inverse transform is closed-form — pixel =
+    * 128 + dc·q/8, exact at q=16 — so the oracle restates the sums
+    * from (blocks, seed) and a hash match proves the entropy decode
+    * reconstructed every block. Full-AC streams are
+    * decoder-rounding-defined (T.81 fixes the transform, not the
+    * arithmetic) and are covered by JpegCodecSpec's ±3 cross-check
+    * against the JDK's independent ImageIO decoder instead. */
+  val jpegStats = Q(
+    "jpeg_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthJpegUdf((lit(2) + k % 3).cast("int"),
+        (lit(2) + k % 2).cast("int"), (k % 89).cast("int"),
+        (when(k % 4 === 0, lit(2)).otherwise(lit(0))).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("width"),
+          col("r._3").as("height"),
+          col("r._4").as("sum_r"),
+          col("r._5").as("sum_g"),
+          col("r._6").as("sum_b"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CAST(2 + doc_id % 3 AS BIGINT) AS bw,
+          CAST(2 + doc_id % 2 AS BIGINT) AS bh,
+          CAST(doc_id % 89 AS BIGINT) AS seed
+        FROM documents),
+      b AS (
+        SELECT doc_id, bw, bh, seed, unnest(range(bw * bh)) AS blk
+        FROM p),
+      s AS (
+        SELECT doc_id, MAX(bw) AS bw, MAX(bh) AS bh,
+          SUM(64 * (128 + 2 * (((blk * 13 + seed) % 120) - 60))) AS total
+        FROM b GROUP BY doc_id)
+      SELECT doc_id,
+        'image/jpeg' AS sniffed_type,
+        CAST(bw * 8 AS INT) AS width,
+        CAST(bh * 8 AS INT) AS height,
+        CAST(total AS BIGINT) AS sum_r,
+        CAST(total AS BIGINT) AS sum_g,
+        CAST(total AS BIGINT) AS sum_b
+      FROM s"""))
+
   private val synthPcmUdf = udf((n: Int, seed: Int) => {
     import graft.operators.Multimodal
     Multimodal.pcmStats(Multimodal.Synth.wavPcm(16000, n, seed))
@@ -1080,5 +1142,5 @@ object QueriesText {
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
-    flacStats)
+    flacStats, jpegStats)
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, header sniffing, per-partition
   * batch shape, deterministic output — is real and tested
   * (MultimodalSpec). Pixel decode is REAL for every lossless raster
-  * format (PNG/BMP/GIF via [[PixelCodec]] — zlib, raw rows, LZW); only
-  * the lossy codecs (JPEG/WebP, plus compressed audio) use the
-  * clearly-marked STUB (`decodeStub`), which derives a deterministic
-  * fake feature vector from the payload bytes; a deployment swaps in a
-  * real decoder with the same signature.
+  * format (PNG/BMP/GIF via [[PixelCodec]] — zlib, raw rows, LZW) AND
+  * for baseline JPEG ([[JpegCodec]] — Huffman + reference IDCT,
+  * ImageIO-cross-checked); audio sample decode is real for PCM WAV and
+  * FLAC ([[FlacCodec]]). Only WebP (VP8/VP8L) and lossy audio (MP3)
+  * still use the clearly-marked STUB (`decodeStub`), which derives a
+  * deterministic fake feature vector from the payload bytes; a
+  * deployment swaps in a real decoder with the same signature.
   */
 object Multimodal {
 
@@ -584,12 +586,12 @@ object Multimodal {
   /** ====== STUB (features only) ======
     * Dimensions are REAL (header parse via [[imageDims]]); the feature
     * vector is a deterministic fake from byte-histogram moments — the
-    * container ships no pixel codecs for the LOSSY formats (JPEG/WebP:
-    * DCT/VP8). PNG, BMP and GIF no longer reach this stub —
-    * [[PixelCodec]] decodes them for real (zlib, raw rows, LZW) via
-    * [[decodeFeatures]]. A real deployment replaces the remaining stub
-    * formats with an actual decoder (e.g. via JNI/ffmpeg); signature
-    * and batch shape stay identical. */
+    * container ships no pixel codec for WebP (VP8/VP8L). PNG, BMP, GIF
+    * and baseline JPEG no longer reach this stub — [[PixelCodec]] /
+    * [[JpegCodec]] decode them for real via [[decodeFeatures]]. A real
+    * deployment replaces the remaining stub formats with an actual
+    * decoder (e.g. via JNI/ffmpeg); signature and batch shape stay
+    * identical. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val hist = new Array[Long](8)
     var i = 0
@@ -600,10 +602,11 @@ object Multimodal {
     (w, h, feats)
   }
 
-  /** Full decode where no codec library is needed: PNG (zlib +
-    * scanline filters), BMP (raw rows) and GIF (LZW + palette)
-    * reconstruct real pixels and real channel statistics
-    * ([[PixelCodec]]); the lossy formats fall back to [[decodeStub]].
+  /** Full first-party decode: PNG (zlib + scanline filters), BMP (raw
+    * rows), GIF (LZW + palette) and baseline JPEG (Huffman + reference
+    * IDCT) reconstruct real pixels and real channel statistics
+    * ([[PixelCodec]]/[[JpegCodec]]); remaining formats (WebP,
+    * progressive JPEG) fall back to [[decodeStub]].
     * Returns (w, h, feats, decoded-for-real). */
   def decodeFeatures(bytes: Array[Byte]): (Int, Int, Array[Float], Boolean) =
     PixelCodec.decodePixels(bytes) match {
@@ -639,11 +642,12 @@ object Multimodal {
     * header parse, fit-inside-box output dims by exact integer
     * scaling), and for PNG/BMP inputs a REAL pixel pass — decode via
     * [[PixelCodec]], nearest-neighbor sample, re-encode as a 24-bit
-    * BMP (a real, decodable payload) — and since r8 GIF joins the real
-    * path via its LZW decode. Formats whose decode needs a genuine
-    * lossy codec (JPEG/WebP) keep the deterministic stub payload with
-    * the same batch shape; rows with no parseable dims are dropped,
-    * mirroring a decode-failure filter. */
+    * BMP (a real, decodable payload) — since r8 GIF joins the real
+    * path via its LZW decode and baseline JPEG via [[JpegCodec]].
+    * Formats still lacking a first-party decode (WebP) keep the
+    * deterministic stub payload with the same batch shape; rows with
+    * no parseable dims are dropped, mirroring a decode-failure
+    * filter. */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     val spark: SparkSession = df.sparkSession

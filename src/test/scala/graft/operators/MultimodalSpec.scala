@@ -416,9 +416,13 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     val (_, _, _, gifReal) =
       Multimodal.decodeFeatures(PixelCodec.synthGif(9, 7, 3))
     assert(gifReal, "GIF LZW decodes for real since r8")
-    val (_, _, _, jpegReal) =
+    val (_, _, _, jpegHeaderOnly) =
       Multimodal.decodeFeatures(Multimodal.Synth.jpeg(10, 10))
-    assert(!jpegReal, "JPEG is a genuine codec: stays on the labeled stub")
+    assert(!jpegHeaderOnly,
+      "a header-only JPEG prefix has no scan data: falls to the stub")
+    val (_, _, _, jpegReal) =
+      Multimodal.decodeFeatures(JpegCodec.synthDcOnlyGray(2, 2, 16, _ => 7))
+    assert(jpegReal, "well-formed baseline JPEG decodes for real since r8")
   }
 
   test("GIF round trip reconstructs exact pixels through real LZW") {
