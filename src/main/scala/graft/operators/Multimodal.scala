@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, header sniffing, per-partition
   * batch shape, deterministic output — is real and tested
   * (MultimodalSpec). Pixel decode is REAL for every lossless raster
-  * format (PNG/BMP/GIF via [[PixelCodec]] — zlib, raw rows, LZW) AND
-  * for baseline JPEG ([[JpegCodec]] — Huffman + reference IDCT,
-  * ImageIO-cross-checked); audio sample decode is real for PCM WAV and
-  * FLAC ([[FlacCodec]]). Only WebP (VP8/VP8L) and lossy audio (MP3)
-  * still use the clearly-marked STUB (`decodeStub`), which derives a
-  * deterministic fake feature vector from the payload bytes; a
-  * deployment swaps in a real decoder with the same signature.
+  * format (PNG/BMP/GIF via [[PixelCodec]] — zlib, raw rows, LZW — and
+  * lossless WebP via [[WebpCodec]], conformance-tested against the
+  * system libwebp) AND for baseline JPEG ([[JpegCodec]] — Huffman +
+  * reference IDCT, ImageIO-cross-checked); audio sample decode is real
+  * for PCM WAV and FLAC ([[FlacCodec]]). Only lossy WebP (VP8) and
+  * lossy audio (MP3) still use the clearly-marked STUB (`decodeStub`),
+  * which derives a deterministic fake feature vector from the payload
+  * bytes; a deployment swaps in a real decoder with the same
+  * signature.
   */
 object Multimodal {
 
@@ -585,13 +587,13 @@ object Multimodal {
 
   /** ====== STUB (features only) ======
     * Dimensions are REAL (header parse via [[imageDims]]); the feature
-    * vector is a deterministic fake from byte-histogram moments — the
-    * container ships no pixel codec for WebP (VP8/VP8L). PNG, BMP, GIF
-    * and baseline JPEG no longer reach this stub — [[PixelCodec]] /
-    * [[JpegCodec]] decode them for real via [[decodeFeatures]]. A real
-    * deployment replaces the remaining stub formats with an actual
-    * decoder (e.g. via JNI/ffmpeg); signature and batch shape stay
-    * identical. */
+    * vector is a deterministic fake from byte-histogram moments. PNG,
+    * BMP, GIF, lossless WebP (VP8L) and baseline JPEG no longer reach
+    * this stub — [[PixelCodec]] / [[WebpCodec]] / [[JpegCodec]] decode
+    * them for real via [[decodeFeatures]]; what remains is lossy VP8
+    * (DCT + loop filter, decoder-rounding-defined). A real deployment
+    * replaces the remaining stub formats with an actual decoder (e.g.
+    * via JNI/ffmpeg); signature and batch shape stay identical. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val hist = new Array[Long](8)
     var i = 0
@@ -603,10 +605,11 @@ object Multimodal {
   }
 
   /** Full first-party decode: PNG (zlib + scanline filters), BMP (raw
-    * rows), GIF (LZW + palette) and baseline JPEG (Huffman + reference
+    * rows), GIF (LZW + palette), lossless WebP (VP8L — Huffman + LZ77
+    * + reversible transforms) and baseline JPEG (Huffman + reference
     * IDCT) reconstruct real pixels and real channel statistics
-    * ([[PixelCodec]]/[[JpegCodec]]); remaining formats (WebP,
-    * progressive JPEG) fall back to [[decodeStub]].
+    * ([[PixelCodec]]/[[WebpCodec]]/[[JpegCodec]]); remaining formats
+    * (lossy-VP8 WebP, progressive JPEG) fall back to [[decodeStub]].
     * Returns (w, h, feats, decoded-for-real). */
   def decodeFeatures(bytes: Array[Byte]): (Int, Int, Array[Float], Boolean) =
     PixelCodec.decodePixels(bytes) match {
@@ -643,11 +646,11 @@ object Multimodal {
     * scaling), and for PNG/BMP inputs a REAL pixel pass — decode via
     * [[PixelCodec]], nearest-neighbor sample, re-encode as a 24-bit
     * BMP (a real, decodable payload) — since r8 GIF joins the real
-    * path via its LZW decode and baseline JPEG via [[JpegCodec]].
-    * Formats still lacking a first-party decode (WebP) keep the
-    * deterministic stub payload with the same batch shape; rows with
-    * no parseable dims are dropped, mirroring a decode-failure
-    * filter. */
+    * path via its LZW decode, baseline JPEG via [[JpegCodec]] and
+    * lossless WebP via [[WebpCodec]]. Formats still lacking a
+    * first-party decode (lossy VP8) keep the deterministic stub
+    * payload with the same batch shape; rows with no parseable dims
+    * are dropped, mirroring a decode-failure filter. */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     val spark: SparkSession = df.sparkSession

@@ -342,11 +342,11 @@ object PixelCodec {
     Some(out)
   }
 
-  /** Dispatch: PNG, BMP, GIF and (since r8) baseline JPEG decode for
-    * real; every other payload → None (caller falls back to the
-    * labeled stub). JPEG pixels are [[JpegCodec]]-deterministic (its
-    * scaladoc covers the cross-decoder rounding caveat lossless
-    * formats don't have). */
+  /** Dispatch: PNG, BMP, GIF, baseline JPEG and (late r8) lossless
+    * WebP (VP8L, [[WebpCodec]]) decode for real; every other payload →
+    * None (caller falls back to the labeled stub). JPEG pixels are
+    * [[JpegCodec]]-deterministic (its scaladoc covers the
+    * cross-decoder rounding caveat lossless formats don't have). */
   def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (bytes == null || bytes.length < 2) None
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes)
@@ -354,6 +354,7 @@ object PixelCodec {
     else if (bytes(0) == 'G' && bytes(1) == 'I') decodeGif(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       JpegCodec.decode(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I') WebpCodec.decode(bytes)
     else None
 
   private def toRgb(img: Array[Byte], w: Int, h: Int,
