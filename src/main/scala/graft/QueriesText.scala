@@ -452,6 +452,123 @@ object QueriesText {
       WHERE ROUND(CAST($matches AS DOUBLE) / $MINHASH_H, 4) >= 0.5"""
     })
 
+  /** Incremental corpus dedup — the production shape for a GROWING
+    * 100 TB corpus: a new crawl increment is deduplicated against the
+    * FROZEN store of what's already ingested (exact md5 keys + MinHash
+    * band keys), so per-increment cost is linear in the increment and
+    * the corpus is never re-fingerprinted. Here the store is derived
+    * in-plan (prior = even doc_ids; in production it's a materialized
+    * parquet the increment hash-joins against) and the increment is
+    * the full table — re-crawled unchanged pages (`drop_exact`),
+    * near-rewrites of prior pages (`drop_near`, banded candidates +
+    * signature verify, same 4×3 family as minhash_lsh), and genuinely
+    * new pages (`keep`). Two hash-keyed joins against pre-aggregated
+    * store sides; no all-pairs anything, and the increment-internal
+    * dedup stays with the batch minhash_lsh pass. */
+  val incrementalDedup = Q(
+    "incremental_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val isPrior = col("doc_id") % 2 === 0
+      // one signature pass over the union (in production: increment
+      // only — the prior side is read back from the store)
+      val sh = d.select(col("doc_id"),
+        explode(Similarity.wordShingles(col("text"), 3)).as("sh"))
+        .withColumn("hb", Similarity.minhashBase(col("sh")))
+      val sig = sh.groupBy("doc_id").agg(
+        Similarity.minhashAgg(col("hb"), 0).as("m0"),
+        (1 until MINHASH_H).map(i =>
+          Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
+        .cache() // bands + both verify sides
+      val nBands = MINHASH_H / MINHASH_BAND
+      val bandCols = (0 until nBands).map { b =>
+        val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
+          .map(i => col(s"m$i"))
+        struct(lit(b).as("band"),
+          Hashing.md5Long(concat_ws(",", ms: _*)).as("h"))
+      }
+      val bands = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      val cand = bands.as("a").join(bands.filter(isPrior).as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+      val matches = (0 until MINHASH_H)
+        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val near = cand.join(sa, col("a_id") === col("a_doc_id"))
+        .join(sb, col("b_id") === col("b_doc_id"))
+        .filter(round(matches.cast("double") / MINHASH_H, 4) >= 0.5)
+        .select(col("a_id").as("doc_id")).distinct()
+        .withColumn("near_hit", lit(1))
+      val priorKeys = d.filter(isPrior)
+        .select(md5(col("text")).as("sig")).distinct()
+        .withColumn("exact_hit", lit(1))
+      d.select(col("doc_id"), md5(col("text")).as("sig"))
+        .join(priorKeys, Seq("sig"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_hit"), lit(0)).cast("long").as("exact_dup"),
+          coalesce(col("near_hit"), lit(0)).cast("long").as("near_dup"),
+          when(col("exact_hit") === 1, lit("drop_exact"))
+            .when(col("near_hit") === 1, lit("drop_near"))
+            .otherwise(lit("keep")).as("verdict"))
+    },
+    Some {
+      val mins = (0 until MINHASH_H).map(i =>
+        s"${Similarity.sqlMinhashAgg("hb", i)} AS m$i").mkString(",\n            ")
+      val nBands = MINHASH_H / MINHASH_BAND
+      val bandSelects = (0 until nBands).map { b =>
+        val ms = (b * MINHASH_BAND until (b + 1) * MINHASH_BAND)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${sqlMd5Long(s"($ms)")} AS h FROM sig"
+      }.mkString("\n        UNION ALL ")
+      val matches = (0 until MINHASH_H)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+              FROM tok WHERE len(t) >= 3)
+        UNION
+        SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh
+        FROM tok WHERE len(t) < 3),
+      shb AS (SELECT doc_id,
+                ${sqlMd5Long("sh")} % ${Similarity.MinhashP} AS hb
+              FROM sh),
+      sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      near AS (
+        SELECT DISTINCT a_id AS doc_id FROM (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.h = b.h
+            AND b.doc_id % 2 = 0 AND a.doc_id <> b.doc_id) cand
+        JOIN sig sa ON a_id = sa.doc_id
+        JOIN sig sb ON b_id = sb.doc_id
+        WHERE ROUND(CAST($matches AS DOUBLE) / $MINHASH_H, 4) >= 0.5),
+      prior AS (
+        SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 2 = 0)
+      SELECT d.doc_id,
+        CAST(CASE WHEN p.sig IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS exact_dup,
+        CAST(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS near_dup,
+        CASE WHEN p.sig IS NOT NULL THEN 'drop_exact'
+             WHEN nr.doc_id IS NOT NULL THEN 'drop_near'
+             ELSE 'keep' END AS verdict
+      FROM (SELECT doc_id, md5(text) AS sig FROM documents) d
+      LEFT JOIN prior p ON d.sig = p.sig
+      LEFT JOIN near nr ON d.doc_id = nr.doc_id"""
+    })
+
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 4 // 4 × 15 bits
   private val SIMHASH_MAXHAM = 3
@@ -1028,6 +1145,60 @@ object QueriesText {
         CAST(total AS BIGINT) AS sum_b
       FROM s"""))
 
+  private val synthWebpUdf = udf((w: Int, h: Int, seed: Int) => {
+    import graft.operators.{Multimodal, PixelCodec, WebpCodec}
+    val bytes = WebpCodec.synth(w, h, seed)
+    PixelCodec.decodePixels(bytes).map { case (dw, dh, rgb) =>
+      val (sr, sg, sb) = PixelCodec.channelSums(rgb)
+      (Multimodal.sniff(bytes), dw, dh, sr, sg, sb)
+    }
+  })
+
+  /** X6 (REAL WebP decode) — lossless WebP (VP8L) through the
+    * first-party [[graft.operators.WebpCodec]] (RIFF chunk walk, VP8L
+    * bit reader, canonical normal-form Huffman codes) to exact channel
+    * sums. The planted stream carries the same gradient as
+    * pixel_stats' PNG/BMP rows — (x, y, x+y+seed), dims bounded so no
+    * channel wraps — REALLY entropy-coded on the synth side (flat
+    * 8-bit codes; libwebp itself decodes the synth stream, see
+    * tools/check_webp_synth.py), so the closed-form oracle's hash
+    * match proves the decoder reconstructed every pixel. The full
+    * transform/LZ77/color-cache surface is conformance-tested against
+    * libwebp-encoded fixtures in WebpCodecSpec; only lossy VP8 remains
+    * behind the labeled stub. */
+  val webpStats = Q(
+    "webp_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthWebpUdf((lit(8) + k % 24).cast("int"),
+        (lit(8) + k % 16).cast("int"), (k % 97).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("width"),
+          col("r._3").as("height"),
+          col("r._4").as("sum_r"),
+          col("r._5").as("sum_g"),
+          col("r._6").as("sum_b"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CAST(8 + doc_id % 24 AS BIGINT) AS w,
+          CAST(8 + doc_id % 16 AS BIGINT) AS h,
+          CAST(doc_id % 97 AS BIGINT) AS seed
+        FROM documents)
+      SELECT doc_id,
+        'image/webp' AS sniffed_type,
+        CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
+        CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
+        CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+        CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+          + w * h * seed AS BIGINT) AS sum_b
+      FROM p"""))
+
   private val synthPcmUdf = udf((n: Int, seed: Int) => {
     import graft.operators.Multimodal
     Multimodal.pcmStats(Multimodal.Synth.wavPcm(16000, n, seed))
@@ -1142,5 +1313,5 @@ object QueriesText {
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
-    flacStats, jpegStats)
+    flacStats, jpegStats, webpStats, incrementalDedup)
 }
