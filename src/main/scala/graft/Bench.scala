@@ -111,6 +111,17 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMin = results.filter(_._3 >= 0).map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    // The driver records only the last ~2000 chars of output and
+    // json-parses what it finds there; with 100+ queries the full line
+    // above (printed first, for humans and logs) cannot fit that
+    // window — every BENCH_r*.json so far has parsed:null. So the LAST
+    // line is a compact summary guaranteed to fit: headline totals,
+    // the full error map, and the slowest queries only.
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, med, _, _, _) => jstr(k) + ":" + r3(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map in the first JSON line of this run's output","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     if (results.exists(_._5.isDefined)) {
       results.foreach { case (k, _, _, _, e) =>
         e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))

@@ -113,4 +113,25 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Ingest-time incremental dedup — the streaming twin of the batch
+    * `incremental_dedup` query's exact stage: documents arriving on a
+    * stream are checked against the FROZEN corpus store (a static
+    * DataFrame of md5 `sig` keys). Stream-static joins are STATELESS
+    * in Structured Streaming — the static side is re-read (and here
+    * broadcast) per micro-batch, so state never grows with stream
+    * length; within-increment duplicates compose upstream via
+    * `dropDuplicatesWithinWatermark` (see [[dedupStream]]). At 100 TB
+    * the store is the materialized signature parquet the batch query
+    * describes; a store refresh is a new file the next micro-batch
+    * picks up. */
+  def dedupAgainstStore(docs: Dataset[Doc], store: DataFrame): DataFrame =
+    docs.withColumn("sig", md5(col("text")))
+      .join(broadcast(store.select(col("sig"), lit(1).as("hit"))),
+        Seq("sig"), "left")
+      .select(col("doc_id"), col("sig"),
+        when(col("hit").isNotNull, lit("drop_exact"))
+          .otherwise(lit("keep")).as("verdict"))
 }

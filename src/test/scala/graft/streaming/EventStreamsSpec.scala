@@ -134,4 +134,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
       assert(out.toMap.get(1L).contains("view|125"))
     } finally q.stop()
   }
+
+  test("stream-static dedup against a frozen store matches the batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, md5}
+    val storeTexts = Seq("alpha body", "beta body", "gamma body")
+    val store = storeTexts.toDF("text").select(md5(col("text")).as("sig"))
+    val docs = Seq(
+      EventStreams.Doc(1, "alpha body"), // re-crawl of a stored doc
+      EventStreams.Doc(2, "fresh page"),
+      EventStreams.Doc(3, "beta body"),
+      EventStreams.Doc(4, "another fresh page"))
+    val in = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.dedupAgainstStore(in.toDS(), store)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*) // second micro-batch re-reads the store
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      // batch A/B: the same join expressed as plain DataFrames
+      val batch = EventStreams.dedupAgainstStore(docs.toDS(), store)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> "drop_exact", 2L -> "keep",
+        3L -> "drop_exact", 4L -> "keep"))
+    } finally q.stop()
+  }
 }
