@@ -121,8 +121,29 @@ object WebpCodec {
   private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9,
     10, 11, 12, 13, 14, 15)
 
-  private def readHuffCode(alphabet: Int, br: Br): Huff = {
+  /** Decoder-path coverage bits, accumulated per decode — lets
+    * WebpCodecSpec PROVE (not claim) that the libwebp-encoded fixture
+    * set exercises every feature of the format. */
+  object Feature {
+    val PredictorTf = 1      // transform type 0
+    val ColorTf = 2          // transform type 1
+    val SubGreenTf = 4       // transform type 2
+    val PaletteTf = 8        // transform type 3
+    val ColorCache = 16      // cache declared
+    val CacheHit = 32        // cache-reference symbol decoded
+    val MetaHuffman = 64     // >1 Huffman group via meta image
+    val Lz77Near = 128       // backward ref through the 2D distance map
+    val Lz77Linear = 256     // backward ref with a plain distance
+    val SimpleCode = 512     // 1-2-symbol inline Huffman code
+    val NormalCode = 1024    // code-length-coded Huffman code
+    val PixelBundling = 2048 // palette with packed sub-byte indices
+  }
+
+  private final class Ctx { var feats = 0 }
+
+  private def readHuffCode(alphabet: Int, br: Br, ctx: Ctx): Huff = {
     if (br.read(1) == 1) { // "simple" code: 1 or 2 symbols, inline
+      ctx.feats |= Feature.SimpleCode
       val numSyms = br.read(1) + 1
       val s0 = br.read(if (br.read(1) == 1) 8 else 1)
       if (s0 >= alphabet) bad()
@@ -135,6 +156,7 @@ object WebpCodec {
       }
       new Huff(lengths)
     } else { // normal: code lengths themselves Huffman-coded
+      ctx.feats |= Feature.NormalCode
       val numCl = 4 + br.read(4)
       val clLens = new Array[Int](19)
       var i = 0
@@ -297,7 +319,7 @@ object WebpCodec {
     * on the transform list and the meta-Huffman image; sub-images have
     * neither, but DO have their own optional color cache. */
   private def decodeImageStream(w0: Int, h: Int, level0: Boolean,
-      br: Br): (Int, Array[Int], List[Transform]) = {
+      br: Br, ctx: Ctx): (Int, Array[Int], List[Transform]) = {
     var w = w0
     var transforms: List[Transform] = Nil
     if (level0) {
@@ -306,22 +328,23 @@ object WebpCodec {
         val ttype = br.read(2)
         if ((seen & (1 << ttype)) != 0) bad() // each at most once
         seen |= 1 << ttype
+        ctx.feats |= 1 << ttype // Feature.{Predictor,Color,SubGreen,Palette}Tf
         ttype match {
           case 0 => // predictor: per-block modes in a sub-image
             val bits = br.read(3) + 2
             val (_, img, _) =
-              decodeImageStream(sub(w, bits), sub(h, bits), false, br)
+              decodeImageStream(sub(w, bits), sub(h, bits), false, br, ctx)
             transforms ::= PredictorT(w, bits, img)
           case 1 => // cross-color: per-block ColorTransformElements
             val bits = br.read(3) + 2
             val (_, img, _) =
-              decodeImageStream(sub(w, bits), sub(h, bits), false, br)
+              decodeImageStream(sub(w, bits), sub(h, bits), false, br, ctx)
             transforms ::= ColorT(w, bits, img)
           case 2 =>
             transforms ::= SubGreenT(w)
           case 3 => // color indexing (palette) + pixel bundling
             val size = br.read(8) + 1
-            val (_, palRaw, _) = decodeImageStream(size, 1, false, br)
+            val (_, palRaw, _) = decodeImageStream(size, 1, false, br, ctx)
             // palette entries are delta-coded off the previous entry
             var i = 1
             while (i < size) { palRaw(i) = addPx(palRaw(i), palRaw(i - 1)); i += 1 }
@@ -329,6 +352,7 @@ object WebpCodec {
               if (size <= 2) 3 else if (size <= 4) 2
               else if (size <= 16) 1 else 0
             transforms ::= PaletteT(w, widthBits, palRaw)
+            if (widthBits > 0) ctx.feats |= Feature.PixelBundling
             w = sub(w, widthBits) // subsequent stages see the packed width
         }
       }
@@ -340,6 +364,7 @@ object WebpCodec {
         if (b < 1 || b > 11) bad()
         b
       } else 0
+    if (cacheBits > 0) ctx.feats |= Feature.ColorCache
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
     // meta-Huffman image (level0 only): per-block Huffman group indices
@@ -350,8 +375,10 @@ object WebpCodec {
     if (level0 && br.read(1) == 1) {
       metaBits = br.read(3) + 2
       metaW = sub(w, metaBits)
-      val (_, img, _) = decodeImageStream(metaW, sub(h, metaBits), false, br)
+      val (_, img, _) =
+        decodeImageStream(metaW, sub(h, metaBits), false, br, ctx)
       metaImg = img
+      ctx.feats |= Feature.MetaHuffman
       var i = 0
       while (i < img.length) {
         val g = (img(i) >>> 8) & 0xffff
@@ -366,9 +393,9 @@ object WebpCodec {
     var gi = 0
     while (gi < numGroups) {
       groups(gi) = Array(
-        readHuffCode(greenAlpha, br), readHuffCode(256, br),
-        readHuffCode(256, br), readHuffCode(256, br),
-        readHuffCode(40, br))
+        readHuffCode(greenAlpha, br, ctx), readHuffCode(256, br, ctx),
+        readHuffCode(256, br, ctx), readHuffCode(256, br, ctx),
+        readHuffCode(40, br, ctx))
       gi += 1
     }
     // pixel loop
@@ -400,6 +427,8 @@ object WebpCodec {
       } else if (green < 256 + 24) { // LZ77 backward reference
         val len = prefixVal(green - 256, br)
         val distCode = prefixVal(grp(4).next(br), br)
+        ctx.feats |=
+          (if (distCode > 120) Feature.Lz77Linear else Feature.Lz77Near)
         val dist = mapDist(distCode, w)
         if (dist > pos || pos + len > n) bad()
         var k = 0
@@ -410,6 +439,7 @@ object WebpCodec {
           k += 1
         }
       } else { // color cache hit
+        ctx.feats |= Feature.CacheHit
         val idx = green - 256 - 24
         if (cache == null || idx >= cacheSize) bad()
         val px = cache(idx)
@@ -541,7 +571,14 @@ object WebpCodec {
 
   /** Decode a WebP container holding a VP8L chunk to (w, h, ARGB).
     * Lossy VP8 and anything malformed → None. */
-  def decodeArgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  def decodeArgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeArgbFeatures(bytes).map { case (w, h, px, _) => (w, h, px) }
+
+  /** [[decodeArgb]] plus the [[Feature]] coverage bitmask this stream
+    * exercised — the spec's proof that the conformance fixtures span
+    * the format. */
+  private[operators] def decodeArgbFeatures(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Int], Int)] = {
     try {
       if (bytes == null || bytes.length < 20) return None
       def ascii(p: Int, s: String): Boolean =
@@ -571,7 +608,9 @@ object WebpCodec {
       br.read(1) // alpha hint (informational)
       if (br.read(3) != 0) return None // version must be 0
       if (w.toLong * h > 64L * 1024 * 1024) return None
-      val (decodedW, pixels0, transforms) = decodeImageStream(w, h, true, br)
+      val ctx = new Ctx
+      val (decodedW, pixels0, transforms) =
+        decodeImageStream(w, h, true, br, ctx)
       // apply inverse transforms in reverse order of their appearance;
       // each entry records the width its inverse restores
       var pixels = pixels0
@@ -595,7 +634,7 @@ object WebpCodec {
         ts = ts.tail
       }
       if (curW != w) bad()
-      Some((w, h, pixels))
+      Some((w, h, pixels, ctx.feats))
     } catch { case _: Malformed => None }
   }
 

@@ -26,7 +26,7 @@ class WebpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     }.toSeq
 
   test("fixture set is the full designed matrix") {
-    assert(manifest.size == 15)
+    assert(manifest.size == 16)
     assert(manifest.map(_._1).contains("alpha_80x60"))
   }
 
@@ -49,6 +49,21 @@ class WebpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(mismatch == -1, s"first pixel mismatch at index $mismatch " +
         s"(x=${mismatch % w}, y=${mismatch / w})")
     }
+
+  test("fixture set exercises EVERY decoder path (feature bitmask union)") {
+    import WebpCodec.Feature._
+    val union = manifest.map { case (name, _, _) =>
+      val Some((_, _, _, feats)) =
+        WebpCodec.decodeArgbFeatures(resource(s"$name.webp"))
+      feats
+    }.reduce(_ | _)
+    val all = PredictorTf | ColorTf | SubGreenTf | PaletteTf | ColorCache |
+      CacheHit | MetaHuffman | Lz77Near | Lz77Linear | SimpleCode |
+      NormalCode | PixelBundling
+    val missing = all & ~union
+    assert(missing == 0,
+      s"decoder paths never reached by any fixture: bits 0x${missing.toHexString}")
+  }
 
   test("synth stream decodes to the closed-form gradient") {
     for ((w, h, seed) <- Seq((17, 9, 5), (1, 1, 0), (40, 23, 96), (300, 2, 7))) {

@@ -119,6 +119,24 @@ def tiles(w, h, t, seed):  # exact repeats -> LZ77 incl. 2D near distances
     return bytes(px)
 
 
+def quadrants(w, h, seed):  # wildly different region statistics ->
+    # per-block entropy groups (meta-Huffman image)
+    g = lcg(seed)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if x < w // 2 and y < h // 2:
+                px += bytes((200, 60, 60))          # flat
+            elif x >= w // 2 and y < h // 2:
+                px += bytes((next(g), next(g), next(g)))  # noise
+            elif x < w // 2:
+                px += bytes((x % 256, y % 256, (x + y) % 256))  # gradient
+            else:
+                t = ((x % 8) * 8 + (y % 8) * 29) % 256          # tiles
+                px += bytes((t, 255 - t, t ^ 0x55))
+    return bytes(px)
+
+
 def rgba_rings(w, h):  # native VP8L alpha channel
     px = bytearray()
     for y in range(h):
@@ -141,6 +159,7 @@ def main():
         ("tiles_64x64", tiles(64, 64, 16, 11), 64, 64, False),
         ("tiles_96x80", tiles(96, 80, 8, 12), 96, 80, False),
         ("big_300x200", smooth_noise(300, 200, 21), 300, 200, False),
+        ("quads_400x300", quadrants(400, 300, 31), 400, 300, False),
         ("wide_256x1", gradient(256, 1), 256, 1, False),
         ("tall_1x256", gradient(1, 256), 1, 256, False),
         ("tiny_7x5", gradient(7, 5), 7, 5, False),
