@@ -79,6 +79,25 @@ class WebpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("synth round-trips across randomized dims and seeds") {
+    val rnd = new scala.util.Random(0xbeef)
+    for (_ <- 1 to 40) {
+      val w = 1 + rnd.nextInt(70)
+      val h = 1 + rnd.nextInt(40)
+      val seed = rnd.nextInt(256)
+      val Some((dw, dh, rgb)) = WebpCodec.decode(WebpCodec.synth(w, h, seed))
+      assert((dw, dh) == (w, h))
+      val probes = Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1),
+        (w / 2, h / 2))
+      for ((x, y) <- probes) {
+        val o = (y * w + x) * 3
+        assert((rgb(o) & 0xff) == x % 256)
+        assert((rgb(o + 1) & 0xff) == y % 256)
+        assert((rgb(o + 2) & 0xff) == (x + y + seed) % 256)
+      }
+    }
+  }
+
   test("synth channel sums match the pixel_stats closed form") {
     val (w, h, seed) = (21, 13, 4)
     val Some((_, _, rgb)) = PixelCodec.decodePixels(WebpCodec.synth(w, h, seed))
