@@ -24,6 +24,7 @@ import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
   * graft.Main index     <crawldb> <linkdb> <segment> <outDir>
   * graft.Main clean     <crawldb> <sinkDir>
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
+  * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
   * ```
   *
   * The wire protocol for `fetch`/`crawl` is a site snapshot (JSON lines:
@@ -493,6 +494,85 @@ object Main {
       // per-job counter readback (the NutchMetrics observability
       // surface the conductor appends under <root>/metrics): summed
       // across rounds, or -round N for one round's raw rows
+      case "corpus" :: sfDir :: outDir :: rest =>
+        // The training-data pipeline as ONE runnable export: the same
+        // oracle-checked stage builders the queries use (quality gate,
+        // exact/line/span dedup, rarity outlier cut, optional MinHash
+        // near-dup drop), composed per doc, then written as a sharded
+        // corpus tree + per-shard manifest + per-(lang, source) data
+        // card + a drop-reason metrics table. At 100 TB this is the
+        // corpus build job; every stage is a hash join/agg against
+        // pre-aggregated sides — nothing all-pairs, nothing collected.
+        import org.apache.spark.sql.functions._
+        val shards = optL(rest, "-shards", 8).toInt
+        val docs = Tables(spark, sfDir, "documents")
+        def q(name: String) = Queries.byName(name).build(spark, sfDir)
+        var labeled = docs
+          .join(q("quality_gopher").select(col("doc_id"),
+            col("gopher_verdict")), "doc_id")
+          .join(q("dedup_exact").select(col("doc_id"),
+            col("dedup_status")), "doc_id")
+          .join(q("line_dedup").select(col("doc_id"),
+            col("n_dropped")), "doc_id")
+          // left: span_dedup has no row for docs shorter than one
+          // 15-word window - trivially zero duplicated spans
+          .join(q("span_dedup").select(col("doc_id"),
+            col("dup_bp")), Seq("doc_id"), "left")
+          .withColumn("dup_bp", coalesce(col("dup_bp"), lit(0L)))
+          .join(q("rarity_score").select(col("doc_id"),
+            col("rarity_per_token_bp")), "doc_id")
+          .withColumn("drop_reason",
+            when(col("gopher_verdict") =!= "keep", "quality")
+              .when(col("dedup_status") =!= "keep", "exact_dup")
+              .when(col("n_dropped") =!= 0, "line_dup")
+              .when(col("dup_bp") >= 2000L, "span_dup")
+              .when(col("rarity_per_token_bp") >= 400000L, "outlier")
+              .otherwise("keep"))
+        if (rest.contains("-neardup")) {
+          // near-dup policy: of each verified MinHash pair (a < b),
+          // the higher doc_id drops — chains keep their lowest member
+          val drops = q("minhash_lsh")
+            .select(col("b_id").as("doc_id")).distinct()
+            .withColumn("near_drop", lit(1))
+          labeled = labeled.join(drops, Seq("doc_id"), "left")
+            .withColumn("drop_reason",
+              when(col("drop_reason") === "keep" && col("near_drop") === 1,
+                "near_dup").otherwise(col("drop_reason")))
+            .drop("near_drop")
+        }
+        labeled = labeled.cache()
+        val corpus = labeled.where(col("drop_reason") === "keep")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("shard",
+            Queries.md5Long(col("doc_id").cast("string")) % shards)
+          .select(col("shard"), col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_tokens"))
+          .cache()
+        corpus.write.partitionBy("shard").mode("overwrite")
+          .parquet(s"$outDir/corpus")
+        corpus.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+        corpus.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/datacard")
+        val metrics = new Metrics.Table(spark, s"$outDir/metrics")
+        val reasons = labeled.groupBy("drop_reason").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        metrics.append(Metrics.gauge(spark, 0, "corpus", "docs_in",
+          reasons.values.sum))
+        reasons.foreach { case (reason, n) =>
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            if (reason == "keep") "docs_kept" else s"dropped_$reason", n))
+        }
+        labeled.unpersist()
+        println(s"corpus: ${reasons.getOrElse("keep", 0L)} docs kept of " +
+          s"${reasons.values.sum} into $shards shards " +
+          reasons.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("(", " ", ")"))
+        corpus.unpersist()
+        0
       case "metrics" :: dir :: rest =>
         import org.apache.spark.sql.functions.col
         val t = new graft.ops.Metrics.Table(spark, dir)

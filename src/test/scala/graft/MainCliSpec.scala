@@ -307,4 +307,40 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     Files.writeString(Paths.get(root, "urls2.txt"), "http://localhost/\n")
     assert(v("resolveurls", s"$root/urls2.txt") == 0)
   }
+
+  test("corpus verb: sharded export + manifest + datacard + drop metrics") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val root = Files.createTempDirectory("cli-corpus").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/out", "-shards", "4", "-neardup") == 0)
+    val docsIn = Tables(spark, sf, "documents").count()
+    val corpus = spark.read.parquet(s"$root/out/corpus")
+    val kept = corpus.count()
+    assert(kept > 0 && kept < docsIn) // the gates really drop something
+    // shard column materialized as the partition dir, values in range
+    assert(corpus.select("shard").distinct().collect()
+      .map(_.get(0).toString.toLong).forall(s => s >= 0 && s < 4))
+    // manifest totals == corpus totals
+    val manifest = spark.read.parquet(s"$root/out/manifest")
+    assert(manifest.agg(sum("n_docs")).head().getLong(0) == kept)
+    // datacard covers every kept (lang, source) with matching doc sum
+    val card = spark.read.parquet(s"$root/out/datacard")
+    assert(card.agg(sum("n_docs")).head().getLong(0) == kept)
+    assert(card.select("lang", "source").distinct().count() == card.count())
+    // metrics: docs_in == kept + every dropped_* counter
+    val m = new graft.ops.Metrics.Table(spark, s"$root/out/metrics").read()
+    def g(name: String): Long = m.where(col("name") === name)
+      .select("value").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    assert(g("docs_in") == docsIn)
+    val droppedTotal = m.where(col("name").startsWith("dropped_"))
+      .agg(sum("value")).head().getLong(0)
+    assert(g("docs_kept") == kept && kept + droppedTotal == docsIn)
+    // deterministic: a re-run writes the identical corpus
+    assert(v("corpus", sf, s"$root/out2", "-shards", "4", "-neardup") == 0)
+    val again = spark.read.parquet(s"$root/out2/corpus")
+    assert(again.count() == kept)
+    assert(corpus.select("doc_id", "shard").except(
+      again.select("doc_id", "shard")).isEmpty)
+  }
 }
