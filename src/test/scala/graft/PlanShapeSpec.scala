@@ -208,6 +208,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("incremental_dedup joins stay hash-keyed: no cartesian, no single-partition funnel") {
+    val p = plan("incremental_dedup", execute = true)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("media decode queries are pure maps: no shuffle at all") {
     // pixel/audio decode is per-row work; any Exchange here would mean
     // the plan ships payloads across the cluster for no reason
