@@ -1199,6 +1199,55 @@ object QueriesText {
           + w * h * seed AS BIGINT) AS sum_b
       FROM p"""))
 
+  private val synthTiffUdf = udf((w: Int, h: Int, seed: Int) => {
+    import graft.operators.{Multimodal, PixelCodec, TiffCodec}
+    val bytes = TiffCodec.synth(w, h, seed)
+    PixelCodec.decodePixels(bytes).map { case (dw, dh, rgb) =>
+      val (sr, sg, sb) = PixelCodec.channelSums(rgb)
+      (Multimodal.sniff(bytes), dw, dh, sr, sg, sb)
+    }
+  })
+
+  /** X6 (REAL TIFF decode) — baseline TIFF through the first-party
+    * [[graft.operators.TiffCodec]] (IFD walk, strip assembly across a
+    * two-strip synth layout) to exact channel sums; the planted stream
+    * is the same gradient as pixel_stats/webp_stats so the closed-form
+    * oracle is shared. The compressed/tiled/big-endian surface is
+    * conformance-tested against the JDK's independent ImageIO TIFF
+    * plugin in TiffCodecSpec (both directions, raster-exact). */
+  val tiffStats = Q(
+    "tiff_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthTiffUdf((lit(8) + k % 24).cast("int"),
+        (lit(8) + k % 16).cast("int"), (k % 97).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("width"),
+          col("r._3").as("height"),
+          col("r._4").as("sum_r"),
+          col("r._5").as("sum_g"),
+          col("r._6").as("sum_b"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CAST(8 + doc_id % 24 AS BIGINT) AS w,
+          CAST(8 + doc_id % 16 AS BIGINT) AS h,
+          CAST(doc_id % 97 AS BIGINT) AS seed
+        FROM documents)
+      SELECT doc_id,
+        'image/tiff' AS sniffed_type,
+        CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
+        CAST(h * (w * (w - 1) // 2) AS BIGINT) AS sum_r,
+        CAST(w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+        CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+          + w * h * seed AS BIGINT) AS sum_b
+      FROM p"""))
+
   private val synthPcmUdf = udf((n: Int, seed: Int) => {
     import graft.operators.Multimodal
     Multimodal.pcmStats(Multimodal.Synth.wavPcm(16000, n, seed))
@@ -1313,5 +1362,5 @@ object QueriesText {
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
-    flacStats, jpegStats, webpStats, incrementalDedup)
+    flacStats, jpegStats, webpStats, incrementalDedup, tiffStats)
 }

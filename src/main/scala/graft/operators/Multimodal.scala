@@ -305,6 +305,7 @@ object Multimodal {
             Some(((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1))
           case _ => None
         }
+      case "image/tiff" => TiffCodec.dims(bytes) // IFD walk, either order
       case _ => None
     }
   }

@@ -355,6 +355,8 @@ object PixelCodec {
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       JpegCodec.decode(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I') WebpCodec.decode(bytes)
+    else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+      (bytes(0) == 'M' && bytes(1) == 'M')) TiffCodec.decode(bytes)
     else None
 
   private def toRgb(img: Array[Byte], w: Int, h: Int,

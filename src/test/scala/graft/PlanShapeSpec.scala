@@ -219,7 +219,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     // pixel/audio decode is per-row work; any Exchange here would mean
     // the plan ships payloads across the cluster for no reason
     for (q <- Seq("pixel_stats", "audio_stats", "flac_stats", "jpeg_stats",
-        "webp_stats")) {
+        "webp_stats", "tiff_stats")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q: $p")
       spark.catalog.clearCache()

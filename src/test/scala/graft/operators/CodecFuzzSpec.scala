@@ -37,7 +37,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "webp" -> WebpCodec.synth(13, 9, 5),
     "wav" -> Multimodal.Synth.wavPcm(16000, 300, 7),
     "flac" -> Multimodal.Synth.flacPcm(16000, 300, 7),
-    "mp4" -> Multimodal.Synth.mp4(600, 4200))
+    "mp4" -> Multimodal.Synth.mp4(600, 4200),
+    "tiff" -> TiffCodec.synth(13, 9, 5))
 
   private def check(tag: String, bytes: Array[Byte]): Unit =
     for ((dn, fn) <- decoders)
