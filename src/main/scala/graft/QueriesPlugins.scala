@@ -651,7 +651,59 @@ object QueriesPlugins {
           ELSE 'application/zip' END AS detected_type
       FROM documents"""))
 
+  private val pdfTextUdf = udf((id: Long, pages: Int, enc: Boolean) => {
+    import graft.ops.{Parse, PdfParse}
+    val pg = (1 to pages).map(p => Seq(s"Corpus document $id page $p",
+      s"training shard ${id % 16} line two"))
+    // through the REAL parse gate (application/pdf dispatch), so the
+    // oracle also pins the gate's routing, not just the extractor
+    val (status, _, text, _) = Parse.parsePage(
+      s"http://docs.example.com/d$id.pdf",
+      PdfParse.build(pg, encrypt = enc), "application/pdf", Parse.Config())
+    (status, if (enc) 1 else 0, text)
+  })
+
+  /** parse-tika PDF analog, first-party ([[graft.ops.PdfParse]]):
+    * plan-synthesized REAL PDFs (Flate-compressed content streams,
+    * valid xref; every third doc RC4-encrypted under the Standard
+    * security handler exactly like the reference's encrypted.pdf
+    * sample) run through the REAL parse gate, and the oracle restates
+    * the planted page text closed-form — a hash match proves object
+    * scan ∘ (decrypt) ∘ inflate ∘ content-tokenize ∘ text-assembly
+    * reproduced every character. Conformance on the reference's own
+    * samples (incl. its TestPdfParser expectation) is PdfParseSpec. */
+  val pdfText = Q(
+    "pdf_text",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      d.select(k.as("doc_id"),
+          pdfTextUdf(k, (lit(1) + k % 3).cast("int"), k % 3 === 0).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("status"),
+          col("r._2").as("encrypted"),
+          col("r._3").as("text"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, 1 + doc_id % 3 AS np FROM documents),
+      l AS (
+        SELECT doc_id, np, unnest(range(1, np + 1)) AS pg FROM p),
+      t AS (
+        SELECT doc_id, np,
+          string_agg('Corpus document ' || doc_id || ' page ' || pg
+            || chr(10) || 'training shard ' || (doc_id % 16)
+            || ' line two', chr(10) ORDER BY pg) AS text
+        FROM l GROUP BY doc_id, np)
+      SELECT doc_id,
+        CAST(1 AS INT) AS status,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+          AS encrypted,
+        text
+      FROM t"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
     ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks,
-    reltagTags, parsefilterRegex, indexReplaceLinks, containerDetect)
+    reltagTags, parsefilterRegex, indexReplaceLinks, containerDetect,
+    pdfText)
 }

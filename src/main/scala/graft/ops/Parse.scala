@@ -62,6 +62,15 @@ object Parse {
     * cap count and anchor length (ParseOutputFormat.java:221-260). */
   def parsePage(base: String, bytes: Array[Byte], contentType: String,
       cfg: Config): (Int, String, String, Seq[Outlink]) = {
+    if (bytes != null && bytes.nonEmpty && contentType == "application/pdf") {
+      // parse-tika's biggest single format, first-party (PdfParse):
+      // text extraction incl. RC4-standard-handler decryption; an
+      // unopenable (AES/passworded/malformed) PDF fails the parse
+      // instead of emitting garbage
+      val r = PdfParse.extract(bytes)
+      return (if (r.ok) ParseStatusCodes.Success else ParseStatusCodes.Failed,
+        "", r.text, Nil)
+    }
     if (bytes == null || bytes.isEmpty ||
         !(contentType.startsWith("text/") || contentType.isEmpty))
       return (ParseStatusCodes.Failed, "", "", Nil)

@@ -1,0 +1,564 @@
+package graft.ops
+
+import java.util.zip.Inflater
+
+/** First-party PDF text extraction — the parse-tika PDF analog
+  * (reference: src/plugin/parse-tika, TestPdfParser.java expects
+  * "A VERY SMALL PDF FILE" from both its samples; PdfParseSpec passes
+  * BOTH, including the RC4-encrypted one, through this parser).
+  *
+  * Scope (the classic text-PDF family a crawler mostly sees):
+  *   - object scan without trusting xref (robust to truncated or
+  *     regenerated tables), object streams (/Type/ObjStm, PDF 1.5+),
+  *     indirect /Length, Flate with optional PNG-predictor DecodeParms
+  *   - Standard security handler V1/V2 R2/R3 (40..128-bit RC4) with
+  *     the EMPTY user password — the key derivation is self-verified
+  *     against the file's /U entry before use (PDF 1.7 §7.6.3
+  *     Algorithm 6), so a wrong key reads as "encrypted, can't parse",
+  *     never as garbage text. AES (/V 4+) and real passwords return
+  *     status Failed (the reference's Tika does the same without a
+  *     password).
+  *   - page-tree walk (/Type/Page → /Contents, arrays included) with a
+  *     BT-scan fallback when no page objects resolve
+  *   - content tokenizer: Tj / TJ / ' / " shows, (…) strings with all
+  *     escapes, <…> hex strings, inline images (BI…EI) skipped
+  *   - PDFBox-flavored text assembly: vertical moves (Td, TD, T-star,
+  *     Tm, quote operators) break lines; horizontal moves and TJ
+  *     kerning gaps wider than a
+  *     quarter of the font size insert a space, smaller ones join —
+  *     the rule that reassembles "FIL"+"E" into FILE in the
+  *     reference's own sample
+  *   - bytes decode as windows-1252 (WinAnsiEncoding's superset);
+  *     multi-byte CID text (Type0/Identity-H) is out of scope and
+  *     skipped rather than mis-decoded
+  */
+object PdfParse {
+
+  final case class Result(ok: Boolean, encrypted: Boolean, nPages: Int,
+      text: String)
+
+  // ---- tiny crypto primitives (PDF 1.7 §7.6.3; public spec) ----
+
+  /** The standard 32-byte password pad (PDF 1.7 Table 22 preamble). */
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+    .map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private[ops] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    i = 0
+    while (i < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(i) = (data(i) ^ s((s(x) + s(y)) & 0xff)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** File key from the Standard handler dict (Algorithm 2, empty user
+    * password), self-verified against /U (Algorithms 4/5/6). Returns
+    * None when the check fails (wrong revision, real password, AES). */
+  private[ops] def fileKey(o: Array[Byte], u: Array[Byte], p: Int, r: Int,
+      keyBytes: Int, id0: Array[Byte]): Option[Array[Byte]] = {
+    if (r != 2 && r != 3) return None
+    var h = md5(Pad, o, le32(p), id0)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(keyBytes)); i += 1 }
+    }
+    val key = h.take(keyBytes)
+    val ok =
+      if (r == 2) java.util.Arrays.equals(rc4(key, Pad), u)
+      else {
+        var x = md5(Pad, id0)
+        var i = 0
+        while (i < 20) {
+          val ki = key.map(b => (b ^ i).toByte)
+          x = rc4(ki, x)
+          i += 1
+        }
+        java.util.Arrays.equals(x, u.take(16))
+      }
+    if (ok) Some(key) else None
+  }
+
+  /** Per-object RC4 key (Algorithm 1). */
+  private[ops] def objectKey(fileKey: Array[Byte], num: Int,
+      gen: Int): Array[Byte] = {
+    val ext = fileKey ++ Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte,
+      ((gen >> 8) & 0xff).toByte)
+    md5(ext).take(math.min(fileKey.length + 5, 16))
+  }
+
+  // ---- low-level scanning helpers ----
+
+  private def ascii(bytes: Array[Byte], from: Int, until: Int): String =
+    new String(bytes, from, until - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private val ObjRe = """(\d+)\s+(\d+)\s+obj""".r
+  private val LenRe = """/Length\s+(\d+)(\s+(\d+)\s+R)?""".r
+  private val RefRe = """(\d+)\s+(\d+)\s+R""".r
+
+  private final case class RawObj(num: Int, gen: Int, body: Array[Byte])
+
+  /** One parsed object: its dictionary source (up to the stream
+    * keyword) and the decoded stream bytes, if any. */
+  private final case class Obj(num: Int, dict: String,
+      stream: Option[Array[Byte]])
+
+  private def inflate(src: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(src)
+      val out = new java.io.ByteArrayOutputStream(src.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) return None
+        if (out.size() > (64 << 20)) return None // decompression bomb
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
+
+  /** PNG-predictor DecodeParms post-pass (predictor ≥ 10). */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    val stride = columns
+    val rows = data.length / (stride + 1)
+    val out = new Array[Byte](rows * stride)
+    var y = 0
+    while (y < rows) {
+      val ft = data(y * (stride + 1)) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = data(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x > 0) out(y * stride + x - 1) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x > 0) out((y - 1) * stride + x - 1) & 0xff
+          else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => cur + graft.operators.PixelCodec.paeth(left, up, ul)
+          case _ => cur
+        }
+        out(y * stride + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- the parser ----
+
+  def extract(bytes: Array[Byte]): Result = {
+    if (bytes == null || bytes.length < 8 ||
+      !ascii(bytes, 0, 5).startsWith("%PDF-"))
+      return Result(ok = false, encrypted = false, 0, "")
+    val whole = ascii(bytes, 0, bytes.length)
+    // 1. raw object segmentation (linear, xref-free)
+    val raws = scala.collection.mutable.LinkedHashMap.empty[Int, RawObj]
+    for (m <- ObjRe.findAllMatchIn(whole)) {
+      val end = whole.indexOf("endobj", m.end)
+      if (end > 0)
+        raws(m.group(1).toInt) = RawObj(m.group(1).toInt, m.group(2).toInt,
+          java.util.Arrays.copyOfRange(bytes, m.end, end))
+    }
+    if (raws.isEmpty) return Result(ok = false, encrypted = false, 0, "")
+    def rawDict(o: RawObj): String = {
+      val s = ascii(o.body, 0, o.body.length)
+      val i = s.indexOf("stream")
+      if (i < 0) s else s.substring(0, i)
+    }
+    // 2. encryption setup (trailer /Encrypt + /ID)
+    val trailerAt = whole.lastIndexOf("trailer")
+    val trailer =
+      if (trailerAt >= 0) whole.substring(trailerAt)
+      else whole // xref-stream files keep /Encrypt in a dict we scanned
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+      .findFirstMatchIn(trailer).orElse(
+        """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(whole))
+    var encrypted = false
+    var key: Option[Array[Byte]] = None
+    if (encRef.isDefined) {
+      encrypted = true
+      val dict = raws.get(encRef.get.group(1).toInt).map(rawDict)
+        .getOrElse("")
+      def hexEntry(name: String): Option[Array[Byte]] =
+        (name + """\s*<([0-9A-Fa-f\s]+)>""").r.findFirstMatchIn(dict)
+          .map(m => m.group(1).replaceAll("\\s", "").grouped(2)
+            .map(Integer.parseInt(_, 16).toByte).toArray)
+      val id0 = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r
+        .findFirstMatchIn(whole.substring(math.max(0, trailerAt)))
+        .orElse("""/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(whole))
+        .map(_.group(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      val v = """/V\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+      val r = """/R\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+      val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt)
+      val len = """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(40)
+      val standard = dict.contains("/Standard")
+      key = for {
+        _ <- if (standard && v.exists(x => x == 1 || x == 2)) Some(()) else None
+        o <- hexEntry("/O"); u <- hexEntry("/U")
+        pv <- p; rv <- r; i0 <- id0
+        k <- fileKey(o, u, pv, rv, len / 8, i0)
+      } yield k
+      if (key.isEmpty) return Result(ok = false, encrypted = true, 0, "")
+    }
+    // 3. decode streams (decrypt → inflate → predictor)
+    def streamOf(o: RawObj): Option[Array[Byte]] = {
+      val s = ascii(o.body, 0, o.body.length)
+      val kw = s.indexOf("stream")
+      if (kw < 0) return None
+      val dict = s.substring(0, kw)
+      var dataAt = kw + "stream".length
+      if (dataAt < s.length && s.charAt(dataAt) == '\r') dataAt += 1
+      if (dataAt < s.length && s.charAt(dataAt) == '\n') dataAt += 1
+      val declared = LenRe.findFirstMatchIn(dict).flatMap { m =>
+        if (m.group(2) == null) Some(m.group(1).toInt)
+        else raws.get(m.group(1).toInt).flatMap(lo =>
+          """\d+""".r.findFirstIn(ascii(lo.body, 0, lo.body.length))
+            .map(_.toInt))
+      }
+      val endKw = s.lastIndexOf("endstream")
+      val rawEnd = declared match {
+        case Some(n) if dataAt + n <= o.body.length => dataAt + n
+        case _ => if (endKw > dataAt) endKw else o.body.length
+      }
+      var data = java.util.Arrays.copyOfRange(o.body, dataAt, rawEnd)
+      key.foreach(k => data = rc4(objectKey(k, o.num, o.gen), data))
+      if (dict.contains("/FlateDecode") || dict.contains("/Fl "))
+        data = inflate(data).getOrElse(return None)
+      val pred = """/Predictor\s+(\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(1)
+      if (pred >= 10) {
+        val cols = """/Columns\s+(\d+)""".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        data = pngUnpredict(data, cols)
+      }
+      Some(data)
+    }
+    val objs = scala.collection.mutable.LinkedHashMap.empty[Int, Obj]
+    raws.values.foreach { o =>
+      objs(o.num) = Obj(o.num, rawDict(o), streamOf(o))
+    }
+    // 3b. object streams: objects packed inside a compressed stream
+    raws.values.filter(o => rawDict(o).contains("/ObjStm")).foreach { o =>
+      for {
+        data <- objs(o.num).stream
+        n <- """/N\s+(\d+)""".r.findFirstMatchIn(objs(o.num).dict)
+          .map(_.group(1).toInt)
+        first <- """/First\s+(\d+)""".r.findFirstMatchIn(objs(o.num).dict)
+          .map(_.group(1).toInt)
+      } {
+        val s = ascii(data, 0, data.length)
+        val header = s.take(first).trim.split("\\s+").filter(_.nonEmpty)
+        var i = 0
+        while (i + 1 < header.length && i / 2 < n) {
+          val num = header(i).toInt
+          val off = header(i + 1).toInt
+          val end =
+            if (i + 3 < header.length && (i + 2) / 2 < n)
+              first + header(i + 3).toInt
+            else data.length
+          if (first + off <= data.length && end <= data.length)
+            objs(num) = Obj(num, s.substring(first + off, end), None)
+          i += 2
+        }
+      }
+    }
+    // 4. page walk → content streams (fallback: any stream with BT)
+    val pages = objs.values.filter(o =>
+      o.dict.contains("/Page") && !o.dict.contains("/Pages")).toSeq
+    val contentNums = pages.flatMap { p =>
+      """/Contents\s+((\d+)\s+\d+\s+R|\[(.*?)\])""".r
+        .findFirstMatchIn(p.dict).toSeq.flatMap { m =>
+          if (m.group(2) != null) Seq(m.group(2).toInt)
+          else RefRe.findAllMatchIn(m.group(3)).map(_.group(1).toInt).toSeq
+        }
+    }
+    val contents: Seq[Array[Byte]] =
+      if (contentNums.nonEmpty)
+        contentNums.flatMap(n => objs.get(n).flatMap(_.stream))
+      else objs.values.flatMap(_.stream)
+        .filter(d => ascii(d, 0, math.min(d.length, 1 << 20)).contains("BT"))
+        .toSeq
+    if (contents.isEmpty)
+      return Result(ok = pages.nonEmpty, encrypted, pages.size, "")
+    val text = contents.map(c => extractText(ascii(c, 0, c.length)))
+      .mkString("\n").trim
+    Result(ok = true, encrypted, math.max(pages.size, 1), text)
+  }
+
+  // ---- content-stream text assembly ----
+
+  /** Decode a PDF literal string body (escapes, octal, continuations)
+    * to windows-1252 text. */
+  private[ops] def literal(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case '\n' => i += 2 // line continuation
+          case '\r' =>
+            i += 2
+            if (i < s.length && s.charAt(i) == '\n') i += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < s.length && s.charAt(i) >= '0' &&
+              s.charAt(i) <= '7') { v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1 }
+            out.write(v & 0xff)
+          case other => out.write(other); i += 2
+        }
+      } else { out.write(c); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.Charset.forName("windows-1252"))
+  }
+
+  private def hexString(s: String): String = {
+    val hex = s.filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    new String(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      java.nio.charset.Charset.forName("windows-1252"))
+  }
+
+  /** Walk one content stream, applying the spacing heuristics. */
+  private[ops] def extractText(src: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var fontSize = 12.0
+    val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastStr: String = null // pending string operand (for Tj/'/")
+    val tjParts = scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
+    var inArray = false
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out.append('\n')
+    def space(): Unit =
+      if (out.nonEmpty && out.last != ' ' && out.last != '\n')
+        out.append(' ')
+    def readString(): String = { // cursor at '('
+      var depth = 0
+      val start = i + 1
+      var j = i
+      var done = -1
+      while (done < 0 && j < src.length) {
+        src.charAt(j) match {
+          case '\\' => j += 1
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) done = j
+          case _ => ()
+        }
+        j += 1
+      }
+      i = if (done < 0) src.length else done + 1
+      literal(src.substring(start, math.max(start, if (done < 0) src.length else done)))
+    }
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c == '(') {
+        val s = readString()
+        if (inArray) tjParts += Left(s) else lastStr = s
+      } else if (c == '<' && i + 1 < src.length && src.charAt(i + 1) != '<') {
+        val end = src.indexOf('>', i)
+        val s = hexString(src.substring(i + 1, if (end < 0) src.length else end))
+        if (inArray) tjParts += Left(s) else lastStr = s
+        i = if (end < 0) src.length else end + 1
+      } else if (c == '[') { inArray = true; tjParts.clear(); i += 1 }
+      else if (c == ']') { inArray = false; i += 1 }
+      else if (c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < src.length && ("0123456789.-".indexOf(src.charAt(i)) >= 0))
+          i += 1
+        val v = try src.substring(start, i).toDouble catch {
+          case _: NumberFormatException => 0.0
+        }
+        if (inArray) tjParts += Right(v) else nums += v
+      } else if (Character.isLetter(c) || c == '\'' || c == '"' || c == '*') {
+        val start = i
+        i += 1
+        while (i < src.length && (Character.isLetterOrDigit(src.charAt(i)) ||
+          src.charAt(i) == '*')) i += 1
+        val op = src.substring(start, i)
+        op match {
+          case "BI" => // inline image: skip to EI
+            val ei = src.indexOf("EI", i)
+            i = if (ei < 0) src.length else ei + 2
+          case "Tf" => if (nums.nonEmpty) fontSize = nums.last
+          case "Td" | "TD" =>
+            if (nums.length >= 2) {
+              val dx = nums(nums.length - 2)
+              val dy = nums.last
+              if (dy != 0) newline()
+              else if (math.abs(dx) > fontSize * 0.25) space()
+            }
+          case "Tm" =>
+            // full matrix set: treat as a line break unless it's the
+            // first positioning of the stream
+            if (nums.length >= 6 && out.nonEmpty) newline()
+          case "T*" => newline()
+          case "Tj" => if (lastStr != null) { out.append(lastStr); lastStr = null }
+          case "'" | "\"" =>
+            newline()
+            if (lastStr != null) { out.append(lastStr); lastStr = null }
+          case "TJ" =>
+            tjParts.foreach {
+              case Left(s) => out.append(s)
+              case Right(adj) => if (adj <= -180) space()
+            }
+            tjParts.clear()
+          case "BT" | "ET" => ()
+          case _ => ()
+        }
+        nums.clear()
+      } else i += 1
+    }
+    out.toString.trim
+  }
+
+  // ==== synth: a real PDF writer (oracle + test side) ====
+
+  /** Build a complete, standards-correct PDF: header, catalog, page
+    * tree, Helvetica, one Flate-compressed content stream per page
+    * (one text line per entry), and a valid xref table. When `rc4Key`
+    * is set, every string/stream encrypts under the Standard handler
+    * V1 R3 with an empty user password — the exact family of the
+    * reference's encrypted sample — with correctly computed /O and /U
+    * entries so ANY conformant reader opens it. */
+  def build(pages: Seq[Seq[String]], encrypt: Boolean = false,
+      id0Hex: String = "0123456789abcdef0123456789abcdef"): Array[Byte] = {
+    val id0 = id0Hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Standard handler entries (Algorithms 3 and 2/5), empty passwords
+    val p = -4
+    val (encKey, oEntry, uEntry) =
+      if (!encrypt) (None, Array.emptyByteArray, Array.emptyByteArray)
+      else {
+        var oh = md5(Pad)
+        var i = 0
+        while (i < 50) { oh = md5(oh.take(5)); i += 1 }
+        val oKey = oh.take(5)
+        var o = rc4(oKey, Pad)
+        i = 1
+        while (i < 20) {
+          o = rc4(oKey.map(b => (b ^ i).toByte), o)
+          i += 1
+        }
+        var kh = md5(Pad, o, le32(p), id0)
+        i = 0
+        while (i < 50) { kh = md5(kh.take(5)); i += 1 }
+        val key = kh.take(5)
+        var u = md5(Pad, id0)
+        i = 0
+        while (i < 20) {
+          u = rc4(key.map(b => (b ^ i).toByte), u)
+          i += 1
+        }
+        (Some(key), o, u ++ new Array[Byte](16))
+      }
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      body
+    }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val nPages = pages.length
+    // object numbering: 1 catalog, 2 pages, 3 font, 4..3+n page objects,
+    // 4+n..3+2n content streams, last = encrypt dict (if any)
+    obj { w(s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
+    obj {
+      val kids = (0 until nPages).map(i => s"${4 + i} 0 R").mkString(" ")
+      w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages " +
+        "/MediaBox [0 0 612 792] >>\nendobj\n")
+    }
+    obj { w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n") }
+    for (i <- 0 until nPages) obj {
+      w(s"${4 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${4 + nPages + i} 0 R >>\nendobj\n")
+    }
+    for (i <- 0 until nPages) obj {
+      val num = 4 + nPages + i
+      val body = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
+      pages(i).zipWithIndex.foreach { case (line, k) =>
+        val esc = line.replace("\\", "\\\\").replace("(", "\\(")
+          .replace(")", "\\)")
+        if (k > 0) body.append("0 -14 Td\n")
+        body.append(s"($esc) Tj\n")
+      }
+      body.append("ET\n")
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(body.toString
+        .getBytes(java.nio.charset.Charset.forName("windows-1252")))
+      deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      var data = zout.toByteArray
+      encKey.foreach(k => data = rc4(objectKey(k, num, 0), data))
+      w(s"$num 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\n" +
+        "stream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val encNum = 4 + 2 * nPages
+    if (encrypt) obj {
+      w(s"$encNum 0 obj\n<< /Filter /Standard /V 1 /R 3 /Length 40 " +
+        s"/P $p /O <${hex(oEntry)}> /U <${hex(uEntry)}> >>\nendobj\n")
+    }
+    val xrefAt = out.size()
+    val total = offsets.length + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $total /Root 1 0 R /ID [<$id0Hex> <$id0Hex>]" +
+      (if (encrypt) s" /Encrypt $encNum 0 R" else "") +
+      s" >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+}

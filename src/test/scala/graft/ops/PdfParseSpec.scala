@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF extraction conformance against the reference's OWN parse-tika
+  * samples and expectations (TestPdfParser.java: both pdftest.pdf and
+  * encrypted.pdf must yield "A VERY SMALL PDF FILE"), plus round-trips
+  * through the first-party writer in both plain and RC4-encrypted
+  * forms. */
+class PdfParseSpec extends AnyFunSuite {
+
+  private val sampleDir = "/root/reference/src/plugin/parse-tika/sample"
+
+  private def sample(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sampleDir, name))
+
+  test("extracts the reference sample (TestPdfParser expectation)") {
+    val r = PdfParse.extract(sample("pdftest.pdf"))
+    assert(r.ok && !r.encrypted)
+    assert(r.text.contains("A VERY SMALL PDF FILE"),
+      r.text.take(300)) // "FIL"+"E" joined across the small TD move
+    assert(r.text.contains("University of Liverpool"))
+  }
+
+  test("decrypts and extracts the reference's RC4-encrypted sample") {
+    val r = PdfParse.extract(sample("encrypted.pdf"))
+    assert(r.ok && r.encrypted)
+    assert(r.text.contains("A VERY SMALL PDF FILE"), r.text.take(300))
+  }
+
+  test("key derivation self-verifies: corrupted /U reads as locked, not garbage") {
+    val bytes = sample("encrypted.pdf")
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("/U <")
+    assert(at > 0)
+    val bad = bytes.clone()
+    bad(at + 4) = (if (bytes(at + 4) == '0') '1' else '0').toByte
+    val r = PdfParse.extract(bad)
+    assert(!r.ok && r.encrypted && r.text.isEmpty)
+  }
+
+  test("synth round-trip: multi-page, multi-line, exact text") {
+    val pages = Seq(
+      Seq("Corpus document 42 page 1", "second line of page one"),
+      Seq("page two begins here"),
+      Seq("third page", "with (parens) and back\\slash", "and a last line"))
+    val r = PdfParse.extract(PdfParse.build(pages))
+    assert(r.ok && !r.encrypted && r.nPages == 3)
+    assert(r.text == pages.map(_.mkString("\n")).mkString("\n"))
+  }
+
+  test("synth encrypted round-trip through the Standard handler") {
+    val pages = Seq(Seq("secret page text", "line two"))
+    val bytes = PdfParse.build(pages, encrypt = true)
+    val r = PdfParse.extract(bytes)
+    assert(r.ok && r.encrypted)
+    assert(r.text == "secret page text\nline two")
+    // the ciphertext really is encrypted: plaintext absent from file
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!raw.contains("secret page text"))
+  }
+
+  test("string escapes, hex strings, TJ kerning and inline images") {
+    val content = """BT /F1 10 Tf (A\(b\)c\\d) Tj
+      [(kern) -300 (gap) -20 (join)] TJ
+      <48454C4C4F> Tj
+      BI /W 2 /H 2 ID xx EI
+      (after image) Tj ET"""
+    val t = PdfParse.extractText(content)
+    assert(t.contains("A(b)c\\d"))
+    assert(t.contains("kern gapjoin")) // -300 gaps, -20 joins
+    assert(t.contains("HELLO"))
+    assert(t.contains("after image"))
+  }
+
+  test("octal escapes and windows-1252 high bytes decode") {
+    assert(PdfParse.literal("\\101\\102\\103") == "ABC")
+    assert(PdfParse.literal("caf\\351") == "café") // 0xE9 in cp1252
+  }
+
+  test("malformed inputs never throw; AES is refused honestly") {
+    val good = PdfParse.build(Seq(Seq("x")))
+    for (n <- 0 until good.length)
+      PdfParse.extract(good.take(n)) // no throw
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 400) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      PdfParse.extract(b) // no throw
+    }
+    // V4 (AES) encryption dict: out of scope -> locked, not garbage
+    val s = new String(PdfParse.build(Seq(Seq("x")), encrypt = true),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val aes = s.replace("/V 1 /R 3", "/V 4 /R 4")
+    val r = PdfParse.extract(
+      aes.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(!r.ok && r.encrypted)
+  }
+}
