@@ -702,8 +702,93 @@ object QueriesPlugins {
         text
       FROM t"""))
 
+  private val officeTextUdf = udf((id: Long, fmt: Int) => {
+    import graft.ops.{Parse, ZipParse}
+    val (bytes, ct) = fmt match {
+      case 0 => // ODF text document
+        val content = ("<?xml version=\"1.0\"?><office:document-content>" +
+          "<office:body><office:text>" +
+          s"<text:p>Corpus doc $id line one</text:p>" +
+          s"<text:p>shard ${id % 16} line two</text:p>" +
+          "</office:text></office:body></office:document-content>")
+        (ZipParse.build(Seq(
+          "mimetype" ->
+            "application/vnd.oasis.opendocument.text".getBytes("UTF-8"),
+          "content.xml" -> content.getBytes("UTF-8"))),
+          "application/vnd.oasis.opendocument.text")
+      case 1 => // OOXML wordprocessing
+        val doc = ("<?xml version=\"1.0\"?><w:document><w:body>" +
+          s"<w:p><w:r><w:t>Corpus doc $id line one</w:t></w:r></w:p>" +
+          s"<w:p><w:r><w:t>shard ${id % 16} line two</w:t></w:r></w:p>" +
+          "</w:body></w:document>")
+        (ZipParse.build(Seq(
+          "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+          "word/document.xml" -> doc.getBytes("UTF-8"))),
+          "application/vnd.openxmlformats-officedocument" +
+            ".wordprocessingml.document")
+      case 2 => // OOXML spreadsheet
+        val wb = "<workbook><sheets>" +
+          s"""<sheet name="data$id" sheetId="1"/></sheets></workbook>"""
+        val sheet = "<worksheet><sheetData><row>" +
+          s"""<c r="A1" t="str"><v>alpha$id</v></c>""" +
+          s"""<c r="B1" t="str"><v>beta${id % 7}</v></c>""" +
+          "</row></sheetData></worksheet>"
+        (ZipParse.build(Seq(
+          "[Content_Types].xml" -> "<Types/>".getBytes("UTF-8"),
+          "xl/workbook.xml" -> wb.getBytes("UTF-8"),
+          "xl/worksheets/sheet1.xml" -> sheet.getBytes("UTF-8"))),
+          "application/vnd.openxmlformats-officedocument" +
+            ".spreadsheetml.sheet")
+      case _ => // RTF
+        (("{\\rtf1\\ansi{\\info{\\title Doc " + id + "}}" +
+          "Corpus doc " + id + " body\\par line two " + (id % 16) + "}")
+          .getBytes("windows-1252"), "application/rtf")
+    }
+    val (status, title, text, _) = Parse.parsePage(
+      s"http://docs.example.com/d$id", bytes, ct, Parse.Config())
+    (status, title, text)
+  })
+
+  /** parse-tika office-family analog, first-party ([[graft.ops.Rtf]] +
+    * [[graft.ops.OfficeDocs]] + the zip container walk): per doc_id the
+    * payload cycles ODT / docx / xlsx / RTF, each built as a REAL
+    * container (zip members / RTF groups), routed through the REAL
+    * parse gate's content-type dispatch, and the oracle restates the
+    * extracted text (and the RTF \info title) closed-form. Conformance
+    * on the reference's own samples — TestRTFParser's three
+    * expectations, TestOOParser's ootest pair, TestXlsxParser's
+    * verbatim string — is OfficeDocsSpec. */
+  val officeText = Q(
+    "office_text",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      d.select(k.as("doc_id"), (k % 4).cast("int").as("fmt"),
+          officeTextUdf(k, (k % 4).cast("int")).as("r"))
+        .select(col("doc_id"), col("fmt"),
+          col("r._1").as("status"),
+          col("r._2").as("title"),
+          col("r._3").as("text"))
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(doc_id % 4 AS INT) AS fmt,
+        CAST(1 AS INT) AS status,
+        CASE WHEN doc_id % 4 = 3 THEN 'Doc ' || doc_id ELSE '' END AS title,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Corpus doc ' || doc_id || ' line one' || chr(10)
+            || 'shard ' || (doc_id % 16) || ' line two'
+          WHEN 1 THEN 'Corpus doc ' || doc_id || ' line one' || chr(10)
+            || 'shard ' || (doc_id % 16) || ' line two'
+          WHEN 2 THEN 'data' || doc_id || ' alpha' || doc_id || ' beta'
+            || (doc_id % 7)
+          ELSE 'Corpus doc ' || doc_id || ' body' || chr(10)
+            || 'line two ' || (doc_id % 16)
+        END AS text
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
     ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks,
     reltagTags, parsefilterRegex, indexReplaceLinks, containerDetect,
-    pdfText)
+    pdfText, officeText)
 }

@@ -62,6 +62,21 @@ object Parse {
     * cap count and anchor length (ParseOutputFormat.java:221-260). */
   def parsePage(base: String, bytes: Array[Byte], contentType: String,
       cfg: Config): (Int, String, String, Seq[Outlink]) = {
+    if (bytes != null && bytes.nonEmpty &&
+      (contentType == "application/rtf" || contentType == "text/rtf")) {
+      val r = Rtf.parse(bytes)
+      return (if (r.ok) ParseStatusCodes.Success else ParseStatusCodes.Failed,
+        r.title, r.text, Nil)
+    }
+    if (bytes != null && bytes.nonEmpty &&
+      (contentType.startsWith("application/vnd.oasis.opendocument") ||
+        contentType.startsWith("application/vnd.openxmlformats-officedocument") ||
+        contentType.startsWith("application/vnd.sun.xml"))) {
+      return OfficeDocs.extract(bytes) match {
+        case Some((_, text)) => (ParseStatusCodes.Success, "", text, Nil)
+        case None => (ParseStatusCodes.Failed, "", "", Nil)
+      }
+    }
     if (bytes != null && bytes.nonEmpty && contentType == "application/pdf") {
       // parse-tika's biggest single format, first-party (PdfParse):
       // text extraction incl. RC4-standard-handler decryption; an

@@ -27,6 +27,12 @@ object ZipParse {
     "html" -> "text/html", "htm" -> "text/html", "txt" -> "text/plain",
     "csv" -> "text/csv", "md" -> "text/plain", "xml" -> "application/xml",
     "json" -> "application/json", "pdf" -> "application/pdf",
+    "rtf" -> "application/rtf",
+    "odt" -> "application/vnd.oasis.opendocument.text",
+    "docx" -> ("application/vnd.openxmlformats-officedocument" +
+      ".wordprocessingml.document"),
+    "xlsx" -> ("application/vnd.openxmlformats-officedocument" +
+      ".spreadsheetml.sheet"),
     "zip" -> "application/zip")
 
   def contentTypeOf(name: String): Option[String] = {

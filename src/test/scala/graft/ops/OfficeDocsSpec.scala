@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RTF + office-container extraction against the reference's OWN
+  * parse-tika samples and test expectations (TestRTFParser,
+  * TestOOParser, TestXlsxParser). */
+class OfficeDocsSpec extends AnyFunSuite {
+
+  private val sampleDir = "/root/reference/src/plugin/parse-tika/sample"
+
+  private def sample(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sampleDir, name))
+
+  private def norm(s: String): String = s.replaceAll("[ \t\r\n]+", " ").trim
+
+  test("RTF: the reference's TestRTFParser expectations, all three") {
+    val r = Rtf.parse(sample("test.rtf"))
+    assert(r.ok)
+    assert(r.text.contains("The quick brown fox jumps over the lazy dog"),
+      r.text.take(300))
+    assert(r.title == "test rft document")
+    assert(r.subject == "tests")
+  }
+
+  test("RTF: escapes, unicode with uc fallback, skip destinations, info") {
+    val rtf = ("{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}" +
+      "{\\info{\\title My T\\'e9tle}{\\author someone}}" +
+      "\\uc1 A\\u233 e B \\'41 \\{x\\} {\\*\\unknowndest hidden} C\\par D}")
+      .getBytes("windows-1252")
+    val r = Rtf.parse(rtf)
+    assert(r.ok)
+    assert(r.title == "My Tétle")
+    assert(r.author == "someone")
+    assert(!r.text.contains("Arial")) // fonttbl skipped
+    assert(!r.text.contains("hidden")) // {\*\dest} skipped
+    assert(r.text.contains("A" + "é")) // \u233 with fallback 'e' skipped
+    assert(r.text.contains("A B") || r.text.contains("Aé B"))
+    assert(r.text.contains("{x}"))
+    assert(r.text.contains("C\nD")) // \par breaks
+  }
+
+  test("ODT and SXW: the reference's ootest expected sentences") {
+    for (f <- Seq("ootest.odt", "ootest.sxw")) {
+      val Some(text) = OfficeDocs.extractOdf(sample(f))
+      val n = norm(text)
+      assert(n.contains("Lorem ipsum dolor sit amet, consectetuer " +
+        "adipiscing elit"), f)
+      assert(n.contains("Ąćęłń") /* Ąćęłń… */, f)
+      assert(n.contains("http://www.openoffice.org"), f)
+      // table cells from the expected file all surface
+      for (tok <- Seq("Col1", "Col2", "Col3", "Cell1", "Cel3", "TOTAL"))
+        assert(n.contains(tok), s"$f missing $tok")
+    }
+  }
+
+  test("xlsx: the reference's TestXlsxParser expectation, verbatim") {
+    val Some(text) = OfficeDocs.extractXlsx(sample("test.xlsx"))
+    assert(norm(text) == "test.txt This is a test for spreadsheets xlsx")
+  }
+
+  test("docx: embedded sample yields its body text") {
+    val Some(text) = OfficeDocs.extractDocx(
+      sample("test_recursive_embedded.docx"))
+    assert(norm(text).nonEmpty)
+  }
+
+  test("dispatch picks the right extractor per container type") {
+    val Some((t1, x1)) = OfficeDocs.extract(sample("ootest.odt"))
+    assert(t1 == "application/vnd.oasis.opendocument.text")
+    assert(x1.contains("Lorem ipsum"))
+    val Some((t2, x2)) = OfficeDocs.extract(sample("test.xlsx"))
+    assert(t2.endsWith("spreadsheetml.sheet"))
+    assert(norm(x2).startsWith("test.txt This"))
+    val Some((t3, _)) = OfficeDocs.extract(sample("ootest.sxw"))
+    assert(t3.startsWith("application/vnd.sun.xml"))
+  }
+
+  test("xlsx shared strings and inline strings resolve") {
+    // build a minimal xlsx with sharedStrings via the zip writer
+    val wb = """<?xml version="1.0"?><workbook><sheets>""" +
+      """<sheet name="S1" sheetId="1"/></sheets></workbook>"""
+    val ss = """<?xml version="1.0"?><sst><si><t>alpha</t></si>""" +
+      """<si><r><t>be</t></r><r><t>ta</t></r></si></sst>"""
+    val sheet = """<?xml version="1.0"?><worksheet><sheetData>""" +
+      """<row><c r="A1" t="s"><v>0</v></c>""" +
+      """<c r="B1" t="s"><v>1</v></c>""" +
+      """<c r="C1" t="inlineStr"><is><t>inline&amp;x</t></is></c>""" +
+      """<c r="D1"><v>42</v></c><c r="E1"/></sheetData></worksheet>"""
+    val zip = ZipParse.build(Seq(
+      "xl/workbook.xml" -> wb.getBytes("UTF-8"),
+      "xl/sharedStrings.xml" -> ss.getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes("UTF-8")))
+    val Some(text) = OfficeDocs.extractXlsx(zip)
+    assert(norm(text) == "S1 alpha beta inline&x 42")
+  }
+
+  test("malformed containers and RTF never throw") {
+    assert(Rtf.parse(null).ok == false)
+    assert(Rtf.parse("not rtf".getBytes).ok == false)
+    val good = sample("ootest.odt")
+    for (n <- Seq(0, 10, 100, 1000, good.length / 2))
+      OfficeDocs.extract(good.take(n)) // no throw
+    val rtf = sample("test.rtf")
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 200) {
+      val b = rtf.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Rtf.parse(b) // no throw
+    }
+  }
+}
