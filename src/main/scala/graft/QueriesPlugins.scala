@@ -739,10 +739,13 @@ object QueriesPlugins {
           "xl/worksheets/sheet1.xml" -> sheet.getBytes("UTF-8"))),
           "application/vnd.openxmlformats-officedocument" +
             ".spreadsheetml.sheet")
-      case _ => // RTF
+      case 3 => // RTF
         (("{\\rtf1\\ansi{\\info{\\title Doc " + id + "}}" +
           "Corpus doc " + id + " body\\par line two " + (id % 16) + "}")
           .getBytes("windows-1252"), "application/rtf")
+      case _ => // Word 97 binary (.doc): cp1252 piece + UTF-16 piece
+        (graft.ops.WordDoc.synth(s"Corpus doc $id body one\r",
+          s"unicode part ${id % 16}"), "application/msword")
     }
     val (status, title, text, _) = Parse.parsePage(
       s"http://docs.example.com/d$id", bytes, ct, Parse.Config())
@@ -751,8 +754,9 @@ object QueriesPlugins {
 
   /** parse-tika office-family analog, first-party ([[graft.ops.Rtf]] +
     * [[graft.ops.OfficeDocs]] + the zip container walk): per doc_id the
-    * payload cycles ODT / docx / xlsx / RTF, each built as a REAL
-    * container (zip members / RTF groups), routed through the REAL
+    * payload cycles ODT / docx / xlsx / RTF / Word-97 .doc, each built
+    * as a REAL container (zip members / RTF groups / a valid CFB
+    * compound file with a two-piece cp1252+UTF-16 piece table), routed through the REAL
     * parse gate's content-type dispatch, and the oracle restates the
     * extracted text (and the RTF \info title) closed-form. Conformance
     * on the reference's own samples — TestRTFParser's three
@@ -763,8 +767,8 @@ object QueriesPlugins {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val k = col("doc_id")
-      d.select(k.as("doc_id"), (k % 4).cast("int").as("fmt"),
-          officeTextUdf(k, (k % 4).cast("int")).as("r"))
+      d.select(k.as("doc_id"), (k % 5).cast("int").as("fmt"),
+          officeTextUdf(k, (k % 5).cast("int")).as("r"))
         .select(col("doc_id"), col("fmt"),
           col("r._1").as("status"),
           col("r._2").as("title"),
@@ -772,18 +776,20 @@ object QueriesPlugins {
     },
     Some("""
       SELECT doc_id,
-        CAST(doc_id % 4 AS INT) AS fmt,
+        CAST(doc_id % 5 AS INT) AS fmt,
         CAST(1 AS INT) AS status,
-        CASE WHEN doc_id % 4 = 3 THEN 'Doc ' || doc_id ELSE '' END AS title,
-        CASE doc_id % 4
+        CASE WHEN doc_id % 5 = 3 THEN 'Doc ' || doc_id ELSE '' END AS title,
+        CASE doc_id % 5
           WHEN 0 THEN 'Corpus doc ' || doc_id || ' line one' || chr(10)
             || 'shard ' || (doc_id % 16) || ' line two'
           WHEN 1 THEN 'Corpus doc ' || doc_id || ' line one' || chr(10)
             || 'shard ' || (doc_id % 16) || ' line two'
           WHEN 2 THEN 'data' || doc_id || ' alpha' || doc_id || ' beta'
             || (doc_id % 7)
-          ELSE 'Corpus doc ' || doc_id || ' body' || chr(10)
+          WHEN 3 THEN 'Corpus doc ' || doc_id || ' body' || chr(10)
             || 'line two ' || (doc_id % 16)
+          ELSE 'Corpus doc ' || doc_id || ' body one' || chr(10)
+            || 'unicode part ' || (doc_id % 16)
         END AS text
       FROM documents"""))
 

@@ -77,6 +77,8 @@ object Multimodal {
     else if (ascii(0, "wOF2")) "font/woff2"
     else if (ascii(0, "%PDF")) "application/pdf"
     else if (ascii(0, "{\\rtf")) "application/rtf"
+    else if (at(0) == 0xd0 && at(1) == 0xcf && at(2) == 0x11 &&
+      at(3) == 0xe0) "application/x-ole-storage" // CFB (doc/xls/ppt)
     else if (at(0) == 'P' && at(1) == 'K' && at(2) <= 7) "application/zip"
     else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
     else if (ascii(0, "BZh") && at(3) >= '1' && at(3) <= '9')

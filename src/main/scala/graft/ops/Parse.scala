@@ -77,6 +77,14 @@ object Parse {
         case None => (ParseStatusCodes.Failed, "", "", Nil)
       }
     }
+    if (bytes != null && bytes.nonEmpty &&
+      (contentType == "application/msword" ||
+        contentType == "application/x-ole-storage")) {
+      return WordDoc.extract(bytes) match {
+        case Some(r) => (ParseStatusCodes.Success, "", r.text, Nil)
+        case None => (ParseStatusCodes.Failed, "", "", Nil)
+      }
+    }
     if (bytes != null && bytes.nonEmpty && contentType == "application/pdf") {
       // parse-tika's biggest single format, first-party (PdfParse):
       // text extraction incl. RC4-standard-handler decryption; an

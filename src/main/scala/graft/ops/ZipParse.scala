@@ -28,6 +28,7 @@ object ZipParse {
     "csv" -> "text/csv", "md" -> "text/plain", "xml" -> "application/xml",
     "json" -> "application/json", "pdf" -> "application/pdf",
     "rtf" -> "application/rtf",
+    "doc" -> "application/msword",
     "odt" -> "application/vnd.oasis.opendocument.text",
     "docx" -> ("application/vnd.openxmlformats-officedocument" +
       ".wordprocessingml.document"),
