@@ -793,8 +793,52 @@ object QueriesPlugins {
         END AS text
       FROM documents"""))
 
+
+  private val mainContentUdf = udf((html: String) =>
+    graft.ops.Boilerplate.mainContent(html))
+
+  /** tika.extractor=boilerpipe analog, first-party
+    * ([[graft.ops.Boilerplate]] — the WSDM'10 shallow-text-features
+    * algorithm; conformance on the reference's own
+    * TestBoilerpipeExtraction fixture is BoilerplateSpec): per doc a
+    * planted page with nav furniture, a heading, a 17-word paragraph,
+    * a short closing line, plus — on odd docs — a fully-linked menu
+    * block before the closing line, which flips the classifier into
+    * its after-link-dense arm and drops the short closer (threshold
+    * 40). The oracle restates the kept text closed-form per parity,
+    * so a hash match pins block segmentation, link density, BOTH
+    * decision arms, and the terminating-footer pass. */
+  val mainContent = Q(
+    "main_content",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>T</title></head><body>" +
+          "<div>Home | About | Contact</div><h1>Story "), k,
+        lit(" heading</h1><p>Main body paragraph for document "), k,
+        lit(" with seventeen total words covering the topic in ample " +
+          "detail today</p>"),
+        when(k % 2 === 1, lit("<div><a href='/a'>more stories here</a> " +
+          "<a href='/b'>related links now</a></div>")).otherwise(lit("")),
+        lit("<p>Closing remarks mention shard "), k % 16,
+        lit(" briefly</p><div>Copyright 2024 Example Corp</div>" +
+          "</body></html>"))
+      d.select(k.as("doc_id"), mainContentUdf(html).as("main_text"))
+    },
+    Some("""
+      SELECT doc_id,
+        'Story ' || doc_id || ' heading' || chr(10)
+        || 'Main body paragraph for document ' || doc_id
+        || ' with seventeen total words covering the topic in ample'
+        || ' detail today'
+        || CASE WHEN doc_id % 2 = 1 THEN ''
+           ELSE chr(10) || 'Closing remarks mention shard '
+             || (doc_id % 16) || ' briefly' END AS main_text
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(feedParse, subcollectionTag, headingsExtract,
     ccLicense, urlNormalizeChain, indexEnriched, zipParse, jsOutlinks,
     reltagTags, parsefilterRegex, indexReplaceLinks, containerDetect,
-    pdfText, officeText)
+    pdfText, officeText, mainContent)
 }
