@@ -72,8 +72,17 @@ object Parse {
       (contentType.startsWith("application/vnd.oasis.opendocument") ||
         contentType.startsWith("application/vnd.openxmlformats-officedocument") ||
         contentType.startsWith("application/vnd.sun.xml"))) {
-      return OfficeDocs.extract(bytes) match {
-        case Some((_, text)) => (ParseStatusCodes.Success, "", text, Nil)
+      // the DECLARED type picks the extractor (a zip member named
+      // *.docx routes here even when the container itself carries no
+      // [Content_Types].xml to sniff)
+      val extracted =
+        if (contentType.endsWith("wordprocessingml.document"))
+          OfficeDocs.extractDocx(bytes)
+        else if (contentType.endsWith("spreadsheetml.sheet"))
+          OfficeDocs.extractXlsx(bytes)
+        else OfficeDocs.extractOdf(bytes)
+      return extracted match {
+        case Some(text) => (ParseStatusCodes.Success, "", text, Nil)
         case None => (ParseStatusCodes.Failed, "", "", Nil)
       }
     }

@@ -53,4 +53,22 @@ class ZipParseSpec extends AnyFunSuite {
     val r = ZipParse.parse("http://h/a.zip", b("this is not a zip"))
     assert(r.nMembers == 0 && r.text.isEmpty)
   }
+
+  test("rich members route through the gate: pdf, rtf, docx, doc inside a zip") {
+    val pdf = PdfParse.build(Seq(Seq("pdf member text")))
+    val rtf = "{\\rtf1\\ansi rtf member text\\par}".getBytes("windows-1252")
+    val docx = ZipParse.build(Seq(
+      "word/document.xml" ->
+        b("<w:document><w:body><w:p><w:r><w:t>docx member text</w:t>" +
+          "</w:r></w:p></w:body></w:document>")))
+    val doc = WordDoc.synth("doc member text\r", "part two")
+    val zip = ZipParse.build(Seq(
+      "a.pdf" -> pdf, "b.rtf" -> rtf, "c.docx" -> docx, "d.doc" -> doc))
+    val r = ZipParse.parse("http://h.example.com/rich.zip", zip)
+    assert(r.status == ParseStatusCodes.Success)
+    assert(r.nMembers == 4, r.nMembers)
+    for (expect <- Seq("pdf member text", "rtf member text",
+        "docx member text", "doc member text"))
+      assert(r.text.contains(expect), s"missing '$expect' in: ${r.text}")
+  }
 }
