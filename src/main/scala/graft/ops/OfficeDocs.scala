@@ -139,10 +139,87 @@ object OfficeDocs {
     members(bytes, _ == "content.xml").get("content.xml")
       .map(b => xmlText(new String(b, "UTF-8")))
 
-  /** OOXML wordprocessing text: word/document.xml. */
-  def extractDocx(bytes: Array[Byte]): Option[String] =
-    members(bytes, _ == "word/document.xml").get("word/document.xml")
-      .map(b => xmlText(new String(b, "UTF-8")))
+  /** Unwrap an Ole10Native packaged file: (filename, payload). The
+    * layout after the u32 size + u16 flags header is label\0,
+    * filename\0, two u16s, a u32-length-prefixed temp path, then the
+    * u32 payload size and the payload itself; a magic-anchored scan
+    * (the u32 size immediately precedes the payload) is the fallback
+    * for variant writers. */
+  private[ops] def ole10Native(d: Array[Byte]): Option[(String, Array[Byte])] = {
+    def z(from: Int): Int = d.indexOf(0.toByte, from)
+    try {
+      if (d.length < 12) return None
+      val labelEnd = z(6)
+      val fnEnd = z(labelEnd + 1)
+      if (labelEnd < 0 || fnEnd < 0) return None
+      val label = new String(d, 6, labelEnd - 6, "ISO-8859-1")
+      def u32(p: Int): Long =
+        (d(p) & 0xffL) | ((d(p + 1) & 0xffL) << 8) |
+          ((d(p + 2) & 0xffL) << 16) | ((d(p + 3) & 0xffL) << 24)
+      val afterFn = fnEnd + 1 + 4 // two u16s
+      val structured =
+        if (afterFn + 4 <= d.length) {
+          val tmpLen = u32(afterFn)
+          val sizeAt = afterFn + 4 + tmpLen
+          if (tmpLen >= 0 && tmpLen < 4096 && sizeAt + 4 <= d.length) {
+            val n = u32(sizeAt.toInt)
+            if (n > 0 && sizeAt + 4 + n <= d.length)
+              Some(java.util.Arrays.copyOfRange(d, (sizeAt + 4).toInt,
+                (sizeAt + 4 + n).toInt))
+            else None
+          } else None
+        } else None
+      val payload = structured.orElse {
+        // magic-anchored fallback: u32 size right before the payload
+        val magics = Seq("PK\u0003\u0004", "%PDF", "{\\rtf")
+        magics.iterator.flatMap { m =>
+          val mb = m.getBytes("ISO-8859-1")
+          val at = d.indexOfSlice(mb)
+          if (at >= 4) {
+            val n = u32(at - 4)
+            if (n > 0 && at + n <= d.length)
+              Some(java.util.Arrays.copyOfRange(d, at, (at + n).toInt))
+            else None
+          } else None
+        }.nextOption()
+      }
+      payload.map(label -> _)
+    } catch { case _: Exception => None }
+  }
+
+  /** Text of one embedded object (a .bin under word/embeddings): CFB →
+    * Ole10Native → payload routed by its packaged filename — zips walk
+    * recursively through [[ZipParse]] (the shape of Tika's
+    * test_recursive_embedded.docx, where the text sits three archive
+    * levels down), other types go back through the parse gate. */
+  private def embeddedText(bytes: Array[Byte]): String =
+    (for {
+      cfb <- graft.ops.WordDoc.Cfb(bytes)
+      entry <- cfb.entries.find(_.name.endsWith("Ole10Native"))
+      data <- cfb.stream(entry.name)
+      (name, payload) <- ole10Native(data)
+    } yield {
+      if (name.toLowerCase.endsWith(".zip"))
+        ZipParse.parse(s"embedded://$name", payload, maxDepth = 4).text
+      else ZipParse.contentTypeOf(name)
+        .map(ct => Parse.parsePage(s"embedded://$name", payload, ct,
+          Parse.Config())._3)
+        .getOrElse("")
+    }).getOrElse("")
+
+  /** OOXML wordprocessing text: word/document.xml, plus the text of
+    * any embedded packaged objects (word/embeddings). */
+  def extractDocx(bytes: Array[Byte]): Option[String] = {
+    val ms = members(bytes, n => n == "word/document.xml" ||
+      (n.startsWith("word/embeddings/") && n.endsWith(".bin")))
+    ms.get("word/document.xml").map { b =>
+      val main = xmlText(new String(b, "UTF-8"))
+      val embedded = ms.toSeq.sortBy(_._1).collect {
+        case (n, eb) if n.startsWith("word/embeddings/") => embeddedText(eb)
+      }.filter(_.nonEmpty)
+      (main +: embedded).filter(_.nonEmpty).mkString("\n")
+    }
+  }
 
   private val SheetNameRe = """<sheet[^>]*\sname="([^"]*)"""".r
   private val CellRe =

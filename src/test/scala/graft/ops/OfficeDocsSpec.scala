@@ -59,10 +59,17 @@ class OfficeDocsSpec extends AnyFunSuite {
     assert(norm(text) == "test.txt This is a test for spreadsheets xlsx")
   }
 
-  test("docx: embedded sample yields its body text") {
+  test("docx: the reference's TestEmbeddedDocuments expectation — " +
+      "text found three archive levels down") {
     val Some(text) = OfficeDocs.extractDocx(
       sample("test_recursive_embedded.docx"))
-    assert(norm(text).nonEmpty)
+    assert(text.contains("embed_0")) // the document body itself
+    // the expected sentence lives in embed3.txt, inside embed3.zip,
+    // inside embed2.zip, inside embed1.zip, inside an Ole10Native
+    // package in word/embeddings — the full recursive walk
+    assert(text.contains("When in the Course of human events"),
+      text.take(300))
+    assert(text.contains("embed_1a") && text.contains("embed_2b"))
   }
 
   test("dispatch picks the right extractor per container type") {
