@@ -62,6 +62,15 @@ object Parse {
     * cap count and anchor length (ParseOutputFormat.java:221-260). */
   def parsePage(base: String, bytes: Array[Byte], contentType: String,
       cfg: Config): (Int, String, String, Seq[Outlink]) = {
+    if (bytes != null && bytes.nonEmpty && contentType.startsWith("image/")) {
+      // images parse successfully with no text; their width/height land
+      // in parseMeta downstream (TestImageMetadata semantics — the
+      // reference gets them from Tika's image parser, here from the
+      // first-party header decode)
+      return (if (graft.operators.Multimodal.imageDims(bytes).isDefined)
+        ParseStatusCodes.Success
+      else ParseStatusCodes.Failed, "", "", Nil)
+    }
     if (bytes != null && bytes.nonEmpty &&
       (contentType == "application/rtf" || contentType == "text/rtf")) {
       val r = Rtf.parse(bytes)
@@ -197,7 +206,17 @@ object Parse {
           Map("DOM" -> Html.renderDom(Html.parse(
             graft.functions.Encoding.decode(bytes, ct))))
         else Map.empty[String, String]
-      val parseMeta = Map("parser" -> "html") ++ fromContent ++ domMeta
+      // image payloads carry their dimensions as parse metadata
+      // (TestImageMetadata: width/height from the header decode)
+      val imgMeta =
+        if (st == ParseStatusCodes.Success && ct.startsWith("image/"))
+          graft.operators.Multimodal.imageDims(bytes)
+            .map { case (w, h) =>
+              Map("width" -> w.toString, "height" -> h.toString)
+            }.getOrElse(Map.empty[String, String])
+        else Map.empty[String, String]
+      val parseMeta = Map("parser" -> "html") ++ fromContent ++ domMeta ++
+        imgMeta
       if (st == ParseStatusCodes.Success)
         pub.foreach(_.publish(graft.plugins.Publishers.FetchEvent(
           graft.plugins.Publishers.EventType.Report, url, ft, Map(

@@ -76,4 +76,24 @@ class ParseMetadataSpec extends AnyFunSuite with SparkSuite {
     """<html><title>T</title><body>Body text.
       |<a href="/x">x</a> <a href="/y">y</a></body></html>"""
       .stripMargin.getBytes("UTF-8")
+
+  test("image payloads parse with width/height meta (TestImageMetadata)") {
+    import spark.implicits._
+    // the reference's own sample: nutch_logo_tm.gif is 121x48, and its
+    // test asserts exactly those strings in the parse metadata
+    val gif = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/src/plugin/parse-tika/sample/nutch_logo_tm.gif"))
+    val u = "http://img.example.com/logo.gif"
+    val fetch = spark.createDataset(Seq(CrawlRow(u,
+      CrawlDatum(CrawlStatus.FETCH_SUCCESS, 0L, 0, 0, 1f, None, 0L,
+        Map.empty))))
+    val content = spark.createDataset(Seq(ContentRow(u, u, gif,
+      "image/gif", Map.empty)))
+    val out = Parse(fetch, content, Parse.Config(), acceptAll)
+    val pd = out.parseData.collect().head
+    assert(pd.parseStatus == ParseStatusCodes.Success)
+    assert(pd.parseMeta("width") == "121")
+    assert(pd.parseMeta("height") == "48")
+    assert(out.parseText.collect().head.text.isEmpty)
+  }
 }
