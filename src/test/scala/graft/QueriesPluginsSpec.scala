@@ -38,6 +38,20 @@ class QueriesPluginsSpec extends AnyFunSuite with SparkSuite {
     assert(i.publishedMs.contains(1704499200000L + 3723000L))
   }
 
+  test("parseFeed: the reference's rsstest.rss (TestFeedParser expectations)") {
+    // TestFeedParser asserts exactly two outlinks - the two item links
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/src/plugin/parse-tika/sample/rsstest.rss")),
+      "ISO-8859-1")
+    val items = Feed.parseFeed(xml)
+    assert(items.map(_.url) == Seq("http://www-scf.usc.edu/~mattmann/",
+      "http://www.nutch.org/"))
+    assert(items.head.title == "Home Page of Chris Mattmann")
+    assert(items.head.feedTitle == "TestChannel")
+    assert(items(1).text.contains("that's what it is"))
+  }
+
   test("parseFeed: Atom entries resolve rel=alternate links and W3C dates") {
     val atom =
       """<feed xmlns="http://www.w3.org/2005/Atom">
