@@ -27,6 +27,13 @@ class CodecFuzzSpec extends AnyFunSuite {
     "flacStats" -> (Multimodal.flacStats(_)),
     "decodePixels" -> (PixelCodec.decodePixels(_)),
     "webpArgb" -> (WebpCodec.decodeArgb(_)),
+    "tiff" -> (TiffCodec.decode(_)),
+    "pdf" -> (graft.ops.PdfParse.extract(_)),
+    "rtf" -> (graft.ops.Rtf.parse(_)),
+    "worddoc" -> (graft.ops.WordDoc.extract(_)),
+    "odf" -> (graft.ops.OfficeDocs.extractOdf(_)),
+    "xlsx" -> (graft.ops.OfficeDocs.extractXlsx(_)),
+    "docx" -> (graft.ops.OfficeDocs.extractDocx(_)),
     "decodeFeatures" -> (Multimodal.decodeFeatures(_)))
 
   private val seeds: Seq[(String, Array[Byte])] = Seq(
@@ -38,7 +45,12 @@ class CodecFuzzSpec extends AnyFunSuite {
     "wav" -> Multimodal.Synth.wavPcm(16000, 300, 7),
     "flac" -> Multimodal.Synth.flacPcm(16000, 300, 7),
     "mp4" -> Multimodal.Synth.mp4(600, 4200),
-    "tiff" -> TiffCodec.synth(13, 9, 5))
+    "tiff" -> TiffCodec.synth(13, 9, 5),
+    "pdf" -> graft.ops.PdfParse.build(Seq(Seq("fuzz page"))),
+    "pdfenc" -> graft.ops.PdfParse.build(Seq(Seq("fuzz page")),
+      encrypt = true),
+    "rtf" -> "{\\rtf1\\ansi fuzz body\\par}".getBytes("windows-1252"),
+    "doc" -> graft.ops.WordDoc.synth("fuzz one\r", "fuzz two"))
 
   private def check(tag: String, bytes: Array[Byte]): Unit =
     for ((dn, fn) <- decoders)
