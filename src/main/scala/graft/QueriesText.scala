@@ -1248,6 +1248,52 @@ object QueriesText {
           + w * h * seed AS BIGINT) AS sum_b
       FROM p"""))
 
+  private val synthIcoUdf = udf((wSmall: Int, wLarge: Int, seed: Int) => {
+    import graft.operators.{IcoCodec, Multimodal, PixelCodec}
+    val bytes = IcoCodec.synth(wSmall, wLarge, seed)
+    PixelCodec.decodePixels(bytes).map { case (dw, dh, rgb) =>
+      val (sr, sg, sb) = PixelCodec.channelSums(rgb)
+      (Multimodal.sniff(bytes), dw, dh, sr, sg, sb)
+    }
+  })
+
+  /** X6 (REAL ICO decode) — favicon containers through
+    * [[graft.operators.IcoCodec]]: directory walk, best-entry
+    * selection (the larger PNG entry wins over the planted 32-bit DIB
+    * entry), then the PNG path's zlib + filter decode to exact channel
+    * sums; square dims keep the closed form the same as webp_stats.
+    * DIB-entry decode and hostile input are IcoCodecSpec. */
+  val icoStats = Q(
+    "ico_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val k = col("doc_id")
+      val r = synthIcoUdf(lit(8).cast("int"),
+        (lit(16) + k % 32).cast("int"), (k % 97).cast("int"))
+      d.select(k.as("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("sniffed_type"),
+          col("r._2").as("width"),
+          col("r._3").as("height"),
+          col("r._4").as("sum_r"),
+          col("r._5").as("sum_g"),
+          col("r._6").as("sum_b"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CAST(16 + doc_id % 32 AS BIGINT) AS n,
+          CAST(doc_id % 97 AS BIGINT) AS seed
+        FROM documents)
+      SELECT doc_id,
+        'image/vnd.microsoft.icon' AS sniffed_type,
+        CAST(n AS INT) AS width,
+        CAST(n AS INT) AS height,
+        CAST(n * (n * (n - 1) // 2) AS BIGINT) AS sum_r,
+        CAST(n * (n * (n - 1) // 2) AS BIGINT) AS sum_g,
+        CAST(n * (n * (n - 1)) + n * n * seed AS BIGINT) AS sum_b
+      FROM p"""))
+
   private val synthPcmUdf = udf((n: Int, seed: Int) => {
     import graft.operators.Multimodal
     Multimodal.pcmStats(Multimodal.Synth.wavPcm(16000, n, seed))
@@ -1362,5 +1408,5 @@ object QueriesText {
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
-    flacStats, jpegStats, webpStats, incrementalDedup, tiffStats)
+    flacStats, jpegStats, webpStats, incrementalDedup, tiffStats, icoStats)
 }

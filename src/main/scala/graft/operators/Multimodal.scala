@@ -308,6 +308,7 @@ object Multimodal {
           case _ => None
         }
       case "image/tiff" => TiffCodec.dims(bytes) // IFD walk, either order
+      case "image/vnd.microsoft.icon" => IcoCodec.dims(bytes)
       case _ => None
     }
   }

@@ -357,6 +357,9 @@ object PixelCodec {
     else if (bytes(0) == 'R' && bytes(1) == 'I') WebpCodec.decode(bytes)
     else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
       (bytes(0) == 'M' && bytes(1) == 'M')) TiffCodec.decode(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+      (bytes(2) == 1 || bytes(2) == 2) && bytes(3) == 0)
+      IcoCodec.decode(bytes)
     else None
 
   private def toRgb(img: Array[Byte], w: Int, h: Int,

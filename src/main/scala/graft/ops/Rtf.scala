@@ -66,9 +66,11 @@ object Rtf {
           val n = s.charAt(i + 1)
           if (n == '\'') { // \'hh charset byte
             if (i + 3 < s.length) {
-              val v = Integer.parseInt(s.substring(i + 2, i + 4), 16)
-              out(new String(Array(v.toByte),
-                java.nio.charset.Charset.forName("windows-1252")).charAt(0))
+              val hi = Character.digit(s.charAt(i + 2), 16)
+              val lo = Character.digit(s.charAt(i + 3), 16)
+              if (hi >= 0 && lo >= 0) // hostile non-hex digits: skip
+                out(new String(Array(((hi << 4) | lo).toByte),
+                  java.nio.charset.Charset.forName("windows-1252")).charAt(0))
             }
             i += 4
           } else if (!Character.isLetter(n) && n != '*') {

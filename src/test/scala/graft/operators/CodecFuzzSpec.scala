@@ -28,6 +28,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "decodePixels" -> (PixelCodec.decodePixels(_)),
     "webpArgb" -> (WebpCodec.decodeArgb(_)),
     "tiff" -> (TiffCodec.decode(_)),
+    "ico" -> (IcoCodec.decode(_)),
     "pdf" -> (graft.ops.PdfParse.extract(_)),
     "rtf" -> (graft.ops.Rtf.parse(_)),
     "worddoc" -> (graft.ops.WordDoc.extract(_)),
@@ -46,6 +47,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "flac" -> Multimodal.Synth.flacPcm(16000, 300, 7),
     "mp4" -> Multimodal.Synth.mp4(600, 4200),
     "tiff" -> TiffCodec.synth(13, 9, 5),
+    "ico" -> IcoCodec.synth(8, 24, 5),
     "pdf" -> graft.ops.PdfParse.build(Seq(Seq("fuzz page"))),
     "pdfenc" -> graft.ops.PdfParse.build(Seq(Seq("fuzz page")),
       encrypt = true),
