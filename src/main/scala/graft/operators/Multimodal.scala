@@ -309,6 +309,26 @@ object Multimodal {
         }
       case "image/tiff" => TiffCodec.dims(bytes) // IFD walk, either order
       case "image/vnd.microsoft.icon" => IcoCodec.dims(bytes)
+      case "image/avif" | "image/heif" =>
+        // ispe (image spatial extents, ISO 23008-12 §6.5.3) boxes carry
+        // the dims; a file holds one per item (primary + thumbnails) —
+        // report the largest extents (the pragmatic stand-in for the
+        // pitm→ipma association walk). Validated by exact box size and
+        // version to avoid payload-byte false positives.
+        var best: Option[(Int, Int)] = None
+        var p = 0
+        while (p + 20 <= bytes.length) {
+          if (at(p + 4) == 'i' && at(p + 5) == 's' && at(p + 6) == 'p' &&
+            at(p + 7) == 'e' && be32(p) == 20 && be32(p + 8) == 0) {
+            val w = be32(p + 12)
+            val h = be32(p + 16)
+            if (w > 0 && h > 0 && w <= 65536 && h <= 65536 &&
+              best.forall(b => b._1.toLong * b._2 < w.toLong * h))
+              best = Some((w, h))
+          }
+          p += 1
+        }
+        best
       case _ => None
     }
   }

@@ -115,6 +115,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     bmp.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(54)
     bmp.putInt(40).putInt(800).putInt(-600)
     assert(Multimodal.imageDims(bmp.array()).contains((800, 600)))
+    // AVIF/HEIF: ispe boxes inside meta/iprp/ipco carry the extents;
+    // the largest wins over a thumbnail's
+    def ispe(w: Int, h: Int): Array[Byte] = java.nio.ByteBuffer
+      .allocate(20).putInt(20).put("ispe".getBytes("ASCII"))
+      .putInt(0).putInt(w).putInt(h).array()
+    def box(name: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + body.length).putInt(8 + body.length)
+        .put(name.getBytes("ASCII")).put(body).array()
+    val avif = box("ftyp", "avif".getBytes("ASCII") ++ new Array[Byte](8)) ++
+      box("meta", new Array[Byte](4) ++
+        box("iprp", box("ipco", ispe(1200, 800) ++ ispe(160, 90))))
+    assert(Multimodal.sniff(avif) == "image/avif")
+    assert(Multimodal.imageDims(avif).contains((1200, 800)))
     // non-images and cut-off headers: None
     assert(Multimodal.imageDims(junk).isEmpty)
     assert(Multimodal.imageDims(Multimodal.Synth.png(1, 1).take(20)).isEmpty)
