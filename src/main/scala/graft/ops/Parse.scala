@@ -43,7 +43,12 @@ object Parse {
       // deployment that composes FileProtocol with an empty filter
       // chain must not be steerable by hostile remote HTML into
       // crawling executor-local files
-      followFileSchemes: Boolean = false)
+      followFileSchemes: Boolean = false,
+      // tika.extractor ("none" | "boilerpipe"): with "boilerpipe" the
+      // HTML text field carries the WSDM'10 main-content extraction
+      // ([[Boilerplate]]) instead of the full DOM text — the
+      // reference's configuration surface, first-party
+      extractor: String = "none")
 
   /** One page's parse: title, cleaned text, resolved outlinks. Returns
     * Failed status when the content is not parseable as text.
@@ -121,7 +126,9 @@ object Parse {
       .flatMap(h => Html.resolveUrl(base, h))
       .getOrElse(base)
     val title = Html.getTitle(root)
-    val text = Html.getText(root)
+    val text =
+      if (cfg.extractor == "boilerpipe") Boilerplate.mainContent(html)
+      else Html.getText(root)
     val links = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // streaming walk: stop as soon as the cap is full — a link-farm
     // page never pays text-walk + resolution beyond maxOutlinksPerPage

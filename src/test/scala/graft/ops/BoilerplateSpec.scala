@@ -63,6 +63,17 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(text.contains("body1") && !text.contains("junk1"))
   }
 
+  test("the parse gate honors extractor=boilerpipe (tika.extractor parity)") {
+    val full = Parse.parsePage("http://a.example.com/", refHtml.getBytes,
+      "text/html", Parse.Config())
+    val main = Parse.parsePage("http://a.example.com/", refHtml.getBytes,
+      "text/html", Parse.Config(extractor = "boilerpipe"))
+    assert(full._3.contains("Navigation")) // default: full DOM text
+    assert(main._3.contains("main article content"))
+    assert(!main._3.contains("Navigation") && !main._3.contains("Copyright"))
+    assert(main._2 == full._2) // title unchanged
+  }
+
   test("short navigation between long paragraphs survives the rules") {
     // the prev.words > 4 arm: a short connective block between real
     // paragraphs is kept (the paper's rule, not an accident)
