@@ -261,6 +261,20 @@ object OfficeDocs {
     Some(parts.mkString("\n").trim)
   }
 
+  /** EPUB text: every XHTML/HTML content document in the package,
+    * in zip order (the spine order refinement needs the OPF walk; zip
+    * order matches it in practice since packaging tools write spine
+    * order), each through the real HTML tokenizer. */
+  def extractEpub(bytes: Array[Byte]): Option[String] = {
+    val ms = members(bytes, n => (n.endsWith(".xhtml") ||
+      n.endsWith(".html") || n.endsWith(".htm")) &&
+      !n.startsWith("META-INF/"))
+    if (ms.isEmpty) return None
+    Some(ms.toSeq.sortBy(_._1).map { case (_, b) =>
+      Html.getText(Html.parse(new String(b, "UTF-8")))
+    }.filter(_.nonEmpty).mkString("\n"))
+  }
+
   /** Container-type-aware dispatch, reusing the existing classifier. */
   def extract(bytes: Array[Byte]): Option[(String, String)] =
     graft.operators.Multimodal.zipContainerType(bytes) match {
@@ -272,6 +286,8 @@ object OfficeDocs {
         extractXlsx(bytes).map(t -> _)
       case t if t.endsWith("wordprocessingml.document") =>
         extractDocx(bytes).map(t -> _)
+      case t @ "application/epub+zip" =>
+        extractEpub(bytes).map(t -> _)
       case _ =>
         // OpenOffice 1.x (sxw/sxc) self-declares other mimetypes but
         // still carries content.xml

@@ -83,6 +83,13 @@ object Parse {
         r.title, r.text, Nil)
     }
     if (bytes != null && bytes.nonEmpty &&
+      contentType == "application/epub+zip") {
+      return OfficeDocs.extractEpub(bytes) match {
+        case Some(text) => (ParseStatusCodes.Success, "", text, Nil)
+        case None => (ParseStatusCodes.Failed, "", "", Nil)
+      }
+    }
+    if (bytes != null && bytes.nonEmpty &&
       (contentType.startsWith("application/vnd.oasis.opendocument") ||
         contentType.startsWith("application/vnd.openxmlformats-officedocument") ||
         contentType.startsWith("application/vnd.sun.xml"))) {

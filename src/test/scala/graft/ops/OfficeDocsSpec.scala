@@ -102,6 +102,27 @@ class OfficeDocsSpec extends AnyFunSuite {
     assert(norm(text) == "S1 alpha beta inline&x 42")
   }
 
+  test("EPUB content documents extract through the gate") {
+    val epub = ZipParse.build(Seq(
+      "mimetype" -> "application/epub+zip".getBytes("UTF-8"),
+      "META-INF/container.xml" -> "<container/>".getBytes("UTF-8"),
+      "OEBPS/ch1.xhtml" ->
+        ("<html><body><p>Chapter one text here.</p>" +
+          "</body></html>").getBytes("UTF-8"),
+      "OEBPS/ch2.xhtml" ->
+        "<html><body>Chapter two follows.</body></html>".getBytes("UTF-8"),
+      "OEBPS/style.css" -> "p { color: red }".getBytes("UTF-8")))
+    assert(graft.operators.Multimodal.zipContainerType(epub) ==
+      "application/epub+zip")
+    val Some((t, text)) = OfficeDocs.extract(epub)
+    assert(t == "application/epub+zip")
+    assert(text == "Chapter one text here.\nChapter two follows.")
+    val (st, _, gateText, _) = Parse.parsePage("http://b.example.com/x.epub",
+      epub, "application/epub+zip", Parse.Config())
+    assert(st == graft.schemas.ParseStatusCodes.Success)
+    assert(gateText == text)
+  }
+
   test("malformed containers and RTF never throw") {
     assert(Rtf.parse(null).ok == false)
     assert(Rtf.parse("not rtf".getBytes).ok == false)
