@@ -25,6 +25,7 @@ import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
   * graft.Main clean     <crawldb> <sinkDir>
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
+  * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
   * The wire protocol for `fetch`/`crawl` is a site snapshot (JSON lines:
@@ -623,6 +624,32 @@ object Main {
         positional(rest)
           .foreach(u => println(reg.normalize(u, scope).getOrElse("")))
         0
+      case "parsetext" :: path :: rest =>
+        // document-extraction checker: route ONE local file through the
+        // parse gate (sniffed type unless -type overrides) and print
+        // status + title + extracted text — the file-based counterpart
+        // of parsechecker, handy for the PDF/RTF/office/EPUB family
+        val bytes =
+          try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+          catch { case _: Exception =>
+            System.err.println(s"parsetext: cannot read $path")
+            return 1
+          }
+        val ct = opt(rest, "-type")
+          .getOrElse(graft.operators.Multimodal.sniffDeep(bytes) match {
+            case "application/x-ole-storage" => "application/msword"
+            case t => t
+          })
+        val (st, title, text, links) = Parse.parsePage(s"file:$path", bytes,
+          ct, Parse.Config(extractor =
+            opt(rest, "-extractor").getOrElse("none")))
+        println(s"contentType: $ct")
+        println(s"status: ${if (st == 1) "success" else "failed"}")
+        if (title.nonEmpty) println(s"title: $title")
+        if (links.nonEmpty) println(s"outlinks: ${links.size}")
+        val limit = optL(rest, "-limit", 2000).toInt
+        println(text.take(limit))
+        if (st == 1) 0 else 1
       case "parsechecker" :: rest =>
         // ParserChecker: fetch ONE url through the protocol seam, run
         // the real parse, print status/title/outlinks/text head

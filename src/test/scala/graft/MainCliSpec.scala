@@ -308,6 +308,21 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("resolveurls", s"$root/urls2.txt") == 0)
   }
 
+  test("parsetext verb routes local documents through the gate") {
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val dir = java.nio.file.Files.createTempDirectory("cli-parsetext")
+    val pdf = dir.resolve("t.pdf")
+    java.nio.file.Files.write(pdf,
+      graft.ops.PdfParse.build(Seq(Seq("checker text here"))))
+    assert(v("parsetext", pdf.toString) == 0)
+    // the reference's encrypted sample decrypts through the same verb
+    assert(v("parsetext",
+      "/root/reference/src/plugin/parse-tika/sample/encrypted.pdf") == 0)
+    assert(v("parsetext",
+      "/root/reference/src/plugin/parse-tika/sample/word97.doc") == 0)
+    assert(v("parsetext", dir.resolve("missing.bin").toString) == 1)
+  }
+
   test("corpus verb: sharded export + manifest + datacard + drop metrics") {
     import org.apache.spark.sql.functions.{col, sum}
     val root = Files.createTempDirectory("cli-corpus").toString
