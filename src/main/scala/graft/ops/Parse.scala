@@ -109,9 +109,18 @@ object Parse {
     }
     if (bytes != null && bytes.nonEmpty &&
       (contentType == "application/msword" ||
+        contentType == "application/vnd.ms-excel" ||
         contentType == "application/x-ole-storage")) {
-      return WordDoc.extract(bytes) match {
-        case Some(r) => (ParseStatusCodes.Success, "", r.text, Nil)
+      // OLE2 compound files: a sniffed container tries Word first,
+      // then the BIFF8 workbook; a declared type goes straight there
+      val text =
+        if (contentType == "application/vnd.ms-excel")
+          XlsDoc.extract(bytes)
+        else WordDoc.extract(bytes).map(_.text)
+          .orElse(if (contentType == "application/x-ole-storage")
+            XlsDoc.extract(bytes) else None)
+      return text match {
+        case Some(t) => (ParseStatusCodes.Success, "", t, Nil)
         case None => (ParseStatusCodes.Failed, "", "", Nil)
       }
     }

@@ -134,7 +134,7 @@ object WordDoc {
             ((raw(i * 4 + 2) & 0xff) << 16) |
             ((raw(i * 4 + 3) & 0xff) << 24)))
       }
-      def stream(name: String): Option[Array[Byte]] =
+      def stream(name: String): Option[Array[Byte]] = try {
         entries.find(e => e.name == name && e.objType == 2).map { e =>
           val full =
             if (e.size < miniCutoff) {
@@ -152,6 +152,10 @@ object WordDoc {
           if (e.size > full.length) bad()
           java.util.Arrays.copyOf(full, e.size.toInt)
         }
+      } catch { // truncated/hostile chains: absent, not thrown
+        case _: Malformed => None
+        case _: ArrayIndexOutOfBoundsException => None
+      }
     }
 
     def apply(bytes: Array[Byte]): Option[File] =
@@ -160,6 +164,94 @@ object WordDoc {
         case _: Malformed => None
         case _: ArrayIndexOutOfBoundsException => None
       }
+
+    /** Assemble a minimal valid CFB container: header + one FAT sector
+      * + one directory sector + the streams, each padded past the 4096
+      * mini-stream cutoff (spec-legal — keeps the writer honest
+      * without a mini-FAT). Up to 3 streams (a directory sector holds
+      * root + 3). Directory siblings chain linearly; readers that
+      * honor the red-black ordering still resolve names since entries
+      * scan in one sector. */
+    def build(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+      require(streams.nonEmpty && streams.size <= 3)
+      val SS = 512
+      def p16(a: Array[Byte], p: Int, v: Int): Unit = {
+        a(p) = (v & 0xff).toByte; a(p + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def p32(a: Array[Byte], p: Int, v: Long): Unit = {
+        p16(a, p, (v & 0xffff).toInt)
+        p16(a, p + 2, ((v >> 16) & 0xffff).toInt)
+      }
+      val padded = streams.map { case (n, d) =>
+        val size = math.max(4096, ((d.length + SS - 1) / SS) * SS)
+        val out = new Array[Byte](size)
+        System.arraycopy(d, 0, out, 0, d.length)
+        (n, d.length, out)
+      }
+      val secCounts = padded.map(_._3.length / SS)
+      val total = 2 + secCounts.sum
+      require(total <= SS / 4, "single-FAT-sector builder")
+      val out = new Array[Byte](SS * (1 + total))
+      p32(out, 0, 0xE011CFD0L); p32(out, 4, 0xE11AB1A1L)
+      p16(out, 24, 0x003E); p16(out, 26, 0x0003); p16(out, 28, 0xFFFE)
+      p16(out, 30, 9); p16(out, 32, 6)
+      p32(out, 44, 1) // one FAT sector
+      p32(out, 48, 1) // directory at sector 1
+      p32(out, 56, 4096)
+      p32(out, 60, EndOfChain.toLong); p32(out, 64, 0) // no mini-FAT
+      p32(out, 68, EndOfChain.toLong); p32(out, 72, 0) // no DIFAT chain
+      p32(out, 76, 0)
+      var i = 1
+      while (i < 109) { p32(out, 76 + i * 4, Free.toLong); i += 1 }
+      val fatAt = SS
+      p32(out, fatAt, 0xFFFFFFFDL) // FAT marker
+      p32(out, fatAt + 4, EndOfChain.toLong) // directory
+      var s = 2
+      padded.foreach { case (_, _, data) =>
+        val n = data.length / SS
+        var k = 0
+        while (k < n) {
+          p32(out, fatAt + (s + k) * 4,
+            if (k == n - 1) EndOfChain.toLong else (s + k + 1).toLong)
+          k += 1
+        }
+        s += n
+      }
+      i = total
+      while (i < SS / 4) { p32(out, fatAt + i * 4, Free.toLong); i += 1 }
+      val dirAt = 2 * SS
+      def entry(idx: Int, name: String, typ: Int, start: Long,
+          size: Long, child: Long, right: Long): Unit = {
+        val base = dirAt + idx * 128
+        val u = name.getBytes("UTF-16LE")
+        System.arraycopy(u, 0, out, base, u.length)
+        p16(out, base + 64, u.length + 2)
+        out(base + 66) = typ.toByte
+        out(base + 67) = 1
+        p32(out, base + 68, Free.toLong)
+        p32(out, base + 72, right)
+        p32(out, base + 76, child)
+        p32(out, base + 116, start)
+        p32(out, base + 120, size)
+      }
+      entry(0, "Root Entry", 5, EndOfChain.toLong, 0, 1, Free.toLong)
+      var start = 2L
+      padded.zipWithIndex.foreach { case ((name, _, data), k) =>
+        // declared size = padded size: a sub-4096 declared size would
+        // send readers to the (absent) mini-stream; consumers tolerate
+        // the zero tail (a zero BIFF/record type is skipped)
+        entry(1 + k, name, 2, start, data.length.toLong,
+          Free.toLong,
+          if (k + 1 < padded.size) (2 + k).toLong else Free.toLong)
+        start += data.length / SS
+      }
+      var at = 3 * SS
+      padded.foreach { case (_, _, data) =>
+        System.arraycopy(data, 0, out, at, data.length)
+        at += data.length
+      }
+      out
+    }
   }
 
   final case class Result(text: String)

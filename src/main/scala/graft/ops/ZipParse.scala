@@ -29,6 +29,7 @@ object ZipParse {
     "json" -> "application/json", "pdf" -> "application/pdf",
     "rtf" -> "application/rtf",
     "doc" -> "application/msword",
+    "xls" -> "application/vnd.ms-excel",
     "odt" -> "application/vnd.oasis.opendocument.text",
     "docx" -> ("application/vnd.openxmlformats-officedocument" +
       ".wordprocessingml.document"),
