@@ -110,15 +110,19 @@ object Parse {
     if (bytes != null && bytes.nonEmpty &&
       (contentType == "application/msword" ||
         contentType == "application/vnd.ms-excel" ||
+        contentType == "application/vnd.ms-powerpoint" ||
         contentType == "application/x-ole-storage")) {
-      // OLE2 compound files: a sniffed container tries Word first,
-      // then the BIFF8 workbook; a declared type goes straight there
-      val text =
-        if (contentType == "application/vnd.ms-excel")
-          XlsDoc.extract(bytes)
-        else WordDoc.extract(bytes).map(_.text)
-          .orElse(if (contentType == "application/x-ole-storage")
-            XlsDoc.extract(bytes) else None)
+      // OLE2 compound files: a declared type goes straight to its
+      // extractor; a sniffed container tries Word, then the BIFF8
+      // workbook, then the PowerPoint record tree
+      val text = contentType match {
+        case "application/vnd.ms-excel" => XlsDoc.extract(bytes)
+        case "application/vnd.ms-powerpoint" => PptDoc.extract(bytes)
+        case "application/msword" => WordDoc.extract(bytes).map(_.text)
+        case _ => WordDoc.extract(bytes).map(_.text)
+          .orElse(XlsDoc.extract(bytes))
+          .orElse(PptDoc.extract(bytes))
+      }
       return text match {
         case Some(t) => (ParseStatusCodes.Success, "", t, Nil)
         case None => (ParseStatusCodes.Failed, "", "", Nil)

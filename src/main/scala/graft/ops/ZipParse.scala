@@ -30,6 +30,7 @@ object ZipParse {
     "rtf" -> "application/rtf",
     "doc" -> "application/msword",
     "xls" -> "application/vnd.ms-excel",
+    "ppt" -> "application/vnd.ms-powerpoint",
     "odt" -> "application/vnd.oasis.opendocument.text",
     "docx" -> ("application/vnd.openxmlformats-officedocument" +
       ".wordprocessingml.document"),

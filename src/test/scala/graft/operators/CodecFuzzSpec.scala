@@ -35,6 +35,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     "odf" -> (graft.ops.OfficeDocs.extractOdf(_)),
     "xlsx" -> (graft.ops.OfficeDocs.extractXlsx(_)),
     "docx" -> (graft.ops.OfficeDocs.extractDocx(_)),
+    "epub" -> (graft.ops.OfficeDocs.extractEpub(_)),
+    "xlsbiff" -> (graft.ops.XlsDoc.extract(_)),
+    "ppt" -> (graft.ops.PptDoc.extract(_)),
     "decodeFeatures" -> (Multimodal.decodeFeatures(_)))
 
   private val seeds: Seq[(String, Array[Byte])] = Seq(
@@ -52,7 +55,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     "pdfenc" -> graft.ops.PdfParse.build(Seq(Seq("fuzz page")),
       encrypt = true),
     "rtf" -> "{\\rtf1\\ansi fuzz body\\par}".getBytes("windows-1252"),
-    "doc" -> graft.ops.WordDoc.synth("fuzz one\r", "fuzz two"))
+    "doc" -> graft.ops.WordDoc.synth("fuzz one\r", "fuzz two"),
+    "xls" -> graft.ops.XlsDoc.synth("S", Seq("fuzz cell"), 1.5, 3, 450, "i"),
+    "ppt" -> graft.ops.PptDoc.synth(Seq("fuzz slide", "second line")))
 
   private def check(tag: String, bytes: Array[Byte]): Unit =
     for ((dn, fn) <- decoders)
