@@ -217,7 +217,10 @@ object TiffCodec {
       if (spp != 1 && spp != 3 && spp != 4) return None
       val bits = tagVals(258)
       if (bits.nonEmpty && !bits.forall(_ == 8)) return None
-      if (bits.isEmpty && spp != 1) return None // default is 1 bit/sample
+      // TIFF 6.0 default for a missing BitsPerSample is 1 bit/sample;
+      // this decoder's documented scope is 8-bit only, so an absent
+      // tag is unsupported (never silently misdecode bilevel as gray)
+      if (bits.isEmpty) return None
       if (tags.contains(258) && bits.length != spp && bits.length != 1)
         return None
       if (tag1(284, 1) != 1) return None // planar

@@ -250,7 +250,8 @@ object OfficeDocs {
         val attrs = m.group(1)
         val body = Option(m.group(2)).getOrElse("")
         if (attrs.contains("t=\"s\""))
-          VRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
+          VRe.findFirstMatchIn(body)
+            .flatMap(_.group(1).trim.toIntOption) // hostile non-numeric <v> → drop cell, don't throw
             .filter(i => i >= 0 && i < shared.length).map(shared)
         else if (attrs.contains("inlineStr"))
           IsTRe.findFirstMatchIn(body).map(m2 => decodeEntities(m2.group(1)))

@@ -181,7 +181,16 @@ object PdfParse {
 
   // ---- the parser ----
 
-  def extract(bytes: Array[Byte]): Result = {
+  /** No-throw entry: a hostile PDF (e.g. `9999999999 0 obj` or
+    * `/Length 99999999999` overflowing Int) must degrade to
+    * `ok = false`, never crash the parse task. */
+  def extract(bytes: Array[Byte]): Result =
+    try extractUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) =>
+      Result(ok = false, encrypted = false, 0, "")
+    }
+
+  private def extractUnsafe(bytes: Array[Byte]): Result = {
     if (bytes == null || bytes.length < 8 ||
       !ascii(bytes, 0, 5).startsWith("%PDF-"))
       return Result(ok = false, encrypted = false, 0, "")

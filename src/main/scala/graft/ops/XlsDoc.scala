@@ -54,15 +54,23 @@ object XlsDoc {
         left -= take
       }
     }
-    /** Chars of an XLUnicodeString body, continuation-aware. */
+    /** Chars of an XLUnicodeString body, continuation-aware. Whenever
+      * char data starts or resumes at a Continue boundary — including
+      * when the boundary fell exactly between the cch/flags header and
+      * the first char, i.e. zero chars read so far — the continuation
+      * restates the high-byte flag (MS-XLS 2.1.4), so the gate is the
+      * boundary itself, not sb.nonEmpty. */
     def chars(cch: Int, highByte0: Boolean): String = {
       val sb = new StringBuilder(cch)
       var high = highByte0
       var left = cch
+      var flagRi = -1 // record index whose flag we already consumed
       while (left > 0) {
         if (!hasMore) bad()
-        if (po == 0 && ri > 0 && sb.nonEmpty)
+        if (po == 0 && ri > 0 && flagRi != ri) {
+          flagRi = ri
           high = (u8() & 0x01) != 0 // continuation restates the flag
+        }
         if (high) sb.append((u8() | (u8() << 8)).toChar)
         else sb.append(u8().toChar)
         left -= 1

@@ -129,7 +129,8 @@ object EventStreams {
     * picks up. */
   def dedupAgainstStore(docs: Dataset[Doc], store: DataFrame): DataFrame =
     docs.withColumn("sig", md5(col("text")))
-      .join(broadcast(store.select(col("sig"), lit(1).as("hit"))),
+      .join(broadcast(store.select(col("sig")).distinct()
+          .withColumn("hit", lit(1))),
         Seq("sig"), "left")
       .select(col("doc_id"), col("sig"),
         when(col("hit").isNotNull, lit("drop_exact"))

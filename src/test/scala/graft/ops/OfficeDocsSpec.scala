@@ -102,6 +102,24 @@ class OfficeDocsSpec extends AnyFunSuite {
     assert(norm(text) == "S1 alpha beta inline&x 42")
   }
 
+  test("hostile xlsx shared-string indexes never throw (r8 ADVICE)") {
+    // non-numeric and >Int.MaxValue <v> bodies in t="s" cells used to
+    // hit an unguarded .toInt and crash the parse task
+    def xlsx(v: String): Array[Byte] = ZipParse.build(Seq(
+      "xl/workbook.xml" ->
+        """<workbook><sheets><sheet name="S"/></sheets></workbook>"""
+          .getBytes("UTF-8"),
+      "xl/sharedStrings.xml" ->
+        "<sst><si><t>ok</t></si></sst>".getBytes("UTF-8"),
+      "xl/worksheets/sheet1.xml" ->
+        (s"""<worksheet><sheetData><row><c r="A1" t="s"><v>$v</v></c>""" +
+          """<c r="B1" t="s"><v>0</v></c></row></sheetData></worksheet>""")
+          .getBytes("UTF-8")))
+    for (v <- Seq("notanint", "99999999999", "-3", "1e4", ""))
+      assert(norm(OfficeDocs.extractXlsx(xlsx(v)).getOrElse("")) == "S ok",
+        s"v=$v") // hostile cell dropped, rest of sheet survives
+  }
+
   test("EPUB content documents extract through the gate") {
     val epub = ZipParse.build(Seq(
       "mimetype" -> "application/epub+zip".getBytes("UTF-8"),

@@ -78,6 +78,23 @@ class PdfParseSpec extends AnyFunSuite {
     assert(PdfParse.literal("caf\\351") == "café") // 0xE9 in cp1252
   }
 
+  test("hostile numeric fields degrade to ok=false, never throw (r8 ADVICE)") {
+    // >Int.MaxValue digit runs in object numbers / dict values used to
+    // hit unguarded .toInt — one hostile crawled PDF crashed the task
+    val cs = java.nio.charset.StandardCharsets.ISO_8859_1
+    val good = new String(PdfParse.build(Seq(Seq("x"))), cs)
+    val hostile = Seq(
+      good.replaceFirst("""(\d+) 0 obj""", "9999999999 0 obj"),
+      good.replaceFirst("""/Length (\d+)""", "/Length 99999999999"),
+      "%PDF-1.4\n9999999999 0 obj\n<< /V 99999999999 /R 99999999999 " +
+        "/P -99999999999 /Length 99999999999 >>\nendobj\ntrailer\n" +
+        "<< /Encrypt 9999999999 0 R >>\n%%EOF")
+    for (s <- hostile) {
+      val r = PdfParse.extract(s.getBytes(cs)) // must not throw
+      assert(!r.ok || r.text.nonEmpty) // degraded result is acceptable
+    }
+  }
+
   test("malformed inputs never throw; AES is refused honestly") {
     val good = PdfParse.build(Seq(Seq("x")))
     for (n <- 0 until good.length)

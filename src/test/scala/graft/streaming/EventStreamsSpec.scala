@@ -139,7 +139,10 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, md5}
-    val storeTexts = Seq("alpha body", "beta body", "gamma body")
+    // duplicate sigs in the raw store must NOT multiply stream rows
+    // (r8 ADVICE: the join de-dups store keys like the batch twin does)
+    val storeTexts = Seq("alpha body", "alpha body", "beta body",
+      "beta body", "gamma body")
     val store = storeTexts.toDF("text").select(md5(col("text")).as("sig"))
     val docs = Seq(
       EventStreams.Doc(1, "alpha body"), // re-crawl of a stored doc
@@ -155,8 +158,10 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
       q.processAllAvailable()
       in.addData(docs.drop(2): _*) // second micro-batch re-reads the store
       q.processAllAvailable()
-      val streamed = spark.table("incdedup").collect()
-        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val rows = spark.table("incdedup").collect()
+      assert(rows.length == docs.length, // exactly one verdict per doc
+        s"store dup sigs multiplied rows: ${rows.length}")
+      val streamed = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
       // batch A/B: the same join expressed as plain DataFrames
       val batch = EventStreams.dedupAgainstStore(docs.toDS(), store)
         .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
