@@ -27,21 +27,6 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
-  /** Accumulates shuffle write bytes across completed stages — zeroed
-    * before each query so the JSON can report per-query shuffle volume,
-    * the direct scale signal: a query whose shuffle is a small multiple
-    * of its output at sf0.1 is one whose plan survives a 1000× scale-up,
-    * while a scan-sized shuffle flags a missing broadcast/pushdown. */
-  private final class ShuffleMeter
-      extends org.apache.spark.scheduler.SparkListener {
-    private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def reset(): Unit = bytes.set(0L)
-    def mb: Double = bytes.get() / 1e6
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

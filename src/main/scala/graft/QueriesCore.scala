@@ -184,6 +184,34 @@ object QueriesCore {
       WHERE host_rank <= 20
       ORDER BY score DESC, url LIMIT 100"""))
 
+  /** T1 under skew: the same per-host cap semantics as generate_topn's
+    * rank window, but through the skew-immune shape Generate uses for
+    * static caps ([[graft.operators.Relational.boundedTopKPerKey]]:
+    * O(k) bounded aggregate with map-side combine + semi-join on the
+    * unique url — a hot host never concentrates its group in one task,
+    * which the rank window forces at any scale). Oracle-verified equal
+    * to the window phrasing. */
+  val hostCapSkewsafe = Q(
+    "host_cap_skewsafe",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val fetchlist = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey").as("url"), col("c_nationkey").as("host"),
+          col("o_totalprice").as("score"))
+      graft.operators.Relational.boundedTopKPerKey(
+        fetchlist, Seq("host"),
+        struct((-col("score")).as("s"), col("url").as("id")), "url", 20)
+        .select("url", "host", "score")
+    },
+    Some("""
+      SELECT url, host, score FROM (
+        SELECT o_orderkey AS url, c_nationkey AS host, o_totalprice AS score,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rn <= 20"""))
+
   /** A1 CrawlDb stats: counts, min/max/sum score, exact quantiles per
     * status (CrawlDbReader.java:371-509). All aggregates derive from the
     * per-status sorted value histogram (Relational.valueHistogram →
@@ -332,6 +360,6 @@ object QueriesCore {
 
   val all: Seq[Q] = Seq(
     q1Pricing, q2TopCustomers, q3RegionRollup, injectMerge, updatedbLatest,
-    generateTopn, crawldbStats, dedupRank, domainStats, protocolStatusStats,
-    orphanDetect)
+    generateTopn, hostCapSkewsafe, crawldbStats, dedupRank, domainStats,
+    protocolStatusStats, orphanDetect)
 }

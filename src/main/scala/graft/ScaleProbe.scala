@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-growth probe: runs the heaviest registered queries with the
+  * tables inflated ×N IN-PLAN (`Inflate`: explode + key remap, scan
+  * stays base-sized) at N = 1, 10, 100, plus a full crawl-conductor
+  * round over a mock site whose host count scales ×N, and records wall
+  * seconds and shuffle-write MB per (query, N).
+  *
+  * The point: convert "this plan would survive a 100× scale-up" from a
+  * plan-shape judgment into a measured fact. A query whose shuffle
+  * bytes grow ≤ ~linearly in N has no hidden cross-join / replicated
+  * broadcast / quadratic candidate structure; superlinear growth (past
+  * a noise floor) fails the probe with exit 1.
+  *
+  * Output: one JSON file (default `SCALE_r9.json`) with per-query
+  * series and per-transition growth verdicts, plus a human summary on
+  * stdout.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.01 — ×100 reaches sf1-scale
+  * fact tables), SPARK_GRAFT_SCALE_FACTORS (default "1,10,100"),
+  * SPARK_GRAFT_SCALE_QUERIES (subset filter), SPARK_GRAFT_CPUS.
+  */
+object ScaleProbe {
+
+  /** The heaviest / most shuffle-shaped queries on the board: every
+    * join family (state machine, 5-way cogroup index, dedup merge),
+    * the iterative graph loop, the window/streaming twins, and the
+    * candidate-generating dedup ladder. */
+  val defaultQueries: Seq[String] = Seq(
+    "updatedb_state_machine", "webgraph_build", "linkrank",
+    "opic_distribute", "score_updater", "node_degrees", "index_docs",
+    "dedup_merge", "minhash_lsh", "ngram_jaccard", "pipeline_compose",
+    "sessionize", "sliding_rate", "incremental_dedup")
+
+  final case class Point(n: Int, sec: Double, shuffleMb: Double,
+      err: Option[String])
+
+  /** Growth verdict for one query series: for each consecutive factor
+    * pair, shuffle must grow ≤ slack×linear once past the noise floor. */
+  def superlinear(pts: Seq[Point], slack: Double = 1.6,
+      floorMb: Double = 5.0): Seq[String] =
+    pts.sliding(2).collect {
+      case Seq(a, b)
+          if a.err.isEmpty && b.err.isEmpty && b.shuffleMb > floorMb &&
+            a.shuffleMb > 0 &&
+            b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) =>
+        f"${a.n}->${b.n}: shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB " +
+          f"(${b.shuffleMb / a.shuffleMb}%.1fx for ${b.n / a.n}x data)"
+    }.toSeq
+
+  // ---- mock site for the conductor probe: hosts scale with N ----
+
+  /** 4N hosts × 6 pages: a root linking 4 children + one cross-host
+    * link, a gone page, distinct body text per page (no dedup
+    * collapse). The host count is what scales — at 100 TB you crawl
+    * more hosts, not deeper pages-per-host. */
+  def site(n: Int): (Map[String, (Int, String, String)], Seq[String]) = {
+    val hosts = (0 until 4 * n).map(i => s"http://h$i.probe.example.com")
+    val pages = hosts.zipWithIndex.flatMap { case (h, i) =>
+      val next = hosts((i + 1) % hosts.length)
+      val kids = (1 to 4).map(k => s"""<a href="/p$k">k$k</a>""").mkString(" ")
+      Seq(
+        s"$h/" -> (ops.Fetch.Code.Success,
+          s"""<html><title>home $i</title><body>root of host $i. $kids
+             |<a href="$next/">peer</a> <a href="/dead">x</a></body></html>"""
+            .stripMargin, "text/html"),
+        s"$h/dead" -> (ops.Fetch.Code.Gone, "", "")) ++
+        (1 to 4).map(k => s"$h/p$k" -> (ops.Fetch.Code.Success,
+          s"<html><title>p$k of $i</title><body>unique body $i $k " +
+            s"${"w" + (i * 31 + k)}</body></html>", "text/html"))
+    }.toMap
+    (pages, hosts.map(_ + "/"))
+  }
+
+  def conductorRound(spark: SparkSession, n: Int): Unit = {
+    val (pages, seeds) = site(n)
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-scaleprobe-$n").toString
+    try {
+      ops.Crawl.run(spark, root, seeds,
+        ops.Fetch.MockProtocol(pages),
+        plugins.Extensions.Registry(
+          urlFilters = Seq(net.RegexUrlFilter.parse(Iterator("+.")))),
+        ops.Crawl.Config(rounds = 2, dedup = true, index = true,
+          pacer = graft.net.Pacer.Config(serverDelayMs = 0)))
+    } finally {
+      tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(defaultQueries)
+    val out = args.headOption.getOrElse("SCALE_r9.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    // warmup (untimed): parquet footers + codegen
+    try Tables.names.foreach(t => Tables(spark, sfDir, t).limit(1).count())
+    catch { case _: Throwable => () }
+
+    def measure(body: => Unit): (Double, Double, Option[String]) = {
+      meter.reset()
+      val t0 = System.nanoTime()
+      val err =
+        try { body; None }
+        catch { case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replace('\n', ' ').take(160))
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      (dt, meter.mb, err)
+    }
+
+    val series = (names.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> factors.map { n =>
+        spark.conf.set("spark.graft.inflate", n.toString)
+        val (sec, mb, err) = measure(
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        System.err.println(f"[scale] $name%-24s n=$n%-4d ${sec}%8.2f s " +
+          f"${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+        Point(n, sec, mb, err)
+      }
+    } :+ {
+      spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
+      "conductor_round" -> factors.map { n =>
+        val (sec, mb, err) = measure(conductorRound(spark, n))
+        System.err.println(f"[scale] conductor_round          n=$n%-4d " +
+          f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+        Point(n, sec, mb, err)
+      }
+    }).toMap
+
+    val bad = series.toSeq.sortBy(_._1).flatMap { case (q, pts) =>
+      superlinear(pts).map(v => q -> v) ++
+        pts.filter(_.err.isDefined).map(p => q -> s"n=${p.n} ERROR ${p.err.get}")
+    }
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    val json = new StringBuilder
+    json ++= "{\n  \"sf\": " + jstr(sfDir) + ",\n  \"factors\": " +
+      factors.mkString("[", ",", "]") + ",\n  \"queries\": {\n"
+    json ++= series.toSeq.sortBy(_._1).map { case (q, pts) =>
+      "    " + jstr(q) + ": {" +
+        "\"sec\": " + pts.map(p => r2(p.sec)).mkString("[", ",", "]") +
+        ", \"shuffle_mb\": " +
+        pts.map(p => r2(p.shuffleMb)).mkString("[", ",", "]") +
+        ", \"errors\": " +
+        pts.map(p => p.err.map(jstr).getOrElse("null"))
+          .mkString("[", ",", "]") + "}"
+    }.mkString(",\n")
+    json ++= "\n  },\n  \"superlinear\": " +
+      bad.map { case (q, v) => jstr(s"$q $v") }.mkString("[", ",", "]") +
+      ",\n  \"verdict\": " +
+      jstr(if (bad.isEmpty) "PASS: shuffle growth <= ~linear for every probed query"
+      else s"FAIL: ${bad.size} superlinear/error findings") + "\n}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.toString.getBytes("UTF-8"))
+    println(json.toString)
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}

@@ -21,8 +21,10 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name != "events") df
-    else df.schema("ts").dataType match {
+    // scale-probe hook (graft.ScaleProbe): inflate ×N in-plan with key
+    // remapping; a no-op at the default N=1 — see Inflate's scaladoc
+    val inflateN = spark.conf.get("spark.graft.inflate", "1").toInt
+    val base = Inflate(if (name != "events") df else df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df // NANOS read raw
       case org.apache.spark.sql.types.TimestampNTZType =>
         // timestampdiff is timezone-independent on NTZ operands —
@@ -34,7 +36,8 @@ object Tables {
           "unix_micros(ts) * 1000"))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
-    }
+    }, name, inflateN)
+    base
   }
 
   /** Microsecond-precision timestamp from the raw nanosecond Long `ts`

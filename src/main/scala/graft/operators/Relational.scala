@@ -149,4 +149,29 @@ object Relational {
           graft.plans.BoundedTopK.boundedSortedList(member, k),
           _.cast("string"))), ",").as("members"),
         count(lit(1)).as("n_total"))
+
+  /** Skew-immune per-key top-k FILTER: keep each key's k smallest rows
+    * under `sortStruct`'s ascending natural order (encode "score desc"
+    * as a negated field), identified by the struct's `id` field, which
+    * must be a unique row id present in `df` as column `idCol`.
+    *
+    * The `row_number().over(Window.partitionBy(key))` phrasing puts
+    * EVERY row of a hot key into one task — AQE cannot split a window
+    * partition, so a host owning 30% of the corpus is a straggler by
+    * construction. This shape instead aggregates with the O(k)
+    * [[graft.plans.BoundedTopK]] buffer (partial map-side combine: a
+    * hot key ships ≤ k rows per map task, never its full group) and
+    * recovers the surviving rows with a LEFT SEMI join on the unique
+    * id — a hash-spread, AQE-splittable shuffle. Selects exactly the
+    * rows the window phrasing would (the ordering is total because the
+    * id breaks ties), at O(k) state per task at any scale. */
+  def boundedTopKPerKey(df: DataFrame, key: Seq[String], sortStruct: Column,
+      idCol: String, k: Int): DataFrame = {
+    val picked = df
+      .groupBy(key.map(col): _*)
+      .agg(graft.plans.BoundedTopK.boundedSortedList(sortStruct, k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
 }

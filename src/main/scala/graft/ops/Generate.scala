@@ -97,13 +97,34 @@ object Generate {
       case None => col("datum")
     }
 
-    val perHost = Window.partitionBy(col("host"))
-      .orderBy(desc("sort_score"), asc("url"))
-    val capped = due
-      .withColumn("host_rank", row_number().over(perHost))
-      .filter(maxCnt <= 0 || col("host_rank") <= maxCnt)
-      .select(col("url"), datumCol.as("datum"), col("host"),
-        col("sort_score"))
+    // Host-cap strategies, by cap kind (the host key is the engine's
+    // known skew axis — one host can own a third of a crawl):
+    //  - no cap → no per-host pass at all;
+    //  - static cap → skew-immune bounded top-k (O(k) partial agg +
+    //    semi-join on url; see Relational.boundedTopKPerKey — a hot
+    //    host never concentrates its full group in one task);
+    //  - dynamic JEXL cap → rank window (the cap is data-dependent, so
+    //    the buffer can't be pre-sized; the hostdb side is broadcast
+    //    and per-host ranks are what the semantics demand).
+    val withDatum = due.select(col("url"), datumCol.as("datum"),
+      col("host"), col("sort_score"))
+    val capped =
+      if (cfg.maxCountExpr.isDefined) {
+        val perHost = Window.partitionBy(col("host"))
+          .orderBy(desc("sort_score"), asc("url"))
+        due
+          .withColumn("host_rank", row_number().over(perHost))
+          .filter(maxCnt <= 0 || col("host_rank") <= maxCnt)
+          .select(col("url"), datumCol.as("datum"), col("host"),
+            col("sort_score"))
+      } else if (cfg.maxPerHost <= 0 || cfg.maxPerHost == Int.MaxValue) {
+        withDatum // uncapped: the window would be pure overhead
+      } else {
+        graft.operators.Relational.boundedTopKPerKey(
+          withDatum, Seq("host"),
+          struct((-col("sort_score")).as("s"), col("url").as("id")),
+          "url", cfg.maxPerHost)
+      }
 
     val out: DataFrame =
       if (cfg.maxNumSegments <= 1) {
