@@ -77,25 +77,31 @@ object Bench {
         shuffleMb = meter.mb
         dt
       }.toVector
-      if (err.isDefined) (name, -1.0, -1.0, -1.0, err)
+      if (err.isDefined) (name, -1.0, -1.0, -1.0, err, times)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.length / 2), sorted.head, shuffleMb, None)
+        (name, sorted(sorted.length / 2), sorted.head, shuffleMb, None, times)
       }
     }
     val loadAfter = loadAvg
-    val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + med }
+    val qs = results.map { case (k, med, _, _, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _, _) => jstr(k) + ":" + mn }
+    val mins = results.map { case (k, _, mn, _, _, _) => jstr(k) + ":" + mn }
       .mkString("{", ",", "}")
-    val shufs = results.map { case (k, _, _, sh, _) =>
+    val shufs = results.map { case (k, _, _, sh, _, _) =>
       jstr(k) + ":" + (math.round(sh * 100) / 100.0) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    // per-rep raw times: a contended first rep (driver load, cold page
+    // cache) is visible instead of silently folded into the median
+    def r3r(v: Double) = math.round(v * 1000) / 1000.0
+    val repsMap = results.map { case (k, _, _, _, _, ts) =>
+      jstr(k) + ":" + ts.map(r3r).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMin = results.filter(_._3 >= 0).map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     // The driver records only the last ~2000 chars of output and
     // json-parses what it finds there; with 100+ queries the full line
     // above (printed first, for humans and logs) cannot fit that
@@ -104,11 +110,11 @@ object Bench {
     // the full error map, and the slowest queries only.
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, med, _, _, _) => jstr(k) + ":" + r3(med) }
+      .map { case (k, med, _, _, _, _) => jstr(k) + ":" + r3(med) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map in the first JSON line of this run's output","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     if (results.exists(_._5.isDefined)) {
-      results.foreach { case (k, _, _, _, e) =>
+      results.foreach { case (k, _, _, _, e, _) =>
         e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
       }
       sys.exit(1)

@@ -275,7 +275,13 @@ object Main {
                 topN = optL(rest, "-topN", Long.MaxValue),
                 startTime = now0,
                 pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0)),
-                buckets = opt(rest, "-buckets").map(_.toInt),
+                // bucketed is the default; `-buckets 0` opts out to
+                // the plain layout, `-buckets N` sizes the layout
+                buckets = opt(rest, "-buckets").map(_.toInt) match {
+                  case Some(0) => None
+                  case Some(n) => Some(n)
+                  case None => Some(Crawl.DefaultBuckets)
+                },
                 storeResponseTime = rest.contains("-responsetime")))
             summary.rounds.foreach(r => println(
               s"round ${r.round}: generated=${r.generated} " +

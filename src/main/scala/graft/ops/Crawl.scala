@@ -16,6 +16,12 @@ import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
   * under `root`. */
 object Crawl {
 
+  /** Default bucket count for the conductor's CrawlDb. Matches the
+    * local shuffle parallelism; a 1000-executor deployment would size
+    * it to its target per-bucket file size (the layout is rewritten
+    * every generation anyway, so it can be raised at any install). */
+  val DefaultBuckets = 32
+
   final case class Config(
       rounds: Int = 1,
       topN: Long = Long.MaxValue,
@@ -42,11 +48,15 @@ object Crawl {
       // per-job counter rows appended to <root>/metrics each round
       // (the NutchMetrics/LatencyTracker observability surface)
       metrics: Boolean = true,
-      // url-bucketed CrawlDb layout (tables.BucketedCrawlDbTable):
-      // every url-keyed join reads the db side Exchange-free — the
-      // co-located-join default for a CrawlDb that outweighs its
-      // per-round segments by orders of magnitude
-      buckets: Option[Int] = None,
+      // url-bucketed CrawlDb layout (tables.BucketedCrawlDbTable) —
+      // THE DEFAULT since r9: every url-keyed join reads the db side
+      // Exchange-free (the co-located-join layout for a CrawlDb that
+      // outweighs its per-round segments by orders of magnitude;
+      // byte-identical output A/B-proven in CrawlRoundSpec). None
+      // opts out to the plain generation-swapped layout. An existing
+      // plain crawldb migrates automatically on the next bucketed run
+      // (one-time rewrite into generation 1).
+      buckets: Option[Int] = Some(Crawl.DefaultBuckets),
       // record per-URL protocol elapsed ms (_rs_) so the metrics table
       // carries real fetch_latency_* percentiles (http.store.responsetime)
       storeResponseTime: Boolean = false)
@@ -63,8 +73,19 @@ object Crawl {
     import spark.implicits._
     val crawldb: graft.tables.CrawlDbStore = cfg.buckets match {
       case Some(n) =>
-        new graft.tables.BucketedCrawlDbTable(spark, s"$root/crawldb", n)
-      case None => new CrawlDbTable(spark, s"$root/crawldb")
+        val t = new graft.tables.BucketedCrawlDbTable(
+          spark, s"$root/crawldb", n)
+        t.migrateFromPlain() // no-op unless a plain `current` exists
+        t
+      case None =>
+        // a bucketed db must not be silently read as empty by the
+        // plain store — fail loudly instead of restarting the crawl
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "crawldb", "GENERATION")),
+          s"$root/crawldb uses the bucketed layout (GENERATION file " +
+            "present); run with buckets set, or copy the current " +
+            "generation out to a plain layout first")
+        new CrawlDbTable(spark, s"$root/crawldb")
     }
     val linkdb = new LinkDbTable(spark, s"$root/linkdb")
     val schedule: FetchSchedule = registry.schedule

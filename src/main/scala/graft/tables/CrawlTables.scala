@@ -99,6 +99,22 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
     }
   }
 
+  /** One-way, idempotent migration from the plain generation-swapped
+    * layout: an existing `<dir>/current` (and no GENERATION pointer)
+    * is rewritten as bucketed generation 1, then the plain dirs are
+    * dropped — same write-before-pointer discipline as [[install]], so
+    * a crash mid-migration leaves either the untouched plain layout or
+    * a complete bucketed one, never a torn state. */
+  def migrateFromPlain(): Unit = {
+    val cur = Paths.get(dir, "current")
+    if (generation == 0L && Files.exists(cur)) {
+      install(spark.read.parquet(cur.toString).as[CrawlRow], "migrate")
+      Install.deleteRecursively(cur)
+      val old = Paths.get(dir, "old")
+      if (Files.exists(old)) Install.deleteRecursively(old)
+    }
+  }
+
   def install(next: Dataset[CrawlRow], nonce: String): Unit = {
     val g = generation + 1
     Files.createDirectories(Paths.get(dir))

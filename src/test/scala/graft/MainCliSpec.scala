@@ -138,7 +138,8 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(Main.run(spark, Array("crawl", s"$root/crawl", s"$root/seeds.txt",
       "-site", s"$root/site.json", "-rounds", "2",
       "-now", "1700000000000")) == 0)
-    val db = new graft.tables.CrawlDbTable(spark, s"$root/crawl/crawldb")
+    val db = new graft.tables.BucketedCrawlDbTable(spark,
+      s"$root/crawl/crawldb", graft.ops.Crawl.DefaultBuckets)
       .read().collect()
     assert(db.length == 2) // seed + discovered p1
     // the conductor appended per-job counters; the metrics verb reads

@@ -310,6 +310,36 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
       spark, s"$bRoot/crawldb", 8))
     assert(bDb == plainDb)
 
+    // migration path (bucketed is the conductor default since r9): one
+    // round plain, then a bucketed run resumes the same root — the
+    // plain current is rewritten as generation 1 and round 2 continues
+    // on it; final db byte-identical to both straight 2-round runs
+    val migRoot = Files.createTempDirectory("crawl-mig").toString
+    val cfg1 = Crawl.Config(rounds = 1, buckets = None,
+      pacer = graft.net.Pacer.Config(serverDelayMs = 0))
+    Crawl.run(spark, migRoot, Seq(s"$A/"), Fetch.MockProtocol(site),
+      registry, cfg1)
+    assert(Files.exists(
+      java.nio.file.Paths.get(migRoot, "crawldb", "current")))
+    Crawl.run(spark, migRoot, Seq(s"$A/"), Fetch.MockProtocol(site),
+      registry, cfg1.copy(buckets = Some(8),
+        startTime = cfg1.startTime + cfg1.roundMillis)) // round 2's clock
+    assert(!Files.exists(
+      java.nio.file.Paths.get(migRoot, "crawldb", "current")))
+    assert(Files.exists(
+      java.nio.file.Paths.get(migRoot, "crawldb", "GENERATION")))
+    val migDb = dump(new graft.tables.BucketedCrawlDbTable(
+      spark, s"$migRoot/crawldb", 8))
+    assert(migDb == plainDb)
+
+    // opting back out against a bucketed root fails loudly instead of
+    // silently restarting from an empty plain db
+    val ex = intercept[IllegalArgumentException] {
+      Crawl.run(spark, migRoot, Seq(s"$A/"), Fetch.MockProtocol(site),
+        registry, cfg1)
+    }
+    assert(ex.getMessage.contains("bucketed layout"))
+
     // the db side of a url join over the bucketed current generation
     // plans with NO Exchange under the bucketed scan (the segment side
     // — tiny per round — is the only shuffle)

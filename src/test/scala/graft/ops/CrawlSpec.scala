@@ -40,7 +40,8 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
     assert(summary.hosts == 2)
     assert(summary.indexed >= 2)
 
-    val db = new CrawlDbTable(spark, s"$root/crawldb").read().collect()
+    val db = new graft.tables.BucketedCrawlDbTable(spark,
+      s"$root/crawldb", Crawl.DefaultBuckets).read().collect()
       .map(r => r.url -> r.datum).toMap
     assert(db(s"$A/").status == S.DB_FETCHED)
     assert(db(s"$A/p1").status == S.DB_FETCHED ||
@@ -96,7 +97,8 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
     assert(hosts("site-a.example.com").fetched >= 1)
 
     // _ngt_ markers were stamped at generate and stripped by updatedb
-    val db = new CrawlDbTable(spark, s"$root/crawldb").read().collect()
+    val db = new graft.tables.BucketedCrawlDbTable(spark,
+      s"$root/crawldb", Crawl.DefaultBuckets).read().collect()
     assert(db.nonEmpty)
     assert(db.forall(!_.datum.metadata.contains(
       graft.schemas.CrawlDatum.GenerateTimeKey)), db.mkString("\n"))
@@ -123,7 +125,8 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
 
     // the sitemap-declared url entered the db and was fetched in a
     // later round
-    val db = new CrawlDbTable(spark, s"$root/crawldb").read().collect()
+    val db = new graft.tables.BucketedCrawlDbTable(spark,
+      s"$root/crawldb", Crawl.DefaultBuckets).read().collect()
       .map(r => r.url -> r.datum).toMap
     assert(db.contains(s"$A/from-sitemap"), db.keys)
     assert(db(s"$A/from-sitemap").status == S.DB_FETCHED ||
