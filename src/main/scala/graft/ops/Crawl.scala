@@ -67,10 +67,17 @@ object Crawl {
   final case class Summary(rounds: Seq[RoundStats], indexed: Long,
       hosts: Long)
 
-  def run(spark: SparkSession, root: String, seeds: Seq[String],
-      protocol: Fetch.Protocol, registry: Extensions.Registry,
-      cfg: Config): Summary = {
-    import spark.implicits._
+  /** The conductor's per-run table handles — shared by the batch loop
+    * below and the Structured-Streaming micro-batch twin
+    * ([[graft.streaming.StreamingCrawl]]), so both drive the SAME
+    * stores through the SAME round body. */
+  final case class Stores(
+      crawldb: graft.tables.CrawlDbStore,
+      linkdb: LinkDbTable,
+      hostdb: HostDbTable,
+      metrics: Option[Metrics.Table])
+
+  def openStores(spark: SparkSession, root: String, cfg: Config): Stores = {
     val crawldb: graft.tables.CrawlDbStore = cfg.buckets match {
       case Some(n) =>
         val t = new graft.tables.BucketedCrawlDbTable(
@@ -87,30 +94,44 @@ object Crawl {
             "generation out to a plain layout first")
         new CrawlDbTable(spark, s"$root/crawldb")
     }
-    val linkdb = new LinkDbTable(spark, s"$root/linkdb")
+    Stores(crawldb,
+      new LinkDbTable(spark, s"$root/linkdb"),
+      new HostDbTable(spark, s"$root/hostdb"),
+      if (cfg.metrics) Some(new Metrics.Table(spark, s"$root/metrics"))
+      else None)
+  }
+
+  /** Inject the seed list (idempotent NUTCH-1405 merge). */
+  def inject(spark: SparkSession, stores: Stores, seeds: Seq[String],
+      registry: Extensions.Registry, cfg: Config): Unit = {
+    import spark.implicits._
+    stores.crawldb.install(
+      Inject(stores.crawldb.read(), spark.createDataset(seeds),
+        Inject.Config(), registry.filterChain, cfg.startTime),
+      "inject")
+  }
+
+  /** ONE conductor round (generate → fetch → parse → updatedb →
+    * invertlinks → dedup → hostdb/sitemaps) against `stores`, writing
+    * the segment under `<root>/segments/r<r>`. The batch loop and the
+    * streaming twin both call exactly this. */
+  def round(spark: SparkSession, root: String, stores: Stores, r: Int,
+      protocol: Fetch.Protocol, registry: Extensions.Registry,
+      cfg: Config): (Segment, RoundStats) = {
+    import spark.implicits._
+    val crawldb = stores.crawldb
+    val linkdb = stores.linkdb
+    val hostdbTable = stores.hostdb
     val schedule: FetchSchedule = registry.schedule
     val filter = registry.filterChain
-
-    // inject
-    crawldb.install(
-      Inject(crawldb.read(), spark.createDataset(seeds), Inject.Config(),
-        filter, cfg.startTime),
-      "inject")
-
-    val hostdbTable = new HostDbTable(spark, s"$root/hostdb")
     val useHostDb = cfg.maxCountExpr.isDefined || cfg.fetchDelayExpr.isDefined
-    val metricsTable =
-      if (cfg.metrics) Some(new Metrics.Table(spark, s"$root/metrics"))
-      else None
     def record(r: Int, job: String, wallMs: Long, counters: DataFrame*)
         : Unit =
-      metricsTable.foreach { t =>
+      stores.metrics.foreach { t =>
         counters.foreach(t.append)
         t.append(Metrics.gauge(spark, r, job, "wall_ms", wallMs))
       }
-
-    var segments = Vector.empty[Segment]
-    val stats = (1 to cfg.rounds).map { r =>
+    locally {
       val now = cfg.startTime + r * cfg.roundMillis
       val seg = new Segment(spark, s"$root/segments/r$r")
       val (_, genMs) = Metrics.timed {
@@ -177,16 +198,22 @@ object Crawl {
       // post-updatedb/dedup db census (crawldb job includes the round's
       // update + dedup wall time)
       record(r, "crawldb", updMs + dedupMs, Metrics.crawldb(r, crawldb.read()))
-      segments :+= seg
-      RoundStats(r, generated,
+      (seg, RoundStats(r, generated,
         seg.fetch.filter(_.datum.status ==
           graft.schemas.CrawlStatus.FETCH_SUCCESS).count(),
-        crawldb.read().count())
+        crawldb.read().count()))
     }
+  }
 
+  /** The post-rounds pass: hostdb census (when not maintained
+    * per-round) and the index build over every segment. */
+  def finish(spark: SparkSession, stores: Stores, segments: Seq[Segment],
+      stats: Seq[RoundStats], cfg: Config): Summary = {
+    import spark.implicits._
+    val useHostDb = cfg.maxCountExpr.isDefined || cfg.fetchDelayExpr.isDefined
     val hostdb =
-      if (useHostDb || cfg.sitemaps) hostdbTable.read()
-      else UpdateHostDb(crawldb.read(),
+      if (useHostDb || cfg.sitemaps) stores.hostdb.read()
+      else UpdateHostDb(stores.crawldb.read(),
         spark.emptyDataset[UpdateHostDb.HostRow],
         cfg.startTime + cfg.rounds * cfg.roundMillis)
 
@@ -195,21 +222,35 @@ object Crawl {
         val fetchAll = segments.map(_.fetch).reduce(_ union _)
         val pdAll = segments.map(_.parseData).reduce(_ union _)
         val ptAll = segments.map(_.parseText).reduce(_ union _)
-        val docs = Index(crawldb.read(), fetchAll, pdAll, ptAll,
-          linkdb.read(), Index.Config())
+        val docs = Index(stores.crawldb.read(), fetchAll, pdAll, ptAll,
+          stores.linkdb.read(), Index.Config())
         cfg.indexSinkDir match {
           case Some(sink) =>
             new IndexWriters.JsonLinesWriter().write(docs, sink)
             // CleaningJob: fold gone/duplicate deletes into the sink
             CleaningJob.cleanJsonSink(spark, sink,
-              CleaningJob.deletes(crawldb.read()))
+              CleaningJob.deletes(stores.crawldb.read()))
             spark.read.text(sink).count()
           case None => docs.count()
         }
       } else 0L
-    metricsTable.foreach(_.append(
+    stores.metrics.foreach(_.append(
       Metrics.gauge(spark, cfg.rounds, "indexer", "indexed_total", indexed)))
 
     Summary(stats, indexed, hostdb.count())
+  }
+
+  def run(spark: SparkSession, root: String, seeds: Seq[String],
+      protocol: Fetch.Protocol, registry: Extensions.Registry,
+      cfg: Config): Summary = {
+    val stores = openStores(spark, root, cfg)
+    inject(spark, stores, seeds, registry, cfg)
+    var segments = Vector.empty[Segment]
+    val stats = (1 to cfg.rounds).map { r =>
+      val (seg, st) = round(spark, root, stores, r, protocol, registry, cfg)
+      segments :+= seg
+      st
+    }
+    finish(spark, stores, segments, stats, cfg)
   }
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.{Crawl, Fetch}
+import graft.plugins.Extensions
+import graft.tables.Segment
+
+/** SURVEY §7's continuous-crawl surface: the conductor's
+  * generate → fetch → parse → updatedb → invertlinks → dedup round
+  * driven by a Structured-Streaming trigger stream instead of a driver
+  * for-loop.
+  *
+  * Each element of the `rounds` stream is a round number; every
+  * micro-batch runs the SAME [[Crawl.round]] body the batch conductor
+  * loops, against the SAME copy-on-write stores — so batch/stream
+  * equivalence holds by construction and is asserted byte-for-byte in
+  * StreamingCrawlSpec. `foreachBatch` is the sanctioned Structured
+  * Streaming shape for this: the crawl frontier is a FEEDBACK cycle
+  * (round r+1 generates from the crawldb round r installed), which no
+  * single streaming plan can express — the stream contributes
+  * triggering, checkpointable progress, and backpressure, while the
+  * round body remains the oracle-tested batch algebra.
+  *
+  * At 100 TB this is the deployment shape for "crawl forever": a rate
+  * or control-topic source ticks rounds; each micro-batch is a
+  * bounded, restartable unit whose durability comes from the tables'
+  * write-then-swap installs, so a crashed batch re-runs idempotently
+  * (same round clock → same generate set → same installs). */
+object StreamingCrawl {
+
+  /** Start the micro-batch loop. `rounds` must be a STREAMING dataset
+    * of round numbers (e.g. a MemoryStream in tests, a rate source —
+    * `round = batchId` — in deployment). Seeds are injected once,
+    * before the stream starts. Rounds arriving within one micro-batch
+    * run sequentially in ascending order, so batching granularity
+    * cannot reorder the crawl. */
+  def start(spark: SparkSession, root: String, seeds: Seq[String],
+      rounds: Dataset[Int], protocol: Fetch.Protocol,
+      registry: Extensions.Registry, cfg: Crawl.Config): StreamingQuery = {
+    val stores = Crawl.openStores(spark, root, cfg)
+    Crawl.inject(spark, stores, seeds, registry, cfg)
+    rounds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Int], _: Long) =>
+        // the per-batch tick set is tiny (round numbers, not data) —
+        // collect is the control plane, never the corpus
+        batch.collect().sorted.foreach { r =>
+          Crawl.round(spark, root, stores, r, protocol, registry, cfg)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The batch conductor's post-loop pass (hostdb census + index) over
+    * the segments the stream produced — call after stopping the query
+    * to obtain the same Summary shape Crawl.run returns. */
+  def finish(spark: SparkSession, root: String, roundsRun: Seq[Int],
+      cfg: Crawl.Config): Crawl.Summary = {
+    val stores = Crawl.openStores(spark, root, cfg)
+    val segments = roundsRun.map(r =>
+      new Segment(spark, s"$root/segments/r$r"))
+    Crawl.finish(spark, stores, segments, Seq.empty, cfg)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.net.RegexUrlFilter
+import graft.ops.{Crawl, Fetch}
+import graft.plugins.Extensions
+
+/** Batch/stream equivalence for the crawl loop: N rounds driven
+  * through StreamingCrawl's micro-batch stream must leave EXACTLY the
+  * state N batch conductor rounds leave — crawldb rows, linkdb rows,
+  * and per-round segment contents. */
+class StreamingCrawlSpec extends AnyFunSuite with SparkSuite {
+
+  private val A = "http://stream-a.example.com"
+  private val B = "http://stream-b.example.com"
+
+  private val site = Map(
+    s"$A/" -> (Fetch.Code.Success,
+      s"""<html><title>A</title><body>home.
+         |<a href="/p1">one</a> <a href="$B/">peer</a></body></html>"""
+        .stripMargin, "text/html"),
+    s"$A/p1" -> (Fetch.Code.Success,
+      "<html><title>P1</title><body>page one body</body></html>",
+      "text/html"),
+    s"$B/" -> (Fetch.Code.Success,
+      s"""<html><title>B</title><body>site b.
+         |<a href="/gone">x</a></body></html>""".stripMargin, "text/html"),
+    s"$B/gone" -> (Fetch.Code.Gone, "", ""))
+
+  private val registry = Extensions.Registry(
+    urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
+  private val cfg = Crawl.Config(rounds = 2, index = false,
+    metrics = false, pacer = graft.net.Pacer.Config(serverDelayMs = 0))
+
+  test("streaming micro-batch rounds == batch conductor rounds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val batchRoot = Files.createTempDirectory("crawl-batch").toString
+    Crawl.run(spark, batchRoot, Seq(s"$A/", s"$B/"),
+      Fetch.MockProtocol(site), registry, cfg)
+
+    val streamRoot = Files.createTempDirectory("crawl-stream").toString
+    val ticks = MemoryStream[Int]
+    val q = StreamingCrawl.start(spark, streamRoot, Seq(s"$A/", s"$B/"),
+      ticks.toDS(), Fetch.MockProtocol(site), registry, cfg)
+    try {
+      ticks.addData(1)
+      q.processAllAvailable()
+      ticks.addData(2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def db(root: String) = Crawl.openStores(spark, root, cfg)
+      .crawldb.read().collect().map(r => r.url -> r.datum).toMap
+    def links(root: String) = Crawl.openStores(spark, root, cfg)
+      .linkdb.read().collect()
+      .map(l => l.url -> l.inlinks.map(i => i.fromUrl -> i.anchor).toSet)
+      .toMap
+    val (bDb, sDb) = (db(batchRoot), db(streamRoot))
+    assert(sDb.nonEmpty && sDb == bDb)
+    assert(links(streamRoot) == links(batchRoot))
+
+    // per-round segments byte-equal too (fetch statuses + parse text)
+    for (r <- 1 to 2) {
+      def seg(root: String) =
+        new graft.tables.Segment(spark, s"$root/segments/r$r")
+      assert(seg(streamRoot).fetch.collect().map(x => x.url -> x.datum)
+        .toMap == seg(batchRoot).fetch.collect().map(x => x.url -> x.datum)
+        .toMap, s"round $r fetch")
+      assert(seg(streamRoot).parseText.collect().map(x => x.url -> x.text)
+        .toMap == seg(batchRoot).parseText.collect()
+        .map(x => x.url -> x.text).toMap, s"round $r text")
+    }
+
+    // both rounds in ONE micro-batch: ordering inside the batch is
+    // ascending, so the end state is identical again
+    val oneRoot = Files.createTempDirectory("crawl-stream1").toString
+    val ticks2 = MemoryStream[Int]
+    val q2 = StreamingCrawl.start(spark, oneRoot, Seq(s"$A/", s"$B/"),
+      ticks2.toDS(), Fetch.MockProtocol(site), registry, cfg)
+    try {
+      ticks2.addData(1, 2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(db(oneRoot) == bDb)
+  }
+}
