@@ -32,7 +32,8 @@ object ScaleProbe {
     "updatedb_state_machine", "webgraph_build", "linkrank",
     "opic_distribute", "score_updater", "node_degrees", "index_docs",
     "dedup_merge", "minhash_lsh", "ngram_jaccard", "pipeline_compose",
-    "sessionize", "sliding_rate", "incremental_dedup")
+    "sessionize", "sliding_rate", "incremental_dedup",
+    "host_cap_skewsafe", "webgraph_dedup", "dedup_clusters")
 
   final case class Point(n: Int, sec: Double, shuffleMb: Double,
       err: Option[String])

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schemas.{CrawlRow, CrawlStatus}
@@ -20,7 +19,18 @@ import graft.schemas.{CrawlRow, CrawlStatus}
   * which normalized URLs guarantee. */
 object Dedup {
 
-  /** One row per duplicate (status DB_DUPLICATE), keyed by url. */
+  /** One row per duplicate (status DB_DUPLICATE), keyed by url.
+    *
+    * Skew-immune shape: the keeper of each signature group is
+    * `min(struct(compare-chain ascending, url))` — a plain aggregate
+    * with map-side combine, so a HOT signature (every empty page in a
+    * 10^9-row crawldb hashes identically) contributes one partial row
+    * per map task instead of concentrating its whole group in one
+    * window partition (which AQE cannot split; the signature-keyed
+    * JOIN below it CAN split). Struct ordering is lexicographic by
+    * field, so the min is exactly the row a
+    * `row_number() over (partition by signature order by chain)` would
+    * rank 1 — DedupSkewSpec asserts the A/B. */
   def findDuplicates(db: Dataset[CrawlRow]): Dataset[CrawlRow] = {
     val spark: SparkSession = db.sparkSession
     import spark.implicits._
@@ -30,17 +40,21 @@ object Dedup {
         col("datum.signature").isNotNull)
     val decodedLen = length(col("url")) -
       lit(2) * size(split(col("url"), "%", -1)) + lit(2)
-    val w = Window.partitionBy(col("datum.signature")).orderBy(
-      desc("datum.score"),
-      desc("datum.fetchTime"),
-      desc("is_https"),
-      asc("decoded_len"),
-      asc("url"))
-    candidates
+    val keyed = candidates
       .withColumn("is_https", col("url").startsWith("https://").cast("int"))
-      .withColumn("decoded_len", decodedLen)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") =!= 1)
+      .withColumn("sort_key", struct(
+        (-col("datum.score")).as("s1"), // score desc
+        (-col("datum.fetchTime")).as("s2"), // newer kept
+        (-col("is_https")).as("s3"), // https preferred
+        decodedLen.as("s4"), // shortest decoded URL
+        col("url").as("id"))) // total-order tiebreak
+    val keepers = keyed
+      .groupBy(col("datum.signature").as("sig"))
+      .agg(min(col("sort_key")).as("k"))
+      .select(col("sig"), col("k.id").as("keeper_url"))
+    keyed
+      .join(keepers, col("datum.signature") === col("sig"))
+      .filter(col("url") =!= col("keeper_url"))
       .select(col("url"), col("datum"))
       .as[CrawlRow]
       .map(r => CrawlRow(r.url,

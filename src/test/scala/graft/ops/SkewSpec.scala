@@ -139,6 +139,42 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
   }
 
+  test("dedup keeper selection is window-free and rank-exact under a " +
+    "30% hot signature") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 30% of fetched rows share ONE signature (the every-empty-page
+    // case); the rest form small groups of ~3
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val sig = if (i % 10 < 3) "HOT" else s"sig${i % (n / 3)}"
+      CrawlRow(s"http://h${i % 700}.example.com/p$i",
+        CrawlDatum(S.DB_FETCHED, t0 + i % 1000, 0, 3600,
+          (i % 97) / 10.0f, Some(sig), 0L, Map.empty))
+    }
+    val db = spark.createDataset(rows)
+    val dups = Dedup.findDuplicates(db)
+    val plan = dups.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val got = dups.collect().map(_.url).toSet
+    // A/B: the window phrasing of the same compare chain
+    val decodedLen = length(col("url")) -
+      lit(2) * size(split(col("url"), "%", -1)) + lit(2)
+    val w = Window.partitionBy(col("datum.signature")).orderBy(
+      desc("datum.score"), desc("datum.fetchTime"), desc("is_https"),
+      asc("decoded_len"), asc("url"))
+    val expected = db.toDF()
+      .withColumn("is_https", col("url").startsWith("https://").cast("int"))
+      .withColumn("decoded_len", decodedLen)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") =!= 1).select("url").as[String].collect().toSet
+    assert(got == expected)
+    // the hot group kept exactly one survivor
+    val hotDups = got.count(u => rows.find(_.url == u)
+      .exists(_.datum.signature.contains("HOT")))
+    assert(hotDups == rows.count(_.datum.signature.contains("HOT")) - 1)
+  }
+
   test("AQE skew-join engages on a host-keyed sort-merge join") {
     import spark.implicits._
     val confs = Map(
