@@ -91,6 +91,30 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("digit-run inflation never throws (the r8 PdfParse bug class)") {
+    // single-byte mutations cannot turn "7 0 obj" into a >Int.MaxValue
+    // numeral — which is exactly how the r8 unguarded-.toInt bugs in
+    // PdfParse//Length//V//R and xlsx <v> escaped the fuzzer. This
+    // mutation class finds every ASCII digit run in a payload and
+    // replaces it with a 10-25 digit run (overflowing Int and Long),
+    // so any text-ish parser doing .toInt/.toLong on scanned numerals
+    // is exercised on overflow in every numeric field it has.
+    val rnd = new scala.util.Random(0xd161f)
+    val digitRun = "[0-9]+".r
+    for ((name, full) <- seeds) {
+      val s = new String(full.map(b => (b & 0xff).toChar))
+      val runs = digitRun.findAllMatchIn(s).map(m => (m.start, m.end))
+        .toSeq.take(40)
+      for (((st, en), i) <- runs.zipWithIndex) {
+        val big = Array.fill(10 + rnd.nextInt(16))(
+          ('0' + rnd.nextInt(10)).toByte)
+        big(0) = ('1' + rnd.nextInt(9)).toByte // no leading zero
+        val b = full.take(st) ++ big ++ full.drop(en)
+        check(s"$name digit-run $i inflated", b)
+      }
+    }
+  }
+
   test("cross-format header grafts never throw") {
     // splice each format's first 16 bytes onto each other's body — the
     // sniff-then-decode path must survive lying magic numbers
