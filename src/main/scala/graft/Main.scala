@@ -269,20 +269,51 @@ object Main {
           case Some(sf) =>
             val site = loadSite(spark, sf)
             val seedList = spark.read.textFile(seeds).collect().toSeq
-            val summary = Crawl.run(spark, root, seedList, site, reg,
-              Crawl.Config(
-                rounds = optL(rest, "-rounds", 1).toInt,
-                topN = optL(rest, "-topN", Long.MaxValue),
-                startTime = now0,
-                pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0)),
-                // bucketed is the default; `-buckets 0` opts out to
-                // the plain layout, `-buckets N` sizes the layout
-                buckets = opt(rest, "-buckets").map(_.toInt) match {
-                  case Some(0) => None
-                  case Some(n) => Some(n)
-                  case None => Some(Crawl.DefaultBuckets)
-                },
-                storeResponseTime = rest.contains("-responsetime")))
+            val nRounds = optL(rest, "-rounds", 1).toInt
+            val cfg = Crawl.Config(
+              rounds = nRounds,
+              topN = optL(rest, "-topN", Long.MaxValue),
+              startTime = now0,
+              pacer = Pacer.Config(serverDelayMs = optL(rest, "-delay", 0)),
+              // bucketed is the default; `-buckets 0` opts out to
+              // the plain layout, `-buckets N` sizes the layout
+              buckets = opt(rest, "-buckets").map(_.toInt) match {
+                case Some(0) => None
+                case Some(n) => Some(n)
+                case None => Some(Crawl.DefaultBuckets)
+              },
+              storeResponseTime = rest.contains("-responsetime"))
+            val summary =
+              if (rest.contains("-stream")) {
+                // continuous mode: a rate source ticks the rounds
+                // through the Structured-Streaming micro-batch loop
+                // (byte-equal to the batch loop — StreamingCrawlSpec);
+                // stop once round nRounds has installed
+                import spark.implicits._
+                val done = new java.util.concurrent.CountDownLatch(1)
+                val ticks = spark.readStream.format("rate")
+                  .option("rowsPerSecond", 10).load()
+                  .select((org.apache.spark.sql.functions.col("value") + 1)
+                    .cast("int").as("r"))
+                  .filter(org.apache.spark.sql.functions.col("r") <= nRounds)
+                  .as[Int]
+                val q = graft.streaming.StreamingCrawl.start(
+                  spark, root, seedList, ticks, site, reg, cfg,
+                  onRound = r => if (r >= nRounds) done.countDown())
+                try done.await() finally q.stop()
+                val stores = Crawl.openStores(spark, root, cfg)
+                val segs = (1 to nRounds).map(r =>
+                  new graft.tables.Segment(spark, s"$root/segments/r$r"))
+                val dbNow = stores.crawldb.read().count()
+                val stats = (1 to nRounds).map { r =>
+                  val seg = segs(r - 1)
+                  Crawl.RoundStats(r, seg.generate.count(),
+                    seg.fetch.filter(_.datum.status ==
+                      graft.schemas.CrawlStatus.FETCH_SUCCESS).count(),
+                    if (r == nRounds) dbNow else -1L) // only final db size survives
+                }
+                Crawl.finish(spark, stores, segs, stats, cfg)
+              } else Crawl.run(spark, root, seedList, site, reg, cfg)
             summary.rounds.foreach(r => println(
               s"round ${r.round}: generated=${r.generated} " +
                 s"fetched=${r.fetched} db=${r.dbSize}"))

@@ -32,13 +32,26 @@ object StreamingCrawl {
 
   /** Start the micro-batch loop. `rounds` must be a STREAMING dataset
     * of round numbers (e.g. a MemoryStream in tests, a rate source —
-    * `round = batchId` — in deployment). Seeds are injected once,
+    * `round = value + 1` — in deployment). Seeds are injected once,
     * before the stream starts. Rounds arriving within one micro-batch
     * run sequentially in ascending order, so batching granularity
-    * cannot reorder the crawl. */
+    * cannot reorder the crawl. `onRound` fires after each round's
+    * installs land (progress latch for callers that stop after N).
+    *
+    * Crash/redelivery contract: a round whose micro-batch died BEFORE
+    * its updatedb install re-runs safely — the crawldb is still in the
+    * previous round's state, so the re-run regenerates the same
+    * fetchlist at the same round clock and every segment part is
+    * rewritten whole (SaveMode.Overwrite); proven in
+    * StreamingCrawlSpec's crash-recovery test. A round redelivered
+    * AFTER its installs landed is NOT segment-idempotent (the db has
+    * advanced, so the regenerated fetchlist differs); deployments
+    * should key rounds to the checkpointed trigger, which never
+    * re-issues a committed batch. */
   def start(spark: SparkSession, root: String, seeds: Seq[String],
       rounds: Dataset[Int], protocol: Fetch.Protocol,
-      registry: Extensions.Registry, cfg: Crawl.Config): StreamingQuery = {
+      registry: Extensions.Registry, cfg: Crawl.Config,
+      onRound: Int => Unit = _ => ()): StreamingQuery = {
     val stores = Crawl.openStores(spark, root, cfg)
     Crawl.inject(spark, stores, seeds, registry, cfg)
     rounds.writeStream
@@ -48,11 +61,13 @@ object StreamingCrawl {
         // collect is the control plane, never the corpus
         batch.collect().sorted.foreach { r =>
           Crawl.round(spark, root, stores, r, protocol, registry, cfg)
+          onRound(r)
         }
         ()
       }
       .start()
   }
+
 
   /** The batch conductor's post-loop pass (hostdb census + index) over
     * the segments the stream produced — call after stopping the query

@@ -155,6 +155,28 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(m(("generator", "records_generated_total")) == 2)
   }
 
+  test("crawl -stream drives the rounds through the streaming loop " +
+    "and matches the batch verb's db") {
+    val root = Files.createTempDirectory("cli-crawl-stream").toString
+    Files.writeString(Paths.get(root, "seeds.txt"), s"$A/\n")
+    Files.writeString(Paths.get(root, "site.json"),
+      Seq(
+        s"""{"url": "$A/", "code": 1, "body": "<html><title>A</title><body><a href=\\"/p1\\">one</a></body></html>", "contentType": "text/html"}""",
+        s"""{"url": "$A/p1", "code": 1, "body": "<html><title>P1</title><body>page one</body></html>", "contentType": "text/html"}"""
+      ).mkString("\n"))
+    for (mode <- Seq(Seq("-stream"), Seq.empty)) {
+      val dir = s"$root/${if (mode.nonEmpty) "stream" else "batch"}"
+      assert(Main.run(spark, Array("crawl", dir, s"$root/seeds.txt",
+        "-site", s"$root/site.json", "-rounds", "2",
+        "-now", "1700000000000") ++ mode) == 0)
+    }
+    def dump(dir: String) = new graft.tables.BucketedCrawlDbTable(spark,
+      s"$dir/crawldb", graft.ops.Crawl.DefaultBuckets)
+      .read().collect().map(r => r.url -> r.datum).toMap
+    val s = dump(s"$root/stream")
+    assert(s.nonEmpty && s == dump(s"$root/batch"))
+  }
+
   test("merge verbs, webgraph family, checkers, readhostdb, showproperties") {
     val root = Files.createTempDirectory("cli-verbs2").toString
     val B = "http://cli-b.example.org"

@@ -90,4 +90,48 @@ class StreamingCrawlSpec extends AnyFunSuite with SparkSuite {
     } finally q2.stop()
     assert(db(oneRoot) == bDb)
   }
+
+  test("a round that crashed mid-way re-runs to the clean state " +
+    "(redelivery of a PARTIAL round is idempotent)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // reference: the clean 2-round batch run
+    val cleanRoot = Files.createTempDirectory("crash-clean").toString
+    Crawl.run(spark, cleanRoot, Seq(s"$A/", s"$B/"),
+      Fetch.MockProtocol(site), registry, cfg)
+    val cleanDb = Crawl.openStores(spark, cleanRoot, cfg).crawldb.read()
+      .collect().map(r => r.url -> r.datum).toMap
+
+    // crash scenario: round 1 completes; round 2 "crashes" after
+    // writing a partial, garbage segment (generate written, fetch
+    // half-written) and BEFORE any install — then round 2 is
+    // redelivered through the stream
+    val root = Files.createTempDirectory("crash-mid").toString
+    val ticks = MemoryStream[Int]
+    val q = StreamingCrawl.start(spark, root, Seq(s"$A/", s"$B/"),
+      ticks.toDS(), Fetch.MockProtocol(site), registry, cfg)
+    try {
+      ticks.addData(1)
+      q.processAllAvailable()
+      // plant the partial round-2 wreckage
+      val seg2 = new graft.tables.Segment(spark, s"$root/segments/r2")
+      seg2.writeGenerate(spark.createDataset(Seq(
+        graft.schemas.GenerateEntry(2, 9.9f, "http://garbage.example.com/",
+          graft.schemas.CrawlDatum.unfetched(0L, 3600)))))
+      seg2.writeFetch(spark.createDataset(Seq(
+        graft.schemas.CrawlRow("http://garbage.example.com/",
+          graft.schemas.CrawlDatum.unfetched(0L, 3600)))))
+      // redeliver: the db is still in round-1 state, so the re-run
+      // regenerates the true fetchlist and overwrites every part
+      ticks.addData(2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gotDb = Crawl.openStores(spark, root, cfg).crawldb.read()
+      .collect().map(r => r.url -> r.datum).toMap
+    assert(gotDb == cleanDb)
+    assert(!gotDb.contains("http://garbage.example.com/"))
+    val seg2 = new graft.tables.Segment(spark, s"$root/segments/r2")
+    assert(!seg2.generate.collect().exists(_.url.contains("garbage")))
+  }
 }
