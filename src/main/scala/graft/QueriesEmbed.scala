@@ -215,6 +215,128 @@ object QueriesEmbed {
       SELECT q_id, cand_id, CAST(cell AS INTEGER) AS cell, cos
       FROM r WHERE rn <= 3"""))
 
+  private val PQ_M = 8 // subspaces
+  private val PQ_SUB = 8 // dims per subspace (64-dim vectors)
+
+  /** Product-quantization ANN — the compressed-vector scale path: at
+    * 100 TB you cannot hold (or scan) full-precision embeddings, so
+    * each vector is stored as M=8 small codes (one byte each — a 32×
+    * compression of the 64×f32 vector) and queries score candidates
+    * via an ADC lookup table (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) without ever touching the
+    * original vectors.
+    *
+    * All three PQ stages run as declared relational plans, integer-
+    * exact so DuckDB agrees bit-for-bit:
+    *  - TRAIN: per-subspace codebook = one Lloyd step from the label
+    *    partition (fixed-point floor-mean per (label, subspace, dim) —
+    *    the IVF query's training pattern applied per subspace);
+    *  - ENCODE: each (vector, subspace) takes the code of the nearest
+    *    centroid by exact integer L2 (‖a‖²+‖c‖²−2a·c on the quantized
+    *    values; ties → lowest code). The encoded table is the only
+    *    thing the scan reads — n×M code rows, no vectors;
+    *  - SEARCH (ADC): each query precomputes dot(q_sub, centroid) for
+    *    all M×K (subspace, code) cells — a lookup table of 80 longs —
+    *    and a candidate's approximate dot is the sum of its M looked-up
+    *    entries: the (m, code) equi-join + sum below, linear in n·M
+    *    with no full-vector math in the scan.
+    * Top-3 per query by (adc_dot desc, cand_id) — the retrieve stage
+    * of a retrieve-then-rerank pipeline (knn_bruteforce remains the
+    * exact baseline; QueriesEmbedRecallSpec measures PQ recall
+    * against it). */
+  val knnPq = Q(
+    "knn_pq",
+    (s, dir) => {
+      val e = prepared(s, dir)
+      // subspace split: M struct rows per vector, codegen'd slices
+      val sub = e.select(col("vec_id"), col("label"),
+        explode(array((0 until PQ_M).map(m => struct(lit(m).as("m"),
+          slice(col("qv"), m * PQ_SUB + 1, PQ_SUB).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("label"), col("s.m").as("m"),
+          col("s.sv").as("sv"))
+        .cache()
+      // train: fixed-point floor-mean per (label, subspace, dim)
+      val cent = sub
+        .select(col("label"), col("m"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("m"), col("i"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("cx"))
+        .groupBy(col("m"), col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cx")))),
+          p => p.getField("cx")).as("cvec"))
+        .select(col("m"), col("label").as("code"), col("cvec"))
+      // encode: nearest centroid per (vector, subspace) by exact L2
+      val wE = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(asc("d2"), asc("code"))
+      val codes = sub.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("code"),
+          (Similarity.normSqQ(col("sv")) + Similarity.normSqQ(col("cvec"))
+            - lit(2L) * Similarity.dotQ(col("sv"), col("cvec"))).as("d2"))
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+      // search: per-query ADC lookup table, then equi-join + sum
+      val lut = sub.filter(col("vec_id") % 50 === 0)
+        .join(broadcast(cent), Seq("m"))
+        .select(col("vec_id").as("q_id"), col("m"), col("code"),
+          Similarity.dotQ(col("sv"), col("cvec")).as("pdot"))
+      val sc = codes.join(lut, Seq("m", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pdot")).cast("long").as("adc_dot"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("adc_dot"), asc("vec_id"))
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          col("rn").cast("long").as("rank"), col("adc_dot"))
+    },
+    Some(s"""
+      WITH qe AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(ROUND(x*1e6) AS BIGINT)) AS qv
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, label, m,
+          list_slice(qv, m*$PQ_SUB + 1, m*$PQ_SUB + $PQ_SUB) AS sv
+        FROM qe, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m)),
+      cent0 AS (
+        SELECT label, m, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, m, unnest(sv) AS x,
+                unnest(generate_series(1, len(sv))) AS i
+              FROM sub)
+        GROUP BY label, m, i),
+      cb AS (
+        SELECT m, label AS code, list(cx ORDER BY i) AS cvec FROM cent0
+        GROUP BY m, label),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              list_sum(list_transform(list_zip(s.sv, c.cvec),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.code ASC) AS rn
+          FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+      lut AS (
+        SELECT q.vec_id AS q_id, c.m, c.code,
+          CAST(list_sum(list_transform(list_zip(q.sv, c.cvec),
+            p -> p[1]*p[2])) AS BIGINT) AS pdot
+        FROM sub q JOIN cb c ON c.m = q.m WHERE q.vec_id % 50 = 0),
+      sc AS (
+        SELECT l.q_id, e.vec_id AS cand_id,
+          CAST(SUM(l.pdot) AS BIGINT) AS adc_dot
+        FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+        WHERE e.vec_id <> l.q_id
+        GROUP BY l.q_id, e.vec_id),
+      r AS (
+        SELECT q_id, cand_id, adc_dot,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY adc_dot DESC, cand_id) AS rn
+        FROM sc)
+      SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank, adc_dot
+      FROM r WHERE rn <= 3"""))
+
   private val NEARDUP_BANDS = 4
   private val NEARDUP_BITS = 8 // sign bits per band
 
@@ -290,5 +412,5 @@ object QueriesEmbed {
       WHERE cos >= 0.9"""
     })
 
-  val all: Seq[Q] = Seq(knnBruteforce, knnIvf, embedNearDup)
+  val all: Seq[Q] = Seq(knnBruteforce, knnIvf, knnPq, embedNearDup)
 }

@@ -114,4 +114,60 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
     info(f"planted recall@3 = $mean%.3f over ${recalls.size} queries")
     assert(mean >= 0.9, f"recall@3 = $mean%.3f below the 0.9 target")
   }
+
+  /** PQ quality: ADC ranks by APPROXIMATE DOT, so the acceptance bar
+    * is in the dot metric. (1) A planted EXACT copy of each query
+    * encodes to the query's own codes, so its ADC score is the
+    * query's full reconstruction dot — it must surface in the top-3
+    * for nearly every query. (2) Against the exact-dot top-3, the
+    * 8×10-cell codebook must beat the random floor by a wide margin
+    * even on near-uniform vectors. */
+  test("PQ-ADC surfaces planted exact copies and beats the random floor") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("pq-recall").toString
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    base.unionByName(
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          col("embedding")))
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+
+    val pq = Queries.byName("knn_pq").build(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    spark.catalog.clearCache()
+    // original queries only (the planted copies are also % 50 == 0
+    // when shifted by 1e6? no — 1000000 % 50 == 0, so they query too;
+    // their exact copy is their source, symmetric case included)
+    val withCopy = pq.count { case (q, cands) =>
+      val twin = if (q >= 1000000L) q - 1000000L else q + 1000000L
+      cands.contains(twin)
+    }
+    info(s"PQ: ${withCopy}/${pq.size} queries surface their exact copy")
+    assert(withCopy.toDouble / pq.size >= 0.8,
+      s"only $withCopy/${pq.size} queries surfaced their planted copy")
+
+    // dot-metric recall vs exact dot top-3 on the same planted corpus
+    import graft.functions.Similarity
+    val emb = spark.read.parquet(s"$root/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("qv"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("a"))
+    val exactDot = q.join(emb, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        Similarity.dotQ(col("a"), col("qv")).as("dot"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(desc("dot"), asc("cand_id"))))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exactDot.map { case (qid, truth) =>
+      pq.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ dot-metric recall@3 = $mean%.3f (random floor ≈ 0.006)")
+    assert(mean >= 0.2, f"PQ recall@3 = $mean%.3f — worse than a 30x " +
+      "random-floor margin suggests a broken codebook or LUT")
+  }
 }
