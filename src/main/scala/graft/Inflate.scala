@@ -64,16 +64,20 @@ object Inflate {
     val shaped = name match {
       case "documents" =>
         // length-preserving per-replica alphabet: every vowel maps to a
-        // replica-keyed letter (the `rep div 26` term breaks the mod-26
-        // equivalence, so no two reps < 676 share the full map). A
-        // 3-gram shingle survives across replicas only if it contains
-        // no vowel at all — so shingle/signature spaces are disjoint
-        // and near-dup candidate pairs scale ×n, never ×n²
+        // replica-keyed letter. 'a'/'e' are keyed by rep mod 26 and
+        // 'i'/'o'/'u' by rep div 26, so the 5-char map determines the
+        // pair (rep mod 26, rep div 26) — INJECTIVE for every rep <
+        // 676 (a single affine formula is not: 7·rep ≡ 7·(rep mod 26)
+        // (mod 26), which collapsed reps {0,33,66,99} to one map). A
+        // shingle survives across replicas only if it contains no
+        // vowel at all — so shingle/signature spaces are disjoint and
+        // near-dup candidate pairs scale ×n, never ×n²
         keyed.withColumn("text", expr(
           "translate(text, 'aeiou', concat(" +
-            (0 until 5).map(j =>
-              s"char(97 + (rep * 7 + $j * 11 + (rep div 26) * 3) % 26)")
-              .mkString(", ") + "))"))
+            (0 until 5).map { j =>
+              val key = if (j < 2) "rep % 26" else "rep div 26"
+              s"char(97 + ($key + $j * 11) % 26)"
+            }.mkString(", ") + "))"))
       case "part" =>
         keyed.withColumn("p_name",
           concat(col("p_name"), lit("#"), col("rep")))

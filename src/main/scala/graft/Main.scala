@@ -291,6 +291,8 @@ object Main {
                 // stop once round nRounds has installed
                 import spark.implicits._
                 val done = new java.util.concurrent.CountDownLatch(1)
+                val dbSizes =
+                  new java.util.concurrent.ConcurrentHashMap[Int, Long]()
                 val ticks = spark.readStream.format("rate")
                   .option("rowsPerSecond", 10).load()
                   .select((org.apache.spark.sql.functions.col("value") + 1)
@@ -299,20 +301,22 @@ object Main {
                   .as[Int]
                 val q = graft.streaming.StreamingCrawl.start(
                   spark, root, seedList, ticks, site, reg, cfg,
-                  onRound = r => if (r >= nRounds) done.countDown())
-                try done.await() finally q.stop()
-                val stores = Crawl.openStores(spark, root, cfg)
-                val segs = (1 to nRounds).map(r =>
-                  new graft.tables.Segment(spark, s"$root/segments/r$r"))
-                val dbNow = stores.crawldb.read().count()
-                val stats = (1 to nRounds).map { r =>
-                  val seg = segs(r - 1)
-                  Crawl.RoundStats(r, seg.generate.count(),
-                    seg.fetch.filter(_.datum.status ==
-                      graft.schemas.CrawlStatus.FETCH_SUCCESS).count(),
-                    if (r == nRounds) dbNow else -1L) // only final db size survives
-                }
-                Crawl.finish(spark, stores, segs, stats, cfg)
+                  onRound = r => {
+                    dbSizes.put(r, Crawl.openStores(spark, root, cfg)
+                      .crawldb.read().count())
+                    if (r >= nRounds) done.countDown()
+                  })
+                try {
+                  // a micro-batch failure terminates the query without
+                  // ever reaching round nRounds — watch liveness so the
+                  // CLI fails like the batch path instead of hanging
+                  while (!done.await(1, java.util.concurrent.TimeUnit.SECONDS)
+                    && q.isActive) ()
+                  q.exception.foreach(throw _)
+                } finally q.stop()
+                import scala.jdk.CollectionConverters._
+                graft.streaming.StreamingCrawl.finish(spark, root,
+                  1 to nRounds, cfg, dbSizes.asScala.toMap)
               } else Crawl.run(spark, root, seedList, site, reg, cfg)
             summary.rounds.foreach(r => println(
               s"round ${r.round}: generated=${r.generated} " +

@@ -110,7 +110,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // NOTE: spark.driver.memory is NOT set here — in local mode the
+      // driver JVM already exists, so the conf would be a silent no-op;
+      // the heap comes from build.sbt's forked-JVM -Xmx
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter

@@ -71,12 +71,23 @@ object StreamingCrawl {
 
   /** The batch conductor's post-loop pass (hostdb census + index) over
     * the segments the stream produced — call after stopping the query
-    * to obtain the same Summary shape Crawl.run returns. */
+    * to obtain the same Summary shape Crawl.run returns. Per-round
+    * generated/fetched counts are rebuilt from the segments; db sizes
+    * are only knowable per round if the caller recorded them in its
+    * `onRound` callback (pass them via `dbSizes`; missing rounds
+    * report -1). */
   def finish(spark: SparkSession, root: String, roundsRun: Seq[Int],
-      cfg: Crawl.Config): Crawl.Summary = {
+      cfg: Crawl.Config,
+      dbSizes: Map[Int, Long] = Map.empty): Crawl.Summary = {
     val stores = Crawl.openStores(spark, root, cfg)
     val segments = roundsRun.map(r =>
       new Segment(spark, s"$root/segments/r$r"))
-    Crawl.finish(spark, stores, segments, Seq.empty, cfg)
+    val stats = roundsRun.zip(segments).map { case (r, seg) =>
+      Crawl.RoundStats(r, seg.generate.count(),
+        seg.fetch.filter(_.datum.status ==
+          graft.schemas.CrawlStatus.FETCH_SUCCESS).count(),
+        dbSizes.getOrElse(r, -1L))
+    }
+    Crawl.finish(spark, stores, segments, stats, cfg)
   }
 }

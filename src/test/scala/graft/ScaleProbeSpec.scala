@@ -46,8 +46,31 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSuite {
     assert(dangling.count() == 0)
   }
 
-  test("document replicas live in disjoint exact-dup and shingle spaces") {
+  test("the replica alphabet map is injective for every rep < 676") {
+    // the scalar twin of Inflate's translate() keys — a collision here
+    // means two replicas share byte-identical text and cross-replica
+    // dup pairs grow quadratically (the bug an affine 7·rep formula
+    // had: 7·26 ≡ 0 mod 26 collapsed reps {0,33,66,99} to one map)
+    def map(rep: Int): Seq[Int] = (0 until 5).map { j =>
+      val key = if (j < 2) rep % 26 else rep / 26
+      (key + j * 11) % 26
+    }
+    val maps = (0 until 676).map(map)
+    assert(maps.distinct.length == 676, "replica maps collide")
+  }
+
+  test("document replicas live in disjoint exact-dup and shingle " +
+    "spaces — including past the 26-replica boundary") {
     import org.apache.spark.sql.functions._
+    // N=30 crosses the rep-div-26 boundary so the second map key is
+    // exercised; the exact md5 ×N assertion below fails if ANY two of
+    // the 30 replica alphabets coincide
+    val N = 30
+    def at(n: Int, table: String) = {
+      spark.conf.set("spark.graft.inflate", n.toString)
+      try Tables(spark, dir, table)
+      finally spark.conf.set("spark.graft.inflate", "1")
+    }
     val base = at(1, "documents").cache()
     val inf = at(N, "documents").cache()
     // exact: every replica's md5 space is distinct -> xN distinct sigs
