@@ -15,13 +15,7 @@ import org.apache.spark.sql.SparkSession
   * approximates the uncontended cost, and the before/after system load
   * averages let a reader judge whether the run was clean. */
 object Bench {
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = Json.str(s)
 
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean

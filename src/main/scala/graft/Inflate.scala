@@ -63,21 +63,25 @@ object Inflate {
     }
     val shaped = name match {
       case "documents" =>
-        // length-preserving per-replica alphabet: every vowel maps to a
-        // replica-keyed letter. 'a'/'e' are keyed by rep mod 26 and
-        // 'i'/'o'/'u' by rep div 26, so the 5-char map determines the
-        // pair (rep mod 26, rep div 26) — INJECTIVE for every rep <
-        // 676 (a single affine formula is not: 7·rep ≡ 7·(rep mod 26)
-        // (mod 26), which collapsed reps {0,33,66,99} to one map). A
-        // shingle survives across replicas only if it contains no
-        // vowel at all — so shingle/signature spaces are disjoint and
-        // near-dup candidate pairs scale ×n, never ×n²
-        keyed.withColumn("text", expr(
-          "translate(text, 'aeiou', concat(" +
-            (0 until 5).map { j =>
-              val key = if (j < 2) "rep % 26" else "rep div 26"
-              s"char(97 + ($key + $j * 11) % 26)"
-            }.mkString(", ") + "))"))
+        // EXACT cross-replica shingle disjointness WITHOUT workload
+        // distortion: every word gets a replica-keyed prefix — the
+        // base-26 digits of rep, exactly as many as n needs — so every
+        // word n-gram (n ≥ 1), line, and signature differs across
+        // replicas by construction and dedup candidate pairs scale ×n,
+        // never ×n². Token COUNT is unchanged (unlike marker-token
+        // insertion, which doubled it and quadrupled ngram_jaccard's
+        // cost), so per-replica workloads match the base corpus;
+        // letter-substitution alphabets were rejected twice in review
+        // (26 letters per class cannot distinguish >26 replicas).
+        // n_chars is recomputed so the metadata stays truthful.
+        val width = math.max(1,
+          math.ceil(math.log(n) / math.log(26)).toInt)
+        val prefix = concat((width - 1 to 0 by -1).map(i =>
+          expr(s"char(97 + (rep div ${math.pow(26, i).toLong}) % 26)")): _*)
+        keyed
+          .withColumn("text", regexp_replace(col("text"), lit("(^| )"),
+            concat(lit("$1"), prefix)))
+          .withColumn("n_chars", length(col("text")).cast("long"))
       case "part" =>
         keyed.withColumn("p_name",
           concat(col("p_name"), lit("#"), col("rep")))

@@ -121,13 +121,13 @@ object Main {
     lazy val reg = registry(args.toSeq)
     args.toList match {
       case "inject" :: crawldb :: seeds :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         t.install(Inject(t.read(), spark.read.textFile(seeds),
           Inject.Config(), reg.filterChain, now0), "inject")
         println(s"inject: db=${t.read().count()}")
         0
       case "generate" :: crawldb :: segdir :: rest =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         val seg = new Segment(spark, segdir)
         seg.writeGenerate(Generate(t.read(), Generate.Config(
           topN = optL(rest, "-topN", Long.MaxValue),
@@ -157,7 +157,7 @@ object Main {
         println(s"parse: ${seg.parseData.count()} pages")
         0
       case "updatedb" :: crawldb :: segdir :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         val seg = new Segment(spark, segdir)
         t.install(graft.crawl.UpdateDb(
           t.read().union(seg.fetch).union(seg.crawlParse), now0,
@@ -172,18 +172,18 @@ object Main {
         println(s"invertlinks: ${l.read().count()} urls")
         0
       case "dedup" :: crawldb :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         t.install(Dedup(t.read()), "dedup")
         println("dedup: done")
         0
       case "updatehostdb" :: crawldb :: hostdb :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         val h = new HostDbTable(spark, hostdb)
         h.install(UpdateHostDb(t.read(), h.read(), now0), "updatehostdb")
         println(s"updatehostdb: ${h.read().count()} hosts")
         0
       case "readdb" :: crawldb :: rest =>
-        val db = new CrawlDbTable(spark, crawldb).read()
+        val db = graft.tables.CrawlDbStore.open(spark, crawldb).read()
         rest match {
           case "-stats" :: _ =>
             CrawlDbReader.stats(db).orderBy("status").collect()
@@ -235,7 +235,7 @@ object Main {
             System.err.println("readdb: need -stats|-dump|-topN|-url"); 2
         }
       case "index" :: crawldb :: linkdb :: segdir :: out :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         val l = new LinkDbTable(spark, linkdb)
         val seg = new Segment(spark, segdir)
         val docs = Index(t.read(), seg.fetch, seg.parseData, seg.parseText,
@@ -244,7 +244,7 @@ object Main {
         println(s"index: wrote ${spark.read.text(out).count()} docs to $out")
         0
       case "clean" :: crawldb :: sink :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         val n = CleaningJob.cleanJsonSink(spark, sink,
           CleaningJob.deletes(t.read()))
         println(s"clean: removed $n docs")
@@ -253,7 +253,7 @@ object Main {
         opt(rest, "-site") match {
           case None => System.err.println("sitemap: -site required"); 2
           case Some(sf) =>
-            val t = new CrawlDbTable(spark, crawldb)
+            val t = graft.tables.CrawlDbStore.open(spark, crawldb)
             val h = new HostDbTable(spark, hostdb)
             val hosts = h.read().map(_.host)
             val found = Sitemap.discover(hosts, loadSite(spark, sf), now0,
@@ -284,7 +284,7 @@ object Main {
               },
               storeResponseTime = rest.contains("-responsetime"))
             val summary =
-              if (rest.contains("-stream")) {
+              if (rest.contains("-stream") && nRounds >= 1) {
                 // continuous mode: a rate source ticks the rounds
                 // through the Structured-Streaming micro-batch loop
                 // (byte-equal to the batch loop — StreamingCrawlSpec);
@@ -293,6 +293,9 @@ object Main {
                 val done = new java.util.concurrent.CountDownLatch(1)
                 val dbSizes =
                   new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+                // one store handle for the per-round census — opening
+                // per round would re-run the migration check each time
+                val statStores = Crawl.openStores(spark, root, cfg)
                 val ticks = spark.readStream.format("rate")
                   .option("rowsPerSecond", 10).load()
                   .select((org.apache.spark.sql.functions.col("value") + 1)
@@ -302,8 +305,7 @@ object Main {
                 val q = graft.streaming.StreamingCrawl.start(
                   spark, root, seedList, ticks, site, reg, cfg,
                   onRound = r => {
-                    dbSizes.put(r, Crawl.openStores(spark, root, cfg)
-                      .crawldb.read().count())
+                    dbSizes.put(r, statStores.crawldb.read().count())
                     if (r >= nRounds) done.countDown()
                   })
                 try {
@@ -344,7 +346,7 @@ object Main {
               "(host|domain|suffix|tld)")
             2
           case Some(keyCol) =>
-            val db = new CrawlDbTable(spark, crawldb).read().toDF()
+            val db = graft.tables.CrawlDbStore.open(spark, crawldb).read().toDF()
             val stats = db.groupBy(keyCol.as(mode))
               .agg(count(lit(1)).as("n_urls"))
               .orderBy(desc("n_urls"), col(mode))
@@ -362,7 +364,7 @@ object Main {
         }
       case "protocolstats" :: crawldb :: _ =>
         // ProtocolStatusStatistics analog over the crawldb statuses
-        CrawlDbReader.stats(new CrawlDbTable(spark, crawldb).read())
+        CrawlDbReader.stats(graft.tables.CrawlDbStore.open(spark, crawldb).read())
           .orderBy("status").collect()
           .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
         0
@@ -497,13 +499,13 @@ object Main {
         import org.apache.spark.sql.functions.{col, desc, md5, to_json, struct}
         val merged = graft.operators.Relational.latestWins(
           positional(dbs)
-            .map(d => new CrawlDbTable(spark, d).read().toDF())
+            .map(d => graft.tables.CrawlDbStore.open(spark, d).read().toDF())
             .reduce(_ union _),
           Seq("url"),
           Seq(desc("datum.fetchTime"), md5(to_json(struct(col("datum"))))))
-        new CrawlDbTable(spark, out)
+        graft.tables.CrawlDbStore.open(spark, out)
           .install(merged.as[graft.schemas.CrawlRow], "mergedb")
-        println(s"mergedb: ${new CrawlDbTable(spark, out).read().count()} urls")
+        println(s"mergedb: ${graft.tables.CrawlDbStore.open(spark, out).read().count()} urls")
         0
       case "mergesegs" :: out :: segs if segs.nonEmpty =>
         SegmentMergerOp(spark,
@@ -638,7 +640,7 @@ object Main {
         println("linkrank: done")
         0
       case "scoreupdater" :: crawldb :: wgdir :: _ =>
-        val t = new CrawlDbTable(spark, crawldb)
+        val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         t.install(WebGraphOp.scoreUpdater(t.read(), spark, wgdir),
           "scoreupdater")
         println(s"scoreupdater: db=${t.read().count()}")

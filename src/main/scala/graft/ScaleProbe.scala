@@ -91,11 +91,7 @@ object ScaleProbe {
     }
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = Json.str(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -122,6 +118,16 @@ object ScaleProbe {
     catch { case _: Throwable => () }
 
     def measure(body: => Unit): (Double, Double, Option[String]) = {
+      // leak detector: the meter is reset right after every reading,
+      // so anything visible here arrived BETWEEN measurements — late
+      // stage completions that would otherwise be silently attributed
+      // to the next query
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      val leak = meter.mb
+      if (leak > 0.5)
+        System.err.println(f"[scale] WARNING: $leak%.2f MB of shuffle " +
+          "arrived between measurements (late stages from the previous " +
+          "query) — excluded from the next reading")
       meter.reset()
       val t0 = System.nanoTime()
       val err =
@@ -133,7 +139,9 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
-      (dt, meter.mb, err)
+      val mb = meter.mb
+      meter.reset() // so the next leak check sees only late arrivals
+      (dt, mb, err)
     }
 
     val series = (names.map { name =>

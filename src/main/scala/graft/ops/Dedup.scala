@@ -43,6 +43,10 @@ object Dedup {
     val keyed = candidates
       .withColumn("is_https", col("url").startsWith("https://").cast("int"))
       .withColumn("sort_key", struct(
+        // a desc window ranks NaN FIRST (Spark totals NaN as largest),
+        // but -NaN = NaN would sort LAST under struct-min — the flag
+        // field restores the window's exact NaN placement
+        when(isnan(col("datum.score")), lit(0)).otherwise(lit(1)).as("s0"),
         (-col("datum.score")).as("s1"), // score desc
         (-col("datum.fetchTime")).as("s2"), // newer kept
         (-col("is_https")).as("s3"), // https preferred

@@ -122,7 +122,11 @@ object Generate {
       } else {
         graft.operators.Relational.boundedTopKPerKey(
           withDatum, Seq("host"),
-          struct((-col("sort_score")).as("s"), col("url").as("id")),
+          // NaN flag first: a desc window ranks NaN scores highest,
+          // and -NaN = NaN would invert that under ascending struct-min
+          struct(when(isnan(col("sort_score")), lit(0)).otherwise(lit(1))
+              .as("s0"),
+            (-col("sort_score")).as("s"), col("url").as("id")),
           "url", cfg.maxPerHost)
       }
 

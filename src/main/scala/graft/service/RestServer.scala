@@ -91,7 +91,7 @@ object RestServer {
     /** The job verbs — the REST twin of the CLI dispatch. */
     private def runJob(j: Job): Unit = {
       val a = j.args
-      def crawldb = new CrawlDbTable(spark, a("crawldb"))
+      def crawldb = graft.tables.CrawlDbStore.open(spark, a("crawldb"))
       def now = a.get("now").map(_.toLong)
         .getOrElse(System.currentTimeMillis())
       val registry = graft.plugins.Extensions.Registry(
@@ -329,7 +329,7 @@ object RestServer {
           """{"url":"string","status":"string","score":"number","fetchTime":"number"}"""))
       http.createContext("/reader/node/read", (ex: HttpExchange) =>
         withPath(ex) { path =>
-          readerPage(ex, new CrawlDbTable(spark, path).read().toDF()
+          readerPage(ex, graft.tables.CrawlDbStore.open(spark, path).read().toDF()
             .select(col("url"),
               col("datum.status").cast("int").as("status"),
               col("datum.score").as("score"),
@@ -373,7 +373,7 @@ object RestServer {
         params.get("crawldb") match {
           case None => reply(ex, 400, """{"error":"crawldb required"}""")
           case Some(dir) =>
-            val db = new CrawlDbTable(spark, dir).read()
+            val db = graft.tables.CrawlDbStore.open(spark, dir).read()
             params.get("url") match {
               case Some(u) => CrawlDbReader.url(db, u) match {
                 case Some(r) => reply(ex, 200,

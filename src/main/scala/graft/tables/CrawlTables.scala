@@ -44,6 +44,27 @@ trait CrawlDbStore {
   def install(next: Dataset[CrawlRow], nonce: String): Unit
 }
 
+object CrawlDbStore {
+  /** Open a CrawlDb in WHATEVER layout is on disk: a GENERATION
+    * pointer means the url-bucketed layout (bucket count from the
+    * BUCKETS sidecar the installer writes), otherwise the plain
+    * generation-swapped layout. Every single-step entry point (CLI
+    * verbs, REST readers) must open through this — a plain
+    * CrawlDbTable pointed at a bucketed root silently reads EMPTY,
+    * and a plain install would write a `current` the bucketed
+    * conductor ignores (split-brain). */
+  def open(spark: SparkSession, dir: String): CrawlDbStore = {
+    val gen = Paths.get(dir, "GENERATION")
+    if (Files.exists(gen)) {
+      val sidecar = Paths.get(dir, "BUCKETS")
+      val n =
+        if (Files.exists(sidecar)) Files.readString(sidecar).trim.toInt
+        else 32
+      new BucketedCrawlDbTable(spark, dir, n)
+    } else new CrawlDbTable(spark, dir)
+  }
+}
+
 /** The CrawlDb: url → CrawlDatum at <dir>/current (SURVEY §1.1). */
 final class CrawlDbTable(spark: SparkSession, dir: String)
     extends CrawlDbStore {
@@ -107,9 +128,14 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
     * a complete bucketed one, never a torn state. */
   def migrateFromPlain(): Unit = {
     val cur = Paths.get(dir, "current")
-    if (generation == 0L && Files.exists(cur)) {
+    if (generation == 0L && Files.exists(cur))
       install(spark.read.parquet(cur.toString).as[CrawlRow], "migrate")
-      Install.deleteRecursively(cur)
+    // cleanup is RETRIED on every call, not only the migrating one: a
+    // crash between the pointer swap above and the deletes below must
+    // not leave a stale plain `current` that a mis-routed plain reader
+    // would serve as live data forever
+    if (generation > 0L) {
+      if (Files.exists(cur)) Install.deleteRecursively(cur)
       val old = Paths.get(dir, "old")
       if (Files.exists(old)) Install.deleteRecursively(old)
     }
@@ -119,6 +145,9 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
     val g = generation + 1
     Files.createDirectories(Paths.get(dir))
     Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", buckets)
+    // BUCKETS sidecar: lets layout-agnostic opens (CrawlDbStore.open)
+    // re-register the table with the right CLUSTERED BY in a new JVM
+    Files.writeString(Paths.get(dir, "BUCKETS"), buckets.toString)
     // pointer swap mirrors Install's discipline: write-then-atomic-move,
     // never an in-place rewrite a crash could truncate
     val tmp = Paths.get(dir, s".GENERATION-$nonce")

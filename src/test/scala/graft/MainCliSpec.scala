@@ -177,6 +177,35 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(s.nonEmpty && s == dump(s"$root/batch"))
   }
 
+  test("single-step verbs auto-open the bucketed layout — no silent " +
+    "empty reads, no split-brain plain installs") {
+    val root = Files.createTempDirectory("cli-auto-layout").toString
+    Files.writeString(Paths.get(root, "seeds.txt"), s"$A/\n")
+    Files.writeString(Paths.get(root, "site.json"),
+      s"""{"url": "$A/", "code": 1, "body": "<html><title>A</title><body>x</body></html>", "contentType": "text/html"}""")
+    // a default (bucketed) conductor run creates the layout
+    assert(Main.run(spark, Array("crawl", s"$root/c", s"$root/seeds.txt",
+      "-site", s"$root/site.json", "-rounds", "1",
+      "-now", "1700000000000")) == 0)
+    val dbDir = s"$root/c/crawldb"
+    assert(Files.exists(Paths.get(dbDir, "GENERATION")))
+    // readdb against the bucketed root sees the data (a plain open
+    // would silently read empty)
+    assert(Main.run(spark, Array("readdb", dbDir, "-stats")) == 0)
+    // inject against the bucketed root MERGES into the bucketed db
+    // instead of writing a plain `current` the conductor would ignore
+    Files.writeString(Paths.get(root, "seeds2.txt"),
+      "http://late-seed.example.com/\n")
+    assert(Main.run(spark, Array("inject", dbDir, s"$root/seeds2.txt",
+      "-now", "1700000001000")) == 0)
+    assert(!Files.exists(Paths.get(dbDir, "current")),
+      "split-brain: inject wrote a plain current beside GENERATION")
+    val urls = graft.tables.CrawlDbStore.open(spark, dbDir)
+      .read().collect().map(_.url).toSet
+    assert(urls.contains("http://late-seed.example.com/"))
+    assert(urls.contains(s"$A/"))
+  }
+
   test("merge verbs, webgraph family, checkers, readhostdb, showproperties") {
     val root = Files.createTempDirectory("cli-verbs2").toString
     val B = "http://cli-b.example.org"

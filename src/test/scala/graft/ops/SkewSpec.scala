@@ -65,7 +65,13 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
   test("static generate host-cap avoids the per-host window " +
     "and matches the rank semantics under 30% host skew") {
     import spark.implicits._
-    val db = spark.createDataset(skewedDb(20000))
+    // include NaN scores: the rank window puts them first per host and
+    // the bounded path must agree
+    val db = spark.createDataset(skewedDb(20000).zipWithIndex.map {
+      case (r, i) if i % 1501 == 0 =>
+        r.copy(datum = r.datum.copy(score = Float.NaN))
+      case (r, _) => r
+    })
     val out = Generate(db, Generate.Config(curTime = t0 + 1000,
       maxPerHost = 10, segnum = 1), sched)
     // plan: bounded O(k) aggregate + semi-join, NO rank window — a
@@ -148,9 +154,13 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     val n = 20000
     val rows = (0 until n).map { i =>
       val sig = if (i % 10 < 3) "HOT" else s"sig${i % (n / 3)}"
+      // a sprinkle of NaN scores: the desc window ranks NaN FIRST, and
+      // the struct-min shape must reproduce that exactly (the naive
+      // -score encoding would rank NaN last instead)
+      val score = if (i % 997 == 0) Float.NaN else (i % 97) / 10.0f
       CrawlRow(s"http://h${i % 700}.example.com/p$i",
         CrawlDatum(S.DB_FETCHED, t0 + i % 1000, 0, 3600,
-          (i % 97) / 10.0f, Some(sig), 0L, Map.empty))
+          score, Some(sig), 0L, Map.empty))
     }
     val db = spark.createDataset(rows)
     val dups = Dedup.findDuplicates(db)
