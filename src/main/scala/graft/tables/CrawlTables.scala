@@ -113,9 +113,17 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
       // catalog entry is session-scoped: a NEW session resuming this
       // root re-registers the generation's parquet before reading, so
       // the bucketed layout (and its Exchange-free joins) carries
-      // across JVMs like the plain layout's <dir>/current does
-      if (!spark.catalog.tableExists(tableName(g)))
-        Bucketed.register(spark, tableName(g), s"$dir/g$g", buckets)
+      // across JVMs like the plain layout's <dir>/current does.
+      // Registration MUST use the count the generation was written
+      // with (the BUCKETS sidecar) — a caller-supplied mismatch would
+      // silently mis-declare the layout and corrupt bucket pruning
+      if (!spark.catalog.tableExists(tableName(g))) {
+        val sidecar = Paths.get(dir, "BUCKETS")
+        val n =
+          if (Files.exists(sidecar)) Files.readString(sidecar).trim.toInt
+          else buckets
+        Bucketed.register(spark, tableName(g), s"$dir/g$g", n)
+      }
       spark.table(tableName(g)).as[CrawlRow]
     }
   }
