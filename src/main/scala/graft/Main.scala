@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import graft.net.Pacer
 import graft.ops._
 import graft.plugins.Extensions
-import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
+import graft.tables.{CrawlDbTable, HostDbTable, Segment}
 
 /** The `bin/nutch` verb dispatcher (src/bin/nutch:243-327) as a thin CLI
   * over the library ops. Every verb is one library call on the parquet
@@ -165,7 +165,7 @@ object Main {
         println(s"updatedb: db=${t.read().count()}")
         0
       case "invertlinks" :: linkdb :: segdir :: _ =>
-        val l = new LinkDbTable(spark, linkdb)
+        val l = graft.tables.LinkDbStore.open(spark, linkdb)
         val seg = new Segment(spark, segdir)
         l.install(InvertLinks(seg.parseData, l.read(),
           InvertLinks.Config()), "invertlinks")
@@ -236,7 +236,7 @@ object Main {
         }
       case "index" :: crawldb :: linkdb :: segdir :: out :: _ =>
         val t = graft.tables.CrawlDbStore.open(spark, crawldb)
-        val l = new LinkDbTable(spark, linkdb)
+        val l = graft.tables.LinkDbStore.open(spark, linkdb)
         val seg = new Segment(spark, segdir)
         val docs = Index(t.read(), seg.fetch, seg.parseData, seg.parseText,
           l.read(), Index.Config())
@@ -439,7 +439,7 @@ object Main {
         // the full-db dump is a job (-dump <out>, LinkDbReader.java -dump
         // shape) — stdout only ever shows -limit N rows.
         import org.apache.spark.sql.functions.col
-        val l = new LinkDbTable(spark, linkdb).read()
+        val l = graft.tables.LinkDbStore.open(spark, linkdb).read()
         rest match {
           case "-url" :: u :: _ =>
             l.filter(col("url") === u).limit(1).collect().headOption match {
@@ -515,10 +515,10 @@ object Main {
         0
       case "mergelinkdb" :: out :: dbs if dbs.nonEmpty =>
         val merged = InvertLinks.merge(
-          positional(dbs).map(d => new LinkDbTable(spark, d).read()),
+          positional(dbs).map(d => graft.tables.LinkDbStore.open(spark, d).read()),
           InvertLinks.Config())
-        new LinkDbTable(spark, out).install(merged, "mergelinkdb")
-        println(s"mergelinkdb: ${new LinkDbTable(spark, out).read().count()} urls")
+        graft.tables.LinkDbStore.open(spark, out).install(merged, "mergelinkdb")
+        println(s"mergelinkdb: ${graft.tables.LinkDbStore.open(spark, out).read().count()} urls")
         0
       case "readhostdb" :: hostdb :: rest =>
         val h = new HostDbTable(spark, hostdb).read()

@@ -73,29 +73,41 @@ object Crawl {
     * stores through the SAME round body. */
   final case class Stores(
       crawldb: graft.tables.CrawlDbStore,
-      linkdb: LinkDbTable,
+      linkdb: graft.tables.LinkDbStore,
       hostdb: HostDbTable,
       metrics: Option[Metrics.Table])
 
   def openStores(spark: SparkSession, root: String, cfg: Config): Stores = {
-    val crawldb: graft.tables.CrawlDbStore = cfg.buckets match {
+    def guardPlain(db: String): Unit =
+      // a bucketed db must not be silently read as empty by the
+      // plain store — fail loudly instead of restarting the crawl
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, db, "GENERATION")),
+        s"$root/$db uses the bucketed layout (GENERATION file " +
+          "present); run with buckets set, or copy the current " +
+          "generation out to a plain layout first")
+    val (crawldb, linkdb) = cfg.buckets match {
       case Some(n) =>
-        val t = new graft.tables.BucketedCrawlDbTable(
+        // cfg.buckets only sizes a FRESH root: BucketedGenTable keeps
+        // an existing root's on-disk count (its _BUCKETS sidecar), so a
+        // default run can never silently re-layout a db installed with
+        // a different -buckets. The CrawlDb and LinkDb share the count
+        // so the indexing cogroup's two db sides stay co-bucketed —
+        // when the crawldb already exists, its count seeds a fresh
+        // linkdb too.
+        val cdb = new graft.tables.BucketedCrawlDbTable(
           spark, s"$root/crawldb", n)
-        t.migrateFromPlain() // no-op unless a plain `current` exists
-        t
+        cdb.migrateFromPlain() // no-op unless a plain `current` exists
+        val ldb = new graft.tables.BucketedLinkDbTable(
+          spark, s"$root/linkdb", cdb.buckets)
+        ldb.migrateFromPlain()
+        (cdb, ldb)
       case None =>
-        // a bucketed db must not be silently read as empty by the
-        // plain store — fail loudly instead of restarting the crawl
-        require(!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(root, "crawldb", "GENERATION")),
-          s"$root/crawldb uses the bucketed layout (GENERATION file " +
-            "present); run with buckets set, or copy the current " +
-            "generation out to a plain layout first")
-        new CrawlDbTable(spark, s"$root/crawldb")
+        guardPlain("crawldb"); guardPlain("linkdb")
+        (new CrawlDbTable(spark, s"$root/crawldb"),
+          new LinkDbTable(spark, s"$root/linkdb"))
     }
-    Stores(crawldb,
-      new LinkDbTable(spark, s"$root/linkdb"),
+    Stores(crawldb, linkdb,
       new HostDbTable(spark, s"$root/hostdb"),
       if (cfg.metrics) Some(new Metrics.Table(spark, s"$root/metrics"))
       else None)

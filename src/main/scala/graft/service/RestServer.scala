@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
 import graft.ops._
-import graft.tables.{CrawlDbTable, HostDbTable, LinkDbTable, Segment}
+import graft.tables.{CrawlDbTable, HostDbTable, Segment}
 
 /** §3.3 — the REST service surface (reference openapi.yaml:70-801:
   * /admin, /config CRUD, /job create/list/get, /db/crawldb, /seed
@@ -118,7 +118,7 @@ object RestServer {
             registry.schedule, registry.scoring), s"rest-updatedb-${j.id}")
           j.message = s"db=${crawldb.read().count()}"
         case "INVERTLINKS" =>
-          val l = new LinkDbTable(spark, a("linkdb"))
+          val l = graft.tables.LinkDbStore.open(spark, a("linkdb"))
           val seg = new Segment(spark, a("segment"))
           l.install(InvertLinks(seg.parseData, l.read(),
             InvertLinks.Config()), s"rest-invertlinks-${j.id}")
@@ -146,7 +146,7 @@ object RestServer {
           seg.writeCrawlParse(p.crawlParse)
           j.message = s"parsed=${seg.parseData.count()}"
         case "INDEX" =>
-          val l = new LinkDbTable(spark, a("linkdb"))
+          val l = graft.tables.LinkDbStore.open(spark, a("linkdb"))
           val seg = new Segment(spark, a("segment"))
           val docs = Index(crawldb.read(), seg.fetch, seg.parseData,
             seg.parseText, l.read(), Index.Config())
@@ -318,7 +318,7 @@ object RestServer {
           """{"url":"string","fromUrl":"string","anchor":"string"}"""))
       http.createContext("/reader/link/read", (ex: HttpExchange) =>
         withPath(ex) { path =>
-          readerPage(ex, new LinkDbTable(spark, path).read().toDF()
+          readerPage(ex, graft.tables.LinkDbStore.open(spark, path).read().toDF()
             .select(col("url"), explode(col("inlinks")).as("il"))
             .select(col("url"), col("il.fromUrl").as("fromUrl"),
               col("il.anchor").as("anchor"))

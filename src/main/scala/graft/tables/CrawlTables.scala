@@ -2,7 +2,7 @@ package graft.tables
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
 
 import graft.schemas._
 
@@ -46,23 +46,36 @@ trait CrawlDbStore {
 
 object CrawlDbStore {
   /** Open a CrawlDb in WHATEVER layout is on disk: a GENERATION
-    * pointer means the url-bucketed layout (bucket count from the
-    * BUCKETS sidecar the installer writes), otherwise the plain
-    * generation-swapped layout. Every single-step entry point (CLI
-    * verbs, REST readers) must open through this — a plain
+    * pointer means the url-bucketed layout (bucket count resolved by
+    * [[GenLayout.resolveBuckets]] — never guessed), otherwise the
+    * plain generation-swapped layout. Every single-step entry point
+    * (CLI verbs, REST readers) must open through this — a plain
     * CrawlDbTable pointed at a bucketed root silently reads EMPTY,
     * and a plain install would write a `current` the bucketed
     * conductor ignores (split-brain). */
-  def open(spark: SparkSession, dir: String): CrawlDbStore = {
-    val gen = Paths.get(dir, "GENERATION")
-    if (Files.exists(gen)) {
-      val sidecar = Paths.get(dir, "BUCKETS")
-      val n =
-        if (Files.exists(sidecar)) Files.readString(sidecar).trim.toInt
-        else 32
-      new BucketedCrawlDbTable(spark, dir, n)
-    } else new CrawlDbTable(spark, dir)
-  }
+  def open(spark: SparkSession, dir: String): CrawlDbStore =
+    if (GenLayout.isBucketed(dir)) new BucketedCrawlDbTable(spark, dir,
+      GenLayout.resolveBuckets(dir, GenLayout.generation(dir)))
+    else new CrawlDbTable(spark, dir)
+}
+
+/** Layout-agnostic handle on a LinkDb: plain ([[LinkDbTable]]) or
+  * url-bucketed ([[BucketedLinkDbTable]]) — the LinkDb is the OTHER
+  * db-sized relation in the per-round url joins (the indexing cogroup
+  * reads CrawlDb ⋈ LinkDb ⋈ segments, IndexerMapReduce.java:309-393;
+  * `linkdb.max.inlinks` bounds rows per url, not the url count), so it
+  * earns the same Exchange-free layout the CrawlDb got in r9. */
+trait LinkDbStore {
+  def read(): Dataset[LinkRow]
+  def install(next: Dataset[LinkRow], nonce: String): Unit
+}
+
+object LinkDbStore {
+  /** Layout-detecting open, mirroring [[CrawlDbStore.open]]. */
+  def open(spark: SparkSession, dir: String): LinkDbStore =
+    if (GenLayout.isBucketed(dir)) new BucketedLinkDbTable(spark, dir,
+      GenLayout.resolveBuckets(dir, GenLayout.generation(dir)))
+    else new LinkDbTable(spark, dir)
 }
 
 /** The CrawlDb: url → CrawlDatum at <dir>/current (SURVEY §1.1). */
@@ -80,34 +93,134 @@ final class CrawlDbTable(spark: SparkSession, dir: String)
     Install.install(next, dir, nonce)
 }
 
-/** The CrawlDb over the url-bucketed layout ([[Bucketed]]): every
+/** The generation-pointer + bucket-count bookkeeping shared by the
+  * bucketed CrawlDb and LinkDb stores. A bucketed db root holds:
+  *
+  *   - `GENERATION` — pointer file naming the live generation `g<N>`
+  *     (the `current` symlink's role), swapped write-then-atomic-move;
+  *   - `g<N>/` — that generation's bucketed parquet (saveAsTable
+  *     layout), including a `g<N>/_BUCKETS` sidecar recording the
+  *     count the generation was WRITTEN with (underscore-prefixed so
+  *     Spark's parquet reader ignores it). Written before the pointer
+  *     swap, so it is crash-atomic by the same write-before-pointer
+  *     discipline as the data;
+  *   - `BUCKETS` — dir-scoped hint kept for pre-r10 roots, updated
+  *     atomically; per-generation sidecars take precedence.
+  */
+private[tables] object GenLayout {
+
+  def isBucketed(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "GENERATION"))
+
+  def generation(dir: String): Long = {
+    val f = Paths.get(dir, "GENERATION")
+    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+  }
+
+  private def parseCount(p: Path): Int = {
+    val s = Files.readString(p).trim
+    val n =
+      try s.toInt
+      catch {
+        case e: NumberFormatException => throw new IllegalStateException(
+          s"corrupt bucket-count sidecar $p: '$s' is not an integer — " +
+            "rewrite it with the count the generation was bucketBy-written " +
+            "with (derivable from the _NNNNN suffix in its part file names)",
+          e)
+      }
+    if (n <= 0) throw new IllegalStateException(
+      s"corrupt bucket-count sidecar $p: count must be positive, got $n")
+    n
+  }
+
+  /** Highest bucket id + 1 from saveAsTable's part-file naming
+    * (`part-…_<bucketId 5 digits>.c000…`). A lower bound on the real
+    * count — exact unless every row hashed out of the top buckets,
+    * which a real db's url distribution rules out — used only to
+    * backfill roots written before the per-generation sidecar. */
+  def deriveBuckets(genDir: Path): Option[Int] = {
+    if (!Files.isDirectory(genDir)) return None
+    val id = raw"_(\d{5})\.".r
+    val files = Files.list(genDir).iterator()
+    var max = -1
+    while (files.hasNext) {
+      val name = files.next().getFileName.toString
+      if (name.endsWith(".parquet"))
+        id.findFirstMatchIn(name).foreach(m =>
+          max = math.max(max, m.group(1).toInt))
+    }
+    if (max >= 0) Some(max + 1) else None
+  }
+
+  /** The bucket count generation `g` of `dir` was written with.
+    * Resolution order: the generation's own `_BUCKETS` sidecar → the
+    * legacy dir-scoped `BUCKETS` file → derivation from the bucket-id
+    * file names — NEVER a guessed constant, because registering the
+    * wrong CLUSTERED BY count makes Spark trust a hash distribution
+    * the files don't satisfy, and Exchange-free url joins then
+    * silently miss matches. */
+  def resolveBuckets(dir: String, g: Long): Int = {
+    val perGen = Paths.get(dir, s"g$g", "_BUCKETS")
+    if (Files.exists(perGen)) parseCount(perGen)
+    else {
+      val legacy = Paths.get(dir, "BUCKETS")
+      if (Files.exists(legacy)) parseCount(legacy)
+      else deriveBuckets(Paths.get(dir, s"g$g")).getOrElse(
+        throw new IllegalStateException(
+          s"$dir/g$g has no _BUCKETS sidecar, no dir-scoped BUCKETS " +
+            "file, and no bucket-suffixed part files to derive the " +
+            "count from — write <gen>/_BUCKETS with the count the " +
+            "generation was bucketBy-written with"))
+    }
+  }
+
+  def atomicWrite(target: Path, content: String, nonce: String): Unit = {
+    val tmp = target.resolveSibling(s".${target.getFileName}-$nonce")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** Shared machinery of the bucketed, generation-pointered stores: every
   * generation is a bucketed catalog table under `<dir>/g<N>`, with a
   * GENERATION pointer file playing the role of the `current` symlink.
   * Same copy-on-write discipline as [[Install]] — a new generation is
-  * fully written before the pointer moves, the previous generation
-  * survives one swap for in-flight readers, older ones are dropped.
+  * fully written (data + its `_BUCKETS` sidecar) before the pointer
+  * moves, the previous generation survives one swap for in-flight
+  * readers, older ones are dropped.
   *
-  * What it buys at scale: every url-keyed join against the CrawlDb —
-  * the indexing cogroup, dedup merge-back, linkdb-side joins — reads
-  * the db side WITHOUT an Exchange (the bucket layout already
-  * satisfies the join's required distribution), so the 10^9-row side
-  * of the per-round joins never reshuffles; only the small per-round
-  * segment side moves. */
-final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
-    val buckets: Int) extends CrawlDbStore {
-  import spark.implicits._
+  * What it buys at scale: every url-keyed join against the db — the
+  * indexing cogroup, dedup merge-back, linkdb-side joins — reads the
+  * db side WITHOUT an Exchange (the bucket layout already satisfies
+  * the join's required distribution), so the 10^9-row side of the
+  * per-round joins never reshuffles; only the small per-round segment
+  * side moves.
+  *
+  * `requestedBuckets` only applies to the FIRST generation of a fresh
+  * root; an existing root keeps the count it was written with (so a
+  * default run can never silently re-layout a db installed with a
+  * different `-buckets`). */
+sealed abstract class BucketedGenTable[T](spark: SparkSession, dir: String,
+    requestedBuckets: Int, prefix: String)(implicit enc: Encoder[T]) {
 
   private val tag =
-    "graft_crawldb_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
+    prefix + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
       "_" + Integer.toHexString(dir.hashCode)
-  private def genFile = Paths.get(dir, "GENERATION")
-  private def generation: Long =
-    if (Files.exists(genFile)) Files.readString(genFile).trim.toLong else 0L
+  private def generation: Long = GenLayout.generation(dir)
   private def tableName(g: Long) = s"${tag}_g$g"
 
-  def read(): Dataset[CrawlRow] = {
+  /** The effective bucket count: the on-disk layout's count when a
+    * generation exists, else the requested count a first install will
+    * use. */
+  def buckets: Int = {
     val g = generation
-    if (g == 0L) spark.emptyDataset[CrawlRow]
+    if (g > 0L) GenLayout.resolveBuckets(dir, g) else requestedBuckets
+  }
+
+  def read(): Dataset[T] = {
+    val g = generation
+    if (g == 0L) spark.emptyDataset[T](enc)
     else {
       // the GENERATION pointer survives the process but saveAsTable's
       // catalog entry is session-scoped: a NEW session resuming this
@@ -115,16 +228,13 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
       // the bucketed layout (and its Exchange-free joins) carries
       // across JVMs like the plain layout's <dir>/current does.
       // Registration MUST use the count the generation was written
-      // with (the BUCKETS sidecar) — a caller-supplied mismatch would
-      // silently mis-declare the layout and corrupt bucket pruning
-      if (!spark.catalog.tableExists(tableName(g))) {
-        val sidecar = Paths.get(dir, "BUCKETS")
-        val n =
-          if (Files.exists(sidecar)) Files.readString(sidecar).trim.toInt
-          else buckets
-        Bucketed.register(spark, tableName(g), s"$dir/g$g", n)
-      }
-      spark.table(tableName(g)).as[CrawlRow]
+      // with (GenLayout.resolveBuckets) — a caller-supplied mismatch
+      // would silently mis-declare the layout and corrupt bucket
+      // pruning
+      if (!spark.catalog.tableExists(tableName(g)))
+        Bucketed.register(spark, tableName(g), s"$dir/g$g",
+          GenLayout.resolveBuckets(dir, g))
+      spark.table(tableName(g)).as[T](enc)
     }
   }
 
@@ -137,7 +247,7 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
   def migrateFromPlain(): Unit = {
     val cur = Paths.get(dir, "current")
     if (generation == 0L && Files.exists(cur))
-      install(spark.read.parquet(cur.toString).as[CrawlRow], "migrate")
+      install(spark.read.parquet(cur.toString).as[T](enc), "migrate")
     // cleanup is RETRIED on every call, not only the migrating one: a
     // crash between the pointer swap above and the deletes below must
     // not leave a stale plain `current` that a mis-routed plain reader
@@ -149,19 +259,23 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
     }
   }
 
-  def install(next: Dataset[CrawlRow], nonce: String): Unit = {
+  def install(next: Dataset[T], nonce: String): Unit = {
     val g = generation + 1
+    val n = buckets // existing layout's count, or requested on a fresh root
     Files.createDirectories(Paths.get(dir))
-    Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", buckets)
-    // BUCKETS sidecar: lets layout-agnostic opens (CrawlDbStore.open)
-    // re-register the table with the right CLUSTERED BY in a new JVM
-    Files.writeString(Paths.get(dir, "BUCKETS"), buckets.toString)
+    Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", n)
+    // per-generation sidecar: records the count this generation was
+    // written with, INSIDE the generation dir and BEFORE the pointer
+    // swap — so layout re-registration in a new JVM is crash-atomic
+    // (a crash here leaves the pointer on g-1, whose own sidecar is
+    // already in place). Underscore prefix keeps Spark's reader off it.
+    Files.writeString(Paths.get(dir, s"g$g", "_BUCKETS"), n.toString)
+    // dir-scoped hint for pre-r10 tooling; atomic so no reader ever
+    // sees a torn write, and per-generation sidecars outrank it anyway
+    GenLayout.atomicWrite(Paths.get(dir, "BUCKETS"), n.toString, nonce)
     // pointer swap mirrors Install's discipline: write-then-atomic-move,
     // never an in-place rewrite a crash could truncate
-    val tmp = Paths.get(dir, s".GENERATION-$nonce")
-    Files.writeString(tmp, g.toString)
-    Files.move(tmp, genFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    GenLayout.atomicWrite(Paths.get(dir, "GENERATION"), g.toString, nonce)
     // keep g-1 for in-flight readers (the `old` generation); drop g-2
     if (g >= 3) {
       spark.sql(s"DROP TABLE IF EXISTS `${tableName(g - 2)}`")
@@ -169,6 +283,24 @@ final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
     }
   }
 }
+
+/** The CrawlDb over the url-bucketed layout ([[BucketedGenTable]]). */
+final class BucketedCrawlDbTable(spark: SparkSession, dir: String,
+    buckets: Int)
+    extends BucketedGenTable[CrawlRow](spark, dir, buckets,
+      "graft_crawldb_")(
+      org.apache.spark.sql.Encoders.product[CrawlRow])
+    with CrawlDbStore
+
+/** The LinkDb over the url-bucketed layout ([[BucketedGenTable]]) —
+  * co-bucketed with the CrawlDb so the indexing cogroup's TWO db-sized
+  * sides both read Exchange-free. */
+final class BucketedLinkDbTable(spark: SparkSession, dir: String,
+    buckets: Int)
+    extends BucketedGenTable[LinkRow](spark, dir, buckets,
+      "graft_linkdb_")(
+      org.apache.spark.sql.Encoders.product[LinkRow])
+    with LinkDbStore
 
 /** One segment directory with its parquet parts (SURVEY §1.1; segment
   * naming Generator.java:58-63). */
@@ -249,7 +381,8 @@ object Bucketed {
 final case class Inlink(fromUrl: String, anchor: String)
 final case class LinkRow(url: String, inlinks: Seq[Inlink])
 
-final class LinkDbTable(spark: SparkSession, dir: String) {
+final class LinkDbTable(spark: SparkSession, dir: String)
+    extends LinkDbStore {
   import spark.implicits._
 
   def exists: Boolean = Files.exists(Paths.get(dir, "current"))

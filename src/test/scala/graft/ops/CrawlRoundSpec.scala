@@ -279,6 +279,9 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     import org.apache.spark.sql.functions.col
     import graft.plugins.Extensions
     val A = "http://bk-a.example.com"
+    // second host: cross-host links survive db.ignore.internal.links, so
+    // the A/B below also exercises a NON-EMPTY linkdb in both layouts
+    val B = "http://bk-b.example.com"
     val site = Map(
       s"$A/" -> (Fetch.Code.Success,
         """<html><title>A</title><body><a href="/p1">p1</a>
@@ -286,12 +289,17 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
       s"$A/p1" -> (Fetch.Code.Success,
         "<html><title>P1</title><body>one</body></html>", "text/html"),
       s"$A/p2" -> (Fetch.Code.Success,
-        "<html><title>P2</title><body>two</body></html>", "text/html"))
+        "<html><title>P2</title><body>two</body></html>", "text/html"),
+      s"$B/" -> (Fetch.Code.Success,
+        s"""<html><title>B</title><body><a href="$A/p1">ap1</a>
+           |<a href="$A/p2">ap2</a></body></html>""".stripMargin,
+        "text/html"))
+    val seeds = Seq(s"$A/", s"$B/")
     val registry = Extensions.Registry(
       urlFilters = Seq(RegexUrlFilter.parse(Iterator("+."))))
     def runIt(buckets: Option[Int]): (String, Crawl.Summary) = {
       val root = Files.createTempDirectory("crawl-ab").toString
-      val s = Crawl.run(spark, root, Seq(s"$A/"),
+      val s = Crawl.run(spark, root, seeds,
         Fetch.MockProtocol(site), registry,
         Crawl.Config(rounds = 2, buckets = buckets,
           pacer = graft.net.Pacer.Config(serverDelayMs = 0)))
@@ -310,6 +318,22 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
       spark, s"$bRoot/crawldb", 8))
     assert(bDb == plainDb)
 
+    // the LinkDb is bucketed alongside the CrawlDb (r10): byte-identical
+    // content between the layouts, and the bucketed run really wrote
+    // the generation-pointer layout with the crawldb's count
+    def dumpLinks(store: graft.tables.LinkDbStore) =
+      store.read().collect()
+        .map(r => r.url -> r.inlinks.sortBy(i => (i.fromUrl, i.anchor)))
+        .toMap
+    val plainLinks = dumpLinks(new graft.tables.LinkDbTable(
+      spark, s"$plainRoot/linkdb"))
+    val bLinkStore = graft.tables.LinkDbStore.open(spark, s"$bRoot/linkdb")
+    assert(bLinkStore.isInstanceOf[graft.tables.BucketedLinkDbTable])
+    assert(bLinkStore.asInstanceOf[graft.tables.BucketedLinkDbTable]
+      .buckets == 8)
+    assert(dumpLinks(bLinkStore) == plainLinks)
+    assert(plainLinks.nonEmpty)
+
     // migration path (bucketed is the conductor default since r9): one
     // round plain, then a bucketed run resumes the same root — the
     // plain current is rewritten as generation 1 and round 2 continues
@@ -317,11 +341,11 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     val migRoot = Files.createTempDirectory("crawl-mig").toString
     val cfg1 = Crawl.Config(rounds = 1, buckets = None,
       pacer = graft.net.Pacer.Config(serverDelayMs = 0))
-    Crawl.run(spark, migRoot, Seq(s"$A/"), Fetch.MockProtocol(site),
+    Crawl.run(spark, migRoot, seeds, Fetch.MockProtocol(site),
       registry, cfg1)
     assert(Files.exists(
       java.nio.file.Paths.get(migRoot, "crawldb", "current")))
-    Crawl.run(spark, migRoot, Seq(s"$A/"), Fetch.MockProtocol(site),
+    Crawl.run(spark, migRoot, seeds, Fetch.MockProtocol(site),
       registry, cfg1.copy(buckets = Some(8),
         startTime = cfg1.startTime + cfg1.roundMillis)) // round 2's clock
     assert(!Files.exists(
@@ -335,7 +359,7 @@ class CrawlRoundSpec extends AnyFunSuite with SparkSuite {
     // opting back out against a bucketed root fails loudly instead of
     // silently restarting from an empty plain db
     val ex = intercept[IllegalArgumentException] {
-      Crawl.run(spark, migRoot, Seq(s"$A/"), Fetch.MockProtocol(site),
+      Crawl.run(spark, migRoot, seeds, Fetch.MockProtocol(site),
         registry, cfg1)
     }
     assert(ex.getMessage.contains("bucketed layout"))
