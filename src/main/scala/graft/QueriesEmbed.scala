@@ -337,6 +337,201 @@ object QueriesEmbed {
       SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank, adc_dot
       FROM r WHERE rn <= 3"""))
 
+  /** Intermediate frames of the IVFADC pipeline, exposed so
+    * QueriesEmbedRecallSpec can assert the scan-cost claim (candidates
+    * = probed-cell mass, never n) against the same plan the query
+    * runs. */
+  private[graft] final case class IvfPqFrames(asg: DataFrame,
+      probes: DataFrame, cand: DataFrame, result: DataFrame)
+
+  /** IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV): the billion-vector composition of the
+    * two layouts above — the IVF coarse quantizer prunes the scan to
+    * nprobe cells, and within a cell candidates are scored from PQ
+    * codes of the RESIDUAL (vector − its cell centroid), which is what
+    * the codes can afford to encode precisely (residuals are small, so
+    * the same codebook budget spends its resolution where the data
+    * is). The approximate inner product decomposes exactly:
+    *
+    *   dot(q, c_cell + dec(codes)) = dot(q, c_cell) + Σ_m lut(m, code_m)
+    *
+    * so the scan reads ONLY (cell, m, code) rows — n·M tiny integers —
+    * plus a per-query broadcast LUT; full vectors appear in no join.
+    * Same integer-exact discipline as knn_ivf/knn_pq (fixed-point
+    * floor-mean training, exact L2 encode with ties → lowest code,
+    * probe/rank tiebreaks on cell/cand asc) so DuckDB agrees
+    * bit-for-bit. */
+  private[graft] def ivfpqFrames(e0: DataFrame): IvfPqFrames = {
+    val e = e0.cache()
+    // --- coarse quantizer: label-cell fixed-point means (knn_ivf train) ---
+    val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+        .as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("cx")))),
+        p => p.getField("cx")).as("cvec"))
+      .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
+    val scored = e.crossJoin(broadcast(cent.select(
+        col("label").as("cell"), col("cvec"), col("cnsq"))))
+      .withColumn("qcdot", Similarity.dotQ(col("qv"), col("cvec")))
+      .withColumn("ccos",
+        Similarity.cosineFx(col("qcdot"), col("nsq"), col("cnsq")))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), asc("cell"))
+    // --- assign + residual: rv = v − c_cell, element-wise exact ---
+    val asg = scored.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("cell"),
+        zip_with(col("qv"), col("cvec"), (a, c) => a - c).as("rv"))
+    // --- residual subspaces + one-Lloyd-step codebook per (m, label) ---
+    val sub = asg.select(col("vec_id"), col("label"), col("cell"),
+        explode(array((0 until PQ_M).map(m => struct(lit(m).as("m"),
+          slice(col("rv"), m * PQ_SUB + 1, PQ_SUB).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("s.m").as("m"), col("s.sv").as("sv"))
+      .cache()
+    val cb = sub
+      .select(col("label"), col("m"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("m"), col("i"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+        .as("cx"))
+      .groupBy(col("m"), col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("cx")))),
+        p => p.getField("cx")).as("cvec"))
+      .select(col("m"), col("label").as("code"), col("cvec"))
+    // --- encode: nearest codebook entry per (vector, subspace), exact L2 ---
+    val wE = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(asc("d2"), asc("code"))
+    val codes = sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("cell"), col("m"), col("code"),
+        (Similarity.normSqQ(col("sv")) + Similarity.normSqQ(col("cvec"))
+          - lit(2L) * Similarity.dotQ(col("sv"), col("cvec"))).as("d2"))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    // --- search: NPROBE cells per query; ADC over codes in those cells ---
+    val probes = scored.filter(col("vec_id") % 50 === 0)
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= NPROBE)
+      .select(col("vec_id").as("q_id"), col("cell"), col("qcdot"))
+    val qsub = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        explode(array((0 until PQ_M).map(m => struct(lit(m).as("m"),
+          slice(col("qv"), m * PQ_SUB + 1, PQ_SUB).as("sv"))): _*)).as("s"))
+      .select(col("q_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        Similarity.dotQ(col("sv"), col("cvec")).as("pdot"))
+    // candidate scan = codes ⋈ probes on cell: rows touched are exactly
+    // the probed cells' code mass (n_cell·M), never the full table
+    val cand = codes.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val sc = cand.join(lut, Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"), col("cell"), col("qcdot"))
+      .agg(sum(col("pdot")).cast("long").as("rdot"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("cell"),
+        (col("qcdot") + col("rdot")).as("adc_dot"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("adc_dot"), asc("cand_id"))
+    val result = sc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"),
+        col("cell").cast("int").as("cell"),
+        col("rn").cast("long").as("rank"), col("adc_dot"))
+    IvfPqFrames(asg.drop("rv"), probes, cand, result)
+  }
+
+  val knnIvfpq = Q(
+    "knn_ivfpq",
+    (s, dir) => ivfpqFrames(prepared(s, dir)).result,
+    Some(s"""
+      WITH qe AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(ROUND(x*1e6) AS BIGINT)) AS qv
+        FROM embeddings),
+      cent0 AS (
+        SELECT label, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, unnest(qv) AS x,
+                unnest(generate_series(1, len(qv))) AS i
+              FROM qe)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label AS cell, list(cx ORDER BY i) AS cvec FROM cent0
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label, e.qv, c.cell, c.cvec,
+          CAST(list_sum(list_transform(list_zip(e.qv, c.cvec),
+               s -> s[1] * s[2])) AS BIGINT) AS qcdot,
+          CAST(list_sum(list_transform(list_zip(e.qv, c.cvec),
+               s -> s[1] * s[2])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(e.qv, x -> x*x)) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(c.cvec, x -> x*x)) AS DOUBLE)))
+            AS ccos
+        FROM qe e CROSS JOIN cent c),
+      asg AS (
+        SELECT vec_id, label, cell,
+          list_transform(list_zip(qv, cvec), p -> p[1] - p[2]) AS rv
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cell) AS rn
+          FROM scored) WHERE rn = 1),
+      sub AS (
+        SELECT vec_id, label, cell, m,
+          list_slice(rv, m*$PQ_SUB + 1, m*$PQ_SUB + $PQ_SUB) AS sv
+        FROM asg, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m)),
+      cb0 AS (
+        SELECT label, m, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, m, unnest(sv) AS x,
+                unnest(generate_series(1, len(sv))) AS i
+              FROM sub)
+        GROUP BY label, m, i),
+      cb AS (
+        SELECT m, label AS code, list(cx ORDER BY i) AS cvec FROM cb0
+        GROUP BY m, label),
+      enc AS (
+        SELECT vec_id, cell, m, code FROM (
+          SELECT s.vec_id, s.cell, s.m, c.code,
+            row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              list_sum(list_transform(list_zip(s.sv, c.cvec),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.code ASC) AS rn
+          FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cell, qcdot FROM (
+          SELECT vec_id, cell, qcdot,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cell) AS rn
+          FROM scored WHERE vec_id % 50 = 0) WHERE rn <= $NPROBE),
+      qsub AS (
+        SELECT vec_id AS q_id, m,
+          list_slice(qv, m*$PQ_SUB + 1, m*$PQ_SUB + $PQ_SUB) AS sv
+        FROM qe, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m)
+        WHERE vec_id % 50 = 0),
+      lut AS (
+        SELECT q.q_id, c.m, c.code,
+          CAST(list_sum(list_transform(list_zip(q.sv, c.cvec),
+            p -> p[1]*p[2])) AS BIGINT) AS pdot
+        FROM qsub q JOIN cb c ON c.m = q.m),
+      sc AS (
+        SELECT p.q_id, e.vec_id AS cand_id, p.cell,
+          CAST(p.qcdot + SUM(l.pdot) AS BIGINT) AS adc_dot
+        FROM probes p
+        JOIN enc e ON e.cell = p.cell AND e.vec_id <> p.q_id
+        JOIN lut l ON l.q_id = p.q_id AND l.m = e.m AND l.code = e.code
+        GROUP BY p.q_id, e.vec_id, p.cell, p.qcdot),
+      r AS (
+        SELECT q_id, cand_id, cell, adc_dot,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY adc_dot DESC, cand_id) AS rn
+        FROM sc)
+      SELECT q_id, cand_id, CAST(cell AS INTEGER) AS cell,
+             CAST(rn AS BIGINT) AS rank, adc_dot
+      FROM r WHERE rn <= 3"""))
+
   private val NEARDUP_BANDS = 4
   private val NEARDUP_BITS = 8 // sign bits per band
 
@@ -412,5 +607,6 @@ object QueriesEmbed {
       WHERE cos >= 0.9"""
     })
 
-  val all: Seq[Q] = Seq(knnBruteforce, knnIvf, knnPq, embedNearDup)
+  val all: Seq[Q] =
+    Seq(knnBruteforce, knnIvf, knnPq, knnIvfpq, embedNearDup)
 }

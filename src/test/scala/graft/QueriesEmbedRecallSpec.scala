@@ -170,4 +170,64 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
     assert(mean >= 0.2, f"PQ recall@3 = $mean%.3f — worse than a 30x " +
       "random-floor margin suggests a broken codebook or LUT")
   }
+
+  /** IVFADC: (1) a planted EXACT copy lands in its query's cell with
+    * residual 0 − the same codes − so its ADC score is the query's own
+    * reconstruction dot and it must surface in the top-3; (2) the
+    * candidate scan touches EXACTLY the probed cells' code mass — the
+    * billion-vector cost model (nprobe/cells of the table, never n) —
+    * asserted against the pipeline's own assignment and probe frames. */
+  test("IVFPQ surfaces planted exact copies and scans only the probed-" +
+    "cell mass") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("ivfpq-recall").toString
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    base.unionByName(
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          col("embedding")))
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+
+    val ivfpq = Queries.byName("knn_ivfpq").build(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    spark.catalog.clearCache()
+    val withCopy = ivfpq.count { case (q, cands) =>
+      val twin = if (q >= 1000000L) q - 1000000L else q + 1000000L
+      cands.contains(twin)
+    }
+    info(s"IVFPQ: ${withCopy}/${ivfpq.size} queries surface their " +
+      "exact copy")
+    assert(withCopy.toDouble / ivfpq.size >= 0.8,
+      s"only $withCopy/${ivfpq.size} queries surfaced their planted copy")
+
+    // scan-cost claim: candidate code rows == Σ_q Σ_{probed cell}
+    // M × (|cell| − [q ∈ cell]) — derived from the pipeline's OWN
+    // asg/probes frames, so a regression that widens the scan (e.g. a
+    // dropped cell filter re-introducing the full-table pass) fails here
+    val emb = spark.read.parquet(s"$root/embeddings.parquet")
+    val frames = QueriesEmbed.ivfpqFrames(emb.select(
+      col("vec_id"), col("label"),
+      graft.functions.Similarity.quantized(col("embedding")).as("qv"))
+      .withColumn("nsq",
+        graft.functions.Similarity.normSqQ(col("qv"))))
+    val cellSizes = frames.asg.groupBy("cell").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val qCell = frames.asg.select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val expected = frames.probes.collect().map { r =>
+      val q = r.getLong(0); val cell = r.get(1).toString
+      val self = if (qCell.get(q).contains(cell)) 1L else 0L
+      8L * (cellSizes(cell) - self)
+    }.sum
+    val got = frames.cand.count()
+    info(s"IVFPQ candidate code rows: $got (probed-cell mass = $expected)")
+    assert(got == expected,
+      s"candidate scan $got != probed-cell mass $expected")
+    val full = 8L * emb.count() * frames.probes.select("q_id")
+      .distinct().count()
+    assert(got < full, "scan touched the full table")
+    spark.catalog.clearCache()
+  }
 }
