@@ -307,7 +307,10 @@ object Main {
                   onRound = r => {
                     dbSizes.put(r, statStores.crawldb.read().count())
                     if (r >= nRounds) done.countDown()
-                  })
+                  },
+                  // committed rounds never re-issue, even when a new
+                  // JVM resumes this root (StreamingCrawlSpec restart)
+                  checkpoint = Some(s"$root/.stream-checkpoint"))
                 try {
                   // a micro-batch failure terminates the query without
                   // ever reaching round nRounds — watch liveness so the

@@ -48,7 +48,7 @@ object ScaleProbe {
             a.shuffleMb > 0 &&
             b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) =>
         f"${a.n}->${b.n}: shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB " +
-          f"(${b.shuffleMb / a.shuffleMb}%.1fx for ${b.n / a.n}x data)"
+          f"(${b.shuffleMb / a.shuffleMb}%.1fx for ${b.n.toDouble / a.n}%.1fx data)"
     }.toSeq
 
   // ---- mock site for the conductor probe: hosts scale with N ----

@@ -69,7 +69,26 @@ object CrawlDbReader {
       db.toDF().select(col("url"), col("datum.score").as("score")),
       Seq(desc("score"), asc("url")), n)
 
-  /** -url point lookup. */
-  def url(db: Dataset[CrawlRow], u: String): Option[CrawlRow] =
-    db.filter(col("url") === u).limit(1).collect().headOption
+  /** -url point lookup (MapFile.getEntry parity,
+    * CrawlDbReader.java:821-832: the reference opens ONE map file and
+    * seeks — it never scans the db). Over the bucketed layout the
+    * equality filter on the bucketing column prunes the scan to 1
+    * bucket of N, but ONLY while the bucketed scan is in force:
+    * Spark's DisableUnnecessaryBucketedScan rule turns bucketed
+    * reading off for plans with no join/agg on the bucket key
+    * (SPARK-32859 considers output partitioning, not pruning), which
+    * would silently re-inflate the lookup to a full-table scan. Pin
+    * the conf off for just this action; PlanShapeSpec asserts
+    * `SelectedBucketsCount: 1 out of N` stays in the plan. */
+  def url(db: Dataset[CrawlRow], u: String): Option[CrawlRow] = {
+    val spark = db.sparkSession
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try db.filter(col("url") === u).limit(1).collect().headOption
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -45,16 +45,22 @@ object StreamingCrawl {
     * rewritten whole (SaveMode.Overwrite); proven in
     * StreamingCrawlSpec's crash-recovery test. A round redelivered
     * AFTER its installs landed is NOT segment-idempotent (the db has
-    * advanced, so the regenerated fetchlist differs); deployments
-    * should key rounds to the checkpointed trigger, which never
-    * re-issues a committed batch. */
+    * advanced, so the regenerated fetchlist differs); deployments pass
+    * `checkpoint`, which keys rounds to the checkpointed trigger — a
+    * COMMITTED micro-batch is never re-issued, even by a brand-new
+    * JVM resuming the same checkpoint dir (StreamingCrawlSpec's
+    * cross-session restart test drives exactly that: stop, new
+    * session, resume, only the un-committed round runs). Re-injection
+    * on restart is safe: inject is the idempotent NUTCH-1405 merge,
+    * so existing datums win over re-offered seeds. */
   def start(spark: SparkSession, root: String, seeds: Seq[String],
       rounds: Dataset[Int], protocol: Fetch.Protocol,
       registry: Extensions.Registry, cfg: Crawl.Config,
-      onRound: Int => Unit = _ => ()): StreamingQuery = {
+      onRound: Int => Unit = _ => (),
+      checkpoint: Option[String] = None): StreamingQuery = {
     val stores = Crawl.openStores(spark, root, cfg)
     Crawl.inject(spark, stores, seeds, registry, cfg)
-    rounds.writeStream
+    val writer = rounds.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Int], _: Long) =>
         // the per-batch tick set is tiny (round numbers, not data) —
@@ -65,6 +71,7 @@ object StreamingCrawl {
         }
         ()
       }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
   }
 

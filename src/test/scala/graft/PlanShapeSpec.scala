@@ -23,6 +23,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [In(o_orderkey"), p)
   }
 
+  test("readdb -url against a bucketed CrawlDb scans 1 bucket of N " +
+    "(MapFile getEntry parity: the lookup opens one partition, not " +
+    "the table)") {
+    import spark.implicits._
+    import graft.schemas.{CrawlDatum, CrawlRow}
+    val root = java.nio.file.Files
+      .createTempDirectory("plan-bucket-prune").toString
+    val db = new graft.tables.BucketedCrawlDbTable(spark, root, 8)
+    val rows = (0 until 400).map(i =>
+      CrawlRow(s"http://h${i % 11}.example.com/p$i",
+        CrawlDatum.unfetched(i.toLong, 3600)))
+    db.install(spark.createDataset(rows), "g1")
+    val target = rows(123).url
+    // the REAL lookup API returns the row (and pins autoBucketedScan
+    // off for its action — without that, DisableUnnecessaryBucketedScan
+    // re-inflates this filter-only plan to a full-table scan)
+    assert(graft.ops.CrawlDbReader.url(db.read(), target)
+      .map(_.url).contains(target))
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val lookup = db.read().filter(
+        org.apache.spark.sql.functions.col("url") === target)
+      assert(lookup.collect().map(_.url).toSeq == Seq(target))
+      val p = lookup.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"), p)
+    } finally spark.conf.set(key, prior)
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_crawldb_"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+  }
+
   test("q1 pushes the date filter and prunes columns") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)

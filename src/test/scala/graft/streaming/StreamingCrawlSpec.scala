@@ -134,4 +134,61 @@ class StreamingCrawlSpec extends AnyFunSuite with SparkSuite {
     val seg2 = new graft.tables.Segment(spark, s"$root/segments/r2")
     assert(!seg2.generate.collect().exists(_.url.contains("garbage")))
   }
+
+  test("restart across sessions: a NEW session resuming the checkpoint " +
+    "never re-runs a committed round, and the final dbs stay byte-equal " +
+    "to batch") {
+    import spark.implicits._
+
+    // reference: the clean 2-round batch run
+    val cleanRoot = Files.createTempDirectory("restart-clean").toString
+    Crawl.run(spark, cleanRoot, Seq(s"$A/", s"$B/"),
+      Fetch.MockProtocol(site), registry, cfg)
+    val cleanDb = Crawl.openStores(spark, cleanRoot, cfg).crawldb.read()
+      .collect().map(r => r.url -> r.datum).toMap
+
+    // a replayable, checkpointable source: one file per round tick
+    val root = Files.createTempDirectory("restart-mid").toString
+    val ticksDir = Files.createTempDirectory("restart-ticks").toString
+    val ckpt = s"$root/.stream-checkpoint"
+    def ticksOf(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      s.readStream.text(ticksDir).as[String].map(_.trim.toInt)
+    }
+    def writeTick(r: Int): Unit =
+      Files.writeString(
+        java.nio.file.Paths.get(ticksDir, s"round-$r.txt"), s"$r\n")
+
+    // session 1: round 1 commits, then the "JVM dies" (stop the query)
+    val seen1 = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    writeTick(1)
+    val q1 = StreamingCrawl.start(spark, root, Seq(s"$A/", s"$B/"),
+      ticksOf(spark), Fetch.MockProtocol(site), registry, cfg,
+      onRound = seen1.add(_), checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen1.toArray.toSeq == Seq(1))
+
+    // session 2: a fresh SessionState (new catalog — the bucketed
+    // stores must re-register from disk) resumes the SAME checkpoint;
+    // round 1's committed batch must NOT re-issue, only round 2 runs
+    val spark2 = spark.newSession()
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    writeTick(2)
+    val q2 = StreamingCrawl.start(spark2, root, Seq(s"$A/", s"$B/"),
+      ticksOf(spark2), Fetch.MockProtocol(site), registry, cfg,
+      onRound = seen2.add(_), checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen2.toArray.toSeq == Seq(2),
+      s"resumed session re-ran rounds: ${seen2.toArray.toSeq}")
+
+    // end state byte-equal to the uninterrupted batch conductor
+    val gotDb = Crawl.openStores(spark2, root, cfg).crawldb.read()
+      .collect().map(r => r.url -> r.datum).toMap
+    assert(gotDb == cleanDb)
+    def links(s: org.apache.spark.sql.SparkSession, r: String) =
+      Crawl.openStores(s, r, cfg).linkdb.read().collect()
+        .map(l => l.url -> l.inlinks.map(i => i.fromUrl -> i.anchor).toSet)
+        .toMap
+    assert(links(spark2, root) == links(spark, cleanRoot))
+  }
 }
