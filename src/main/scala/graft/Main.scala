@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import graft.net.Pacer
 import graft.ops._
 import graft.plugins.Extensions
-import graft.tables.{CrawlDbTable, HostDbTable, Segment}
+import graft.tables.{CrawlDbTable, Segment}
 
 /** The `bin/nutch` verb dispatcher (src/bin/nutch:243-327) as a thin CLI
   * over the library ops. Every verb is one library call on the parquet
@@ -178,7 +178,7 @@ object Main {
         0
       case "updatehostdb" :: crawldb :: hostdb :: _ =>
         val t = graft.tables.CrawlDbStore.open(spark, crawldb)
-        val h = new HostDbTable(spark, hostdb)
+        val h = graft.tables.HostDbStore.open(spark, hostdb)
         h.install(UpdateHostDb(t.read(), h.read(), now0), "updatehostdb")
         println(s"updatehostdb: ${h.read().count()} hosts")
         0
@@ -254,7 +254,7 @@ object Main {
           case None => System.err.println("sitemap: -site required"); 2
           case Some(sf) =>
             val t = graft.tables.CrawlDbStore.open(spark, crawldb)
-            val h = new HostDbTable(spark, hostdb)
+            val h = graft.tables.HostDbStore.open(spark, hostdb)
             val hosts = h.read().map(_.host)
             val found = Sitemap.discover(hosts, loadSite(spark, sf), now0,
               "graft", Sitemap.Config())
@@ -524,7 +524,7 @@ object Main {
         println(s"mergelinkdb: ${graft.tables.LinkDbStore.open(spark, out).read().count()} urls")
         0
       case "readhostdb" :: hostdb :: rest =>
-        val h = new HostDbTable(spark, hostdb).read()
+        val h = graft.tables.HostDbStore.open(spark, hostdb).read()
         opt(rest, "-dump") match {
           case Some(out) =>
             h.toDF().selectExpr(

@@ -35,21 +35,49 @@ object ScaleProbe {
     "sessionize", "sliding_rate", "incremental_dedup",
     "host_cap_skewsafe", "webgraph_dedup", "dedup_clusters")
 
+  /** `joins` is the AQE-FINAL join inventory of the measured plan
+    * (e.g. "bhj=2,smj=1") — captured from the executed plan, not the
+    * static one, because the broadcast-vs-SMJ choice is made at
+    * runtime and is exactly what changes between scale decades. */
   final case class Point(n: Int, sec: Double, shuffleMb: Double,
-      err: Option[String])
+      err: Option[String], joins: String = "")
 
   /** Growth verdict for one query series: for each consecutive factor
-    * pair, shuffle must grow ≤ slack×linear once past the noise floor. */
+    * pair, shuffle must grow ≤ slack×linear once past the noise floor.
+    * Pairs whose executed plans have DIFFERENT join inventories are a
+    * plan TRANSITION (AQE flipping broadcast→SMJ as a side outgrows
+    * the threshold): the smaller point's shuffle is broadcast-
+    * suppressed, so the ratio measures the flip, not the growth law —
+    * those pairs go to [[transitions]] for the next same-shape pair to
+    * settle, instead of failing the probe. */
   def superlinear(pts: Seq[Point], slack: Double = 1.6,
       floorMb: Double = 5.0): Seq[String] =
     pts.sliding(2).collect {
       case Seq(a, b)
           if a.err.isEmpty && b.err.isEmpty && b.shuffleMb > floorMb &&
-            a.shuffleMb > 0 &&
+            a.shuffleMb > 0 && a.joins == b.joins &&
             b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) =>
         f"${a.n}->${b.n}: shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB " +
           f"(${b.shuffleMb / a.shuffleMb}%.1fx for ${b.n.toDouble / a.n}%.1fx data)"
     }.toSeq
+
+  /** Consecutive pairs whose executed join shapes differ — reported as
+    * informational plan transitions (see [[superlinear]]). */
+  def transitions(pts: Seq[Point]): Seq[String] =
+    pts.sliding(2).collect {
+      case Seq(a, b)
+          if a.err.isEmpty && b.err.isEmpty && a.joins != b.joins =>
+        f"${a.n}->${b.n}: plan shape ${a.joins} -> ${b.joins} " +
+          f"(shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB; ratio " +
+          "reflects the flip, not the growth law)"
+    }.toSeq
+
+  /** Join inventory of an executed-plan string. */
+  def joinShape(plan: String): String = {
+    def c(tok: String) = tok.r.findAllIn(plan).length
+    s"bhj=${c("BroadcastHashJoin")},smj=${c("SortMergeJoin")}," +
+      s"shj=${c("ShuffledHashJoin")},bnl=${c("BroadcastNestedLoopJoin")}"
+  }
 
   // ---- mock site for the conductor probe: hosts scale with N ----
 
@@ -113,6 +141,19 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
+    // AQE-final plan capture: the noop write is the LAST execution of a
+    // measured body, and measure()'s post-action drain flushes the
+    // async execution-listener bus before this is read
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
+        def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     // warmup (untimed): parquet footers + codegen
     try Tables.names.foreach(t => Tables(spark, sfDir, t).limit(1).count())
     catch { case _: Throwable => () }
@@ -150,9 +191,10 @@ object ScaleProbe {
         spark.conf.set("spark.graft.inflate", n.toString)
         val (sec, mb, err) = measure(
           fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        val joins = if (err.isEmpty) joinShape(lastPlan.get) else ""
         System.err.println(f"[scale] $name%-24s n=$n%-4d ${sec}%8.2f s " +
-          f"${mb}%10.2f MB shuffle ${err.getOrElse("")}")
-        Point(n, sec, mb, err)
+          f"${mb}%10.2f MB shuffle [$joins] ${err.getOrElse("")}")
+        Point(n, sec, mb, err, joins)
       }
     } :+ {
       spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
@@ -160,6 +202,8 @@ object ScaleProbe {
         val (sec, mb, err) = measure(conductorRound(spark, n))
         System.err.println(f"[scale] conductor_round          n=$n%-4d " +
           f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+        // a conductor round is dozens of executions, not one plan — no
+        // single join inventory to compare, so transitions don't apply
         Point(n, sec, mb, err)
       }
     }).toMap
@@ -167,6 +211,9 @@ object ScaleProbe {
     val bad = series.toSeq.sortBy(_._1).flatMap { case (q, pts) =>
       superlinear(pts).map(v => q -> v) ++
         pts.filter(_.err.isDefined).map(p => q -> s"n=${p.n} ERROR ${p.err.get}")
+    }
+    val trans = series.toSeq.sortBy(_._1).flatMap { case (q, pts) =>
+      transitions(pts).map(v => q -> v)
     }
     def r2(v: Double) = math.round(v * 100) / 100.0
     val json = new StringBuilder
@@ -177,12 +224,16 @@ object ScaleProbe {
         "\"sec\": " + pts.map(p => r2(p.sec)).mkString("[", ",", "]") +
         ", \"shuffle_mb\": " +
         pts.map(p => r2(p.shuffleMb)).mkString("[", ",", "]") +
+        ", \"joins\": " +
+        pts.map(p => jstr(p.joins)).mkString("[", ",", "]") +
         ", \"errors\": " +
         pts.map(p => p.err.map(jstr).getOrElse("null"))
           .mkString("[", ",", "]") + "}"
     }.mkString(",\n")
     json ++= "\n  },\n  \"superlinear\": " +
       bad.map { case (q, v) => jstr(s"$q $v") }.mkString("[", ",", "]") +
+      ",\n  \"plan_transitions\": " +
+      trans.map { case (q, v) => jstr(s"$q $v") }.mkString("[", ",", "]") +
       ",\n  \"verdict\": " +
       jstr(if (bad.isEmpty) "PASS: shuffle growth <= ~linear for every probed query"
       else s"FAIL: ${bad.size} superlinear/error findings") + "\n}\n"

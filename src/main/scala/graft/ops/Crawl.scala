@@ -74,7 +74,7 @@ object Crawl {
   final case class Stores(
       crawldb: graft.tables.CrawlDbStore,
       linkdb: graft.tables.LinkDbStore,
-      hostdb: HostDbTable,
+      hostdb: graft.tables.HostDbStore,
       metrics: Option[Metrics.Table])
 
   def openStores(spark: SparkSession, root: String, cfg: Config): Stores = {
@@ -86,7 +86,7 @@ object Crawl {
         s"$root/$db uses the bucketed layout (GENERATION file " +
           "present); run with buckets set, or copy the current " +
           "generation out to a plain layout first")
-    val (crawldb, linkdb) = cfg.buckets match {
+    val (crawldb, linkdb, hostdb) = cfg.buckets match {
       case Some(n) =>
         // cfg.buckets only sizes a FRESH root: BucketedGenTable keeps
         // an existing root's on-disk count (its _BUCKETS sidecar), so a
@@ -94,21 +94,24 @@ object Crawl {
         // a different -buckets. The CrawlDb and LinkDb share the count
         // so the indexing cogroup's two db sides stay co-bucketed —
         // when the crawldb already exists, its count seeds a fresh
-        // linkdb too.
+        // linkdb too. The hostdb buckets on HOST (its merge key).
         val cdb = new graft.tables.BucketedCrawlDbTable(
           spark, s"$root/crawldb", n)
         cdb.migrateFromPlain() // no-op unless a plain `current` exists
         val ldb = new graft.tables.BucketedLinkDbTable(
           spark, s"$root/linkdb", cdb.buckets)
         ldb.migrateFromPlain()
-        (cdb, ldb)
+        val hdb = new graft.tables.BucketedHostDbTable(
+          spark, s"$root/hostdb", cdb.buckets)
+        hdb.migrateFromPlain()
+        (cdb, ldb, hdb)
       case None =>
-        guardPlain("crawldb"); guardPlain("linkdb")
+        guardPlain("crawldb"); guardPlain("linkdb"); guardPlain("hostdb")
         (new CrawlDbTable(spark, s"$root/crawldb"),
-          new LinkDbTable(spark, s"$root/linkdb"))
+          new LinkDbTable(spark, s"$root/linkdb"),
+          new HostDbTable(spark, s"$root/hostdb"))
     }
-    Stores(crawldb, linkdb,
-      new HostDbTable(spark, s"$root/hostdb"),
+    Stores(crawldb, linkdb, hostdb,
       if (cfg.metrics) Some(new Metrics.Table(spark, s"$root/metrics"))
       else None)
   }

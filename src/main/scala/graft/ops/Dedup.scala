@@ -30,7 +30,7 @@ object Dedup {
     * JOIN below it CAN split). Struct ordering is lexicographic by
     * field, so the min is exactly the row a
     * `row_number() over (partition by signature order by chain)` would
-    * rank 1 — DedupSkewSpec asserts the A/B. */
+    * rank 1 — SkewSpec asserts the A/B. */
   def findDuplicates(db: Dataset[CrawlRow]): Dataset[CrawlRow] = {
     val spark: SparkSession = db.sparkSession
     import spark.implicits._

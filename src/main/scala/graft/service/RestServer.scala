@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
 import graft.ops._
-import graft.tables.{CrawlDbTable, HostDbTable, Segment}
+import graft.tables.{CrawlDbTable, Segment}
 
 /** §3.3 — the REST service surface (reference openapi.yaml:70-801:
   * /admin, /config CRUD, /job create/list/get, /db/crawldb, /seed
@@ -127,7 +127,7 @@ object RestServer {
           crawldb.install(Dedup(crawldb.read()), s"rest-dedup-${j.id}")
           j.message = "ok"
         case "UPDATEHOSTDB" =>
-          val h = new HostDbTable(spark, a("hostdb"))
+          val h = graft.tables.HostDbStore.open(spark, a("hostdb"))
           h.install(UpdateHostDb(crawldb.read(), h.read(), now),
             s"rest-hostdb-${j.id}")
           j.message = s"hosts=${h.read().count()}"

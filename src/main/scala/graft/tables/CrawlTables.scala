@@ -202,7 +202,8 @@ private[tables] object GenLayout {
   * default run can never silently re-layout a db installed with a
   * different `-buckets`). */
 sealed abstract class BucketedGenTable[T](spark: SparkSession, dir: String,
-    requestedBuckets: Int, prefix: String)(implicit enc: Encoder[T]) {
+    requestedBuckets: Int, prefix: String, key: String = "url")(
+    implicit enc: Encoder[T]) {
 
   private val tag =
     prefix + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
@@ -233,7 +234,7 @@ sealed abstract class BucketedGenTable[T](spark: SparkSession, dir: String,
       // pruning
       if (!spark.catalog.tableExists(tableName(g)))
         Bucketed.register(spark, tableName(g), s"$dir/g$g",
-          GenLayout.resolveBuckets(dir, g))
+          GenLayout.resolveBuckets(dir, g), key)
       spark.table(tableName(g)).as[T](enc)
     }
   }
@@ -263,7 +264,7 @@ sealed abstract class BucketedGenTable[T](spark: SparkSession, dir: String,
     val g = generation + 1
     val n = buckets // existing layout's count, or requested on a fresh root
     Files.createDirectories(Paths.get(dir))
-    Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", n)
+    Bucketed.install(next.toDF(), tableName(g), s"$dir/g$g", n, key)
     // per-generation sidecar: records the count this generation was
     // written with, INSIDE the generation dir and BEFORE the pointer
     // swap — so layout re-registration in a new JVM is crash-atomic
@@ -350,11 +351,11 @@ final class Segment(spark: SparkSession, val dir: String) {
 object Bucketed {
 
   def install[T](ds: Dataset[T], tableName: String, path: String,
-      buckets: Int): Unit = {
+      buckets: Int, key: String = "url"): Unit = {
     val spark = ds.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
     ds.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "url").sortBy("url")
+      .bucketBy(buckets, key).sortBy(key)
       .option("path", path).format("parquet")
       .saveAsTable(tableName)
   }
@@ -369,11 +370,11 @@ object Bucketed {
     * naming, so a CREATE TABLE with the matching CLUSTERED BY spec
     * restores the bucket metadata a new session's catalog lost. */
   def register(spark: SparkSession, tableName: String, path: String,
-      buckets: Int): Unit = {
+      buckets: Int, key: String = "url"): Unit = {
     val schema = spark.read.parquet(path).schema.toDDL
     spark.sql(s"""CREATE TABLE IF NOT EXISTS `$tableName` ($schema)
       USING parquet OPTIONS (path '$path')
-      CLUSTERED BY (url) SORTED BY (url) INTO $buckets BUCKETS""")
+      CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS""")
   }
 }
 
@@ -395,8 +396,29 @@ final class LinkDbTable(spark: SparkSession, dir: String)
     Install.install(next, dir, nonce)
 }
 
+/** Layout-agnostic handle on a HostDb: plain ([[HostDbTable]]) or
+  * host-bucketed ([[BucketedHostDbTable]]) — the per-round hostdb
+  * refresh is a full-outer merge ON HOST of the crawldb census into
+  * the previous hostdb (UpdateHostDbReducer.java:176-349); bucketing
+  * the stored side on host reads it Exchange-free every round, the
+  * same move the url-keyed dbs got. */
+trait HostDbStore {
+  def read(): Dataset[graft.ops.UpdateHostDb.HostRow]
+  def install(next: Dataset[graft.ops.UpdateHostDb.HostRow],
+      nonce: String): Unit
+}
+
+object HostDbStore {
+  /** Layout-detecting open, mirroring [[CrawlDbStore.open]]. */
+  def open(spark: SparkSession, dir: String): HostDbStore =
+    if (GenLayout.isBucketed(dir)) new BucketedHostDbTable(spark, dir,
+      GenLayout.resolveBuckets(dir, GenLayout.generation(dir)))
+    else new HostDbTable(spark, dir)
+}
+
 /** The HostDb: host → census/failure counters (UpdateHostDbJob). */
-final class HostDbTable(spark: SparkSession, dir: String) {
+final class HostDbTable(spark: SparkSession, dir: String)
+    extends HostDbStore {
   import spark.implicits._
 
   def exists: Boolean = Files.exists(Paths.get(dir, "current"))
@@ -410,3 +432,11 @@ final class HostDbTable(spark: SparkSession, dir: String) {
       nonce: String): Unit =
     Install.install(next, dir, nonce)
 }
+
+/** The HostDb over the host-bucketed layout ([[BucketedGenTable]]). */
+final class BucketedHostDbTable(spark: SparkSession, dir: String,
+    buckets: Int)
+    extends BucketedGenTable[graft.ops.UpdateHostDb.HostRow](spark, dir,
+      buckets, "graft_hostdb_", key = "host")(
+      org.apache.spark.sql.Encoders.product[graft.ops.UpdateHostDb.HostRow])
+    with HostDbStore

@@ -88,8 +88,9 @@ class CrawlSpec extends AnyFunSuite with SparkSuite {
         fetchDelayExpr = Some("500 * (1 + unfetched)")))
     assert(summary.rounds.map(_.generated) == Seq(1, 2))
 
-    // the hostdb table materialized and carries the census
-    val hosts = new graft.tables.HostDbTable(spark, s"$root/hostdb")
+    // the hostdb table materialized (host-bucketed since r10: open
+    // through the layout detector) and carries the census
+    val hosts = graft.tables.HostDbStore.open(spark, s"$root/hostdb")
       .read().collect().map(h => h.host -> h).toMap
     assert(hosts.keySet ==
       Set("site-a.example.com", "site-b.example.com"))

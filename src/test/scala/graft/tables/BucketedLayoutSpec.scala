@@ -136,6 +136,48 @@ class BucketedLayoutSpec extends AnyFunSuite with SparkSuite {
     assert(LinkDbStore.open(spark, plainRoot).isInstanceOf[LinkDbTable])
   }
 
+  test("bucketed HostDb (keyed on host): resumes across a catalog wipe, " +
+    "and the per-round census merge reads the stored side Exchange-free") {
+    val sp = spark; import sp.implicits._
+    import graft.ops.UpdateHostDb
+    val root = Files.createTempDirectory("layout-hostdb").toString
+    val hdb = new BucketedHostDbTable(spark, root, 4)
+    val rows = (0 until 40).map(i => UpdateHostDb.HostRow(
+      s"h$i.example.com", i, 2L * i, 0, 0, 0, 0, 0, 0, i * 1.5, 1000L))
+    hdb.install(spark.createDataset(rows), "g1")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_hostdb_"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    val reopened = HostDbStore.open(spark, root)
+    assert(reopened.isInstanceOf[BucketedHostDbTable])
+    assert(reopened.read().collect().map(_.host).sorted.toSeq ==
+      rows.map(_.host).sorted)
+
+    val db = spark.createDataset((0 until 200).map { i =>
+      val d = CrawlDatum.unfetched(1000L + i, 3600)
+      CrawlRow(s"http://h${i % 40}.example.com/p$i",
+        d.copy(status = CrawlStatus.DB_FETCHED))
+    })
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val merged = UpdateHostDb(db, reopened.read(), 2000L)
+      assert(merged.count() == 40)
+      val p = merged.queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true"), p)
+      // the stored hostdb's carried counters (dnsFailures et al) never
+      // ride an Exchange; only the fresh census aggregate shuffles
+      val exchanges = p.split("\n\n").filter(_.contains(") Exchange"))
+      assert(exchanges.nonEmpty, p)
+      assert(exchanges.forall(!_.contains("dnsFailures")), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_hostdb_"))
+        .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    }
+  }
+
   test("indexing cogroup over co-bucketed CrawlDb + LinkDb plans ZERO " +
     "Exchange on both db-sized sides; only the per-round segment side " +
     "shuffles") {
