@@ -217,7 +217,8 @@ object ScaleProbe {
     }
     def r2(v: Double) = math.round(v * 100) / 100.0
     val json = new StringBuilder
-    json ++= "{\n  \"sf\": " + jstr(sfDir) + ",\n  \"factors\": " +
+    json ++= "{\n  \"sf\": " + jstr(sfDir) + ",\n  \"cpus\": " + cpus +
+      ",\n  \"factors\": " +
       factors.mkString("[", ",", "]") + ",\n  \"queries\": {\n"
     json ++= series.toSeq.sortBy(_._1).map { case (q, pts) =>
       "    " + jstr(q) + ": {" +

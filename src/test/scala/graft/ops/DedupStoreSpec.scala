@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The bucketed frozen-corpus dedup store: verdicts match the in-plan
+  * derivation on planted exact/near/new documents, the store survives
+  * a catalog wipe, and — the point of the store — each increment's
+  * probe joins read BOTH store tables in place: every Exchange in the
+  * plan carries increment columns only. */
+class DedupStoreSpec extends AnyFunSuite with SparkSuite {
+
+  private def text(i: Int): String =
+    (0 until 30).map(w => s"w${i}x$w").mkString(" ")
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("increment verdicts: planted exact copies drop_exact, appended-" +
+    "word rewrites drop_near, fresh docs keep; store survives a " +
+    "catalog wipe") {
+    val root = Files.createTempDirectory("dedup-store").toString
+    val store = docs((0 until 40).map(i => (i.toLong, text(i))))
+    DedupStore.install(store, root, buckets = 4)
+
+    // fresh catalog = fresh JVM
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_dedupstore_"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    val (sigs, bands) = DedupStore.open(spark, root, buckets = 4)
+
+    val increment = docs(
+      (100 until 110).map(i => (i.toLong, text(i))) ++ // fresh
+        Seq(200L -> text(3), 201L -> text(7)) ++ // exact store copies
+        // near rewrites: one appended word -> shingle superset,
+        // jaccard 28/31; deterministic hashing makes the band match
+        // and >= 0.5 signature agreement a fixed outcome
+        Seq(300L -> (text(5) + " extraword"),
+          301L -> (text(9) + " anotherword")))
+    val got = DedupStore.dedupIncrement(increment, sigs, bands)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    assert((100 until 110).forall(i => got(i.toLong) == "keep"), got)
+    assert(got(200L) == "drop_exact" && got(201L) == "drop_exact", got)
+    assert(got(300L) == "drop_near" && got(301L) == "drop_near", got)
+  }
+
+  test("the store never moves: every Exchange in the increment plan " +
+    "carries increment columns, none carries store_sig or s_m*") {
+    val root = Files.createTempDirectory("dedup-store-plan").toString
+    DedupStore.install(docs((0 until 60).map(i => (i.toLong, text(i)))),
+      root, buckets = 4)
+    val (sigs, bands) = DedupStore.open(spark, root, buckets = 4)
+    val increment = docs((500 until 540).map(i => (i.toLong, text(i))) ++
+      Seq(900L -> text(2)))
+
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val out = DedupStore.dedupIncrement(increment, sigs, bands)
+      assert(out.filter(col("verdict") === "drop_exact").count() == 1)
+      val p = out.queryExecution.explainString(FormattedMode)
+      assert(p.split("Bucketed: true").length - 1 == 2, p)
+      val exchanges = p.split("\n\n").filter(_.contains(") Exchange"))
+      assert(exchanges.nonEmpty, p)
+      assert(exchanges.forall(e =>
+        !e.contains("store_sig") && !e.contains("s_m") &&
+          !e.contains("store_id")), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_dedupstore_"))
+        .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    }
+  }
+}
