@@ -141,7 +141,13 @@ private[tables] object GenLayout {
   def deriveBuckets(genDir: Path): Option[Int] = {
     if (!Files.isDirectory(genDir)) return None
     val id = raw"_(\d{5})\.".r
-    val files = Files.list(genDir).iterator()
+    val stream = Files.list(genDir)
+    try deriveFrom(stream.iterator(), id)
+    finally stream.close()
+  }
+
+  private def deriveFrom(files: java.util.Iterator[Path],
+      id: scala.util.matching.Regex): Option[Int] = {
     var max = -1
     while (files.hasNext) {
       val name = files.next().getFileName.toString
