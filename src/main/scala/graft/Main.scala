@@ -15,11 +15,13 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main inject    <crawldb> <seedFile> [-filters <confDir>]
   * graft.Main generate  <crawldb> <segment> [-topN N] [-maxPerHost N] [-now MS]
   * graft.Main fetch     <segment> -site <siteJson> [-now MS]
+  *                      [-delay MS] [-storeResponseTime]
   * graft.Main parse     <segment>
   * graft.Main updatedb  <crawldb> <segment> [-now MS]
   * graft.Main invertlinks <linkdb> <segment>
   * graft.Main dedup     <crawldb>
   * graft.Main updatehostdb <crawldb> <hostdb> [-now MS]
+  *                        [-numericFields f1,f2 [-percentiles 50,75]]
   * graft.Main readdb    <crawldb> -stats | -dump <out> | -topN <N> | -url <u>
   * graft.Main index     <crawldb> <linkdb> <segment> <outDir>
   * graft.Main clean     <crawldb> <sinkDir>
@@ -143,7 +145,10 @@ object Main {
             val seg = new Segment(spark, segdir)
             Fetch.toSegment(seg.generate, site, now0, seg,
               pacer = Pacer.Config(
-                serverDelayMs = optL(rest, "-delay", 0)))
+                serverDelayMs = optL(rest, "-delay", 0)),
+              // http.store.responsetime (nutch-default.xml:425) —
+              // default-off here, see Fetch.ResponseTimeKey rationale
+              storeResponseTime = rest.contains("-storeResponseTime"))
             println(s"fetch: ${seg.fetch.count()} rows")
             0
         }
@@ -176,10 +181,20 @@ object Main {
         t.install(Dedup(t.read()), "dedup")
         println("dedup: done")
         0
-      case "updatehostdb" :: crawldb :: hostdb :: _ =>
+      case "updatehostdb" :: crawldb :: hostdb :: hostdbRest =>
         val t = graft.tables.CrawlDbStore.open(spark, crawldb)
         val h = graft.tables.HostDbStore.open(spark, hostdb)
         h.install(UpdateHostDb(t.read(), h.read(), now0), "updatehostdb")
+        // hostdb.numeric.fields analog (nutch-default.xml:2957-2979):
+        // t-digest percentile rows beside the hostdb, not in it
+        opt(hostdbRest, "-numericFields").foreach { fs =>
+          val pcts = opt(hostdbRest, "-percentiles")
+            .map(_.split(",").map(_.trim.toInt).toSeq)
+            .getOrElse(Seq(50, 75, 95, 99))
+          UpdateHostDb.numericStats(t.read(),
+              fs.split(",").map(_.trim).toSeq, pcts)
+            .write.mode("overwrite").parquet(s"$hostdb/numeric-stats")
+        }
         println(s"updatehostdb: ${h.read().count()} hosts")
         0
       case "readdb" :: crawldb :: rest =>

@@ -177,6 +177,68 @@ object QueriesStream {
         MIN(event_id) AS first_event
       FROM b GROUP BY 1, 2"""))
 
+  /** t-digest sketch of the event value stream (graft.functions
+    * .TDigest — the reference's MergingDigest(100) family,
+    * CrawlDbReader.java:481-507 / Fetcher.java:507-525), oracle-checked
+    * the only way a sketch honestly can be: on its EXACTLY-maintained
+    * invariants (total weight = row count; min/max carried verbatim —
+    * hash-equal to DuckDB's exact aggregates) plus its accuracy
+    * CONTRACT (each quantile estimate's true rank, recomputed exactly
+    * over the rows, lands within the paper's envelope — emitted as
+    * 1/0 so any estimator regression flips the hash). Quantile VALUES
+    * are merge-order-dependent and belong to TDigestSpec, not here. */
+  val tdigestValues = Q(
+    "tdigest_values",
+    (s, dir) => {
+      import graft.functions.TDigest
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy(col("event_type"))
+        .agg(TDigest.sketch(col("value")).as("sk"),
+          count(col("value")).as("n"))
+      val est = sk.select(col("event_type"), col("n"),
+        TDigest.weightOf(col("sk")).cast("long").as("cnt"),
+        TDigest.minOf(col("sk")).as("vmin"),
+        TDigest.maxOf(col("sk")).as("vmax"),
+        TDigest.quantileOf(col("sk"), 0.5).as("e50"),
+        TDigest.quantileOf(col("sk"), 0.95).as("e95"),
+        TDigest.quantileOf(col("sk"), 0.99).as("e99"))
+      // exact rank of each estimate, one pass over the rows per group;
+      // bound 0.05 is ~3× the δ=100 mid-quantile envelope (small-group
+      // floor 2/n covers rank granularity)
+      def ok(rank: org.apache.spark.sql.Column, q: Double) =
+        (abs(rank - q) <= greatest(lit(0.05), lit(2.0) / col("n")))
+          .cast("long")
+      // broadcast the k-row estimate side explicitly: its agg parent
+      // has no stats, so the planner would otherwise broadcast the
+      // EVENT SCAN (measured: ~2 s re-collecting 100k rows per action
+      // at sf0.1; lethal at real scale)
+      broadcast(est)
+        .join(ev.select(col("event_type"), col("value")), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("cnt"), col("vmin"),
+          col("vmax"), col("e50"), col("e95"), col("e99"))
+        .agg(
+          (sum(when(col("value") <= col("e50"), 1L).otherwise(0L)) /
+            col("n")).as("r50"),
+          (sum(when(col("value") <= col("e95"), 1L).otherwise(0L)) /
+            col("n")).as("r95"),
+          (sum(when(col("value") <= col("e99"), 1L).otherwise(0L)) /
+            col("n")).as("r99"))
+        .select(col("event_type"), col("cnt"), col("vmin"), col("vmax"),
+          ok(col("r50"), 0.5).as("ok50"),
+          ok(col("r95"), 0.95).as("ok95"),
+          ok(col("r99"), 0.99).as("ok99"))
+    },
+    Some("""
+      SELECT event_type,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        MIN(value) AS vmin,
+        MAX(value) AS vmax,
+        CAST(1 AS BIGINT) AS ok50,
+        CAST(1 AS BIGINT) AS ok95,
+        CAST(1 AS BIGINT) AS ok99
+      FROM events
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract,
-    dedupStreamBatch, slidingRate)
+    dedupStreamBatch, slidingRate, tdigestValues)
 }

@@ -22,24 +22,37 @@ object CrawlDbReader {
 
   /** -stats: per-status counts + score min/max/avg + median
     * (CrawlDbReader.java:371-509). Production path uses bounded-state
-    * aggregates only: percentile_approx's mergeable sketch is
-    * O(accuracy) per group, never O(distinct scores) — on a real
-    * crawldb the score column is continuous, so the exact value
-    * histogram (one array entry per distinct value) would approach row
-    * count for the dominant status and blow the aggregation buffer.
+    * aggregates only — on a real crawldb the score column is
+    * continuous, so the exact value histogram (one array entry per
+    * distinct value) would approach row count for the dominant status
+    * and blow the aggregation buffer. The median comes from the same
+    * sketch family the reference merges here (`CrawlDbReader.java:
+    * 481-507`: per-part MergingDigest(100) of the score column):
+    * graft.functions.TDigest, O(δ) state per group per partial.
     * The oracle-checked exact form lives in `crawldb_stats`. */
-  def stats(db: Dataset[CrawlRow]): DataFrame =
+  def stats(db: Dataset[CrawlRow],
+      quantiles: Seq[Double] = Seq(0.5)): DataFrame = {
+    // all requested quantiles read out of ONE digest per status group
+    // (identical agg expressions deduplicate in planning) — the
+    // reference's db.stats.score.quantiles list (default .01...99,
+    // CrawlDbReader.java:706-731) costs one sketch either way
+    val digest = graft.functions.TDigest.quantileAgg(
+      col("score"), quantiles)
+    val qCols = quantiles.zipWithIndex.map { case (q, i) =>
+      val pct = math.rint(q * 100).toInt
+      round(element_at(digest, i + 1), 4).as(s"p${pct}_score")
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("cnt"),
+      min(col("score")).as("min_score"),
+      max(col("score")).as("max_score"),
+      avg(col("score")).as("avg_score")) ++ qCols
     db.toDF()
       .select(statusNameCol.as("status"),
         col("datum.score").cast("double").as("score"))
       .groupBy("status")
-      .agg(
-        count(lit(1)).as("cnt"),
-        min(col("score")).as("min_score"),
-        max(col("score")).as("max_score"),
-        avg(col("score")).as("avg_score"),
-        round(Relational.quantileApprox(col("score"), 0.5), 4)
-          .as("p50_score"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
 
   /** -dump csv lines (quoted url, status name, score, fetch time). */
   def csvLines(db: Dataset[CrawlRow]): DataFrame =

@@ -45,23 +45,30 @@ object Metrics {
     sum(when(cond, 1L).otherwise(0L))
 
   /** LatencyTracker analog (metrics/LatencyTracker.java suffixes):
-    * count/sum plus approximate percentiles over the `_rs_` response
+    * count/sum plus t-digest percentiles over the `_rs_` response
     * times the protocol pass records when storeResponseTime is on —
-    * percentile_approx is Spark's mergeable bounded-state sketch, the
-    * same accuracy/state trade the reference's TDigest makes. Rows
-    * without `_rs_` (the flag off, robots-denied, drained) contribute
-    * nothing; all-absent yields count 0 and zeroed gauges. */
+    * the reference's own sketch family at its compression
+    * (Fetcher.java:507-525 merges MergingDigest(100) latency digests
+    * across fetcher threads); graft.functions.TDigest is the
+    * first-party equivalent, O(δ) state per partial. The three
+    * read-outs share ONE digest: identical aggregate expressions
+    * deduplicate in planning, so this is a single sketch pass, not
+    * three. Rows without `_rs_` (the flag off, robots-denied,
+    * drained) contribute nothing; all-absent yields count 0 and
+    * zeroed gauges. */
   private def latencyPairs(md: org.apache.spark.sql.Column)
       : Seq[(String, org.apache.spark.sql.Column)] = {
     val rs = md.getItem(Fetch.ResponseTimeKey).cast("long")
-    def pct(q: Double) =
-      coalesce(percentile_approx(rs, lit(q), lit(10000)), lit(0L))
+    val digest = graft.functions.TDigest.quantileAgg(
+      rs, Seq(0.5, 0.95, 0.99))
+    def pct(i: Int) =
+      coalesce(element_at(digest, i).cast("long"), lit(0L))
     Seq(
       "fetch_latency_count_total" -> cnt(rs.isNotNull),
       "fetch_latency_sum_ms" -> sum(coalesce(rs, lit(0L))),
-      "fetch_latency_p50_ms" -> pct(0.5),
-      "fetch_latency_p95_ms" -> pct(0.95),
-      "fetch_latency_p99_ms" -> pct(0.99))
+      "fetch_latency_p50_ms" -> pct(1),
+      "fetch_latency_p95_ms" -> pct(2),
+      "fetch_latency_p99_ms" -> pct(3))
   }
 
   /** nutch_fetcher group (NutchMetrics.java GROUP_FETCHER): outcome

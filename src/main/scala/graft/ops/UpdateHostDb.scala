@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Urls
@@ -108,6 +108,48 @@ object UpdateHostDb {
       accs("new_unknown").value, accs("existing_unknown").value,
       accs("purged").value)
     (materialized, stats)
+  }
+
+  /** Numeric-field aggregations (hostdb.numeric.fields /
+    * hostdb.percentiles, nutch-default.xml:2957-2979;
+    * UpdateHostDbReducer.java:263-286,380-397): per-host min/max/avg
+    * plus t-digest percentiles of numeric CrawlDatum metadata fields
+    * — the reference keeps a TDigest(100) per (host, field) in its
+    * reducer and emits `pct<P>.<field>` host metadata. Here the same
+    * information lands as rows (host, field, cnt, min, max, avg,
+    * pct...), one hash aggregation, digest state O(δ) per group —
+    * joinable back onto the hostdb by host when a consumer wants the
+    * metadata shape. One fidelity divergence, deliberate: the
+    * reference's emit loop writes quantile(0.5) for EVERY requested
+    * percentile (UpdateHostDbReducer.java:394's literal `.quantile(
+    * 0.5)` inside the percentiles loop); here pct75 is the 0.75
+    * quantile, as the config documents. */
+  def numericStats(db: Dataset[CrawlRow],
+      fields: Seq[String] = Seq("_rs_"),
+      percentiles: Seq[Int] = Seq(50, 75, 95, 99)): DataFrame = {
+    require(fields.nonEmpty && percentiles.nonEmpty)
+    // try_cast: the reference skips unparseable values via parseFloat's
+    // catch (UpdateHostDbReducer.java:270,287) — ANSI cast would throw
+    val fv = array(fields.map(f => struct(lit(f).as("field"),
+      col("datum.metadata").getItem(f).try_cast("double").as("v"))): _*)
+    val digest = graft.functions.TDigest.quantileAgg(
+      col("v"), percentiles.map(_ / 100.0))
+    val aggCols = Seq(
+      count(lit(1)).as("cnt"),
+      min(col("v")).as("min"),
+      max(col("v")).as("max"),
+      avg(col("v")).as("avg")) ++
+      percentiles.zipWithIndex.map { case (p, i) =>
+        element_at(digest, i + 1).as(s"pct$p")
+      }
+    db.toDF()
+      .withColumn("host", Urls.host(col("url")))
+      .filter(col("host") =!= "")
+      .select(col("host"), explode(fv).as("fv"))
+      .select(col("host"), col("fv.field").as("field"), col("fv.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("host", "field")
+      .agg(aggCols.head, aggCols.tail: _*)
   }
 
   def apply(db: Dataset[CrawlRow], prev: Dataset[HostRow],

@@ -33,13 +33,22 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("generate", crawldb, seg, "-topN", "10",
       "-now", (t0 + 1000).toString) == 0)
     assert(v("fetch", seg, "-site", s"$root/site.json",
-      "-now", (t0 + 1000).toString) == 0)
+      "-now", (t0 + 1000).toString, "-storeResponseTime") == 0)
     assert(v("parse", seg) == 0)
     assert(v("updatedb", crawldb, seg, "-now", (t0 + 2000).toString) == 0)
     assert(v("invertlinks", linkdb, seg) == 0)
     assert(v("dedup", crawldb) == 0)
     assert(v("updatehostdb", crawldb, hostdb,
       "-now", (t0 + 3000).toString) == 0)
+    // numeric-field percentile sidecar (hostdb.numeric.fields analog):
+    // fetch stored _rs_ response times, so stats rows must exist
+    assert(v("updatehostdb", crawldb, hostdb,
+      "-now", (t0 + 3500).toString, "-numericFields", "_rs_",
+      "-percentiles", "50,95") == 0)
+    val nstats = spark.read.parquet(s"$hostdb/numeric-stats")
+    assert(nstats.columns.toSeq ==
+      Seq("host", "field", "cnt", "min", "max", "avg", "pct50", "pct95"))
+    assert(nstats.count() > 0)
 
     // read paths
     assert(v("readdb", crawldb, "-stats") == 0)

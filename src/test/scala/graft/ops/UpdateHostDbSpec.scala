@@ -76,4 +76,34 @@ class UpdateHostDbSpec extends AnyFunSuite with SparkSuite {
     assert(merged("old-bad.com").dnsFailures == 8)
     out.unpersist()
   }
+
+  test("numericStats: per-host t-digest percentiles of metadata fields") {
+    import spark.implicits._
+    def row(u: String, md: Map[String, String]) =
+      CrawlRow(u, CrawlDatum(S.DB_FETCHED, 0L, 0, 2592000, 1f, None, 0L, md))
+    // a.com: _rs_ 100..1000 in steps of 100; one junk + one absent row
+    val aRows = (1 to 10).map(i =>
+      row(s"http://a.com/$i", Map("_rs_" -> (i * 100).toString)))
+    val db = (aRows ++ Seq(
+      row("http://a.com/nan", Map("_rs_" -> "junk")), // unparseable → null
+      row("http://a.com/none", Map.empty),
+      row("http://b.com/1", Map("_rs_" -> "50", "cl" -> "7")))).toDS()
+
+    val out = UpdateHostDb.numericStats(db, Seq("_rs_", "cl"),
+      Seq(50, 95)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val a = out(("a.com", "_rs_"))
+    assert(a.getLong(2) == 10) // junk/absent rows contribute nothing
+    assert(a.getDouble(3) == 100.0 && a.getDouble(4) == 1000.0)
+    assert(a.getDouble(5) == 550.0)
+    val p50 = a.getDouble(6)
+    val p95 = a.getDouble(7)
+    assert(p50 >= 400.0 && p50 <= 700.0, s"p50=$p50")
+    assert(p95 >= 900.0 && p95 <= 1000.0, s"p95=$p95")
+    assert(p50 <= p95)
+    val b = out(("b.com", "_rs_"))
+    assert(b.getLong(2) == 1 && b.getDouble(6) == 50.0)
+    assert(out(("b.com", "cl")).getDouble(6) == 7.0)
+    assert(!out.contains(("a.com", "cl"))) // field absent on that host
+  }
 }
