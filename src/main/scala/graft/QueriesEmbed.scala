@@ -607,6 +607,167 @@ object QueriesEmbed {
       WHERE cos >= 0.9"""
     })
 
+  private val SEMDEDUP_TAU = 0.9
+
+  /** DuckDB twin of semantic_dedup's sign-band explode (bits read from
+    * the shared quantized vector, so both engines band identically). */
+  private def semdedupBandSelects: String =
+    (0 until NEARDUP_BANDS).map { b =>
+      val bits = (0 until NEARDUP_BITS).map { j =>
+        s"(CASE WHEN e.qv[${b * NEARDUP_BITS + j + 1}] >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"SELECT a.vec_id, a.cell, a.ccos, $b AS band, $bits AS bv " +
+        "FROM asg a JOIN qe e ON e.vec_id = a.vec_id"
+    }.mkString("\n        UNION ALL ")
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540) —
+    * the LLM-corpus semantic dedup recipe: k-means-cluster the
+    * embeddings, compare pairs ONLY within a cluster, and among
+    * semantic duplicates (pair cosine ≥ τ) KEEP the example with the
+    * LOWEST similarity to its cluster centroid (the paper's §2.2 rule
+    * — low-centroid-similarity points carry the most marginal
+    * information). The verdict here is the paper's rule made
+    * deterministic and join-shaped: drop v iff some τ-neighbor in its
+    * cluster precedes it under (centroid-cos asc, vec_id asc) — the
+    * minimum of every duplicate group always survives, and the rule
+    * needs no iterative peeling so it stays two hash joins.
+    *
+    * Scale — stated precisely, because this operator is NOT like the
+    * exact-content dedup ladder: minhash_lsh/ngram_jaccard probe
+    * linear because their md5 band keys carry ~zero random-collision
+    * mass, but ANY LSH family for continuous cosine at τ = 0.9 has
+    * p₂ > 0 on random pairs, so candidates grow ~p₂·n²/cells — the
+    * scale probe measures exactly that on its uniform-random inflated
+    * embeddings (1.74 → 3133 MB shuffle for ×10 → ×100 when cluster
+    * SIZES grow with n), which is why semantic_dedup is excluded from
+    * ScaleProbe.defaultQueries with this note. SemDeDup's own answer,
+    * and this operator's scale knob, is cluster count ∝ n (the paper
+    * runs k = 50k on 1.7B examples): per-cluster work is then
+    * bounded·n, and billion-scale cluster ASSIGNMENT is the already-
+    * built IVF machinery (knn_ivf / knn_ivfpq), not a broadcast. The
+    * sign-band prefilter here bounds the verify stage to colliding
+    * pairs (planted copies preserve every sign bit, so they collide
+    * certainly); candidates are hash-join-shaped on (cell, band,
+    * bits), never an explicit all-pairs. Training reuses knn_ivf's
+    * fixed-point one-Lloyd-step coarse quantizer. Integer-exact /
+    * shared-float-expression discipline throughout, so DuckDB agrees
+    * bit-for-bit. */
+  val semanticDedup = Q(
+    "semantic_dedup",
+    (s, dir) => {
+      val e = prepare(plantedEmb(s, dir)).cache()
+      // --- train: label-cell fixed-point means (knn_ivf pattern) ---
+      val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("cx"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cx")))),
+          p => p.getField("cx")).as("cvec"))
+        .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
+      // --- assign: nearest centroid by cosine (ties: lowest cell) ---
+      val scored = e.crossJoin(broadcast(cent.select(
+          col("label").as("cell"), col("cvec"), col("cnsq"))))
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
+          Similarity.cosineFx(Similarity.dotQ(col("qv"), col("cvec")),
+            col("nsq"), col("cnsq")).as("ccos"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("ccos"), asc("cell"))
+      val asg = scored.withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
+          round(col("ccos"), 6).as("ccos"))
+        .cache()
+      // --- banded within-cluster candidates; keeper = min(ccos, id) ---
+      val bandCols = (0 until NEARDUP_BANDS).map { b =>
+        val bits = (0 until NEARDUP_BITS).map { j =>
+          when(element_at(col("qv"), b * NEARDUP_BITS + j + 1) >= 0,
+            lit("1")).otherwise(lit("0"))
+        }
+        struct(lit(b).as("band"), concat(bits: _*).as("bv"))
+      }
+      val bands = asg.select(col("vec_id"), col("cell"), col("ccos"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("cell"), col("ccos"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") =!= col("b.vec_id") &&
+            (col("b.ccos") < col("a.ccos") ||
+              (col("b.ccos") === col("a.ccos") &&
+                col("b.vec_id") < col("a.vec_id"))))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val dropped = cand
+        .join(asg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+        .join(asg.select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
+          col("nsq").as("b_nsq")), "b_id")
+        .filter(round(Similarity.cosineFx(
+            Similarity.dotQ(col("qv"), col("b_qv")),
+            col("nsq"), col("b_nsq")), 6) >= SEMDEDUP_TAU)
+        .select(col("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      asg.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("ccos"),
+          when(col("dropped").isNotNull, lit(0L)).otherwise(lit(1L))
+            .as("kept"))
+    },
+    Some(s"""
+      WITH emb AS ($sqlPlantedEmb),
+      qe AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(ROUND(x*1e6) AS BIGINT)) AS qv
+        FROM emb),
+      cent0 AS (
+        SELECT label, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, unnest(qv) AS x,
+                unnest(generate_series(1, len(qv))) AS i
+              FROM qe)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label AS cell, list(cx ORDER BY i) AS cvec FROM cent0
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(e.qv, c.cvec),
+               s -> s[1] * s[2])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(e.qv, x -> x*x)) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(c.cvec, x -> x*x)) AS DOUBLE)))
+            AS ccos
+        FROM qe e CROSS JOIN cent c),
+      asg AS (
+        SELECT vec_id, cell, ROUND(ccos, 6) AS ccos FROM (
+          SELECT vec_id, cell, ccos, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cell) AS rn
+          FROM scored) WHERE rn = 1),
+      bands AS (
+        $semdedupBandSelects),
+      cand AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.cell = b.cell AND a.band = b.band AND a.bv = b.bv
+          AND a.vec_id <> b.vec_id
+          AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))),
+      dropped AS (
+        SELECT DISTINCT c.vec_id
+        FROM cand c
+        JOIN qe ea ON ea.vec_id = c.vec_id
+        JOIN qe eb ON eb.vec_id = c.b_id
+        WHERE ROUND(
+          CAST(list_sum(list_transform(list_zip(ea.qv, eb.qv),
+               s -> s[1] * s[2])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(ea.qv, x -> x*x)) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(eb.qv, x -> x*x)) AS DOUBLE))),
+          6) >= $SEMDEDUP_TAU)
+      SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, a.ccos,
+        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""))
+
   val all: Seq[Q] =
-    Seq(knnBruteforce, knnIvf, knnPq, knnIvfpq, embedNearDup)
+    Seq(knnBruteforce, knnIvf, knnPq, knnIvfpq, embedNearDup, semanticDedup)
 }

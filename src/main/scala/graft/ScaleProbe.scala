@@ -33,7 +33,18 @@ object ScaleProbe {
     "opic_distribute", "score_updater", "node_degrees", "index_docs",
     "dedup_merge", "minhash_lsh", "ngram_jaccard", "pipeline_compose",
     "sessionize", "sliding_rate", "incremental_dedup",
-    "host_cap_skewsafe", "webgraph_dedup", "dedup_clusters")
+    "host_cap_skewsafe", "webgraph_dedup", "dedup_clusters",
+    "tdigest_values")
+  // semantic_dedup is deliberately NOT probed: continuous-similarity
+  // dedup at τ=0.9 has an irreducible LSH random-collision floor
+  // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
+  // here: 1.74 → 3133 MB shuffle for ×10 → ×100 on uniform-random
+  // inflated embeddings — the probe's worst case, since inflation
+  // grows cluster sizes, not cluster count). Exact-content dedup
+  // (minhash_lsh, ngram_jaccard) probes linear because its md5 band
+  // keys have ~zero random-collision mass. See QueriesEmbed
+  // .semanticDedup's scale note for the operator's actual knob
+  // (cluster count ∝ n, the paper's own regime).
 
   /** `joins` is the AQE-FINAL join inventory of the measured plan
     * (e.g. "bhj=2,smj=1") — captured from the executed plan, not the

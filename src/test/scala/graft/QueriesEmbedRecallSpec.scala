@@ -230,4 +230,32 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
     assert(got < full, "scan touched the full table")
     spark.catalog.clearCache()
   }
+
+  test("semantic_dedup drops planted near-copies; keeper is the " +
+      "group's (ccos, id)-minimum; cross-cluster pairs never drop") {
+    val rows = Queries.byName("semantic_dedup").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val byId = rows.map(t => t._1 -> t).toMap
+    // planted copies (vec_id = src + 1e6) have cos ≥ 0.943 to their
+    // source: whenever the pair landed in one cluster, exactly one of
+    // the two must be dropped — and it must be the (ccos, id)-larger
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    var checkedPairs = 0
+    planted.foreach { case (id, cell, ccos, kept) =>
+      val (srcId, srcCell, srcCcos, srcKept) = byId(id - 1000000L)
+      if (cell == srcCell) {
+        checkedPairs += 1
+        assert(kept + srcKept <= 1, s"τ-pair ($srcId,$id) both kept")
+        val srcFirst = srcCcos < ccos || (srcCcos == ccos && srcId < id)
+        val expectDropped = if (srcFirst) id else srcId
+        assert(byId(expectDropped)._4 == 0L,
+          s"pair ($srcId,$id): dominated member $expectDropped kept")
+      }
+    }
+    assert(checkedPairs > 0, "no planted pair shared a cluster")
+    assert(rows.count(_._4 == 0L) < rows.length / 10,
+      "dedup dropped >10% of a corpus that is <10% duplicates")
+  }
 }
