@@ -22,7 +22,8 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main dedup     <crawldb>
   * graft.Main updatehostdb <crawldb> <hostdb> [-now MS]
   *                        [-numericFields f1,f2 [-percentiles 50,75]]
-  * graft.Main readdb    <crawldb> -stats | -dump <out> | -topN <N> | -url <u>
+  * graft.Main readdb    <crawldb> -stats [-quantiles .25,.5,...]
+  *                      | -dump <out> | -topN <N> | -url <u>
   * graft.Main index     <crawldb> <linkdb> <segment> <outDir>
   * graft.Main clean     <crawldb> <sinkDir>
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
@@ -200,8 +201,12 @@ object Main {
       case "readdb" :: crawldb :: rest =>
         val db = graft.tables.CrawlDbStore.open(spark, crawldb).read()
         rest match {
-          case "-stats" :: _ =>
-            CrawlDbReader.stats(db).orderBy("status").collect()
+          case "-stats" :: statsOpts =>
+            // db.stats.score.quantiles analog (CrawlDbReader.java:706)
+            val qs = opt(statsOpts, "-quantiles")
+              .map(_.split(",").map(_.trim.toDouble).toSeq.sorted)
+              .getOrElse(CrawlDbReader.DefaultQuantiles)
+            CrawlDbReader.stats(db, qs).orderBy("status").collect()
               .foreach(r => println(r.mkString("\t")))
             0
           case "-dump" :: out :: dumpOpts =>

@@ -540,7 +540,11 @@ object QueriesEmbed {
     * sign-pattern bands (random-hyperplane LSH with axis-aligned
     * planes); exact fixed-point cosine ≥ 0.9 on candidates only. The
     * previous label-cell all-pairs join was O(n²/L) with a FIXED label
-    * count — the 256-way band split keeps buckets bounded as n grows.
+    * count — the 256-way band split cuts the constant 256-fold but,
+    * like ANY continuous-cosine LSH at τ = 0.9, keeps a nonzero
+    * random-collision floor (p₂·n²/L·B/2^bits): see semanticDedup's
+    * scale note for the measured growth and the cluster-count-∝-n
+    * regime that bounds it on real corpora.
     * Runs over [[plantedEmb]]: the synthetic corpus is measured-uniform
     * (no natural pair reaches 0.9), so the planted perturbed copies
     * make the expected output non-empty — the oracle proves the

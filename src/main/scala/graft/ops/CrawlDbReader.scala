@@ -30,8 +30,14 @@ object CrawlDbReader {
     * 481-507`: per-part MergingDigest(100) of the score column):
     * graft.functions.TDigest, O(δ) state per group per partial.
     * The oracle-checked exact form lives in `crawldb_stats`. */
+  /** The reference's default db.stats.score.quantiles list
+    * (CrawlDbReader.java:706). */
+  val DefaultQuantiles: Seq[Double] = Seq(
+    0.01, 0.05, 0.1, 0.2, 0.25, 0.3, 0.4, 0.5,
+    0.6, 0.7, 0.75, 0.8, 0.9, 0.95, 0.99)
+
   def stats(db: Dataset[CrawlRow],
-      quantiles: Seq[Double] = Seq(0.5)): DataFrame = {
+      quantiles: Seq[Double] = DefaultQuantiles): DataFrame = {
     // all requested quantiles read out of ONE digest per status group
     // (identical agg expressions deduplicate in planning) — the
     // reference's db.stats.score.quantiles list (default .01...99,

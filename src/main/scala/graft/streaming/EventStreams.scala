@@ -69,6 +69,34 @@ object EventStreams {
     * on the signature alone and expires it WITH the watermark — without
     * the horizon, streaming dedup state grows forever. Keyed on
     * (event_type, value-cents) as the stand-in signature. */
+  /** Hourly t-digest value quantiles per event type — the streaming
+    * face of the reference's latency/score sketches (Fetcher.java:
+    * 507-525 merges MergingDigest(100) across fetch threads; here the
+    * digest is the windowed-aggregation STATE, serialized into the
+    * state store via the aggregate's own byte codec, merged across
+    * micro-batches by the engine's partial-merge calls — O(δ) state
+    * per (window, type) at any event rate). Watermark bounds state
+    * exactly like [[hourly]]. Quantile read-outs are estimates
+    * (merge-order-dependent), so the oracle surface is the batch
+    * tdigest_values contract query; EventStreamsSpec asserts the
+    * streamed estimates hit the same rank-error budget against the
+    * exact per-window data. */
+  def valueQuantiles(events: Dataset[Event]): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.TDigest.quantileAgg(col("value"),
+          Seq(0.5, 0.95, 0.99)).as("qv"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"),
+        element_at(col("qv"), 1).as("p50"),
+        element_at(col("qv"), 2).as("p95"),
+        element_at(col("qv"), 3).as("p99"))
+
   def dedupStream(events: Dataset[Event]): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))

@@ -38,6 +38,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed t-digest quantiles: state is the digest, estimates " +
+      "hit the rank budget across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.valueQuantiles(in.toDS())
+      .writeStream.format("memory").queryName("vq")
+      .outputMode("complete").start()
+    try {
+      val t0 = (base / H) * H
+      // 2000 deterministic values across 4 micro-batches — the digest
+      // state must merge across batches, not just within one
+      def v(i: Int): Double = (i * 37 % 1000) / 10.0
+      val batches = (0 until 2000).map(i =>
+        Event(i.toLong, i % 50L, "view", t0 + i, v(i)))
+        .grouped(500).toSeq
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val r = spark.table("vq").filter("event_type = 'view'")
+        .collect().head
+      assert(r.getLong(2) == 2000L)
+      val sorted = (0 until 2000).map(v).sorted
+      def rank(x: Double) = sorted.count(_ <= x) / 2000.0
+      assert(math.abs(rank(r.getDouble(3)) - 0.5) <= 0.06,
+        s"p50=${r.getDouble(3)}")
+      assert(math.abs(rank(r.getDouble(4)) - 0.95) <= 0.02,
+        s"p95=${r.getDouble(4)}")
+      assert(math.abs(rank(r.getDouble(5)) - 0.99) <= 0.01,
+        s"p99=${r.getDouble(5)}")
+      assert(r.getDouble(3) <= r.getDouble(4) &&
+        r.getDouble(4) <= r.getDouble(5))
+    } finally q.stop()
+  }
+
   test("sliding 10/5-minute windows: each event lands in two windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
