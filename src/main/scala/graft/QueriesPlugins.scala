@@ -677,8 +677,15 @@ object QueriesPlugins {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val k = col("doc_id")
-      d.select(k.as("doc_id"),
-          pdfTextUdf(k, (lit(1) + k % 3).cast("int"), k % 3 === 0).as("r"))
+      // CPU-dense key-derived synth+parse over a one-row-group scan:
+      // numbered repartition of the bare key engages all cores (see
+      // flac_stats — AQE coalesces a column-only repartition back to
+      // one task at this byte size)
+      d.select(k.as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          pdfTextUdf(col("doc_id"), (lit(1) + col("doc_id") % 3).cast("int"),
+            col("doc_id") % 3 === 0).as("r"))
         .select(col("doc_id"),
           col("r._1").as("status"),
           col("r._2").as("encrypted"),

@@ -1373,7 +1373,19 @@ object QueriesText {
       val k = col("doc_id")
       val r = synthFlacUdf((lit(3900) + k % 400).cast("int"),
         (k % 193).cast("int"))
-      d.select(k.as("doc_id"), r.as("r"))
+      // the roundtrip is CPU-dense per row while the scan is one tiny
+      // row-group (= ONE task, so the codec ran single-threaded —
+      // measured 2.8 s at sf0.1 with 31 idle cores; the raw codec
+      // alone accounts for all of it). Repartitioning the bare key
+      // column costs a ~40 KB shuffle and engages every core; the
+      // explicit partition COUNT matters — a column-only repartition
+      // is AQE-coalesced right back to one task at this byte size
+      // (40 KB < minPartitionSize), which re-serializes the CPU work.
+      // At real scale the scan splits naturally and the narrow
+      // shuffle stays proportional to ROW COUNT, not payload.
+      d.select(k.as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), r.as("r"))
         .select(col("doc_id"),
           col("r._1").as("n_samples"),
           col("r._2").as("sum_abs"),

@@ -39,16 +39,36 @@ object FlacCodec {
 
   // ---- CRCs (FLAC frame polynomials) ----
 
+  // table-driven (256-entry per-byte step — the standard CRC rewrite;
+  // bit-identical to the 8-iteration inner loop it replaces, which
+  // profiled hot: crc16 walks EVERY frame byte of every file)
+  private val crc8Table: Array[Int] = Array.tabulate(256) { v =>
+    var crc = v
+    var b = 0
+    while (b < 8) {
+      crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+            else (crc << 1) & 0xff
+      b += 1
+    }
+    crc
+  }
+
+  private val crc16Table: Array[Int] = Array.tabulate(256) { v =>
+    var crc = v << 8
+    var b = 0
+    while (b < 8) {
+      crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+            else (crc << 1) & 0xffff
+      b += 1
+    }
+    crc
+  }
+
   private[operators] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
     while (i < until) {
-      crc ^= bytes(i) & 0xff
-      var b = 0
-      while (b < 8) {
-        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
-        b += 1
-      }
+      crc = crc8Table(crc ^ (bytes(i) & 0xff))
       i += 1
     }
     crc
@@ -58,13 +78,7 @@ object FlacCodec {
     var crc = 0
     var i = from
     while (i < until) {
-      crc ^= (bytes(i) & 0xff) << 8
-      var b = 0
-      while (b < 8) {
-        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
-              else (crc << 1) & 0xffff
-        b += 1
-      }
+      crc = ((crc << 8) & 0xffff) ^ crc16Table(((crc >>> 8) ^ (bytes(i) & 0xff)) & 0xff)
       i += 1
     }
     crc
@@ -83,17 +97,34 @@ object FlacCodec {
       pos += 1
       b
     }
-    /** n ≤ 32 unsigned bits. */
+    /** n ≤ 32 unsigned bits — consumed in byte-sized gulps (the
+      * bit-at-a-time loop profiled hot: rice residuals read two of
+      * these per SAMPLE). Identical bit semantics, ~8× fewer array
+      * reads. */
     def readBits(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | readBit(); i += 1 }
-      v
+      var v = 0L
+      var got = 0
+      var p = pos
+      while (got < n) {
+        val avail = 8 - (p & 7)
+        val take = if (avail < n - got) avail else n - got
+        val chunk =
+          ((bytes(p >>> 3) & 0xff) >>> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        got += take
+        p += take
+      }
+      pos = p
+      v.toInt
     }
     def readBitsLong(n: Int): Long = {
       var v = 0L
-      var i = 0
-      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      var rem = n
+      while (rem > 0) {
+        val take = if (rem < 16) rem else 16
+        v = (v << take) | (readBits(take).toLong & ((1L << take) - 1))
+        rem -= take
+      }
       v
     }
     /** n ≤ 32 signed (two's complement) bits. */
@@ -103,10 +134,24 @@ object FlacCodec {
         val v = readBits(n)
         (v << (32 - n)) >> (32 - n)
       }
-    /** Unary: count of 0 bits before the terminating 1. */
+    /** Unary: count of 0 bits before the terminating 1 — scanned a
+      * byte at a time via leading-zero count (same OOB behavior as the
+      * bit loop on truncated input: the array access throws and the
+      * caller's malformed-input guard catches). */
     def readUnary(): Int = {
       var q = 0
-      while (readBit() == 0) q += 1
+      while (true) {
+        val bitOff = pos & 7
+        val rest = ((bytes(pos >>> 3) & 0xff) << bitOff) & 0xff
+        if (rest == 0) {
+          q += 8 - bitOff
+          pos += 8 - bitOff
+        } else {
+          val lz = Integer.numberOfLeadingZeros(rest) - 24
+          pos += lz + 1
+          return q + lz
+        }
+      }
       q
     }
   }
@@ -120,13 +165,24 @@ object FlacCodec {
       nBits += 1
       if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
     }
+    /** Byte-gulp write — same stream as the bit loop it replaces
+      * (encode is the hot half of the flac_stats roundtrip). */
     def writeBits(v: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { writeBit((v >>> i) & 1); i -= 1 }
+      var rem = n
+      while (rem > 0) {
+        val space = 8 - nBits
+        val take = if (space < rem) space else rem
+        cur = (cur << take) | ((v >>> (rem - take)) & ((1 << take) - 1))
+        nBits += take
+        rem -= take
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+      }
     }
     def writeBitsLong(v: Long, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+      if (n > 32) {
+        writeBits((v >>> 32).toInt, n - 32)
+        writeBits(v.toInt, 32)
+      } else writeBits(v.toInt, n)
     }
     def padToByte(): Unit = while (nBits != 0) writeBit(0)
     def toBytes: Array[Byte] = { padToByte(); out.toByteArray }
@@ -173,8 +229,9 @@ object FlacCodec {
     while (i < res.length) {
       val u = zigzag(res(i))
       var q = u >>> k
-      while (q > 0) { w.writeBit(0); q -= 1 }
-      w.writeBit(1)
+      while (q >= 24) { w.writeBits(0, 24); q -= 24 } // batched unary zeros
+      // remaining zeros + the terminating 1 in one gulp
+      w.writeBits(1, q + 1)
       w.writeBits(u & ((1 << k) - 1), k)
       i += 1
     }
