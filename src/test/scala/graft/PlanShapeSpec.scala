@@ -252,10 +252,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
   test("media decode queries are pure maps: no shuffle at all") {
     // pixel/audio decode is per-row work; any Exchange here would mean
     // the plan ships payloads across the cluster for no reason
-    for (q <- Seq("pixel_stats", "audio_stats", "flac_stats", "jpeg_stats",
+    for (q <- Seq("pixel_stats", "audio_stats", "jpeg_stats",
         "webp_stats", "tiff_stats")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q: $p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("heavy codec roundtrips shuffle ONLY the bare key, pre-decode") {
+    // flac_stats/pdf_text spread their CPU-dense key-derived synth
+    // across cores with a numbered repartition (one tiny row-group =
+    // one task otherwise). The contract: exactly one Exchange, BELOW
+    // the decode projection, carrying nothing but the key column —
+    // payload never ships
+    for (q <- Seq("flac_stats", "pdf_text")) {
+      val p = plan(q)
+      // formatted mode lists each node twice (tree + detail): count
+      // tree entries only
+      val exchanges = raw"Exchange \(\d+\)".r.findAllIn(
+        p.replace("BroadcastExchange", "")).length
+      assert(exchanges == 1, s"$q: expected exactly 1 shuffle\n$p")
+      val exLine = p.linesIterator
+        .find(l => l.contains("Arguments: hashpartitioning")).getOrElse("")
+      assert(exLine.contains("doc_id") && !exLine.contains("text") &&
+        !exLine.contains("bytes"), s"$q exchange not key-only: $exLine")
       spark.catalog.clearCache()
     }
   }
