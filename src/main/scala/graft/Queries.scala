@@ -31,6 +31,24 @@ object Queries {
 
   def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Engage all cores for a CPU-dense map phase when the SOURCE
+    * under-partitions. A small table is often one parquet row-group =
+    * ONE Spark task (a row-group cannot split below its byte range),
+    * so shingling/hashing/codec map work serializes on a single core
+    * no matter the cluster — measured: flac_stats spent its entire
+    * 2.8 s on one of 32 threads. The guard makes this a strict no-op
+    * whenever the scan already splits at least half the cores wide —
+    * at real scale file counts dwarf parallelism and NO payload
+    * shuffle is added; at toy/hot-table scale the one-time key-hashed
+    * shuffle (bytes = the small table itself) buys full-width CPU.
+    * The numbered form is deliberate: AQE coalesces a column-only
+    * repartition of a tiny table straight back to one task. */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= cores) df
+    else df.repartition(cores, key)
+  }
+
   /** Fixed-point: round(c * 10^scale) as long — order-independent sum unit. */
   def fx(c: Column, scale: Int): Column =
     round(c * math.pow(10, scale), 0).cast("long")

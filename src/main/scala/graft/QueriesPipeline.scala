@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import Queries.t
+import Queries.{t, spread}
 
 /** Batch 5 — training-data-pipeline operators beyond the reference's own
   * surface: repetition-based quality rules (Gopher-style), PII scrubbing,
@@ -43,7 +43,7 @@ object QueriesPipeline {
   val qualityGopher = Q(
     "quality_gopher",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val toks = d
         .select(col("doc_id"),
@@ -117,7 +117,7 @@ object QueriesPipeline {
   val piiScrub = Q(
     "pii_scrub",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val planted = concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or admin"),
         col("doc_id"), lit("@mail.test call 555-"),
@@ -173,7 +173,7 @@ object QueriesPipeline {
   val decontaminate = Q(
     "decontaminate",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val leads = (1 to 7).map(j => lead(col("w"), j).over(w).as(s"w$j"))
       val gramCols = col("w") +: (1 to 7).map(j => col(s"w$j"))
@@ -273,7 +273,7 @@ object QueriesPipeline {
     (s, dir) => {
       val boiler =
         "cookie policy accepted please subscribe to our newsletter today now ok"
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
             .otherwise(col("text")).as("text"))
@@ -342,7 +342,7 @@ object QueriesPipeline {
   val tfidfTopterms = Q(
     "tfidf_topterms",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val tot = d.agg(countDistinct(col("doc_id")).as("n_docs"))
       val tf = d.select(col("doc_id"),
           explode(split(col("text"), " ")).as("term"))
@@ -392,7 +392,7 @@ object QueriesPipeline {
   val winnowFingerprint = Q(
     "winnow_fingerprint",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val wp = Window.partitionBy("doc_id").orderBy("pos")
       val toks = d.select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
@@ -508,7 +508,7 @@ object QueriesPipeline {
         "attribution beyond the original newswire byline copy desk " +
         "issued by the communications office this week"
       require(para.split(" ").length == 30)
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
             .otherwise(col("text")).as("text"))

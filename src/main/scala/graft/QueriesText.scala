@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import Queries.{t, sqlMd5Long}
+import Queries.{t, spread, sqlMd5Long}
 import graft.functions.{Hashing, Similarity, TextAnalysis}
 
 /** Batch 4 — text analysis + deduplication over the `documents` table
@@ -175,7 +175,7 @@ object QueriesText {
   val trigramJaccard = Q(
     "ngram_jaccard",
     (s, dir) => {
-      val d0 = t(s, dir, "documents")
+      val d0 = spread(t(s, dir, "documents"), col("doc_id"))
       // deterministic width bound (VERDICT r2 #4): shingle at most the
       // first 64 KiB of text, in BOTH engines — the per-doc hash-set row
       // is then ≤ 64k longs (≈512 KB) instead of growing with page size.
@@ -290,7 +290,7 @@ object QueriesText {
   val docFingerprint = Q(
     "doc_fingerprint",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val tc = d.select(col("doc_id"),
           explode(regexp_extract_all(lower(col("text")),
             lit("([\\p{L}\\p{N}]+)"), lit(1))).as("tok"))
@@ -379,7 +379,7 @@ object QueriesText {
   val minhashLsh = Q(
     "minhash_lsh",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       // explode + min-agg (codegen + map-side combine; see ngram_jaccard)
       val sh = d.select(col("doc_id"),
         explode(Similarity.wordShingles(col("text"), 3)).as("sh"))
@@ -468,7 +468,7 @@ object QueriesText {
   val incrementalDedup = Q(
     "incremental_dedup",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       val isPrior = col("doc_id") % 2 === 0
       // one signature pass over the union (in production: increment
       // only — the prior side is read back from the store)
@@ -584,7 +584,7 @@ object QueriesText {
   val simhash = Q(
     "simhash",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
       // one shuffled row per token with 60 NARROW vote aggregates —
       // not 60 exploded rows per token (a 60x shuffle-volume cut)
       val tok = d.select(col("doc_id"),
