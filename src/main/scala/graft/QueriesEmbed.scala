@@ -657,6 +657,61 @@ object QueriesEmbed {
     * fixed-point one-Lloyd-step coarse quantizer. Integer-exact /
     * shared-float-expression discipline throughout, so DuckDB agrees
     * bit-for-bit. */
+
+  /** Verdict stage of semantic_dedup, factored for the scale spec:
+    * asg = (vec_id, qv, nsq, cell, ccos) — any clustering (the query
+    * uses the label-trained quantizer; SemDedupScaleSpec drives it
+    * with cluster count ∝ n, the paper's regime) → one row per
+    * vector with its keep/drop verdict. */
+  /** Banded within-cluster candidate pairs of semantic_dedup — the
+    * cost-bearing frame, exposed so SemDedupScaleSpec can MEASURE the
+    * growth law: with cluster count ∝ n (the paper's regime) the
+    * count grows ~linearly; at fixed cluster count the LSH
+    * random-collision floor makes it ~quadratic (see semanticDedup's
+    * scale note). Rows: (vec_id, b_id) where b_id precedes vec_id
+    * under (ccos, id). */
+  private[graft] def semanticCandidates(asg: DataFrame): DataFrame = {
+    // --- banded within-cluster candidates; keeper = min(ccos, id) ---
+    val bandCols = (0 until NEARDUP_BANDS).map { b =>
+      val bits = (0 until NEARDUP_BITS).map { j =>
+        when(element_at(col("qv"), b * NEARDUP_BITS + j + 1) >= 0,
+          lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(b).as("band"), concat(bits: _*).as("bv"))
+    }
+    val bands = asg.select(col("vec_id"), col("cell"), col("ccos"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (col("b.ccos") < col("a.ccos") ||
+            (col("b.ccos") === col("a.ccos") &&
+              col("b.vec_id") < col("a.vec_id"))))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+  }
+
+  private[graft] def semanticVerdicts(asg: DataFrame): DataFrame = {
+      val cand = semanticCandidates(asg)
+      val dropped = cand
+        .join(asg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
+        .join(asg.select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
+          col("nsq").as("b_nsq")), "b_id")
+        .filter(round(Similarity.cosineFx(
+            Similarity.dotQ(col("qv"), col("b_qv")),
+            col("nsq"), col("b_nsq")), 6) >= SEMDEDUP_TAU)
+        .select(col("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      asg.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("ccos"),
+          when(col("dropped").isNotNull, lit(0L)).otherwise(lit(1L))
+            .as("kept"))
+  }
+
   val semanticDedup = Q(
     "semantic_dedup",
     (s, dir) => {
@@ -684,41 +739,7 @@ object QueriesEmbed {
         .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
           round(col("ccos"), 6).as("ccos"))
         .cache()
-      // --- banded within-cluster candidates; keeper = min(ccos, id) ---
-      val bandCols = (0 until NEARDUP_BANDS).map { b =>
-        val bits = (0 until NEARDUP_BITS).map { j =>
-          when(element_at(col("qv"), b * NEARDUP_BITS + j + 1) >= 0,
-            lit("1")).otherwise(lit("0"))
-        }
-        struct(lit(b).as("band"), concat(bits: _*).as("bv"))
-      }
-      val bands = asg.select(col("vec_id"), col("cell"), col("ccos"),
-          explode(array(bandCols: _*)).as("bb"))
-        .select(col("vec_id"), col("cell"), col("ccos"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.cell") === col("b.cell") &&
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.vec_id") =!= col("b.vec_id") &&
-            (col("b.ccos") < col("a.ccos") ||
-              (col("b.ccos") === col("a.ccos") &&
-                col("b.vec_id") < col("a.vec_id"))))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("b_id"))
-        .distinct()
-      val dropped = cand
-        .join(asg.select(col("vec_id"), col("qv"), col("nsq")), "vec_id")
-        .join(asg.select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
-          col("nsq").as("b_nsq")), "b_id")
-        .filter(round(Similarity.cosineFx(
-            Similarity.dotQ(col("qv"), col("b_qv")),
-            col("nsq"), col("b_nsq")), 6) >= SEMDEDUP_TAU)
-        .select(col("vec_id")).distinct()
-        .withColumn("dropped", lit(1L))
-      asg.join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell").cast("int").as("cell"),
-          col("ccos"),
-          when(col("dropped").isNotNull, lit(0L)).otherwise(lit(1L))
-            .as("kept"))
+      semanticVerdicts(asg)
     },
     Some(s"""
       WITH emb AS ($sqlPlantedEmb),
