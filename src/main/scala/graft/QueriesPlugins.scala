@@ -655,23 +655,34 @@ object QueriesPlugins {
     import graft.ops.{Parse, PdfParse}
     val pg = (1 to pages).map(p => Seq(s"Corpus document $id page $p",
       s"training shard ${id % 16} line two"))
+    // every Standard-handler family the parser supports rotates through
+    // the encrypted third of the corpus: V5/R6 AES-256 (2.B hash),
+    // V4/R4 AESV2, V2/R3 RC4-128, V1/R3 RC4-40
+    val cipher = (id % 12) match {
+      case 0 => "aes256"
+      case 3 => "aes128"
+      case 6 => "rc4-128"
+      case _ => "rc4"
+    }
     // through the REAL parse gate (application/pdf dispatch), so the
     // oracle also pins the gate's routing, not just the extractor
     val (status, _, text, _) = Parse.parsePage(
       s"http://docs.example.com/d$id.pdf",
-      PdfParse.build(pg, encrypt = enc), "application/pdf", Parse.Config())
+      PdfParse.build(pg, encrypt = enc, cipher = cipher),
+      "application/pdf", Parse.Config())
     (status, if (enc) 1 else 0, text)
   })
 
   /** parse-tika PDF analog, first-party ([[graft.ops.PdfParse]]):
     * plan-synthesized REAL PDFs (Flate-compressed content streams,
-    * valid xref; every third doc RC4-encrypted under the Standard
-    * security handler exactly like the reference's encrypted.pdf
-    * sample) run through the REAL parse gate, and the oracle restates
-    * the planted page text closed-form — a hash match proves object
-    * scan ∘ (decrypt) ∘ inflate ∘ content-tokenize ∘ text-assembly
-    * reproduced every character. Conformance on the reference's own
-    * samples (incl. its TestPdfParser expectation) is PdfParseSpec. */
+    * valid xref; every third doc encrypted under the Standard security
+    * handler, rotating RC4-40 / RC4-128 / AESV2-R4 / AESV3-R6 so every
+    * supported cipher family sits on the oracle path) run through the
+    * REAL parse gate, and the oracle restates the planted page text
+    * closed-form — a hash match proves object scan ∘ (decrypt) ∘
+    * inflate ∘ content-tokenize ∘ text-assembly reproduced every
+    * character. Conformance on the reference's own samples (incl. its
+    * TestPdfParser expectation) is PdfParseSpec. */
   val pdfText = Q(
     "pdf_text",
     (s, dir) => {

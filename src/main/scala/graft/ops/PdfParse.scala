@@ -11,13 +11,19 @@ import java.util.zip.Inflater
   *   - object scan without trusting xref (robust to truncated or
   *     regenerated tables), object streams (/Type/ObjStm, PDF 1.5+),
   *     indirect /Length, Flate with optional PNG-predictor DecodeParms
-  *   - Standard security handler V1/V2 R2/R3 (40..128-bit RC4) with
-  *     the EMPTY user password — the key derivation is self-verified
-  *     against the file's /U entry before use (PDF 1.7 §7.6.3
-  *     Algorithm 6), so a wrong key reads as "encrypted, can't parse",
-  *     never as garbage text. AES (/V 4+) and real passwords return
-  *     status Failed (the reference's Tika does the same without a
-  *     password).
+  *   - Standard security handler, EMPTY user password, all revisions:
+  *     V1/V2 R2/R3 (40..128-bit RC4), V4 R4 crypt filters (/CFM /V2 =
+  *     RC4-128, /CFM /AESV2 = AES-128-CBC with the per-object sAlT
+  *     key, ISO 32000-1 §7.6.2 Algorithm 1), and V5 R5/R6 (/CFM
+  *     /AESV3 = AES-256-CBC under the file key directly; R6 key
+  *     derivation is the hardened hash of ISO 32000-2 Algorithm 2.B —
+  *     iterated SHA-256/384/512 selected by an AES-CBC feedback).
+  *     Every derivation is self-verified against the file's /U entry
+  *     before use (Algorithms 6 / 11), so a wrong key reads as
+  *     "encrypted, can't parse", never as garbage text. Real (non-
+  *     empty) passwords return status Failed (the reference's Tika
+  *     does the same without a password). AES primitives are the
+  *     JDK's own javax.crypto (java.base).
   *   - page-tree walk (/Type/Page → /Contents, arrays included) with a
   *     BT-scan fallback when no page objects resolve
   *   - content tokenizer: Tj / TJ / ' / " shows, (…) strings with all
@@ -78,13 +84,67 @@ object PdfParse {
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Raw AES-CBC (no padding — PDF pads explicitly per §7.6.2), via
+    * the JDK's javax.crypto. `data.length` must be a block multiple. */
+  private[ops] def aesCbc(encrypt: Boolean, key: Array[Byte],
+      iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private[ops] def aesEcb(encrypt: Boolean, key: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
+  /** AES-CBC content layout (§7.6.2): 16-byte IV prefix, then the
+    * PKCS#5-padded ciphertext. Returns None on a malformed layout —
+    * the caller treats that stream as undecodable, never as text. */
+  private[ops] def aesDecryptIvPrefixed(key: Array[Byte],
+      data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 32 || data.length % 16 != 0) return None
+    val pt = aesCbc(encrypt = false, key, data.take(16), data.drop(16))
+    val pad = pt.last & 0xff
+    if (pad < 1 || pad > 16 || pad > pt.length) None
+    else Some(pt.dropRight(pad))
+  }
+
+  private[ops] def aesEncryptIvPrefixed(key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val pad = 16 - data.length % 16
+    val padded = data ++ Array.fill(pad)(pad.toByte)
+    iv ++ aesCbc(encrypt = true, key, iv, padded)
+  }
+
   /** File key from the Standard handler dict (Algorithm 2, empty user
-    * password), self-verified against /U (Algorithms 4/5/6). Returns
-    * None when the check fails (wrong revision, real password, AES). */
+    * password; R4 crypt-filter files use the same derivation, with
+    * /EncryptMetadata false folding 0xFFFFFFFF into the hash),
+    * self-verified against /U (Algorithms 4/5/6). Returns None when
+    * the check fails (wrong revision or a real password). */
   private[ops] def fileKey(o: Array[Byte], u: Array[Byte], p: Int, r: Int,
-      keyBytes: Int, id0: Array[Byte]): Option[Array[Byte]] = {
-    if (r != 2 && r != 3) return None
-    var h = md5(Pad, o, le32(p), id0)
+      keyBytes: Int, id0: Array[Byte],
+      encryptMetadata: Boolean = true): Option[Array[Byte]] = {
+    if (r < 2 || r > 4) return None
+    var h =
+      if (r >= 4 && !encryptMetadata)
+        md5(Pad, o, le32(p), id0, Array.fill(4)(0xff.toByte))
+      else md5(Pad, o, le32(p), id0)
     if (r >= 3) {
       var i = 0
       while (i < 50) { h = md5(h.take(keyBytes)); i += 1 }
@@ -105,13 +165,66 @@ object PdfParse {
     if (ok) Some(key) else None
   }
 
-  /** Per-object RC4 key (Algorithm 1). */
+  /** Per-object key (Algorithm 1): MD5 of key + object/generation
+    * bytes; AESV2 additionally folds in the spec's `sAlT` constant. */
   private[ops] def objectKey(fileKey: Array[Byte], num: Int,
-      gen: Int): Array[Byte] = {
+      gen: Int, aes: Boolean = false): Array[Byte] = {
     val ext = fileKey ++ Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
       ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte,
-      ((gen >> 8) & 0xff).toByte)
+      ((gen >> 8) & 0xff).toByte) ++
+      (if (aes) Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte)
+       else Array.emptyByteArray)
     md5(ext).take(math.min(fileKey.length + 5, 16))
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash: ≥64 rounds of
+    * (repeat the password+K+udata block 64×, AES-128-CBC it under the
+    * running hash, pick SHA-256/384/512 by the ciphertext's first-16
+    * byte sum mod 3), continuing past round 64 until the ciphertext's
+    * last byte ≤ round − 32. Public spec; empty-password crawl use. */
+  private[ops] def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    var e: Array[Byte] = Array.emptyByteArray
+    var round = 0
+    while (round < 64 || (e.last & 0xff) > round - 32) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      e = aesCbc(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => k = sha("SHA-256", e)
+        case 1 => k = sha("SHA-384", e)
+        case _ => k = sha("SHA-512", e)
+      }
+      round += 1
+    }
+    k.take(32)
+  }
+
+  /** V5 (AESV3) file key from /U + /UE with the empty user password
+    * (ISO 32000-2 Algorithms 2.A / 11): validate SHA-256(pass‖vSalt)
+    * (R5) or the 2.B hash (R6) against U[0..32), then unwrap /UE under
+    * the key-salt hash (AES-256-CBC, zero IV, no padding). */
+  private[ops] def fileKeyV5(u: Array[Byte], ue: Array[Byte],
+      r: Int): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32 || (r != 5 && r != 6)) return None
+    val pw = Array.emptyByteArray
+    val hash = u.take(32)
+    val vSalt = u.slice(32, 40)
+    val kSalt = u.slice(40, 48)
+    val computed =
+      if (r == 5) sha("SHA-256", pw, vSalt)
+      else hash2B(pw, vSalt, Array.emptyByteArray)
+    if (!java.util.Arrays.equals(computed, hash)) return None
+    val ikey =
+      if (r == 5) sha("SHA-256", pw, kSalt)
+      else hash2B(pw, kSalt, Array.emptyByteArray)
+    Some(aesCbc(encrypt = false, ikey, new Array[Byte](16), ue.take(32)))
   }
 
   // ---- low-level scanning helpers ----
@@ -218,7 +331,9 @@ object PdfParse {
       .findFirstMatchIn(trailer).orElse(
         """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(whole))
     var encrypted = false
-    var key: Option[Array[Byte]] = None
+    // per-object decryptor: (num, gen, raw) → plaintext, or None when a
+    // stream's encrypted layout is malformed (that stream is skipped)
+    var decrypt: Option[(Int, Int, Array[Byte]) => Option[Array[Byte]]] = None
     if (encRef.isDefined) {
       encrypted = true
       val dict = raws.get(encRef.get.group(1).toInt).map(rawDict)
@@ -227,6 +342,44 @@ object PdfParse {
         (name + """\s*<([0-9A-Fa-f\s]+)>""").r.findFirstMatchIn(dict)
           .map(m => m.group(1).replaceAll("\\s", "").grouped(2)
             .map(Integer.parseInt(_, 16).toByte).toArray)
+      // literal-string form of a crypto entry: byte-exact unescape (the
+      // windows-1252 text decoder is lossy on undefined code points, so
+      // key material never goes through it)
+      def litBytes(from: Int): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        var i = from
+        var depth = 1
+        while (i < dict.length && depth > 0) {
+          dict.charAt(i) match {
+            case '\\' if i + 1 < dict.length =>
+              dict.charAt(i + 1) match {
+                case 'n' => out.write('\n'); i += 2
+                case 'r' => out.write('\r'); i += 2
+                case 't' => out.write('\t'); i += 2
+                case 'b' => out.write('\b'); i += 2
+                case 'f' => out.write('\f'); i += 2
+                case d if d >= '0' && d <= '7' =>
+                  var v = 0; var k = 0; i += 1
+                  while (k < 3 && i < dict.length && dict.charAt(i) >= '0' &&
+                    dict.charAt(i) <= '7') {
+                    v = v * 8 + (dict.charAt(i) - '0'); i += 1; k += 1
+                  }
+                  out.write(v & 0xff)
+                case c => out.write(c); i += 2
+              }
+            case '(' => depth += 1; out.write('('); i += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) out.write(')')
+              i += 1
+            case c => out.write(c); i += 1
+          }
+        }
+        out.toByteArray
+      }
+      def binEntry(name: String): Option[Array[Byte]] =
+        hexEntry(name).orElse((name + """\s*\(""").r
+          .findFirstMatchIn(dict).map(m => litBytes(m.end)))
       val id0 = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r
         .findFirstMatchIn(whole.substring(math.max(0, trailerAt)))
         .orElse("""/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(whole))
@@ -237,14 +390,51 @@ object PdfParse {
         .map(_.group(1).toInt)
       val len = """/Length\s+(\d+)""".r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(40)
+      // /Length is bits in the encrypt dict but some writers put bytes
+      // in the crypt-filter sub-dict; ≥40 reads as bits, <40 as bytes
+      val keyBytes = if (len >= 40) len / 8 else len
       val standard = dict.contains("/Standard")
-      key = for {
-        _ <- if (standard && v.exists(x => x == 1 || x == 2)) Some(()) else None
-        o <- hexEntry("/O"); u <- hexEntry("/U")
-        pv <- p; rv <- r; i0 <- id0
-        k <- fileKey(o, u, pv, rv, len / 8, i0)
-      } yield k
-      if (key.isEmpty) return Result(ok = false, encrypted = true, 0, "")
+      val encMeta =
+        """/EncryptMetadata\s+false""".r.findFirstIn(dict).isEmpty
+      decrypt =
+        if (!standard) None
+        else v.getOrElse(0) match {
+          case 1 | 2 =>
+            for {
+              o <- binEntry("/O"); u <- binEntry("/U")
+              pv <- p; rv <- r; i0 <- id0
+              k <- fileKey(o, u, pv, rv, keyBytes, i0)
+            } yield (num: Int, gen: Int, data: Array[Byte]) =>
+              Some(rc4(objectKey(k, num, gen), data))
+          case 4 =>
+            // crypt filters: /CF <</StdCF <</CFM /AESV2|/V2>>>> routed
+            // via /StmF; same Algorithm-2 file key as R3 under the hood
+            val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(dict)
+              .map(_.group(1))
+            for {
+              o <- binEntry("/O"); u <- binEntry("/U")
+              pv <- p; rv <- r; i0 <- id0; m <- cfm
+              k <- fileKey(o, u, pv, rv, keyBytes, i0, encMeta)
+              f <- m match {
+                case "AESV2" =>
+                  Some((num: Int, gen: Int, data: Array[Byte]) =>
+                    aesDecryptIvPrefixed(objectKey(k, num, gen, aes = true),
+                      data))
+                case "V2" =>
+                  Some((num: Int, gen: Int, data: Array[Byte]) =>
+                    Option(rc4(objectKey(k, num, gen), data)))
+                case _ => None // /Identity at StdCF, or unknown method
+              }
+            } yield f
+          case 5 =>
+            for {
+              u <- binEntry("/U"); ue <- binEntry("/UE"); rv <- r
+              k <- fileKeyV5(u, ue, rv)
+            } yield (num: Int, gen: Int, data: Array[Byte]) =>
+              aesDecryptIvPrefixed(k, data)
+          case _ => None
+        }
+      if (decrypt.isEmpty) return Result(ok = false, encrypted = true, 0, "")
     }
     // 3. decode streams (decrypt → inflate → predictor)
     def streamOf(o: RawObj): Option[Array[Byte]] = {
@@ -267,7 +457,10 @@ object PdfParse {
         case _ => if (endKw > dataAt) endKw else o.body.length
       }
       var data = java.util.Arrays.copyOfRange(o.body, dataAt, rawEnd)
-      key.foreach(k => data = rc4(objectKey(k, o.num, o.gen), data))
+      decrypt match {
+        case Some(d) => data = d(o.num, o.gen, data).getOrElse(return None)
+        case None => ()
+      }
       if (dict.contains("/FlateDecode") || dict.contains("/Fl "))
         data = inflate(data).getOrElse(return None)
       val pred = """/Predictor\s+(\d+)""".r.findFirstMatchIn(dict)
@@ -470,42 +663,106 @@ object PdfParse {
 
   /** Build a complete, standards-correct PDF: header, catalog, page
     * tree, Helvetica, one Flate-compressed content stream per page
-    * (one text line per entry), and a valid xref table. When `rc4Key`
-    * is set, every string/stream encrypts under the Standard handler
-    * V1 R3 with an empty user password — the exact family of the
-    * reference's encrypted sample — with correctly computed /O and /U
-    * entries so ANY conformant reader opens it. */
+    * (one text line per entry), and a valid xref table. When `encrypt`
+    * is set, every stream encrypts under the Standard handler with an
+    * empty user password and correctly computed /O and /U (and for V5
+    * /OE /UE /Perms) entries so ANY conformant reader opens it.
+    * `cipher` selects the family: "rc4" = V1 R3 40-bit (the exact
+    * family of the reference's encrypted sample), "rc4-128" = V2 R3,
+    * "aes128" = V4 R4 crypt-filter AESV2, "aes256" = V5 R6 AESV3
+    * (hardened 2.B hash), "aes256r5" = V5 R5 (the deprecated
+    * ExtensionLevel-3 revision). IVs and V5 salts/file key derive
+    * deterministically from id0 so builds are byte-reproducible (any
+    * IV is conformant; unpredictability is not part of the oracle's
+    * threat model). */
   def build(pages: Seq[Seq[String]], encrypt: Boolean = false,
-      id0Hex: String = "0123456789abcdef0123456789abcdef"): Array[Byte] = {
+      id0Hex: String = "0123456789abcdef0123456789abcdef",
+      cipher: String = "rc4"): Array[Byte] = {
     val id0 = id0Hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-    // Standard handler entries (Algorithms 3 and 2/5), empty passwords
     val p = -4
-    val (encKey, oEntry, uEntry) =
-      if (!encrypt) (None, Array.emptyByteArray, Array.emptyByteArray)
-      else {
-        var oh = md5(Pad)
-        var i = 0
-        while (i < 50) { oh = md5(oh.take(5)); i += 1 }
-        val oKey = oh.take(5)
-        var o = rc4(oKey, Pad)
-        i = 1
-        while (i < 20) {
-          o = rc4(oKey.map(b => (b ^ i).toByte), o)
-          i += 1
-        }
-        var kh = md5(Pad, o, le32(p), id0)
-        i = 0
-        while (i < 50) { kh = md5(kh.take(5)); i += 1 }
-        val key = kh.take(5)
-        var u = md5(Pad, id0)
-        i = 0
-        while (i < 20) {
-          u = rc4(key.map(b => (b ^ i).toByte), u)
-          i += 1
-        }
-        (Some(key), o, u ++ new Array[Byte](16))
-      }
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    // Standard handler entries for the MD5/RC4 revisions (Algorithms 3,
+    // 2 and 5), empty passwords, parameterized on key size
+    def rc4Entries(keyBytes: Int)
+        : (Array[Byte], Array[Byte], Array[Byte]) = {
+      var oh = md5(Pad)
+      var i = 0
+      while (i < 50) { oh = md5(oh.take(keyBytes)); i += 1 }
+      val oKey = oh.take(keyBytes)
+      var o = rc4(oKey, Pad)
+      i = 1
+      while (i < 20) {
+        o = rc4(oKey.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+      var kh = md5(Pad, o, le32(p), id0)
+      i = 0
+      while (i < 50) { kh = md5(kh.take(keyBytes)); i += 1 }
+      val key = kh.take(keyBytes)
+      var u = md5(Pad, id0)
+      i = 0
+      while (i < 20) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      (key, o, u ++ new Array[Byte](16))
+    }
+    def objIv(num: Int): Array[Byte] = md5(le32(num), id0).take(16)
+    // (per-object encryptor, encrypt-dict body) for the chosen family
+    val enc: Option[((Int, Array[Byte]) => Array[Byte], String)] =
+      if (!encrypt) None
+      else cipher match {
+        case "rc4" =>
+          val (key, o, u) = rc4Entries(5)
+          Some(((num, data) => rc4(objectKey(key, num, 0), data),
+            s"/Filter /Standard /V 1 /R 3 /Length 40 /P $p " +
+              s"/O <${hex(o)}> /U <${hex(u)}>"))
+        case "rc4-128" =>
+          val (key, o, u) = rc4Entries(16)
+          Some(((num, data) => rc4(objectKey(key, num, 0), data),
+            s"/Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+              s"/O <${hex(o)}> /U <${hex(u)}>"))
+        case "aes128" =>
+          val (key, o, u) = rc4Entries(16)
+          Some(((num, data) => aesEncryptIvPrefixed(
+            objectKey(key, num, 0, aes = true), objIv(num), data),
+            s"/Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+              "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF " +
+              s"/O <${hex(o)}> /U <${hex(u)}>"))
+        case "aes256" | "aes256r5" =>
+          val r6 = cipher == "aes256"
+          val pw = Array.emptyByteArray
+          val none = Array.emptyByteArray
+          def h(salt: Array[Byte], udata: Array[Byte]) =
+            if (r6) hash2B(pw, salt, udata)
+            else if (udata.isEmpty) sha("SHA-256", pw, salt)
+            else sha("SHA-256", pw, salt, udata)
+          val fileKey = sha("SHA-256", "graft-filekey".getBytes(ascii), id0)
+          val vSalt = sha("SHA-256", "vs".getBytes(ascii), id0).take(8)
+          val kSalt = sha("SHA-256", "ks".getBytes(ascii), id0).take(8)
+          val u48 = h(vSalt, none) ++ vSalt ++ kSalt
+          val ue = aesCbc(encrypt = true, h(kSalt, none),
+            new Array[Byte](16), fileKey)
+          val oVSalt = sha("SHA-256", "ovs".getBytes(ascii), id0).take(8)
+          val oKSalt = sha("SHA-256", "oks".getBytes(ascii), id0).take(8)
+          val o48 = h(oVSalt, u48) ++ oVSalt ++ oKSalt
+          val oe = aesCbc(encrypt = true, h(oKSalt, u48),
+            new Array[Byte](16), fileKey)
+          val perms = aesEcb(encrypt = true, fileKey,
+            le32(p) ++ Array.fill(4)(0xff.toByte) ++
+              "TadbGRFT".getBytes(ascii))
+          Some(((num, data) =>
+            aesEncryptIvPrefixed(fileKey, objIv(num), data),
+            s"/Filter /Standard /V 5 /R ${if (r6) 6 else 5} /Length 256 " +
+              s"/P $p /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+              "/StmF /StdCF /StrF /StdCF " +
+              s"/O <${hex(o48)}> /U <${hex(u48)}> " +
+              s"/OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${hex(perms)}>"))
+        case other =>
+          throw new IllegalArgumentException(s"unknown cipher: $other")
+      }
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit =
       out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -550,16 +807,15 @@ object PdfParse {
       while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
       deflater.end()
       var data = zout.toByteArray
-      encKey.foreach(k => data = rc4(objectKey(k, num, 0), data))
+      enc.foreach { case (f, _) => data = f(num, data) }
       w(s"$num 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\n" +
         "stream\n")
       out.write(data)
       w("\nendstream\nendobj\n")
     }
     val encNum = 4 + 2 * nPages
-    if (encrypt) obj {
-      w(s"$encNum 0 obj\n<< /Filter /Standard /V 1 /R 3 /Length 40 " +
-        s"/P $p /O <${hex(oEntry)}> /U <${hex(uEntry)}> >>\nendobj\n")
+    enc.foreach { case (_, dictBody) =>
+      obj { w(s"$encNum 0 obj\n<< $dictBody >>\nendobj\n") }
     }
     val xrefAt = out.size()
     val total = offsets.length + 1

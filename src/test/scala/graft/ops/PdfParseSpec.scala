@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** PDF extraction conformance against the reference's OWN parse-tika
   * samples and expectations (TestPdfParser.java: both pdftest.pdf and
   * encrypted.pdf must yield "A VERY SMALL PDF FILE"), plus round-trips
-  * through the first-party writer in both plain and RC4-encrypted
-  * forms. */
+  * through the first-party writer in plain and every encrypted family
+  * the Standard handler defines (RC4 40/128, AESV2/R4, AESV3 R5 and
+  * R6 — the writer computes conformant /O /U /OE /UE /Perms, so a
+  * passing round-trip pins both sides of each algorithm). */
 class PdfParseSpec extends AnyFunSuite {
 
   private val sampleDir = "/root/reference/src/plugin/parse-tika/sample"
@@ -60,6 +62,49 @@ class PdfParseSpec extends AnyFunSuite {
     assert(!raw.contains("secret page text"))
   }
 
+  // each family exercises a distinct derivation: V2/R3 128-bit MD5+RC4,
+  // V4/R4 crypt-filter AESV2 (per-object sAlT key), V5/R5 SHA-256
+  // salted validation + /UE unwrap, V5/R6 the hardened 2.B hash
+  for (cipher <- Seq("rc4-128", "aes128", "aes256", "aes256r5"))
+    test(s"synth encrypted round-trip: $cipher") {
+      val pages = Seq(Seq(s"secret $cipher page", "line two"),
+        Seq("second page text"))
+      val bytes = PdfParse.build(pages, encrypt = true, cipher = cipher)
+      val r = PdfParse.extract(bytes)
+      assert(r.ok && r.encrypted && r.nPages == 2, r.text.take(120))
+      assert(r.text == s"secret $cipher page\nline two\nsecond page text")
+      val raw = new String(bytes,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(!raw.contains("secret")) // ciphertext really is encrypted
+    }
+
+  test("AES key derivation self-verifies: tampered /U reads locked") {
+    for (cipher <- Seq("aes128", "aes256", "aes256r5")) {
+      val bytes = PdfParse.build(Seq(Seq("s")), encrypt = true,
+        cipher = cipher)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val at = s.indexOf("/U <")
+      assert(at > 0)
+      val bad = bytes.clone()
+      bad(at + 4) = (if (bytes(at + 4) == '0') '1' else '0').toByte
+      val r = PdfParse.extract(bad)
+      assert(!r.ok && r.encrypted && r.text.isEmpty, cipher)
+    }
+  }
+
+  test("/EncryptMetadata false changes the R4 key hash (and is detected)") {
+    // the file was built with EncryptMetadata true; declaring false must
+    // fold 0xFFFFFFFF into Algorithm 2 and fail the /U check — honored
+    // flag, self-verification catches the mismatch
+    val s = new String(
+      PdfParse.build(Seq(Seq("x")), encrypt = true, cipher = "aes128"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val flagged = s.replace("/StmF /StdCF", "/EncryptMetadata false /StmF /StdCF")
+    val r = PdfParse.extract(
+      flagged.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(!r.ok && r.encrypted)
+  }
+
   test("string escapes, hex strings, TJ kerning and inline images") {
     val content = """BT /F1 10 Tf (A\(b\)c\\d) Tj
       [(kern) -300 (gap) -20 (join)] TJ
@@ -95,7 +140,7 @@ class PdfParseSpec extends AnyFunSuite {
     }
   }
 
-  test("malformed inputs never throw; AES is refused honestly") {
+  test("malformed inputs never throw; missing crypt filter refused") {
     val good = PdfParse.build(Seq(Seq("x")))
     for (n <- 0 until good.length)
       PdfParse.extract(good.take(n)) // no throw
@@ -105,7 +150,8 @@ class PdfParseSpec extends AnyFunSuite {
       b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       PdfParse.extract(b) // no throw
     }
-    // V4 (AES) encryption dict: out of scope -> locked, not garbage
+    // a V4 dict with NO /CF crypt-filter entry names no method the
+    // data could be decrypted with -> locked, not garbage
     val s = new String(PdfParse.build(Seq(Seq("x")), encrypt = true),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val aes = s.replace("/V 1 /R 3", "/V 4 /R 4")
