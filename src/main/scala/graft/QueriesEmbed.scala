@@ -337,6 +337,21 @@ object QueriesEmbed {
       SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank, adc_dot
       FROM r WHERE rn <= 3"""))
 
+  /** IVFADC candidate scan — PQ codes of every vector in each query's
+    * probed cells, the rows the search actually reads. Row count is
+    * Σ over (query, probed cell) of that cell's code mass. Growth law
+    * (MEASURED in IvfPqScaleSpec, not argued): with a fixed serving
+    * workload the scan is linear in n at any cell count; when the
+    * query set itself grows ∝ n (all-pairs batch search), candidates
+    * stay ~linear iff the cell count grows ∝ n — the IVF regime, Jégou
+    * et al. §IV use k ≈ √n..n/τ — and go ~quadratic at fixed k. Same
+    * knob as SemDeDup's cluster count; here cells come from the coarse
+    * quantizer, so scaling k means training more coarse centroids. */
+  private[graft] def ivfpqCandidates(codes: DataFrame,
+      probes: DataFrame): DataFrame =
+    codes.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+
   /** Intermediate frames of the IVFADC pipeline, exposed so
     * QueriesEmbedRecallSpec can assert the scan-cost claim (candidates
     * = probed-cell mass, never n) against the same plan the query
@@ -427,8 +442,7 @@ object QueriesEmbed {
         Similarity.dotQ(col("sv"), col("cvec")).as("pdot"))
     // candidate scan = codes ⋈ probes on cell: rows touched are exactly
     // the probed cells' code mass (n_cell·M), never the full table
-    val cand = codes.join(probes, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
+    val cand = ivfpqCandidates(codes, probes)
     val sc = cand.join(lut, Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"), col("cell"), col("qcdot"))
       .agg(sum(col("pdot")).cast("long").as("rdot"))
