@@ -140,6 +140,26 @@ class PdfParseSpec extends AnyFunSuite {
     }
   }
 
+  test("encrypted-file corruption never throws, any cipher family") {
+    // PDF encryption carries no content MAC (RC4 is a stream cipher;
+    // AESV2/V3 CBC has no tag), so corrupted ciphertext may decrypt to
+    // noise — the contract under corruption is no-throw + never-ok-
+    // with-key-failure, exercised per family because each walks a
+    // different javax.crypto / hash2B / UE-unwrap path.
+    val rnd = new scala.util.Random(11)
+    for (cipher <- Seq("rc4", "rc4-128", "aes128", "aes256", "aes256r5")) {
+      val good = PdfParse.build(Seq(Seq("fuzz target text")),
+        encrypt = true, cipher = cipher)
+      for (n <- 0 until good.length by 7)
+        PdfParse.extract(good.take(n)) // no throw at any truncation
+      for (_ <- 1 to 200) {
+        val b = good.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        PdfParse.extract(b) // no throw under any single-byte flip
+      }
+    }
+  }
+
   test("malformed inputs never throw; missing crypt filter refused") {
     val good = PdfParse.build(Seq(Seq("x")))
     for (n <- 0 until good.length)
