@@ -304,11 +304,25 @@ object Main {
               },
               storeResponseTime = rest.contains("-responsetime"))
             val summary =
-              if (rest.contains("-stream") && nRounds >= 1) {
+              if (rest.contains("-stream") && nRounds >= 1 &&
+                  (1 to nRounds).forall(
+                    graft.streaming.StreamingCrawl.roundDone(root, _))) {
+                // every requested round already installed by a prior
+                // -stream invocation of this root — nothing to run,
+                // just rebuild the summary (db sizes per round are
+                // only known to the invocation that ran them: -1)
+                graft.streaming.StreamingCrawl.finish(spark, root,
+                  1 to nRounds, cfg)
+              } else if (rest.contains("-stream") && nRounds >= 1) {
                 // continuous mode: a rate source ticks the rounds
                 // through the Structured-Streaming micro-batch loop
                 // (byte-equal to the batch loop — StreamingCrawlSpec);
-                // stop once round nRounds has installed
+                // stop once round nRounds has installed. No persistent
+                // streaming checkpoint here: rate offsets restart at 0
+                // each invocation (a resumed offset past nRounds would
+                // filter every tick and hang), and cross-invocation
+                // exactly-once comes from the per-round done markers —
+                // already-installed rounds are skipped, not re-run.
                 import spark.implicits._
                 val done = new java.util.concurrent.CountDownLatch(1)
                 val dbSizes =
@@ -327,10 +341,7 @@ object Main {
                   onRound = r => {
                     dbSizes.put(r, statStores.crawldb.read().count())
                     if (r >= nRounds) done.countDown()
-                  },
-                  // committed rounds never re-issue, even when a new
-                  // JVM resumes this root (StreamingCrawlSpec restart)
-                  checkpoint = Some(s"$root/.stream-checkpoint"))
+                  })
                 try {
                   // a micro-batch failure terminates the query without
                   // ever reaching round nRounds — watch liveness so the

@@ -30,6 +30,36 @@ import graft.tables.Segment
   * (same round clock → same generate set → same installs). */
 object StreamingCrawl {
 
+  /** Round-done markers, `<root>/.rounds-done/r<N>`: written atomically
+    * (tmp + ATOMIC_MOVE, the GENERATION-pointer discipline) right after
+    * round N's installs land. They make "this round already ran on this
+    * root" knowable across JVMs WITHOUT sharing a streaming checkpoint,
+    * so a second `crawl -stream` invocation of the same root skips
+    * installed rounds instead of re-running them against the advanced
+    * db (or hanging on a resumed rate-source offset past nRounds). The
+    * unmarked-but-installed window is the marker write itself —
+    * milliseconds, versus the micro-batch commit lag the checkpoint
+    * leaves. */
+  private def markerDir(root: String) =
+    java.nio.file.Paths.get(root, ".rounds-done")
+  private def marker(root: String, r: Int) =
+    markerDir(root).resolve(s"r$r")
+
+  /** True when round r's installs landed on this root in some earlier
+    * query (possibly another JVM). */
+  def roundDone(root: String, r: Int): Boolean =
+    java.nio.file.Files.exists(marker(root, r))
+
+  private def markRoundDone(root: String, r: Int): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(markerDir(root))
+    val tmp = markerDir(root).resolve(
+      s".r$r-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, java.time.Instant.now().toString)
+    Files.move(tmp, marker(root, r), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Start the micro-batch loop. `rounds` must be a STREAMING dataset
     * of round numbers (e.g. a MemoryStream in tests, a rate source —
     * `round = value + 1` — in deployment). Seeds are injected once,
@@ -45,9 +75,11 @@ object StreamingCrawl {
     * rewritten whole (SaveMode.Overwrite); proven in
     * StreamingCrawlSpec's crash-recovery test. A round redelivered
     * AFTER its installs landed is NOT segment-idempotent (the db has
-    * advanced, so the regenerated fetchlist differs); deployments pass
-    * `checkpoint`, which keys rounds to the checkpointed trigger — a
-    * COMMITTED micro-batch is never re-issued, even by a brand-new
+    * advanced, so the regenerated fetchlist differs) — two guards
+    * cover it: the per-round done marker (above) makes such a tick a
+    * no-op in ANY later query of the root, and deployments may also
+    * pass `checkpoint`, keying rounds to the checkpointed trigger so
+    * a COMMITTED micro-batch is never re-issued, even by a brand-new
     * JVM resuming the same checkpoint dir (StreamingCrawlSpec's
     * cross-session restart test drives exactly that: stop, new
     * session, resume, only the un-committed round runs). Re-injection
@@ -66,8 +98,15 @@ object StreamingCrawl {
         // the per-batch tick set is tiny (round numbers, not data) —
         // collect is the control plane, never the corpus
         batch.collect().sorted.foreach { r =>
-          Crawl.round(spark, root, stores, r, protocol, registry, cfg)
-          onRound(r)
+          // a round marked done installed in an EARLIER query of this
+          // root — the db has advanced past it, so a redelivered tick
+          // must skip, not re-run (onRound stays silent: this query
+          // installed nothing for it)
+          if (!roundDone(root, r)) {
+            Crawl.round(spark, root, stores, r, protocol, registry, cfg)
+            markRoundDone(root, r)
+            onRound(r)
+          }
         }
         ()
       }

@@ -191,4 +191,46 @@ class StreamingCrawlSpec extends AnyFunSuite with SparkSuite {
         .toMap
     assert(links(spark2, root) == links(spark, cleanRoot))
   }
+
+  test("a second query on the same root skips rounds already installed " +
+    "(done markers: re-invocation is exactly-once without a checkpoint)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val cfg3 = cfg.copy(rounds = 3)
+
+    // reference: the clean 3-round batch run
+    val cleanRoot = Files.createTempDirectory("reinvoke-clean").toString
+    Crawl.run(spark, cleanRoot, Seq(s"$A/", s"$B/"),
+      Fetch.MockProtocol(site), registry, cfg3)
+    val cleanDb = Crawl.openStores(spark, cleanRoot, cfg3).crawldb.read()
+      .collect().map(r => r.url -> r.datum).toMap
+
+    // invocation 1: rounds 1-2 install and leave done markers
+    val root = Files.createTempDirectory("reinvoke").toString
+    val ticks1 = MemoryStream[Int]
+    val q1 = StreamingCrawl.start(spark, root, Seq(s"$A/", s"$B/"),
+      ticks1.toDS(), Fetch.MockProtocol(site), registry, cfg3)
+    try { ticks1.addData(1, 2); q1.processAllAvailable() } finally q1.stop()
+    assert(StreamingCrawl.roundDone(root, 1) &&
+      StreamingCrawl.roundDone(root, 2) && !StreamingCrawl.roundDone(root, 3))
+
+    // invocation 2 ("crawl -stream -rounds 3" again): a FRESH query
+    // with NO shared checkpoint replays ticks from 1 — exactly what the
+    // CLI's rate source does on re-invocation. Committed rounds must
+    // skip (the db has advanced past them), only round 3 may run.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val ticks2 = MemoryStream[Int]
+    val q2 = StreamingCrawl.start(spark, root, Seq(s"$A/", s"$B/"),
+      ticks2.toDS(), Fetch.MockProtocol(site), registry, cfg3,
+      onRound = r => { seen.add(r); () })
+    try { ticks2.addData(1, 2, 3); q2.processAllAvailable() } finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set(3),
+      s"re-invocation re-ran committed rounds: ${seen.asScala.toSet}")
+
+    // end state byte-equal to the uninterrupted 3-round batch conductor
+    val gotDb = Crawl.openStores(spark, root, cfg3).crawldb.read()
+      .collect().map(r => r.url -> r.datum).toMap
+    assert(gotDb == cleanDb)
+  }
 }
