@@ -811,8 +811,265 @@ object QueriesPipeline {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       FROM c GROUP BY 1"""))
 
+  /** ExactSubstr-style duplicate-span REMOVAL (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): where
+    * span_dedup only REPORTS cross-document duplicated 15-word runs, this
+    * operator performs the removal — every token position covered by a
+    * window whose hash appears in more than one document is cut, and the
+    * cleaned text (the surviving tokens in order) is emitted as an md5 so
+    * the oracle pins the exact reconstruction. Removal applies to ALL
+    * occurrences (the released exact-substr tool's behavior — both copies
+    * of a duplicated span are cut; the paper notes train-set duplication
+    * is harmful wherever it appears), which keeps the operator a pure
+    * join+window with no cross-document keeper election. Planted signal:
+    * the span_dedup paragraph (docs with doc_id % 11 == 3) guarantees a
+    * 30-token removal in every planted doc.
+    *
+    * Scale shape: window hashes shuffle once on the 8-byte hash with
+    * map-side partial aggregation (same as span_dedup); duplicated starts
+    * join back hash-keyed; coverage is a per-document ROWS window over
+    * dense token positions (state = W-1 rows); the cleaned-text rebuild
+    * is a per-document sorted collect whose size is one document — the
+    * same per-doc bound every tokenizing query here carries. Everything
+    * is linear in corpus tokens.
+    */
+  val exactSubstrDedup = Q(
+    "exact_substr_dedup",
+    (s, dir) => {
+      val W = 15
+      val para = "shared press release paragraph syndicated verbatim " +
+        "across partner outlets today with identical wording and no " +
+        "attribution beyond the original newswire byline copy desk " +
+        "issued by the communications office this week"
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wins = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("ws")) - W)).as("pos"), col("ws"))
+        .select(col("doc_id"), col("pos"),
+          Queries.md5Long(concat_ws(" ",
+            slice(col("ws"), col("pos") + 1, lit(W)))).as("h"))
+      val dupH = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1).select("h")
+      val starts = wins.join(dupH, "h")
+        .select(col("doc_id"), col("pos"), lit(1).as("ds"))
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = toks.join(starts, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("w"),
+          coalesce(max(col("ds")).over(wp.rowsBetween(-(W - 1), 0)), lit(0))
+            .as("c"))
+      cov.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("c")).cast("long").as("n_removed"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("c") === 0, struct(col("pos"), col("w"))))),
+            x => x.getField("w")), " ")).as("clean_md5"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          expr("(n_tokens - n_removed) * 10000 div n_tokens").as("kept_bp"),
+          col("clean_md5"))
+    },
+    Some {
+      val para = "shared press release paragraph syndicated verbatim " +
+        "across partner outlets today with identical wording and no " +
+        "attribution beyond the original newswire byline copy desk " +
+        "issued by the communications office this week"
+      val h = Queries.sqlMd5Long("array_to_string(ws[pos+1 : pos+15], ' ')")
+      s"""
+      WITH p0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3 THEN '$para ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM p0),
+      toks AS (
+        SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM w),
+      wins0 AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws) - 14)) AS pos
+        FROM w WHERE len(ws) >= 15),
+      wins AS (SELECT doc_id, pos, $h AS h FROM wins0),
+      duph AS (
+        SELECT h FROM (
+          SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+        WHERE nd > 1),
+      starts AS (SELECT doc_id, pos, 1 AS ds FROM wins JOIN duph USING (h)),
+      cov AS (
+        SELECT t.doc_id, t.pos, t.ws[t.pos + 1] AS w,
+          COALESCE(MAX(s.ds) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+            ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 0) AS c
+        FROM toks t LEFT JOIN starts s
+          ON t.doc_id = s.doc_id AND t.pos = s.pos)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(c) AS BIGINT) AS n_removed,
+        (COUNT(*) - CAST(SUM(c) AS BIGINT)) * 10000 // COUNT(*) AS kept_bp,
+        md5(COALESCE(string_agg(CASE WHEN c = 0 THEN w END, ' '
+          ORDER BY pos), '')) AS clean_md5
+      FROM cov GROUP BY 1"""
+    })
+
+  /** The remaining Gopher repetition signals (Rae et al. 2021, Table A1),
+    * completing quality_gopher's pair with the WITHIN-document,
+    * character-weighted family every modern corpus pipeline runs:
+    * duplicate-line fraction (line = the corpus's 10-word chunk, as in
+    * line_dedup), duplicate-line CHARACTER fraction, top-4-gram character
+    * fraction, and duplicated-5-gram character fraction — each in
+    * integer basis points, plus the keep/reject verdict at the published
+    * thresholds (dup lines ≤ 30%, dup line chars ≤ 20%, top-4-gram chars
+    * ≤ 16%, dup-5-gram chars ≤ 15%). Character accounting is defined
+    * exactly: a line's chars are its space-joined text; n-gram char MASS
+    * counts every occurrence of a gram (c × len), and the gram fractions
+    * are mass-over-total-gram-mass — top-4-gram = max(c × len) / Σ c ×
+    * len, dup-5-gram = Σ_{c>1} c × len / Σ c × len. Overlapping
+    * occurrences are deliberately NOT collapsed (the paper's wording is
+    * ambiguous; a collapsed-coverage form divided by document chars can
+    * exceed 1 on overlap-heavy repeats, so the mass form — bounded ≤ 1
+    * by construction and monotone in repetitiousness — is the honest
+    * integer-exact reading). Line denominators are Σ line chars, floored
+    * at 1 so an empty doc scores 0, not ÷0. Planted signal: docs with
+    * doc_id % 13 == 5 get the same 10-word line prepended TWICE, so
+    * chunks 0 and 1 are within-doc duplicates by construction.
+    *
+    * Scale shape: three per-(doc, gram-hash) partial-aggregated
+    * group-bys and one per-doc rollup each — no window at all (grams
+    * come from the posexplode+lead pattern, whose window is per-doc
+    * bounded like every tokenizer here); all arithmetic 64-bit integer.
+    */
+  val repetitionStats = Q(
+    "repetition_stats",
+    (s, dir) => {
+      val line10 = "breaking update follows below after these required " +
+        "legal notices conclude"
+      require(line10.split(" ").length == 10)
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5,
+            concat(lit(line10 + " " + line10 + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val lines = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0),
+            (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(col("ws"), col("line_no") * 10 + 1, lit(10))).as("lt"))
+        .select(col("doc_id"), Queries.md5Long(col("lt")).as("lh"),
+          length(col("lt")).cast("long").as("llen"))
+        .groupBy("doc_id", "lh")
+        .agg(count(lit(1)).as("c"), max(col("llen")).as("llen"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_lines"),
+          sum(col("c") - 1).as("dup_lines"),
+          greatest(sum(col("c") * col("llen")), lit(1L)).as("line_chars"),
+          sum((col("c") - 1) * col("llen")).as("dup_line_chars"))
+      def grams(n: Int) = {
+        val wp = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = d.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val cols = col("w") +:
+          (1 until n).map(j => lead(col("w"), j).over(wp))
+        toks.select(col("doc_id"), concat_ws(" ", cols: _*).as("g"),
+            lead(col("w"), n - 1).over(wp).isNotNull.as("full"))
+          .where(col("full"))
+          .select(col("doc_id"), Queries.md5Long(col("g")).as("gh"),
+            length(col("g")).cast("long").as("glen"))
+          .groupBy("doc_id", "gh")
+          .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
+      }
+      val top4 = grams(4).groupBy("doc_id")
+        .agg(max(col("c") * col("glen")).as("top4_chars"),
+          sum(col("c") * col("glen")).as("tot4_chars"))
+      val dup5 = grams(5).groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c") * col("glen"))
+          .otherwise(0L)).as("dup5_chars"),
+          sum(col("c") * col("glen")).as("tot5_chars"))
+      val j = lines
+        .join(top4, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("dup_lines * 10000 div n_lines").as("dup_line_bp"),
+          expr("dup_line_chars * 10000 div line_chars")
+            .as("dup_line_char_bp"),
+          expr("coalesce(top4_chars * 10000 div tot4_chars, 0L)")
+            .as("top4_char_bp"),
+          expr("coalesce(dup5_chars * 10000 div tot5_chars, 0L)")
+            .as("dup5_char_bp"))
+      j.select(col("doc_id"), col("dup_line_bp"), col("dup_line_char_bp"),
+        col("top4_char_bp"), col("dup5_char_bp"),
+        when(col("dup_line_bp") <= 3000 && col("dup_line_char_bp") <= 2000 &&
+          col("top4_char_bp") <= 1600 && col("dup5_char_bp") <= 1500,
+          lit("keep")).otherwise(lit("reject")).as("rep_verdict"))
+    },
+    Some {
+      val line10 = "breaking update follows below after these required " +
+        "legal notices conclude"
+      val words = "string_split(text, ' ')"
+      s"""
+      WITH p0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 5
+            THEN '$line10 $line10 ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, $words AS ws FROM p0),
+      l0 AS (
+        SELECT doc_id,
+          array_to_string(ws[line_no*10+1 : line_no*10+10], ' ') AS lt
+        FROM (SELECT doc_id, ws,
+                unnest(range(0, CAST(CEIL(len(ws)/10.0) AS BIGINT))) AS line_no
+              FROM w)),
+      lc AS (
+        SELECT doc_id, COUNT(*) AS c, CAST(LENGTH(lt) AS BIGINT) AS llen
+        FROM l0 GROUP BY doc_id, lt),
+      la AS (
+        SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
+          GREATEST(SUM(c * llen), 1) AS line_chars,
+          SUM((c - 1) * llen) AS dup_line_chars
+        FROM lc GROUP BY 1),
+      g4 AS (
+        SELECT doc_id, COUNT(*) AS c, CAST(LENGTH(g) AS BIGINT) AS glen
+        FROM (SELECT doc_id, unnest(${sqlWordGrams(words, 4)}) AS g FROM p0)
+        GROUP BY doc_id, g),
+      t4 AS (SELECT doc_id, MAX(c * glen) AS top4_chars,
+               SUM(c * glen) AS tot4_chars FROM g4 GROUP BY 1),
+      g5 AS (
+        SELECT doc_id, COUNT(*) AS c, CAST(LENGTH(g) AS BIGINT) AS glen
+        FROM (SELECT doc_id, unnest(${sqlWordGrams(words, 5)}) AS g FROM p0)
+        GROUP BY doc_id, g),
+      d5 AS (
+        SELECT doc_id,
+          SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup5_chars,
+          SUM(c * glen) AS tot5_chars
+        FROM g5 GROUP BY 1),
+      j AS (
+        SELECT la.doc_id,
+          dup_lines * 10000 // n_lines AS dup_line_bp,
+          dup_line_chars * 10000 // line_chars AS dup_line_char_bp,
+          COALESCE(top4_chars * 10000 // tot4_chars, 0) AS top4_char_bp,
+          COALESCE(dup5_chars * 10000 // tot5_chars, 0) AS dup5_char_bp
+        FROM la
+        LEFT JOIN t4 ON la.doc_id = t4.doc_id
+        LEFT JOIN d5 ON la.doc_id = d5.doc_id)
+      SELECT doc_id,
+        CAST(dup_line_bp AS BIGINT) AS dup_line_bp,
+        CAST(dup_line_char_bp AS BIGINT) AS dup_line_char_bp,
+        CAST(top4_char_bp AS BIGINT) AS top4_char_bp,
+        CAST(dup5_char_bp AS BIGINT) AS dup5_char_bp,
+        CASE WHEN dup_line_bp <= 3000 AND dup_line_char_bp <= 2000
+              AND top4_char_bp <= 1600 AND dup5_char_bp <= 1500
+             THEN 'keep' ELSE 'reject' END AS rep_verdict
+      FROM j"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
-    corpusMixture, sampleCap, packChunks)
+    corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats)
 }

@@ -167,4 +167,97 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("n_fp") >= 1, r))
   }
+
+  test("exact_substr_dedup removes the full planted paragraph from " +
+    "every planted doc and nothing from dup-free short docs") {
+    val rows = run("exact_substr_dedup").collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val planted = byId.filter(_._1 % 11 == 3)
+    assert(planted.nonEmpty)
+    // every planted doc carries the 30-token shared paragraph: all 30
+    // positions are covered by its 16 cross-doc duplicated windows
+    planted.values.foreach { r =>
+      assert(r.getAs[Long]("n_removed") >= 30, r)
+      assert(r.getAs[Long]("kept_bp") < 10000, r)
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val rm = r.getAs[Long]("n_removed")
+      assert(rm >= 0 && rm <= n, r)
+      val bp = r.getAs[Long]("kept_bp")
+      assert(bp == (n - rm) * 10000 / n, r)
+      // md5 hex, always present (empty string hashes, never null)
+      assert(r.getAs[String]("clean_md5").matches("[0-9a-f]{32}"), r)
+    }
+  }
+
+  test("exact_substr_dedup coverage is position-exact on a " +
+    "constructed pair (only the shared 15-token run is cut)") {
+    import spark.implicits._
+    // two docs share EXACTLY one 15-token run; every other token unique
+    val shared = (1 to 15).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      (100L, s"a1 a2 a3 $shared b1 b2 b3"),
+      (200L, s"c1 c2 $shared d1 d2 d3 d4"))
+      .toDF("doc_id", "text")
+    val W = 15
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wins = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ws")) - W)).as("pos"), col("ws"))
+      .select(col("doc_id"), col("pos"),
+        Queries.md5Long(concat_ws(" ",
+          slice(col("ws"), col("pos") + 1, lit(W)))).as("h"))
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("h")
+    val starts = wins.join(dupH, "h")
+      .select(col("doc_id"), col("pos"), lit(1).as("ds"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val kept = toks.join(starts, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("w"),
+        coalesce(max(col("ds")).over(wp.rowsBetween(-(W - 1), 0)), lit(0))
+          .as("c"))
+      .where(col("c") === 0)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ks"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1)).mkString(" "))
+      .toMap
+    assert(kept(100L) == "a1 a2 a3 b1 b2 b3", kept)
+    assert(kept(200L) == "c1 c2 d1 d2 d3 d4", kept)
+  }
+
+  test("repetition_stats: planted docs carry within-doc duplicate " +
+    "lines; fractions in range; verdict consistent") {
+    val rows = run("repetition_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("dup_line_bp", "dup_line_char_bp", "top4_char_bp", "dup5_char_bp")
+        .foreach { c =>
+          val v = r.getAs[Long](c)
+          assert(v >= 0 && v <= 10000, s"$c=$v in $r")
+        }
+      val keep = r.getAs[Long]("dup_line_bp") <= 3000 &&
+        r.getAs[Long]("dup_line_char_bp") <= 2000 &&
+        r.getAs[Long]("top4_char_bp") <= 1600 &&
+        r.getAs[Long]("dup5_char_bp") <= 1500
+      assert(r.getAs[String]("rep_verdict") == (if (keep) "keep" else "reject"), r)
+    }
+    val planted = rows.filter(_.getAs[Long]("doc_id") % 13 == 5)
+    assert(planted.nonEmpty)
+    // chunks 0 and 1 are the identical planted line → at least one
+    // duplicate line occurrence and duplicated 5-gram char mass
+    planted.foreach { r =>
+      assert(r.getAs[Long]("dup_line_bp") > 0, r)
+      assert(r.getAs[Long]("dup5_char_bp") > 0, r)
+    }
+    // and un-planted docs exist whose lines are all unique
+    assert(rows.exists(r => r.getAs[Long]("doc_id") % 13 != 5 &&
+      r.getAs[Long]("dup_line_bp") == 0))
+  }
 }
