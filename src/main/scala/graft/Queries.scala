@@ -42,7 +42,13 @@ object Queries {
     * shuffle is added; at toy/hot-table scale the one-time key-hashed
     * shuffle (bytes = the small table itself) buys full-width CPU.
     * The numbered form is deliberate: AQE coalesces a column-only
-    * repartition of a tiny table straight back to one task. */
+    * repartition of a tiny table straight back to one task.
+    *
+    * Wrap SCAN-ROOTED frames only (every caller wraps a bare t()):
+    * the guard reads the physical split count via `.rdd`, which for a
+    * scan is one cheap planning pass, but for a frame containing a
+    * shuffle would materialize the upstream AQE stages eagerly at
+    * build time. */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= cores) df

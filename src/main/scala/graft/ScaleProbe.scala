@@ -34,7 +34,7 @@ object ScaleProbe {
     "dedup_merge", "minhash_lsh", "ngram_jaccard", "pipeline_compose",
     "sessionize", "sliding_rate", "incremental_dedup",
     "host_cap_skewsafe", "webgraph_dedup", "dedup_clusters",
-    "tdigest_values")
+    "tdigest_values", "exact_substr_dedup")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
@@ -60,17 +60,40 @@ object ScaleProbe {
     * the threshold): the smaller point's shuffle is broadcast-
     * suppressed, so the ratio measures the flip, not the growth law —
     * those pairs go to [[transitions]] for the next same-shape pair to
-    * settle, instead of failing the probe. */
+    * settle, instead of failing the probe at the tight bound.
+    *
+    * A series with NO same-shape pair must not escape the verdict
+    * entirely (the growth being probed can itself CAUSE the flip, by
+    * outgrowing the broadcast threshold): its transition pairs are
+    * judged at `flipAllowance ×` the linear slack. A genuine one-time
+    * flip adds a bounded newly-shuffled side and stays inside the
+    * allowance at probe scales; quadratic candidate growth (×100 per
+    * decade) blows far past it. Exceeding even the loose bound fails
+    * loudly — re-probe with the join strategy pinned to separate flip
+    * from growth. */
   def superlinear(pts: Seq[Point], slack: Double = 1.6,
-      floorMb: Double = 5.0): Seq[String] =
-    pts.sliding(2).collect {
-      case Seq(a, b)
-          if a.err.isEmpty && b.err.isEmpty && b.shuffleMb > floorMb &&
-            a.shuffleMb > 0 && a.joins == b.joins &&
-            b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) =>
-        f"${a.n}->${b.n}: shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB " +
-          f"(${b.shuffleMb / a.shuffleMb}%.1fx for ${b.n.toDouble / a.n}%.1fx data)"
+      floorMb: Double = 5.0, flipAllowance: Double = 3.0): Seq[String] = {
+    def msg(a: Point, b: Point, tag: String) =
+      f"${a.n}->${b.n}: shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB " +
+        f"(${b.shuffleMb / a.shuffleMb}%.1fx for ${b.n.toDouble / a.n}%.1fx data)$tag"
+    val pairs = pts.sliding(2).collect {
+      case Seq(a, b) if a.err.isEmpty && b.err.isEmpty => (a, b)
     }.toSeq
+    val same = pairs.filter { case (a, b) => a.joins == b.joins }
+    val tight = same.collect {
+      case (a, b) if b.shuffleMb > floorMb && a.shuffleMb > 0 &&
+          b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) =>
+        msg(a, b, "")
+    }
+    val loose = if (same.nonEmpty) Seq.empty else pairs.collect {
+      case (a, b) if b.shuffleMb > floorMb && a.shuffleMb > 0 &&
+          b.shuffleMb / a.shuffleMb >
+            flipAllowance * slack * (b.n.toDouble / a.n) =>
+        msg(a, b, " [all pairs are plan transitions; exceeded even the " +
+          s"${flipAllowance}x flip allowance]")
+    }
+    tight ++ loose
+  }
 
   /** Consecutive pairs whose executed join shapes differ — reported as
     * informational plan transitions (see [[superlinear]]). */

@@ -96,18 +96,28 @@ object CrawlDbReader {
     * Spark's DisableUnnecessaryBucketedScan rule turns bucketed
     * reading off for plans with no join/agg on the bucket key
     * (SPARK-32859 considers output partitioning, not pruning), which
-    * would silently re-inflate the lookup to a full-table scan. Pin
-    * the conf off for just this action; PlanShapeSpec asserts
+    * would silently re-inflate the lookup to a full-table scan.
+    *
+    * The conf is pinned off in a PRIVATE cloned session, never on the
+    * caller's: SQL confs are session-global, so a set/restore around
+    * the action would race every concurrently planning thread of a
+    * shared session (REST handlers vs jobs) and two interleaved
+    * lookups could restore each other's save into a permanent flip.
+    * The dataset's resolved plan crosses into the clone via a
+    * one-shot global temp view (analyzed plans are session-portable;
+    * the clone re-plans it under ITS conf). PlanShapeSpec asserts
     * `SelectedBucketsCount: 1 out of N` stays in the plan. */
   def url(db: Dataset[CrawlRow], u: String): Option[CrawlRow] = {
     val spark = db.sparkSession
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try db.filter(col("url") === u).limit(1).collect().headOption
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    val clone = spark.newSession()
+    clone.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val view = "graft_lookup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    db.createOrReplaceGlobalTempView(view)
+    try clone.table(s"global_temp.$view")
+      .as[CrawlRow](org.apache.spark.sql.Encoders.product[CrawlRow])
+      .filter(col("url") === u).limit(1).collect().headOption
+    finally spark.catalog.dropGlobalTempView(view)
   }
 }

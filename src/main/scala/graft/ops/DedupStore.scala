@@ -98,7 +98,14 @@ object DedupStore {
     * with both store probes reading the bucketed tables in place. */
   def dedupIncrement(increment: DataFrame, storeSigs: DataFrame,
       storeBands: DataFrame): DataFrame = {
-    val incSig = signatures(increment).cache()
+    // deliberately NOT cached: the signature pass is map-only
+    // (shingle+MinHash, no shuffle), so recomputing it on the two
+    // consuming branches is a bounded CPU cost — while a .cache()
+    // here would pin one increment-sized block set per call in a
+    // long-running ingestion service (nothing scoped to this method
+    // could safely unpersist it before the caller materializes the
+    // returned frame)
+    val incSig = signatures(increment)
     val exact = storeSigs.withColumn("exact_hit", lit(1))
     val matches = (0 until MinhashH)
       .map(i => when(col(s"m$i") === col(s"s_m$i"), 1).otherwise(0))

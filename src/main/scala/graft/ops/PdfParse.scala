@@ -165,6 +165,29 @@ object PdfParse {
     if (ok) Some(key) else None
   }
 
+  /** The /CFM method of the crypt filter /StmF routes STREAMS through
+    * (ISO 32000-1 §7.6.5): /StmF names a filter in /CF (or Identity —
+    * also the default when /StmF is absent), and only that filter's
+    * method applies to stream data. The /CF sub-dict lookup assumes the
+    * flat `<< /CFM ... /Length ... >>` shape every mainstream writer
+    * emits (no nested dicts inside a crypt-filter entry). */
+  private[ops] def streamCfm(dict: String): Option[String] =
+    """/StmF\s*/(\w+)""".r.findFirstMatchIn(dict).map(_.group(1)) match {
+      case Some("Identity") => Some("Identity")
+      case Some(name) =>
+        ("/" + java.util.regex.Pattern.quote(name) + """\s*<<([^>]*)>>""").r
+          .findFirstMatchIn(dict)
+          .flatMap(m => """/CFM\s*/(\w+)""".r.findFirstMatchIn(m.group(1))
+            .map(_.group(1)))
+          .map(m => if (m == "None") "Identity" else m)
+      case None =>
+        // /StmF's spec default is Identity — honored only when the
+        // dict actually declares crypt filters; a V4/V5 dict with
+        // NEITHER /StmF nor /CF names no method at all (malformed or
+        // relabeled) and reads as locked, never as plaintext
+        if (dict.contains("/CF")) Some("Identity") else None
+    }
+
   /** Per-object key (Algorithm 1): MD5 of key + object/generation
     * bytes; AESV2 additionally folds in the spec's `sAlT` constant. */
   private[ops] def objectKey(fileKey: Array[Byte], num: Int,
@@ -358,6 +381,15 @@ object PdfParse {
                 case 't' => out.write('\t'); i += 2
                 case 'b' => out.write('\b'); i += 2
                 case 'f' => out.write('\f'); i += 2
+                // backslash + EOL is a line CONTINUATION: both the
+                // backslash and the CR / LF / CRLF are disregarded
+                // (§7.3.4.2) — line-length-limited writers wrap /O //U
+                // this way, and writing the EOL byte would corrupt the
+                // 32-byte key material
+                case '\r' =>
+                  i += 2
+                  if (i < dict.length && dict.charAt(i) == '\n') i += 1
+                case '\n' => i += 2
                 case d if d >= '0' && d <= '7' =>
                   var v = 0; var k = 0; i += 1
                   while (k < 3 && i < dict.length && dict.charAt(i) >= '0' &&
@@ -372,6 +404,11 @@ object PdfParse {
               depth -= 1
               if (depth > 0) out.write(')')
               i += 1
+            // an unescaped EOL inside a literal reads as ONE 0x0A byte
+            // regardless of its on-disk CR / LF / CRLF form (§7.3.4.2)
+            case '\r' =>
+              out.write('\n'); i += 1
+              if (i < dict.length && dict.charAt(i) == '\n') i += 1
             case c => out.write(c); i += 1
           }
         }
@@ -407,31 +444,44 @@ object PdfParse {
             } yield (num: Int, gen: Int, data: Array[Byte]) =>
               Some(rc4(objectKey(k, num, gen), data))
           case 4 =>
-            // crypt filters: /CF <</StdCF <</CFM /AESV2|/V2>>>> routed
-            // via /StmF; same Algorithm-2 file key as R3 under the hood
-            val cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(dict)
-              .map(_.group(1))
-            for {
-              o <- binEntry("/O"); u <- binEntry("/U")
-              pv <- p; rv <- r; i0 <- id0; m <- cfm
-              k <- fileKey(o, u, pv, rv, keyBytes, i0, encMeta)
-              f <- m match {
-                case "AESV2" =>
-                  Some((num: Int, gen: Int, data: Array[Byte]) =>
-                    aesDecryptIvPrefixed(objectKey(k, num, gen, aes = true),
-                      data))
-                case "V2" =>
-                  Some((num: Int, gen: Int, data: Array[Byte]) =>
-                    Option(rc4(objectKey(k, num, gen), data)))
-                case _ => None // /Identity at StdCF, or unknown method
-              }
-            } yield f
+            // crypt filters: streams are decrypted by the filter /StmF
+            // NAMES (default Identity when absent, §7.6.5 — grabbing
+            // the first /CFM anywhere in the dict would AES-"decrypt"
+            // plaintext streams of a strings-only-encrypted file into
+            // noise); the named filter's method comes from ITS /CF
+            // sub-dict. Same Algorithm-2 file key as R3 under the hood.
+            streamCfm(dict) match {
+              case Some("Identity") =>
+                // streams unencrypted (e.g. /StmF /Identity,
+                // strings-only encryption): pass-through, no key needed
+                Some((_: Int, _: Int, data: Array[Byte]) => Some(data))
+              case Some(m @ ("AESV2" | "V2")) =>
+                for {
+                  o <- binEntry("/O"); u <- binEntry("/U")
+                  pv <- p; rv <- r; i0 <- id0
+                  k <- fileKey(o, u, pv, rv, keyBytes, i0, encMeta)
+                } yield
+                  if (m == "AESV2")
+                    (num: Int, gen: Int, data: Array[Byte]) =>
+                      aesDecryptIvPrefixed(objectKey(k, num, gen,
+                        aes = true), data)
+                  else
+                    (num: Int, gen: Int, data: Array[Byte]) =>
+                      Option(rc4(objectKey(k, num, gen), data))
+              case _ => None // unknown method
+            }
           case 5 =>
-            for {
-              u <- binEntry("/U"); ue <- binEntry("/UE"); rv <- r
-              k <- fileKeyV5(u, ue, rv)
-            } yield (num: Int, gen: Int, data: Array[Byte]) =>
-              aesDecryptIvPrefixed(k, data)
+            streamCfm(dict) match {
+              case Some("Identity") =>
+                Some((_: Int, _: Int, data: Array[Byte]) => Some(data))
+              case Some("AESV3") =>
+                for {
+                  u <- binEntry("/U"); ue <- binEntry("/UE"); rv <- r
+                  k <- fileKeyV5(u, ue, rv)
+                } yield (num: Int, gen: Int, data: Array[Byte]) =>
+                  aesDecryptIvPrefixed(k, data)
+              case _ => None // unknown method
+            }
           case _ => None
         }
       if (decrypt.isEmpty) return Result(ok = false, encrypted = true, 0, "")

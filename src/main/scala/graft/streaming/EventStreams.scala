@@ -63,12 +63,6 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("first_event"))
 
-  /** Streaming exact dedup — the LLM-pipeline ingest shape: drop events
-    * whose dedup key (e.g. a content signature) was already seen within
-    * the watermark horizon. `dropDuplicatesWithinWatermark` keys state
-    * on the signature alone and expires it WITH the watermark — without
-    * the horizon, streaming dedup state grows forever. Keyed on
-    * (event_type, value-cents) as the stand-in signature. */
   /** Hourly t-digest value quantiles per event type — the streaming
     * face of the reference's latency/score sketches (Fetcher.java:
     * 507-525 merges MergingDigest(100) across fetch threads; here the
@@ -97,6 +91,12 @@ object EventStreams {
         element_at(col("qv"), 2).as("p95"),
         element_at(col("qv"), 3).as("p99"))
 
+  /** Streaming exact dedup — the LLM-pipeline ingest shape: drop events
+    * whose dedup key (e.g. a content signature) was already seen within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keys state
+    * on the signature alone and expires it WITH the watermark — without
+    * the horizon, streaming dedup state grows forever. Keyed on
+    * (event_type, value-cents) as the stand-in signature. */
   def dedupStream(events: Dataset[Event]): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))

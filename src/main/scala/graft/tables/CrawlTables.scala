@@ -55,7 +55,7 @@ object CrawlDbStore {
     * conductor ignores (split-brain). */
   def open(spark: SparkSession, dir: String): CrawlDbStore =
     if (GenLayout.isBucketed(dir)) new BucketedCrawlDbTable(spark, dir,
-      GenLayout.resolveBuckets(dir, GenLayout.generation(dir)))
+      GenLayout.resolveBuckets(spark, dir, GenLayout.generation(dir), "url"))
     else new CrawlDbTable(spark, dir)
 }
 
@@ -74,7 +74,7 @@ object LinkDbStore {
   /** Layout-detecting open, mirroring [[CrawlDbStore.open]]. */
   def open(spark: SparkSession, dir: String): LinkDbStore =
     if (GenLayout.isBucketed(dir)) new BucketedLinkDbTable(spark, dir,
-      GenLayout.resolveBuckets(dir, GenLayout.generation(dir)))
+      GenLayout.resolveBuckets(spark, dir, GenLayout.generation(dir), "url"))
     else new LinkDbTable(spark, dir)
 }
 
@@ -134,10 +134,11 @@ private[tables] object GenLayout {
   }
 
   /** Highest bucket id + 1 from saveAsTable's part-file naming
-    * (`part-…_<bucketId 5 digits>.c000…`). A lower bound on the real
-    * count — exact unless every row hashed out of the top buckets,
-    * which a real db's url distribution rules out — used only to
-    * backfill roots written before the per-generation sidecar. */
+    * (`part-…_<bucketId 5 digits>.c000…`). Only a LOWER BOUND on the
+    * real count — `bucketBy` writes no file for an empty bucket, so a
+    * small generation whose top bucket(s) happen to be empty derives
+    * low. Never registered directly: [[resolveBuckets]] validates a
+    * candidate against the data's own hash placement first. */
   def deriveBuckets(genDir: Path): Option[Int] = {
     if (!Files.isDirectory(genDir)) return None
     val id = raw"_(\d{5})\.".r
@@ -158,25 +159,62 @@ private[tables] object GenLayout {
     if (max >= 0) Some(max + 1) else None
   }
 
+  /** How many candidate counts past the derived lower bound the
+    * validation sweep tries before demanding a hand-written sidecar. */
+  private val DeriveSearchSpan = 64
+
+  /** Smallest bucket count ≥ the file-name lower bound that the DATA
+    * itself is consistent with: Spark's bucket id is
+    * `pmod(murmur3(key), N)` (the SQL `hash` function — same
+    * expression, same seed — HashPartitioning.partitionIdExpression),
+    * so a candidate N is checkable by comparing every row's hash
+    * placement against the bucket id in its file name. A consistent N
+    * is observationally SAFE to register even if it differs from the
+    * count the writer was configured with (the layout genuinely
+    * satisfies the declared distribution); an inconsistent N silently
+    * corrupts every Exchange-free join, which is why the raw
+    * max-id+1 derivation — an undercount whenever the top bucket is
+    * empty — must never be trusted unvalidated. One-time cost (a scan
+    * of the legacy generation); callers backfill the sidecar so it
+    * never re-runs. */
+  private def validatedDerive(spark: SparkSession, genDir: Path,
+      key: String): Option[Int] =
+    deriveBuckets(genDir).flatMap { n0 =>
+      import org.apache.spark.sql.functions._
+      val placed = spark.read.parquet(genDir.toString)
+        .select(hash(col(key)).as("h"),
+          regexp_extract(input_file_name(), raw"_(\d{5})\.", 1)
+            .cast("int").as("b"))
+        .cache()
+      try (n0 to n0 + DeriveSearchSpan).find(n =>
+        placed.where(pmod(col("h"), lit(n)) =!= col("b")).isEmpty)
+      finally placed.unpersist()
+    }
+
   /** The bucket count generation `g` of `dir` was written with.
     * Resolution order: the generation's own `_BUCKETS` sidecar → the
-    * legacy dir-scoped `BUCKETS` file → derivation from the bucket-id
-    * file names — NEVER a guessed constant, because registering the
-    * wrong CLUSTERED BY count makes Spark trust a hash distribution
-    * the files don't satisfy, and Exchange-free url joins then
-    * silently miss matches. */
-  def resolveBuckets(dir: String, g: Long): Int = {
+    * legacy dir-scoped `BUCKETS` file → data-VALIDATED derivation from
+    * the bucket-id file names ([[validatedDerive]]) — NEVER a guessed
+    * or unvalidated constant, because registering the wrong CLUSTERED
+    * BY count makes Spark trust a hash distribution the files don't
+    * satisfy, and Exchange-free url joins then silently miss
+    * matches. */
+  def resolveBuckets(spark: SparkSession, dir: String, g: Long,
+      key: String): Int = {
     val perGen = Paths.get(dir, s"g$g", "_BUCKETS")
     if (Files.exists(perGen)) parseCount(perGen)
     else {
       val legacy = Paths.get(dir, "BUCKETS")
       if (Files.exists(legacy)) parseCount(legacy)
-      else deriveBuckets(Paths.get(dir, s"g$g")).getOrElse(
+      else validatedDerive(spark, Paths.get(dir, s"g$g"), key).getOrElse(
         throw new IllegalStateException(
           s"$dir/g$g has no _BUCKETS sidecar, no dir-scoped BUCKETS " +
-            "file, and no bucket-suffixed part files to derive the " +
-            "count from — write <gen>/_BUCKETS with the count the " +
-            "generation was bucketBy-written with"))
+            "file, and no bucket count derivable from its part files " +
+            "(no bucket-suffixed part files present, or no count within " +
+            s"$DeriveSearchSpan of the file-name lower bound is " +
+            "consistent with the rows' hash placement) — write " +
+            "<gen>/_BUCKETS with the count the generation was " +
+            "bucketBy-written with"))
     }
   }
 
@@ -222,7 +260,8 @@ sealed abstract class BucketedGenTable[T](spark: SparkSession, dir: String,
     * use. */
   def buckets: Int = {
     val g = generation
-    if (g > 0L) GenLayout.resolveBuckets(dir, g) else requestedBuckets
+    if (g > 0L) GenLayout.resolveBuckets(spark, dir, g, key)
+    else requestedBuckets
   }
 
   def read(): Dataset[T] = {
@@ -240,7 +279,7 @@ sealed abstract class BucketedGenTable[T](spark: SparkSession, dir: String,
       // pruning
       if (!spark.catalog.tableExists(tableName(g)))
         Bucketed.register(spark, tableName(g), s"$dir/g$g",
-          GenLayout.resolveBuckets(dir, g), key)
+          GenLayout.resolveBuckets(spark, dir, g, key), key)
       spark.table(tableName(g)).as[T](enc)
     }
   }
@@ -418,7 +457,8 @@ object HostDbStore {
   /** Layout-detecting open, mirroring [[CrawlDbStore.open]]. */
   def open(spark: SparkSession, dir: String): HostDbStore =
     if (GenLayout.isBucketed(dir)) new BucketedHostDbTable(spark, dir,
-      GenLayout.resolveBuckets(dir, GenLayout.generation(dir)))
+      GenLayout.resolveBuckets(spark, dir, GenLayout.generation(dir),
+        "host"))
     else new HostDbTable(spark, dir)
 }
 

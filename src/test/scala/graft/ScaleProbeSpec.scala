@@ -102,4 +102,28 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSuite {
     val tiny = Seq(Point(1, 1, 0.01, None), Point(10, 1, 3.0, None))
     assert(superlinear(tiny).isEmpty)
   }
+
+  test("a series whose EVERY pair is a plan transition cannot escape " +
+    "the verdict: quadratic growth fails the flip-allowance bound, a " +
+    "bounded one-time flip passes, and a settled pair restores the " +
+    "informational treatment") {
+    import ScaleProbe.{Point, superlinear}
+    // quadratic growth that also flips bhj->smj between the only two
+    // points: the old skip-on-transition rule passed this silently
+    val quadFlip = Seq(Point(1, 1, 10, None, "bhj=1,smj=0"),
+      Point(10, 50, 1000, None, "bhj=0,smj=1"))
+    assert(superlinear(quadFlip).nonEmpty,
+      "growth-caused plan flip must not hide the growth law")
+    // a genuine one-time flip: 10x data, ~2x-linear jump from the
+    // newly-shuffled side — inside the 3x flip allowance
+    val benignFlip = Seq(Point(1, 1, 10, None, "bhj=1,smj=0"),
+      Point(10, 9, 300, None, "bhj=0,smj=1"))
+    assert(superlinear(benignFlip).isEmpty)
+    // when another pair SETTLES the series at the same shape, the
+    // transition pair stays informational even at a big ratio
+    val settled = Seq(Point(1, 1, 10, None, "bhj=1,smj=0"),
+      Point(10, 9, 1000, None, "bhj=0,smj=1"),
+      Point(100, 90, 10500, None, "bhj=0,smj=1"))
+    assert(superlinear(settled).isEmpty)
+  }
 }

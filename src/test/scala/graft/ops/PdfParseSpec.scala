@@ -92,6 +92,51 @@ class PdfParseSpec extends AnyFunSuite {
     }
   }
 
+  test("/StmF /Identity (strings-only encryption) leaves streams " +
+    "readable — the /CF method must be routed by /StmF, not grabbed " +
+    "from the first /CFM in the dict") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val plain = PdfParse.build(
+      Seq(Seq("identity streams stay readable", "line two")))
+    val s = new String(plain, iso)
+    // graft a V4 encrypt dict declaring AESV2 in /CF but routing
+    // STREAMS to Identity (legal per ISO 32000-1 §7.6.5); /O //U are
+    // garbage on purpose — Identity streams need no key, so the old
+    // first-/CFM grab (derive-then-fail or AES-decrypt plaintext into
+    // noise) is distinguishable from correct routing
+    val encObj = "99 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/P -3904 /O <" + "00" * 32 + "> /U <" + "00" * 32 + "> " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+      "/StmF /Identity /StrF /StdCF >>\nendobj\n"
+    val doctored = s
+      .replace("trailer\n<<", encObj + "trailer\n<<")
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+    val r = PdfParse.extract(doctored.getBytes(iso))
+    assert(r.ok && r.encrypted, r)
+    assert(r.text == "identity streams stay readable\nline two", r.text)
+  }
+
+  test("literal-string /U wrapped with a backslash-EOL continuation " +
+    "still derives the key (§7.3.4.2: the EOL is disregarded, " +
+    "never written into the key material)") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val bytes = PdfParse.build(Seq(Seq("wrapped U entry")),
+      encrypt = true, cipher = "rc4-128")
+    val s = new String(bytes, iso)
+    val um = """/U <([0-9A-Fa-f]+)>""".r.findFirstMatchIn(s).get
+    val uBytes = um.group(1).grouped(2)
+      .map(Integer.parseInt(_, 16)).toArray
+    // same 32 bytes as 3-digit octal escapes, split across a
+    // backslash-CRLF line continuation at a group boundary
+    val lit = uBytes.map(b => f"\\${b & 0xff}%03o")
+    val wrapped = lit.take(16).mkString + "\\\r\n" + lit.drop(16).mkString
+    val doctored = s.substring(0, um.start) + "/U (" + wrapped + ")" +
+      s.substring(um.end)
+    val r = PdfParse.extract(doctored.getBytes(iso))
+    assert(r.ok && r.encrypted, r)
+    assert(r.text == "wrapped U entry", r.text)
+  }
+
   test("/EncryptMetadata false changes the R4 key hash (and is detected)") {
     // the file was built with EncryptMetadata true; declaring false must
     // fold 0xFFFFFFFF into Algorithm 2 and fail the /U check — honored

@@ -10,8 +10,11 @@ import graft.schemas.{CrawlDatum, CrawlRow, CrawlStatus, ParseDataRow,
   ParseTextRow}
 
 /** r10 layout hardening: bucket-count resolution is never guessed
-  * (per-generation sidecar → legacy dir file → derivation from bucket
-  * file names → loud error), the sidecar write is crash-atomic by the
+  * (per-generation sidecar → legacy dir file → DATA-VALIDATED
+  * derivation from bucket file names → loud error; raw max-file-id+1
+  * undercounts when the top bucket is empty, so a candidate count is
+  * only registered when every row's `pmod(hash(key), N)` matches its
+  * file's bucket id), the sidecar write is crash-atomic by the
   * write-before-pointer discipline, and the LinkDb gets the same
   * bucketed layout — proven by the indexing cogroup planning with NO
   * Exchange on EITHER db-sized side. */
@@ -66,6 +69,35 @@ class BucketedLayoutSpec extends AnyFunSuite with SparkSuite {
     wipeCatalog("graft_crawldb_")
   }
 
+  test("a pre-sidecar root whose TOP BUCKET IS EMPTY still resolves the " +
+    "true count: the file-name lower bound undercounts, and the " +
+    "data-placement validation sweep corrects it") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val root = Files.createTempDirectory("layout-empty-top").toString
+    // keep only rows that hash OUT of bucket 7 of 8, so bucketBy writes
+    // no _00007 file and max-id+1 derivation reads 7 — the silent
+    // wrong-count corruption the validation exists to prevent
+    val all = crawlRows(400)
+    val keep = spark.createDataset(all)
+      .where(pmod(hash(col("url")), lit(8)) =!= 7)
+    val kept = keep.count()
+    assert(kept < 400 && kept > 300, s"planted skew broke: $kept")
+    val db = new BucketedCrawlDbTable(spark, root, 8)
+    db.install(keep, "g1")
+    assert(!Files.list(Paths.get(root, "g1")).toArray.map(_.toString)
+      .exists(_.contains("_00007")), "top bucket unexpectedly non-empty")
+    Files.delete(Paths.get(root, "g1", "_BUCKETS"))
+    Files.delete(Paths.get(root, "BUCKETS"))
+    wipeCatalog("graft_crawldb_")
+    val reopened = CrawlDbStore.open(spark, root)
+    assert(reopened.asInstanceOf[BucketedCrawlDbTable].buckets == 8,
+      "derivation must validate against the data's hash placement, " +
+        "never register the max-file-id+1 undercount")
+    assert(reopened.read().count() == kept)
+    wipeCatalog("graft_crawldb_")
+  }
+
   test("a pre-sidecar root (no _BUCKETS, no BUCKETS) derives the count " +
     "from the bucket-id file names; a root with no derivable count " +
     "fails loudly; a garbage sidecar names the file") {
@@ -98,7 +130,7 @@ class BucketedLayoutSpec extends AnyFunSuite with SparkSuite {
     val ex2 = intercept[IllegalStateException] {
       CrawlDbStore.open(spark, root2)
     }
-    assert(ex2.getMessage.contains("no bucket-suffixed part files"),
+    assert(ex2.getMessage.contains("no bucket count derivable"),
       ex2.getMessage)
   }
 
