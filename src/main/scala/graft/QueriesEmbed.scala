@@ -807,6 +807,95 @@ object QueriesEmbed {
         CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""))
 
+  /** Embedding-space outlier detection — the curation complement of
+    * [[semanticDedup]] (SemDeDup keeps a dup group's LOW-centroid-cos
+    * member; this flags the corpus-wide low tail): train the same
+    * one-Lloyd-step coarse quantizer as knn_ivf, assign every vector
+    * to its nearest centroid by cosine, and emit each cluster's k=5
+    * LEAST prototypical members (lowest cosine to their own centroid,
+    * vec_id tiebreak) — the "far from every cluster center" documents
+    * a curation pass reviews or drops (SSL-prototype pruning,
+    * Sorscher et al. NeurIPS 2022 use the same per-cluster-distance
+    * signal).
+    *
+    * Scale shape: training + assignment are knn_ivf's (broadcast
+    * centroids, per-vector bounded window over #cells rows); the
+    * bottom-k per cluster runs through the O(k) BoundedTopK aggregate
+    * + semi-join ([[graft.operators.Relational.boundedTopKPerKey]]) —
+    * map-side combinable, AQE-splittable, NO per-cluster window over
+    * the full membership (a cluster is n/cells rows; a window
+    * partition that size is a straggler by construction). The final
+    * rank window orders ≤ k·cells surviving rows. */
+  val embedOutliers = Q(
+    "embed_outliers",
+    (s, dir) => {
+      val e = prepared(s, dir)
+      val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("cx"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cx")))),
+          p => p.getField("cx")).as("cvec"))
+        .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
+      val scored = e.crossJoin(broadcast(cent.select(
+          col("label").as("cell"), col("cvec"), col("cnsq"))))
+        .select(col("vec_id"), col("cell"),
+          Similarity.cosineFx(Similarity.dotQ(col("qv"), col("cvec")),
+            col("nsq"), col("cnsq")).as("ccos"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("ccos"), asc("cell"))
+      val asg = scored.withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), round(col("ccos"), 6).as("ccos"))
+      val picked = graft.operators.Relational.boundedTopKPerKey(
+        asg, Seq("cell"),
+        struct(col("ccos"), col("vec_id").as("id")), "vec_id", 5)
+      val wRank = Window.partitionBy(col("cell"))
+        .orderBy(asc("ccos"), asc("vec_id"))
+      picked.withColumn("rank", row_number().over(wRank).cast("long"))
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("ccos"), col("rank"))
+    },
+    Some(s"""
+      WITH qe AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(ROUND(x*1e6) AS BIGINT)) AS qv
+        FROM embeddings),
+      cent0 AS (
+        SELECT label, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, unnest(qv) AS x,
+                unnest(generate_series(1, len(qv))) AS i
+              FROM qe)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label AS cell, list(cx ORDER BY i) AS cvec FROM cent0
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(e.qv, c.cvec),
+               s -> s[1] * s[2])) AS DOUBLE) /
+          (sqrt(CAST(list_sum(list_transform(e.qv, x -> x*x)) AS DOUBLE)) *
+           sqrt(CAST(list_sum(list_transform(c.cvec, x -> x*x)) AS DOUBLE)))
+            AS ccos
+        FROM qe e CROSS JOIN cent c),
+      asg AS (
+        SELECT vec_id, cell, ROUND(ccos, 6) AS ccos FROM (
+          SELECT vec_id, cell, ccos, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cell) AS rn
+          FROM scored) WHERE rn = 1),
+      r AS (
+        SELECT vec_id, cell, ccos,
+          row_number() OVER (PARTITION BY cell
+                             ORDER BY ccos, vec_id) AS rn
+        FROM asg)
+      SELECT CAST(cell AS INTEGER) AS cell, vec_id, ccos,
+        CAST(rn AS BIGINT) AS rank
+      FROM r WHERE rn <= 5"""))
+
   val all: Seq[Q] =
-    Seq(knnBruteforce, knnIvf, knnPq, knnIvfpq, embedNearDup, semanticDedup)
+    Seq(knnBruteforce, knnIvf, knnPq, knnIvfpq, embedNearDup, semanticDedup,
+      embedOutliers)
 }

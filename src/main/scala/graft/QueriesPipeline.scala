@@ -480,6 +480,64 @@ object QueriesPipeline {
       FROM tf JOIN c USING (w) CROSS JOIN t
       GROUP BY 1"""))
 
+  /** Bigram-LM fluency scoring — the log-free integer-exact form of the
+    * CCNet-style language-model quality filter (perplexity under a
+    * corpus-trained n-gram LM flags gibberish, shuffled text, and
+    * boilerplate): each bigram occurrence (w₁ w₂) contributes
+    * `count(w₁ ·) DIV count(w₁ w₂)` — the integer inverse conditional
+    * probability 1/P(w₂|w₁), the same monotone signal as bigram
+    * log-perplexity without libm in the oracle path (the
+    * [[rarityScore]] pattern, conditioned on the preceding token
+    * instead of unigram-marginal). High per-bigram score = improbable
+    * transitions; low = formulaic text. Docs with fewer than two
+    * tokens have no bigrams and drop from the report (inner shape,
+    * identical in the oracle).
+    *
+    * Scale shape: two hash-keyed count shuffles (head word, bigram)
+    * with map-side partial aggregation, two joins back, one per-doc
+    * agg. The head-word join key is Zipfian at real scale ("the" owns
+    * percents of the mass) — that skew rides a hash/SMJ JOIN, which
+    * AQE splits at runtime, never a window partition, which it
+    * cannot. */
+  val lmBigramScore = Q(
+    "lm_bigram_score",
+    (s, dir) => {
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = d
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("w"),
+          lead(col("w"), 1).over(wp).as("w1"))
+        .where(col("w1").isNotNull)
+        .select(col("doc_id"), col("w"),
+          concat_ws(" ", col("w"), col("w1")).as("g"))
+      val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
+      val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
+      bi.join(c2, "g").join(c1, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("cw DIV cg")).as("lm_score"))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+          expr("(lm_score * 10000) DIV n_bigrams").as("lm_per_bigram_bp"))
+    },
+    Some {
+      val words = "string_split(text, ' ')"
+      s"""
+      WITH bi AS (
+        SELECT doc_id, g, split_part(g, ' ', 1) AS w
+        FROM (SELECT doc_id, unnest(${sqlWordGrams(words, 2)}) AS g
+              FROM documents)),
+      c1 AS (SELECT w, COUNT(*) AS cw FROM bi GROUP BY 1),
+      c2 AS (SELECT g, COUNT(*) AS cg FROM bi GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(cw // cg) AS BIGINT) AS lm_score,
+        (CAST(SUM(cw // cg) AS BIGINT) * 10000) // COUNT(*)
+          AS lm_per_bigram_bp
+      FROM bi JOIN c2 USING (g) JOIN c1 USING (w)
+      GROUP BY 1"""
+    })
+
   /** Cross-document repeated-SPAN detection — the exact-substring dedup
     * family (dedup at ≥W-token-run granularity rather than line or
     * whole-doc): every OVERLAPPING 15-word window is hashed, a window
@@ -1071,5 +1129,6 @@ object QueriesPipeline {
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
-    corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats)
+    corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
+    lmBigramScore)
 }

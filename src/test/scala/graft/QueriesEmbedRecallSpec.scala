@@ -258,4 +258,56 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
     assert(rows.count(_._4 == 0L) < rows.length / 10,
       "dedup dropped >10% of a corpus that is <10% duplicates")
   }
+
+  test("embed_outliers picks each cluster's TRUE bottom-5 by centroid " +
+    "cosine (bounded-agg selection == independent window recompute)") {
+    val out = Queries.byName("embed_outliers").build(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= 5, s"cell $cell emitted ${rows.length} rows")
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      // ranks are 1..k and ccos is non-decreasing along them
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rows.length).toSeq, s"cell $cell ranks")
+      val cs = sorted.map(_.getAs[Double]("ccos")).toSeq
+      assert(cs == cs.sorted, s"cell $cell ccos not ascending: $cs")
+    }
+    // independent recompute in plain Scala (no Spark expressions): the
+    // same fixed-point train/assign arithmetic from the raw embeddings
+    // must produce the same bottom-5 per cell
+    val raw = Queries.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2)
+          .map(x => graft.functions.VecOps.fxq(x.toDouble)).toArray))
+    val cents = raw.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> vs.map(_._3).transpose.map(xs =>
+        math.floor(xs.sum.toDouble / xs.length).toLong).toArray
+    }
+    // unrounded for assignment ordering, Spark-identical HALF_UP round
+    // at 6dp for the reported/selection value — same as the query
+    def cosRaw(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val asg = raw.map { case (id, _, qv) =>
+      val (cell, cc) = cents.toSeq
+        .map { case (c, cv) => (c, cosRaw(qv, cv)) }
+        .minBy { case (c, cc) => (-cc, c) }
+      (id, cell, r6(cc))
+    }
+    val expect = asg.groupBy(_._2).map { case (cell, vs) =>
+      cell -> vs.sortBy(v => (v._3, v._1)).take(5)
+        .map(v => (v._1, v._3)).toSeq
+    }
+    byCell.foreach { case (cell, rows) =>
+      val got = rows.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("ccos"))).toSeq
+      assert(got == expect(cell),
+        s"cell $cell: got $got expected ${expect(cell)}")
+    }
+  }
 }

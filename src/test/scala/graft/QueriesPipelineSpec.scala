@@ -232,6 +232,22 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(kept(200L) == "c1 c2 d1 d2 d3 d4", kept)
   }
 
+  test("lm_bigram_score: every bigram contributes >= 1 (cw >= cg by " +
+    "construction), per-bigram scaling is floor-exact, and the " +
+    "repetitive synthetic vocab yields non-trivial spread") {
+    val rows = run("lm_bigram_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val sc = r.getAs[Long]("lm_score")
+      assert(n >= 1, r)
+      assert(sc >= n, r) // each term = cw DIV cg >= 1
+      assert(r.getAs[Long]("lm_per_bigram_bp") == sc * 10000 / n, r)
+    }
+    // the signal must actually vary across docs (not a constant corpus)
+    assert(rows.map(_.getAs[Long]("lm_per_bigram_bp")).distinct.length > 1)
+  }
+
   test("repetition_stats: planted docs carry within-doc duplicate " +
     "lines; fractions in range; verdict consistent") {
     val rows = run("repetition_stats").collect()
