@@ -28,6 +28,7 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main clean     <crawldb> <sinkDir>
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
+  *                      [-exactsubstr]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -619,7 +620,26 @@ object Main {
             .drop("near_drop")
         }
         labeled = labeled.cache()
-        val corpus = labeled.where(col("drop_reason") === "keep")
+        var kept = labeled.where(col("drop_reason") === "keep")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        var spansRemoved = 0L
+        if (rest.contains("-exactsubstr")) {
+          // ExactSubstr span REMOVAL (Lee et al. ACL 2022) on the kept
+          // corpus: cross-document duplicated 15-word runs are cut from
+          // the text itself (all occurrences), not just counted — the
+          // doc-level dedup stages above can't touch a boilerplate
+          // paragraph embedded in otherwise-unique documents
+          val cleaned = graft.QueriesPipeline
+            .exactSubstrClean(kept.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("clean_text"), col("n_removed"))
+          kept = kept.join(cleaned, "doc_id")
+            .select(col("doc_id"), col("clean_text").as("text"),
+              col("lang"), col("source"), col("n_removed"))
+          spansRemoved = kept.agg(coalesce(sum("n_removed"), lit(0L)))
+            .head().getLong(0)
+          kept = kept.drop("n_removed")
+        }
+        val corpus = kept
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("shard",
             Queries.md5Long(col("doc_id").cast("string")) % shards)
@@ -644,6 +664,9 @@ object Main {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             if (reason == "keep") "docs_kept" else s"dropped_$reason", n))
         }
+        if (rest.contains("-exactsubstr"))
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "exactsubstr_tokens_removed", spansRemoved))
         labeled.unpersist()
         println(s"corpus: ${reasons.getOrElse("keep", 0L)} docs kept of " +
           s"${reasons.values.sum} into $shards shards " +

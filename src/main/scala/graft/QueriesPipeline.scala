@@ -891,10 +891,44 @@ object QueriesPipeline {
     * same per-doc bound every tokenizing query here carries. Everything
     * is linear in corpus tokens.
     */
+  /** The removal core of [[exactSubstrDedup]], reusable on any
+    * (doc_id, text) frame (the `corpus -exactsubstr` stage runs it on
+    * the kept corpus): returns one row per doc with `n_tokens`,
+    * `n_removed`, and `clean_text` — the surviving tokens in order. */
+  private[graft] def exactSubstrClean(d: org.apache.spark.sql.DataFrame,
+      W: Int = 15): org.apache.spark.sql.DataFrame = {
+    val toks = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wins = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ws")) - W)).as("pos"), col("ws"))
+      .select(col("doc_id"), col("pos"),
+        Queries.md5Long(concat_ws(" ",
+          slice(col("ws"), col("pos") + 1, lit(W)))).as("h"))
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("h")
+    val starts = wins.join(dupH, "h")
+      .select(col("doc_id"), col("pos"), lit(1).as("ds"))
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = toks.join(starts, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("w"),
+        coalesce(max(col("ds")).over(wp.rowsBetween(-(W - 1), 0)), lit(0))
+          .as("c"))
+    cov.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).cast("long").as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("c") === 0, struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ").as("clean_text"))
+  }
+
   val exactSubstrDedup = Q(
     "exact_substr_dedup",
     (s, dir) => {
-      val W = 15
       val para = "shared press release paragraph syndicated verbatim " +
         "across partner outlets today with identical wording and no " +
         "attribution beyond the original newswire byline copy desk " +
@@ -903,36 +937,10 @@ object QueriesPipeline {
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
             .otherwise(col("text")).as("text"))
-      val toks = d.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val wins = d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= W)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("ws")) - W)).as("pos"), col("ws"))
-        .select(col("doc_id"), col("pos"),
-          Queries.md5Long(concat_ws(" ",
-            slice(col("ws"), col("pos") + 1, lit(W)))).as("h"))
-      val dupH = wins.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") > 1).select("h")
-      val starts = wins.join(dupH, "h")
-        .select(col("doc_id"), col("pos"), lit(1).as("ds"))
-      val wp = Window.partitionBy("doc_id").orderBy("pos")
-      val cov = toks.join(starts, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("w"),
-          coalesce(max(col("ds")).over(wp.rowsBetween(-(W - 1), 0)), lit(0))
-            .as("c"))
-      cov.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("c")).cast("long").as("n_removed"),
-          md5(array_join(transform(
-            array_sort(collect_list(
-              when(col("c") === 0, struct(col("pos"), col("w"))))),
-            x => x.getField("w")), " ")).as("clean_md5"))
+      exactSubstrClean(d)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           expr("(n_tokens - n_removed) * 10000 div n_tokens").as("kept_bp"),
-          col("clean_md5"))
+          md5(col("clean_text")).as("clean_md5"))
     },
     Some {
       val para = "shared press release paragraph syndicated verbatim " +

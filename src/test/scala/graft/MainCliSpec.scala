@@ -419,4 +419,58 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(corpus.select("doc_id", "shard").except(
       again.select("doc_id", "shard")).isEmpty)
   }
+
+  test("corpus -exactsubstr cuts a cross-document boilerplate paragraph " +
+    "from the kept text (all occurrences) and reports the token count") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("cli-corpus-substr").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    // a corpus dir with ONLY a planted documents table: two docs share
+    // a 20-word paragraph embedded in otherwise-distinct text. The
+    // construction must PASS every doc-level gate: a small reused
+    // vocab keeps the rarity score low, seeded-random orders keep
+    // gopher's within-doc repetition low and line/span signatures
+    // distinct, and the paragraph lands at offsets 30 and 25 so no
+    // 10-word line chunk aligns identically across the two carriers.
+    val vocab = (1 to 20).map(i => s"w$i")
+    val rnd = new scala.util.Random(42)
+    def rand(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    val para = rand(20).mkString(" ")
+    val Seq(a, b, c, d, e) =
+      Seq(rand(30), rand(30), rand(25), rand(35), rand(70))
+        .map(_.mkString(" "))
+    // unique guard tokens isolate the paragraph: without them a filler
+    // token adjacent to the paragraph can coincide across the two
+    // carriers (1/|vocab| per side), lengthening the true duplicated
+    // run beyond the paragraph — correct removal semantics, but not
+    // the fixed 20-token expectation this test pins
+    val docs = Seq(
+      (1L, s"$a x1 $para x2 $b", "en", "web"),
+      (2L, s"$c y1 $para y2 $d", "en", "web"),
+      (3L, e, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    docs.write.parquet(s"$root/sf/documents.parquet")
+    assert(v("corpus", s"$root/sf", s"$root/out", "-shards", "2",
+      "-exactsubstr") == 0)
+    val out = spark.read.parquet(s"$root/out/corpus").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("text"), r.getAs[Long]("n_tokens")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L),
+      s"a gate dropped a planted doc: ${out.keySet}")
+    // the shared paragraph is cut from BOTH carriers — exactly its 20
+    // tokens, nothing else (the 15-word windows straddling paragraph
+    // and guard/filler are unique per doc)
+    assert(out(1L)._1 == s"$a x1 x2 $b", out(1L))
+    assert(out(2L)._1 == s"$c y1 y2 $d", out(2L))
+    assert(out(3L)._1 == e)
+    assert(out(1L)._2 == 62 && out(2L)._2 == 62 && out(3L)._2 == 70)
+    // metric records exactly the 2 x 20 removed tokens
+    val m = new graft.ops.Metrics.Table(spark, s"$root/out/metrics").read()
+    val removed = m.where(col("name") === "exactsubstr_tokens_removed")
+      .agg(sum("value")).head().getLong(0)
+    assert(removed == 40L, removed)
+  }
 }

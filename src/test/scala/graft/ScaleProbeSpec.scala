@@ -126,4 +126,29 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSuite {
       Point(100, 90, 10500, None, "bhj=0,smj=1"))
     assert(superlinear(settled).isEmpty)
   }
+
+  test("a failing pair whose series envelope is still linear is " +
+    "rescued as mid-point noise (reported, not failed); a quadratic " +
+    "series fails both the pair and the envelope") {
+    import ScaleProbe.{Point, midpointNoise, superlinear}
+    // n=10 midpoint under-shuffles (AQE broadcast variance), making
+    // 10->100 read 17x for 10x — but 1->100 is 87x for 100x, linear
+    val noisy = Seq(Point(1, 1, 0.8, None, "bhj=15,smj=1"),
+      Point(10, 2, 4.1, None, "bhj=8,smj=0"),
+      Point(100, 8, 69.6, None, "bhj=8,smj=0"))
+    assert(superlinear(noisy).isEmpty, superlinear(noisy))
+    assert(midpointNoise(noisy).nonEmpty)
+    // same shape at the endpoints: the envelope is judged TIGHT
+    val noisyTight = Seq(Point(1, 1, 0.8, None, "bhj=8,smj=0"),
+      Point(10, 2, 4.1, None, "bhj=8,smj=0"),
+      Point(100, 8, 69.6, None, "bhj=8,smj=0"))
+    assert(superlinear(noisyTight).isEmpty)
+    // quadratic: 10->100 fails AND 1->100 (10000x for 100x) fails the
+    // envelope even at the flip allowance — no rescue
+    val quad = Seq(Point(1, 1, 10, None, "bhj=15,smj=1"),
+      Point(10, 5, 1000, None, "bhj=8,smj=0"),
+      Point(100, 300, 100000, None, "bhj=8,smj=0"))
+    assert(superlinear(quad).nonEmpty)
+    assert(midpointNoise(quad).isEmpty)
+  }
 }
