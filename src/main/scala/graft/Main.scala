@@ -629,8 +629,8 @@ object Main {
           // the text itself (all occurrences), not just counted — the
           // doc-level dedup stages above can't touch a boilerplate
           // paragraph embedded in otherwise-unique documents
-          val cleaned = graft.QueriesPipeline
-            .exactSubstrClean(kept.select(col("doc_id"), col("text")))
+          val cleaned = graft.ops.ExactSubstr
+            .clean(kept.select(col("doc_id"), col("text")))
             .select(col("doc_id"), col("clean_text"), col("n_removed"))
           kept = kept.join(cleaned, "doc_id")
             .select(col("doc_id"), col("clean_text").as("text"),

@@ -891,40 +891,9 @@ object QueriesPipeline {
     * same per-doc bound every tokenizing query here carries. Everything
     * is linear in corpus tokens.
     */
-  /** The removal core of [[exactSubstrDedup]], reusable on any
-    * (doc_id, text) frame (the `corpus -exactsubstr` stage runs it on
-    * the kept corpus): returns one row per doc with `n_tokens`,
-    * `n_removed`, and `clean_text` — the surviving tokens in order. */
-  private[graft] def exactSubstrClean(d: org.apache.spark.sql.DataFrame,
-      W: Int = 15): org.apache.spark.sql.DataFrame = {
-    val toks = d.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val wins = d
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= W)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("ws")) - W)).as("pos"), col("ws"))
-      .select(col("doc_id"), col("pos"),
-        Queries.md5Long(concat_ws(" ",
-          slice(col("ws"), col("pos") + 1, lit(W)))).as("h"))
-    val dupH = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1).select("h")
-    val starts = wins.join(dupH, "h")
-      .select(col("doc_id"), col("pos"), lit(1).as("ds"))
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
-    val cov = toks.join(starts, Seq("doc_id", "pos"), "left")
-      .select(col("doc_id"), col("pos"), col("w"),
-        coalesce(max(col("ds")).over(wp.rowsBetween(-(W - 1), 0)), lit(0))
-          .as("c"))
-    cov.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("c")).cast("long").as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("c") === 0, struct(col("pos"), col("w"))))),
-          x => x.getField("w")), " ").as("clean_text"))
-  }
+  // ExactSubstr builders live in graft.ops.ExactSubstr (cycle-free for
+  // operator entry points like DedupStore); the queries below are their
+  // oracle-checked faces.
 
   val exactSubstrDedup = Q(
     "exact_substr_dedup",
@@ -937,7 +906,7 @@ object QueriesPipeline {
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
             .otherwise(col("text")).as("text"))
-      exactSubstrClean(d)
+      graft.ops.ExactSubstr.clean(d)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           expr("(n_tokens - n_removed) * 10000 div n_tokens").as("kept_bp"),
           md5(col("clean_text")).as("clean_md5"))
@@ -966,6 +935,93 @@ object QueriesPipeline {
           SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
         WHERE nd > 1),
       starts AS (SELECT doc_id, pos, 1 AS ds FROM wins JOIN duph USING (h)),
+      cov AS (
+        SELECT t.doc_id, t.pos, t.ws[t.pos + 1] AS w,
+          COALESCE(MAX(s.ds) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+            ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 0) AS c
+        FROM toks t LEFT JOIN starts s
+          ON t.doc_id = s.doc_id AND t.pos = s.pos)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(c) AS BIGINT) AS n_removed,
+        (COUNT(*) - CAST(SUM(c) AS BIGINT)) * 10000 // COUNT(*) AS kept_bp,
+        md5(COALESCE(string_agg(CASE WHEN c = 0 THEN w END, ' '
+          ORDER BY pos), '')) AS clean_md5
+      FROM cov GROUP BY 1"""
+    })
+
+  /** Incremental ExactSubstr — span removal of a crawl INCREMENT
+    * against the FROZEN corpus store (the production shape for a
+    * growing 100 TB corpus, the incremental_dedup pattern at span
+    * granularity): a window of the increment is duplicated when its
+    * hash exists in the store (the store keeps its copy — frozen text
+    * is never rewritten; first occurrence wins) OR occurs in more than
+    * one increment document (both copies cut, the batch semantics).
+    * Here the store is derived in-plan (prior = even doc_ids; in
+    * production it's [[graft.ops.DedupStore]]'s bucketed `spans`
+    * table, which the increment probes join-local); the increment is
+    * the odd doc_ids. Planted signal: the span_dedup paragraph
+    * (doc_id % 11 == 3) has carriers of BOTH parities, so odd
+    * carriers hit stored windows by construction.
+    *
+    * Scale shape: per-increment cost is linear in the increment — one
+    * window-hash join against the store's hash set, one
+    * increment-internal count, the per-doc coverage window; the store
+    * is never re-fingerprinted. */
+  val incrementalSubstr = Q(
+    "incremental_substr",
+    (s, dir) => {
+      val W = 15
+      val para = "shared press release paragraph syndicated verbatim " +
+        "across partner outlets today with identical wording and no " +
+        "attribution beyond the original newswire byline copy desk " +
+        "issued by the communications office this week"
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val store = d.filter(col("doc_id") % 2 === 0)
+      val inc = d.filter(col("doc_id") % 2 === 1)
+      val storeH = graft.ops.ExactSubstr.windows(store, W)
+        .select("h").distinct()
+      val incDup = graft.ops.ExactSubstr.windows(inc, W).groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1).select("h")
+      val dupH = storeH.union(incDup).distinct()
+      graft.ops.ExactSubstr.cleanAgainst(inc, dupH, W)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          expr("(n_tokens - n_removed) * 10000 div n_tokens").as("kept_bp"),
+          md5(col("clean_text")).as("clean_md5"))
+    },
+    Some {
+      val para = "shared press release paragraph syndicated verbatim " +
+        "across partner outlets today with identical wording and no " +
+        "attribution beyond the original newswire byline copy desk " +
+        "issued by the communications office this week"
+      val h = Queries.sqlMd5Long("array_to_string(ws[pos+1 : pos+15], ' ')")
+      s"""
+      WITH p0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3 THEN '$para ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM p0),
+      winsall0 AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws) - 14)) AS pos
+        FROM w WHERE len(ws) >= 15),
+      winsall AS (SELECT doc_id, pos, $h AS h FROM winsall0),
+      storeh AS (
+        SELECT DISTINCT h FROM winsall WHERE doc_id % 2 = 0),
+      incdup AS (
+        SELECT h FROM (
+          SELECT h, COUNT(DISTINCT doc_id) AS nd FROM winsall
+          WHERE doc_id % 2 = 1 GROUP BY 1) WHERE nd > 1),
+      duph AS (SELECT h FROM storeh UNION SELECT h FROM incdup),
+      toks AS (
+        SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM w
+        WHERE doc_id % 2 = 1),
+      starts AS (
+        SELECT wa.doc_id, wa.pos, 1 AS ds
+        FROM winsall wa JOIN duph USING (h) WHERE wa.doc_id % 2 = 1),
       cov AS (
         SELECT t.doc_id, t.pos, t.ws[t.pos + 1] AS w,
           COALESCE(MAX(s.ds) OVER (PARTITION BY t.doc_id ORDER BY t.pos
@@ -1138,5 +1194,5 @@ object QueriesPipeline {
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
-    lmBigramScore)
+    lmBigramScore, incrementalSubstr)
 }

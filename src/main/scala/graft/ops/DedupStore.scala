@@ -25,7 +25,12 @@ import graft.tables.Bucketed
   *     single-key and bucketable) PLUS the owning doc's full 12-hash
   *     signature, bucketed on `hkey` — carrying the signature in the
   *     band table lets the ≥0.5 verify run on the band join's output
-  *     without a second store probe.
+  *     without a second store probe;
+  *   - `spans`: distinct 15-word window hashes of the stored corpus,
+  *     bucketed on `h` — the ExactSubstr side: an increment's window
+  *     probe joins the frozen span set in place, so span REMOVAL
+  *     against the whole corpus stays linear in the increment
+  *     ([[exactSubstrIncrement]]).
   *
   * Append = re-install (the store is rewritten at corpus-publish
   * cadence, not per increment); DedupStoreSpec asserts byte-equal
@@ -67,8 +72,8 @@ object DedupStore {
       dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40) +
       "_" + Integer.toHexString(dir.hashCode)
 
-  /** Materialize the store from a document corpus: two bucketed
-    * catalog tables under `<dir>/sigs` and `<dir>/bands`. */
+  /** Materialize the store from a document corpus: three bucketed
+    * catalog tables under `<dir>/sigs`, `<dir>/bands`, `<dir>/spans`. */
   def install(docs: DataFrame, dir: String, buckets: Int): Unit = {
     val sigs = signatures(docs)
     Bucketed.install(
@@ -78,19 +83,61 @@ object DedupStore {
       bandRows(sigs).select((col("hkey") +: col("doc_id").as("store_id") +:
         (0 until MinhashH).map(i => col(s"m$i").as(s"s_m$i"))): _*),
       tag(dir, "bands"), s"$dir/bands", buckets, key = "hkey")
+    Bucketed.install(
+      ExactSubstr.windows(docs).select("h").distinct(),
+      tag(dir, "spans"), s"$dir/spans", buckets, key = "h")
   }
 
   /** Re-open a store written by [[install]] (re-registers the bucketed
     * layout in a fresh session's catalog). */
   def open(spark: SparkSession, dir: String, buckets: Int)
       : (DataFrame, DataFrame) = {
-    def table(part: String, key: String): DataFrame = {
-      val t = tag(dir, part)
-      if (!spark.catalog.tableExists(t))
-        Bucketed.register(spark, t, s"$dir/$part", buckets, key)
-      spark.table(t)
-    }
-    (table("sigs", "store_sig"), table("bands", "hkey"))
+    (openTable(spark, dir, buckets, "sigs", "store_sig"),
+      openTable(spark, dir, buckets, "bands", "hkey"))
+  }
+
+  /** The store's frozen span-hash table (see [[exactSubstrIncrement]]).
+    * Separate from [[open]] so pre-spans stores keep opening for the
+    * sig/band paths. */
+  def openSpans(spark: SparkSession, dir: String,
+      buckets: Int): DataFrame =
+    openTable(spark, dir, buckets, "spans", "h")
+
+  private def openTable(spark: SparkSession, dir: String, buckets: Int,
+      part: String, key: String): DataFrame = {
+    val t = tag(dir, part)
+    if (!spark.catalog.tableExists(t))
+      Bucketed.register(spark, t, s"$dir/$part", buckets, key)
+    spark.table(t)
+  }
+
+  /** ExactSubstr span removal of one increment against the frozen
+    * store: a window is duplicated when its hash is in the store's
+    * `spans` table (the store keeps its copy — frozen text is never
+    * rewritten) OR occurs in more than one increment document. The
+    * store side reads its bucketed table in place; everything that
+    * shuffles is increment-sized. Returns (doc_id, n_tokens,
+    * n_removed, clean_text) — the `incremental_substr` query is the
+    * in-plan oracle twin of this shape. */
+  def exactSubstrIncrement(increment: DataFrame,
+      storeSpans: DataFrame): DataFrame = {
+    val wins = ExactSubstr.windows(increment)
+    val incDup = wins
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("h")
+    // two separate probes on purpose: a union of (bucketed store ∪
+    // derived increment hashes) cannot carry the store's bucketing
+    // through the union, so a single join against it would reshuffle
+    // the store-sized span set on every increment — exactly the cost
+    // this table exists to avoid. Joining each side independently
+    // keeps the store probe join-local; only (doc_id, pos) start rows
+    // (increment-sized) union afterwards.
+    val startsStore = wins.join(storeSpans.select("h"), "h")
+      .select(col("doc_id"), col("pos"))
+    val startsInc = wins.join(incDup, "h")
+      .select(col("doc_id"), col("pos"))
+    ExactSubstr.cleanFromStarts(increment,
+      startsStore.union(startsInc))
   }
 
   /** Dedup one increment against the store: the same

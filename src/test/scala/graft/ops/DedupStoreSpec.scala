@@ -80,4 +80,55 @@ class DedupStoreSpec extends AnyFunSuite with SparkSuite {
         .foreach(n => spark.sql(s"DROP TABLE `$n`"))
     }
   }
+
+  test("exactSubstrIncrement: spans in the frozen store are cut from " +
+    "increment text (store keeps its copy), increment-internal " +
+    "cross-doc spans cut everywhere, fresh text untouched; the store " +
+    "span probe reads in place") {
+    val root = Files.createTempDirectory("dedup-store-spans").toString
+    DedupStore.install(docs((0 until 40).map(i => (i.toLong, text(i)))),
+      root, buckets = 4)
+    // fresh catalog = fresh JVM; spans open independently of sigs/bands
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_dedupstore_"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    val spans = DedupStore.openSpans(spark, root, buckets = 4)
+
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val shared = uniq("shinc", 20) // 20-token run shared by 601 and 602
+    val increment = docs(Seq(
+      // embeds store doc 3's full 30-word text -> those 30 tokens cut
+      600L -> s"${uniq("pre", 20)} ${text(3)} ${uniq("post", 20)}",
+      601L -> s"${uniq("qa", 20)} $shared ${uniq("qb", 20)}",
+      602L -> s"${uniq("qc", 20)} $shared ${uniq("qd", 20)}",
+      603L -> uniq("fresh", 60)))
+
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val out = DedupStore.exactSubstrIncrement(increment, spans)
+      val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+      assert(got(600L) == (s"${uniq("pre", 20)} ${uniq("post", 20)}", 30L),
+        got(600L))
+      assert(got(601L) == (s"${uniq("qa", 20)} ${uniq("qb", 20)}", 20L),
+        got(601L))
+      assert(got(602L) == (s"${uniq("qc", 20)} ${uniq("qd", 20)}", 20L),
+        got(602L))
+      assert(got(603L) == (uniq("fresh", 60), 0L), got(603L))
+      // the frozen span set never moves: the spans scan is bucketed
+      // and no Exchange carries the store's `h` scan output (every
+      // Exchange input is increment-derived)
+      val p = out.queryExecution.explainString(FormattedMode)
+      assert(p.contains("Bucketed: true"), p)
+      val exchanges = p.split("\n\n").filter(_.contains(") Exchange"))
+      assert(exchanges.nonEmpty, p)
+      assert(!p.contains("Bucketed: false"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_dedupstore_"))
+        .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    }
+  }
 }
