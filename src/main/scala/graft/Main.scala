@@ -623,6 +623,8 @@ object Main {
         var kept = labeled.where(col("drop_reason") === "keep")
           .select(col("doc_id"), col("text"), col("lang"), col("source"))
         var spansRemoved = 0L
+        var substrEmptied = 0L
+        var substrCache: Option[org.apache.spark.sql.DataFrame] = None
         if (rest.contains("-exactsubstr")) {
           // ExactSubstr span REMOVAL (Lee et al. ACL 2022) on the kept
           // corpus: cross-document duplicated 15-word runs are cut from
@@ -632,12 +634,22 @@ object Main {
           val cleaned = graft.ops.ExactSubstr
             .clean(kept.select(col("doc_id"), col("text")))
             .select(col("doc_id"), col("clean_text"), col("n_removed"))
-          kept = kept.join(cleaned, "doc_id")
+          // cached: the two metric aggregates below AND the corpus
+          // build consume this frame — uncached, the whole removal
+          // pipeline (window hashing + coverage + text rebuild, the
+          // heaviest stage of the job) would execute three times
+          val rewritten = kept.join(cleaned, "doc_id")
             .select(col("doc_id"), col("clean_text").as("text"),
               col("lang"), col("source"), col("n_removed"))
-          spansRemoved = kept.agg(coalesce(sum("n_removed"), lit(0L)))
+            .cache()
+          substrCache = Some(rewritten)
+          spansRemoved = rewritten.agg(coalesce(sum("n_removed"), lit(0L)))
             .head().getLong(0)
-          kept = kept.drop("n_removed")
+          // a doc whose text was ENTIRELY duplicated spans is an empty
+          // string now — an empty training document is not a document;
+          // drop it under its own reason (conservation still holds)
+          substrEmptied = rewritten.where(length(col("text")) === 0).count()
+          kept = rewritten.where(length(col("text")) > 0).drop("n_removed")
         }
         val corpus = kept
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -662,12 +674,18 @@ object Main {
           reasons.values.sum))
         reasons.foreach { case (reason, n) =>
           metrics.append(Metrics.gauge(spark, 0, "corpus",
-            if (reason == "keep") "docs_kept" else s"dropped_$reason", n))
+            if (reason == "keep") "docs_kept"
+            else s"dropped_$reason",
+            if (reason == "keep") n - substrEmptied else n))
         }
-        if (rest.contains("-exactsubstr"))
+        if (rest.contains("-exactsubstr")) {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "exactsubstr_tokens_removed", spansRemoved))
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "dropped_exactsubstr_empty", substrEmptied))
+        }
         labeled.unpersist()
+        substrCache.foreach(_.unpersist())
         println(s"corpus: ${reasons.getOrElse("keep", 0L)} docs kept of " +
           s"${reasons.values.sum} into $shards shards " +
           reasons.toSeq.sortBy(_._1)

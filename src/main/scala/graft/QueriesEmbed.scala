@@ -109,6 +109,36 @@ object QueriesEmbed {
 
   private val NPROBE = 2
 
+  /** The one-Lloyd-step coarse quantizer shared by knn_ivf, knn_ivfpq,
+    * semantic_dedup, and embed_outliers — their "same coarse
+    * quantizer" contract lives in ONE place (a drifting copy would
+    * silently de-correlate the queries and their oracles): per initial
+    * label cell, the fixed-point mean (floor(sum/count) on exact
+    * integer sums, bit-identical in DuckDB) with its exact squared
+    * norm. */
+  private def coarseCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+        .as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("cx")))),
+        p => p.getField("cx")).as("cvec"))
+      .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
+
+  /** Every vector × every (broadcast) centroid with the exact dot and
+    * cosine — the shared assignment front half. Carries all of `e`'s
+    * columns plus cell/cvec/cnsq/qcdot/ccos; Catalyst prunes whatever
+    * a caller drops. Assignment = rank 1 under (ccos desc, cell asc)
+    * over a per-vector window (state = #cells rows). */
+  private def coarseScored(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(coarseCentroids(e).select(
+        col("label").as("cell"), col("cvec"), col("cnsq"))))
+      .withColumn("qcdot", Similarity.dotQ(col("qv"), col("cvec")))
+      .withColumn("ccos",
+        Similarity.cosineFx(col("qcdot"), col("nsq"), col("cnsq")))
+
   /** Real IVF ANN: the coarse quantizer is TRAINED — one Lloyd step from
     * the label partition (centroid = per-cell mean in fixed point), every
     * vector is then ASSIGNED to its nearest centroid by cosine, and each
@@ -125,22 +155,11 @@ object QueriesEmbed {
     "knn_ivf",
     (s, dir) => {
       val e = prepared(s, dir).cache()
-      // --- train: fixed-point mean per initial label cell ---
-      val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
-          .as("cx"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("cx")))),
-          p => p.getField("cx")).as("cvec"))
-        .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
-      // --- assign: nearest centroid by cosine (ties: lowest cell) ---
-      val scored = e.crossJoin(broadcast(cent.select(
-          col("label").as("cell"), col("cvec"), col("cnsq"))))
+      // train + assign through the SHARED coarse quantizer
+      // ([[coarseCentroids]]/[[coarseScored]]; ties: lowest cell)
+      val scored = coarseScored(e)
         .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
-          Similarity.cosineFx(Similarity.dotQ(col("qv"), col("cvec")),
-            col("nsq"), col("cnsq")).as("ccos"))
+          col("ccos"))
       val wAsg = Window.partitionBy(col("vec_id"))
         .orderBy(desc("ccos"), asc("cell"))
       val asg = scored.withColumn("rn", row_number().over(wAsg))
@@ -378,21 +397,9 @@ object QueriesEmbed {
     * bit-for-bit. */
   private[graft] def ivfpqFrames(e0: DataFrame): IvfPqFrames = {
     val e = e0.cache()
-    // --- coarse quantizer: label-cell fixed-point means (knn_ivf train) ---
-    val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
-        .as("cx"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("i"), col("cx")))),
-        p => p.getField("cx")).as("cvec"))
-      .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
-    val scored = e.crossJoin(broadcast(cent.select(
-        col("label").as("cell"), col("cvec"), col("cnsq"))))
-      .withColumn("qcdot", Similarity.dotQ(col("qv"), col("cvec")))
-      .withColumn("ccos",
-        Similarity.cosineFx(col("qcdot"), col("nsq"), col("cnsq")))
+    // train + assign through the SHARED coarse quantizer
+    // ([[coarseCentroids]]/[[coarseScored]])
+    val scored = coarseScored(e)
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), asc("cell"))
     // --- assign + residual: rv = v − c_cell, element-wise exact ---
@@ -730,25 +737,11 @@ object QueriesEmbed {
     "semantic_dedup",
     (s, dir) => {
       val e = prepare(plantedEmb(s, dir)).cache()
-      // --- train: label-cell fixed-point means (knn_ivf pattern) ---
-      val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
-          .as("cx"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("cx")))),
-          p => p.getField("cx")).as("cvec"))
-        .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
-      // --- assign: nearest centroid by cosine (ties: lowest cell) ---
-      val scored = e.crossJoin(broadcast(cent.select(
-          col("label").as("cell"), col("cvec"), col("cnsq"))))
-        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
-          Similarity.cosineFx(Similarity.dotQ(col("qv"), col("cvec")),
-            col("nsq"), col("cnsq")).as("ccos"))
+      // train + assign through the SHARED coarse quantizer
+      // ([[coarseCentroids]]/[[coarseScored]]; ties: lowest cell)
       val wAsg = Window.partitionBy(col("vec_id"))
         .orderBy(desc("ccos"), asc("cell"))
-      val asg = scored.withColumn("rn", row_number().over(wAsg))
+      val asg = coarseScored(e).withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
           round(col("ccos"), 6).as("ccos"))
@@ -829,24 +822,12 @@ object QueriesEmbed {
   val embedOutliers = Q(
     "embed_outliers",
     (s, dir) => {
-      val e = prepared(s, dir)
-      val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i"))
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
-          .as("cx"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("cx")))),
-          p => p.getField("cx")).as("cvec"))
-        .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
-      val scored = e.crossJoin(broadcast(cent.select(
-          col("label").as("cell"), col("cvec"), col("cnsq"))))
-        .select(col("vec_id"), col("cell"),
-          Similarity.cosineFx(Similarity.dotQ(col("qv"), col("cvec")),
-            col("nsq"), col("cnsq")).as("ccos"))
+      val e = prepared(s, dir).cache()
+      // train + assign through the SHARED coarse quantizer
+      // ([[coarseCentroids]]/[[coarseScored]]; ties: lowest cell)
       val wAsg = Window.partitionBy(col("vec_id"))
         .orderBy(desc("ccos"), asc("cell"))
-      val asg = scored.withColumn("rn", row_number().over(wAsg))
+      val asg = coarseScored(e).withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cell"), round(col("ccos"), 6).as("ccos"))
       val picked = graft.operators.Relational.boundedTopKPerKey(

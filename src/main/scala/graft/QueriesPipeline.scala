@@ -17,6 +17,18 @@ import Queries.{t, spread}
   */
 object QueriesPipeline {
 
+  /** The 30-word planted cross-document paragraph shared by span_dedup,
+    * exact_substr_dedup, and incremental_substr (prepended to
+    * doc_id % 11 == 3 carriers) — ONE copy on purpose: the queries'
+    * planted positives and their DuckDB oracles must stay
+    * byte-identical, or the planted collisions silently stop firing
+    * and the tests go vacuously green. */
+  private val SharedPara = "shared press release paragraph syndicated " +
+    "verbatim across partner outlets today with identical wording and " +
+    "no attribution beyond the original newswire byline copy desk " +
+    "issued by the communications office this week"
+  require(SharedPara.split(" ").length == 30)
+
   /** DuckDB word-k-gram builder (1-based list indexing, k fixed) — the
     * oracle twin of the plan-side posexplode+lead gram construction. */
   private def sqlWordGrams(wordsExpr: String, k: Int): String = {
@@ -561,11 +573,7 @@ object QueriesPipeline {
     "span_dedup",
     (s, dir) => {
       val W = 15
-      val para = "shared press release paragraph syndicated verbatim " +
-        "across partner outlets today with identical wording and no " +
-        "attribution beyond the original newswire byline copy desk " +
-        "issued by the communications office this week"
-      require(para.split(" ").length == 30)
+      val para = SharedPara
       val d = spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
@@ -590,10 +598,7 @@ object QueriesPipeline {
           expr("n_dup_windows * 10000 div n_windows").as("dup_bp"))
     },
     Some {
-      val para = "shared press release paragraph syndicated verbatim " +
-        "across partner outlets today with identical wording and no " +
-        "attribution beyond the original newswire byline copy desk " +
-        "issued by the communications office this week"
+      val para = SharedPara
       val h = Queries.sqlMd5Long("array_to_string(ws[p+1 : p+15], ' ')")
       s"""
       WITH p0 AS (
@@ -898,10 +903,7 @@ object QueriesPipeline {
   val exactSubstrDedup = Q(
     "exact_substr_dedup",
     (s, dir) => {
-      val para = "shared press release paragraph syndicated verbatim " +
-        "across partner outlets today with identical wording and no " +
-        "attribution beyond the original newswire byline copy desk " +
-        "issued by the communications office this week"
+      val para = SharedPara
       val d = spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
@@ -912,10 +914,7 @@ object QueriesPipeline {
           md5(col("clean_text")).as("clean_md5"))
     },
     Some {
-      val para = "shared press release paragraph syndicated verbatim " +
-        "across partner outlets today with identical wording and no " +
-        "attribution beyond the original newswire byline copy desk " +
-        "issued by the communications office this week"
+      val para = SharedPara
       val h = Queries.sqlMd5Long("array_to_string(ws[pos+1 : pos+15], ' ')")
       s"""
       WITH p0 AS (
@@ -971,10 +970,7 @@ object QueriesPipeline {
     "incremental_substr",
     (s, dir) => {
       val W = 15
-      val para = "shared press release paragraph syndicated verbatim " +
-        "across partner outlets today with identical wording and no " +
-        "attribution beyond the original newswire byline copy desk " +
-        "issued by the communications office this week"
+      val para = SharedPara
       val d = spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
@@ -993,10 +989,7 @@ object QueriesPipeline {
           md5(col("clean_text")).as("clean_md5"))
     },
     Some {
-      val para = "shared press release paragraph syndicated verbatim " +
-        "across partner outlets today with identical wording and no " +
-        "attribution beyond the original newswire byline copy desk " +
-        "issued by the communications office this week"
+      val para = SharedPara
       val h = Queries.sqlMd5Long("array_to_string(ws[pos+1 : pos+15], ' ')")
       s"""
       WITH p0 AS (

@@ -72,22 +72,23 @@ object ScaleProbe {
     * loudly — re-probe with the join strategy pinned to separate flip
     * from growth.
     *
-    * A failing SAME-SHAPE pair is rescued to informational
-    * ([[midpointNoise]]) when the series ENVELOPE — first valid point
-    * to the pair's upper point — still passes its bound (tight when
-    * the endpoint shapes match, flip-allowance otherwise): a
-    * per-decade ratio amplifies single-midpoint noise (AQE sizing a
-    * borderline broadcast differently between runs shrinks one
-    * denominator), while a genuinely quadratic series fails the
-    * envelope too (×100 data ⇒ ×10⁴ shuffle vs a ×480 loose bound). */
+    * A failing series is NOT rescued analytically: three points cannot
+    * distinguish a noisy midpoint (AQE sizing a borderline broadcast
+    * differently between runs shrinks one denominator) from late-onset
+    * quadratic growth hiding under a fixed-overhead floor — any
+    * envelope or trend test that forgives the first also forgives the
+    * second. The probe instead RE-MEASURES a failing query's whole
+    * series once (main loop): a noisy plan choice rarely repeats, a
+    * growth law always does; passing on the retry is recorded in the
+    * JSON `retried` list, never silent, and failing twice fails the
+    * probe. */
   def superlinear(pts: Seq[Point], slack: Double = 1.6,
       floorMb: Double = 5.0, flipAllowance: Double = 3.0): Seq[String] = {
     val pairs = validPairs(pts)
     val same = pairs.filter { case (a, b) => a.joins == b.joins }
     val tight = same.collect {
       case (a, b) if b.shuffleMb > floorMb && a.shuffleMb > 0 &&
-          b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) &&
-          !envelopeOk(pts, b, slack, flipAllowance) =>
+          b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) =>
         pairMsg(a, b, "")
     }
     val loose = if (same.nonEmpty) Seq.empty else pairs.collect {
@@ -100,34 +101,10 @@ object ScaleProbe {
     tight ++ loose
   }
 
-  /** Same-shape pairs that failed the per-pair bound but were rescued
-    * by the series envelope (see [[superlinear]]) — reported in the
-    * JSON so a rescue is never silent. */
-  def midpointNoise(pts: Seq[Point], slack: Double = 1.6,
-      floorMb: Double = 5.0, flipAllowance: Double = 3.0): Seq[String] =
-    validPairs(pts).collect {
-      case (a, b) if a.joins == b.joins && b.shuffleMb > floorMb &&
-          a.shuffleMb > 0 &&
-          b.shuffleMb / a.shuffleMb > slack * (b.n.toDouble / a.n) &&
-          envelopeOk(pts, b, slack, flipAllowance) =>
-        pairMsg(a, b, " [pair over bound, series envelope linear: " +
-          "mid-point AQE sizing noise, not a growth law]")
-    }
-
   private def validPairs(pts: Seq[Point]): Seq[(Point, Point)] =
     pts.sliding(2).collect {
       case Seq(a, b) if a.err.isEmpty && b.err.isEmpty => (a, b)
     }.toSeq
-
-  private def envelopeOk(pts: Seq[Point], b: Point, slack: Double,
-      flipAllowance: Double): Boolean =
-    pts.find(p => p.err.isEmpty && p.shuffleMb > 0).exists { f =>
-      f.n < b.n && {
-        val bound = slack * (b.n.toDouble / f.n) *
-          (if (f.joins == b.joins) 1.0 else flipAllowance)
-        b.shuffleMb / f.shuffleMb <= bound
-      }
-    }
 
   private def pairMsg(a: Point, b: Point, tag: String): String =
     f"${a.n}->${b.n}: shuffle ${a.shuffleMb}%.1f->${b.shuffleMb}%.1f MB " +
@@ -257,9 +234,9 @@ object ScaleProbe {
       (dt, mb, err)
     }
 
-    val series = (names.map { name =>
+    def measureQuery(name: String): Seq[Point] = {
       val fn = SparkEntry.queries(name)
-      name -> factors.map { n =>
+      factors.map { n =>
         spark.conf.set("spark.graft.inflate", n.toString)
         val (sec, mb, err) = measure(
           fn(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -268,6 +245,29 @@ object ScaleProbe {
           f"${mb}%10.2f MB shuffle [$joins] ${err.getOrElse("")}")
         Point(n, sec, mb, err, joins)
       }
+    }
+    var retried = List.empty[(String, String)]
+    val series = (names.map { name =>
+      val first = measureQuery(name)
+      // re-measure ONCE on a growth finding: a noisy AQE plan choice
+      // (borderline broadcast sized differently run-to-run) rarely
+      // repeats; a genuine growth law always does. Never silent — the
+      // retry is recorded either way, and only a CLEAN second series
+      // replaces the first.
+      name -> (if (superlinear(first).isEmpty) first
+      else {
+        System.err.println(s"[scale] $name over bound — re-measuring " +
+          "the series once (AQE plan-choice noise vs growth law)")
+        val second = measureQuery(name)
+        if (superlinear(second).isEmpty) {
+          retried ::= name -> ("passed on re-measure; first run: " +
+            superlinear(first).mkString("; "))
+          second
+        } else {
+          retried ::= name -> "failed twice"
+          first
+        }
+      })
     } :+ {
       spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
       "conductor_round" -> factors.map { n =>
@@ -286,9 +286,6 @@ object ScaleProbe {
     }
     val trans = series.toSeq.sortBy(_._1).flatMap { case (q, pts) =>
       transitions(pts).map(v => q -> v)
-    }
-    val noise = series.toSeq.sortBy(_._1).flatMap { case (q, pts) =>
-      midpointNoise(pts).map(v => q -> v)
     }
     def r2(v: Double) = math.round(v * 100) / 100.0
     val json = new StringBuilder
@@ -310,8 +307,9 @@ object ScaleProbe {
       bad.map { case (q, v) => jstr(s"$q $v") }.mkString("[", ",", "]") +
       ",\n  \"plan_transitions\": " +
       trans.map { case (q, v) => jstr(s"$q $v") }.mkString("[", ",", "]") +
-      ",\n  \"midpoint_noise\": " +
-      noise.map { case (q, v) => jstr(s"$q $v") }.mkString("[", ",", "]") +
+      ",\n  \"retried\": " +
+      retried.reverse.map { case (q, v) => jstr(s"$q: $v") }
+        .mkString("[", ",", "]") +
       ",\n  \"verdict\": " +
       jstr(if (bad.isEmpty) "PASS: shuffle growth <= ~linear for every probed query"
       else s"FAIL: ${bad.size} superlinear/error findings") + "\n}\n"

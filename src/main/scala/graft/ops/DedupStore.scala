@@ -121,6 +121,12 @@ object DedupStore {
     * in-plan oracle twin of this shape. */
   def exactSubstrIncrement(increment: DataFrame,
       storeSpans: DataFrame): DataFrame = {
+    // deliberately NOT cached, same stance as dedupIncrement below:
+    // window fingerprinting is map-only (explode + md5, no shuffle),
+    // so the three consuming traversals recompute a bounded CPU pass —
+    // while a .cache() would pin one increment-sized block set per
+    // call in a long-running ingestion service with no safe scope to
+    // unpersist it
     val wins = ExactSubstr.windows(increment)
     val incDup = wins
       .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
