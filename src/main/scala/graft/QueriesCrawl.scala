@@ -368,7 +368,80 @@ object QueriesCrawl {
              ELSE 'new' END AS origin
       FROM cur FULL OUTER JOIN prev ON cur.host = prev.host"""))
 
+  /** URL-canonicalization dedup — the C4 pipeline's FIRST dedup stage
+    * (dedup by normalized URL before any content hashing): three messy
+    * variants per page — mixed-case scheme/host + default port +
+    * fragment, dot-segments + empty query, and the clean form — must
+    * collapse to ONE canonical url, keeping the lowest variant id.
+    * Exercises the real normalizer column ([[graft.functions.Urls]])
+    * as the dedup key, not a toy lowercase.
+    *
+    * Scale shape: the group-by key is the 60-bit hash of the
+    * normalized url (8-byte shuffle width, never the string), keeper =
+    * min(vid) per group — map-side combinable — joined back hash-keyed
+    * for the per-variant verdict. Linear, no windows. */
+  val urlDedup = Q(
+    "url_dedup",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val h = regexp_replace(upper(col("c_name")), "[^A-Z0-9]", "")
+      val variants = c.select(col("c_custkey").as("k"),
+          explode(array(
+            struct(lit(0L).as("v"), concat(lit("http://www."), h,
+              lit(".com/a/b/page"), col("c_custkey")).as("url")),
+            struct(lit(1L).as("v"), concat(lit("HTTP://WWW."), h,
+              lit(".COM:80/a/b/page"), col("c_custkey"), lit("#frag"))
+              .as("url")),
+            struct(lit(2L).as("v"), concat(lit("http://www."), h,
+              lit(".com/a/./b/page"), col("c_custkey"), lit("?"))
+              .as("url")))).as("x"))
+        .select((col("k") * 3 + col("x.v")).as("vid"), col("x.url").as("url"))
+        .withColumn("normalized",
+          graft.functions.Urls.normalizeCol(col("url")))
+        .withColumn("nh", Queries.md5Long(col("normalized")))
+      val keepers = variants.groupBy("nh")
+        .agg(min(col("vid")).as("keeper_vid"),
+          count(lit(1)).as("n_variants"))
+      variants.join(keepers, "nh")
+        .select(col("vid"), col("normalized"), col("keeper_vid"),
+          col("n_variants"),
+          when(col("vid") === col("keeper_vid"), lit("keep"))
+            .otherwise(lit("dup")).as("verdict"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT c_custkey * 3 + v.v AS vid,
+          CASE v.v
+            WHEN 0 THEN 'http://www.' || h || '.com/a/b/page' || c_custkey
+            WHEN 1 THEN 'HTTP://WWW.' || h || '.COM:80/a/b/page'
+              || c_custkey || '#frag'
+            ELSE 'http://www.' || h || '.com/a/./b/page' || c_custkey || '?'
+          END AS url
+        FROM (SELECT c_custkey,
+                regexp_replace(upper(c_name), '[^A-Z0-9]', '', 'g') AS h
+              FROM customer)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS v) v),
+      p AS (SELECT vid, url,
+              lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+                AS hostport,
+              regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '') AS rest
+            FROM u),
+      n AS (SELECT vid,
+              scheme || '://' || regexp_replace(hostport, ':80$', '')
+                || regexp_replace(regexp_replace(regexp_replace(rest,
+                     '#.*$', ''), '\?$', ''), '/\./', '/', 'g')
+                AS normalized
+            FROM p),
+      g AS (SELECT normalized, MIN(vid) AS keeper_vid,
+              COUNT(*) AS n_variants
+            FROM n GROUP BY 1)
+      SELECT vid, n.normalized, CAST(keeper_vid AS BIGINT) AS keeper_vid,
+        CAST(n_variants AS BIGINT) AS n_variants,
+        CASE WHEN vid = keeper_vid THEN 'keep' ELSE 'dup' END AS verdict
+      FROM n JOIN g ON n.normalized = g.normalized"""))
+
   val all: Seq[Q] = Seq(
     hostdbAgg, crawldbMerge, segmentMerge, indexDocs, indexJexl, jexlFilter,
-    urlParts, urlNormalize, hostdbUpdate)
+    urlParts, urlNormalize, hostdbUpdate, urlDedup)
 }
