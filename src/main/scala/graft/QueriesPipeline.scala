@@ -828,6 +828,58 @@ object QueriesPipeline {
       GROUP BY 1"""
     })
 
+  /** Temperature-scaled language sampling rates — the multilingual
+    * mixture-rebalancing operator (Conneau & Lample, NeurIPS 2019 §3.1;
+    * XLM-R trains on p_i ∝ n_i^α with α < 1 so low-resource languages
+    * sample above their natural share). α = 1/2 here, the one
+    * temperature with an INTEGER-EXACT cross-engine form: the weight is
+    * isqrt(n_tokens) = FLOOR(SQRT(n)) — IEEE-754 sqrt is correctly
+    * rounded and n < 2^53 casts to double exactly, so Spark and DuckDB
+    * compute the identical long. Per language: token census, the
+    * temperature weight, its sampling rate in basis points, the
+    * natural (proportional) rate, and the boost factor a low-resource
+    * language gains — exactly the table a training-mix config consumes.
+    *
+    * Shape: one group-by over the scan (map-side combinable), a
+    * broadcast of the one-row totals, pure column arithmetic — no
+    * window, no second scan; lang cardinality is tiny at any corpus
+    * size, so this is free at 100 TB. */
+  val mixtureTemperature = Q(
+    "mixture_temperature",
+    (s, dir) => {
+      val byLang = t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("long"))
+      val tot = byLang.agg(sum(col("n_tokens")).as("tt"),
+        sum(col("weight")).as("tw"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+          expr("weight * 10000 div tw").as("rate_bp"),
+          expr("n_tokens * 10000 div tt").as("natural_bp"))
+        .withColumn("boost_bp",
+          expr("rate_bp * 10000 div nullif(natural_bp, 0)"))
+    },
+    Some("""
+      WITH bl AS (
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT lang, n_docs, n_tokens,
+          CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight FROM bl),
+      tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+          CAST(SUM(weight) AS BIGINT) AS tw FROM w)
+      SELECT lang, n_docs, n_tokens, weight,
+        weight * 10000 // tw AS rate_bp,
+        n_tokens * 10000 // tt AS natural_bp,
+        (weight * 10000 // tw) * 10000
+          // nullif(n_tokens * 10000 // tt, 0) AS boost_bp
+      FROM w, tot"""))
+
   /** Concat-and-chunk packing manifest at C = 2048 — the OTHER packing
     * strategy pack_estimate prices: per language, documents concatenate
     * in doc_id order and split into fixed C-token chunks. Per doc: its
@@ -1187,5 +1239,5 @@ object QueriesPipeline {
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
-    lmBigramScore, incrementalSubstr)
+    lmBigramScore, incrementalSubstr, mixtureTemperature)
 }

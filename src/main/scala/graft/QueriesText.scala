@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Queries.{t, spread, sqlMd5Long}
-import graft.functions.{Hashing, Similarity, TextAnalysis}
+import graft.functions.{Bloom, Hashing, Similarity, TextAnalysis}
 
 /** Batch 4 — text analysis + deduplication over the `documents` table
   * (LLM-data-pipeline surface per BASELINE.json north star; reference
@@ -568,6 +568,54 @@ object QueriesText {
       LEFT JOIN prior p ON d.sig = p.sig
       LEFT JOIN near nr ON d.doc_id = nr.doc_id"""
     })
+
+  /** Bloom-prefiltered incremental exact dedup — `incremental_dedup`'s
+    * exact path with the production membership shape made explicit: a
+    * first-party Bloom filter (functions/Bloom.scala — ~10 bits/key,
+    * broadcastable at 10^9 stored docs) is aggregated over the frozen
+    * side's signatures and probed MAP-SIDE on the increment, so rows
+    * the filter rules out (the overwhelming majority of fresh crawl
+    * text — here everything but the planted dups and the fpp mass)
+    * never shuffle into the store join at all. False negatives are
+    * impossible (identical key-hash/bit derivation on build and
+    * probe), so the final verdict is exact and the oracle states plain
+    * membership SQL with no Bloom anywhere — the filter changes the
+    * plan, never the answer. BloomSpec pins the filter's own
+    * contracts (zero FN, fpp bound, distributed build ≡ serial build
+    * byte-exact); DedupStoreSpec A/Bs the store-backed twin
+    * ([[graft.ops.DedupStore.dedupIncrement]] with its `sigbloom`
+    * sidecar) verdict-identical with and without the filter. */
+  val bloomDedup = Q(
+    "bloom_dedup",
+    (s, dir) => {
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      val store = d.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("store_sig")).distinct()
+      val bf = store.agg(
+        Bloom.agg(Hashing.fast64(col("store_sig")), 1L << 20, 7).as("bloom"))
+      val inc = d.select(col("doc_id"), md5(col("text")).as("sig"))
+      val maybe = inc.crossJoin(broadcast(bf))
+        .filter(Bloom.mightContain(col("bloom"), Hashing.fast64(col("sig"))))
+        .select("doc_id", "sig")
+      val hits = maybe
+        .join(store, col("sig") === col("store_sig"), "left_semi")
+        .select(col("doc_id")).withColumn("exact_hit", lit(1))
+      inc.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_hit"), lit(0)).cast("long").as("exact_dup"),
+          when(col("exact_hit") === 1, lit("drop_exact"))
+            .otherwise(lit("keep")).as("verdict"))
+    },
+    Some("""
+      WITH store AS (
+        SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 2 = 0)
+      SELECT d.doc_id,
+        CAST(CASE WHEN s.sig IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS exact_dup,
+        CASE WHEN s.sig IS NOT NULL THEN 'drop_exact' ELSE 'keep' END
+          AS verdict
+      FROM (SELECT doc_id, md5(text) AS sig FROM documents) d
+      LEFT JOIN store s ON d.sig = s.sig"""))
 
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 4 // 4 × 15 bits
@@ -1420,5 +1468,6 @@ object QueriesText {
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
-    flacStats, jpegStats, webpStats, incrementalDedup, tiffStats, icoStats)
+    flacStats, jpegStats, webpStats, incrementalDedup, tiffStats, icoStats,
+    bloomDedup)
 }

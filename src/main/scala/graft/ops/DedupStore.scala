@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, Similarity}
+import graft.functions.{Bloom, Hashing, Similarity}
 import graft.tables.Bucketed
 
 /** The frozen-corpus store for incremental dedup — the 100 TB shape of
@@ -73,7 +73,14 @@ object DedupStore {
       "_" + Integer.toHexString(dir.hashCode)
 
   /** Materialize the store from a document corpus: three bucketed
-    * catalog tables under `<dir>/sigs`, `<dir>/bands`, `<dir>/spans`. */
+    * catalog tables under `<dir>/sigs`, `<dir>/bands`, `<dir>/spans`,
+    * plus a one-row `<dir>/sigbloom` parquet holding a Bloom filter of
+    * the signature keys (~10 bits/doc at fpp 1% — broadcastable even at
+    * 10^9 stored docs) that [[dedupIncrement]] uses to answer the
+    * common "not in store" case map-side. Spans get NO bloom on
+    * purpose: the window-hash key set is token-count-sized (~10^11 at
+    * 100 TB ≈ 125 GB of filter bits), past broadcast range — those
+    * probes stay on the bucketed `spans` table. */
   def install(docs: DataFrame, dir: String, buckets: Int): Unit = {
     val sigs = signatures(docs)
     Bucketed.install(
@@ -86,6 +93,16 @@ object DedupStore {
     Bucketed.install(
       ExactSubstr.windows(docs).select("h").distinct(),
       tag(dir, "spans"), s"$dir/spans", buckets, key = "h")
+    // sized from the installed sigs table (cheap count over one narrow
+    // bucketed column, not a fourth signature pass over the corpus)
+    val spark = docs.sparkSession
+    val n = math.max(1L, spark.table(tag(dir, "sigs")).count())
+    val bits = Bloom.optimalBits(n, 0.01)
+    spark.table(tag(dir, "sigs"))
+      .agg(Bloom.agg(Hashing.fast64(col("store_sig")), bits,
+        Bloom.optimalK(n, bits)).as("bloom"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/sigbloom")
   }
 
   /** Re-open a store written by [[install]] (re-registers the bucketed
@@ -110,6 +127,15 @@ object DedupStore {
       Bucketed.register(spark, t, s"$dir/$part", buckets, key)
     spark.table(t)
   }
+
+  /** The store's signature Bloom filter (one row, `bloom` binary), or
+    * None for stores installed before the sidecar existed — every
+    * consumer treats the filter as an optional prefilter, so a missing
+    * one degrades to the plain probe, never to a wrong answer. */
+  def openSigBloom(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sigbloom")))
+      Some(spark.read.parquet(s"$dir/sigbloom"))
+    else None
 
   /** ExactSubstr span removal of one increment against the frozen
     * store: a window is duplicated when its hash is in the store's
@@ -148,9 +174,19 @@ object DedupStore {
 
   /** Dedup one increment against the store: the same
     * drop_exact / drop_near / keep verdict as `incremental_dedup`,
-    * with both store probes reading the bucketed tables in place. */
+    * with both store probes reading the bucketed tables in place.
+    *
+    * With `sigBloom` (from [[openSigBloom]]) the exact probe is
+    * prefiltered map-side: rows whose signature the broadcast filter
+    * rules out — the overwhelming majority of a fresh crawl — never
+    * shuffle into the store join at all, so the exact probe's shuffle
+    * shrinks from |increment| to |true dups| + the fpp mass. False
+    * negatives are impossible (same key hash and bit derivation as the
+    * build), so the verdict is byte-identical with or without the
+    * filter — DedupStoreSpec asserts exactly that A/B. */
   def dedupIncrement(increment: DataFrame, storeSigs: DataFrame,
-      storeBands: DataFrame): DataFrame = {
+      storeBands: DataFrame, sigBloom: Option[DataFrame] = None)
+      : DataFrame = {
     // deliberately NOT cached: the signature pass is map-only
     // (shingle+MinHash, no shuffle), so recomputing it on the two
     // consuming branches is a bounded CPU cost — while a .cache()
@@ -159,7 +195,6 @@ object DedupStore {
     // could safely unpersist it before the caller materializes the
     // returned frame)
     val incSig = signatures(increment)
-    val exact = storeSigs.withColumn("exact_hit", lit(1))
     val matches = (0 until MinhashH)
       .map(i => when(col(s"m$i") === col(s"s_m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -168,8 +203,21 @@ object DedupStore {
       .filter(round(matches.cast("double") / MinhashH, 4) >= 0.5)
       .select(col("doc_id")).distinct()
       .withColumn("near_hit", lit(1))
+    val probe = sigBloom match {
+      case Some(bf) => incSig.select(col("doc_id"), col("sig"))
+        .crossJoin(broadcast(bf))
+        .filter(Bloom.mightContain(col("bloom"), Hashing.fast64(col("sig"))))
+        .drop("bloom")
+      case None => incSig.select(col("doc_id"), col("sig"))
+    }
+    // left_semi: the store side stays bucket-local, the (prefiltered)
+    // probe side is the only thing that shuffles; one row per doc_id by
+    // construction, so the doc_id join below cannot multiply rows
+    val exactDocs = probe
+      .join(storeSigs, col("sig") === col("store_sig"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_hit", lit(1))
     incSig
-      .join(exact, col("sig") === col("store_sig"), "left")
+      .join(exactDocs, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("exact_hit"), lit(0)).cast("long").as("exact_dup"),

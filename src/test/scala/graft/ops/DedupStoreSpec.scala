@@ -131,4 +131,41 @@ class DedupStoreSpec extends AnyFunSuite with SparkSuite {
         .foreach(n => spark.sql(s"DROP TABLE `$n`"))
     }
   }
+
+  test("sigbloom prefilter: verdicts byte-identical with and without " +
+    "the filter; the filter prunes the exact probe to hits + fpp " +
+    "mass; pre-bloom stores open as None") {
+    val root = Files.createTempDirectory("dedup-store-bloom").toString
+    DedupStore.install(docs((0 until 40).map(i => (i.toLong, text(i)))),
+      root, buckets = 4)
+    val (sigs, bands) = DedupStore.open(spark, root, buckets = 4)
+    val bf = DedupStore.openSigBloom(spark, root)
+    assert(bf.nonEmpty)
+
+    val increment = docs((700 until 730).map(i => (i.toLong, text(i))) ++
+      Seq(800L -> text(3), 801L -> text(7)))
+    def verdicts(bloom: Option[org.apache.spark.sql.DataFrame]) =
+      DedupStore.dedupIncrement(increment, sigs, bands, bloom)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    assert(verdicts(None) == verdicts(bf))
+    assert(verdicts(bf).count(_._4 == "drop_exact") == 2)
+
+    // map-side pruning: of 32 increment sigs only the 2 true hits
+    // (plus at most a few fpp collisions) survive the filter
+    val maybes = DedupStore.signatures(increment).select(col("sig"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(bf.get))
+      .filter(graft.functions.Bloom.mightContain(col("bloom"),
+        graft.functions.Hashing.fast64(col("sig"))))
+      .count()
+    assert(maybes >= 2 && maybes <= 6, maybes)
+
+    // a store installed before the sidecar existed degrades to None
+    val empty = Files.createTempDirectory("dedup-store-nobloom").toString
+    assert(DedupStore.openSigBloom(spark, empty).isEmpty)
+
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_dedupstore_"))
+      .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+  }
 }
