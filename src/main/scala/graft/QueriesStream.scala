@@ -239,6 +239,50 @@ object QueriesStream {
       FROM events
       GROUP BY 1"""))
 
+  /** Exact top-10 users by event count through the Misra–Gries
+    * heavy-hitters sketch (functions/FreqSketch.scala) — the two-pass
+    * exact top-k that replaces a full distinct-key shuffle at scale:
+    * pass 1 aggregates a capacity-bounded MG summary (each task ships
+    * ~capacity entries, never per-key partials — at 10^7 distinct
+    * hosts over 10^4 tasks a plain groupBy shuffles 10^11 partial
+    * rows to answer a 10-row question); pass 2 broadcast-joins the
+    * candidate list back onto the scan and recounts EXACTLY, so the
+    * sketch's estimation error never reaches the answer. Capacity
+    * 2048 ≥ the corpus's distinct-user count pins the sketch's exact
+    * regime for the oracle (est = true count, err = 0 — the
+    * `sketch_exact` column proves it row by row, tdigest_values
+    * style); MGSpec proves the sub-capacity contracts (candidate
+    * recall above n/(c+1), undercount ≤ err ≤ n/(c+1), merge
+    * invariance) under a planted 30%-hot Zipf stream. */
+  val heavyHitters = Q(
+    "heavy_hitters",
+    (s, dir) => {
+      val keys = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("k"))
+      val cand = keys
+        .agg(graft.functions.FreqSketch.mgTopK(col("k"), 2048).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("k"), col("e.est").as("est"),
+          col("e.err").as("err"))
+      keys.join(broadcast(cand), "k")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_events"),
+          first(col("est")).as("est"), first(col("err")).as("err"))
+        .orderBy(col("n_events").desc, col("k").cast("long"))
+        .limit(10)
+        .select(col("k").cast("long").as("user_id"), col("n_events"),
+          when(col("est") === col("n_events") && col("err") === 0, 1L)
+            .otherwise(0L).as("sketch_exact"))
+    },
+    Some("""
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+        COUNT(*) AS n_events,
+        CAST(1 AS BIGINT) AS sketch_exact
+      FROM events
+      GROUP BY 1
+      ORDER BY n_events DESC, user_id
+      LIMIT 10"""))
+
   val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract,
-    dedupStreamBatch, slidingRate, tdigestValues)
+    dedupStreamBatch, slidingRate, tdigestValues, heavyHitters)
 }
