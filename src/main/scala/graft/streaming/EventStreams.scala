@@ -163,4 +163,37 @@ object EventStreams {
       .select(col("doc_id"), col("sig"),
         when(col("hit").isNotNull, lit("drop_exact"))
           .otherwise(lit("keep")).as("verdict"))
+
+  /** [[dedupAgainstStore]] past broadcast range: when the frozen store
+    * is too large to broadcast its keys (10^9+ docs), broadcast its
+    * BLOOM FILTER instead (DedupStore's `sigbloom` sidecar, ~10
+    * bits/key) and route only the filter's maybes — true dups + the
+    * fpp mass — through a stream-static join against the store's
+    * bucketed `sigs` table read in place; definite-absent rows (the
+    * overwhelming majority of fresh crawl text) short-circuit to
+    * `keep` map-side without touching the store at all. Both branches
+    * are stateless (stream-static joins re-read the static side per
+    * micro-batch; the filter is a one-row static frame), so state
+    * never grows with stream length, and zero false negatives make the
+    * verdicts byte-identical to [[dedupAgainstStore]] —
+    * EventStreamsSpec asserts that A/B across micro-batches. */
+  def dedupAgainstStoreBloom(docs: Dataset[Doc], storeSigs: DataFrame,
+      sigBloom: DataFrame): DataFrame = {
+    import graft.functions.{Bloom, Hashing}
+    val sigged = docs.withColumn("sig", md5(col("text")))
+      .crossJoin(broadcast(sigBloom))
+      .withColumn("maybe",
+        Bloom.mightContain(col("bloom"), Hashing.fast64(col("sig"))))
+      .drop("bloom")
+    val checked = sigged.filter(col("maybe"))
+      .join(storeSigs.select(col("store_sig").as("sig"))
+          .withColumn("hit", lit(1)),
+        Seq("sig"), "left")
+      .select(col("doc_id"), col("sig"),
+        when(col("hit").isNotNull, lit("drop_exact"))
+          .otherwise(lit("keep")).as("verdict"))
+    val fresh = sigged.filter(!col("maybe"))
+      .select(col("doc_id"), col("sig"), lit("keep").as("verdict"))
+    checked.unionByName(fresh)
+  }
 }

@@ -203,4 +203,50 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
         3L -> "drop_exact", 4L -> "keep"))
     } finally q.stop()
   }
+
+  test("bloom-routed stream-static dedup (store past broadcast range) " +
+    "is verdict-identical to the broadcast twin across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, md5}
+    val root = java.nio.file.Files
+      .createTempDirectory("stream-bloom-store").toString
+    val storeDocs = (0 until 30)
+      .map(i => (i.toLong, s"stored page $i body " + ("w" * (i % 5))))
+      .toDF("doc_id", "text")
+    graft.ops.DedupStore.install(storeDocs, root, buckets = 4)
+    val (sigs, _) = graft.ops.DedupStore.open(spark, root, buckets = 4)
+    val bloom = graft.ops.DedupStore.openSigBloom(spark, root).get
+
+    val docs = Seq(
+      EventStreams.Doc(100, "stored page 3 body www"), // store hit
+      EventStreams.Doc(101, "fresh text one"),
+      EventStreams.Doc(102, "stored page 7 body ww"), // store hit
+      EventStreams.Doc(103, "fresh text two"),
+      EventStreams.Doc(104, "fresh text three"))
+    val in = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.dedupAgainstStoreBloom(in.toDS(), sigs, bloom)
+      .writeStream.format("memory").queryName("bloomdedup")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val rows = spark.table("bloomdedup").collect()
+      assert(rows.length == docs.length, rows.mkString(","))
+      val streamed = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+      val broadcastTwin = EventStreams.dedupAgainstStore(docs.toDS(),
+          sigs.select(col("store_sig").as("sig")))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed == broadcastTwin)
+      assert(streamed == Map(100L -> "drop_exact", 101L -> "keep",
+        102L -> "drop_exact", 103L -> "keep", 104L -> "keep"))
+    } finally {
+      q.stop()
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_dedupstore_"))
+        .foreach(n => spark.sql(s"DROP TABLE `$n`"))
+    }
+  }
 }
