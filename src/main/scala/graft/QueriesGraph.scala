@@ -263,6 +263,92 @@ object QueriesGraph {
         s"\n      SELECT url, ROUND(score, 6) AS score FROM n$LINKRANK_ITERS"
     })
 
+  /** HITS iterations — one more than Kleinberg's illustration needs,
+    * few enough that the unrolled oracle CTE stays readable. */
+  private val HITS_ITERS = 5
+
+  /** Hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) — the OTHER classic link
+    * analysis, complementing LinkRank/OPIC: auth(v) = Σ hub of
+    * in-neighbors, hub(u) = Σ auth of out-neighbors, max-normalized
+    * each half-step. INTEGER-EXACT throughout: scores live at 1e6
+    * fixed point and each normalization is `raw * 1e6 div max(raw)` —
+    * integer sums and integer division only, so all 5 iterations
+    * hash-match DuckDB with no float anywhere (stricter than
+    * linkrank's per-iteration re-quantization, which still mixes
+    * doubles between steps).
+    *
+    * Shape per half-step: one |E|⋈|V| shuffle join + a key-grouped
+    * sum (map-side combinable) + a broadcast one-row max — the same
+    * scale posture as linkrank; no windows, no per-node state beyond
+    * a long. The lineitem graph is bipartite (src 0..499, dst
+    * 500..999), the textbook HITS setting (hubs one side,
+    * authorities the other). */
+  val hitsScores = Q(
+    "hits_scores",
+    (s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 500).as("src"),
+        (col("l_partkey") % 500 + 500).as("dst")).distinct()
+      val nodes = e.select(col("src").as("url"))
+        .union(e.select(col("dst").as("url"))).distinct()
+      var hub = nodes.withColumn("h", lit(1000000L))
+      var auth = nodes.withColumn("a", lit(0L))
+      for (_ <- 1 to HITS_ITERS) {
+        // each normalization reads its sum frame TWICE (the join and
+        // the max) — left lazy, the lineage would DOUBLE per half-step
+        // (2^10 copies of the edge scan by iteration 5), so every
+        // half-step materializes its |V|-sized score frame. This is
+        // the standard shape of a normalized graph loop at scale:
+        // per-iteration frontiers materialize, edges stream past them.
+        val ar = e.join(hub, e("src") === hub("url"))
+          .groupBy("dst").agg(sum(col("h")).as("ar"))
+          .localCheckpoint()
+        auth = nodes.join(ar, nodes("url") === ar("dst"), "left")
+          .crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
+          .select(col("url"),
+            expr("coalesce(ar, 0) * 1000000 div amax").as("a"))
+        val hr = e.join(auth, e("dst") === auth("url"))
+          .groupBy("src").agg(sum(col("a")).as("hr"))
+          .localCheckpoint()
+        hub = nodes.join(hr, nodes("url") === hr("src"), "left")
+          .crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
+          .select(col("url"),
+            expr("coalesce(hr, 0) * 1000000 div hmax").as("h"))
+      }
+      hub.join(auth, "url")
+        .select(col("url"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+    },
+    Some {
+      val base = """
+      WITH e AS (SELECT DISTINCT (l_orderkey % 500) AS src,
+                        (l_partkey % 500 + 500) AS dst FROM lineitem),
+      n AS (SELECT src AS url FROM e UNION SELECT dst AS url FROM e),
+      h0 AS (SELECT url, CAST(1000000 AS BIGINT) AS h FROM n)"""
+      // every CTE is referenced exactly ONCE (the max comes from a
+      // whole-frame window, not a second scalar-subquery scan):
+      // DuckDB inlines CTE references, so a twice-referenced step
+      // would re-expand its whole upstream chain — 2^10 copies of the
+      // edge scan by iteration 5, the same blowup the Spark side's
+      // per-half-step localCheckpoint exists to prevent
+      val iters = (1 to HITS_ITERS).map { i =>
+        s""",
+      ar$i AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS ar
+               FROM e JOIN h${i - 1} ON e.src = h${i - 1}.url GROUP BY 1),
+      a$i AS (SELECT url, CAST(COALESCE(ar, 0) * 1000000
+                 // MAX(ar) OVER () AS BIGINT) AS a
+              FROM n LEFT JOIN ar$i ON url = dst),
+      hr$i AS (SELECT src, CAST(SUM(a) AS BIGINT) AS hr
+               FROM e JOIN a$i ON e.dst = a$i.url GROUP BY 1),
+      h$i AS (SELECT url, CAST(COALESCE(hr, 0) * 1000000
+                 // MAX(hr) OVER () AS BIGINT) AS h
+              FROM n LEFT JOIN hr$i ON url = src)"""
+      }.mkString
+      base + iters + s"""
+      SELECT h$HITS_ITERS.url, h AS hub_fx, a AS auth_fx
+      FROM h$HITS_ITERS JOIN a$HITS_ITERS ON h$HITS_ITERS.url = a$HITS_ITERS.url"""
+    })
+
   /** J6/G3 ScoreUpdater: push node scores back into the crawldb; clear
     * score when the node is absent (ScoreUpdater.java:60-130). */
   val scoreUpdater = Q(
@@ -320,5 +406,5 @@ object QueriesGraph {
 
   val all: Seq[Q] = Seq(
     linkdbInvert, nodeDegrees, nodedumpTopk, webgraphBuild, webgraphCounts,
-    linkrank, scoreUpdater, opicDistribute)
+    linkrank, scoreUpdater, opicDistribute, hitsScores)
 }

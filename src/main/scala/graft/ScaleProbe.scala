@@ -34,7 +34,16 @@ object ScaleProbe {
     "dedup_merge", "minhash_lsh", "ngram_jaccard", "pipeline_compose",
     "sessionize", "sliding_rate", "incremental_dedup",
     "host_cap_skewsafe", "webgraph_dedup", "dedup_clusters",
-    "tdigest_values", "exact_substr_dedup")
+    "tdigest_values", "exact_substr_dedup",
+    // late-r10 additions: span removal against increment-internal dups,
+    // bigram-LM scoring (Zipfian head-word join), C4 url canonical
+    // dedup, the Bloom-prefiltered exact probe, and the MG sketch
+    // (whose map-side state is capacity-bounded, so its aggregation
+    // shuffle should stay ~FLAT as rows and distinct keys grow ×N —
+    // at ×100 the sketch leaves its exact regime, which the probe
+    // doesn't mind: it measures growth, not answers)
+    "incremental_substr", "lm_bigram_score", "url_dedup",
+    "bloom_dedup", "heavy_hitters")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
