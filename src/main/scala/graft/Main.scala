@@ -23,7 +23,8 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main updatehostdb <crawldb> <hostdb> [-now MS]
   *                        [-numericFields f1,f2 [-percentiles 50,75]]
   * graft.Main readdb    <crawldb> -stats [-quantiles .25,.5,...]
-  *                      | -dump <out> | -topN <N> | -url <u>
+  *                      | -dump <out> | -topN <N> | -topHosts <N>
+  *                      | -url <u>
   * graft.Main index     <crawldb> <linkdb> <segment> <outDir>
   * graft.Main clean     <crawldb> <sinkDir>
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
@@ -246,6 +247,10 @@ object Main {
             CrawlDbReader.topN(db, n.toInt).collect()
               .foreach(r => println(r.mkString("\t")))
             0
+          case "-topHosts" :: n :: _ =>
+            CrawlDbReader.topHosts(db, n.toInt).collect()
+              .foreach(r => println(r.mkString("\t")))
+            0
           case "-url" :: u :: _ =>
             CrawlDbReader.url(db, u) match {
               case Some(r) => println(s"${r.url}\t${r.datum.statusName}\t" +
@@ -253,7 +258,8 @@ object Main {
               case None => println(s"$u not found"); 1
             }
           case _ =>
-            System.err.println("readdb: need -stats|-dump|-topN|-url"); 2
+            System.err.println(
+              "readdb: need -stats|-dump|-topN|-topHosts|-url"); 2
         }
       case "index" :: crawldb :: linkdb :: segdir :: out :: _ =>
         val t = graft.tables.CrawlDbStore.open(spark, crawldb)

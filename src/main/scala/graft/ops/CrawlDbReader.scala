@@ -88,6 +88,30 @@ object CrawlDbReader {
       db.toDF().select(col("url"), col("datum.score").as("score")),
       Seq(desc("score"), asc("url")), n)
 
+  /** -topHosts: the k most-crawled hosts by page count, through the
+    * Misra–Gries two-pass (functions/FreqSketch.scala): sketch
+    * candidates with capacity-bounded per-task state, then recount
+    * just the candidates exactly under a broadcast join. At 10^7+
+    * distinct hosts this replaces the full host-census shuffle a plain
+    * groupBy ships (per-task partial rows ∝ distinct hosts) with one
+    * ~capacity-entry summary per task. Exact whenever the k-th host's
+    * true count exceeds n/(capacity+1) — MGSpec's survivor bound —
+    * which any real crawl's Zipf-shaped host distribution satisfies at
+    * capacity ≫ k; the oracle-checked twin is `heavy_hitters`. */
+  def topHosts(db: Dataset[CrawlRow], k: Int,
+      capacity: Int = 4096): DataFrame = {
+    val hosts = db.toDF()
+      .select(graft.functions.Urls.host(col("url")).as("host"))
+    val cand = hosts
+      .agg(graft.functions.FreqSketch.mgTopK(col("host"), capacity)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("host"))
+    hosts.join(broadcast(cand), "host")
+      .groupBy("host").agg(count(lit(1)).as("n_pages"))
+      .orderBy(desc("n_pages"), asc("host")).limit(k)
+  }
+
   /** -url point lookup (MapFile.getEntry parity,
     * CrawlDbReader.java:821-832: the reference opens ONE map file and
     * seeks — it never scans the db). Over the bucketed layout the

@@ -53,6 +53,20 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     // read paths
     assert(v("readdb", crawldb, "-stats") == 0)
     assert(v("readdb", crawldb, "-topN", "5") == 0)
+    assert(v("readdb", crawldb, "-topHosts", "3") == 0)
+    // the MG two-pass equals the exact host census on this db
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val db = graft.tables.CrawlDbStore.open(spark, crawldb).read()
+      val got = graft.ops.CrawlDbReader.topHosts(db, 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val exact = db.toDF()
+        .select(graft.functions.Urls.host(col("url")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("host")).limit(3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exact, s"$got vs $exact")
+    }
     assert(v("readdb", crawldb, "-url", s"$A/") == 0)
     assert(v("readdb", crawldb, "-url", "http://nowhere.example/") == 1)
     assert(v("readdb", crawldb, "-dump", s"$root/dump") == 0)
