@@ -60,11 +60,19 @@ final class MGSummary(val capacity: Int) {
 
   /** Subtract the (capacity+1)-th largest count from every entry and
     * drop the non-positive — the single step that both caps the map
-    * and preserves the undercount bound. */
+    * and preserves the undercount bound. The add path always overflows
+    * by exactly one, where the (capacity+1)-th largest IS the minimum
+    * — found in one O(c) pass instead of a sort; only merge (rare:
+    * once per partial-combine) can overflow further and pay the
+    * O(c log c) selection. */
   private def shrink(): Unit = {
-    val vals = counts.values.toArray
-    java.util.Arrays.sort(vals)
-    val d = vals(vals.length - 1 - capacity)
+    val d =
+      if (counts.size == capacity + 1) counts.values.min
+      else {
+        val vals = counts.values.toArray
+        java.util.Arrays.sort(vals)
+        vals(vals.length - 1 - capacity)
+      }
     err += d
     counts.filterInPlace((_, v) => v > d)
     counts.mapValuesInPlace((_, v) => v - d)
