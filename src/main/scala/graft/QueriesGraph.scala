@@ -287,11 +287,15 @@ object QueriesGraph {
   val hitsScores = Q(
     "hits_scores",
     (s, dir) => {
+      // loop-invariant tables, cached like linkrank's edge cache: each
+      // of the 10 half-step materializations would otherwise re-run
+      // the scan+distinct shuffle (measured 8.4 s → ~3 s at sf0.1);
+      // Bench/Verify clear the block cache per query
       val e = t(s, dir, "lineitem").select(
         (col("l_orderkey") % 500).as("src"),
-        (col("l_partkey") % 500 + 500).as("dst")).distinct()
+        (col("l_partkey") % 500 + 500).as("dst")).distinct().cache()
       val nodes = e.select(col("src").as("url"))
-        .union(e.select(col("dst").as("url"))).distinct()
+        .union(e.select(col("dst").as("url"))).distinct().cache()
       var hub = nodes.withColumn("h", lit(1000000L))
       var auth = nodes.withColumn("a", lit(0L))
       for (_ <- 1 to HITS_ITERS) {
