@@ -492,6 +492,75 @@ object QueriesPipeline {
       FROM tf JOIN c USING (w) CROSS JOIN t
       GROUP BY 1"""))
 
+  /** Per-source distribution drift — the corpus-QA operator that flags
+    * a source whose language no longer looks like the mix it feeds
+    * (scraper broke, boilerplate flood, language shift): a
+    * chi-square-style statistic over the corpus's top-50 vocabulary,
+    * fully integer-exact. Per source and top word: observed share in
+    * basis points (obs·10⁴ div n_src) vs the corpus-wide expected
+    * share (gcnt·10⁴ div n_total); drift = Σ (obs_bp − exp_bp)² div
+    * max(exp_bp, 1) — Pearson's X² shape on quantized rates, plus the
+    * count of top words entirely ABSENT from the source (the bluntest
+    * drift signal). The vocabulary is deterministic: top 50 by
+    * (count desc, word asc).
+    *
+    * Scale shape: one corpus-wide token count (the tfidf shuffle,
+    * map-side combinable), a 50-row broadcast vocabulary, and — the
+    * part that matters — the per-source observation join is a
+    * BROADCAST of that head vocabulary, so the Zipf-hot head words
+    * (the top-50 ARE the hottest keys in the corpus) never become a
+    * shuffle key; the (source × 50)-cell frame is tiny at any corpus
+    * size. */
+  val sourceDrift = Q(
+    "source_drift",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val glob = tf.groupBy("w").agg(count(lit(1)).as("gcnt"))
+      val vocab = glob
+        .crossJoin(broadcast(tf.agg(count(lit(1)).as("n_total"))))
+        .orderBy(desc("gcnt"), asc("w")).limit(50)
+        .select(col("w"), expr("gcnt * 10000 div n_total").as("exp_bp"))
+      val srcTot = tf.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val obs = tf.join(broadcast(vocab.select("w")), "w")
+        .groupBy("source", "w").agg(count(lit(1)).as("obs"))
+      srcTot.crossJoin(broadcast(vocab))
+        .join(obs, Seq("source", "w"), "left")
+        .select(col("source"), col("n_tokens"), col("exp_bp"),
+          coalesce(col("obs"), lit(0L)).as("obs"),
+          expr("coalesce(obs, 0) * 10000 div n_tokens").as("obs_bp"))
+        .groupBy("source")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          sum(expr("(obs_bp - exp_bp) * (obs_bp - exp_bp)" +
+            " div greatest(exp_bp, 1)")).as("drift_score"),
+          sum(when(col("obs") === 0, 1L).otherwise(0L)).as("n_absent"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      g AS (SELECT w, COUNT(*) AS gcnt FROM tf GROUP BY 1),
+      v AS (SELECT w, CAST(gcnt AS BIGINT) * 10000
+                // (SELECT COUNT(*) FROM tf) AS exp_bp
+            FROM g ORDER BY gcnt DESC, w LIMIT 50),
+      st AS (SELECT source, COUNT(*) AS n_tokens FROM tf GROUP BY 1),
+      o AS (SELECT source, w, COUNT(*) AS obs
+            FROM tf JOIN v USING (w) GROUP BY 1, 2),
+      cells AS (
+        SELECT st.source, st.n_tokens, v.exp_bp,
+          CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+          CAST(COALESCE(o.obs, 0) AS BIGINT) * 10000
+            // CAST(st.n_tokens AS BIGINT) AS obs_bp
+        FROM st CROSS JOIN v
+        LEFT JOIN o ON o.source = st.source AND o.w = v.w)
+      SELECT source,
+        CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM((obs_bp - exp_bp) * (obs_bp - exp_bp)
+          // GREATEST(exp_bp, 1)) AS BIGINT) AS drift_score,
+        CAST(SUM(CASE WHEN obs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_absent
+      FROM cells GROUP BY 1"""))
+
   /** Bigram-LM fluency scoring — the log-free integer-exact form of the
     * CCNet-style language-model quality filter (perplexity under a
     * corpus-trained n-gram LM flags gibberish, shuffled text, and
@@ -1239,5 +1308,5 @@ object QueriesPipeline {
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
-    lmBigramScore, incrementalSubstr, mixtureTemperature)
+    lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift)
 }
