@@ -594,8 +594,12 @@ object QueriesText {
       val bf = store.agg(
         Bloom.agg(Hashing.fast64(col("store_sig")), 1L << 20, 7).as("bloom"))
       val inc = d.select(col("doc_id"), md5(col("text")).as("sig"))
-      val maybe = inc.crossJoin(broadcast(bf))
-        .filter(Bloom.mightContain(col("bloom"), Hashing.fast64(col("sig"))))
+      // scalar subquery, not crossJoin(broadcast): the join form lets
+      // PushDownLeftSemiAntiJoin reorder the store semi-join below the
+      // prefilter (see DedupStore.exactProbe)
+      val maybe = inc.filter(Bloom.mightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(bf),
+          Hashing.fast64(col("sig"))))
         .select("doc_id", "sig")
       val hits = maybe
         .join(store, col("sig") === col("store_sig"), "left_semi")

@@ -172,6 +172,34 @@ object DedupStore {
       startsStore.union(startsInc))
   }
 
+  /** The exact-membership probe: doc_ids of `sigged` rows (doc_id,
+    * sig) whose signature is in the store, optionally Bloom-prefiltered
+    * map-side. left_semi keeps the store side bucket-local — the probe
+    * side is the ONLY thing that shuffles, and with the filter it
+    * shrinks from |increment| rows to |true hits| + the fpp mass.
+    * Factored out of [[dedupIncrement]] so that saving is
+    * independently MEASURABLE: DedupStoreSpec shuffle-meters this
+    * probe A/B on a mostly-fresh increment and asserts the filtered
+    * shuffle is a small fraction of the plain one. */
+  def exactProbe(sigged: DataFrame, storeSigs: DataFrame,
+      sigBloom: Option[DataFrame]): DataFrame = {
+    // the filter bytes arrive as a SCALAR SUBQUERY, not a broadcast
+    // crossJoin: the join form lets PushDownLeftSemiAntiJoin reorder
+    // the store semi-join BELOW the prefilter (measured: the full
+    // probe shuffled before the filter ran — zero bytes saved); as a
+    // subquery the predicate is a plain Filter with no join to
+    // reorder past (ColumnBridge.scalarSubquery)
+    val probe = sigBloom match {
+      case Some(bf) => sigged.filter(Bloom.mightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .scalarSubquery(bf.select(col("bloom"))),
+        Hashing.fast64(col("sig"))))
+      case None => sigged
+    }
+    probe.join(storeSigs, col("sig") === col("store_sig"), "left_semi")
+      .select(col("doc_id"))
+  }
+
   /** Dedup one increment against the store: the same
     * drop_exact / drop_near / keep verdict as `incremental_dedup`,
     * with both store probes reading the bucketed tables in place.
@@ -203,19 +231,11 @@ object DedupStore {
       .filter(round(matches.cast("double") / MinhashH, 4) >= 0.5)
       .select(col("doc_id")).distinct()
       .withColumn("near_hit", lit(1))
-    val probe = sigBloom match {
-      case Some(bf) => incSig.select(col("doc_id"), col("sig"))
-        .crossJoin(broadcast(bf))
-        .filter(Bloom.mightContain(col("bloom"), Hashing.fast64(col("sig"))))
-        .drop("bloom")
-      case None => incSig.select(col("doc_id"), col("sig"))
-    }
-    // left_semi: the store side stays bucket-local, the (prefiltered)
-    // probe side is the only thing that shuffles; one row per doc_id by
-    // construction, so the doc_id join below cannot multiply rows
-    val exactDocs = probe
-      .join(storeSigs, col("sig") === col("store_sig"), "left_semi")
-      .select(col("doc_id")).withColumn("exact_hit", lit(1))
+    // one row per doc_id by construction, so the doc_id join below
+    // cannot multiply rows
+    val exactDocs =
+      exactProbe(incSig.select(col("doc_id"), col("sig")), storeSigs,
+        sigBloom).withColumn("exact_hit", lit(1))
     incSig
       .join(exactDocs, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")

@@ -180,6 +180,12 @@ object EventStreams {
   def dedupAgainstStoreBloom(docs: Dataset[Doc], storeSigs: DataFrame,
       sigBloom: DataFrame): DataFrame = {
     import graft.functions.{Bloom, Hashing}
+    // the crossJoin(broadcast) filter shape is safe HERE, unlike in
+    // DedupStore.exactProbe: the downstream store join is LEFT OUTER,
+    // which neither ReorderJoin nor PushDownLeftSemiAntiJoin moves
+    // below the prefilter (only inner/cross chains and semi/anti joins
+    // reorder) — and a scalar subquery is not available on a streaming
+    // frame anyway
     val sigged = docs.withColumn("sig", md5(col("text")))
       .crossJoin(broadcast(sigBloom))
       .withColumn("maybe",

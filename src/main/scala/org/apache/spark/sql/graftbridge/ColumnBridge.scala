@@ -17,4 +17,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** An uncorrelated scalar subquery over `df` (must be one row, one
+    * column), usable inside an ordinary Filter predicate — the shape
+    * Spark's own runtime row-level filters use (InjectRuntimeFilter,
+    * SPARK-32268). Why not a crossJoin(broadcast(oneRow)) + filter:
+    * that encodes the prefilter as a JOIN, and the optimizer's
+    * PushDownLeftSemiAntiJoin then legally reorders a downstream
+    * semi/anti join BELOW it — the full probe shuffles before the
+    * filter ever runs (measured: the Bloom prefilter saved zero bytes
+    * in that shape). A subquery argument keeps the predicate a plain
+    * Filter with no join to reorder past, so it pushes toward the
+    * scan like any other predicate. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 }
