@@ -91,6 +91,32 @@ object EventStreams {
         element_at(col("qv"), 2).as("p95"),
         element_at(col("qv"), 3).as("p99"))
 
+  /** Streaming heavy hitters — the MG summary as windowed-aggregation
+    * STATE (the [[valueQuantiles]] pattern with the frequency sketch
+    * instead of the quantile sketch): per hourly window, the top users
+    * by event count, with O(capacity) state per window regardless of
+    * event rate or distinct-user count — a plain per-(window, user)
+    * count would key streaming state on every distinct user seen in
+    * the horizon. The summary merges across micro-batches through the
+    * aggregate's own byte codec; watermark bounds state like
+    * [[hourly]]. Estimates are exact whenever capacity ≥ the window's
+    * distinct users (MGSpec's exact-regime contract — EventStreamsSpec
+    * asserts the streamed counts equal the exact per-window census);
+    * past capacity they carry the summary's documented err bound. */
+  def topUsers(events: Dataset[Event], k: Int,
+      capacity: Int = 2048): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.FreqSketch.mgTopK(
+        col("user_id").cast("string"), capacity).as("hh"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        slice(col("hh"), 1, k).as("top"))
+      .select(col("hour_epoch"), explode(col("top")).as("e"))
+      .select(col("hour_epoch"), col("e.key").cast("long").as("user_id"),
+        col("e.est").as("n_events"), col("e.err").as("err"))
+
   /** Streaming exact dedup — the LLM-pipeline ingest shape: drop events
     * whose dedup key (e.g. a content signature) was already seen within
     * the watermark horizon. `dropDuplicatesWithinWatermark` keys state

@@ -71,6 +71,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters: MG summary as streaming state, exact " +
+      "counts across micro-batches in the exact regime") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.topUsers(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topusers")
+      .outputMode("complete").start()
+    try {
+      val t0 = (base / H) * H
+      // window 1: user 7 × 6, user 3 × 4, user 9 × 2, user 1 × 1;
+      // window 2: user 5 × 3, user 7 × 1 — split across 3 micro-batches
+      // so the summary must merge through the state store
+      val w1 = Seq.fill(6)(7L) ++ Seq.fill(4)(3L) ++ Seq.fill(2)(9L) :+ 1L
+      val w2 = Seq.fill(3)(5L) :+ 7L
+      val events =
+        w1.zipWithIndex.map { case (u, i) =>
+          Event(i.toLong, u, "view", t0 + i, 1.0) } ++
+        w2.zipWithIndex.map { case (u, i) =>
+          Event(100L + i, u, "view", t0 + H + i, 1.0) }
+      events.grouped(6).foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table("topusers").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val h0 = t0 / 1000000
+      // top-3 of window 1 (exact regime: est = truth, err = 0)
+      assert(rows((h0, 7L)) == ((6L, 0L)))
+      assert(rows((h0, 3L)) == ((4L, 0L)))
+      assert(rows((h0, 9L)) == ((2L, 0L)))
+      assert(!rows.contains((h0, 1L))) // k = 3 cuts the singleton
+      assert(rows((h0 + 3600, 5L)) == ((3L, 0L)))
+      assert(rows((h0 + 3600, 7L)) == ((1L, 0L)))
+    } finally q.stop()
+  }
+
   test("sliding 10/5-minute windows: each event lands in two windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
