@@ -29,6 +29,7 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main clean     <crawldb> <sinkDir>
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
+  *                      [-exactsubstr] [-temperature]
   *                      [-exactsubstr]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -657,6 +658,41 @@ object Main {
           substrEmptied = rewritten.where(length(col("text")) === 0).count()
           kept = rewritten.where(length(col("text")) > 0).drop("n_removed")
         }
+        var mixtureDropped = 0L
+        if (rest.contains("-temperature")) {
+          // α = 1/2 temperature rebalance (the mixture_temperature
+          // query's rates, applied): downsample over-represented
+          // languages so kept token shares match p_l ∝ √tok_l, sized
+          // by the binding constraint — the scarcest-relative-to-
+          // target language keeps EVERYTHING (rate 10000 bp, no
+          // upsampling ever), everything else downsamples toward its
+          // target share via the deterministic md5 coin (sample_cap's
+          // discipline: content-keyed, stable across runs and
+          // partitionings, integer-exact)
+          val byLang = kept
+            .select(col("lang"),
+              size(split(col("text"), " ")).cast("long").as("nt"))
+            .groupBy("lang").agg(sum("nt").as("tok"))
+            .withColumn("w", floor(sqrt(col("tok"))).cast("long"))
+          val rates = byLang
+            .crossJoin(broadcast(byLang.agg(sum(col("w")).as("sw"))))
+            .withColumn("rate_bp", expr("w * 10000 div sw"))
+          // the largest mix total no language can't supply (driver-side
+          // one-row read — CLI verb, bounded)
+          val budget = rates
+            .agg(min(expr("tok * 10000 div greatest(rate_bp, 1)")))
+            .head().getLong(0)
+          val keepRates = rates.select(col("lang"),
+            least(lit(10000L),
+              expr(s"(($budget * rate_bp) div 10000) * 10000" +
+                " div greatest(tok, 1)")).as("keep_bp"))
+          val before = kept.count()
+          kept = kept.join(broadcast(keepRates), "lang")
+            .where(Queries.md5Long(col("doc_id").cast("string")) % 10000L
+              < col("keep_bp"))
+            .drop("keep_bp")
+          mixtureDropped = before - kept.count()
+        }
         val corpus = kept
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("shard",
@@ -682,13 +718,18 @@ object Main {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             if (reason == "keep") "docs_kept"
             else s"dropped_$reason",
-            if (reason == "keep") n - substrEmptied else n))
+            if (reason == "keep") n - substrEmptied - mixtureDropped
+            else n))
         }
         if (rest.contains("-exactsubstr")) {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "exactsubstr_tokens_removed", spansRemoved))
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "dropped_exactsubstr_empty", substrEmptied))
+        }
+        if (rest.contains("-temperature")) {
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "dropped_mixture", mixtureDropped))
         }
         labeled.unpersist()
         substrCache.foreach(_.unpersist())

@@ -434,6 +434,53 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
       again.select("doc_id", "shard")).isEmpty)
   }
 
+  test("corpus -temperature rebalances kept languages toward the " +
+    "sqrt mix: conservation holds, only downsampling, the binding " +
+    "language keeps ~everything, L1 distance to target shrinks") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val root = Files.createTempDirectory("cli-corpus-temp").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/plain", "-shards", "4") == 0)
+    assert(v("corpus", sf, s"$root/temp", "-shards", "4",
+      "-temperature") == 0)
+
+    def langTokens(out: String): Map[String, Long] =
+      spark.read.parquet(s"$out/datacard").groupBy("lang")
+        .agg(sum("n_tokens").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = langTokens(s"$root/plain")
+    val temp = langTokens(s"$root/temp")
+    // downsample only, never upsample
+    assert(temp.forall { case (l, t) => t <= plain(l) })
+    // conservation: docs_in == docs_kept + every dropped_* counter
+    val m = new graft.ops.Metrics.Table(spark, s"$root/temp/metrics").read()
+    def g(n: String): Long = m.where(col("name") === n)
+      .select("value").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val dropped = m.where(col("name").startsWith("dropped_"))
+      .agg(sum("value")).head().getLong(0)
+    assert(g("docs_in") == g("docs_kept") + dropped)
+    assert(g("dropped_mixture") > 0) // the rebalance really engaged
+    // the binding language (smallest tok relative to its sqrt target)
+    // keeps ~everything; integer floors may shave a whisker
+    def weights(tok: Map[String, Long]) = {
+      val w = tok.view.mapValues(t => math.sqrt(t.toDouble).floor.toLong)
+      val sw = w.values.sum
+      w.mapValues(_ * 10000 / sw).toMap
+    }
+    val rate = weights(plain)
+    val binding = plain.keys.minBy(l => plain(l) * 10000 / rate(l))
+    assert(temp(binding) >= plain(binding) * 99 / 100,
+      s"$binding ${temp(binding)} vs ${plain(binding)}")
+    // kept shares moved toward the sqrt-target mix (L1 in bp shrinks)
+    def l1(tok: Map[String, Long]): Long = {
+      val tot = tok.values.sum
+      rate.map { case (l, r) =>
+        math.abs(tok.getOrElse(l, 0L) * 10000 / tot - r) }.sum
+    }
+    assert(l1(temp) < l1(plain), s"${l1(temp)} !< ${l1(plain)}")
+  }
+
   test("corpus -exactsubstr cuts a cross-document boilerplate paragraph " +
     "from the kept text (all occurrences) and reports the token count") {
     import org.apache.spark.sql.functions.{col, sum}
