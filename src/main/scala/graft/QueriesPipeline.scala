@@ -958,18 +958,24 @@ object QueriesPipeline {
     * data-mixing plan reads to weigh boundary-truncation damage
     * against pack_estimate's padding waste.
     *
-    * Shape: a per-language running token sum (window ordered by doc_id
-    * — partitioned state, one language per group, no global sort) and
-    * one aggregation. Integer-exact throughout. */
+    * Shape: a per-language running token sum through the TWO-PHASE
+    * distributed prefix scan (ops/PrefixSum — range-partition within
+    * (lang, doc_id), partition-local scans, broadcast subtotal
+    * offsets) and one aggregation. A lang-partitioned window would put
+    * the dominant language's ENTIRE corpus in one task (AQE cannot
+    * split a window partition); the scan's parallelism is the
+    * partition count instead — bit-identical cum values, so the
+    * full-window oracle below still pins every row. Integer-exact
+    * throughout. */
   val packChunks = Q(
     "pack_chunks",
     (s, dir) => {
       val C = 2048L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      val d = t(s, dir, "documents")
+      val d0 = t(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("nt"))
-        .withColumn("cum", sum(col("nt")).over(w))
+      val d = graft.ops.PrefixSum
+        .groupedRunningSum(d0, col("lang"), col("doc_id"), col("nt"), "cum")
         .withColumn("start_chunk", expr(s"(cum - nt) div $C"))
         .withColumn("end_chunk", expr(s"(cum - 1) div $C"))
       d.groupBy("lang")

@@ -43,7 +43,11 @@ object ScaleProbe {
     // at ×100 the sketch leaves its exact regime, which the probe
     // doesn't mind: it measures growth, not answers)
     "incremental_substr", "lm_bigram_score", "url_dedup",
-    "bloom_dedup", "heavy_hitters", "hits_scores")
+    "bloom_dedup", "heavy_hitters", "hits_scores",
+    // r11: the two-phase prefix scan replacing the last data-sized
+    // group-partitioned window (pack_chunks) — probe that the scan's
+    // two narrow shuffles grow ~linearly and never re-concentrate
+    "pack_chunks")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured

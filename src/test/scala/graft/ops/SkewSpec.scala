@@ -222,4 +222,43 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("two-phase prefix sum matches the group window exactly and " +
+    "spreads a 90%-hot language across tasks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the pack_chunks pathology: one language owns 90% of the corpus,
+    // so a lang-partitioned running-sum window puts 90% of rows in ONE
+    // task (AQE cannot split a window partition). A few null-lang rows
+    // exercise the null-safe offset join (null is a group, as it is
+    // for the window).
+    val n = 40000
+    val rows = (0 until n).map { i =>
+      val lang =
+        if (i % 1003 == 0) null
+        else if (i % 10 < 9) "en"
+        else s"l${i % 7}"
+      (lang, i.toLong, (i % 97).toLong + 1)
+    }
+    val df = spark.createDataset(rows).toDF("lang", "doc_id", "nt")
+      .repartition(8) // several map tasks feed the range exchange
+    val scan = PrefixSum.groupedRunningSum(
+      df, col("lang"), col("doc_id"), col("nt"), "cum")
+    val (got, l) = withListener {
+      scan.select("lang", "doc_id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    // exact A/B vs the window phrasing (the oracle semantics)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val expected = df.withColumn("cum", sum(col("nt")).over(w))
+      .select("lang", "doc_id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // balance: the hot language spans the partition count, so no task
+    // reads a straggler share. A lang-partitioned window at 4 reduce
+    // tasks would put 90% of records in one task (max/mean >= 3.2);
+    // both scan shuffles (range + local-window) must stay spread.
+    val imb = l.worstImbalance(n / 2)
+    assert(imb < 2.0, s"imbalance $imb")
+  }
 }
