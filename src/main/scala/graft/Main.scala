@@ -103,6 +103,46 @@ object Main {
     Extensions.Registry(urlFilters = filters)
   }
 
+  /** α = 1/2 temperature keep rates from a per-language token census
+    * (`lang`, `tok`): keep_bp per language toward p_l ∝ √tok_l, sized
+    * by the binding constraint (the scarcest-relative-to-target
+    * language keeps everything; nothing ever upsamples). Factored from
+    * the corpus verb so the fixed-point edge cases are testable on
+    * synthetic censuses — the regime where a real corpus would need
+    * 10^8+ tokens to reach.
+    *
+    * rate_bp floors at 1 bp: a language whose sqrt-weight share
+    * quantizes to 0 bp (tok < ~(sw/10000)^2 — a <10k-token language in
+    * a 10^12-token corpus) would otherwise get keep_bp = 0 and be
+    * silently DELETED — the exact low-resource languages temperature
+    * sampling (Conneau & Lample NeurIPS'19 §3.1) exists to preserve.
+    * The clamp only engages below the fixed-point resolution, where
+    * the target share is unrepresentable anyway; keep-everything is
+    * the faithful reading. Contains one driver-side one-row read (the
+    * budget) — CLI verb, bounded. */
+  private[graft] def temperatureKeepRates(
+      byLang: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = byLang.withColumn("w", floor(sqrt(col("tok"))).cast("long"))
+    val rates = w
+      .crossJoin(broadcast(w.agg(sum(col("w")).as("sw"))))
+      .withColumn("rate_bp", expr("greatest(w * 10000 div sw, 1)"))
+    // the largest mix total no language can't supply
+    val budget = rates
+      .agg(min(expr("tok * 10000 div rate_bp")))
+      .head().getLong(0)
+    // keep_bp floors at 1 bp too: in an extreme binding regime (the
+    // budget tiny relative to a dominant language's tok) the integer
+    // division can quantize even the dominant language's keep rate to
+    // zero — no non-empty language is ever deleted outright; 1 bp is
+    // the coin's resolution floor, stated rather than silent.
+    rates.select(col("lang"),
+      greatest(lit(1L), least(lit(10000L),
+        expr(s"(($budget * rate_bp) div 10000) * 10000" +
+          " div greatest(tok, 1)"))).as("keep_bp"))
+  }
+
   /** Load a MockProtocol site snapshot from a JSON-lines file.
     * Only `url` is required; code/body/contentType default. */
   def loadSite(spark: SparkSession, path: String): Fetch.MockProtocol = {
@@ -670,26 +710,23 @@ object Main {
           // discipline: content-keyed, stable across runs and
           // partitionings, integer-exact)
           val byLang = kept
+            // null-lang docs take no part in the rebalance (kept
+            // whole by the left join below) — excluded here so a
+            // null group can't bind the budget it never consumes
+            .where(col("lang").isNotNull)
             .select(col("lang"),
               size(split(col("text"), " ")).cast("long").as("nt"))
             .groupBy("lang").agg(sum("nt").as("tok"))
-            .withColumn("w", floor(sqrt(col("tok"))).cast("long"))
-          val rates = byLang
-            .crossJoin(broadcast(byLang.agg(sum(col("w")).as("sw"))))
-            .withColumn("rate_bp", expr("w * 10000 div sw"))
-          // the largest mix total no language can't supply (driver-side
-          // one-row read — CLI verb, bounded)
-          val budget = rates
-            .agg(min(expr("tok * 10000 div greatest(rate_bp, 1)")))
-            .head().getLong(0)
-          val keepRates = rates.select(col("lang"),
-            least(lit(10000L),
-              expr(s"(($budget * rate_bp) div 10000) * 10000" +
-                " div greatest(tok, 1)")).as("keep_bp"))
+          val keepRates = temperatureKeepRates(byLang)
           val before = kept.count()
-          kept = kept.join(broadcast(keepRates), "lang")
+          // LEFT join + keep-all default: an inner join would silently
+          // DROP docs with NULL lang (null equi-join keys never match,
+          // even though byLang's groupBy produced a null-lang rate
+          // row), misattributing them to dropped_mixture. Null-lang
+          // docs take no part in language rebalancing — keep them.
+          kept = kept.join(broadcast(keepRates), Seq("lang"), "left")
             .where(Queries.md5Long(col("doc_id").cast("string")) % 10000L
-              < col("keep_bp"))
+              < coalesce(col("keep_bp"), lit(10000L)))
             .drop("keep_bp")
           mixtureDropped = before - kept.count()
         }

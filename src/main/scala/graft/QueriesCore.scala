@@ -250,20 +250,36 @@ object QueriesCore {
 
   /** T4 Dedup ordering: within a signature group rank by the compareOrder
     * criteria chain and mark all but the best DUPLICATE
-    * (DeduplicationJob.java:161-247). Signature = l_orderkey group. */
+    * (DeduplicationJob.java:161-247). Signature = l_orderkey group.
+    * Keeper election is min(struct(compare chain)) per signature —
+    * map-side combinable, then an AQE-splittable join back (the
+    * Dedup.findDuplicates shape) — not a sig-partitioned window, which
+    * a hot signature would turn into one straggler task. The desc
+    * score leg rides as its negation inside the struct (exact for
+    * these non-NaN money values; Dedup.scala handles the NaN-bearing
+    * crawl case with an explicit NaN rank leg). */
   val dedupRank = Q(
     "dedup_rank",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(desc("l_extendedprice"), asc("l_shipdate"), asc("l_linenumber"))
-      li.withColumn("rnk", row_number().over(w))
+      val m = li.select(
+        col("l_orderkey").as("sig"),
+        col("l_linenumber").as("member"),
+        col("l_extendedprice").as("score"),
+        col("l_shipdate"))
+      val best = m.groupBy("sig").agg(
+        min(struct((-col("score")).as("ns"), col("l_shipdate").as("sd"),
+          col("member").as("m"))).as("b"))
+      // keeper test compares the FULL compare chain, not just member:
+      // (sig, member) is not unique in this data, so a member-only
+      // test would crown every row sharing the winner's member
+      m.join(best, "sig")
         .select(
-          col("l_orderkey").as("sig"),
-          col("l_linenumber").as("member"),
-          col("l_extendedprice").as("score"),
-          when(col("rnk") === 1, lit("keep")).otherwise(lit("duplicate"))
-            .as("dedup_status"))
+          col("sig"), col("member"), col("score"),
+          when(struct((-col("score")).as("ns"),
+              col("l_shipdate").as("sd"), col("member").as("m")) ===
+              col("b"), lit("keep"))
+            .otherwise(lit("duplicate")).as("dedup_status"))
     },
     Some("""
       SELECT l_orderkey AS sig, l_linenumber AS member,

@@ -121,14 +121,18 @@ object QueriesStream {
     "dedup_stream_batch",
     (s, dir) => {
       val ev = t(s, dir, "events")
-      val w = Window.partitionBy(col("sig"))
-        .orderBy(asc("ts_us"), asc("event_id"))
+      // keep-first = min(struct(ts_us, event_id)) per signature — one
+      // map-side-combinable aggregation, no window and no join at all:
+      // a hot signature ships one partial row per map task instead of
+      // concentrating its whole group in one window task. The oracle
+      // keeps the row_number phrasing; the kept rows are identical.
       ev.withColumn("ts_us", expr("ts div 1000")) // exact integer µs
         .withColumn("sig", concat_ws("|", col("event_type"),
           round(col("value") * 100, 0).cast("long")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("sig"), col("ts_us"))
+        .groupBy("sig")
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("w"))
+        .select(col("w.event_id").as("event_id"), col("sig"),
+          col("w.ts_us").as("ts_us"))
     },
     Some("""
       WITH sigged AS (
@@ -264,20 +268,35 @@ object QueriesStream {
         .select(explode(col("hh")).as("e"))
         .select(col("e.key").as("k"), col("e.est").as("est"),
           col("e.err").as("err"))
+      // summary-level exact-regime flag, derived from the sketch's own
+      // state instead of a hardcoded data invariant: MG evicts iff the
+      // distinct-key count exceeds capacity, and every entry present
+      // after any eviction carries err > 0 — so max(err) == 0 over the
+      // WHOLE summary ⟺ no eviction ever ⟺ distinct ≤ capacity. The
+      // oracle computes the same regime from COUNT(DISTINCT), so a
+      // driver-data cardinality change flips BOTH sides together
+      // instead of reading as a correctness failure; inside the exact
+      // regime the per-row est/err contract still pins the sketch.
+      // (Past capacity the top-10 recount stays exact while every true
+      // top-10 count clears n/(c+1) — MG's recall bound.)
+      val regime = cand.agg(max(col("err")).as("maxerr"))
       keys.join(broadcast(cand), "k")
         .groupBy("k")
         .agg(count(lit(1)).as("n_events"),
           first(col("est")).as("est"), first(col("err")).as("err"))
         .orderBy(col("n_events").desc, col("k").cast("long"))
         .limit(10)
+        .crossJoin(broadcast(regime))
         .select(col("k").cast("long").as("user_id"), col("n_events"),
-          when(col("est") === col("n_events") && col("err") === 0, 1L)
+          when(col("maxerr") === 0 &&
+              col("est") === col("n_events") && col("err") === 0, 1L)
             .otherwise(0L).as("sketch_exact"))
     },
     Some("""
       SELECT CAST(user_id AS BIGINT) AS user_id,
         COUNT(*) AS n_events,
-        CAST(1 AS BIGINT) AS sketch_exact
+        CAST(CASE WHEN (SELECT COUNT(DISTINCT user_id) FROM events) <= 2048
+          THEN 1 ELSE 0 END AS BIGINT) AS sketch_exact
       FROM events
       GROUP BY 1
       ORDER BY n_events DESC, user_id

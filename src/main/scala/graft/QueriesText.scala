@@ -23,14 +23,20 @@ object QueriesText {
 
   /** Exact dedup: hash-groupBy on md5(text); lowest doc_id in each
     * signature group is the keeper (DeduplicationJob analog with
-    * deterministic total order). */
+    * deterministic total order). Keeper election is a map-side-
+    * combinable min per signature + an AQE-splittable join back —
+    * the Dedup.findDuplicates shape — NOT a sig-partitioned window: a
+    * hot signature (every empty page hashes identically) would put
+    * its whole group in one task, and AQE cannot split a window
+    * partition. The oracle keeps the window phrasing; the results are
+    * identical. */
   val dedupExact = Q(
     "dedup_exact",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val w = Window.partitionBy(col("sig"))
-      d.select(col("doc_id"), md5(col("text")).as("sig"))
-        .withColumn("keeper", min("doc_id").over(w))
+      val sigs = d.select(col("doc_id"), md5(col("text")).as("sig"))
+      val keepers = sigs.groupBy("sig").agg(min("doc_id").as("keeper"))
+      sigs.join(keepers, "sig")
         .select(col("doc_id"), col("sig"),
           when(col("doc_id") === col("keeper"), lit("keep"))
             .otherwise(lit("duplicate")).as("dedup_status"))

@@ -111,8 +111,18 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(graft.functions.FreqSketch.mgTopK(
         col("user_id").cast("string"), capacity).as("hh"))
+      // the summary sorts by (est desc, key asc) over STRING keys, so
+      // a k-boundary tie would cut lexicographically ("10" < "9") —
+      // surprising for a numeric id and divergent from any batch
+      // top-k ordered numerically. Re-sort with a numeric tie-break
+      // before the cut (array_sort comparator: per-row, stateless —
+      // streaming-safe where a global sort is not).
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
-        slice(col("hh"), 1, k).as("top"))
+        expr(s"""slice(array_sort(hh, (l, r) -> CASE
+            WHEN l.est > r.est THEN -1 WHEN l.est < r.est THEN 1
+            WHEN CAST(l.key AS BIGINT) < CAST(r.key AS BIGINT) THEN -1
+            WHEN CAST(l.key AS BIGINT) > CAST(r.key AS BIGINT) THEN 1
+            ELSE 0 END), 1, $k)""").as("top"))
       .select(col("hour_epoch"), explode(col("top")).as("e"))
       .select(col("hour_epoch"), col("e.key").cast("long").as("user_id"),
         col("e.est").as("n_events"), col("e.err").as("err"))

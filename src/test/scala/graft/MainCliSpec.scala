@@ -481,6 +481,35 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(l1(temp) < l1(plain), s"${l1(temp)} !< ${l1(plain)}")
   }
 
+  test("temperature keep rates never quantize a tiny language to zero " +
+    "(the sub-1bp regime a real test corpus can't reach)") {
+    val sp = spark; import sp.implicits._
+    // a 10^12-token dominant language pushes a 10^4-token language's
+    // sqrt-weight share below 1 bp: w_xx = 100, sw ≈ 10^6+100, so
+    // w*10000 div sw == 0 — unclamped, keep_bp would be 0 and EVERY
+    // xx doc would be dropped by the md5 coin (< 0 never holds).
+    val byLang = Seq(("en", 1000000000000L), ("xx", 10000L))
+      .toDF("lang", "tok")
+    val rates = Main.temperatureKeepRates(byLang).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the tiny language is the binding constraint at its clamped 1 bp
+    // target: it keeps everything; nothing exceeds 10000
+    assert(rates("xx") == 10000L, rates)
+    assert(rates.values.forall(bp => bp >= 1L && bp <= 10000L), rates)
+    // and the dominant language really downsamples toward the mix
+    assert(rates("en") < 10000L, rates)
+    // sanity on an ordinary census: every language keeps at least 1 bp
+    // and the scarcest-relative-to-target keeps everything
+    val byLang2 = Seq(("en", 900000L), ("de", 90000L), ("rw", 900L))
+      .toDF("lang", "tok")
+    val r2 = Main.temperatureKeepRates(byLang2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2.values.forall(bp => bp >= 1L && bp <= 10000L), r2)
+    // ~everything: integer floors may shave a whisker (same contract
+    // as the CLI-level binding-language test)
+    assert(r2("rw") >= 9900L, r2)
+  }
+
   test("corpus -exactsubstr cuts a cross-document boilerplate paragraph " +
     "from the kept text (all occurrences) and reports the token count") {
     import org.apache.spark.sql.functions.{col, sum}

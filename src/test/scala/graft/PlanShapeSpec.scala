@@ -227,12 +227,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("pack_chunks running sum partitions by lang — never global") {
+  test("pack_chunks running sum is the two-phase scan — no data-sized " +
+    "window keyed on lang alone") {
     val p = plan("pack_chunks")
-    assert(p.contains("Window"), p)
+    // the two-phase prefix scan engaged: the data-sized window keys on
+    // (_pspid, group) — partition-count parallelism — while the only
+    // group-keyed window orders subtotals by _pspid (≤ P rows/group)
+    assert(p.contains("_pspid"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
     p.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
-      assert(l.contains("lang"), s"window without lang partition: $l")
+      assert(l.contains("_pspid"),
+        s"window neither pid-keyed nor pid-ordered: $l")
+    }
+  }
+
+  test("dedup query surfaces are window-free (min-agg + join, the " +
+    "Dedup.findDuplicates shape — a hot signature can't become one task)") {
+    for (q <- Seq("dedup_exact", "dedup_rank", "dedup_stream_batch")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), p)
     }
   }
 

@@ -106,6 +106,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters break k-boundary ties NUMERICALLY " +
+      "(user 9 beats user 10 at equal counts — not the string sort)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.topUsers(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topusers_ties")
+      .outputMode("complete").start()
+    try {
+      val t0 = (base / H) * H
+      // user 7 × 3; users 9 and 10 tie at 2 — the k=2 cut must keep
+      // user 9 (numeric asc), though "10" < "9" lexicographically
+      val us = Seq.fill(3)(7L) ++ Seq.fill(2)(9L) ++ Seq.fill(2)(10L)
+      in.addData(us.zipWithIndex.map { case (u, i) =>
+        Event(i.toLong, u, "view", t0 + i, 1.0) })
+      q.processAllAvailable()
+      val kept = spark.table("topusers_ties").collect()
+        .map(r => r.getLong(1)).toSet
+      assert(kept == Set(7L, 9L), kept)
+    } finally q.stop()
+  }
+
   test("sliding 10/5-minute windows: each event lands in two windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
