@@ -29,10 +29,27 @@ object RestServer {
     @volatile var message: String = ""
   }
 
+  /** CLASS-job seam (openapi.yaml JobType CLASS + jobClassName — the
+    * reference runs any NutchTool by class name): implementations need
+    * a no-arg constructor; `run` returns the job message. Long-running
+    * implementations should structure work as Spark jobs so
+    * /job/{id}/stop's cancelJobGroup can cut them short. */
+  trait JobRunner {
+    def run(spark: SparkSession, args: Map[String, String]): String
+  }
+
   final class Server private[service] (spark: SparkSession, http: HttpServer) {
     private val jobs = new ConcurrentHashMap[Long, Job]()
     private val nextId = new AtomicLong(1)
     private val pool = Executors.newFixedThreadPool(2)
+    // runner thread per live job: abort interrupts it on top of the
+    // job-group cancel (stop is the graceful half — cancel only)
+    private val jobThreads = new ConcurrentHashMap[Long, Thread]()
+    // /services/commoncrawldump results per crawlId (ServiceInfo)
+    private val dumpPaths =
+      new ConcurrentHashMap[String, Seq[String]]()
+
+    private def groupId(id: Long): String = s"rest-job-$id"
 
     // /config store (openapi.yaml:129-288): id → mutable property map,
     // pre-seeded with "default" like the reference's ConfManager
@@ -156,14 +173,50 @@ object RestServer {
           j.message = CrawlDbReader.stats(crawldb.read())
             .orderBy("status").collect()
             .map(r => r.mkString(":")).mkString(",")
+        case "CLASS" =>
+          // openapi JobType CLASS + jobClassName: run any JobRunner by
+          // fully qualified class name (the reference's run-a-NutchTool
+          // escape hatch)
+          val cls = Class.forName(a("jobClassName"))
+          j.message = cls.getDeclaredConstructor().newInstance()
+            .asInstanceOf[JobRunner].run(spark, a)
         case other => throw new IllegalArgumentException(s"job type $other")
       }
     }
 
     private[service] def install(): Unit = {
-      http.createContext("/admin", (ex: HttpExchange) =>
-        reply(ex, 200,
-          s"""{"product":"graft","startDate":0,"configuration":["default"]}"""))
+      http.createContext("/admin", (ex: HttpExchange) => {
+        val sub = ex.getRequestURI.getPath.stripPrefix("/admin")
+          .split("/").filter(_.nonEmpty).toList
+        sub match {
+          case Nil => reply(ex, 200,
+            s"""{"product":"graft","startDate":0,"configuration":["default"]}""")
+          case List("stop") =>
+            // openapi.yaml:91 — graceful shutdown; with live jobs and
+            // no force=true the server refuses (boolean body either way)
+            val live = {
+              import scala.jdk.CollectionConverters._
+              jobs.values.asScala.filter(j =>
+                j.state == "RUNNING" || j.state == "STOPPING" ||
+                  j.state == "KILLING")
+            }
+            val force = q(ex).get("force").contains("true")
+            if (live.nonEmpty && !force) reply(ex, 200, "false")
+            else {
+              live.foreach { j =>
+                j.state = "KILLING"
+                spark.sparkContext.cancelJobGroup(groupId(j.id))
+                Option(jobThreads.get(j.id)).foreach(_.interrupt())
+              }
+              reply(ex, 200, "true")
+              // stop from a fresh thread: HttpServer.stop waits for
+              // in-flight handlers, so stopping from THIS handler
+              // thread would wait on itself
+              new Thread(() => stop(), "rest-admin-stop").start()
+            }
+          case _ => reply(ex, 404, """{"error":"bad admin request"}""")
+        }
+      })
       http.createContext("/job/create", (ex: HttpExchange) => {
         val params = q(ex)
         params.get("type") match {
@@ -172,27 +225,75 @@ object RestServer {
             val j = Job(nextId.getAndIncrement(), t.toUpperCase, params)
             jobs.put(j.id, j)
             pool.submit(new Runnable {
-              def run(): Unit =
+              def run(): Unit = {
+                jobThreads.put(j.id, Thread.currentThread())
+                // every Spark job this REST job launches lands in one
+                // job group, so /job/{id}/stop|abort can cancel them
+                // all with one cancelJobGroup (the SURVEY §3.3 mapping
+                // of the reference's job .stopJob/.killJob)
+                spark.sparkContext.setJobGroup(groupId(j.id),
+                  s"REST ${j.jobType} #${j.id}", interruptOnCancel = true)
                 try { runJob(j); j.state = "FINISHED" }
                 catch { case e: Throwable =>
-                  j.state = "FAILED"
-                  j.message = String.valueOf(e.getMessage)
+                  // a cancel arriving through stop/abort is the
+                  // REQUESTED outcome, not a failure
+                  j.state = j.state match {
+                    case "STOPPING" => "STOPPED"
+                    case "KILLING" => "KILLED"
+                    case _ => "FAILED"
+                  }
+                  if (j.state == "FAILED")
+                    j.message = String.valueOf(e.getMessage)
+                } finally {
+                  spark.sparkContext.clearJobGroup()
+                  jobThreads.remove(j.id)
+                  Thread.interrupted() // clear a late abort interrupt
                 }
+              }
             })
             reply(ex, 200, jobJson(j))
         }
       })
       http.createContext("/job", (ex: HttpExchange) => {
-        // /job (list) or /job/{id}
-        val path = ex.getRequestURI.getPath.stripPrefix("/job")
-        if (path.isEmpty || path == "/")
-          reply(ex, 200, jobs.values.toArray.map {
-            case j: Job => jobJson(j)
-          }.mkString("[", ",", "]"))
-        else scala.util.Try(path.stripPrefix("/").toLong).toOption
-          .flatMap(id => Option(jobs.get(id))) match {
-          case Some(j) => reply(ex, 200, jobJson(j))
-          case None => reply(ex, 404, """{"error":"no such job"}""")
+        // /job (list), /job/{id}, /job/{id}/stop, /job/{id}/abort
+        val segs = ex.getRequestURI.getPath.stripPrefix("/job")
+          .split("/").filter(_.nonEmpty).toList
+        def withJob(idStr: String)(f: Job => Unit): Unit =
+          idStr.toLongOption.flatMap(id => Option(jobs.get(id))) match {
+            case Some(j) => f(j)
+            case None => reply(ex, 404, """{"error":"no such job"}""")
+          }
+        segs match {
+          case Nil =>
+            reply(ex, 200, jobs.values.toArray.map {
+              case j: Job => jobJson(j)
+            }.mkString("[", ",", "]"))
+          case List(id) => withJob(id)(j => reply(ex, 200, jobJson(j)))
+          case List(id, "stop") => withJob(id) { j =>
+            // graceful: cancel the job group — running Spark jobs end
+            // at their next task boundary, the runner thread sees the
+            // cancellation and records STOPPED (openapi.yaml:349
+            // returns a bare boolean: was a stop initiated)
+            val live = j.state == "RUNNING"
+            if (live) {
+              j.state = "STOPPING"
+              spark.sparkContext.cancelJobGroup(groupId(j.id))
+            }
+            reply(ex, 200, String.valueOf(live))
+          }
+          case List(id, "abort") => withJob(id) { j =>
+            // forceful: cancel AND interrupt the runner thread, so
+            // driver-side work between Spark jobs dies too
+            // (openapi.yaml:379 — "kills the job immediately")
+            val live = j.state == "RUNNING" || j.state == "STOPPING"
+            if (live) {
+              j.state = "KILLING"
+              spark.sparkContext.cancelJobGroup(groupId(j.id))
+              Option(jobThreads.get(j.id)).foreach(_.interrupt())
+            }
+            reply(ex, 200, String.valueOf(live))
+          }
+          case _ => reply(ex, 404, """{"error":"bad job request"}""")
         }
       })
       // ---- /config CRUD (openapi.yaml:129-288) -------------------- //
@@ -365,6 +466,93 @@ object RestServer {
                 reply(ex, 500, s"""{"error":${graft.Json.str(
                   String.valueOf(e.getMessage))}}""")
             }
+        }
+      })
+
+      // /db/fetchdb (openapi.yaml:487): FetchNodeDbInfo rows — url,
+      // HTTP-ish status, outlink count, children — served from a
+      // fetched+parsed segment (the reference reads its in-memory
+      // FetchNodeDb populated by the running fetcher; the segment is
+      // that information durably). from/to are INCLUSIVE indexes over
+      // the url-ordered rows; to = 0 returns everything from `from`.
+      http.createContext("/db/fetchdb", (ex: HttpExchange) => {
+        val params = q(ex)
+        params.get("segment") match {
+          case None => reply(ex, 400, """{"error":"segment required"}""")
+          case Some(dir) =>
+            try {
+              val seg = new Segment(spark, dir)
+              val fetch = seg.fetch.toDF()
+                .select(col("url"),
+                  col("datum.status").cast("int").as("status"))
+              val parsed = seg.parseData.toDF()
+                .select(col("url"), col("outlinks"))
+              val from = params.get("from").map(_.toInt).getOrElse(0)
+              val to = params.get("to").map(_.toInt).getOrElse(0)
+              val page = fetch.join(parsed, Seq("url"), "left")
+                .orderBy("url").offset(from)
+              val limited =
+                if (to <= 0) page else page.limit(math.max(0, to - from + 1))
+              val rows = limited.collect().map { r =>
+                val links: scala.collection.Seq[org.apache.spark.sql.Row] =
+                  if (r.isNullAt(r.fieldIndex("outlinks"))) Seq.empty
+                  else r.getSeq[org.apache.spark.sql.Row](
+                    r.fieldIndex("outlinks"))
+                s"""{"url":${graft.Json.str(r.getAs[String]("url"))},""" +
+                  s""""status":${r.getAs[Int]("status")},""" +
+                  s""""numOfOutlinks":${links.size},""" +
+                  s""""children":${links.map(l =>
+                    s"""{"childUrl":${graft.Json.str(l.getString(0))},""" +
+                      s""""anchorText":${graft.Json.str(l.getString(1))}}""")
+                    .mkString("[", ",", "]")}}"""
+              }
+              reply(ex, 200, rows.mkString("[", ",", "]"))
+            } catch {
+              case e: Exception => reply(ex, 500,
+                s"""{"error":${graft.Json.str(String.valueOf(e.getMessage))}}""")
+            }
+        }
+      })
+
+      // /services/commoncrawldump (openapi.yaml:774-801): POST runs a
+      // CommonCrawl dump of a segment and records its output paths per
+      // crawlId; GET /{crawlId} lists them (ServiceInfo.dumpPaths)
+      http.createContext("/services/commoncrawldump", (ex: HttpExchange) => {
+        val segs = ex.getRequestURI.getPath
+          .stripPrefix("/services/commoncrawldump")
+          .split("/").filter(_.nonEmpty).toList
+        def serviceInfo(paths: Seq[String]): String =
+          s"""{"dumpPaths":${paths.map(graft.Json.str)
+            .mkString("[", ",", "]")}}"""
+        (ex.getRequestMethod, segs) match {
+          case ("POST", Nil) =>
+            val params = q(ex)
+            (params.get("crawlId"), params.get("segment")) match {
+              case (Some(crawlId), Some(dir)) =>
+                try {
+                  val out = params.getOrElse("outDir",
+                    java.nio.file.Files.createTempDirectory(
+                      s"graft-ccdump-").toString + "/dump")
+                  val seg = new Segment(spark, dir)
+                  CommonCrawlDumper.write(seg.fetch, seg.content, out)
+                  val parts = java.nio.file.Files
+                    .list(java.nio.file.Paths.get(out)).toArray
+                    .map(_.toString).filter(_.contains("part-")).sorted.toSeq
+                  dumpPaths.put(crawlId, parts)
+                  reply(ex, 200, serviceInfo(parts))
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"error":${graft.Json.str(
+                      String.valueOf(e.getMessage))}}""")
+                }
+              case _ =>
+                reply(ex, 400, """{"error":"crawlId and segment required"}""")
+            }
+          case ("GET", List(crawlId)) => Option(dumpPaths.get(crawlId)) match {
+            case Some(paths) => reply(ex, 200, serviceInfo(paths))
+            case None => reply(ex, 404, """{"error":"no such crawlId"}""")
+          }
+          case _ => reply(ex, 404, """{"error":"bad service request"}""")
         }
       })
 

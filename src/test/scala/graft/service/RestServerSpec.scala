@@ -8,6 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSuite
 
+/** CLASS-job fixture: a Spark job of interruptible in-task sleeps
+  * (~12 s/task at local[4]) whose only early exit is a job-group
+  * cancel arriving through /job/{id}/stop. */
+class SlowSparkJob extends RestServer.JobRunner {
+  def run(spark: org.apache.spark.sql.SparkSession,
+      args: Map[String, String]): String = {
+    spark.range(100).repartition(4).foreach(_ => Thread.sleep(500))
+    "ran to completion"
+  }
+}
+
+/** CLASS-job fixture: driver-side sleep — no Spark job for stop's
+  * cancelJobGroup to reach, so only /abort's thread interrupt ends it. */
+class DriverSleepJob extends RestServer.JobRunner {
+  def run(spark: org.apache.spark.sql.SparkSession,
+      args: Map[String, String]): String = {
+    Thread.sleep(60000)
+    "slept"
+  }
+}
+
 /** §3.3 REST surface: /admin, async /job/create + /job/{id}, /db/crawldb
   * stats and point lookup — driven over real HTTP. */
 class RestServerSpec extends AnyFunSuite with SparkSuite {
@@ -110,7 +131,96 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
       assert(ix.contains("indexed="), ix)
       val rd = job(s"type=readdb&crawldb=$root/db")
       assert(rd.contains("db_fetched"), rd)
+
+      // /db/fetchdb: FetchNodeDbInfo rows from the fetched+parsed
+      // segment — url, status, outlink count, children
+      val (cf, fdb) = get(s"$base/db/fetchdb?segment=$root/seg")
+      assert(cf == 200 && fdb.contains(s""""url":"$A/""""), fdb)
+      assert(fdb.contains(""""numOfOutlinks":1"""), fdb)
+      assert(fdb.contains(s""""childUrl":"$A/p""""), fdb)
+      // from/to page inclusively over the url-ordered rows
+      assert(get(s"$base/db/fetchdb?segment=$root/seg&from=1")._2 == "[]")
+      assert(get(s"$base/db/fetchdb?segment=$root/seg&from=0&to=0")._2
+        == fdb)
+      assert(get(s"$base/db/fetchdb")._1 == 400)
+
+      // /services/commoncrawldump: POST dumps the segment, GET lists
+      // the recorded paths for the crawlId
+      val (cd, dump) = post(s"$base/services/commoncrawldump?crawlId=c1" +
+        s"&segment=$root/seg&outDir=$root/ccdump")
+      assert(cd == 200 && dump.contains("\"dumpPaths\":[") &&
+        dump.contains("part-"), dump)
+      val (cg, listed) = get(s"$base/services/commoncrawldump/c1")
+      assert(cg == 200 && listed == dump)
+      assert(get(s"$base/services/commoncrawldump/nope")._1 == 404)
+      assert(post(s"$base/services/commoncrawldump?crawlId=c2")._1 == 400)
+      // the dump really is the CommonCrawl-shaped record of the fetch
+      val text = spark.read.text(s"$root/ccdump").collect()
+        .map(_.getString(0)).mkString
+      assert(text.contains("com.example.rest-a"), text.take(200))
     } finally srv.stop()
+  }
+
+  private def awaitTerminal(base: String, id: String): String = {
+    val deadline = System.currentTimeMillis() + 60000
+    var state = "RUNNING"
+    while (Seq("RUNNING", "STOPPING", "KILLING").contains(state) &&
+        System.currentTimeMillis() < deadline) {
+      val (_, body) = get(s"$base/job/$id")
+      state = "\"state\":\"([A-Z]+)\"".r.findFirstMatchIn(body).get.group(1)
+      if (Seq("RUNNING", "STOPPING", "KILLING").contains(state))
+        Thread.sleep(100)
+    }
+    state
+  }
+
+  test("/job/{id}/stop cancels a long-running Spark job via its job " +
+    "group — terminal state STOPPED, well before natural completion") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val (c, body) = post(s"$base/job/create?type=class" +
+        "&jobClassName=graft.service.SlowSparkJob")
+      assert(c == 200, body)
+      val id = "\"id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      Thread.sleep(1500) // let the Spark stage actually start
+      val t0 = System.currentTimeMillis()
+      val (cs, stopped) = get(s"$base/job/$id/stop")
+      assert(cs == 200 && stopped == "true", stopped)
+      val state = awaitTerminal(base, id)
+      assert(state == "STOPPED", state)
+      // the unstopped job would run ~12 s per task; the cancel cut it
+      assert(System.currentTimeMillis() - t0 < 15000)
+      // stopping a finished job reports false, 404 for unknown ids
+      assert(get(s"$base/job/$id/stop")._2 == "false")
+      assert(get(s"$base/job/99999/stop")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("/job/{id}/abort interrupts even driver-side work (KILLED); " +
+    "/admin/stop refuses with live jobs unless forced") {
+    val srv = RestServer.start(spark, port = 0)
+    val base = s"http://localhost:${srv.port}"
+    try {
+      val (c, body) = post(s"$base/job/create?type=class" +
+        "&jobClassName=graft.service.DriverSleepJob")
+      assert(c == 200, body)
+      val id = "\"id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      Thread.sleep(300)
+      // a live job blocks an unforced admin stop
+      assert(get(s"$base/admin/stop")._2 == "false")
+      // abort: driver-side sleep has no Spark job to cancel — only
+      // the thread interrupt can end it early
+      val (ca, aborted) = get(s"$base/job/$id/abort")
+      assert(ca == 200 && aborted == "true", aborted)
+      assert(awaitTerminal(base, id) == "KILLED")
+      assert(get(s"$base/job/$id/abort")._2 == "false")
+      // no live jobs now: admin stop proceeds and the server dies
+      assert(get(s"$base/admin/stop")._2 == "true")
+      val gone = try { get(s"$base/admin"); false }
+        catch { case _: Exception => true }
+      assert(gone)
+    } finally try srv.stop() catch { case _: Exception => () }
   }
 
   private def put(url: String, body: String): (Int, String) = {
