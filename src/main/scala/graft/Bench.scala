@@ -101,7 +101,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMin = results.filter(_._3 >= 0).map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}"""
+    println(fullLine)
+    // the driver's artifact keeps only the tail of stdout, so the full
+    // per-query map above survives for ~35 of 130+ queries — ALSO write
+    // it as its own file so round-over-round regression diffs can cover
+    // the whole board (SPARK_GRAFT_BENCH_DETAIL overrides the path;
+    // empty disables)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    if (detailPath.nonEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPath), fullLine + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] detail write failed: $e") }
     // The driver records only the last ~2000 chars of output and
     // json-parses what it finds there; with 100+ queries the full line
     // above (printed first, for humans and logs) cannot fit that

@@ -298,9 +298,22 @@ object Main {
                 s"${r.datum.score}\t${r.datum.fetchTime}"); 0
               case None => println(s"$u not found"); 1
             }
-          case _ =>
-            System.err.println(
-              "readdb: need -stats|-dump|-topN|-topHosts|-url"); 2
+          case rest0 =>
+            val msg =
+              """readdb <crawldb> -stats [-quantiles .25,.5,...]
+                |       | -dump <out> [-regex RE] [-status name] [-retry N]
+                |                     [-expr JEXL] [-sample F]
+                |       | -topN <N> | -topHosts <N> | -url <u>
+                |-topHosts ranks hosts by url count through a Misra-Gries
+                |  summary (capacity 2048) + an exact broadcast recount:
+                |  counts printed are EXACT whenever the db has <= 2048
+                |  distinct hosts (no eviction ever happens below
+                |  capacity); above it, every host holding more than
+                |  total/2049 of the urls is still guaranteed a candidate
+                |  slot and its printed recount stays exact - only a tail
+                |  host hiding under that bound can be missed.""".stripMargin
+            if (rest0.headOption.contains("-help")) { println(msg); 0 }
+            else { System.err.println(msg); 2 }
         }
       case "index" :: crawldb :: linkdb :: segdir :: out :: _ =>
         val t = graft.tables.CrawlDbStore.open(spark, crawldb)
@@ -604,14 +617,40 @@ object Main {
         0
       case "readhostdb" :: hostdb :: rest =>
         val h = graft.tables.HostDbStore.open(spark, hostdb).read()
-        opt(rest, "-dump") match {
-          case Some(out) =>
+        (opt(rest, "-dump"), opt(rest, "-percentiles")) match {
+          case (Some(out), _) =>
             h.toDF().selectExpr(
                 "concat_ws('\t', host, cast(fetched as string), " +
                   "cast(unfetched as string)) as line")
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
             println(s"readhostdb: wrote $out"); 0
-          case None =>
+          case (None, Some(ps)) =>
+            // cross-host distribution of the hostdb's own counters —
+            // ONE t-digest per counter (the readdb -stats score-
+            // quantile path, on the reader side): "p95 of hosts have
+            // ≤ N unfetched" is the capacity-planning read a 10^7-host
+            // db is asked for, and the sketch answers it in one
+            // O(δ)-state pass instead of a per-counter sort
+            import org.apache.spark.sql.functions._
+            val pcts = ps.split(",").map(_.trim.toInt).toSeq
+            val counters = Seq("unfetched", "fetched", "gone",
+              "redirTemp", "redirPerm", "notModified", "dnsFailures",
+              "connectionFailures", "score")
+            val fv = array(counters.map(c => struct(lit(c).as("field"),
+              col(c).cast("double").as("v"))): _*)
+            val digest = graft.functions.TDigest.quantileAgg(
+              col("v"), pcts.map(_ / 100.0))
+            val aggs = Seq(count(lit(1)).as("hosts"),
+              min(col("v")).as("min"), max(col("v")).as("max")) ++
+              pcts.zipWithIndex.map { case (p, i) =>
+                element_at(digest, i + 1).as(s"pct$p") }
+            h.toDF().select(explode(fv).as("fv"))
+              .select(col("fv.field").as("field"), col("fv.v").as("v"))
+              .groupBy("field").agg(aggs.head, aggs.tail: _*)
+              .orderBy("field").collect()
+              .foreach(r => println(r.mkString("\t")))
+            0
+          case (None, None) =>
             h.orderBy("host").limit(optL(rest, "-limit", 20).toInt)
               .collect()
               .foreach(r => println(s"${r.host}\t${r.fetched}\t${r.unfetched}"))

@@ -284,45 +284,60 @@ object QueriesGraph {
     * a long. The lineitem graph is bipartite (src 0..499, dst
     * 500..999), the textbook HITS setting (hubs one side,
     * authorities the other). */
+  /** The HITS loop over an arbitrary (src, dst) edge frame — factored
+    * so composing callers (and scale probes) can run it on their own
+    * graphs. `finalEager = true` materializes the small result and
+    * releases BOTH loop caches before returning (the buildLinkrank
+    * unpersist hook: callers that never clear the block cache — a
+    * conductor composing queries — would otherwise leak |E|+|V|
+    * cached blocks per call); the Q surface stays lazy because
+    * Bench/Verify clear the block cache per query. */
+  private[graft] def buildHits(edges: DataFrame, iters: Int = HITS_ITERS,
+      finalEager: Boolean = false): DataFrame = {
+    // loop-invariant tables, cached like linkrank's edge cache: each
+    // of the 10 half-step materializations would otherwise re-run
+    // the scan+distinct shuffle (measured 8.4 s → ~3 s at sf0.1)
+    val e = edges.distinct().cache()
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url"))).distinct().cache()
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      // each normalization reads its sum frame TWICE (the join and
+      // the max) — left lazy, the lineage would DOUBLE per half-step
+      // (2^10 copies of the edge scan by iteration 5), so every
+      // half-step materializes its |V|-sized score frame. This is
+      // the standard shape of a normalized graph loop at scale:
+      // per-iteration frontiers materialize, edges stream past them.
+      val ar = e.join(hub, e("src") === hub("url"))
+        .groupBy("dst").agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
+      auth = nodes.join(ar, nodes("url") === ar("dst"), "left")
+        .crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
+        .select(col("url"),
+          expr("coalesce(ar, 0) * 1000000 div amax").as("a"))
+      val hr = e.join(auth, e("dst") === auth("url"))
+        .groupBy("src").agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
+      hub = nodes.join(hr, nodes("url") === hr("src"), "left")
+        .crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
+        .select(col("url"),
+          expr("coalesce(hr, 0) * 1000000 div hmax").as("h"))
+    }
+    val plan = hub.join(auth, "url")
+      .select(col("url"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+    if (finalEager) {
+      val result = plan.localCheckpoint()
+      e.unpersist(); nodes.unpersist()
+      result
+    } else plan
+  }
+
   val hitsScores = Q(
     "hits_scores",
-    (s, dir) => {
-      // loop-invariant tables, cached like linkrank's edge cache: each
-      // of the 10 half-step materializations would otherwise re-run
-      // the scan+distinct shuffle (measured 8.4 s → ~3 s at sf0.1);
-      // Bench/Verify clear the block cache per query
-      val e = t(s, dir, "lineitem").select(
-        (col("l_orderkey") % 500).as("src"),
-        (col("l_partkey") % 500 + 500).as("dst")).distinct().cache()
-      val nodes = e.select(col("src").as("url"))
-        .union(e.select(col("dst").as("url"))).distinct().cache()
-      var hub = nodes.withColumn("h", lit(1000000L))
-      var auth = nodes.withColumn("a", lit(0L))
-      for (_ <- 1 to HITS_ITERS) {
-        // each normalization reads its sum frame TWICE (the join and
-        // the max) — left lazy, the lineage would DOUBLE per half-step
-        // (2^10 copies of the edge scan by iteration 5), so every
-        // half-step materializes its |V|-sized score frame. This is
-        // the standard shape of a normalized graph loop at scale:
-        // per-iteration frontiers materialize, edges stream past them.
-        val ar = e.join(hub, e("src") === hub("url"))
-          .groupBy("dst").agg(sum(col("h")).as("ar"))
-          .localCheckpoint()
-        auth = nodes.join(ar, nodes("url") === ar("dst"), "left")
-          .crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
-          .select(col("url"),
-            expr("coalesce(ar, 0) * 1000000 div amax").as("a"))
-        val hr = e.join(auth, e("dst") === auth("url"))
-          .groupBy("src").agg(sum(col("a")).as("hr"))
-          .localCheckpoint()
-        hub = nodes.join(hr, nodes("url") === hr("src"), "left")
-          .crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
-          .select(col("url"),
-            expr("coalesce(hr, 0) * 1000000 div hmax").as("h"))
-      }
-      hub.join(auth, "url")
-        .select(col("url"), col("h").as("hub_fx"), col("a").as("auth_fx"))
-    },
+    (s, dir) => buildHits(t(s, dir, "lineitem").select(
+      (col("l_orderkey") % 500).as("src"),
+      (col("l_partkey") % 500 + 500).as("dst"))),
     Some {
       val base = """
       WITH e AS (SELECT DISTINCT (l_orderkey % 500) AS src,

@@ -33,4 +33,13 @@ object ColumnBridge {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
+
+  /** True iff the session's CacheManager holds no cached plans —
+    * `sharedState` is private[sql], and cache-hygiene tests (composed
+    * iterative queries must leak zero cached blocks) need exactly this
+    * read. RDD-level persistent blocks (localCheckpoint) are NOT
+    * counted: those release on GC by design. */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

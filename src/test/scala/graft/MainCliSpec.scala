@@ -67,6 +67,34 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got == exact, s"$got vs $exact")
     }
+    // -help documents the MG sketch's exact-regime guarantee
+    locally {
+      val out = new java.io.ByteArrayOutputStream()
+      val rc = Console.withOut(new java.io.PrintStream(out)) {
+        v("readdb", crawldb, "-help")
+      }
+      val help = out.toString
+      assert(rc == 0, help)
+      assert(help.contains("Misra-Gries") &&
+        help.contains("EXACT whenever") && help.contains("2048"), help)
+    }
+    // readhostdb -percentiles: cross-host t-digest over the hostdb's
+    // own counters — one row per counter, pct columns as asked
+    locally {
+      val out = new java.io.ByteArrayOutputStream()
+      val rc = Console.withOut(new java.io.PrintStream(out)) {
+        v("readhostdb", hostdb, "-percentiles", "50,95")
+      }
+      val lines = out.toString.trim.split("\n").filter(_.nonEmpty)
+      assert(rc == 0, out.toString)
+      // 9 counters × one row each; fetched row: min/max/percentiles
+      // are all >= 0 and max >= pct95 >= pct50 >= min
+      assert(lines.length == 9, lines.mkString("|"))
+      val fetched = lines.find(_.startsWith("fetched")).get.split("\t")
+      val Seq(mn, mx, p50, p95) =
+        Seq(2, 3, 4, 5).map(i => fetched(i).toDouble)
+      assert(mn <= p50 && p50 <= p95 && p95 <= mx, fetched.toSeq)
+    }
     assert(v("readdb", crawldb, "-url", s"$A/") == 0)
     assert(v("readdb", crawldb, "-url", "http://nowhere.example/") == 1)
     assert(v("readdb", crawldb, "-dump", s"$root/dump") == 0)
