@@ -247,31 +247,32 @@ object ScaleProbe {
       (dt, mb, err)
     }
 
-    def measureQuery(name: String): Seq[Point] = {
-      val fn = SparkEntry.queries(name)
+    def measureBuilt(name: String)(
+        mk: Int => org.apache.spark.sql.DataFrame): Seq[Point] =
       factors.map { n =>
         spark.conf.set("spark.graft.inflate", n.toString)
         val (sec, mb, err) = measure(
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          mk(n).write.format("noop").mode("overwrite").save())
         val joins = if (err.isEmpty) joinShape(lastPlan.get) else ""
         System.err.println(f"[scale] $name%-24s n=$n%-4d ${sec}%8.2f s " +
           f"${mb}%10.2f MB shuffle [$joins] ${err.getOrElse("")}")
         Point(n, sec, mb, err, joins)
       }
-    }
+    def measureQuery(name: String): Seq[Point] =
+      measureBuilt(name)(_ => SparkEntry.queries(name)(spark, sfDir))
     var retried = List.empty[(String, String)]
-    val series = (names.map { name =>
-      val first = measureQuery(name)
-      // re-measure ONCE on a growth finding: a noisy AQE plan choice
-      // (borderline broadcast sized differently run-to-run) rarely
-      // repeats; a genuine growth law always does. Never silent — the
-      // retry is recorded either way, and only a CLEAN second series
-      // replaces the first.
-      name -> (if (superlinear(first).isEmpty) first
+    // re-measure ONCE on a growth finding: a noisy AQE plan choice
+    // (borderline broadcast sized differently run-to-run) rarely
+    // repeats; a genuine growth law always does. Never silent — the
+    // retry is recorded either way, and only a CLEAN second series
+    // replaces the first.
+    def withRetry(name: String, run: () => Seq[Point]): Seq[Point] = {
+      val first = run()
+      if (superlinear(first).isEmpty) first
       else {
         System.err.println(s"[scale] $name over bound — re-measuring " +
           "the series once (AQE plan-choice noise vs growth law)")
-        val second = measureQuery(name)
+        val second = run()
         if (superlinear(second).isEmpty) {
           retried ::= name -> ("passed on re-measure; first run: " +
             superlinear(first).mkString("; "))
@@ -280,6 +281,48 @@ object ScaleProbe {
           retried ::= name -> "failed twice"
           first
         }
+      }
+    }
+    val series = (names.map { name =>
+      name -> withRetry(name, () => measureQuery(name))
+    } :+ {
+      // hits on a graph whose NODE count scales with the data: the
+      // board's hits_scores pins a fixed 1000-node graph, so its
+      // standard probe measures exchange reuse, not the operator's
+      // growth law (its shuffle SHRINKS with N there). Here |V| and
+      // |E| both grow ∝ N and each half-step's E⋈V + keyed sum must
+      // grow ~linearly.
+      val name = "hits_scaled_graph"
+      name -> withRetry(name, () => measureBuilt(name) { n =>
+        val m = 500L * n
+        QueriesGraph.buildHits(Tables(spark, sfDir, "lineitem")
+          .selectExpr(s"l_orderkey % $m as src",
+            s"l_partkey % $m + $m as dst"))
+      })
+    } :+ {
+      // semantic_dedup's candidate stage at its DOCUMENTED scale knob:
+      // cluster count ∝ n (SemDeDup's own regime — the operator is
+      // excluded from the standard ladder because fixed cluster count
+      // is provably ~quadratic via the LSH random-collision floor;
+      // SemDedupScaleSpec pins both regimes at ×4). Assignment is the
+      // hash-spread synthetic (cell, ccos) over the REAL inflated
+      // embedding column — the candidate stage reads only
+      // (cell, band bits, ccos order), so this isolates its growth
+      // law from quantizer quality.
+      spark.conf.set("spark.graft.inflate", "1")
+      val targetCluster = 250L
+      val baseRows = Tables(spark, sfDir, "embeddings").count()
+      val name = "semantic_candidates_kn"
+      name -> withRetry(name, () => measureBuilt(name) { n =>
+        import org.apache.spark.sql.functions._
+        val k = math.max(2L, baseRows * n / targetCluster)
+        val asg = Tables(spark, sfDir, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.Similarity.quantized(col("embedding")).as("qv"))
+          .withColumn("nsq", graft.functions.Similarity.normSqQ(col("qv")))
+          .withColumn("cell", pmod(col("vec_id") * 2654435761L, lit(k)))
+          .withColumn("ccos", (col("vec_id") % 1000) / 1000.0)
+        QueriesEmbed.semanticCandidates(asg)
       })
     } :+ {
       spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
