@@ -201,17 +201,34 @@ object ScaleProbe {
       // the heap comes from build.sbt's forked-JVM -Xmx
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCALE_PIN_SMJ=1 disables broadcast joins for the
+    // whole probe (explicit broadcast() hints still honored): the
+    // documented remedy when a decade pair is a plan transition —
+    // one join shape across every decade separates the flip cost from
+    // the growth law the probe exists to measure.
+    if (sys.env.get("SPARK_GRAFT_SCALE_PIN_SMJ").contains("1")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    // AQE-final plan capture: the noop write is the LAST execution of a
-    // measured body, and measure()'s post-action drain flushes the
-    // async execution-listener bus before this is read
-    val lastPlan = new java.util.concurrent.atomic.AtomicReference("")
+    // AQE-final plan capture over EVERY execution in the measured body,
+    // not just the last: an iterative query materializes per-iteration
+    // frontiers (localCheckpoint) as separate executions, and a
+    // broadcast→SMJ flip INSIDE the loop is exactly what changes
+    // between scale decades — r11 found hits on a scaled graph reading
+    // 27×/decade under a last-plan-only capture because the final
+    // join's shape was identical while the ten checkpointed half-steps
+    // had flipped. The shuffle meter always counted every execution;
+    // the join inventory now matches its scope, so such flips surface
+    // as plan TRANSITIONS instead of as false superlinear verdicts.
+    val bodyPlans = new scala.collection.mutable.ArrayBuffer[String]()
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         def onSuccess(fn: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
+            ns: Long): Unit =
+          bodyPlans.synchronized { bodyPlans += qe.executedPlan.toString }
         def onFailure(fn: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             e: Exception): Unit = ()
@@ -232,6 +249,7 @@ object ScaleProbe {
           "arrived between measurements (late stages from the previous " +
           "query) — excluded from the next reading")
       meter.reset()
+      bodyPlans.synchronized { bodyPlans.clear() }
       val t0 = System.nanoTime()
       val err =
         try { body; None }
@@ -253,7 +271,9 @@ object ScaleProbe {
         spark.conf.set("spark.graft.inflate", n.toString)
         val (sec, mb, err) = measure(
           mk(n).write.format("noop").mode("overwrite").save())
-        val joins = if (err.isEmpty) joinShape(lastPlan.get) else ""
+        val joins = if (err.isEmpty)
+          joinShape(bodyPlans.synchronized(bodyPlans.mkString("\n")))
+        else ""
         System.err.println(f"[scale] $name%-24s n=$n%-4d ${sec}%8.2f s " +
           f"${mb}%10.2f MB shuffle [$joins] ${err.getOrElse("")}")
         Point(n, sec, mb, err, joins)

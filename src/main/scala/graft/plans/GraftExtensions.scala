@@ -20,12 +20,20 @@ import org.apache.spark.sql.types.IntegerType
   *    `slice(array_sort(collect_list(x)), 1, k)` phrasing — the shape
   *    users actually write — into the same aggregate, turning an
   *    unbounded-state plan into a bounded-state one without a code
-  *    change on the caller's side.
+  *    change on the caller's side;
+  *  - [[RewriteWindowAggToJoin]], an optimizer rule rewriting
+  *    order-independent whole-partition window aggregates
+  *    (`min/max/sum/count/avg(x) OVER (PARTITION BY k)`) into a
+  *    map-side-combinable group-by joined back — the skew-safe shape
+  *    this repo's dedup surfaces use by hand, applied by the engine
+  *    to any query (opt out:
+  *    `spark.graft.rewrite.windowAggToJoin=false`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.boundedSortedListFunction)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
+    ext.injectOptimizerRule(_ => RewriteWindowAggToJoin)
   }
 }
 
