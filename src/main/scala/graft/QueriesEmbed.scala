@@ -876,7 +876,138 @@ object QueriesEmbed {
         CAST(rn AS BIGINT) AS rank
       FROM r WHERE rn <= 5"""))
 
+  private val KMEANS_ITERS = 3
+
+  /** Full Lloyd k-means TRAINING over the embedding corpus — the IVF/
+    * SemDeDup coarse quantizer run to convergence instead of the
+    * single step the other queries share (Lloyd 1982, the classic;
+    * the ANN queries' one-step trainer is iteration 0 of exactly this
+    * loop). Init = the per-label floor-mean (the shared
+    * [[coarseCentroids]], so this query and the ANN family provably
+    * start from the same codebook); each iteration assigns every
+    * vector to its nearest centroid by EXACT integer squared L2
+    * (‖v‖² + ‖c‖² − 2v·c on the fixed-point values, ties → lowest
+    * cell — min(struct), Window-free) and recomputes centroids as the
+    * fixed-point floor-mean of their members. Integer-exact end to
+    * end, so all three unrolled iterations hash-match DuckDB. Empty
+    * cells die naturally in both engines (no members → no group row).
+    *
+    * Scale shape per iteration: centroids are a K×64 broadcast, so
+    * assignment is map-only over the vectors (the IVF assign path);
+    * the argmin is a map-side-combinable min(struct) keyed on vec_id;
+    * the update is one posexplode + two keyed aggregations whose
+    * output is K×64 rows. Nothing all-pairs, nothing collected; the
+    * loop's lineage is a linear chain (each centroid frame is
+    * referenced exactly once by the next iteration). Output = the
+    * final per-vector assignment with its exact distance, which pins
+    * every centroid of every iteration transitively. */
+  /** Per-vector nearest-centroid assignment by exact integer squared
+    * L2 (ties → lowest cell) — min(struct), Window-free. */
+  private[graft] def kmeansAssign(e: DataFrame, cent: DataFrame)
+      : DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", col("nsq") + col("cnsq") -
+        lit(2L) * Similarity.dotQ(col("qv"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        col("b.dist").as("dist"))
+
+  /** Centroid update: fixed-point floor-mean of each cell's members. */
+  private[graft] def kmeansUpdate(e: DataFrame, asg: DataFrame)
+      : DataFrame =
+    asg.join(e, "vec_id")
+      .select(col("cell"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)))
+        .cast("long").as("cx"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("cx")))),
+        p => p.getField("cx")).as("cvec"))
+      .withColumn("cnsq", Similarity.normSqQ(col("cvec")))
+
+  /** Iteration-0 codebook = the shared one-step trainer. */
+  private[graft] def kmeansInit(e: DataFrame): DataFrame =
+    coarseCentroids(e).select(
+      col("label").as("cell"), col("cvec"), col("cnsq"))
+
+  private[graft] def preparedEmbeddings(s: SparkSession, dir: String)
+      : DataFrame = prepared(s, dir)
+
+  val kmeansTrain = Q(
+    "kmeans_train",
+    (s, dir) => {
+      val e = prepared(s, dir).cache() // reused by all ITERS+1 passes;
+      // Bench/Verify clear the block cache per query
+      var cent = kmeansInit(e)
+      for (_ <- 1 to KMEANS_ITERS)
+        cent = kmeansUpdate(e, kmeansAssign(e, cent))
+      kmeansAssign(e, cent)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("dist"))
+    },
+    Some {
+      val qdot = """CAST(list_sum(list_transform(list_zip(e.qv, c.cvec),
+        s -> s[1] * s[2])) AS BIGINT)"""
+      def iter(t: Int): String = {
+        val prev = if (t == 0) "c0" else s"c$t"
+        s""",
+      s${t + 1} AS (
+        SELECT e.vec_id, c.cell, e.nsq + c.cnsq - 2 * $qdot AS dist
+        FROM qn e CROSS JOIN $prev c),
+      a${t + 1} AS (
+        SELECT vec_id, cell, dist FROM (
+          SELECT vec_id, cell, dist, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, cell) AS rn
+          FROM s${t + 1}) WHERE rn = 1)"""
+      }
+      def update(t: Int): String =
+        s""",
+      u$t AS (
+        SELECT a.cell, i, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*))
+            AS BIGINT) AS cx
+        FROM a$t a JOIN (SELECT vec_id, unnest(qv) AS x,
+            unnest(generate_series(1, len(qv))) AS i FROM qn) v
+          ON a.vec_id = v.vec_id
+        GROUP BY a.cell, i),
+      c$t AS (
+        SELECT cell, list(cx ORDER BY i) AS cvec,
+          CAST(list_sum(list_transform(list(cx ORDER BY i),
+            x -> x * x)) AS BIGINT) AS cnsq
+        FROM u$t GROUP BY cell)"""
+      val iters = (0 until KMEANS_ITERS)
+        .map(t => iter(t) + update(t + 1)).mkString
+      s"""
+      WITH qe AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(ROUND(x*1e6) AS BIGINT)) AS qv
+        FROM embeddings),
+      qn AS (
+        SELECT vec_id, label, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq
+        FROM qe),
+      c00 AS (
+        SELECT label AS cell, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM (SELECT label, unnest(qv) AS x,
+                unnest(generate_series(1, len(qv))) AS i FROM qn)
+        GROUP BY label, i),
+      c0 AS (
+        SELECT cell, list(cx ORDER BY i) AS cvec,
+          CAST(list_sum(list_transform(list(cx ORDER BY i),
+            x -> x * x)) AS BIGINT) AS cnsq
+        FROM c00 GROUP BY cell)$iters,
+      fin AS (
+        SELECT e.vec_id, c.cell, e.nsq + c.cnsq - 2 * $qdot AS dist
+        FROM qn e CROSS JOIN c$KMEANS_ITERS c)
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell, dist FROM (
+        SELECT vec_id, cell, dist, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM fin) WHERE rn = 1"""
+    })
+
   val all: Seq[Q] =
     Seq(knnBruteforce, knnIvf, knnPq, knnIvfpq, embedNearDup, semanticDedup,
-      embedOutliers)
+      embedOutliers, kmeansTrain)
 }

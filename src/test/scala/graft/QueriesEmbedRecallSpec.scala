@@ -310,4 +310,27 @@ class QueriesEmbedRecallSpec extends AnyFunSuite with SparkSuite {
         s"cell $cell: got $got expected ${expect(cell)}")
     }
   }
+
+  test("kmeans_train: the Lloyd objective is non-increasing across " +
+    "iterations and strictly improves on the label init") {
+    import org.apache.spark.sql.functions.sum
+    val e = QueriesEmbed.preparedEmbeddings(spark, dir).cache()
+    try {
+      var cent = QueriesEmbed.kmeansInit(e)
+      val objectives = (0 to 3).map { t =>
+        if (t > 0) cent = QueriesEmbed.kmeansUpdate(e,
+          QueriesEmbed.kmeansAssign(e, cent))
+        QueriesEmbed.kmeansAssign(e, cent)
+          .agg(sum("dist")).head().getLong(0)
+      }
+      // Lloyd descends: each assign+update step can only lower the
+      // within-cluster sum of squared distances (up to the ±1-per-
+      // component fixed-point floor, far below these magnitudes)
+      objectives.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a, s"objective rose: $objectives")
+      }
+      // and the first real step actually moves off the label init
+      assert(objectives(1) < objectives(0), objectives)
+    } finally e.unpersist()
+  }
 }
