@@ -46,8 +46,10 @@ object ScaleProbe {
     "bloom_dedup", "heavy_hitters", "hits_scores",
     // r11: the two-phase prefix scan replacing the last data-sized
     // group-partitioned window (pack_chunks) — probe that the scan's
-    // two narrow shuffles grow ~linearly and never re-concentrate
-    "pack_chunks")
+    // two narrow shuffles grow ~linearly and never re-concentrate —
+    // and the Lloyd training loop (broadcast centroids: per-iteration
+    // shuffle must track n, never n×K)
+    "pack_chunks", "kmeans_train")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured

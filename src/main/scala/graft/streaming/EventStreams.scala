@@ -63,6 +63,47 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("first_event"))
 
+  /** Per-window distribution drift — the streaming face of the batch
+    * `source_drift` corpus-QA gate: per hourly window, a chi-square-
+    * shaped statistic on QUANTIZED rates over the event-type mix,
+    * against a BROADCAST expected-mix table (the batch census a
+    * monitoring deployment refreshes daily). Integer-exact per window:
+    * obs_bp = type count × 10000 div window total, contribution =
+    * (obs_bp − exp_bp)² div max(exp_bp, 1); absent expected types are
+    * flagged rather than divided by zero. A window whose stat clears
+    * the caller's threshold is a scraper break / flood / upstream
+    * shift, caught while it streams instead of at the next corpus
+    * build. State: one count per (window, type) — bounded by the
+    * watermark horizon × type cardinality; the expected table rides
+    * the stream-static broadcast join, so the corpus's hottest keys
+    * never become streaming-state keys beyond their window counts. */
+  def typeDrift(events: Dataset[Event], expectedBp: DataFrame,
+      capacity: Int = 2048): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      // ONE stateful aggregation per window (streaming allows neither
+      // window functions nor chained aggregations): total + the MG
+      // summary of type counts — exact whenever capacity ≥ the type
+      // cardinality (MGSpec's exact-regime contract), O(capacity)
+      // state either way
+      .agg(count(lit(1)).as("tot"),
+        graft.functions.FreqSketch.mgTopK(col("event_type"), capacity)
+          .as("hh"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("tot"), explode(col("hh")).as("e"))
+      .select(col("hour_epoch"), col("e.key").as("event_type"),
+        col("e.est").as("n"), col("tot"))
+      .join(broadcast(expectedBp), Seq("event_type"), "left")
+      .select(col("hour_epoch"), col("event_type"), col("n"),
+        expr("n * 10000 div tot").as("obs_bp"),
+        coalesce(col("exp_bp"), lit(0L)).as("exp_bp"),
+        col("exp_bp").isNull.as("unexpected_type"))
+      .withColumn("chi_term",
+        expr("(obs_bp - exp_bp) * (obs_bp - exp_bp)" +
+          " div greatest(exp_bp, 1)"))
+
   /** Hourly t-digest value quantiles per event type — the streaming
     * face of the reference's latency/score sketches (Fetcher.java:
     * 507-525 merges MergingDigest(100) across fetch threads; here the

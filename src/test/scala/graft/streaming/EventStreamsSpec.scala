@@ -128,6 +128,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("typeDrift: per-window chi terms vs the broadcast expected mix " +
+      "are integer-exact across micro-batches; unknown types flagged") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val expected = Seq(("view", 5000L), ("click", 5000L))
+      .toDF("event_type", "exp_bp")
+    val q = EventStreams.typeDrift(in.toDS(), expected)
+      .writeStream.format("memory").queryName("typedrift")
+      .outputMode("complete").start()
+    try {
+      val t0 = (base / H) * H
+      // one window: view×6, click×2, weird×2 — split over two
+      // micro-batches so the sketch state merges through the store
+      val types = Seq.fill(6)("view") ++ Seq.fill(2)("click") ++
+        Seq.fill(2)("weird")
+      val events = types.zipWithIndex.map { case (t, i) =>
+        Event(i.toLong, i.toLong % 3, t, t0 + i, 1.0) }
+      events.grouped(4).foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table("typedrift").collect()
+        .map(r => r.getString(1) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+            r.getLong(6))).toMap
+      // hand-computed: tot=10 → obs_bp view 6000 click 2000 weird 2000
+      assert(rows("view") == ((6L, 6000L, 5000L, false,
+        (1000L * 1000L) / 5000L)), rows)
+      assert(rows("click") == ((2L, 2000L, 5000L, false,
+        (3000L * 3000L) / 5000L)), rows)
+      assert(rows("weird") == ((2L, 2000L, 0L, true,
+        2000L * 2000L)), rows)
+    } finally q.stop()
+  }
+
   test("sliding 10/5-minute windows: each event lands in two windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
