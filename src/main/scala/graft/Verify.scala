@@ -10,12 +10,18 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTENSIONS=1: run the whole board under
+    // GraftExtensions (incl. the window-agg-to-join rewrite) — the
+    // dogfood proof that the optimizer rules are answer-preserving on
+    // every oracle-checked query, not only on their own spec
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.withExtensions(new graft.plans.GraftExtensions)
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -118,6 +118,37 @@ class RewriteWindowAggSpec extends AnyFunSuite {
     }
   }
 
+  test("dogfood: a real board query (opic_distribute's count-over-" +
+    "partition) rewrites Window-free under extensions, rows identical") {
+    // the full 135-query oracle board passes under extensions
+    // (SPARK_GRAFT_EXTENSIONS=1 Verify + check.py — run each round);
+    // this pins the one board query whose plan the rule changes, so
+    // a regression in either direction is caught in-suite
+    val dir = "/root/testdata/sf0.001"
+    def rows(s: SparkSession) =
+      graft.Queries.byName("opic_distribute").build(s, dir)
+        .collect().map(_.toSeq).toSet
+    val (extRows, extPlan) = withExtendedSession { s =>
+      val df = graft.Queries.byName("opic_distribute").build(s, dir)
+      (df.collect().map(_.toSeq).toSet,
+        df.queryExecution.optimizedPlan.toString)
+    }
+    assert(!extPlan.contains("Window"), extPlan)
+    // plain session: same rows, window plan
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val plain = SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("plain").getOrCreate()
+    try assert(rows(plain) == extRows)
+    finally {
+      plain.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("the rewritten plan composes: filter-to-keeper (the dedup " +
     "shape) and downstream joins still resolve and prune") {
     withExtendedSession { spark =>
