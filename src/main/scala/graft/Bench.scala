@@ -25,11 +25,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTENSIONS=1 benches the board under GraftExtensions
+    // (same knob as Verify — measure what the optimizer rules change)
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.withExtensions(new graft.plans.GraftExtensions)
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadAvg
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not in
