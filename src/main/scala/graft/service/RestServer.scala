@@ -562,20 +562,61 @@ object RestServer {
           case None => reply(ex, 400, """{"error":"crawldb required"}""")
           case Some(dir) =>
             val db = graft.tables.CrawlDbStore.open(spark, dir).read()
-            params.get("url") match {
-              case Some(u) => CrawlDbReader.url(db, u) match {
-                case Some(r) => reply(ex, 200,
-                  s"""{"url":${graft.Json.str(r.url)},"status":${graft.Json.str(
-                    r.datum.statusName)},"score":${r.datum.score},""" +
-                    s""""fetchTime":${r.datum.fetchTime}}""")
-                case None => reply(ex, 404, """{"error":"not found"}""")
-              }
-              case None =>
+            // DbQuery.type (openapi.yaml:440-486): stats | dump | topN
+            // | url. stats/url return JSON; dump/topN stream lines
+            // (the reference's octet-stream: it runs the dump job then
+            // streams the result file — same here, the dump job writes
+            // distributed and only the response streams bytes).
+            (params.get("type"), params.get("url")) match {
+              case (Some("dump"), _) =>
+                try {
+                  val out = java.nio.file.Files
+                    .createTempDirectory("graft-rest-dump-")
+                    .resolve("dump").toString
+                  CrawlDbReader.dumpCsv(db, out)
+                  ex.getResponseHeaders.set("Content-Type",
+                    "application/octet-stream")
+                  ex.sendResponseHeaders(200, 0) // chunked
+                  val os = ex.getResponseBody
+                  java.nio.file.Files.list(java.nio.file.Paths.get(out))
+                    .toArray.map(_.toString).filter(_.contains("part-"))
+                    .sorted.foreach { p =>
+                      java.nio.file.Files.copy(
+                        java.nio.file.Paths.get(p), os)
+                    }
+                  os.close(); ex.close()
+                } catch {
+                  case e: Exception => reply(ex, 500,
+                    s"""{"error":${graft.Json.str(
+                      String.valueOf(e.getMessage))}}""")
+                }
+              case (Some("topN"), _) =>
+                val n = params.get("n").map(_.toInt).getOrElse(10)
+                val lines = CrawlDbReader.topN(db, n).collect()
+                  .map(_.mkString("\t"))
+                ex.getResponseHeaders.set("Content-Type",
+                  "application/octet-stream")
+                val b = lines.mkString("", "\n", "\n")
+                  .getBytes(StandardCharsets.UTF_8)
+                ex.sendResponseHeaders(200, b.length)
+                ex.getResponseBody.write(b)
+                ex.close()
+              case (t, Some(u)) if t.forall(_ == "url") =>
+                CrawlDbReader.url(db, u) match {
+                  case Some(r) => reply(ex, 200,
+                    s"""{"url":${graft.Json.str(r.url)},"status":${graft.Json.str(
+                      r.datum.statusName)},"score":${r.datum.score},""" +
+                      s""""fetchTime":${r.datum.fetchTime}}""")
+                  case None => reply(ex, 404, """{"error":"not found"}""")
+                }
+              case (t, None) if t.forall(_ == "stats") =>
                 val rows = CrawlDbReader.stats(db).orderBy("status")
                   .collect().map(r =>
                     s"""{"status":${graft.Json.str(r.getString(0))},"cnt":${
                       r.getLong(1)}}""")
                 reply(ex, 200, rows.mkString("[", ",", "]"))
+              case _ =>
+                reply(ex, 400, """{"error":"bad db query type"}""")
             }
         }
       })

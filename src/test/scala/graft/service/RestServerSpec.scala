@@ -132,6 +132,14 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
       val rd = job(s"type=readdb&crawldb=$root/db")
       assert(rd.contains("db_fetched"), rd)
 
+      // DbQuery type=topN / type=dump stream line data (the openapi
+      // octet-stream half of the enum; stats/url are the JSON half)
+      val (ct, top) = get(s"$base/db/crawldb?crawldb=$root/db&type=topN&n=5")
+      assert(ct == 200 && top.contains("http"), top)
+      val (cdu, du) = get(s"$base/db/crawldb?crawldb=$root/db&type=dump")
+      assert(cdu == 200 && du.contains(A) && du.contains("db_fetched"), du)
+      assert(get(s"$base/db/crawldb?crawldb=$root/db&type=nope")._1 == 400)
+
       // /db/fetchdb: FetchNodeDbInfo rows from the fetched+parsed
       // segment — url, status, outlink count, children
       val (cf, fdb) = get(s"$base/db/fetchdb?segment=$root/seg")
