@@ -1310,9 +1310,93 @@ object QueriesPipeline {
       FROM j"""
     })
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020 §4.4): each language's documents split into
+    * head/middle/tail TERCILES by LM score — head (most fluent) is what
+    * the paper trains on, tail is dropped or down-weighted. The score
+    * is lm_bigram_score's integer inverse conditional probability per
+    * bigram (higher = more improbable, the perplexity analog), so the
+    * whole assignment is integer-exact cross-engine.
+    *
+    * Skew-safe tercile assignment WITHOUT a doc-sized window: a
+    * per-language rank window over documents would put the dominant
+    * language's whole corpus in one task (the pack_chunks pathology),
+    * so terciles come from the per-(lang, score) HISTOGRAM — its
+    * running count is a window over distinct score values only
+    * (bounded by the 10000-bp score grid per language, never by doc
+    * count), language totals ride a broadcast join, and each doc picks
+    * its bucket by joining its (lang, score) back to the bucketed
+    * histogram. Ties (equal scores) land in one bucket by
+    * construction — the first-occurrence-rank tercile, deterministic
+    * in both engines. Docs with no bigrams (≤ 1 word) have no score
+    * and drop, identically in the oracle. */
+  val ccnetBuckets = Q(
+    "ccnet_buckets",
+    (s, dir) => {
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = d
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("lang"), col("w"),
+          lead(col("w"), 1).over(wp).as("w1"))
+        .where(col("w1").isNotNull)
+        .select(col("doc_id"), col("lang"), col("w"),
+          concat_ws(" ", col("w"), col("w1")).as("g"))
+      val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
+      val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
+      val scores = bi.join(c2, "g").join(c1, "w")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nb"), sum(expr("cw DIV cg")).as("ls"))
+        .select(col("doc_id"), col("lang"),
+          expr("(ls * 10000) DIV nb").as("score_bp"))
+      val hist = scores.groupBy("lang", "score_bp")
+        .agg(count(lit(1)).as("cnt"))
+      val wl = Window.partitionBy("lang").orderBy("score_bp")
+      val ntot = scores.groupBy("lang").agg(count(lit(1)).as("ntot"))
+      val bucketed = hist
+        .withColumn("cume", sum(col("cnt")).over(wl))
+        .join(broadcast(ntot), "lang")
+        .select(col("lang"), col("score_bp"),
+          expr("((cume - cnt) * 3) div ntot").as("b"))
+      scores.join(bucketed, Seq("lang", "score_bp"))
+        .select(col("doc_id"), col("lang"), col("score_bp"),
+          when(col("b") === 0, lit("head"))
+            .when(col("b") === 1, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    },
+    Some {
+      val words = "string_split(text, ' ')"
+      s"""
+      WITH bi AS (
+        SELECT doc_id, lang, g, split_part(g, ' ', 1) AS w
+        FROM (SELECT doc_id, lang, unnest(${sqlWordGrams(words, 2)}) AS g
+              FROM documents)),
+      c1 AS (SELECT w, COUNT(*) AS cw FROM bi GROUP BY 1),
+      c2 AS (SELECT g, COUNT(*) AS cg FROM bi GROUP BY 1),
+      sc AS (
+        SELECT doc_id, lang,
+          (CAST(SUM(cw // cg) AS BIGINT) * 10000) // COUNT(*) AS score_bp
+        FROM bi JOIN c2 USING (g) JOIN c1 USING (w)
+        GROUP BY 1, 2),
+      hist AS (SELECT lang, score_bp, COUNT(*) AS cnt FROM sc GROUP BY 1, 2),
+      nt AS (SELECT lang, COUNT(*) AS ntot FROM sc GROUP BY 1),
+      bk AS (
+        SELECT c.lang, c.score_bp,
+          (((SUM(cnt) OVER (PARTITION BY c.lang ORDER BY c.score_bp))
+            - cnt) * 3) // ntot AS b
+        FROM hist c JOIN nt USING (lang))
+      SELECT doc_id, sc.lang, sc.score_bp,
+        CASE WHEN b = 0 THEN 'head' WHEN b = 1 THEN 'middle'
+          ELSE 'tail' END AS bucket
+      FROM sc JOIN bk ON sc.lang = bk.lang AND sc.score_bp = bk.score_bp"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
-    lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift)
+    lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
+    ccnetBuckets)
 }

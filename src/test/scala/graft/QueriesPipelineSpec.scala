@@ -276,4 +276,35 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows.exists(r => r.getAs[Long]("doc_id") % 13 != 5 &&
       r.getAs[Long]("dup_line_bp") == 0))
   }
+
+  test("ccnet_buckets: per-language terciles are ordered (head < tail " +
+    "scores), near-balanced up to tie groups, and tie-consistent") {
+    val rows = Queries.byName("ccnet_buckets").build(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("score_bp"), r.getAs[String]("bucket")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val byBucket = docs.groupBy(_._4).view
+        .mapValues(_.map(_._3)).toMap
+      // ordering: every head score <= every middle <= every tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min, s"$lang head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max <= t.min, s"$lang middle/tail overlap")
+      // equal scores share a bucket (the first-occurrence-rank tercile)
+      docs.groupBy(d => d._3).foreach { case (_, same) =>
+        assert(same.map(_._4).distinct.length == 1, s"$lang tie split")
+      }
+      // near-balance: each tercile within one max-tie-group of n/3
+      val maxTie = docs.groupBy(_._3).values.map(_.size).max
+      val n = docs.size
+      byBucket.values.foreach { b =>
+        assert(math.abs(b.size - n / 3) <= maxTie + 1,
+          s"$lang bucket sizes ${byBucket.view.mapValues(_.size).toMap}")
+      }
+    }
+  }
 }
