@@ -30,6 +30,7 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main crawl     <root> <seedFile> -site <siteJson> [-rounds N] [-topN N]
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
   *                      [-exactsubstr] [-temperature]
+  *                      [-ccnet head[,middle[,tail]]]
   *                      [-exactsubstr]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -769,6 +770,28 @@ object Main {
             .drop("keep_bp")
           mixtureDropped = before - kept.count()
         }
+        var ccnetDropped = 0L
+        opt(rest, "-ccnet").foreach { keepList =>
+          // CCNet bucket gate (ccnet_buckets applied): keep only the
+          // named per-language LM-score terciles — `-ccnet head` is
+          // the paper's training corpus, `-ccnet head,middle` the
+          // permissive cut. Docs too short to score (no bigrams)
+          // count as tail: unscoreable = lowest confidence.
+          val want = keepList.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSet
+          require(want.nonEmpty && want.subsetOf(
+            Set("head", "middle", "tail")),
+            s"-ccnet wants head|middle|tail, got $keepList")
+          val asg = QueriesPipeline.ccnetBucketAssign(
+              kept.select(col("doc_id"), col("lang"), col("text")))
+            .select(col("doc_id"), col("bucket"))
+          val before = kept.count()
+          kept = kept.join(asg, Seq("doc_id"), "left")
+            .where(coalesce(col("bucket"), lit("tail"))
+              .isin(want.toSeq: _*))
+            .drop("bucket")
+          ccnetDropped = before - kept.count()
+        }
         val corpus = kept
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("shard",
@@ -794,7 +817,8 @@ object Main {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             if (reason == "keep") "docs_kept"
             else s"dropped_$reason",
-            if (reason == "keep") n - substrEmptied - mixtureDropped
+            if (reason == "keep")
+              n - substrEmptied - mixtureDropped - ccnetDropped
             else n))
         }
         if (rest.contains("-exactsubstr")) {
@@ -806,6 +830,10 @@ object Main {
         if (rest.contains("-temperature")) {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "dropped_mixture", mixtureDropped))
+        }
+        if (rest.contains("-ccnet")) {
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "dropped_ccnet", ccnetDropped))
         }
         labeled.unpersist()
         substrCache.foreach(_.unpersist())

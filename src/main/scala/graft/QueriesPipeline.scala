@@ -1331,41 +1331,48 @@ object QueriesPipeline {
     * construction — the first-occurrence-rank tercile, deterministic
     * in both engines. Docs with no bigrams (≤ 1 word) have no score
     * and drop, identically in the oracle. */
+  /** The tercile assignment over any (doc_id, lang, text) frame —
+    * factored so the corpus export verb (`corpus -ccnet`) applies the
+    * exact logic the oracle checks. Returns (doc_id, lang, score_bp,
+    * bucket). */
+  private[graft] def ccnetBucketAssign(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = d
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("lang"), col("w"),
+        lead(col("w"), 1).over(wp).as("w1"))
+      .where(col("w1").isNotNull)
+      .select(col("doc_id"), col("lang"), col("w"),
+        concat_ws(" ", col("w"), col("w1")).as("g"))
+    val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
+    val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
+    val scores = bi.join(c2, "g").join(c1, "w")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("nb"), sum(expr("cw DIV cg")).as("ls"))
+      .select(col("doc_id"), col("lang"),
+        expr("(ls * 10000) DIV nb").as("score_bp"))
+    val hist = scores.groupBy("lang", "score_bp")
+      .agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy("lang").orderBy("score_bp")
+    val ntot = scores.groupBy("lang").agg(count(lit(1)).as("ntot"))
+    val bucketed = hist
+      .withColumn("cume", sum(col("cnt")).over(wl))
+      .join(broadcast(ntot), "lang")
+      .select(col("lang"), col("score_bp"),
+        expr("((cume - cnt) * 3) div ntot").as("b"))
+    scores.join(bucketed, Seq("lang", "score_bp"))
+      .select(col("doc_id"), col("lang"), col("score_bp"),
+        when(col("b") === 0, lit("head"))
+          .when(col("b") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   val ccnetBuckets = Q(
     "ccnet_buckets",
-    (s, dir) => {
-      val d = spread(t(s, dir, "documents"), col("doc_id"))
-      val wp = Window.partitionBy("doc_id").orderBy("pos")
-      val bi = d
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("lang"), col("w"),
-          lead(col("w"), 1).over(wp).as("w1"))
-        .where(col("w1").isNotNull)
-        .select(col("doc_id"), col("lang"), col("w"),
-          concat_ws(" ", col("w"), col("w1")).as("g"))
-      val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
-      val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
-      val scores = bi.join(c2, "g").join(c1, "w")
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("nb"), sum(expr("cw DIV cg")).as("ls"))
-        .select(col("doc_id"), col("lang"),
-          expr("(ls * 10000) DIV nb").as("score_bp"))
-      val hist = scores.groupBy("lang", "score_bp")
-        .agg(count(lit(1)).as("cnt"))
-      val wl = Window.partitionBy("lang").orderBy("score_bp")
-      val ntot = scores.groupBy("lang").agg(count(lit(1)).as("ntot"))
-      val bucketed = hist
-        .withColumn("cume", sum(col("cnt")).over(wl))
-        .join(broadcast(ntot), "lang")
-        .select(col("lang"), col("score_bp"),
-          expr("((cume - cnt) * 3) div ntot").as("b"))
-      scores.join(bucketed, Seq("lang", "score_bp"))
-        .select(col("doc_id"), col("lang"), col("score_bp"),
-          when(col("b") === 0, lit("head"))
-            .when(col("b") === 1, lit("middle"))
-            .otherwise(lit("tail")).as("bucket"))
-    },
+    (s, dir) => ccnetBucketAssign(
+      spread(t(s, dir, "documents"), col("doc_id"))),
     Some {
       val words = "string_split(text, ' ')"
       s"""

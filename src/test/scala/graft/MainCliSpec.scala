@@ -538,6 +538,41 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(r2("rw") >= 9900L, r2)
   }
 
+  test("corpus -ccnet keeps only the named LM-score terciles: " +
+    "conservation holds, head is a strict subset, all-three drops nothing") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val root = Files.createTempDirectory("cli-corpus-ccnet").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/plain", "-shards", "2") == 0)
+    assert(v("corpus", sf, s"$root/head", "-shards", "2",
+      "-ccnet", "head") == 0)
+    assert(v("corpus", sf, s"$root/all3", "-shards", "2",
+      "-ccnet", "head,middle,tail") == 0)
+    def docs(out: String): Set[Long] =
+      spark.read.parquet(s"$out/corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val plain = docs(s"$root/plain")
+    val head = docs(s"$root/head")
+    // head is a strict per-language tercile cut of the gated corpus
+    assert(head.nonEmpty && head.subsetOf(plain) && head.size < plain.size)
+    // keeping every tercile (unscoreable docs default to tail) drops
+    // nothing relative to the plain export
+    assert(docs(s"$root/all3") == plain)
+    // conservation: docs_in == docs_kept + every dropped_* counter,
+    // and the ccnet gate's own counter carries the difference
+    val m = new graft.ops.Metrics.Table(spark, s"$root/head/metrics").read()
+    def g(n: String): Long = m.where(col("name") === n)
+      .select("value").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val dropped = m.where(col("name").startsWith("dropped_"))
+      .agg(sum("value")).head().getLong(0)
+    assert(g("docs_in") == g("docs_kept") + dropped)
+    assert(g("dropped_ccnet") == plain.size - head.size)
+    // bad bucket name refuses
+    assert(scala.util.Try(
+      v("corpus", sf, s"$root/bad", "-ccnet", "nope")).isFailure)
+  }
+
   test("corpus -exactsubstr cuts a cross-document boilerplate paragraph " +
     "from the kept text (all occurrences) and reports the token count") {
     import org.apache.spark.sql.functions.{col, sum}
