@@ -44,7 +44,12 @@ object PrefixSum {
   def groupedRunningSum(df: DataFrame, group: Column, ord: Column,
       value: Column, out: String): DataFrame = {
     val s = df.sparkSession
-    val parts = s.sparkContext.defaultParallelism.max(2)
+    // range width follows the session's shuffle sizing, not just core
+    // count: at real scale shuffle.partitions is tuned so a partition
+    // fits executor memory, and the scan's parallelism cap is P
+    val parts = math.max(
+      s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt).max(2)
     // The ranged frame feeds BOTH phases. It must materialize exactly
     // once: RangePartitioner's sample seed folds in the RDD id, so two
     // independent materializations of the same logical plan can pick

@@ -112,10 +112,16 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
     plan.transform {
       case w @ Window(windowExprs, partitionSpec, Nil, child, _)
           if windowExprs.nonEmpty && !w.isStreaming &&
-            partitionSpec.forall(_.deterministic) &&
+            // no subqueries anywhere the rewrite would duplicate: a
+            // duplicated SubqueryExpression carries its inner plan's
+            // exprIds into both join branches
+            partitionSpec.forall(e => e.deterministic &&
+              !e.exists(_.isInstanceOf[SubqueryExpression])) &&
             windowExprs.forall {
-              case Alias(WindowExpression(ae: AggregateExpression, spec),
-                  _) => rewritable(ae) && wholePartitionFrame(spec)
+              case a @ Alias(WindowExpression(ae: AggregateExpression,
+                  spec), _) =>
+                rewritable(ae) && wholePartitionFrame(spec) &&
+                  !a.exists(_.isInstanceOf[SubqueryExpression])
               case _ => false
             } && deterministicTree(child) && !hasSubquery(child) =>
         val (aggChild, ids) = freshen(child)

@@ -27,6 +27,13 @@ object RestServer {
   final case class Job(id: Long, jobType: String, args: Map[String, String]) {
     @volatile var state: String = "RUNNING"
     @volatile var message: String = ""
+
+    /** Atomic state transition — stop/abort racing the runner's own
+      * completion write must never strand a job in a non-terminal
+      * state (a stop arriving AFTER the runner wrote FINISHED used to
+      * overwrite it with STOPPING, which nothing would ever clear). */
+    def transition(from: Set[String], to: String): Boolean =
+      synchronized { if (from(state)) { state = to; true } else false }
   }
 
   /** CLASS-job seam (openapi.yaml JobType CLASS + jobClassName — the
@@ -204,9 +211,10 @@ object RestServer {
             if (live.nonEmpty && !force) reply(ex, 200, "false")
             else {
               live.foreach { j =>
-                j.state = "KILLING"
-                spark.sparkContext.cancelJobGroup(groupId(j.id))
-                Option(jobThreads.get(j.id)).foreach(_.interrupt())
+                if (j.transition(Set("RUNNING", "STOPPING"), "KILLING")) {
+                  spark.sparkContext.cancelJobGroup(groupId(j.id))
+                  Option(jobThreads.get(j.id)).foreach(_.interrupt())
+                }
               }
               reply(ex, 200, "true")
               // stop from a fresh thread: HttpServer.stop waits for
@@ -233,16 +241,21 @@ object RestServer {
                 // of the reference's job .stopJob/.killJob)
                 spark.sparkContext.setJobGroup(groupId(j.id),
                   s"REST ${j.jobType} #${j.id}", interruptOnCancel = true)
-                try { runJob(j); j.state = "FINISHED" }
-                catch { case e: Throwable =>
+                try {
+                  runJob(j)
+                  // a stop/abort that raced a successful completion
+                  // still terminates: whatever state the control
+                  // routes set, the job ends in ITS terminal form
+                  if (!j.transition(Set("RUNNING"), "FINISHED")) {
+                    j.transition(Set("STOPPING"), "STOPPED")
+                    j.transition(Set("KILLING"), "KILLED")
+                  }
+                } catch { case e: Throwable =>
                   // a cancel arriving through stop/abort is the
                   // REQUESTED outcome, not a failure
-                  j.state = j.state match {
-                    case "STOPPING" => "STOPPED"
-                    case "KILLING" => "KILLED"
-                    case _ => "FAILED"
-                  }
-                  if (j.state == "FAILED")
+                  if (!j.transition(Set("STOPPING"), "STOPPED") &&
+                      !j.transition(Set("KILLING"), "KILLED") &&
+                      j.transition(Set("RUNNING"), "FAILED"))
                     j.message = String.valueOf(e.getMessage)
                 } finally {
                   spark.sparkContext.clearJobGroup()
@@ -273,21 +286,18 @@ object RestServer {
             // graceful: cancel the job group — running Spark jobs end
             // at their next task boundary, the runner thread sees the
             // cancellation and records STOPPED (openapi.yaml:349
-            // returns a bare boolean: was a stop initiated)
-            val live = j.state == "RUNNING"
-            if (live) {
-              j.state = "STOPPING"
-              spark.sparkContext.cancelJobGroup(groupId(j.id))
-            }
+            // returns a bare boolean: was a stop initiated). The
+            // transition is atomic vs the runner's completion write.
+            val live = j.transition(Set("RUNNING"), "STOPPING")
+            if (live) spark.sparkContext.cancelJobGroup(groupId(j.id))
             reply(ex, 200, String.valueOf(live))
           }
           case List(id, "abort") => withJob(id) { j =>
             // forceful: cancel AND interrupt the runner thread, so
             // driver-side work between Spark jobs dies too
             // (openapi.yaml:379 — "kills the job immediately")
-            val live = j.state == "RUNNING" || j.state == "STOPPING"
+            val live = j.transition(Set("RUNNING", "STOPPING"), "KILLING")
             if (live) {
-              j.state = "KILLING"
               spark.sparkContext.cancelJobGroup(groupId(j.id))
               Option(jobThreads.get(j.id)).foreach(_.interrupt())
             }
