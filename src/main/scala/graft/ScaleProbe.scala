@@ -49,7 +49,10 @@ object ScaleProbe {
     // two narrow shuffles grow ~linearly and never re-concentrate —
     // and the Lloyd training loop (broadcast centroids: per-iteration
     // shuffle must track n, never n×K)
-    "pack_chunks", "kmeans_train")
+    "pack_chunks", "kmeans_train",
+    // the tercile gate: doc-sized work is joins; the only window runs
+    // over the per-(lang, score) histogram, bounded by the bp grid
+    "ccnet_buckets")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
