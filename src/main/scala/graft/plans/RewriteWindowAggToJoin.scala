@@ -121,6 +121,9 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
               case a @ Alias(WindowExpression(ae: AggregateExpression,
                   spec), _) =>
                 rewritable(ae) && wholePartitionFrame(spec) &&
+                  // analyzer invariant (one Window node per spec) made
+                  // explicit: every expression's keys ARE the node's
+                  spec.partitionSpec == partitionSpec &&
                   !a.exists(_.isInstanceOf[SubqueryExpression])
               case _ => false
             } && deterministicTree(child) && !hasSubquery(child) =>
