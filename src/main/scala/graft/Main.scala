@@ -31,7 +31,6 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
-  *                      [-exactsubstr]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -129,10 +128,14 @@ object Main {
     val rates = w
       .crossJoin(broadcast(w.agg(sum(col("w")).as("sw"))))
       .withColumn("rate_bp", expr("greatest(w * 10000 div sw, 1)"))
-    // the largest mix total no language can't supply
-    val budget = rates
-      .agg(min(expr("tok * 10000 div rate_bp")))
-      .head().getLong(0)
+    // the largest mix total no language can't supply. An EMPTY census
+    // (every kept doc has null lang — they're exempt from the
+    // rebalance) yields a null min: return the empty rate table, so
+    // the caller's keep-all left-join default applies to everything
+    val budgetRow = rates.agg(min(expr("tok * 10000 div rate_bp"))).head()
+    if (budgetRow.isNullAt(0))
+      return rates.select(col("lang"), lit(10000L).as("keep_bp"))
+    val budget = budgetRow.getLong(0)
     // keep_bp floors at 1 bp too: in an extreme binding regime (the
     // budget tiny relative to a dominant language's tok) the integer
     // division can quantize even the dominant language's keep rate to
@@ -786,9 +789,13 @@ object Main {
               kept.select(col("doc_id"), col("lang"), col("text")))
             .select(col("doc_id"), col("bucket"))
           val before = kept.count()
+          // null-lang docs are EXEMPT (kept), same as the -temperature
+          // gate: they have no language tercile to fall in — without
+          // the exemption the assign's lang-keyed joins would silently
+          // classify every null-lang doc as tail regardless of fluency
           kept = kept.join(asg, Seq("doc_id"), "left")
-            .where(coalesce(col("bucket"), lit("tail"))
-              .isin(want.toSeq: _*))
+            .where(col("lang").isNull ||
+              coalesce(col("bucket"), lit("tail")).isin(want.toSeq: _*))
             .drop("bucket")
           ccnetDropped = before - kept.count()
         }

@@ -31,11 +31,17 @@ import org.apache.spark.sql.functions._
   *
   * Cost: two narrow shuffles of (group, ord, value) instead of the
   * window's one — the price of splitting the hot group — plus a
-  * broadcast of P×G subtotal rows. Result is bit-identical to the
+  * broadcast of ≤ P×G subtotal rows. Result is bit-identical to the
   * group-partitioned window whenever `ord` is unique within its group
   * (the same condition the window itself needs to be deterministic).
   * `group` may be null: the subtotal join is null-safe, matching the
-  * window's null-as-a-group semantics. */
+  * window's null-as-a-group semantics.
+  *
+  * Caller contract: the GROUP cardinality must be broadcastable
+  * (G ≪ rows — languages, sources, shards). That is exactly the
+  * regime where the group window is a straggler; a near-distinct
+  * group key (per-doc windows) is already fine-grained and needs no
+  * replacement — and would blow the subtotal broadcast here. */
 object PrefixSum {
 
   /** Append `out` = running sum of `value` over rows ordered by `ord`

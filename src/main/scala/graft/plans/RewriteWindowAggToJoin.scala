@@ -88,6 +88,31 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
   private def deterministicTree(plan: LogicalPlan): Boolean =
     !plan.exists(_.expressions.exists(!_.deterministic))
 
+  /** Plan shapes whose ROW SET is not stable across two evaluations —
+    * LIMIT without a total order picks an arbitrary subset, SAMPLE
+    * draws per-evaluation, Deduplicate keeps an arbitrary row per key
+    * (the key set is stable but non-key columns are not). Duplicating
+    * such a child would aggregate a DIFFERENT subset than the probe
+    * side joins back onto — deterministic EXPRESSIONS are not enough. */
+  private def unstableRowSet(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset |
+          _: Deduplicate | _: DeduplicateWithinWatermark => true
+      // order-sensitive aggregates are FLAGGED deterministic but their
+      // value depends on row arrival order: first/last (what Spark's
+      // own ReplaceDeduplicateWithAggregate lowers dropDuplicates to),
+      // collect_*, and any typed-imperative sketch — two evaluations
+      // may produce different values for the same group
+      case a: Aggregate => a.aggregateExpressions.exists(_.exists {
+        case AggregateExpression(f, _, _, _, _) =>
+          f.isInstanceOf[First] || f.isInstanceOf[Last] ||
+            f.isInstanceOf[Collect[_]] ||
+            f.isInstanceOf[TypedImperativeAggregate[_]]
+        case _ => false
+      })
+      case _ => false
+    }
+
   /** A structurally identical copy of `plan` with every attribute id
     * re-instanced (consistently: each old id maps to one new id), plus
     * the old→new id map for rebasing expressions onto the copy. */
@@ -126,7 +151,13 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
                   spec.partitionSpec == partitionSpec &&
                   !a.exists(_.isInstanceOf[SubqueryExpression])
               case _ => false
-            } && deterministicTree(child) && !hasSubquery(child) =>
+            } && deterministicTree(child) && !hasSubquery(child) &&
+            !unstableRowSet(child) &&
+            // every referenced attribute must come from the child —
+            // an outer reference (correlated subquery being optimized)
+            // has no image in the freshened copy, so bail, don't crash
+            (partitionSpec ++ windowExprs)
+              .forall(_.references.subsetOf(child.outputSet)) =>
         val (aggChild, ids) = freshen(child)
         def rebase(e: Expression): Expression = e.transform {
           case a: AttributeReference => a.withExprId(ids(a.exprId))

@@ -58,6 +58,15 @@ object RestServer {
 
     private def groupId(id: Long): String = s"rest-job-$id"
 
+    /** Sorted part files of a job output dir — the directory stream is
+      * CLOSED (Files.list leaks an fd per call otherwise; a
+      * long-running server serving dumps would exhaust its limit). */
+    private def listParts(dir: String): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.map(_.toString).filter(_.contains("part-")).sorted.toSeq
+      finally s.close()
+    }
+
     // /config store (openapi.yaml:129-288): id → mutable property map,
     // pre-seeded with "default" like the reference's ConfManager
     private val configs =
@@ -183,8 +192,13 @@ object RestServer {
         case "CLASS" =>
           // openapi JobType CLASS + jobClassName: run any JobRunner by
           // fully qualified class name (the reference's run-a-NutchTool
-          // escape hatch)
-          val cls = Class.forName(a("jobClassName"))
+          // escape hatch). The type check comes BEFORE instantiation —
+          // newInstance on an arbitrary classpath name would run its
+          // static init and constructor as a network-reachable gadget.
+          val cls = Class.forName(a("jobClassName"), false,
+            getClass.getClassLoader)
+          require(classOf[JobRunner].isAssignableFrom(cls),
+            s"${a("jobClassName")} is not a JobRunner")
           j.message = cls.getDeclaredConstructor().newInstance()
             .asInstanceOf[JobRunner].run(spark, a)
         case other => throw new IllegalArgumentException(s"job type $other")
@@ -213,7 +227,9 @@ object RestServer {
               live.foreach { j =>
                 if (j.transition(Set("RUNNING", "STOPPING"), "KILLING")) {
                   spark.sparkContext.cancelJobGroup(groupId(j.id))
-                  Option(jobThreads.get(j.id)).foreach(_.interrupt())
+                  j.synchronized {
+                    Option(jobThreads.get(j.id)).foreach(_.interrupt())
+                  }
                 }
               }
               reply(ex, 200, "true")
@@ -234,6 +250,12 @@ object RestServer {
             jobs.put(j.id, j)
             pool.submit(new Runnable {
               def run(): Unit = {
+                // a stop/abort that arrived while this job was still
+                // QUEUED must win: its cancelJobGroup fired before any
+                // job group existed, so without this check the job
+                // would run its entire workload before terminating
+                if (j.transition(Set("STOPPING"), "STOPPED") ||
+                    j.transition(Set("KILLING"), "KILLED")) return
                 jobThreads.put(j.id, Thread.currentThread())
                 // every Spark job this REST job launches lands in one
                 // job group, so /job/{id}/stop|abort can cancel them
@@ -259,8 +281,16 @@ object RestServer {
                     j.message = String.valueOf(e.getMessage)
                 } finally {
                   spark.sparkContext.clearJobGroup()
-                  jobThreads.remove(j.id)
-                  Thread.interrupted() // clear a late abort interrupt
+                  // under the job's monitor, pairing with abort's
+                  // interrupt: either abort sees the mapping and its
+                  // interrupt lands while this thread still owns THIS
+                  // job (cleared below before the thread can dequeue
+                  // another), or the mapping is gone and abort skips —
+                  // a stale interrupt can never hit the next job
+                  j.synchronized {
+                    jobThreads.remove(j.id)
+                    Thread.interrupted() // clear a late abort interrupt
+                  }
                 }
               }
             })
@@ -299,7 +329,9 @@ object RestServer {
             val live = j.transition(Set("RUNNING", "STOPPING"), "KILLING")
             if (live) {
               spark.sparkContext.cancelJobGroup(groupId(j.id))
-              Option(jobThreads.get(j.id)).foreach(_.interrupt())
+              j.synchronized {
+                Option(jobThreads.get(j.id)).foreach(_.interrupt())
+              }
             }
             reply(ex, 200, String.valueOf(live))
           }
@@ -545,9 +577,7 @@ object RestServer {
                       s"graft-ccdump-").toString + "/dump")
                   val seg = new Segment(spark, dir)
                   CommonCrawlDumper.write(seg.fetch, seg.content, out)
-                  val parts = java.nio.file.Files
-                    .list(java.nio.file.Paths.get(out)).toArray
-                    .map(_.toString).filter(_.contains("part-")).sorted.toSeq
+                  val parts = listParts(out)
                   dumpPaths.put(crawlId, parts)
                   reply(ex, 200, serviceInfo(parts))
                 } catch {
@@ -579,26 +609,33 @@ object RestServer {
             // distributed and only the response streams bytes).
             (params.get("type"), params.get("url")) match {
               case (Some("dump"), _) =>
+                // the dump job runs (and may fail) BEFORE any headers
+                // go out; once the 200 is sent, a mid-stream failure
+                // can only terminate the exchange — replying 500 after
+                // sendResponseHeaders would be a second header write
+                var headersSent = false
                 try {
                   val out = java.nio.file.Files
                     .createTempDirectory("graft-rest-dump-")
                     .resolve("dump").toString
                   CrawlDbReader.dumpCsv(db, out)
+                  val parts = listParts(out)
                   ex.getResponseHeaders.set("Content-Type",
                     "application/octet-stream")
                   ex.sendResponseHeaders(200, 0) // chunked
+                  headersSent = true
                   val os = ex.getResponseBody
-                  java.nio.file.Files.list(java.nio.file.Paths.get(out))
-                    .toArray.map(_.toString).filter(_.contains("part-"))
-                    .sorted.foreach { p =>
-                      java.nio.file.Files.copy(
-                        java.nio.file.Paths.get(p), os)
-                    }
+                  parts.foreach { p =>
+                    java.nio.file.Files.copy(
+                      java.nio.file.Paths.get(p), os)
+                  }
                   os.close(); ex.close()
                 } catch {
-                  case e: Exception => reply(ex, 500,
-                    s"""{"error":${graft.Json.str(
-                      String.valueOf(e.getMessage))}}""")
+                  case e: Exception =>
+                    if (!headersSent) reply(ex, 500,
+                      s"""{"error":${graft.Json.str(
+                        String.valueOf(e.getMessage))}}""")
+                    else ex.close()
                 }
               case (Some("topN"), _) =>
                 val n = params.get("n").map(_.toInt).getOrElse(10)

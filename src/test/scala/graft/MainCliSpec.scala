@@ -536,6 +536,11 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     // ~everything: integer floors may shave a whisker (same contract
     // as the CLI-level binding-language test)
     assert(r2("rw") >= 9900L, r2)
+    // EMPTY census (every kept doc null-lang, all exempt): returns the
+    // empty rate table instead of NPE-ing on a null min — the caller's
+    // keep-all left-join default then applies to everything
+    val empty = Seq.empty[(String, Long)].toDF("lang", "tok")
+    assert(Main.temperatureKeepRates(empty).count() == 0)
   }
 
   test("corpus -ccnet keeps only the named LM-score terciles: " +

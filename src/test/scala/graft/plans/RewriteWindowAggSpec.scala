@@ -107,6 +107,20 @@ class RewriteWindowAggSpec extends AnyFunSuite {
         .select(col("id") % 3 as "k",
           min("r").over(Window.partitionBy(col("id") % 3)).as("mr"))
       assert(optimized(nd).contains("Window"))
+      // unstable row set: LIMIT without a total order picks an
+      // arbitrary subset per evaluation — duplicating it would
+      // aggregate a DIFFERENT subset than the probe side (review
+      // finding r11): left alone
+      val lim = spark.range(100).repartition(4)
+        .toDF("v").limit(10)
+        .select(col("v"),
+          min("v").over(Window.partitionBy(col("v") % 2)).as("mn"))
+      assert(optimized(lim).contains("Window"), optimized(lim))
+      // dropDuplicates keeps an arbitrary row per key: same treatment
+      val dd = spark.range(100).withColumn("k", col("id") % 5)
+        .dropDuplicates("k")
+        .select(col("k"), sum("id").over(Window.partitionBy("k")).as("s"))
+      assert(optimized(dd).contains("Window"), optimized(dd))
       // kill switch
       spark.conf.set("spark.graft.rewrite.windowAggToJoin", "false")
       try {
