@@ -257,7 +257,12 @@ object QueriesCore {
     * a hot signature would turn into one straggler task. The desc
     * score leg rides as its negation inside the struct (exact for
     * these non-NaN money values; Dedup.scala handles the NaN-bearing
-    * crawl case with an explicit NaN rank leg). */
+    * crawl case with an explicit NaN rank leg). The oracle elects via
+    * rank() — not row_number — so both sides state the same
+    * tie-deterministic semantic: every row tying on the FULL compare
+    * chain is a keeper. (Here ties cannot occur — member =
+    * l_linenumber is unique within an orderkey — but the semantic no
+    * longer depends on that invariant.) */
   val dedupRank = Q(
     "dedup_rank",
     (s, dir) => {
@@ -286,7 +291,7 @@ object QueriesCore {
              l_extendedprice AS score,
              CASE WHEN rnk = 1 THEN 'keep' ELSE 'duplicate' END AS dedup_status
       FROM (SELECT *,
-              row_number() OVER (PARTITION BY l_orderkey
+              rank() OVER (PARTITION BY l_orderkey
                 ORDER BY l_extendedprice DESC, l_shipdate, l_linenumber) AS rnk
             FROM lineitem)"""))
 

@@ -267,7 +267,18 @@ object QueriesFilters {
 
   /** J4 — dedup merge-back: the duplicate marks re-join the db and set
     * DB_DUPLICATE, best-in-group keeps its status
-    * (DeduplicationJob.java:251-285 StatusUpdateReducer). */
+    * (DeduplicationJob.java:251-285 StatusUpdateReducer).
+    * Keeper election is min(struct(compare chain)) per signature +
+    * join back — the `dedup_rank` shape — NOT a sig-partitioned
+    * window: a hot signature (every empty page hashes to one sig)
+    * would serialize its whole group in a single window task, and a
+    * keep-all-rows labeling has no rank filter for Spark's
+    * InferWindowGroupLimit to rescue. The aggregate side is map-side
+    * combinable and the join back AQE-splittable. The oracle elects
+    * via rank() (not row_number) so both sides state the same
+    * tie-deterministic semantic: every row tying on the FULL compare
+    * chain keeps its status — here ties are impossible anyway
+    * (member = l_linenumber is unique within an orderkey). */
   val dedupMerge = Q(
     "dedup_merge",
     (s, dir) => {
@@ -280,11 +291,12 @@ object QueriesFilters {
         col("l_shipdate"),
         when(col("l_linenumber") % 2 === 0, lit(2)).otherwise(lit(1))
           .as("old_status"))
-      val w = Window.partitionBy(col("sig"))
-        .orderBy(desc("score"), asc("l_shipdate"), asc("member"))
-      db.withColumn("rnk", row_number().over(w))
+      val chain = struct((-col("score")).as("ns"),
+        col("l_shipdate").as("sd"), col("member").as("m"))
+      val best = db.groupBy("sig").agg(min(chain).as("b"))
+      db.join(best, "sig")
         .select(col("url"), col("old_status"),
-          when(col("rnk") === 1, col("old_status")).otherwise(lit(7))
+          when(chain === col("b"), col("old_status")).otherwise(lit(7))
             .as("new_status"))
     },
     Some("""
@@ -292,7 +304,7 @@ object QueriesFilters {
         CASE WHEN rnk = 1 THEN old_status ELSE 7 END AS new_status
       FROM (SELECT l_orderkey || '#' || l_linenumber AS url,
               CASE WHEN l_linenumber % 2 = 0 THEN 2 ELSE 1 END AS old_status,
-              row_number() OVER (PARTITION BY l_orderkey
+              rank() OVER (PARTITION BY l_orderkey
                 ORDER BY l_extendedprice DESC, l_shipdate, l_linenumber) AS rnk
             FROM lineitem)"""))
 

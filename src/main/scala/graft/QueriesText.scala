@@ -808,13 +808,19 @@ object QueriesText {
     "corpus_clean",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      // stage 1: exact dedup on content digest
-      val withDigest = d.select(col("doc_id"), col("lang"), col("text"),
-        md5(col("text")).as("digest"))
-      val w = Window.partitionBy(col("digest")).orderBy(asc("doc_id"))
-      val deduped = withDigest
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // stage 1: exact dedup on content digest. Keeper = the lowest
+      // doc_id's row, elected as ONE min(struct) aggregate per digest
+      // (doc_id is unique, so min over a doc_id-led struct is the
+      // row_number()==1 row — with no join back needed, and no
+      // digest-partitioned window for a hot digest — every empty
+      // page — to serialize into one task). Map-side combinable:
+      // a hot digest ships one partial row per task.
+      val deduped = d
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("text")))
+          .as("keep"))
+        .select(col("keep.doc_id").as("doc_id"),
+          col("keep.lang").as("lang"), col("keep.text").as("text"))
       // stage 2: quality gate
       val nTok = size(split(col("text"), " ")).cast("long")
       val meanTokLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok

@@ -52,10 +52,19 @@ object PrefixSum {
     val s = df.sparkSession
     // range width follows the session's shuffle sizing, not just core
     // count: at real scale shuffle.partitions is tuned so a partition
-    // fits executor memory, and the scan's parallelism cap is P
+    // fits executor memory, and the scan's parallelism cap is P.
+    // The conf value may be non-numeric ("auto" under some AQE
+    // setups) — fall back to defaultParallelism, don't throw.
     val parts = math.max(
       s.sparkContext.defaultParallelism,
-      s.conf.get("spark.sql.shuffle.partitions", "32").toInt).max(2)
+      scala.util.Try(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .getOrElse(s.sparkContext.defaultParallelism)).max(2)
+    // working-column names must not clobber caller columns: salt the
+    // fixed prefix until it collides with nothing (incl. `out`)
+    val taken = df.columns.toSet + out
+    val p = Iterator.from(0).map(i => if (i == 0) "_ps" else s"_ps$i")
+      .dropWhile(pre => taken.exists(_.startsWith(pre))).next()
     // The ranged frame feeds BOTH phases. It must materialize exactly
     // once: RangePartitioner's sample seed folds in the RDD id, so two
     // independent materializations of the same logical plan can pick
@@ -67,34 +76,35 @@ object PrefixSum {
     // nothing escapes the measurement); the checkpointed columns are
     // only (passthrough, group, ord, value, pid).
     val base = df
-      .withColumn("_psg", group).withColumn("_pso", ord)
-      .withColumn("_psv", value)
-      .repartitionByRange(parts, col("_psg"), col("_pso"))
-      .withColumn("_pspid", spark_partition_id())
+      .withColumn(s"${p}g", group).withColumn(s"${p}o", ord)
+      .withColumn(s"${p}v", value)
+      .repartitionByRange(parts, col(s"${p}g"), col(s"${p}o"))
+      .withColumn(s"${p}pid", spark_partition_id())
       .localCheckpoint(false)
     // phase 2 input: one subtotal row per (pid, group) slice
-    val subtotals = base.groupBy(col("_pspid"), col("_psg"))
-      .agg(sum(col("_psv")).as("_pssub"))
+    val subtotals = base.groupBy(col(s"${p}pid"), col(s"${p}g"))
+      .agg(sum(col(s"${p}v")).as(s"${p}sub"))
     val offsets = subtotals
-      .withColumn("_psoff",
+      .withColumn(s"${p}off",
         coalesce(
-          sum(col("_pssub")).over(
-            Window.partitionBy(col("_psg")).orderBy(col("_pspid"))
+          sum(col(s"${p}sub")).over(
+            Window.partitionBy(col(s"${p}g")).orderBy(col(s"${p}pid"))
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("_pspid").as("_psjpid"), col("_psg").as("_psjg"),
-        col("_psoff"))
+      .select(col(s"${p}pid").as(s"${p}jpid"), col(s"${p}g").as(s"${p}jg"),
+        col(s"${p}off"))
     // phase 2: partition-local scan + broadcast offset join (null-safe
     // on the group key — null is a group, as it is for the window)
     base
-      .withColumn("_pslocal",
-        sum(col("_psv")).over(
-          Window.partitionBy(col("_pspid"), col("_psg"))
-            .orderBy(col("_pso"))))
+      .withColumn(s"${p}local",
+        sum(col(s"${p}v")).over(
+          Window.partitionBy(col(s"${p}pid"), col(s"${p}g"))
+            .orderBy(col(s"${p}o"))))
       .join(broadcast(offsets),
-        col("_pspid") === col("_psjpid") && (col("_psg") <=> col("_psjg")))
-      .withColumn(out, col("_pslocal") + col("_psoff"))
-      .drop("_psg", "_pso", "_psv", "_pspid", "_pslocal",
-        "_psjpid", "_psjg", "_psoff")
+        col(s"${p}pid") === col(s"${p}jpid") &&
+          (col(s"${p}g") <=> col(s"${p}jg")))
+      .withColumn(out, col(s"${p}local") + col(s"${p}off"))
+      .drop(s"${p}g", s"${p}o", s"${p}v", s"${p}pid", s"${p}local",
+        s"${p}jpid", s"${p}jg", s"${p}off")
   }
 }

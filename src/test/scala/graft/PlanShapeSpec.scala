@@ -243,7 +243,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
 
   test("dedup query surfaces are window-free (min-agg + join, the " +
     "Dedup.findDuplicates shape — a hot signature can't become one task)") {
-    for (q <- Seq("dedup_exact", "dedup_rank", "dedup_stream_batch")) {
+    for (q <- Seq("dedup_exact", "dedup_rank", "dedup_stream_batch",
+        "dedup_merge", "corpus_clean")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q plans a window:\n$p")
       assert(!p.contains("Exchange SinglePartition"), p)
