@@ -39,8 +39,10 @@ object RestServer {
   /** CLASS-job seam (openapi.yaml JobType CLASS + jobClassName — the
     * reference runs any NutchTool by class name): implementations need
     * a no-arg constructor; `run` returns the job message. Long-running
-    * implementations should structure work as Spark jobs so
-    * /job/{id}/stop's cancelJobGroup can cut them short. */
+    * implementations should structure work as Spark jobs:
+    * /job/{id}/stop cancels the job group INCLUDING future submissions
+    * (cancelJobGroupAndFutureJobs), so a stop landing between two
+    * phases still fails the next phase at submit. */
   trait JobRunner {
     def run(spark: SparkSession, args: Map[String, String]): String
   }
@@ -56,14 +58,26 @@ object RestServer {
     private val dumpPaths =
       new ConcurrentHashMap[String, Seq[String]]()
 
-    private def groupId(id: Long): String = s"rest-job-$id"
+    // per-INSTANCE token in the Spark job-group name: stop/abort use
+    // cancelJobGroupAndFutureJobs, which marks the group name cancelled
+    // in the SparkContext for its lifetime — a later server on the
+    // same context (ids restart at 1) must not inherit a poisoned name
+    private val groupToken =
+      java.lang.Long.toHexString(System.nanoTime())
+    private def groupId(id: Long): String = s"rest-job-$groupToken-$id"
 
     /** Sorted part files of a job output dir — the directory stream is
       * CLOSED (Files.list leaks an fd per call otherwise; a
-      * long-running server serving dumps would exhaust its limit). */
+      * long-running server serving dumps would exhaust its limit).
+      * Matched on the file NAME starting with "part-": a substring
+      * match would also catch Hadoop's hidden checksum twins
+      * (.part-*.crc), which sort first — a dump response would then
+      * stream binary CRC bytes before the first data line. */
     private def listParts(dir: String): Seq[String] = {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try s.toArray.map(_.toString).filter(_.contains("part-")).sorted.toSeq
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(_.toString).sorted.toSeq
       finally s.close()
     }
 
@@ -124,6 +138,16 @@ object RestServer {
     /** The job verbs — the REST twin of the CLI dispatch. */
     private def runJob(j: Job): Unit = {
       val a = j.args
+      // between-phases stop gate: stop/abort cancel the job group with
+      // cancelJobGroupAndFutureJobs (running AND later-submitted Spark
+      // jobs die), but driver-side work BETWEEN Spark jobs — a count
+      // composed after an install, a second output write — would still
+      // run to its next action; each multi-phase verb checks here
+      // before starting its next phase so a stop lands at the phase
+      // boundary, not after the whole workload
+      def gate(): Unit =
+        if (j.state == "STOPPING" || j.state == "KILLING")
+          throw new InterruptedException(s"job ${j.id} ${j.state}")
       def crawldb = graft.tables.CrawlDbStore.open(spark, a("crawldb"))
       def now = a.get("now").map(_.toLong)
         .getOrElse(System.currentTimeMillis())
@@ -137,24 +161,28 @@ object RestServer {
             .getOrElse(a("seedList").split(",").toSeq.toDS())
           crawldb.install(Inject(crawldb.read(), seeds, Inject.Config(),
             registry.filterChain, now), s"rest-inject-${j.id}")
+          gate()
           j.message = s"db=${crawldb.read().count()}"
         case "GENERATE" =>
           val seg = new Segment(spark, a("segment"))
           seg.writeGenerate(Generate(crawldb.read(), Generate.Config(
             topN = a.get("topN").map(_.toLong).getOrElse(Long.MaxValue),
             curTime = now), registry.schedule))
+          gate()
           j.message = s"generated=${seg.generate.count()}"
         case "UPDATEDB" =>
           val seg = new Segment(spark, a("segment"))
           crawldb.install(graft.crawl.UpdateDb(
             crawldb.read().union(seg.fetch).union(seg.crawlParse), now,
             registry.schedule, registry.scoring), s"rest-updatedb-${j.id}")
+          gate()
           j.message = s"db=${crawldb.read().count()}"
         case "INVERTLINKS" =>
           val l = graft.tables.LinkDbStore.open(spark, a("linkdb"))
           val seg = new Segment(spark, a("segment"))
           l.install(InvertLinks(seg.parseData, l.read(),
             InvertLinks.Config()), s"rest-invertlinks-${j.id}")
+          gate()
           j.message = s"linkdb=${l.read().count()}"
         case "DEDUP" =>
           crawldb.install(Dedup(crawldb.read()), s"rest-dedup-${j.id}")
@@ -163,20 +191,25 @@ object RestServer {
           val h = graft.tables.HostDbStore.open(spark, a("hostdb"))
           h.install(UpdateHostDb(crawldb.read(), h.read(), now),
             s"rest-hostdb-${j.id}")
+          gate()
           j.message = s"hosts=${h.read().count()}"
         case "FETCH" =>
           // site snapshot through the protocol seam (the CLI's -site)
           val seg = new Segment(spark, a("segment"))
           Fetch.toSegment(seg.generate,
             graft.Main.loadSite(spark, a("siteFile")), now, seg)
+          gate()
           j.message = s"fetched=${seg.fetch.count()}"
         case "PARSE" =>
           val seg = new Segment(spark, a("segment"))
           val p = Parse(seg.fetch, seg.content, Parse.Config(),
             registry.filterChain)
           seg.writeParseData(p.parseData)
+          gate()
           seg.writeParseText(p.parseText)
+          gate()
           seg.writeCrawlParse(p.crawlParse)
+          gate()
           j.message = s"parsed=${seg.parseData.count()}"
         case "INDEX" =>
           val l = graft.tables.LinkDbStore.open(spark, a("linkdb"))
@@ -184,6 +217,7 @@ object RestServer {
           val docs = Index(crawldb.read(), seg.fetch, seg.parseData,
             seg.parseText, l.read(), Index.Config())
           new IndexWriters.JsonLinesWriter().write(docs, a("out"))
+          gate()
           j.message = s"indexed=${spark.read.text(a("out")).count()}"
         case "READDB" =>
           j.message = CrawlDbReader.stats(crawldb.read())
@@ -226,7 +260,7 @@ object RestServer {
             else {
               live.foreach { j =>
                 if (j.transition(Set("RUNNING", "STOPPING"), "KILLING")) {
-                  spark.sparkContext.cancelJobGroup(groupId(j.id))
+                  spark.sparkContext.cancelJobGroupAndFutureJobs(groupId(j.id))
                   j.synchronized {
                     Option(jobThreads.get(j.id)).foreach(_.interrupt())
                   }
@@ -319,7 +353,7 @@ object RestServer {
             // returns a bare boolean: was a stop initiated). The
             // transition is atomic vs the runner's completion write.
             val live = j.transition(Set("RUNNING"), "STOPPING")
-            if (live) spark.sparkContext.cancelJobGroup(groupId(j.id))
+            if (live) spark.sparkContext.cancelJobGroupAndFutureJobs(groupId(j.id))
             reply(ex, 200, String.valueOf(live))
           }
           case List(id, "abort") => withJob(id) { j =>
@@ -328,7 +362,7 @@ object RestServer {
             // (openapi.yaml:379 — "kills the job immediately")
             val live = j.transition(Set("RUNNING", "STOPPING"), "KILLING")
             if (live) {
-              spark.sparkContext.cancelJobGroup(groupId(j.id))
+              spark.sparkContext.cancelJobGroupAndFutureJobs(groupId(j.id))
               j.synchronized {
                 Option(jobThreads.get(j.id)).foreach(_.interrupt())
               }
@@ -516,7 +550,11 @@ object RestServer {
       // fetched+parsed segment (the reference reads its in-memory
       // FetchNodeDb populated by the running fetcher; the segment is
       // that information durably). from/to are INCLUSIVE indexes over
-      // the url-ordered rows; to = 0 returns everything from `from`.
+      // the url-ordered rows; an omitted/non-positive `to` serves the
+      // first 1000 rows from `from` — NOT everything: the handler
+      // collects the page to the driver, so an unbounded default on a
+      // real segment would be a driver OOM route. Explicit ranges are
+      // honored as given (they are bounded by construction).
       http.createContext("/db/fetchdb", (ex: HttpExchange) => {
         val params = q(ex)
         params.get("segment") match {
@@ -530,11 +568,11 @@ object RestServer {
               val parsed = seg.parseData.toDF()
                 .select(col("url"), col("outlinks"))
               val from = params.get("from").map(_.toInt).getOrElse(0)
-              val to = params.get("to").map(_.toInt).getOrElse(0)
+              val to = params.get("to").map(_.toInt)
+                .filter(_ > 0).getOrElse(from + 999)
               val page = fetch.join(parsed, Seq("url"), "left")
                 .orderBy("url").offset(from)
-              val limited =
-                if (to <= 0) page else page.limit(math.max(0, to - from + 1))
+              val limited = page.limit(math.max(0, to - from + 1))
               val rows = limited.collect().map { r =>
                 val links: scala.collection.Seq[org.apache.spark.sql.Row] =
                   if (r.isNullAt(r.fieldIndex("outlinks"))) Seq.empty

@@ -29,6 +29,29 @@ class DriverSleepJob extends RestServer.JobRunner {
   }
 }
 
+/** CLASS-job fixture for the between-phases stop race: phase 1 is a
+  * real Spark job; the runner then parks driver-side on `proceed`
+  * (the gap between two Spark jobs where a plain cancelJobGroup has
+  * nothing to cancel); phase 2 is a second Spark job in the same
+  * group. A stop arriving in the gap must prevent phase 2 from
+  * running — cancelJobGroupAndFutureJobs fails it at submit. */
+object TwoPhaseJob {
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val proceed = new java.util.concurrent.CountDownLatch(1)
+  @volatile var phase2Ran = false
+}
+class TwoPhaseJob extends RestServer.JobRunner {
+  def run(spark: org.apache.spark.sql.SparkSession,
+      args: Map[String, String]): String = {
+    spark.range(10).count() // phase 1
+    TwoPhaseJob.entered.countDown()
+    TwoPhaseJob.proceed.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    spark.range(10).count() // phase 2 — must die if stopped in the gap
+    TwoPhaseJob.phase2Ran = true
+    "both phases ran"
+  }
+}
+
 /** §3.3 REST surface: /admin, async /job/create + /job/{id}, /db/crawldb
   * stats and point lookup — driven over real HTTP. */
 class RestServerSpec extends AnyFunSuite with SparkSuite {
@@ -138,6 +161,10 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
       assert(ct == 200 && top.contains("http"), top)
       val (cdu, du) = get(s"$base/db/crawldb?crawldb=$root/db&type=dump")
       assert(cdu == 200 && du.contains(A) && du.contains("db_fetched"), du)
+      // the FIRST line is a data line: listParts must skip Hadoop's
+      // hidden .part-*.crc checksum twins (they sort first and would
+      // stream binary CRC bytes before the data)
+      assert(du.substring(0, du.indexOf('\n')).contains(A), du.take(120))
       assert(get(s"$base/db/crawldb?crawldb=$root/db&type=nope")._1 == 400)
 
       // /db/fetchdb: FetchNodeDbInfo rows from the fetched+parsed
@@ -158,6 +185,7 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
         s"&segment=$root/seg&outDir=$root/ccdump")
       assert(cd == 200 && dump.contains("\"dumpPaths\":[") &&
         dump.contains("part-"), dump)
+      assert(!dump.contains(".crc"), dump) // no checksum twins reported
       val (cg, listed) = get(s"$base/services/commoncrawldump/c1")
       assert(cg == 200 && listed == dump)
       assert(get(s"$base/services/commoncrawldump/nope")._1 == 404)
@@ -202,6 +230,59 @@ class RestServerSpec extends AnyFunSuite with SparkSuite {
       // stopping a finished job reports false, 404 for unknown ids
       assert(get(s"$base/job/$id/stop")._2 == "false")
       assert(get(s"$base/job/99999/stop")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("/db/fetchdb's default page is bounded at 1000 rows — never an " +
+    "unbounded driver collect; explicit inclusive ranges still honored") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val root = Files.createTempDirectory("rest-fetchdb").toString
+      // a fetched segment of 1205 urls with no parse side (left join)
+      import spark.implicits._
+      val seg = new graft.tables.Segment(spark, s"$root/bigseg")
+      seg.writeFetch((0 until 1205).map(i =>
+        graft.schemas.CrawlRow(f"http://p.example.com/$i%04d",
+          graft.schemas.CrawlDatum.unfetched(1L, 60).withStatus(33)))
+        .toDS())
+      seg.writeParseData(Seq.empty[graft.schemas.ParseDataRow].toDS())
+      def urlCount(body: String): Int =
+        "\\{\"url\":".r.findAllIn(body).length
+      // default page: first 1000, not all 1205
+      val (c1, dflt) = get(s"$base/db/fetchdb?segment=$root/bigseg")
+      assert(c1 == 200 && urlCount(dflt) == 1000, urlCount(dflt))
+      assert(dflt.contains("/0000") && !dflt.contains("/1001"), dflt.take(80))
+      // to=0 (the old "everything" sentinel) is the same bounded page
+      assert(urlCount(get(
+        s"$base/db/fetchdb?segment=$root/bigseg&from=0&to=0")._2) == 1000)
+      // explicit inclusive range honored; tail page via from alone
+      assert(urlCount(get(
+        s"$base/db/fetchdb?segment=$root/bigseg&from=3&to=7")._2) == 5)
+      assert(urlCount(get(
+        s"$base/db/fetchdb?segment=$root/bigseg&from=1200")._2) == 5)
+    } finally srv.stop()
+  }
+
+  test("a stop in the driver-side gap BETWEEN two Spark jobs still " +
+    "terminates the job — phase 2 never runs (future-jobs cancel)") {
+    val srv = RestServer.start(spark, port = 0)
+    try {
+      val base = s"http://localhost:${srv.port}"
+      val (c, body) = post(s"$base/job/create?type=class" +
+        "&jobClassName=graft.service.TwoPhaseJob")
+      assert(c == 200, body)
+      val id = "\"id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      // wait until phase 1 completed and the runner parked in the gap
+      assert(TwoPhaseJob.entered.await(30,
+        java.util.concurrent.TimeUnit.SECONDS))
+      // stop lands while NO Spark job is active: a plain
+      // cancelJobGroup would be a no-op here and phase 2 would run
+      val (cs, stopped) = get(s"$base/job/$id/stop")
+      assert(cs == 200 && stopped == "true", stopped)
+      TwoPhaseJob.proceed.countDown()
+      assert(awaitTerminal(base, id) == "STOPPED")
+      assert(!TwoPhaseJob.phase2Ran, "phase 2 ran after stop")
     } finally srv.stop()
   }
 
