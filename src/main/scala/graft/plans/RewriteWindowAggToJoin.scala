@@ -110,6 +110,21 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
             f.isInstanceOf[TypedImperativeAggregate[_]]
         case _ => false
       })
+      // a Window INSIDE the duplicated child: order-dependent window
+      // functions (row_number/rank/lead/lag/first_value over a
+      // tie-prone orderSpec — flagged deterministic, arrival-order-
+      // dependent in fact) can assign ties differently between the
+      // aggregate-side copy and the probe side, so the joined-back
+      // value could disagree with the rows it's attached to. Only a
+      // whole-partition window of the SAME order-independent
+      // aggregates this rule itself rewrites is safe to duplicate.
+      case w: Window =>
+        w.orderSpec.nonEmpty || w.windowExpressions.exists(_.exists {
+          case WindowExpression(ae: AggregateExpression, _) =>
+            !rewritable(ae)
+          case _: WindowExpression => true
+          case _ => false
+        })
       case _ => false
     }
 

@@ -121,6 +121,28 @@ class RewriteWindowAggSpec extends AnyFunSuite {
         .dropDuplicates("k")
         .select(col("k"), sum("id").over(Window.partitionBy("k")).as("s"))
       assert(optimized(dd).contains("Window"), optimized(dd))
+      // an order-dependent window INSIDE the child: duplicating it
+      // could assign orderSpec ties differently between the aggregate
+      // copy and the probe side — left alone (review finding r12)
+      val tieProne = Seq(("a", 1, 10), ("a", 1, 20), ("b", 2, 30))
+        .toDF("k", "v", "pay")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy("v"))) // ties on (k, v)
+        .select(col("k"), col("rn"),
+          min("rn").over(Window.partitionBy("k")).as("mrn"))
+      val tp = optimized(tieProne)
+      assert(!tp.contains("Join"), tp)
+      // but a child window of the same order-independent aggregates
+      // this rule rewrites is safe to duplicate: both layers rewrite
+      val nested = df
+        .withColumn("kmin", min("v").over(Window.partitionBy("k")))
+        .select(col("k"), col("v"), col("kmin"),
+          max("kmin").over(Window.partitionBy("k")).as("mm"))
+      val np = optimized(nested)
+      assert(!np.contains("Window"), np)
+      assert(nested.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet ==
+        Set(("a", 5, 3, 3), ("a", 3, 3, 3), ("b", 9, 9, 9)))
       // kill switch
       spark.conf.set("spark.graft.rewrite.windowAggToJoin", "false")
       try {
