@@ -27,13 +27,20 @@ import org.apache.spark.sql.types.IntegerType
   *    map-side-combinable group-by joined back — the skew-safe shape
   *    this repo's dedup surfaces use by hand, applied by the engine
   *    to any query (opt out:
-  *    `spark.graft.rewrite.windowAggToJoin=false`).
+  *    `spark.graft.rewrite.windowAggToJoin=false`);
+  *  - [[RewriteKeeperElection]], an optimizer rule rewriting keeper
+  *    election — `row_number() OVER (PARTITION BY k ORDER BY o) = 1`,
+  *    filtered (keep best per group → one min_by aggregate) or
+  *    labeled (mark best per group → min(struct) + join back) — into
+  *    hot-key-safe aggregate shapes (opt out:
+  *    `spark.graft.rewrite.keeperElection=false`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.boundedSortedListFunction)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteWindowAggToJoin)
+    ext.injectOptimizerRule(_ => RewriteKeeperElection)
   }
 }
 

@@ -81,11 +81,11 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  private def hasSubquery(plan: LogicalPlan): Boolean =
+  private[plans] def hasSubquery(plan: LogicalPlan): Boolean =
     plan.exists(_.expressions.exists(_.exists(
       _.isInstanceOf[SubqueryExpression])))
 
-  private def deterministicTree(plan: LogicalPlan): Boolean =
+  private[plans] def deterministicTree(plan: LogicalPlan): Boolean =
     !plan.exists(_.expressions.exists(!_.deterministic))
 
   /** Plan shapes whose ROW SET is not stable across two evaluations —
@@ -94,7 +94,7 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
     * (the key set is stable but non-key columns are not). Duplicating
     * such a child would aggregate a DIFFERENT subset than the probe
     * side joins back onto — deterministic EXPRESSIONS are not enough. */
-  private def unstableRowSet(plan: LogicalPlan): Boolean =
+  private[plans] def unstableRowSet(plan: LogicalPlan): Boolean =
     plan.exists {
       case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset |
           _: Deduplicate | _: DeduplicateWithinWatermark => true
@@ -131,7 +131,7 @@ object RewriteWindowAggToJoin extends Rule[LogicalPlan] {
   /** A structurally identical copy of `plan` with every attribute id
     * re-instanced (consistently: each old id maps to one new id), plus
     * the old→new id map for rebasing expressions onto the copy. */
-  private def freshen(plan: LogicalPlan)
+  private[plans] def freshen(plan: LogicalPlan)
       : (LogicalPlan, mutable.Map[ExprId, ExprId]) = {
     val ids = mutable.HashMap.empty[ExprId, ExprId]
     def nid(e: ExprId): ExprId =

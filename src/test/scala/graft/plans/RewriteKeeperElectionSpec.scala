@@ -1,0 +1,236 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RewriteKeeperElection: `row_number() OVER (PARTITION BY k ORDER BY
+  * o) = 1` — filtered (keep best) or labeled (mark best) — becomes a
+  * hot-key-safe aggregate shape: value-identical (incl. order-leg
+  * ties, nulls, desc NaN doubles, Long.MinValue under desc), Window-
+  * free in the optimized plan, and left alone whenever the rewrite
+  * would be unsound. Own session — extensions bind at construction. */
+class RewriteKeeperElectionSpec extends AnyFunSuite {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .appName(getClass.getSimpleName)
+      .getOrCreate()
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  private def optimized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("filtered keeper (mixed asc/desc order, string payload) becomes " +
+    "ONE aggregate — no Window, no Join — with row_number()=1 values") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val df = Seq(
+        ("a", 2.0, "2024-01-02", "p1"),
+        ("a", 9.0, "2024-01-01", "p2"), // a's keeper: highest score
+        ("b", 1.0, "2024-06-01", "p3"),
+        ("b", 1.0, "2024-05-01", "p4"), // b's keeper: score tie → min date
+        (null, 5.0, "2024-01-01", "p5")) // null key is its own group
+        .toDF("k", "score", "d", "pay")
+      val w = Window.partitionBy("k").orderBy(desc("score"), asc("d"))
+      val q = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("k", "score", "pay")
+      val p = optimized(q)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Join"), p)
+      assert(p.contains("min_by"), p)
+      assert(q.collect().map(r =>
+        (Option(r.getString(0)), r.getDouble(1), r.getString(2))).toSet ==
+        Set((Some("a"), 9.0, "p2"), (Some("b"), 1.0, "p4"),
+          (None, 5.0, "p5")))
+      // empty input: the window emits nothing, so must the aggregate
+      assert(df.where(col("score") > 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).count() == 0)
+    }
+  }
+
+  test("full-order ties elect exactly ONE keeper (the full-row-min " +
+    "refinement); extra filter conjuncts survive on top") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      // two DISTINCT rows tying on the whole orderSpec: row_number
+      // keeps an arbitrary one; the rewrite keeps the full-row min —
+      // a deterministic refinement, still exactly one row
+      val df = Seq(("a", 1, "pA"), ("a", 1, "pB"), ("c", 2, "pC"))
+        .toDF("k", "v", "pay")
+      val w = Window.partitionBy("k").orderBy("v")
+      val q = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1 && col("k") =!= "c")
+        .select("k", "pay")
+      assert(!optimized(q).contains("Window"), optimized(q))
+      val got = q.collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == Seq(("a", "pA")), got.mkString(","))
+    }
+  }
+
+  test("desc edge cases map exactly: NaN doubles sort FIRST under " +
+    "desc; Long.MinValue survives (bitwise NOT, not negation)") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val dn = Seq(("a", Double.NaN, "nan"), ("a", 99.0, "v99"),
+        ("b", -0.0, "nz"), ("b", 0.0, "pz"))
+        .toDF("k", "score", "pay")
+      val wq = dn.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(desc("score"), asc("pay"))))
+        .filter(col("rn") === 1).select("k", "pay")
+      assert(!optimized(wq).contains("Window"), optimized(wq))
+      val got = wq.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got("a") == "nan") // NaN is greatest → desc keeper
+      assert(got("b") == "nz") // -0.0 == 0.0 ties → pay tiebreak
+      val ln = Seq(("a", Long.MinValue, "min"), ("a", 3L, "three"))
+        .toDF("k", "v", "pay")
+      val lq = ln.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(desc("v"))))
+        .filter(col("rn") === 1).select("pay")
+      assert(!optimized(lq).contains("Window"), optimized(lq))
+      assert(lq.collect().map(_.getString(0)).toSeq == Seq("three"))
+    }
+  }
+
+  test("labeled keeper (the dedup merge-back shape) becomes min(struct)" +
+    " + join back — all rows kept, Window-free") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val df = Seq(
+        ("s1", 5.0, 1, 10), ("s1", 9.0, 2, 20), ("s1", 9.0, 3, 30),
+        ("s2", 1.0, 1, 40)).toDF("sig", "score", "member", "status")
+      val w = Window.partitionBy("sig").orderBy(desc("score"), asc("member"))
+      val q = df.withColumn("rnk", row_number().over(w))
+        .select(col("sig"), col("member"),
+          when(col("rnk") === 1, col("status")).otherwise(lit(7))
+            .as("new_status"))
+      val p = optimized(q)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("Join"), p)
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2))).toSet ==
+        Set(("s1", 1, 7), ("s1", 2, 20), ("s1", 3, 7), ("s2", 1, 40)))
+    }
+  }
+
+  test("left alone: rn used as a value, rn pinned to 2, rank(), desc " +
+    "strings, unstable/nondeterministic child (labeled), kill switch") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val df = Seq(("a", 5, "x"), ("a", 3, "y"), ("b", 9, "z"))
+        .toDF("k", "v", "pay")
+      val w = Window.partitionBy("k").orderBy("v")
+      // rn escapes as a value → untouched
+      assert(optimized(df.withColumn("rn", row_number().over(w))
+        .select(col("k"), col("rn"))).contains("Window"))
+      // rn = 2 is not keeper election
+      assert(optimized(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 2)).contains("Window"))
+      // rank() has different tie semantics than row_number → untouched
+      assert(optimized(df.withColumn("r", rank().over(w))
+        .filter(col("r") === 1)).contains("Window"))
+      // desc over strings: no exact order reversal → untouched
+      assert(optimized(df.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(desc("pay"))))
+        .filter(col("rn") === 1)).contains("Window"))
+      // labeled shape duplicates the child: a LIMIT subset or a rand()
+      // column would diverge between the two evaluations → untouched
+      assert(optimized(spark.range(100).withColumn("k", col("id") % 5)
+        .limit(10)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy("id")))
+        .select(col("k"), (col("rn") === 1).as("keep")))
+        .contains("Window"))
+      // (the rand column must be USED — on an unused one, column
+      // pruning deletes it first and the duplication is sound)
+      assert(optimized(spark.range(100).withColumn("r", rand(7))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id") % 5).orderBy(col("id"))))
+        .select(col("id"), col("r"), (col("rn") === 1).as("keep")))
+        .contains("Window"))
+      // but the FILTERED shape evaluates the child once: rand() below
+      // it is fine and the rewrite fires
+      val ndFiltered = spark.range(100).withColumn("r", rand(7))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id") % 5).orderBy(col("id"))))
+        .filter(col("rn") === 1)
+      assert(!optimized(ndFiltered).contains("Window"),
+        optimized(ndFiltered))
+      assert(ndFiltered.count() == 5)
+      // kill switch
+      spark.conf.set("spark.graft.rewrite.keeperElection", "false")
+      try assert(optimized(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)).contains("Window"))
+      finally spark.conf.unset("spark.graft.rewrite.keeperElection")
+    }
+  }
+
+  test("dogfood: the windowed phrasings this repo de-windowed by hand " +
+    "(dedup_merge, corpus_clean stage-1) go Window-free under the rule " +
+    "with rows identical to a plain session") {
+    val dir = "/root/testdata/sf0.001"
+    def dedupMergeWindowed(s: SparkSession) = {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val db = li.select(
+        concat(col("l_orderkey"), lit("#"), col("l_linenumber")).as("url"),
+        col("l_orderkey").as("sig"), col("l_linenumber").as("member"),
+        col("l_extendedprice").as("score"), col("l_shipdate"),
+        when(col("l_linenumber") % 2 === 0, lit(2)).otherwise(lit(1))
+          .as("old_status"))
+      val w = Window.partitionBy(col("sig"))
+        .orderBy(desc("score"), asc("l_shipdate"), asc("member"))
+      db.withColumn("rnk", row_number().over(w))
+        .select(col("url"), col("old_status"),
+          when(col("rnk") === 1, col("old_status")).otherwise(lit(7))
+            .as("new_status"))
+    }
+    def corpusStage1Windowed(s: SparkSession) = {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val withDigest = d.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("digest"))
+      val w = Window.partitionBy(col("digest")).orderBy(asc("doc_id"))
+      withDigest.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("doc_id", "lang")
+    }
+    val (extMerge, extCorpus, mergePlan, corpusPlan) =
+      withExtendedSession { s =>
+        val m = dedupMergeWindowed(s); val c = corpusStage1Windowed(s)
+        (m.collect().map(_.toSeq).toSet, c.collect().map(_.toSeq).toSet,
+          m.queryExecution.optimizedPlan.toString,
+          c.queryExecution.optimizedPlan.toString)
+      }
+    assert(!mergePlan.contains("Window"), mergePlan)
+    assert(!corpusPlan.contains("Window"), corpusPlan)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val plain = SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("plain").getOrCreate()
+    try {
+      assert(dedupMergeWindowed(plain).collect().map(_.toSeq).toSet
+        == extMerge)
+      assert(corpusStage1Windowed(plain).collect().map(_.toSeq).toSet
+        == extCorpus)
+    } finally {
+      plain.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
