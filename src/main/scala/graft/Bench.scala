@@ -88,6 +88,12 @@ object Bench {
       }
     }
     val loadAfter = loadAvg
+    // one id stamped into BOTH artifacts of this invocation (the
+    // parsed summary line and the detail file): a reader diffing a
+    // headline against a detail can check they describe the SAME run
+    // — r11's artifacts came from different runs (one contended, one
+    // idle) and read as phantom 7x regressions
+    val runId = s"bench-${System.currentTimeMillis()}"
     val qs = results.map { case (k, med, _, _, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn, _, _, _) => jstr(k) + ":" + mn }
@@ -105,7 +111,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMin = results.filter(_._3 >= 0).map(_._3).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's artifact keeps only the tail of stdout, so the full
     // per-query map above survives for ~35 of 130+ queries — ALSO write
@@ -129,7 +135,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, med, _, _, _, _) => jstr(k) + ":" + r3(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map in the first JSON line of this run's output","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     if (results.exists(_._5.isDefined)) {
       results.foreach { case (k, _, _, _, e, _) =>
         e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))

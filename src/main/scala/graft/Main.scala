@@ -255,6 +255,13 @@ object Main {
               .getOrElse(CrawlDbReader.DefaultQuantiles)
             CrawlDbReader.stats(db, qs).orderBy("status").collect()
               .foreach(r => println(r.mkString("\t")))
+            // -sort (db.reader.stats.sort): append the per-host
+            // breakdown, one "status <name> <host> <cnt>" line per
+            // (status, host) pair (CrawlDbReader.java:412-419)
+            if (statsOpts.contains("-sort"))
+              CrawlDbReader.statsByHost(db).orderBy("status", "host")
+                .collect().foreach(r => println(
+                  s"status\t${r.getString(0)}\t${r.getString(1)}\t${r.getLong(2)}"))
             0
           case "-dump" :: out :: dumpOpts =>
             // dump filters (CrawlDbReader.java:892-955): -regex on url,
@@ -304,7 +311,7 @@ object Main {
             }
           case rest0 =>
             val msg =
-              """readdb <crawldb> -stats [-quantiles .25,.5,...]
+              """readdb <crawldb> -stats [-quantiles .25,.5,...] [-sort]
                 |       | -dump <out> [-regex RE] [-status name] [-retry N]
                 |                     [-expr JEXL] [-sample F]
                 |       | -topN <N> | -topHosts <N> | -url <u>

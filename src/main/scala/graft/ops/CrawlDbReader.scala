@@ -60,6 +60,21 @@ object CrawlDbReader {
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** -stats -sort: per-(status, host) url counts — the reference's
+    * db.reader.stats.sort breakdown (CrawlDbReader.java:412-419: the
+    * stat mapper emits one "status <code> <host>" counter per record
+    * when the sort flag is set; the reducer sums). Unparseable urls
+    * are skipped, as the mapper's MalformedURLException catch drops
+    * the record. One map-side-combinable aggregate: at 10^9 rows a
+    * host census per status is still ≤ |hosts|×|statuses| partials. */
+  def statsByHost(db: Dataset[CrawlRow]): DataFrame =
+    db.toDF()
+      .select(statusNameCol.as("status"),
+        graft.functions.Urls.host(col("url")).as("host"))
+      .filter(col("host").isNotNull && col("host") =!= "")
+      .groupBy("status", "host")
+      .agg(count(lit(1)).as("cnt"))
+
   /** -dump csv lines (quoted url, status name, score, fetch time). */
   def csvLines(db: Dataset[CrawlRow]): DataFrame =
     db.toDF().select(concat(

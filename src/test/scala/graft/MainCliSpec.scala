@@ -353,6 +353,54 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(v("showproperties") == 0)
   }
 
+  test("readdb -stats -sort prints the exact per-(status, host) census " +
+    "on a planted multi-host db (db.reader.stats.sort parity)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-sort").toString
+    val dbDir = s"$root/db"
+    // 3 hosts × 2 statuses with uneven counts, plus one unparseable
+    // url the reference's MalformedURLException catch would drop
+    val rows = (for {
+      (host, n) <- Seq("a.example.com" -> 5, "b.example.com" -> 3,
+        "c.example.org" -> 1)
+      i <- 0 until n
+      status <- Seq[Byte](1, 2).take(if (i % 2 == 0) 2 else 1)
+    } yield graft.schemas.CrawlRow(s"http://$host/p$i-$status",
+      graft.schemas.CrawlDatum.unfetched(1L, 60).withStatus(status))) :+
+      graft.schemas.CrawlRow("not a url",
+        graft.schemas.CrawlDatum.unfetched(1L, 60))
+    graft.tables.CrawlDbStore.open(spark, dbDir)
+      .install(rows.toDS(), "plant")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, Array("readdb", dbDir, "-stats", "-sort"))
+    }
+    assert(rc == 0, out.toString)
+    val got = out.toString.linesIterator
+      .filter(_.startsWith("status\t")).map { l =>
+        val Array(_, st, h, c) = l.split("\t"); (st, h) -> c.toLong
+      }.toMap
+    // the exact census, computed independently of the CLI path
+    val exact = graft.tables.CrawlDbStore.open(spark, dbDir).read().toDF()
+      .filter(col("url").startsWith("http"))
+      .select(
+        graft.functions.Urls.host(col("url")).as("host"),
+        col("datum.status").as("st"))
+      .groupBy("host", "st").agg(count(lit(1)).as("n"))
+      .collect().map(r => (graft.schemas.CrawlStatus.name(
+        r.getAs[Byte]("st")), r.getString(0)) -> r.getLong(2)).toMap
+    assert(got == exact, s"$got vs $exact")
+    assert(got.keySet.map(_._2) ==
+      Set("a.example.com", "b.example.com", "c.example.org"))
+    // without -sort no per-host lines appear
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.run(spark, Array("readdb", dbDir, "-stats"))
+    }
+    assert(!out2.toString.linesIterator.exists(_.startsWith("status\t")))
+  }
+
   test("dmozparser streams RDF to a seed list with the reference gates") {
     val root = Files.createTempDirectory("cli-dmoz").toString
     def v(args: String*): Int = Main.run(spark, args.toArray)
