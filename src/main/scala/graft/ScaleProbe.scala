@@ -350,6 +350,31 @@ object ScaleProbe {
         QueriesEmbed.semanticCandidates(asg)
       })
     } :+ {
+      // the corpus EXPORT verb end-to-end — the actual 100 TB job:
+      // quality gates + exact/line/span dedup + near-dup drop +
+      // ExactSubstr span removal + temperature rebalance + ccnet
+      // tercile gate + sharded write + manifest/datacard/metrics, as
+      // ONE composition over ×N-inflated documents. The per-stage
+      // queries all probe individually; this measures their
+      // composition (shared scans, the caches, the real parquet
+      // write). Dozens of executions — like conductor_round, no
+      // single join inventory, so transitions don't apply.
+      "corpus_export" -> factors.map { n =>
+        spark.conf.set("spark.graft.inflate", n.toString)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-corpus-$n").toString
+        val (sec, mb, err) = measure {
+          val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
+            "-neardup", "-exactsubstr", "-temperature",
+            "-ccnet", "head,middle"))
+          require(rc == 0, s"corpus export rc=$rc")
+        }
+        tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
+        System.err.println(f"[scale] corpus_export           n=$n%-4d " +
+          f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+        Point(n, sec, mb, err)
+      }
+    } :+ {
       spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
       "conductor_round" -> factors.map { n =>
         val (sec, mb, err) = measure(conductorRound(spark, n))
