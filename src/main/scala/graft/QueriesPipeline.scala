@@ -1400,10 +1400,108 @@ object QueriesPipeline {
       FROM sc JOIN bk ON sc.lang = bk.lang AND sc.score_bp = bk.score_bp"""
     })
 
+  private val LS_ITERS = 6
+
+  /** Leakage-safe train/val/test split: documents sharing ANY 15-word
+    * window (the span_dedup boilerplate relation, planted shared
+    * paragraph included) must land in the SAME split — a per-doc hash
+    * split would put one copy of a boilerplate chain in train and its
+    * twin in test, leaking training text into eval. Connectivity is
+    * TRANSITIVE (A shares a paragraph with B, B a different one with
+    * C), so docs cluster by connected components first and the split
+    * coin is thrown once per CLUSTER root.
+    *
+    * Scale shape: the edge list is the STAR construction — every doc
+    * connects to the MIN doc_id of each shared-window group — which is
+    * linear in window postings where the all-pairs-per-window join is
+    * quadratic in posting length (a boilerplate paragraph in 10^5 docs
+    * would plant 10^10 pairs; the star plants 10^5 edges). Components
+    * then resolve by bounded min-label propagation (LS_ITERS rounds,
+    * identical on both engines — the dedup_clusters discipline; star
+    * hubs make real chains shallow). Split = md5(cluster root) % 10:
+    * 8/1/1 train/val/test, deterministic and content-keyed. */
+  val leakageSplit = Q(
+    "leakage_split",
+    (s, dir) => {
+      val W = 15
+      val para = SharedPara
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val wins = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("ws")) - W)).as("p"), col("ws"))
+        .select(col("doc_id"),
+          Queries.md5Long(concat_ws(" ",
+            slice(col("ws"), col("p") + 1, lit(W)))).as("h"))
+        .distinct()
+      val hubs = wins.groupBy("h").agg(min(col("doc_id")).as("mn"))
+      val e0 = wins.join(hubs, "h")
+        .filter(col("doc_id") =!= col("mn"))
+        .select(col("doc_id").as("a"), col("mn").as("b"))
+        .distinct()
+      val edges = e0.unionByName(
+          e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .localCheckpoint()
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+        .withColumn("label", col("node"))
+      for (_ <- 1 to LS_ITERS) {
+        val viaNbr = edges.join(labels, edges("b") === labels("node"))
+          .select(col("a").as("node"), col("label"))
+        labels = labels.unionByName(viaNbr)
+          .groupBy("node").agg(min(col("label")).as("label"))
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster"),
+        (Queries.md5Long(col("label").cast("string")) % 10).as("coin"))
+        .select(col("doc_id"), col("cluster"),
+          when(col("coin") <= 7, "train")
+            .when(col("coin") === 8, "val").otherwise("test").as("split"))
+    },
+    Some {
+      val para = SharedPara
+      val h = Queries.sqlMd5Long("array_to_string(ws[p+1 : p+15], ' ')")
+      val coin = Queries.sqlMd5Long("CAST(label AS VARCHAR)")
+      val iters = (1 to LS_ITERS).map { i =>
+        val prev = s"l${i - 1}"
+        s""",
+      l$i AS (
+        SELECT node, MIN(label) AS label FROM (
+          SELECT node, label FROM $prev
+          UNION ALL
+          SELECT e.a AS node, p.label FROM e JOIN $prev p ON e.b = p.node)
+        GROUP BY node)"""
+      }.mkString
+      s"""
+      WITH p0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3 THEN '$para ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM p0),
+      wins0 AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws) - 14)) AS p
+        FROM w WHERE len(ws) >= 15),
+      wins AS (SELECT DISTINCT doc_id, $h AS h FROM wins0),
+      hubs AS (SELECT h, MIN(doc_id) AS mn FROM wins GROUP BY 1),
+      e1 AS (
+        SELECT DISTINCT doc_id AS a, mn AS b
+        FROM wins JOIN hubs USING (h) WHERE doc_id <> mn),
+      e AS (SELECT a, b FROM e1 UNION SELECT b AS a, a AS b FROM e1),
+      l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)$iters
+      SELECT node AS doc_id, label AS cluster,
+        CASE WHEN $coin % 10 <= 7 THEN 'train'
+             WHEN $coin % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      FROM l$LS_ITERS"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
-    ccnetBuckets)
+    ccnetBuckets, leakageSplit)
 }

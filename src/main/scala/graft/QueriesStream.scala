@@ -302,6 +302,65 @@ object QueriesStream {
       ORDER BY n_events DESC, user_id
       LIMIT 10"""))
 
+  /** AS-OF join: each purchase enriched with the latest STRICTLY
+    * PRIOR view by the same user — the point-in-time join every
+    * feature/attribution pipeline needs and Spark has no native
+    * operator for. NOT a range join (quadratic in events-per-user and
+    * unprunable): the two sides union with a type rank, one pass per
+    * user in (ts, rank) order carries the running latest view via a
+    * max(struct) frame ending at the current row, and the purchase
+    * rows keep the carried value — cost is ONE shuffle of the union,
+    * state O(1) per row. The rank orders views AFTER purchases at
+    * equal timestamps, so ts-ties never count as "prior" on either
+    * engine. Views are pre-reduced to one row per (user, ts) — max
+    * event_id — so the as-of value is deterministic under ts
+    * collisions; the window is per-user, bounded by a user's event
+    * count (the sessionize discipline). The oracle is DuckDB's native
+    * ASOF LEFT JOIN with a strict inequality. */
+  val asofJoin = Q(
+    "asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000")) // exact integer µs
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_event"))
+      val tagged = views
+        .select(col("user_id"), col("ts_us"), lit(1).as("tr"),
+          col("view_event"), lit(null).cast("long").as("purchase_event"))
+        .unionByName(purchases
+          .select(col("user_id"), col("ts_us"), lit(0).as("tr"),
+            lit(null).cast("long").as("view_event"), col("purchase_event")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("tr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // running latest view: max over (ts, event) structs — purchase
+      // rows contribute null and are skipped by the aggregate
+      tagged
+        .withColumn("lv",
+          max(when(col("tr") === 1,
+            struct(col("ts_us").as("vts"), col("view_event").as("ve"))))
+            .over(w))
+        .filter(col("tr") === 0)
+        .select(col("purchase_event"), col("user_id"),
+          col("lv.ve").as("view_event"),
+          (col("ts_us") - col("lv.vts")).as("gap_us"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS view_event
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_event
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_event, p.user_id, v.view_event,
+        p.ts_us - v.ts_us AS gap_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us > v.ts_us"""))
+
   val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract,
-    dedupStreamBatch, slidingRate, tdigestValues, heavyHitters)
+    dedupStreamBatch, slidingRate, tdigestValues, heavyHitters, asofJoin)
 }

@@ -251,6 +251,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("asof_join is the union-scan shape: ZERO joins in the plan (a " +
+    "range join would be quadratic per user), one user-keyed window") {
+    val p = plan("asof_join", execute = true)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p) // the running carry, per user
+  }
+
+  test("leakage_split builds star edges (hash-keyed joins), never " +
+    "all-pairs-per-window, and throws one coin per cluster") {
+    val p = plan("leakage_split", execute = true)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNested"),
+      p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // leakage-safety property on the data: the planted shared
+    // paragraph (doc_id % 11 == 3) chains its docs into ONE cluster,
+    // so all of them carry one split; and globally a cluster never
+    // straddles splits
+    val rows = Queries.byName("leakage_split").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val planted = rows.filter(_._1 % 11 == 3)
+    assert(planted.nonEmpty)
+    assert(planted.map(_._2).distinct.length == 1, "para docs split apart")
+    assert(planted.map(_._3).distinct.length == 1)
+    val violations = rows.groupBy(_._2)
+      .filter(_._2.map(_._3).distinct.length > 1)
+    assert(violations.isEmpty, violations.keys.take(3).toSeq)
+  }
+
   test("sample_cap broadcasts the per-source rate table") {
     val p = plan("sample_cap", execute = true)
     assert(p.contains("BroadcastHashJoin"), p)
