@@ -379,8 +379,50 @@ object QueriesCore {
       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                         WHERE l.l_orderkey = o.o_orderkey)"""))
 
+  /** Range (interval) join via grid-cell equi-join — the operator the
+    * reference has no analog for (SURVEY §2.3 "no theta/range/as-of
+    * joins") and Spark itself plans as BroadcastNestedLoop/Cartesian:
+    * probe values against variable-width [lo, hi) bands. The scalable
+    * shape quantizes the value axis into fixed G-cells, EXPANDS each
+    * band to the ≤ ceil(maxWidth/G)+1 cells it overlaps (explode —
+    * here ≤ 2 rows per band by construction), equi-joins on the cell
+    * key, and re-checks the exact interval predicate after. Cost: one
+    * hash-shuffle join with ≤ 2× build amplification instead of an
+    * unprunable |probe|×|bands| loop — the standard spatial-grid
+    * decomposition, 1-D. All arithmetic is exact 64-bit integer. */
+  val rangeJoin = Q(
+    "range_join",
+    (s, dir) => {
+      val G = 4096L // grid cell ≥ max band width (100 + 12*300 = 3700)
+      val bands = t(s, dir, "part").select(
+        col("p_partkey").as("band_id"),
+        ((col("p_partkey") * 9973) % 100000).as("lo"),
+        ((col("p_partkey") * 9973) % 100000 + 100 +
+          (col("p_partkey") % 13) * 300).as("hi"))
+      val probe = t(s, dir, "orders").select(
+        col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
+      val cells = bands.withColumn("cell",
+        explode(sequence(expr("lo div " + G), expr("(hi - 1) div " + G))))
+      probe.withColumn("cell", expr("v div " + G))
+        .join(cells, "cell")
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_o"),
+          sum(col("v")).as("sum_v"))
+    },
+    Some("""
+      SELECT p_partkey AS band_id,
+        COUNT(*) AS n_orders,
+        MIN(o_orderkey) AS min_o,
+        CAST(SUM(o_orderkey % 100000) AS BIGINT) AS sum_v
+      FROM part JOIN orders
+        ON o_orderkey % 100000 >= (p_partkey * 9973) % 100000
+       AND o_orderkey % 100000 < (p_partkey * 9973) % 100000 + 100
+                                  + (p_partkey % 13) * 300
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q1Pricing, q2TopCustomers, q3RegionRollup, injectMerge, updatedbLatest,
     generateTopn, hostCapSkewsafe, crawldbStats, dedupRank, domainStats,
-    protocolStatusStats, orphanDetect)
+    protocolStatusStats, orphanDetect, rangeJoin)
 }

@@ -280,6 +280,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(violations.isEmpty, violations.keys.take(3).toSeq)
   }
 
+  test("range_join runs as a grid-cell equi-join — no nested loop, no " +
+    "cartesian (Spark's native plan for a theta join)") {
+    val p = plan("range_join", execute = true)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("sample_cap broadcasts the per-source rate table") {
     val p = plan("sample_cap", execute = true)
     assert(p.contains("BroadcastHashJoin"), p)
