@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1420,46 +1421,54 @@ object QueriesPipeline {
     * identical on both engines — the dedup_clusters discipline; star
     * hubs make real chains shallow). Split = md5(cluster root) % 10:
     * 8/1/1 train/val/test, deterministic and content-keyed. */
+  /** The leakage-safe split assignment on any (doc_id, text) frame —
+    * see [[leakageSplit]] for semantics. Returns (doc_id, cluster,
+    * split). */
+  private[graft] def leakageSplitAssign(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val W = 15
+    val wins = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ws")) - W)).as("p"), col("ws"))
+      .select(col("doc_id"),
+        Queries.md5Long(concat_ws(" ",
+          slice(col("ws"), col("p") + 1, lit(W)))).as("h"))
+      .distinct()
+    val hubs = wins.groupBy("h").agg(min(col("doc_id")).as("mn"))
+    val e0 = wins.join(hubs, "h")
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("doc_id").as("a"), col("mn").as("b"))
+      .distinct()
+    val edges = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
+    var labels = d
+      .select(col("doc_id").as("node"))
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LS_ITERS) {
+      val viaNbr = edges.join(labels, edges("b") === labels("node"))
+        .select(col("a").as("node"), col("label"))
+      labels = labels.unionByName(viaNbr)
+        .groupBy("node").agg(min(col("label")).as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"),
+      (Queries.md5Long(col("label").cast("string")) % 10).as("coin"))
+      .select(col("doc_id"), col("cluster"),
+        when(col("coin") <= 7, "train")
+          .when(col("coin") === 8, "val").otherwise("test").as("split"))
+  }
+
   val leakageSplit = Q(
     "leakage_split",
     (s, dir) => {
-      val W = 15
       val para = SharedPara
       val d = spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
             .otherwise(col("text")).as("text"))
-      val wins = d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= W)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("ws")) - W)).as("p"), col("ws"))
-        .select(col("doc_id"),
-          Queries.md5Long(concat_ws(" ",
-            slice(col("ws"), col("p") + 1, lit(W)))).as("h"))
-        .distinct()
-      val hubs = wins.groupBy("h").agg(min(col("doc_id")).as("mn"))
-      val e0 = wins.join(hubs, "h")
-        .filter(col("doc_id") =!= col("mn"))
-        .select(col("doc_id").as("a"), col("mn").as("b"))
-        .distinct()
-      val edges = e0.unionByName(
-          e0.select(col("b").as("a"), col("a").as("b"))).distinct()
-        .localCheckpoint()
-      var labels = t(s, dir, "documents")
-        .select(col("doc_id").as("node"))
-        .withColumn("label", col("node"))
-      for (_ <- 1 to LS_ITERS) {
-        val viaNbr = edges.join(labels, edges("b") === labels("node"))
-          .select(col("a").as("node"), col("label"))
-        labels = labels.unionByName(viaNbr)
-          .groupBy("node").agg(min(col("label")).as("label"))
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster"),
-        (Queries.md5Long(col("label").cast("string")) % 10).as("coin"))
-        .select(col("doc_id"), col("cluster"),
-          when(col("coin") <= 7, "train")
-            .when(col("coin") === 8, "val").otherwise("test").as("split"))
+      leakageSplitAssign(d)
     },
     Some {
       val para = SharedPara
@@ -1498,10 +1507,348 @@ object QueriesPipeline {
       FROM l$LS_ITERS"""
     })
 
+  private val DSIR_B = 512L
+
+  /** DSIR data selection — hashed n-gram importance resampling
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score every raw document by how much
+    * more likely its hashed n-gram bag is under a TARGET bag model
+    * than under the RAW-pool model, and keep the top-k. Target here =
+    * the corpus's English documents (the fixture's stand-in for
+    * "wiki-books-like"); features = unigrams + bigrams hashed into
+    * B=512 buckets (the paper's 10^4 bucket count, scaled to the
+    * fixture corpus); both models +1-smoothed.
+    *
+    * Integer-exact logs (the lm_bigram_score / rarity_score "log-free"
+    * discipline, one step stronger): log-likelihood ratios are carried
+    * in HALF-BIT units via L2(x) = floor(2·log2 x) = bitlen(x²) − 1 —
+    * pure 64-bit integer arithmetic (bitlen = length of the binary
+    * rendering), identical on both engines where libm logs can drift
+    * by a ULP and flip a rank. Per document
+    *   w = Σ_b n_db·(L2(ct_b+1) − L2(cr_b+1))
+    *     + n_d·(L2(Tr+B) − L2(Tt+B))
+    * — the DSIR log-importance at half-bit quantization (one floor per
+    * count term). Selection is the deterministic top-k by (w, doc_id)
+    * rather than the paper's Gumbel-noise resample: seeded RNG streams
+    * don't cross engines, and rank-by-weight is the zero-temperature
+    * limit of the same sampler. Counts stay < 2³¹ so x² is exact; at
+    * real scale the per-bucket count of a B=10⁴ table still fits with
+    * ~2^43 headroom.
+    *
+    * Scale shape: one token-linear explode; per-(doc, bucket) counts
+    * are map-side combinable; BOTH bag models roll up from those same
+    * counts (≤ B-row aggregates) and come back as ONE broadcast ≤ B-row
+    * join; the per-doc score is another combinable agg; the final
+    * top-k is TakeOrdered (no global sort). Zero wide joins — at
+    * 100 TB this is two narrow count shuffles over 8-byte keys. */
+  /** Per-document DSIR importance weights on any (doc_id, lang, text)
+    * frame — see [[dsirSelect]] for semantics and units. Target bag =
+    * rows with lang == targetLang. Returns (doc_id, lang, n_feats,
+    * dsir_w). */
+  private[graft] def dsirWeights(d: org.apache.spark.sql.DataFrame,
+      targetLang: String): org.apache.spark.sql.DataFrame = {
+    def l2(x: Column): Column = (length(bin(x * x)) - 1).cast("long")
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = d
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("lang"), col("w"),
+        lead(col("w"), 1).over(wp).as("w1"))
+    val feats = toks.select(col("doc_id"), col("lang"), col("w").as("g"))
+      .unionByName(toks.where(col("w1").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", col("w"), col("w1")).as("g")))
+      .select(col("doc_id"), col("lang"),
+        pmod(Queries.md5Long(col("g")), lit(DSIR_B)).as("b"))
+    val perDocBucket = feats
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val model = perDocBucket.groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("lang") === targetLang, col("n")).otherwise(0L))
+          .as("ct"))
+    val tot = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val scored = model.crossJoin(broadcast(tot)).select(
+      col("b"),
+      (l2(col("ct") + 1) - l2(col("cr") + 1)).as("sb"),
+      (l2(col("tr") + DSIR_B) - l2(col("tt") + DSIR_B)).as("cc"))
+    perDocBucket.join(broadcast(scored), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_feats"),
+        (sum(col("n") * col("sb")) + max(col("cc")) * sum(col("n")))
+          .as("dsir_w"))
+  }
+
+  val dsirSelect = Q(
+    "dsir_select",
+    (s, dir) => {
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      dsirWeights(d, "en")
+        .orderBy(desc("dsir_w"), asc("doc_id"))
+        .limit(50)
+    },
+    Some {
+      def l2(e: String): String =
+        s"(length(format('{:b}', CAST(($e) AS BIGINT) * CAST(($e) AS BIGINT))) - 1)"
+      val h = Queries.sqlMd5Long("g")
+      s"""
+      WITH ws AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      toks AS (
+        SELECT doc_id, lang, unnest(ws) AS g FROM ws
+        UNION ALL
+        SELECT doc_id, lang,
+          unnest(CASE WHEN len(ws) >= 2
+            THEN [concat_ws(' ', ws[i], ws[i + 1])
+                  for i in range(1, len(ws))]
+            ELSE [] END) AS g
+        FROM ws),
+      fe AS (SELECT doc_id, lang, $h % $DSIR_B AS b FROM toks),
+      db AS (
+        SELECT doc_id, lang, b, COUNT(*) AS n FROM fe GROUP BY 1, 2, 3),
+      m AS (
+        SELECT b, CAST(SUM(n) AS BIGINT) AS cr,
+          CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct
+        FROM db GROUP BY 1),
+      tt AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+        FROM m),
+      sc AS (
+        SELECT b, ${l2("ct + 1")} - ${l2("cr + 1")} AS sb,
+          ${l2("tr + " + DSIR_B)} - ${l2("tt + " + DSIR_B)} AS cc
+        FROM m CROSS JOIN tt)
+      SELECT doc_id, lang,
+        CAST(SUM(n) AS BIGINT) AS n_feats,
+        CAST(SUM(n * sb) + MAX(cc) * SUM(n) AS BIGINT) AS dsir_w
+      FROM db JOIN sc USING (b)
+      GROUP BY 1, 2
+      ORDER BY dsir_w DESC, doc_id
+      LIMIT 50"""
+    })
+
+  private val BPE_K = 6
+
+  /** BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016) as
+    * DataFrame algebra: learn the first K merge rules over the corpus
+    * — per round, count adjacent token-pair occurrences weighted by
+    * word frequency, elect the most frequent pair (ties → smallest
+    * (left, right)), and replace its non-overlapping occurrences
+    * greedily left-to-right in every word. Words carry the standard
+    * `</w>` end-of-word token so merges can learn whole-word units.
+    * Output = the learned merge table (rank, pair, merged, count) —
+    * what a tokenizer ships.
+    *
+    * The merge pass is RELATIONAL, not a per-row loop: a pair match
+    * is `tok = l ∧ lead(tok) = r`; greedy left-to-right on an
+    * overlap chain ("aaa" under (a,a)) = keep every other match
+    * inside each maximal run of consecutive matches, computed with a
+    * run-start cumsum + parity — deterministic and identical in both
+    * engines (the oracle unrolls the same algebra K times). Positions
+    * are renumbered densely each round so parity is row-adjacency,
+    * not stale gapped offsets.
+    *
+    * Scale shape: the corpus-sized work is ONE word-count shuffle;
+    * every training round then runs on the WORD-FREQUENCY table —
+    * bounded by vocabulary, not corpus (the reason Sennrich's
+    * algorithm trains on a dict), so 100 TB of text and 1 GB of text
+    * iterate over the same few-million-row frame. Window partitions
+    * are one word's tokens (max word length); the per-round frames
+    * are lineage-truncated with lazy localCheckpoints (the linkrank
+    * discipline) so the K-round plan stays linear, paid at action
+    * time where Bench can see it. */
+  /** The shared BPE training loop over a (word, freq) vocabulary:
+    * K rounds of elect-most-frequent-pair + greedy left-to-right merge,
+    * all relational (see [[bpeTrain]]'s scaladoc). Returns the K
+    * 1-row merge frames (rank, lft, rgt, merged, pair_count) and the
+    * final token frame (w, freq, i, tok) after all K merges. */
+  private[graft] def bpeLoop(vocab: org.apache.spark.sql.DataFrame)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val win = Window.partitionBy("w").orderBy("i")
+    val run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var toks = vocab
+      .select(col("word").as("w"), col("freq"),
+        posexplode(concat(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))),
+          array(lit("</w>")))).as(Seq("i", "tok")))
+    var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to BPE_K) {
+      val tk = toks
+        .withColumn("i", row_number().over(win))
+        .localCheckpoint(false)
+      val elected = tk
+        .withColumn("r", lead(col("tok"), 1).over(win))
+        .where(col("r").isNotNull)
+        .select(col("tok").as("lft"), col("r").as("rgt"), col("freq"))
+        .groupBy("lft", "rgt").agg(sum(col("freq")).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("lft"), asc("rgt")).limit(1)
+        .localCheckpoint(false)
+      merges :+= elected.select(lit(k).as("rank"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+      toks = tk
+        .crossJoin(broadcast(elected.select(col("lft"), col("rgt"))))
+        .withColumn("m", coalesce(
+          col("tok") === col("lft") &&
+            lead(col("tok"), 1).over(win) === col("rgt"), lit(false)))
+        .withColumn("st",
+          (col("m") && !coalesce(lag(col("m"), 1).over(win), lit(false)))
+            .cast("int"))
+        .withColumn("grp", sum(col("st")).over(run))
+        .withColumn("rs",
+          min(when(col("m"), col("i")))
+            .over(Window.partitionBy("w", "grp")))
+        .withColumn("act", col("m") && (col("i") - col("rs")) % 2 === 0)
+        .withColumn("cons",
+          coalesce(lag(col("act"), 1).over(win), lit(false)))
+        .where(!col("cons"))
+        .select(col("w"), col("freq"), col("i"),
+          when(col("act"), concat(col("lft"), col("rgt")))
+            .otherwise(col("tok")).as("tok"))
+    }
+    (merges, toks)
+  }
+
+  private[graft] def bpeVocab(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  val bpeTrain = Q(
+    "bpe_train",
+    (s, dir) => {
+      val vocab = bpeVocab(spread(t(s, dir, "documents"), col("doc_id")))
+      val (merges, _) = bpeLoop(vocab)
+      merges.reduce(_ unionByName _)
+    },
+    Some {
+      val outs = (1 to BPE_K).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank, lft, rgt,
+              lft || rgt AS merged, pair_count FROM e$k""")
+        .mkString("\n      UNION ALL\n      ")
+      s"""
+      $bpeSqlWith
+      $outs"""
+    })
+
+  /** DuckDB twin of [[bpeLoop]]: the shared WITH-prefix — vocabulary,
+    * char+`</w>` token explode, and BPE_K unrolled merge rounds (the
+    * same run-start-cumsum + parity algebra). Ends after CTE
+    * t$BPE_K (the final token frame); e$k are the elected pairs. */
+  private def bpeSqlWith: String = {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "t0" else s"t${k - 1}"
+        s""",
+      n$k AS (
+        SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+          tok
+        FROM $prev),
+      p$k AS (
+        SELECT tok AS lft, r AS rgt, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT w, freq, tok,
+                lead(tok) OVER (PARTITION BY w ORDER BY i) AS r
+              FROM n$k)
+        WHERE r IS NOT NULL GROUP BY 1, 2),
+      e$k AS (
+        SELECT lft, rgt, pair_count FROM p$k
+        ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+      x$k AS (
+        SELECT w, freq, i, tok, lft, rgt,
+          coalesce(tok = lft AND
+            lead(tok) OVER (PARTITION BY w ORDER BY i) = rgt, false) AS m
+        FROM n$k CROSS JOIN e$k),
+      y$k AS (
+        SELECT *, CASE WHEN m AND NOT coalesce(
+            lag(m) OVER (PARTITION BY w ORDER BY i), false)
+          THEN 1 ELSE 0 END AS st
+        FROM x$k),
+      z$k AS (
+        SELECT *, SUM(st) OVER (PARTITION BY w ORDER BY i
+          ROWS UNBOUNDED PRECEDING) AS grp
+        FROM y$k),
+      r$k AS (
+        SELECT *, MIN(CASE WHEN m THEN i END)
+          OVER (PARTITION BY w, grp) AS rs
+        FROM z$k),
+      a$k AS (
+        SELECT *, coalesce(m AND (i - rs) % 2 = 0, false) AS act
+        FROM r$k),
+      t$k AS (
+        SELECT w, freq, i,
+          CASE WHEN act THEN lft || rgt ELSE tok END AS tok
+        FROM (SELECT *, coalesce(lag(act)
+                OVER (PARTITION BY w ORDER BY i), false) AS cons
+              FROM a$k)
+        WHERE NOT cons)"""
+      }
+      val rounds = (1 to BPE_K).map(round).mkString
+      s"""WITH w0 AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 1 GROUP BY 1),
+      t0 AS (
+        SELECT word AS w, freq,
+          unnest(range(1, length(word) + 2)) AS i,
+          unnest(list_append(
+            [substring(word, j, 1) for j in range(1, length(word) + 1)],
+            '</w>')) AS tok
+        FROM w0)$rounds"""
+  }
+
+  /** Tokenizer fertility report — apply the [[bpeTrain]] merges
+    * corpus-wide and report tokens-per-word by language (basis
+    * points), the number a multilingual tokenizer audit reads first
+    * (Petrov et al., "Language Model Tokenizers Introduce Unfairness
+    * Between Languages", NeurIPS 2023 measure the same ratio): a
+    * language the merge table under-serves pays more tokens per word
+    * of context. Trains the ONE shared merge table (all languages
+    * pooled — the fairness question needs a shared tokenizer), counts
+    * final tokens per vocabulary word, and aggregates occurrence-
+    * weighted per language.
+    *
+    * Scale shape: [[bpeLoop]]'s vocab-bounded rounds, plus one
+    * (lang, word) count shuffle and a vocab-sized hash join — the
+    * corpus-sized work is the two word counts. */
+  val bpeFertility = Q(
+    "bpe_fertility",
+    (s, dir) => {
+      val docs = spread(t(s, dir, "documents"), col("doc_id"))
+      val (_, fin) = bpeLoop(bpeVocab(docs))
+      val tw = fin.groupBy("w").agg(count(lit(1)).as("tw"))
+      val lw = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 1)
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      lw.join(tw, lw("word") === tw("w"))
+        .groupBy("lang")
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("tw")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(n_tokens * 10000) DIV n_words").as("fertility_bp"))
+    },
+    Some {
+      s"""
+      $bpeSqlWith,
+      tw AS (SELECT w, COUNT(*) AS tw FROM t$BPE_K GROUP BY 1),
+      lw AS (
+        SELECT lang, word, COUNT(*) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 1 GROUP BY 1, 2)
+      SELECT lang,
+        CAST(SUM(n) AS BIGINT) AS n_words,
+        CAST(SUM(n * tw) AS BIGINT) AS n_tokens,
+        (CAST(SUM(n * tw) AS BIGINT) * 10000) // CAST(SUM(n) AS BIGINT)
+          AS fertility_bp
+      FROM lw JOIN tw ON lw.word = tw.w
+      GROUP BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
-    ccnetBuckets, leakageSplit)
+    ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility)
 }

@@ -52,7 +52,14 @@ object ScaleProbe {
     "pack_chunks", "kmeans_train",
     // the tercile gate: doc-sized work is joins; the only window runs
     // over the per-(lang, score) histogram, bounded by the bp grid
-    "ccnet_buckets")
+    "ccnet_buckets",
+    // r12: the grid-cell range join (build amplification must stay ≤ 2×,
+    // never quadratic), the windowed as-of carry (per-user state), the
+    // star-edge leakage split (edges linear in postings), DSIR (two
+    // narrow count shuffles + a ≤ B-row broadcast), and BPE training
+    // (corpus-sized work = ONE word count; rounds run on the vocab
+    // table, which grows sublinearly in corpus size)
+    "range_join", "asof_join", "leakage_split", "dsir_select", "bpe_train")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured

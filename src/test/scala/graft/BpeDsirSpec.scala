@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-12 training ops the DuckDB oracle can't
+  * fully pin:
+  *
+  *  - bpe_train's relational merge pass (run-start cumsum + parity =
+  *    greedy left-to-right) A/B'd against an independent scalar BPE
+  *    trainer (the Sennrich reference algorithm, reimplemented here from
+  *    the paper) on an adversarial planted vocabulary — overlap chains
+  *    ("aaaa" under (a,a)), election ties, merged-token re-matching.
+  *    The oracle proves Spark ≡ DuckDB on the SAME algebra; this proves
+  *    the algebra ≡ the algorithm.
+  *
+  *  - dsir_select's importance direction: documents made of target-only
+  *    vocabulary must outrank documents of off-target vocabulary, and
+  *    the model join must stay broadcast (the ≤ B-row side never
+  *    shuffles the corpus).
+  */
+class BpeDsirSpec extends AnyFunSuite with SparkSuite {
+
+  /** Independent reference BPE (Sennrich, Haddow & Birch 2016, alg. 1):
+    * count adjacent pairs over the word-frequency dict (overlaps
+    * included), elect max count with (left, right) lexicographic
+    * tiebreak, replace greedily left-to-right, repeat. */
+  private def refBpe(words: Map[String, Long], k: Int)
+      : Seq[(String, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] = words.toSeq.map {
+      case (w, f) => (w.map(_.toString).toVector :+ "</w>", f)
+    }
+    val out = collection.mutable.Buffer[(String, String, String, Long)]()
+    for (_ <- 1 to k) {
+      val counts =
+        collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((toks, f) <- vocab; i <- 0 until toks.length - 1)
+        counts((toks(i), toks(i + 1))) += f
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) =>
+          (-n, x, y)
+        }
+        out += ((a, b, a + b, c))
+        vocab = vocab.map { case (toks, f) =>
+          val nb = collection.mutable.Buffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += toks(i); i += 1 }
+          }
+          (nb.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-spec")
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("bpe_train matches the scalar Sennrich reference on adversarial words") {
+    // overlap chains (aaaa/aaa), tie candidates, re-matching merged
+    // tokens (abab: after (a,b)->ab, pair (ab,ab) becomes electable)
+    val text = "aaaa aaa abab abab ab ba baa aab aaaa abab xyxy xy yx"
+    val dir = writeDocs(Seq((1L, text, "en"), (2L, text + " aaaa abab", "de")))
+    val words = (text.split(" ") ++ (text + " aaaa abab").split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val expect = refBpe(words, 6)
+    val got = Queries.byName("bpe_train").build(spark, dir)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+      .toSeq
+    assert(got == expect, s"\n got: $got\n exp: $expect")
+  }
+
+  test("bpe_train greedy overlap parity: aaa under (a,a) merges once") {
+    // one word "aaa" x3 plus noise that keeps (a,a) the top pair:
+    // round 1 must elect (a,a) with count 2*3 (overlap included) and
+    // the merged word must become [aa, a, </w>] — visible in round 2's
+    // election moving to (aa, a) over this vocab
+    val dir = writeDocs(Seq((1L, "aaa aaa aaa", "en")))
+    val got = Queries.byName("bpe_train").build(spark, dir)
+      .orderBy("rank").collect()
+    val expect = refBpe(Map("aaa" -> 3L), 6)
+    val gotT = got.map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt"),
+      r.getAs[String]("merged"), r.getAs[Long]("pair_count"))).toSeq
+    assert(gotT == expect, s"\n got: $gotT\n exp: $expect")
+    assert(gotT.head == (("a", "a", "aa", 6L)), gotT.head)
+  }
+
+  test("dsir_select ranks target-vocabulary docs above off-target docs") {
+    // target model = lang 'en' docs; qq-vocabulary is en-only,
+    // zz-vocabulary de-only. A raw doc written in qq-speak must carry
+    // a higher importance weight than one in zz-speak.
+    val qq = Array.fill(30)("qq").mkString(" ")
+    val zz = Array.fill(30)("zz").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, qq, "en"), (2L, qq, "en"), (3L, zz, "de"), (4L, zz, "de"),
+      (5L, qq, "de"), // the doc DSIR should fish out of the raw pool
+      (6L, zz, "fr")))
+    val rows = Queries.byName("dsir_select").build(spark, dir).collect()
+    val w = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_w")).toMap
+    assert(w(5L) > w(6L), s"qq-doc ${w(5L)} !> zz-doc ${w(6L)}")
+    assert(w(1L) > w(3L), w)
+  }
+
+  test("dsir_select model join is broadcast and top-k is TakeOrdered") {
+    val df = Queries.byName("dsir_select").build(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
