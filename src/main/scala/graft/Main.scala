@@ -31,6 +31,8 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
+  *                      [-dsir lang:keep_bp] [-split]
+  * graft.Main bpe       <sfDir> <outDir>
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -780,6 +782,42 @@ object Main {
             .drop("keep_bp")
           mixtureDropped = before - kept.count()
         }
+        var dsirDropped = 0L
+        opt(rest, "-dsir").foreach { spec =>
+          // DSIR selection gate (dsir_select applied): keep only the
+          // top keep_bp basis-points share of the kept pool by hashed
+          // n-gram importance weight toward the target language.
+          // The cutoff weight comes from the WEIGHT HISTOGRAM — the
+          // ccnet_buckets discipline: the running count runs over the
+          // bounded per-weight census (weights are integers in
+          // half-bit units), never a per-doc global window. Ties at
+          // the cutoff weight all keep, so the kept count can exceed
+          // the target by the tie class — documented, deterministic.
+          val parts = spec.split(":", 2)
+          require(parts.length == 2 && parts(1).matches("[0-9]+"),
+            s"-dsir wants lang:keep_bp, got $spec")
+          val (targetLang, keepBp) = (parts(0), parts(1).toLong)
+          require(keepBp >= 1 && keepBp <= 10000,
+            s"-dsir keep_bp out of (0, 10000]: $keepBp")
+          val before = kept.count()
+          val target = (before * keepBp + 9999L) / 10000L
+          val w = QueriesPipeline.dsirWeights(
+            kept.select(col("doc_id"), col("lang"), col("text")), targetLang)
+            .select(col("doc_id"), col("dsir_w"))
+          val cutoff = w.groupBy("dsir_w").count()
+            .withColumn("cum", sum(col("count")).over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("dsir_w").desc)
+                .rowsBetween(org.apache.spark.sql.expressions.Window
+                  .unboundedPreceding, 0)))
+            .where(col("cum") >= target)
+            .agg(max(col("dsir_w")).as("cutoff"))
+          kept = kept.join(w, "doc_id")
+            .crossJoin(broadcast(cutoff))
+            .where(col("dsir_w") >= coalesce(col("cutoff"), lit(Long.MinValue)))
+            .drop("dsir_w", "cutoff")
+          dsirDropped = before - kept.count()
+        }
         var ccnetDropped = 0L
         opt(rest, "-ccnet").foreach { keepList =>
           // CCNet bucket gate (ccnet_buckets applied): keep only the
@@ -806,13 +844,26 @@ object Main {
             .drop("bucket")
           ccnetDropped = before - kept.count()
         }
-        val corpus = kept
+        var corpus = kept
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("shard",
             Queries.md5Long(col("doc_id").cast("string")) % shards)
           .select(col("shard"), col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"))
-          .cache()
+        if (rest.contains("-split")) {
+          // leakage-safe train/val/test assignment (leakage_split
+          // applied to the EXPORTED text): docs sharing any 15-word
+          // window land in the same split — the coin is thrown once
+          // per connected-component root, so boilerplate chains can't
+          // straddle train and eval. Runs on the post-gate corpus: a
+          // split computed before dedup would waste its edges on docs
+          // the gates drop anyway.
+          val asg = QueriesPipeline.leakageSplitAssign(
+              corpus.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("split"))
+          corpus = corpus.join(asg, "doc_id")
+        }
+        corpus = corpus.cache()
         corpus.write.partitionBy("shard").mode("overwrite")
           .parquet(s"$outDir/corpus")
         corpus.groupBy("shard")
@@ -832,7 +883,7 @@ object Main {
             if (reason == "keep") "docs_kept"
             else s"dropped_$reason",
             if (reason == "keep")
-              n - substrEmptied - mixtureDropped - ccnetDropped
+              n - substrEmptied - mixtureDropped - ccnetDropped - dsirDropped
             else n))
         }
         if (rest.contains("-exactsubstr")) {
@@ -849,6 +900,15 @@ object Main {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "dropped_ccnet", ccnetDropped))
         }
+        if (rest.contains("-dsir")) {
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "dropped_dsir", dsirDropped))
+        }
+        if (rest.contains("-split")) {
+          corpus.groupBy("split").count().collect().foreach(r =>
+            metrics.append(Metrics.gauge(spark, 0, "corpus",
+              s"split_${r.getString(0)}", r.getLong(1))))
+        }
         labeled.unpersist()
         substrCache.foreach(_.unpersist())
         println(s"corpus: ${reasons.getOrElse("keep", 0L)} docs kept of " +
@@ -856,6 +916,32 @@ object Main {
           reasons.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString("(", " ", ")"))
         corpus.unpersist()
+        0
+      case "bpe" :: sfDir :: outDir :: _ =>
+        // Train the BPE merge table on the corpus and report it plus
+        // the per-language fertility audit — ONE bpeLoop run feeds
+        // both outputs (the two queries would train twice).
+        import org.apache.spark.sql.functions._
+        val docs = Tables(spark, sfDir, "documents")
+        val (merges, fin) = QueriesPipeline.bpeLoop(
+          QueriesPipeline.bpeVocab(docs))
+        val mergesDf = merges.reduce(_ unionByName _).cache()
+        mergesDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/merges")
+        val fert = QueriesPipeline.bpeFertilityFrom(docs, fin).cache()
+        fert.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/fertility")
+        mergesDf.orderBy("rank").collect().foreach { r =>
+          println(s"merge\t${r.getAs[Int]("rank")}\t" +
+            s"${r.getAs[String]("lft")}\t${r.getAs[String]("rgt")}\t" +
+            s"${r.getAs[Long]("pair_count")}")
+        }
+        fert.orderBy("lang").collect().foreach { r =>
+          println(s"fertility\t${r.getAs[String]("lang")}\t" +
+            s"${r.getAs[Long]("n_words")}\t${r.getAs[Long]("n_tokens")}\t" +
+            s"${r.getAs[Long]("fertility_bp")}")
+        }
+        mergesDf.unpersist(); fert.unpersist()
         0
       case "metrics" :: dir :: rest =>
         import org.apache.spark.sql.functions.col

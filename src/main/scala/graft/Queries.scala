@@ -75,12 +75,21 @@ object Queries {
   def sqlMd5Long(expr: String): String =
     s"CAST('0x' || substr(md5($expr),1,15) AS BIGINT)"
 
-  /** All declared queries, in registration order. */
-  val all: Seq[Q] =
+  /** All declared queries, in registration order.
+    *
+    * LAZY on purpose: each QueriesX object's initializer calls back
+    * into helpers here (t/spread/fx), so an entry point that touches a
+    * QueriesX object FIRST (e.g. Main's `bpe` verb calling
+    * QueriesPipeline.bpeLoop directly) starts this object's init from
+    * inside that one's — an eager `all` would then read the
+    * mid-initialization object's still-null `all` member (observed as
+    * an opaque NPE in ListBuffer.addAll). Deferring the concatenation
+    * to first access breaks the cycle for every entry order. */
+  lazy val all: Seq[Q] =
     QueriesCore.all ++ QueriesGraph.all ++ QueriesCrawl.all ++
       QueriesText.all ++ QueriesEmbed.all ++ QueriesStream.all ++
       QueriesUpdateDb.all ++ QueriesNet.all ++ QueriesSinks.all ++
       QueriesFilters.all ++ QueriesPipeline.all ++ QueriesPlugins.all
 
-  val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1810,22 +1810,30 @@ object QueriesPipeline {
     * Scale shape: [[bpeLoop]]'s vocab-bounded rounds, plus one
     * (lang, word) count shuffle and a vocab-sized hash join — the
     * corpus-sized work is the two word counts. */
+  /** Occurrence-weighted per-language fertility of a trained token
+    * frame (the CLI shares this with [[bpeFertility]] so `bpe` runs
+    * the loop once for both reports). */
+  private[graft] def bpeFertilityFrom(docs: org.apache.spark.sql.DataFrame,
+      fin: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tw = fin.groupBy("w").agg(count(lit(1)).as("tw"))
+    val lw = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    lw.join(tw, lw("word") === tw("w"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("tw")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 10000) DIV n_words").as("fertility_bp"))
+  }
+
   val bpeFertility = Q(
     "bpe_fertility",
     (s, dir) => {
       val docs = spread(t(s, dir, "documents"), col("doc_id"))
       val (_, fin) = bpeLoop(bpeVocab(docs))
-      val tw = fin.groupBy("w").agg(count(lit(1)).as("tw"))
-      val lw = docs
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .where(length(col("word")) >= 1)
-        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
-      lw.join(tw, lw("word") === tw("w"))
-        .groupBy("lang")
-        .agg(sum(col("n")).as("n_words"),
-          sum(col("n") * col("tw")).as("n_tokens"))
-        .select(col("lang"), col("n_words"), col("n_tokens"),
-          expr("(n_tokens * 10000) DIV n_words").as("fertility_bp"))
+      bpeFertilityFrom(docs, fin)
     },
     Some {
       s"""

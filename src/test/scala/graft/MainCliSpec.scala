@@ -679,4 +679,83 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
       .agg(sum("value")).head().getLong(0)
     assert(removed == 40L, removed)
   }
+
+  test("corpus -dsir keeps exactly the top-weight share of the pool " +
+    "(ties widen), conservation holds") {
+    import org.apache.spark.sql.functions.{col, sum, min => smin, max => smax}
+    val root = Files.createTempDirectory("cli-corpus-dsir").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/plain", "-shards", "4") == 0)
+    assert(v("corpus", sf, s"$root/sel", "-shards", "4",
+      "-dsir", "en:5000") == 0)
+    val plain = spark.read.parquet(s"$root/plain/corpus")
+    val sel = spark.read.parquet(s"$root/sel/corpus")
+    val (nPlain, nSel) = (plain.count(), sel.count())
+    val target = (nPlain * 5000 + 9999) / 10000
+    assert(nSel >= target && nSel < nPlain, s"$nSel vs target $target")
+    // the kept set is EXACTLY the top-weight docs of the pool: the
+    // lowest kept weight >= the highest dropped weight
+    val w = QueriesPipeline.dsirWeights(
+      plain.select(col("doc_id"), col("lang"), col("text")), "en")
+    val keptW = w.join(sel.select("doc_id"), "doc_id")
+    val dropW = w.join(plain.select("doc_id")
+      .except(sel.select("doc_id")), "doc_id")
+    val lowKept = keptW.agg(smin("dsir_w")).head().getLong(0)
+    val highDrop = dropW.agg(smax("dsir_w")).head().getLong(0)
+    assert(lowKept >= highDrop, s"$lowKept !>= $highDrop")
+    // conservation: docs_in == docs_kept + every dropped_* counter
+    val m = new graft.ops.Metrics.Table(spark, s"$root/sel/metrics").read()
+    def g(n: String): Long = m.where(col("name") === n)
+      .select("value").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val dropped = m.where(col("name").startsWith("dropped_"))
+      .agg(sum("value")).head().getLong(0)
+    assert(g("docs_in") == g("docs_kept") + dropped)
+    assert(g("dropped_dsir") == nPlain - nSel)
+  }
+
+  test("corpus -split: every exported doc gets a deterministic " +
+    "leakage-safe split and the split metrics conserve") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val root = Files.createTempDirectory("cli-corpus-split").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/out", "-shards", "4", "-split") == 0)
+    val corpus = spark.read.parquet(s"$root/out/corpus")
+    val n = corpus.count()
+    assert(n > 0)
+    val splits = corpus.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.size >= 2,
+      splits)
+    // deterministic and leakage-safe: recomputing the assignment on
+    // the exported text reproduces the exported column exactly (docs
+    // sharing any 15-word window share a cluster root, hence a split)
+    val again = QueriesPipeline.leakageSplitAssign(
+        corpus.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("split").as("split2"))
+    assert(corpus.select("doc_id", "split").join(again, "doc_id")
+      .where(col("split") =!= col("split2")).isEmpty)
+    // metrics: per-split gauges sum to the corpus size
+    val m = new graft.ops.Metrics.Table(spark, s"$root/out/metrics").read()
+    val splitSum = m.where(col("name").startsWith("split_"))
+      .agg(sum("value")).head().getLong(0)
+    assert(splitSum == n, s"$splitSum != $n")
+  }
+
+  test("bpe verb: one training run writes the merge table and the " +
+    "fertility audit, matching the oracle-checked queries") {
+    val root = Files.createTempDirectory("cli-bpe").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("bpe", sf, s"$root/out") == 0)
+    val merges = spark.read.parquet(s"$root/out/merges")
+    val wantMerges = Queries.byName("bpe_train").build(spark, sf)
+    assert(merges.count() == 6)
+    assert(merges.except(wantMerges).isEmpty &&
+      wantMerges.except(merges).isEmpty)
+    val fert = spark.read.parquet(s"$root/out/fertility")
+    val wantFert = Queries.byName("bpe_fertility").build(spark, sf)
+    assert(fert.except(wantFert).isEmpty && wantFert.except(fert).isEmpty)
+  }
 }
