@@ -390,6 +390,22 @@ object QueriesCore {
     * hash-shuffle join with ≤ 2× build amplification instead of an
     * unprunable |probe|×|bands| loop — the standard spatial-grid
     * decomposition, 1-D. All arithmetic is exact 64-bit integer. */
+  /** The grid-cell interval join on any (band_id, lo, hi) × (o_orderkey,
+    * v) pair of frames — see [[rangeJoin]]. G must be ≥ the max band
+    * width so each band explodes to ≤ 2 cells. */
+  private[graft] def rangeJoinOn(bands: org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame, G: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = bands.withColumn("cell",
+      explode(sequence(expr("lo div " + G), expr("(hi - 1) div " + G))))
+    probe.withColumn("cell", expr("v div " + G))
+      .join(cells, "cell")
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_o"),
+        sum(col("v")).as("sum_v"))
+  }
+
   val rangeJoin = Q(
     "range_join",
     (s, dir) => {
@@ -401,14 +417,7 @@ object QueriesCore {
           (col("p_partkey") % 13) * 300).as("hi"))
       val probe = t(s, dir, "orders").select(
         col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
-      val cells = bands.withColumn("cell",
-        explode(sequence(expr("lo div " + G), expr("(hi - 1) div " + G))))
-      probe.withColumn("cell", expr("v div " + G))
-        .join(cells, "cell")
-        .filter(col("v") >= col("lo") && col("v") < col("hi"))
-        .groupBy("band_id")
-        .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_o"),
-          sum(col("v")).as("sum_v"))
+      rangeJoinOn(bands, probe, G)
     },
     Some("""
       SELECT p_partkey AS band_id,

@@ -53,13 +53,19 @@ object ScaleProbe {
     // the tercile gate: doc-sized work is joins; the only window runs
     // over the per-(lang, score) histogram, bounded by the bp grid
     "ccnet_buckets",
-    // r12: the grid-cell range join (build amplification must stay ≤ 2×,
-    // never quadratic), the windowed as-of carry (per-user state), the
-    // star-edge leakage split (edges linear in postings), DSIR (two
-    // narrow count shuffles + a ≤ B-row broadcast), and BPE training
-    // (corpus-sized work = ONE word count; rounds run on the vocab
-    // table, which grows sublinearly in corpus size)
-    "range_join", "asof_join", "leakage_split", "dsir_select", "bpe_train")
+    // r12: the windowed as-of carry (per-user state), the star-edge
+    // leakage split (edges linear in postings), DSIR (two narrow count
+    // shuffles + a ≤ B-row broadcast), and BPE training (corpus-sized
+    // work = ONE word count; rounds run on the vocab table, which
+    // grows sublinearly in corpus size). range_join is deliberately
+    // NOT in the inflate series: inflating both sides ×N in the same
+    // value domain multiplies band count AND matches-per-band, so the
+    // TRUE OUTPUT grows ×N² (5.9G joined rows at ×100) — a property of
+    // the question, not the algorithm; the custom range_join_kn series
+    // below scales at constant selectivity instead (width ∝ 1/N keeps
+    // matches-per-band fixed ⇒ output ∝ N) to measure the grid
+    // decomposition itself.
+    "asof_join", "leakage_split", "dsir_select", "bpe_train")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
@@ -330,6 +336,27 @@ object ScaleProbe {
         QueriesGraph.buildHits(Tables(spark, sfDir, "lineitem")
           .selectExpr(s"l_orderkey % $m as src",
             s"l_partkey % $m + $m as dst"))
+      })
+    } :+ {
+      // range_join at CONSTANT SELECTIVITY: band count and probe count
+      // grow ∝ N while band widths shrink ∝ 1/N, holding expected
+      // matches-per-band fixed ⇒ true output ∝ N. This isolates the
+      // grid decomposition's own cost (two scans, one hash join, ≤ 2×
+      // build amplification) from the ×N² output the naive inflation
+      // forces (see defaultQueries note). G stays ≥ the ×1 max width
+      // so the ≤ 2-cells-per-band invariant holds at every N.
+      val name = "range_join_kn"
+      name -> withRetry(name, () => measureBuilt(name) { n =>
+        import org.apache.spark.sql.functions._
+        val bands = Tables(spark, sfDir, "part").select(
+          col("p_partkey").as("band_id"),
+          ((col("p_partkey") * 9973) % 100000).as("lo"),
+          ((col("p_partkey") * 9973) % 100000 +
+            greatest(lit(1L),
+              expr(s"(100 + (p_partkey % 13) * 300) div $n"))).as("hi"))
+        val probe = Tables(spark, sfDir, "orders").select(
+          col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
+        QueriesCore.rangeJoinOn(bands, probe, 4096L)
       })
     } :+ {
       // semantic_dedup's candidate stage at its DOCUMENTED scale knob:

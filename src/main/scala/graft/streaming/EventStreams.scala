@@ -279,4 +279,50 @@ object EventStreams {
       .select(col("doc_id"), col("sig"), lit("keep").as("verdict"))
     checked.unionByName(fresh)
   }
+
+  final case class AsofState(viewTs: Long, viewEvent: Long)
+  final case class AsofOut(purchase_event: Long, user_id: Long,
+      view_event: Option[Long], gap_us: Option[Long])
+
+  /** Point-in-time enrichment — the streaming twin of the batch
+    * `asof_join` query: each purchase is emitted with the latest
+    * STRICTLY PRIOR view by the same user. State per user is O(1) —
+    * the single newest (ts, event) view pair — where a stream-stream
+    * interval join would buffer a watermark's worth of BOTH sides.
+    * Within a micro-batch, events process in (ts, type-rank,
+    * event_id) order with purchases BEFORE views at equal ts, so a
+    * ts-tie never counts as prior (the batch query's rank
+    * discipline); equal-ts views reduce to max event_id (the batch
+    * pre-reduction). The running max-(ts, event) state update makes
+    * out-of-order VIEW arrival harmless even across micro-batches;
+    * purchases assume per-user cross-batch arrival order (the
+    * sessionize contract) — a late purchase would see a future view. */
+  def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[AsofState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          var st = state.getOption.orNull
+          batch.toSeq
+            .sortBy(e => (e.ts_us,
+              if (e.event_type == "purchase") 0 else 1, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "purchase") {
+                out += (if (st == null) AsofOut(e.event_id, userId, None, None)
+                  else AsofOut(e.event_id, userId, Some(st.viewEvent),
+                    Some(e.ts_us - st.viewTs)))
+              } else if (st == null || e.ts_us > st.viewTs ||
+                  (e.ts_us == st.viewTs && e.event_id > st.viewEvent)) {
+                st = AsofState(e.ts_us, e.event_id)
+              }
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

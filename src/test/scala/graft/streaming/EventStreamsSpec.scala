@@ -339,4 +339,69 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
         .foreach(n => spark.sql(s"DROP TABLE `$n`"))
     }
   }
+
+  test("asofEnrich carries the latest prior view across micro-batches " +
+    "with the equal-ts and tie disciplines of the batch query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(in.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      // batch 1: view at t0, two equal-ts views at t1 (max event_id
+      // must win), a purchase AT t1 (ties are not prior -> sees t0),
+      // a purchase with no prior view for another user
+      in.addData(
+        Event(10, 1, "view", base, 0),
+        Event(11, 1, "purchase", base + H, 0),
+        Event(12, 1, "view", base + H, 0),
+        Event(13, 1, "view", base + H, 0),
+        Event(20, 2, "purchase", base, 0))
+      q.processAllAvailable()
+      // batch 2: purchase after the equal-ts pair -> max event_id view;
+      // state carried across the batch boundary
+      in.addData(Event(14, 1, "purchase", base + 2 * H, 0))
+      q.processAllAvailable()
+      val rows = spark.table("asof").as[EventStreams.AsofOut]
+        .collect().map(o => o.purchase_event ->
+          ((o.view_event, o.gap_us))).toMap
+      assert(rows(11L) == ((Some(10L), Some(H))))     // tie not prior
+      assert(rows(20L) == ((None, None)))             // no prior view
+      assert(rows(14L) == ((Some(13L), Some(H))))     // max-id tie view
+    } finally q.stop()
+  }
+
+  test("asofEnrich is row-identical to the oracle-checked batch " +
+    "asof_join on the real events table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ts div 1000 as ts_us", "value")
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(in.toDS())
+      .writeStream.format("memory").queryName("asof_ab")
+      .outputMode("append").start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_ab").as[EventStreams.AsofOut]
+        .collect()
+        .map(o => (o.purchase_event, o.user_id,
+          o.view_event.getOrElse(-1L), o.gap_us.getOrElse(-1L)))
+        .toSet
+      val batch = graft.Queries.byName("asof_join").build(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)} " +
+          s"batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
 }
