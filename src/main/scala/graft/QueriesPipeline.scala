@@ -1853,10 +1853,94 @@ object QueriesPipeline {
       GROUP BY 1"""
     })
 
+  /** Curriculum ordering (Bengio et al., ICML 2009, applied corpus-
+    * side): emit the deterministic easy→hard training order — docs
+    * bucket into difficulty QUARTILES (difficulty = integer rarity
+    * per token, the rarity_score signal: common-vocabulary text
+    * is "easy"), and within each quartile sources interleave
+    * round-robin so no curriculum phase is single-source. Training
+    * order = (bucket, intra, source) lexicographic; the output
+    * carries the three columns that define it.
+    *
+    * Scale shape: quartile cuts come from the bounded per-score
+    * HISTOGRAM (the ccnet_buckets discipline — the only global window
+    * runs over ≤ bp-grid rows, broadcast back), and the within-
+    * (bucket, source) interleave rank is a distributed PrefixSum
+    * running count (the pack_chunks discipline) — at 4 buckets a
+    * bucket×source group holds ~an eighth of the corpus, exactly the
+    * data-sized window partition this repo excises; parallelism stays
+    * at partition count. One token-count shuffle + two narrow scan
+    * shuffles; the rarity join broadcasts nothing heavier than the
+    * vocabulary counts already shuffled. */
+  val curriculumOrder = Q(
+    "curriculum_order",
+    (s, dir) => {
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      val tf = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = tf.agg(count(lit(1)).as("n_total"))
+      val diff = tf.join(cnt, "w").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(expr("(sum(n_total DIV cnt) * 10000) DIV count(1)")
+          .as("diff_bp"))
+        // the histogram the quartile cuts run over must be BOUNDED
+        // (the ccnet bp-grid discipline): clamp the heavy tail — a doc
+        // 100x rarer-than-average per token is "hardest" regardless —
+        // so the one global cumsum window sees <= 1e6 rows at any
+        // corpus size, never a doc-sized partition
+        .withColumn("diff_q", least(col("diff_bp"), lit(1000000L)))
+      val hist = diff.groupBy("diff_q").agg(count(lit(1)).as("hcnt"))
+      val ntot = hist.agg(sum("hcnt").as("ntot"))
+      val wcum = Window.orderBy("diff_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bk = hist.crossJoin(broadcast(ntot))
+        .withColumn("cum", sum(col("hcnt")).over(wcum))
+        .select(col("diff_q"),
+          expr("((cum - hcnt) * 4) DIV ntot").as("bucket"))
+      val bucketed = diff.join(broadcast(bk), "diff_q")
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      graft.ops.PrefixSum.groupedRunningSum(bucketed,
+          struct(col("bucket"), col("source")), col("doc_id"),
+          lit(1L), "intra")
+        .select(col("doc_id"), col("source"), col("diff_bp"),
+          col("bucket").cast("int").as("bucket"), col("intra"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      c AS (SELECT w, COUNT(*) AS cnt FROM tf GROUP BY 1),
+      t AS (SELECT COUNT(*) AS n_total FROM tf),
+      diff AS (
+        SELECT doc_id,
+          (CAST(SUM(n_total // cnt) AS BIGINT) * 10000) // COUNT(*)
+            AS diff_bp,
+          LEAST((CAST(SUM(n_total // cnt) AS BIGINT) * 10000) // COUNT(*),
+            1000000) AS diff_q
+        FROM tf JOIN c USING (w) CROSS JOIN t
+        GROUP BY 1),
+      hist AS (SELECT diff_q, COUNT(*) AS hcnt FROM diff GROUP BY 1),
+      nt AS (SELECT CAST(SUM(hcnt) AS BIGINT) AS ntot FROM hist),
+      bk AS (
+        SELECT diff_q,
+          (((SUM(hcnt) OVER (ORDER BY diff_q)) - hcnt) * 4) // ntot
+            AS bucket
+        FROM hist CROSS JOIN nt)
+      SELECT d.doc_id, doc.source, d.diff_bp,
+        CAST(bucket AS INTEGER) AS bucket,
+        CAST(row_number() OVER (
+          PARTITION BY bucket, doc.source ORDER BY d.doc_id) AS BIGINT)
+          AS intra
+      FROM diff d
+      JOIN bk USING (diff_q)
+      JOIN documents doc ON d.doc_id = doc.doc_id"""))
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
-    ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility)
+    ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility,
+    curriculumOrder)
 }

@@ -65,7 +65,10 @@ object ScaleProbe {
     // below scales at constant selectivity instead (width ∝ 1/N keeps
     // matches-per-band fixed ⇒ output ∝ N) to measure the grid
     // decomposition itself.
-    "asof_join", "leakage_split", "dsir_select", "bpe_train")
+    "asof_join", "leakage_split", "dsir_select", "bpe_train",
+    // curriculum_order: histogram quartiles + PrefixSum interleave
+    // ranks — the two skew disciplines composed; both must stay linear
+    "curriculum_order")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
@@ -321,44 +324,52 @@ object ScaleProbe {
         }
       }
     }
-    val series = (names.map { name =>
-      name -> withRetry(name, () => measureQuery(name))
-    } :+ {
+    // custom (non-registry) series honor the same SPARK_GRAFT_SCALE_QUERIES
+    // filter when it is set, so a deep run can pick exactly its series;
+    // with the filter unset every custom runs (the full-board default)
+    val wantCustom: String => Boolean =
+      sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+        case Some(qs) => qs.split(",").map(_.trim).toSet
+        case None => _ => true
+      }
+    val customs: Seq[(String, () => Seq[Point])] = Seq(
       // hits on a graph whose NODE count scales with the data: the
       // board's hits_scores pins a fixed 1000-node graph, so its
       // standard probe measures exchange reuse, not the operator's
       // growth law (its shuffle SHRINKS with N there). Here |V| and
       // |E| both grow ∝ N and each half-step's E⋈V + keyed sum must
       // grow ~linearly.
-      val name = "hits_scaled_graph"
-      name -> withRetry(name, () => measureBuilt(name) { n =>
-        val m = 500L * n
-        QueriesGraph.buildHits(Tables(spark, sfDir, "lineitem")
-          .selectExpr(s"l_orderkey % $m as src",
-            s"l_partkey % $m + $m as dst"))
-      })
-    } :+ {
+      "hits_scaled_graph" -> { () =>
+        withRetry("hits_scaled_graph", () => measureBuilt("hits_scaled_graph") { n =>
+          val m = 500L * n
+          QueriesGraph.buildHits(Tables(spark, sfDir, "lineitem")
+            .selectExpr(s"l_orderkey % $m as src",
+              s"l_partkey % $m + $m as dst"))
+        })
+      },
       // range_join at CONSTANT SELECTIVITY: band count and probe count
       // grow ∝ N while band widths shrink ∝ 1/N, holding expected
-      // matches-per-band fixed ⇒ true output ∝ N. This isolates the
-      // grid decomposition's own cost (two scans, one hash join, ≤ 2×
-      // build amplification) from the ×N² output the naive inflation
-      // forces (see defaultQueries note). G stays ≥ the ×1 max width
-      // so the ≤ 2-cells-per-band invariant holds at every N.
-      val name = "range_join_kn"
-      name -> withRetry(name, () => measureBuilt(name) { n =>
-        import org.apache.spark.sql.functions._
-        val bands = Tables(spark, sfDir, "part").select(
-          col("p_partkey").as("band_id"),
-          ((col("p_partkey") * 9973) % 100000).as("lo"),
-          ((col("p_partkey") * 9973) % 100000 +
-            greatest(lit(1L),
-              expr(s"(100 + (p_partkey % 13) * 300) div $n"))).as("hi"))
-        val probe = Tables(spark, sfDir, "orders").select(
-          col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
-        QueriesCore.rangeJoinOn(bands, probe, 4096L)
-      })
-    } :+ {
+      // matches-per-band fixed ⇒ true output ∝ N. The grid cell size
+      // TRACKS the shrinking width (G ∝ 1/N, always ≥ the max width):
+      // a fixed G over 1/N-width bands packs ~N× more bands per cell
+      // and the within-cell candidate product goes quadratic — the
+      // spatial-grid discipline is that cell size follows object size,
+      // measured here (a fixed-G first cut clocked 66×/decade at ×100;
+      // width-matched G restores the linear law).
+      "range_join_kn" -> { () =>
+        withRetry("range_join_kn", () => measureBuilt("range_join_kn") { n =>
+          import org.apache.spark.sql.functions._
+          val bands = Tables(spark, sfDir, "part").select(
+            col("p_partkey").as("band_id"),
+            ((col("p_partkey") * 9973) % 100000).as("lo"),
+            ((col("p_partkey") * 9973) % 100000 +
+              greatest(lit(1L),
+                expr(s"(100 + (p_partkey % 13) * 300) div $n"))).as("hi"))
+          val probe = Tables(spark, sfDir, "orders").select(
+            col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
+          QueriesCore.rangeJoinOn(bands, probe, math.max(4L, 4096L / n))
+        })
+      },
       // semantic_dedup's candidate stage at its DOCUMENTED scale knob:
       // cluster count ∝ n (SemDeDup's own regime — the operator is
       // excluded from the standard ladder because fixed cluster count
@@ -368,22 +379,23 @@ object ScaleProbe {
       // embedding column — the candidate stage reads only
       // (cell, band bits, ccos order), so this isolates its growth
       // law from quantizer quality.
-      spark.conf.set("spark.graft.inflate", "1")
-      val targetCluster = 250L
-      val baseRows = Tables(spark, sfDir, "embeddings").count()
-      val name = "semantic_candidates_kn"
-      name -> withRetry(name, () => measureBuilt(name) { n =>
-        import org.apache.spark.sql.functions._
-        val k = math.max(2L, baseRows * n / targetCluster)
-        val asg = Tables(spark, sfDir, "embeddings")
-          .select(col("vec_id"),
-            graft.functions.Similarity.quantized(col("embedding")).as("qv"))
-          .withColumn("nsq", graft.functions.Similarity.normSqQ(col("qv")))
-          .withColumn("cell", pmod(col("vec_id") * 2654435761L, lit(k)))
-          .withColumn("ccos", (col("vec_id") % 1000) / 1000.0)
-        QueriesEmbed.semanticCandidates(asg)
-      })
-    } :+ {
+      "semantic_candidates_kn" -> { () =>
+        spark.conf.set("spark.graft.inflate", "1")
+        val targetCluster = 250L
+        val baseRows = Tables(spark, sfDir, "embeddings").count()
+        withRetry("semantic_candidates_kn",
+          () => measureBuilt("semantic_candidates_kn") { n =>
+            import org.apache.spark.sql.functions._
+            val k = math.max(2L, baseRows * n / targetCluster)
+            val asg = Tables(spark, sfDir, "embeddings")
+              .select(col("vec_id"),
+                graft.functions.Similarity.quantized(col("embedding")).as("qv"))
+              .withColumn("nsq", graft.functions.Similarity.normSqQ(col("qv")))
+              .withColumn("cell", pmod(col("vec_id") * 2654435761L, lit(k)))
+              .withColumn("ccos", (col("vec_id") % 1000) / 1000.0)
+            QueriesEmbed.semanticCandidates(asg)
+          })
+      },
       // the corpus EXPORT verb end-to-end — the actual 100 TB job:
       // quality gates + exact/line/span dedup + near-dup drop +
       // ExactSubstr span removal + temperature rebalance + ccnet
@@ -393,31 +405,38 @@ object ScaleProbe {
       // composition (shared scans, the caches, the real parquet
       // write). Dozens of executions — like conductor_round, no
       // single join inventory, so transitions don't apply.
-      "corpus_export" -> factors.map { n =>
-        spark.conf.set("spark.graft.inflate", n.toString)
-        val root = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-corpus-$n").toString
-        val (sec, mb, err) = measure {
-          val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
-            "-neardup", "-exactsubstr", "-temperature",
-            "-ccnet", "head,middle"))
-          require(rc == 0, s"corpus export rc=$rc")
+      "corpus_export" -> { () =>
+        factors.map { n =>
+          spark.conf.set("spark.graft.inflate", n.toString)
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-scale-corpus-$n").toString
+          val (sec, mb, err) = measure {
+            val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
+              "-neardup", "-exactsubstr", "-temperature",
+              "-ccnet", "head,middle"))
+            require(rc == 0, s"corpus export rc=$rc")
+          }
+          tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
+          System.err.println(f"[scale] corpus_export           n=$n%-4d " +
+            f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+          Point(n, sec, mb, err)
         }
-        tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
-        System.err.println(f"[scale] corpus_export           n=$n%-4d " +
-          f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
-        Point(n, sec, mb, err)
-      }
-    } :+ {
-      spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
-      "conductor_round" -> factors.map { n =>
-        val (sec, mb, err) = measure(conductorRound(spark, n))
-        System.err.println(f"[scale] conductor_round          n=$n%-4d " +
-          f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
-        // a conductor round is dozens of executions, not one plan — no
-        // single join inventory to compare, so transitions don't apply
-        Point(n, sec, mb, err)
-      }
+      },
+      "conductor_round" -> { () =>
+        spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
+        factors.map { n =>
+          val (sec, mb, err) = measure(conductorRound(spark, n))
+          System.err.println(f"[scale] conductor_round          n=$n%-4d " +
+            f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+          // a conductor round is dozens of executions, not one plan — no
+          // single join inventory to compare, so transitions don't apply
+          Point(n, sec, mb, err)
+        }
+      })
+    val series = (names.map { name =>
+      name -> withRetry(name, () => measureQuery(name))
+    } ++ customs.collect {
+      case (name, run) if wantCustom(name) => name -> run()
     }).toMap
 
     val bad = series.toSeq.sortBy(_._1).flatMap { case (q, pts) =>
