@@ -1936,11 +1936,79 @@ object QueriesPipeline {
       JOIN bk USING (diff_q)
       JOIN documents doc ON d.doc_id = doc.doc_id"""))
 
+  /** Data-constrained epoch allocation (Muennighoff et al., "Scaling
+    * Data-Constrained Language Models", NeurIPS 2023: repeating data
+    * up to ~4 epochs is close to fresh-data value, beyond that the
+    * return decays fast): given a token BUDGET of 3× the corpus, give
+    * each source a √-temperature target share (the mixture_temperature
+    * weights) and fill it by REPEATING that source's tokens — capped
+    * at 4 epochs. Per source: its tokens, its budget target, the
+    * granted epoch count (basis points — 10000 = one epoch), the
+    * allocated token mass, and whether the cap bound it. The sum of
+    * alloc short of the budget is the mass the cap freed for
+    * fresh-data acquisition — the number the paper's planner needs.
+    *
+    * Integer-exact: √-weights are floor(sqrt) of exact int doubles
+    * (IEEE-identical both engines — the temperature discipline);
+    * target = (T div sw)·w + ((T mod sw)·w) div sw, the split
+    * multiply that stays in 64 bits at 100 TB corpus sizes where the
+    * naive T·w product overflows.
+    *
+    * Shape: one count shuffle to a per-source census, one-row
+    * broadcast totals — trivially 100 TB-safe; the expensive part of
+    * acting on it is sample_cap/temperature, already probed. */
+  val epochMix = Q(
+    "epoch_mix",
+    (s, dir) => {
+      val byS = t(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " "))
+          .cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = byS.agg((sum(col("n_tokens")) * 3).as("budget"),
+        sum(col("w")).as("sw"))
+      byS.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("(budget div sw) * w + ((budget % sw) * w) div sw"))
+        .withColumn("epochs_bp",
+          least(lit(40000L),
+            expr("(target_tokens * 10000) div n_tokens")))
+        .select(col("source"), col("n_tokens"), col("target_tokens"),
+          col("epochs_bp"),
+          expr("(n_tokens * epochs_bp) div 10000").as("alloc_tokens"),
+          (col("epochs_bp") === 40000L).as("capped"))
+    },
+    Some("""
+      WITH bs AS (
+        SELECT source,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      bw AS (
+        SELECT source, n_tokens,
+          CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w
+        FROM bs),
+      t AS (
+        SELECT CAST(SUM(n_tokens) * 3 AS BIGINT) AS budget,
+          CAST(SUM(w) AS BIGINT) AS sw
+        FROM bw),
+      tgt AS (
+        SELECT source, n_tokens,
+          (budget // sw) * w + ((budget % sw) * w) // sw AS target_tokens
+        FROM bw CROSS JOIN t)
+      SELECT source, n_tokens, target_tokens,
+        LEAST(40000, (target_tokens * 10000) // n_tokens) AS epochs_bp,
+        (n_tokens * LEAST(40000, (target_tokens * 10000) // n_tokens))
+          // 10000 AS alloc_tokens,
+        LEAST(40000, (target_tokens * 10000) // n_tokens) = 40000
+          AS capped
+      FROM tgt"""))
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
     ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility,
-    curriculumOrder)
+    curriculumOrder, epochMix)
 }

@@ -433,7 +433,10 @@ object ScaleProbe {
           Point(n, sec, mb, err)
         }
       })
-    val series = (names.map { name =>
+    // names that are custom series, not registry queries, run only in
+    // the customs pass (a registry lookup would record 3-4 error rows
+    // before the custom result overrode them in the map)
+    val series = (names.filter(SparkEntry.queries.contains).map { name =>
       name -> withRetry(name, () => measureQuery(name))
     } ++ customs.collect {
       case (name, run) if wantCustom(name) => name -> run()

@@ -114,6 +114,38 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
     assert(w(1L) > w(3L), w)
   }
 
+  test("epoch_mix caps a scarce source at 4 epochs and conserves the " +
+    "budget arithmetic") {
+    // one big source and one tiny one: sqrt-temperature gives the tiny
+    // source a target far above 4x its own tokens -> capped, and the
+    // mass the cap frees is visible as alloc < target
+    val big = Array.fill(400)("w").mkString(" ")
+    // writeDocs plants source = s0 for all rows; build two sources here
+    import spark.implicits._
+    val docs = Seq(
+      (1L, big, "en", "big"), (2L, big, "en", "big"),
+      (3L, "tiny text here", "en", "small"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-epoch-spec")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val rows = Queries.byName("epoch_mix").build(spark, dir2.toString)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val small = rows("small")
+    assert(small.getAs[Boolean]("capped"))
+    assert(small.getAs[Long]("epochs_bp") == 40000L)
+    assert(small.getAs[Long]("alloc_tokens") ==
+      small.getAs[Long]("n_tokens") * 4)
+    assert(small.getAs[Long]("alloc_tokens") <
+      small.getAs[Long]("target_tokens"))
+    val bigR = rows("big")
+    assert(!bigR.getAs[Boolean]("capped"))
+    // budget conservation: targets sum to ~3x corpus (floor slack < n_src)
+    val total = rows.values.map(_.getAs[Long]("n_tokens")).sum
+    val targets = rows.values.map(_.getAs[Long]("target_tokens")).sum
+    assert(targets <= 3 * total && targets >= 3 * total - rows.size)
+  }
+
   test("dsir_select model join is broadcast and top-k is TakeOrdered") {
     val df = Queries.byName("dsir_select").build(spark, "/root/testdata/sf0.001")
     df.collect()
