@@ -783,6 +783,7 @@ object Main {
           mixtureDropped = before - kept.count()
         }
         var dsirDropped = 0L
+        var dsirCache: Option[org.apache.spark.sql.DataFrame] = None
         opt(rest, "-dsir").foreach { spec =>
           // DSIR selection gate (dsir_select applied): keep only the
           // top keep_bp basis-points share of the kept pool by hashed
@@ -801,9 +802,16 @@ object Main {
             s"-dsir keep_bp out of (0, 10000]: $keepBp")
           val before = kept.count()
           val target = (before * keepBp + 9999L) / 10000L
+          // cached: the weight pipeline (corpus-wide token explode +
+          // two count shuffles, the heaviest stage of this gate) is
+          // consumed by the cutoff aggregate, the dropped count, AND
+          // the corpus build below — uncached it would execute three
+          // times (the -exactsubstr discipline)
           val w = QueriesPipeline.dsirWeights(
             kept.select(col("doc_id"), col("lang"), col("text")), targetLang)
             .select(col("doc_id"), col("dsir_w"))
+            .cache()
+          dsirCache = Some(w)
           val cutoff = w.groupBy("dsir_w").count()
             .withColumn("cum", sum(col("count")).over(
               org.apache.spark.sql.expressions.Window
@@ -911,6 +919,7 @@ object Main {
         }
         labeled.unpersist()
         substrCache.foreach(_.unpersist())
+        dsirCache.foreach(_.unpersist())
         println(s"corpus: ${reasons.getOrElse("keep", 0L)} docs kept of " +
           s"${reasons.values.sum} into $shards shards " +
           reasons.toSeq.sortBy(_._1)

@@ -1447,11 +1447,16 @@ object QueriesPipeline {
     var labels = d
       .select(col("doc_id").as("node"))
       .withColumn("label", col("node"))
-    for (_ <- 1 to LS_ITERS) {
+    for (it <- 1 to LS_ITERS) {
       val viaNbr = edges.join(labels, edges("b") === labels("node"))
         .select(col("a").as("node"), col("label"))
       labels = labels.unionByName(viaNbr)
         .groupBy("node").agg(min(col("label")).as("label"))
+      // labels feeds BOTH the union and the join next round — without
+      // truncation the plan doubles per round (2^LS_ITERS leaf copies;
+      // the dedup_clusters discipline)
+      if (it % 3 == 0 && it < LS_ITERS)
+        labels = labels.localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"),
       (Queries.md5Long(col("label").cast("string")) % 10).as("coin"))
@@ -1685,8 +1690,14 @@ object QueriesPipeline {
         .localCheckpoint(false)
       merges :+= elected.select(lit(k).as("rank"), col("lft"), col("rgt"),
         concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+      // LEFT join on true, not crossJoin: a round may elect NOTHING
+      // (vocabulary fully merged before BPE_K rounds — the "aaa"
+      // fixture converges in 3) and a cross join with an empty frame
+      // would annihilate every token row; under the left join lft/rgt
+      // are null, no pair matches, and the tokens pass through
       toks = tk
-        .crossJoin(broadcast(elected.select(col("lft"), col("rgt"))))
+        .join(broadcast(elected.select(col("lft"), col("rgt"))),
+          lit(true), "left")
         .withColumn("m", coalesce(
           col("tok") === col("lft") &&
             lead(col("tok"), 1).over(win) === col("rgt"), lit(false)))
@@ -1756,7 +1767,7 @@ object QueriesPipeline {
         SELECT w, freq, i, tok, lft, rgt,
           coalesce(tok = lft AND
             lead(tok) OVER (PARTITION BY w ORDER BY i) = rgt, false) AS m
-        FROM n$k CROSS JOIN e$k),
+        FROM n$k LEFT JOIN e$k ON true),
       y$k AS (
         SELECT *, CASE WHEN m AND NOT coalesce(
             lag(m) OVER (PARTITION BY w ORDER BY i), false)

@@ -435,7 +435,16 @@ object ScaleProbe {
       })
     // names that are custom series, not registry queries, run only in
     // the customs pass (a registry lookup would record 3-4 error rows
-    // before the custom result overrode them in the map)
+    // before the custom result overrode them in the map); a name that
+    // resolves to NEITHER is a typo and must fail loudly — silently
+    // dropping it would let a deep re-probe "pass" without measuring
+    // the series it was launched for
+    val customNames = customs.map(_._1).toSet
+    val unknown = names.filterNot(n =>
+      SparkEntry.queries.contains(n) || customNames.contains(n))
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SCALE_QUERIES names not in registry or customs: " +
+        unknown.mkString(", "))
     val series = (names.filter(SparkEntry.queries.contains).map { name =>
       name -> withRetry(name, () => measureQuery(name))
     } ++ customs.collect {

@@ -57,17 +57,21 @@ import org.apache.spark.sql.types._
   *   Window).
   *
   * Value identity: with the full-row tiebreak the ordering key is a
-  * total order over DISTINCT rows, so exactly one distinct row per
-  * partition satisfies `ordKey = min(ordKey)` and the rewrite picks
-  * a deterministic refinement of row_number's arbitrary-on-ties
-  * choice — an outcome the original query could itself produce. The
-  * one divergence is bit-identical duplicate rows in one partition:
-  * row_number splits them 1/2 arbitrarily; the labeled rewrite marks
-  * every copy a keeper (the filtered rewrite keeps one copy — the
-  * copies are indistinguishable, so its output is still identical).
-  * For keeper election that all-copies-keep reading is the min-struct
-  * semantic this repo's dedup surfaces state deliberately; opt out
-  * with `spark.graft.rewrite.keeperElection=false` if byte-level
+  * total order over VALUE-DISTINCT rows (distinct under Spark's SQL
+  * ordering — which identifies -0.0 with 0.0 and all NaN bit
+  * patterns), so exactly one such row class per partition satisfies
+  * `ordKey = min(ordKey)` and the rewrite picks a deterministic
+  * refinement of row_number's arbitrary-on-ties choice — an outcome
+  * the original query could itself produce. The one divergence is
+  * value-identical duplicate rows in one partition (bit-identical
+  * rows, or rows identical up to floating-point normalization like a
+  * -0.0/0.0 pair): row_number splits them 1/2/... arbitrarily; the
+  * labeled rewrite marks every copy a keeper (the filtered rewrite
+  * keeps one copy — the copies are SQL-indistinguishable, so its
+  * output is value-identical either way). For keeper election that
+  * all-copies-keep reading is the min-struct semantic this repo's
+  * dedup surfaces state deliberately; opt out with
+  * `spark.graft.rewrite.keeperElection=false` if byte-level
   * row_number parity on duplicate rows matters.
   *
   * The orderSpec is mapped to an ascending NULLS FIRST struct leg by

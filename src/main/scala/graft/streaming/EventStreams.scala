@@ -280,23 +280,32 @@ object EventStreams {
     checked.unionByName(fresh)
   }
 
-  final case class AsofState(viewTs: Long, viewEvent: Long)
+  /** Per-user as-of state: the newest view (ts, max event_id at that
+    * ts) plus the newest view at a STRICTLY SMALLER ts — the layer a
+    * ts-tied purchase falls back to. prevTs = Long.MinValue ⇒ no
+    * prior layer yet. */
+  final case class AsofState(viewTs: Long, viewEvent: Long,
+      prevTs: Long, prevEvent: Long)
   final case class AsofOut(purchase_event: Long, user_id: Long,
       view_event: Option[Long], gap_us: Option[Long])
 
   /** Point-in-time enrichment — the streaming twin of the batch
     * `asof_join` query: each purchase is emitted with the latest
     * STRICTLY PRIOR view by the same user. State per user is O(1) —
-    * the single newest (ts, event) view pair — where a stream-stream
-    * interval join would buffer a watermark's worth of BOTH sides.
-    * Within a micro-batch, events process in (ts, type-rank,
-    * event_id) order with purchases BEFORE views at equal ts, so a
-    * ts-tie never counts as prior (the batch query's rank
-    * discipline); equal-ts views reduce to max event_id (the batch
-    * pre-reduction). The running max-(ts, event) state update makes
-    * out-of-order VIEW arrival harmless even across micro-batches;
-    * purchases assume per-user cross-batch arrival order (the
-    * sessionize contract) — a late purchase would see a future view. */
+    * the two newest distinct view timestamps (each with its max
+    * event_id) — where a stream-stream interval join would buffer a
+    * watermark's worth of BOTH sides. Within a micro-batch, events
+    * process in (ts, type-rank, event_id) order with purchases BEFORE
+    * views at equal ts (the batch query's rank discipline); ACROSS
+    * micro-batches strictness is enforced by value, not order: a
+    * purchase whose ts ties the newest stored view falls back to the
+    * strictly-smaller second layer, exactly the batch answer. The
+    * running max-layer updates make out-of-order VIEW arrival
+    * harmless at any batch boundary; a purchase arriving after views
+    * NEWER than its own second-layer ts (more than one distinct
+    * future view ts ahead) is the one ordering contract left (the
+    * sessionize discipline), and it degrades to no-match, never to a
+    * future view. */
   def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     events
@@ -314,11 +323,24 @@ object EventStreams {
             .foreach { e =>
               if (e.event_type == "purchase") {
                 out += (if (st == null) AsofOut(e.event_id, userId, None, None)
-                  else AsofOut(e.event_id, userId, Some(st.viewEvent),
-                    Some(e.ts_us - st.viewTs)))
-              } else if (st == null || e.ts_us > st.viewTs ||
-                  (e.ts_us == st.viewTs && e.event_id > st.viewEvent)) {
-                st = AsofState(e.ts_us, e.event_id)
+                  else if (st.viewTs < e.ts_us)
+                    AsofOut(e.event_id, userId, Some(st.viewEvent),
+                      Some(e.ts_us - st.viewTs))
+                  else if (st.prevTs > Long.MinValue && st.prevTs < e.ts_us)
+                    AsofOut(e.event_id, userId, Some(st.prevEvent),
+                      Some(e.ts_us - st.prevTs))
+                  else AsofOut(e.event_id, userId, None, None))
+              } else if (st == null) {
+                st = AsofState(e.ts_us, e.event_id, Long.MinValue, -1L)
+              } else if (e.ts_us > st.viewTs) {
+                st = AsofState(e.ts_us, e.event_id, st.viewTs, st.viewEvent)
+              } else if (e.ts_us == st.viewTs) {
+                if (e.event_id > st.viewEvent)
+                  st = st.copy(viewEvent = e.event_id)
+              } else if (e.ts_us > st.prevTs) {
+                st = st.copy(prevTs = e.ts_us, prevEvent = e.event_id)
+              } else if (e.ts_us == st.prevTs && e.event_id > st.prevEvent) {
+                st = st.copy(prevEvent = e.event_id)
               }
             }
           if (st != null) state.update(st)

@@ -95,6 +95,13 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
       r.getAs[String]("merged"), r.getAs[Long]("pair_count"))).toSeq
     assert(gotT == expect, s"\n got: $gotT\n exp: $expect")
     assert(gotT.head == (("a", "a", "aa", 6L)), gotT.head)
+    // convergence BEFORE round K must not annihilate the token frame
+    // (rounds 4-6 elect nothing; a cross join with the empty election
+    // would empty `fin` and the fertility report with it): the fully
+    // merged word is ONE token -> fertility exactly 10000 bp
+    val fert = Queries.byName("bpe_fertility").build(spark, dir).collect()
+    assert(fert.length == 1)
+    assert(fert.head.getAs[Long]("fertility_bp") == 10000L, fert.head)
   }
 
   test("dsir_select ranks target-vocabulary docs above off-target docs") {

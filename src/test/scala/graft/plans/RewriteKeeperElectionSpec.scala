@@ -107,6 +107,36 @@ class RewriteKeeperElectionSpec extends AnyFunSuite {
     }
   }
 
+  test("value-identical duplicate rows (-0.0 vs 0.0 payload): the " +
+    "labeled shape marks EVERY copy a keeper — the documented " +
+    "divergence class; the filtered shape still keeps exactly one") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      // the two rows differ only in the SIGN BIT of a double payload
+      // column — SQL-ordering-identical (Spark identifies -0.0 with
+      // 0.0), so the full-row tiebreak cannot separate them
+      val df = Seq(("b", -0.0, "p"), ("b", 0.0, "p"), ("c", 1.0, "q"))
+        .toDF("k", "score", "pay")
+      val w = Window.partitionBy("k").orderBy(asc("score"), asc("pay"))
+      val labeled = df.withColumn("rn", row_number().over(w))
+        .select(col("k"), col("score"),
+          (col("rn") === 1).as("keep"))
+      assert(!optimized(labeled).contains("Window"), optimized(labeled))
+      val kept = labeled.collect()
+        .filter(_.getAs[Boolean]("keep")).map(_.getString(0))
+      // both b-copies keep (all-copies-keep on value-identical rows);
+      // row_number would keep one — the scaladoc's stated divergence
+      assert(kept.count(_ == "b") == 2 && kept.count(_ == "c") == 1,
+        kept.mkString(","))
+      val filtered = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k")
+      assert(!optimized(filtered).contains("Window"), optimized(filtered))
+      val fk = filtered.collect().map(_.getString(0))
+      assert(fk.count(_ == "b") == 1 && fk.count(_ == "c") == 1,
+        fk.mkString(","))
+    }
+  }
+
   test("labeled keeper (the dedup merge-back shape) becomes min(struct)" +
     " + join back — all rows kept, Window-free") {
     withExtendedSession { spark =>

@@ -369,6 +369,23 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
       assert(rows(11L) == ((Some(10L), Some(H))))     // tie not prior
       assert(rows(20L) == ((None, None)))             // no prior view
       assert(rows(14L) == ((Some(13L), Some(H))))     // max-id tie view
+
+      // CROSS-BATCH tie: a view with the SAME ts as a later-batch
+      // purchase is already in state — strictness must hold by value
+      // (the second state layer serves the strictly-prior answer)
+      in.addData(
+        Event(30, 9, "view", base, 0),
+        Event(31, 9, "view", base + H, 0))
+      q.processAllAvailable()
+      in.addData(
+        Event(32, 9, "purchase", base + H, 0),  // ties newest view
+        Event(33, 9, "purchase", base, 0))      // ties the prev layer
+      q.processAllAvailable()
+      val r2 = spark.table("asof").as[EventStreams.AsofOut]
+        .collect().map(o => o.purchase_event ->
+          ((o.view_event, o.gap_us))).toMap
+      assert(r2(32L) == ((Some(30L), Some(H))), r2(32L)) // falls back
+      assert(r2(33L) == ((None, None)), r2(33L))         // nothing prior
     } finally q.stop()
   }
 
