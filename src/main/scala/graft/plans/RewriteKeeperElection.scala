@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
 /** Rewrites keeper election — `row_number() OVER (PARTITION BY k
-  * ORDER BY o) = 1`, the recurring dedup/best-per-group idiom — into
-  * aggregate shapes that stay parallel when a partition key is hot.
+  * ORDER BY o) = 1` and its all-ties-keep twin `rank() = 1`, the
+  * recurring dedup/best-per-group idioms — into aggregate shapes that
+  * stay parallel when a partition key is hot.
   * A window partition is ONE task (AQE cannot split it), so a hot key
   * — every empty page's signature in a dedup — serializes its whole
   * group on a single core no matter the cluster. This is the manual
@@ -55,6 +56,15 @@ import org.apache.spark.sql.types._
   *   [[RewriteWindowAggToJoin]] all apply (deterministic, subquery-
   *   free, stable row set — including no order-dependent child
   *   Window).
+  *
+  * RANK()=1 (both shapes): rank assigns 1 to EVERY row tying the
+  * minimal orderSpec key, so the ordKey drops the full-row tiebreak
+  * (ties must compare equal) and the filtered form must use the
+  * min+join machinery too (the winner count per group is
+  * data-dependent — a single-row min_by can't carry it), inheriting
+  * the duplication guards. Unlike row_number, the rank rewrite is
+  * EXACT: rank()=1 is deterministic under ties, and `ordKey =
+  * min(ordKey)` is its literal definition.
   *
   * Value identity: with the full-row tiebreak the ordering key is a
   * total order over VALUE-DISTINCT rows (distinct under Spark's SQL
@@ -113,10 +123,13 @@ object RewriteKeeperElection extends Rule[LogicalPlan]
     case _ => false
   }
 
-  /** The orderSpec + full-row tiebreak as ONE ascending-comparable
-    * struct, or None when a leg can't be mapped exactly. */
+  /** The orderSpec (for row_number: + full-row tiebreak) as ONE
+    * ascending-comparable struct, or None when a leg can't be mapped
+    * exactly. Without the tiebreak the struct ranks rows exactly like
+    * `rank()` does — order-key ties compare equal — which is the key
+    * the rank()=1 shapes need. */
   private def ordKeyFor(orderSpec: Seq[SortOrder],
-      child: LogicalPlan): Option[Expression] = {
+      child: LogicalPlan, tiebreak: Boolean): Option[Expression] = {
     val flag0 = Literal(0)
     val flag1 = Literal(1)
     def legs(so: SortOrder): Option[Seq[Expression]] = {
@@ -148,24 +161,38 @@ object RewriteKeeperElection extends Rule[LogicalPlan]
     }
     val mapped = orderSpec.map(legs)
     if (mapped.exists(_.isEmpty)) None
-    // full-row tiebreak: ordering ties now require bit-identical rows
-    else Some(CreateStruct(mapped.flatten.flatten ++ child.output))
+    // full-row tiebreak: ordering ties now require value-identical rows
+    else Some(CreateStruct(mapped.flatten.flatten ++
+      (if (tiebreak) child.output else Nil)))
   }
 
-  /** Single row_number window expression over a deterministic,
-    * subquery-free, orderable spec — the common eligibility of both
-    * shapes. Returns (rn alias, ordKey) when matched. */
-  private def eligible(w: Window): Option[(Alias, Expression)] = w match {
-    case Window(Seq(a @ Alias(WindowExpression(RowNumber(), _), _)),
+  /** A matched keeper-election window: the ranking alias, the
+    * comparable ordKey, and whether the function was rank() (all
+    * order-ties keep — the ordKey then carries NO row tiebreak and
+    * the rewrite is EXACT, no divergence class at all). */
+  private final case class Keeper(rnAlias: Alias, ordKey: Expression,
+      isRank: Boolean)
+
+  /** Single row_number()/rank() window expression over a
+    * deterministic, subquery-free, orderable spec — the common
+    * eligibility of every shape. */
+  private def eligible(w: Window): Option[Keeper] = w match {
+    case Window(Seq(a @ Alias(WindowExpression(fn, _), _)),
         partitionSpec, orderSpec, child, _)
-        if !w.isStreaming && orderSpec.nonEmpty &&
+        if (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] ||
+          fn.isInstanceOf[DenseRank]) &&
+          !w.isStreaming && orderSpec.nonEmpty &&
           (partitionSpec ++ orderSpec).forall(e => e.deterministic &&
             !e.exists(_.isInstanceOf[SubqueryExpression])) &&
           (partitionSpec ++ orderSpec)
             .forall(_.references.subsetOf(child.outputSet)) &&
           child.output.nonEmpty &&
           child.output.forall(o => RowOrdering.isOrderable(o.dataType)) =>
-      ordKeyFor(orderSpec, child).map(a -> _)
+      // rank()=1 and dense_rank()=1 name the SAME row class: every
+      // row whose orderSpec key equals the partition minimum
+      val isRank = fn.isInstanceOf[Rank] || fn.isInstanceOf[DenseRank]
+      ordKeyFor(orderSpec, child, tiebreak = !isRank)
+        .map(Keeper(a, _, isRank))
     case _ => None
   }
 
@@ -178,43 +205,84 @@ object RewriteKeeperElection extends Rule[LogicalPlan]
     case other => other.children.exists(rnEscapes(_, rn))
   }
 
+  /** min(ordKey) per partition key computed on a FRESH copy of child
+    * and joined back null-safely — the shared machinery of the labeled
+    * shape and the rank()=1 filtered shape. Returns the join and the
+    * group-min attribute. */
+  private def minJoinBack(partitionSpec: Seq[Expression],
+      ordKey: Expression, child: LogicalPlan): (Join, Attribute) = {
+    val (aggChild, ids) = freshen(child)
+    def rebase(e: Expression): Expression = e.transform {
+      case a: AttributeReference => a.withExprId(ids(a.exprId))
+    }
+    val keyAliases = partitionSpec.zipWithIndex.map { case (k, i) =>
+      Alias(rebase(k), s"_gk$i")()
+    }
+    val kmin = Alias(Min(rebase(ordKey)).toAggregateExpression(),
+      "_kmin")()
+    val agg = Aggregate(keyAliases.map(_.child),
+      keyAliases :+ kmin, aggChild)
+    val joinCond = partitionSpec.zip(keyAliases)
+      .map { case (l, r) => EqualNullSafe(l, r.toAttribute) }
+      .reduceOption[Expression](And)
+    (Join(child, agg,
+      if (joinCond.isEmpty) Cross else Inner, joinCond, JoinHint.NONE),
+      kmin.toAttribute)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      // ---- FILTERED keeper: one min_by aggregate, no join ---------- //
-      // (grouped only: an empty PARTITION BY aggregate would emit one
-      // null row on empty input where the window emits none)
+      // ---- FILTERED keeper --------------------------------------- //
+      // row_number: ONE min_by aggregate, no join (grouped only: an
+      // empty PARTITION BY aggregate would emit one null row on empty
+      // input where the window emits none). rank: all order-ties
+      // keep, so the winner count per group is data-dependent — the
+      // min(ordKey) join-back form serves it (empty partitionSpec is
+      // safe there: the cross join against an empty child is empty),
+      // at the price of the duplication guards.
       case Filter(cond, w @ Window(_, partitionSpec, _, child, _))
-          if partitionSpec.nonEmpty && eligible(w).exists { case (a, _) =>
+          if eligible(w).exists { k =>
+            val rn = k.rnAlias.toAttribute
             val conjuncts = splitConjunctivePredicates(cond)
-            conjuncts.exists(pinsToOne(_, a.toAttribute)) &&
-              conjuncts.filterNot(pinsToOne(_, a.toAttribute))
-                .forall(c => !c.references.contains(a.toAttribute) &&
+            conjuncts.exists(pinsToOne(_, rn)) &&
+              conjuncts.filterNot(pinsToOne(_, rn))
+                .forall(c => !c.references.contains(rn) &&
                   c.deterministic &&
-                  !c.exists(_.isInstanceOf[SubqueryExpression]))
+                  !c.exists(_.isInstanceOf[SubqueryExpression])) &&
+              (if (k.isRank)
+                deterministicTree(child) && !hasSubquery(child) &&
+                  !unstableRowSet(child)
+              else partitionSpec.nonEmpty)
           } =>
-        val (rnAlias, ordKey) = eligible(w).get
+        val Keeper(rnAlias, ordKey, isRank) = eligible(w).get
         val rest = splitConjunctivePredicates(cond)
           .filterNot(pinsToOne(_, rnAlias.toAttribute))
-        val keeper = Alias(
-          MinBy(CreateStruct(child.output), ordKey).toAggregateExpression(),
-          "_keeper")()
-        val agg = Aggregate(partitionSpec, Seq(keeper), child)
-        // re-expose child.* from the keeper struct under the ORIGINAL
-        // exprIds; rn is constantly 1 on the surviving rows
-        val out = child.output.zipWithIndex.map { case (attr, i) =>
-          Alias(GetStructField(keeper.toAttribute, i, Some(attr.name)),
-            attr.name)(attr.exprId, attr.qualifier)
-        } :+ Alias(Literal(1), rnAlias.name)(rnAlias.exprId,
+        val rnOut = Alias(Literal(1), rnAlias.name)(rnAlias.exprId,
           rnAlias.qualifier)
-        val project = Project(out, agg)
-        rest.reduceOption(And).map(Filter(_, project)).getOrElse(project)
+        val base: LogicalPlan = if (!isRank) {
+          val keeper = Alias(
+            MinBy(CreateStruct(child.output), ordKey)
+              .toAggregateExpression(), "_keeper")()
+          val agg = Aggregate(partitionSpec, Seq(keeper), child)
+          // re-expose child.* from the keeper struct under the
+          // ORIGINAL exprIds; rn is constantly 1 on survivors
+          val out = child.output.zipWithIndex.map { case (attr, i) =>
+            Alias(GetStructField(keeper.toAttribute, i, Some(attr.name)),
+              attr.name)(attr.exprId, attr.qualifier)
+          } :+ rnOut
+          Project(out, agg)
+        } else {
+          val (join, kmin) = minJoinBack(partitionSpec, ordKey, child)
+          val out: Seq[NamedExpression] = child.output :+ rnOut
+          Project(out, Filter(EqualTo(ordKey, kmin), join))
+        }
+        rest.reduceOption(And).map(Filter(_, base)).getOrElse(base)
 
       // ---- LABELED keeper: min(ordKey) + join back ----------------- //
       case Project(projList, w @ Window(_, partitionSpec, _, child, _))
           if eligible(w).isDefined && {
-            val (rnAlias, _) = eligible(w).get
-            val rn = rnAlias.toAttribute
+            val rn = eligible(w).get.rnAlias.toAttribute
             // every rn reference sits inside a pin comparison, and the
             // projections stay safe to re-express over a join
             projList.forall { ne =>
@@ -226,27 +294,14 @@ object RewriteKeeperElection extends Rule[LogicalPlan]
             deterministicTree(child) && !hasSubquery(child) &&
             !unstableRowSet(child)
           } =>
-        val (rnAlias, ordKey) = eligible(w).get
+        val Keeper(rnAlias, ordKey, _) = eligible(w).get
         val rn = rnAlias.toAttribute
-        val (aggChild, ids) = freshen(child)
-        def rebase(e: Expression): Expression = e.transform {
-          case a: AttributeReference => a.withExprId(ids(a.exprId))
-        }
-        val keyAliases = partitionSpec.zipWithIndex.map { case (k, i) =>
-          Alias(rebase(k), s"_gk$i")()
-        }
-        val kmin = Alias(Min(rebase(ordKey)).toAggregateExpression(),
-          "_kmin")()
-        val agg = Aggregate(keyAliases.map(_.child),
-          keyAliases :+ kmin, aggChild)
-        val joinCond = partitionSpec.zip(keyAliases)
-          .map { case (l, r) => EqualNullSafe(l, r.toAttribute) }
-          .reduceOption[Expression](And)
-        val join = Join(child, agg,
-          if (joinCond.isEmpty) Cross else Inner, joinCond, JoinHint.NONE)
-        // keeper test: this row's full compare chain IS the group min
-        // (ordKey is a struct — never null — so EqualTo is total here)
-        val isKeeper = EqualTo(ordKey, kmin.toAttribute)
+        val (join, kmin) = minJoinBack(partitionSpec, ordKey, child)
+        // keeper test: this row's compare chain IS the group min
+        // (ordKey is a struct — never null — so EqualTo is total here;
+        // for rank() the chain is the bare orderSpec key, so ALL
+        // order-ties test true — exactly rank()=1)
+        val isKeeper = EqualTo(ordKey, kmin)
         val newProj = projList.map(_.transform {
           case e if pinsToOne(e, rn) => isKeeper
         }.asInstanceOf[NamedExpression])

@@ -137,6 +137,57 @@ class RewriteKeeperElectionSpec extends AnyFunSuite {
     }
   }
 
+  test("rank()=1 filtered: ALL order-ties keep (the tie-robust dedup " +
+    "phrasing) — Window-free, exact under ties, desc legs included") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val df = Seq(
+        ("a", 9.0, "p1"), ("a", 9.0, "p2"), ("a", 3.0, "p3"),
+        ("b", 5.0, "q1"),
+        ("c", 1.0, "r1"), ("c", 1.0, "r2"), ("c", 1.0, "r3"))
+        .toDF("k", "score", "pay")
+      val w = Window.partitionBy("k").orderBy(desc("score"))
+      val q = df.withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1).select("k", "pay")
+      val p = optimized(q)
+      assert(!p.contains("Window"), p)
+      val got = q.collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(identity)
+      // a: BOTH 9.0 ties; b: its only row; c: all three 1.0 ties
+      assert(got.toSeq == Seq(("a", "p1"), ("a", "p2"), ("b", "q1"),
+        ("c", "r1"), ("c", "r2"), ("c", "r3")), got.mkString(","))
+    }
+  }
+
+  test("rank()=1 labeled: keep-all marking matches rank semantics " +
+    "exactly; nondeterministic child is left alone (duplication guard)") {
+    withExtendedSession { spark =>
+      import spark.implicits._
+      val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"),
+        ("b", 7, "u")).toDF("k", "v", "pay")
+      val w = Window.partitionBy("k").orderBy("v")
+      val q = df.withColumn("rk", rank().over(w))
+        .select(col("k"), col("pay"), (col("rk") === 1).as("keep"))
+      val p = optimized(q)
+      assert(!p.contains("Window"), p)
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq == Seq(("a", "x", true), ("a", "y", true),
+        ("a", "z", false), ("b", "u", true)), got.mkString(","))
+      // duplication guard: a USED rand() column below the window
+      // blocks the rank rewrite (the aggregate side would re-roll the
+      // dice). spark.range, not a literal Seq: over a LocalRelation
+      // the optimizer folds rand() into materialized values first,
+      // after which the duplication IS sound and firing is correct.
+      val ndq = spark.range(100).withColumn("r", rand(7))
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("id") % 5).orderBy("id")))
+        .filter(col("rk") === 1).select("id", "r")
+      assert(optimized(ndq).contains("Window"), optimized(ndq))
+    }
+  }
+
   test("labeled keeper (the dedup merge-back shape) becomes min(struct)" +
     " + join back — all rows kept, Window-free") {
     withExtendedSession { spark =>
@@ -158,8 +209,8 @@ class RewriteKeeperElectionSpec extends AnyFunSuite {
     }
   }
 
-  test("left alone: rn used as a value, rn pinned to 2, rank(), desc " +
-    "strings, unstable/nondeterministic child (labeled), kill switch") {
+  test("left alone: rn used as a value, rn pinned to 2, ntile(), " +
+    "desc strings, unstable/nondeterministic child (labeled), kill switch") {
     withExtendedSession { spark =>
       import spark.implicits._
       val df = Seq(("a", 5, "x"), ("a", 3, "y"), ("b", 9, "z"))
@@ -171,8 +222,10 @@ class RewriteKeeperElectionSpec extends AnyFunSuite {
       // rn = 2 is not keeper election
       assert(optimized(df.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 2)).contains("Window"))
-      // rank() has different tie semantics than row_number → untouched
-      assert(optimized(df.withColumn("r", rank().over(w))
+      // ntile(2) = 1 keeps the first HALF of the partition — not a
+      // keeper election → untouched (rank()/dense_rank() ARE rewritten
+      // shapes since r12: their =1 class is order-key == partition min)
+      assert(optimized(df.withColumn("r", ntile(2).over(w))
         .filter(col("r") === 1)).contains("Window"))
       // desc over strings: no exact order reversal → untouched
       assert(optimized(df.withColumn("rn", row_number().over(
