@@ -31,7 +31,8 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
-  *                      [-dsir lang:keep_bp] [-split]
+  *                      [-dsir lang:keep_bp] [-split] [-curriculum]
+  *                      [-epochs]
   * graft.Main bpe       <sfDir> <outDir>
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -858,6 +859,17 @@ object Main {
             Queries.md5Long(col("doc_id").cast("string")) % shards)
           .select(col("shard"), col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"))
+        if (rest.contains("-curriculum")) {
+          // curriculum_order applied to the EXPORTED corpus: difficulty
+          // quartile + within-(bucket, source) interleave rank columns;
+          // training order = (bucket, intra, source) lexicographic.
+          // Post-gate on purpose — an order computed over docs the
+          // gates drop would leave rank holes.
+          val asg = QueriesPipeline.curriculumAssign(
+              corpus.select(col("doc_id"), col("text"), col("source")))
+            .select(col("doc_id"), col("bucket"), col("intra"))
+          corpus = corpus.join(asg, "doc_id")
+        }
         if (rest.contains("-split")) {
           // leakage-safe train/val/test assignment (leakage_split
           // applied to the EXPORTED text): docs sharing any 15-word
@@ -881,6 +893,16 @@ object Main {
         corpus.groupBy("lang", "source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/datacard")
+        if (rest.contains("-epochs")) {
+          // epoch_mix applied to the exported corpus: the per-source
+          // repeat-allocation plan (Muennighoff-style 4-epoch cap over
+          // sqrt-temperature targets) written beside the datacard —
+          // the planner table a data-constrained training run reads
+          QueriesPipeline.epochMixOf(
+              corpus.select(col("source"), col("text")))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/epochs")
+        }
         val metrics = new Metrics.Table(spark, s"$outDir/metrics")
         val reasons = labeled.groupBy("drop_reason").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1883,40 +1883,47 @@ object QueriesPipeline {
     * at partition count. One token-count shuffle + two narrow scan
     * shuffles; the rarity join broadcasts nothing heavier than the
     * vocabulary counts already shuffled. */
+  /** The curriculum assignment on any (doc_id, text, source) frame —
+    * see [[curriculumOrder]]. Returns (doc_id, source, diff_bp,
+    * bucket, intra). */
+  private[graft] def curriculumAssign(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(count(lit(1)).as("n_total"))
+    val diff = tf.join(cnt, "w").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(expr("(sum(n_total DIV cnt) * 10000) DIV count(1)")
+        .as("diff_bp"))
+      // the histogram the quartile cuts run over must be BOUNDED
+      // (the ccnet bp-grid discipline): clamp the heavy tail — a doc
+      // 100x rarer-than-average per token is "hardest" regardless —
+      // so the one global cumsum window sees <= 1e6 rows at any
+      // corpus size, never a doc-sized partition
+      .withColumn("diff_q", least(col("diff_bp"), lit(1000000L)))
+    val hist = diff.groupBy("diff_q").agg(count(lit(1)).as("hcnt"))
+    val ntot = hist.agg(sum("hcnt").as("ntot"))
+    val wcum = Window.orderBy("diff_q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bk = hist.crossJoin(broadcast(ntot))
+      .withColumn("cum", sum(col("hcnt")).over(wcum))
+      .select(col("diff_q"),
+        expr("((cum - hcnt) * 4) DIV ntot").as("bucket"))
+    val bucketed = diff.join(broadcast(bk), "diff_q")
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    graft.ops.PrefixSum.groupedRunningSum(bucketed,
+        struct(col("bucket"), col("source")), col("doc_id"),
+        lit(1L), "intra")
+      .select(col("doc_id"), col("source"), col("diff_bp"),
+        col("bucket").cast("int").as("bucket"), col("intra"))
+  }
+
   val curriculumOrder = Q(
     "curriculum_order",
-    (s, dir) => {
-      val d = spread(t(s, dir, "documents"), col("doc_id"))
-      val tf = d.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("w"))
-      val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val tot = tf.agg(count(lit(1)).as("n_total"))
-      val diff = tf.join(cnt, "w").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(expr("(sum(n_total DIV cnt) * 10000) DIV count(1)")
-          .as("diff_bp"))
-        // the histogram the quartile cuts run over must be BOUNDED
-        // (the ccnet bp-grid discipline): clamp the heavy tail — a doc
-        // 100x rarer-than-average per token is "hardest" regardless —
-        // so the one global cumsum window sees <= 1e6 rows at any
-        // corpus size, never a doc-sized partition
-        .withColumn("diff_q", least(col("diff_bp"), lit(1000000L)))
-      val hist = diff.groupBy("diff_q").agg(count(lit(1)).as("hcnt"))
-      val ntot = hist.agg(sum("hcnt").as("ntot"))
-      val wcum = Window.orderBy("diff_q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bk = hist.crossJoin(broadcast(ntot))
-        .withColumn("cum", sum(col("hcnt")).over(wcum))
-        .select(col("diff_q"),
-          expr("((cum - hcnt) * 4) DIV ntot").as("bucket"))
-      val bucketed = diff.join(broadcast(bk), "diff_q")
-        .join(d.select(col("doc_id"), col("source")), "doc_id")
-      graft.ops.PrefixSum.groupedRunningSum(bucketed,
-          struct(col("bucket"), col("source")), col("doc_id"),
-          lit(1L), "intra")
-        .select(col("doc_id"), col("source"), col("diff_bp"),
-          col("bucket").cast("int").as("bucket"), col("intra"))
-    },
+    (s, dir) => curriculumAssign(
+      spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"), col("source"))),
     Some("""
       WITH tf AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1968,28 +1975,33 @@ object QueriesPipeline {
     * Shape: one count shuffle to a per-source census, one-row
     * broadcast totals — trivially 100 TB-safe; the expensive part of
     * acting on it is sample_cap/temperature, already probed. */
+  /** The epoch-allocation report on any (source, text) frame — see
+    * [[epochMix]]. */
+  private[graft] def epochMixOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byS = docs
+      .select(col("source"), size(split(col("text"), " "))
+        .cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = byS.agg((sum(col("n_tokens")) * 3).as("budget"),
+      sum(col("w")).as("sw"))
+    byS.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(budget div sw) * w + ((budget % sw) * w) div sw"))
+      .withColumn("epochs_bp",
+        least(lit(40000L),
+          expr("(target_tokens * 10000) div n_tokens")))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("epochs_bp"),
+        expr("(n_tokens * epochs_bp) div 10000").as("alloc_tokens"),
+        (col("epochs_bp") === 40000L).as("capped"))
+  }
+
   val epochMix = Q(
     "epoch_mix",
-    (s, dir) => {
-      val byS = t(s, dir, "documents")
-        .select(col("source"), size(split(col("text"), " "))
-          .cast("long").as("nt"))
-        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
-        .withColumn("w",
-          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-      val tot = byS.agg((sum(col("n_tokens")) * 3).as("budget"),
-        sum(col("w")).as("sw"))
-      byS.crossJoin(broadcast(tot))
-        .withColumn("target_tokens",
-          expr("(budget div sw) * w + ((budget % sw) * w) div sw"))
-        .withColumn("epochs_bp",
-          least(lit(40000L),
-            expr("(target_tokens * 10000) div n_tokens")))
-        .select(col("source"), col("n_tokens"), col("target_tokens"),
-          col("epochs_bp"),
-          expr("(n_tokens * epochs_bp) div 10000").as("alloc_tokens"),
-          (col("epochs_bp") === 40000L).as("capped"))
-    },
+    (s, dir) => epochMixOf(t(s, dir, "documents")),
     Some("""
       WITH bs AS (
         SELECT source,

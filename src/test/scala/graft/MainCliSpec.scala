@@ -743,6 +743,42 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(splitSum == n, s"$splitSum != $n")
   }
 
+  test("corpus -curriculum and -epochs: training order columns and the " +
+    "epoch plan, both consistent with their oracle-checked assigners") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cli-corpus-curr").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/out", "-shards", "4",
+      "-curriculum", "-epochs") == 0)
+    val corpus = spark.read.parquet(s"$root/out/corpus")
+    val n = corpus.count()
+    assert(n > 0)
+    // curriculum columns: buckets in 0..3; intra is a dense 1..k rank
+    // within (bucket, source); re-running the assigner on the exported
+    // text reproduces the columns exactly
+    assert(corpus.select("bucket").distinct().collect()
+      .map(_.getInt(0)).forall(b => b >= 0 && b <= 3))
+    val again = QueriesPipeline.curriculumAssign(
+        corpus.select(col("doc_id"), col("text"), col("source")))
+      .select(col("doc_id"), col("bucket").as("b2"), col("intra").as("i2"))
+    assert(corpus.select("doc_id", "bucket", "intra").join(again, "doc_id")
+      .where(col("bucket") =!= col("b2") || col("intra") =!= col("i2"))
+      .isEmpty)
+    import spark.implicits._
+    val perGroup = corpus.groupBy("bucket", "source")
+      .agg(org.apache.spark.sql.functions.max("intra").as("mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql
+          .functions.lit(1)).as("c"))
+      .where(col("mx") =!= col("c"))
+    assert(perGroup.isEmpty) // rank is dense per group
+    // epochs plan: matches epochMixOf on the exported corpus
+    val epochs = spark.read.parquet(s"$root/out/epochs")
+    val want = QueriesPipeline.epochMixOf(
+      corpus.select(col("source"), col("text")))
+    assert(epochs.except(want).isEmpty && want.except(epochs).isEmpty)
+  }
+
   test("bpe verb: one training run writes the merge table and the " +
     "fertility audit, matching the oracle-checked queries") {
     val root = Files.createTempDirectory("cli-bpe").toString
