@@ -879,7 +879,7 @@ object Main {
           // split computed before dedup would waste its edges on docs
           // the gates drop anyway.
           val asg = QueriesPipeline.leakageSplitAssign(
-              corpus.select(col("doc_id"), col("text")))
+              corpus.select(col("doc_id"), col("text")), converge = true)
             .select(col("doc_id"), col("split"))
           corpus = corpus.join(asg, "doc_id")
         }

@@ -1401,7 +1401,7 @@ object QueriesPipeline {
       FROM sc JOIN bk ON sc.lang = bk.lang AND sc.score_bp = bk.score_bp"""
     })
 
-  private val LS_ITERS = 6
+  private val LS_ITERS = 8
 
   /** Leakage-safe train/val/test split: documents sharing ANY 15-word
     * window (the span_dedup boilerplate relation, planted shared
@@ -1423,9 +1423,20 @@ object QueriesPipeline {
     * 8/1/1 train/val/test, deterministic and content-keyed. */
   /** The leakage-safe split assignment on any (doc_id, text) frame —
     * see [[leakageSplit]] for semantics. Returns (doc_id, cluster,
-    * split). */
-  private[graft] def leakageSplitAssign(d: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+    * split).
+    *
+    * `converge = false` runs exactly LS_ITERS min-label rounds (the
+    * oracle unrolls the same count): label hops one edge per round
+    * and a shared window is a 2-hop star path, so LS_ITERS=8 fully
+    * labels transitive chains of 4 boilerplate links — a LONGER
+    * adversarial chain would split across cluster roots. The verb
+    * path passes `converge = true` and iterates to the FIXPOINT
+    * instead (labels only decrease, so the label sum is a monotone
+    * potential; stop when it stops falling, cap 64 = the diameter of
+    * a 2⁶⁴-node path), trading one cheap aggregate per round for the
+    * unconditional guarantee the export documents. */
+  private[graft] def leakageSplitAssign(d: org.apache.spark.sql.DataFrame,
+      converge: Boolean = false): org.apache.spark.sql.DataFrame = {
     val W = 15
     val wins = d
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -1447,16 +1458,34 @@ object QueriesPipeline {
     var labels = d
       .select(col("doc_id").as("node"))
       .withColumn("label", col("node"))
-    for (it <- 1 to LS_ITERS) {
+    def round(): Unit = {
       val viaNbr = edges.join(labels, edges("b") === labels("node"))
         .select(col("a").as("node"), col("label"))
       labels = labels.unionByName(viaNbr)
         .groupBy("node").agg(min(col("label")).as("label"))
-      // labels feeds BOTH the union and the join next round — without
-      // truncation the plan doubles per round (2^LS_ITERS leaf copies;
-      // the dedup_clusters discipline)
-      if (it % 3 == 0 && it < LS_ITERS)
-        labels = labels.localCheckpoint()
+    }
+    if (!converge) {
+      for (it <- 1 to LS_ITERS) {
+        round()
+        // labels feeds BOTH the union and the join next round — without
+        // truncation the plan doubles per round (2^LS_ITERS leaf copies;
+        // the dedup_clusters discipline)
+        if (it % 3 == 0 && it < LS_ITERS)
+          labels = labels.localCheckpoint()
+      }
+    } else {
+      var prev: java.math.BigDecimal = null
+      var it = 0
+      var done = false
+      while (!done && it < 64) {
+        it += 1
+        round()
+        labels = labels.localCheckpoint() // also materializes for the sum
+        val cur = labels
+          .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+        done = prev != null && cur.compareTo(prev) == 0
+        prev = cur
+      }
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"),
       (Queries.md5Long(col("label").cast("string")) % 10).as("coin"))
@@ -1526,19 +1555,21 @@ object QueriesPipeline {
     *
     * Integer-exact logs (the lm_bigram_score / rarity_score "log-free"
     * discipline, one step stronger): log-likelihood ratios are carried
-    * in HALF-BIT units via L2(x) = floor(2·log2 x) = bitlen(x²) − 1 —
-    * pure 64-bit integer arithmetic (bitlen = length of the binary
-    * rendering), identical on both engines where libm logs can drift
-    * by a ULP and flip a rank. Per document
+    * in HALF-BIT units via L2(x) = floor(2·log2 x) = 2·(bitlen(x)−1)
+    * + [x ≥ √2·2^(bitlen−1)] — integer bit-lengths plus ONE shared
+    * IEEE-double boundary compare (exact pow-of-two scaling, the same
+    * √2 literal on both engines), engine-identical for all x < 2⁶²
+    * where libm logs can drift by a ULP and flip a rank. Per document
     *   w = Σ_b n_db·(L2(ct_b+1) − L2(cr_b+1))
     *     + n_d·(L2(Tr+B) − L2(Tt+B))
     * — the DSIR log-importance at half-bit quantization (one floor per
     * count term). Selection is the deterministic top-k by (w, doc_id)
     * rather than the paper's Gumbel-noise resample: seeded RNG streams
     * don't cross engines, and rank-by-weight is the zero-temperature
-    * limit of the same sampler. Counts stay < 2³¹ so x² is exact; at
-    * real scale the per-bucket count of a B=10⁴ table still fits with
-    * ~2^43 headroom.
+    * limit of the same sampler. The 2⁶² range covers corpus-wide
+    * totals at any realistic scale (a first cut squared its operand —
+    * exact, but the TOTALS leg would have wrapped at ~3·10⁹ features,
+    * ~10 GB of text; caught in review).
     *
     * Scale shape: one token-linear explode; per-(doc, bucket) counts
     * are map-side combinable; BOTH bag models roll up from those same
@@ -1552,7 +1583,21 @@ object QueriesPipeline {
     * dsir_w). */
   private[graft] def dsirWeights(d: org.apache.spark.sql.DataFrame,
       targetLang: String): org.apache.spark.sql.DataFrame = {
-    def l2(x: Column): Column = (length(bin(x * x)) - 1).cast("long")
+    // L2(x) = floor(2·log2 x) WITHOUT squaring: bitlen(x²)−1 is exact
+    // but overflows at x ≥ 2³¹ — the corpus-wide totals (Tr+B) cross
+    // that at ~10 GB of text. The half-bit probe instead compares x
+    // against √2·2^(bitlen−1): pow(2, k) is exact, the √2 literal is
+    // one shared IEEE double, and long→double conversion rounds
+    // identically in both engines, so the expression is engine-exact
+    // for all x < 2⁶² (and equals the true floor everywhere except
+    // possibly the integer adjacent to an irrational boundary — the
+    // same value on both engines either way).
+    def l2(x: Column): Column =
+      lit(2L) * (length(bin(x)) - 1) +
+        when(x.cast("double") >=
+          lit(1.4142135623730951) *
+            pow(lit(2.0), (length(bin(x)) - 1).cast("double")), 1L)
+          .otherwise(0L)
     val wp = Window.partitionBy("doc_id").orderBy("pos")
     val toks = d
       .select(col("doc_id"), col("lang"),
@@ -1593,8 +1638,11 @@ object QueriesPipeline {
         .limit(50)
     },
     Some {
-      def l2(e: String): String =
-        s"(length(format('{:b}', CAST(($e) AS BIGINT) * CAST(($e) AS BIGINT))) - 1)"
+      def l2(e: String): String = {
+        val bl = s"(length(format('{:b}', CAST(($e) AS BIGINT))) - 1)"
+        s"""(2 * $bl + CASE WHEN CAST(($e) AS DOUBLE) >=
+            1.4142135623730951 * power(2.0, $bl) THEN 1 ELSE 0 END)"""
+      }
       val h = Queries.sqlMd5Long("g")
       s"""
       WITH ws AS (
@@ -1892,9 +1940,17 @@ object QueriesPipeline {
       explode(split(col("text"), " ")).as("w"))
     val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
     val tot = tf.agg(count(lit(1)).as("n_total"))
+    // Overflow discipline for the 100 TB regime (both clamps applied
+    // identically in the oracle): a per-term cap at 10⁹ (a token rarer
+    // than one-in-a-billion counts as one-in-a-billion) keeps the
+    // per-doc SUM in range for any document under ~9·10⁹ tokens, and
+    // the sum is capped at 100·n_tokens+1 BEFORE the ×10⁴ — beyond
+    // that the score saturates the 10⁶ bp grid cap anyway, so results
+    // are unchanged wherever the raw arithmetic wouldn't wrap.
     val diff = tf.join(cnt, "w").crossJoin(broadcast(tot))
       .groupBy("doc_id")
-      .agg(expr("(sum(n_total DIV cnt) * 10000) DIV count(1)")
+      .agg(expr("""(least(sum(least(n_total DIV cnt, 1000000000)),
+            100 * count(1) + 1) * 10000) DIV count(1)""")
         .as("diff_bp"))
       // the histogram the quartile cuts run over must be BOUNDED
       // (the ccnet bp-grid discipline): clamp the heavy tail — a doc
@@ -1932,9 +1988,10 @@ object QueriesPipeline {
       t AS (SELECT COUNT(*) AS n_total FROM tf),
       diff AS (
         SELECT doc_id,
-          (CAST(SUM(n_total // cnt) AS BIGINT) * 10000) // COUNT(*)
-            AS diff_bp,
-          LEAST((CAST(SUM(n_total // cnt) AS BIGINT) * 10000) // COUNT(*),
+          (LEAST(CAST(SUM(LEAST(n_total // cnt, 1000000000)) AS BIGINT),
+             100 * COUNT(*) + 1) * 10000) // COUNT(*) AS diff_bp,
+          LEAST((LEAST(CAST(SUM(LEAST(n_total // cnt, 1000000000))
+               AS BIGINT), 100 * COUNT(*) + 1) * 10000) // COUNT(*),
             1000000) AS diff_q
         FROM tf JOIN c USING (w) CROSS JOIN t
         GROUP BY 1),

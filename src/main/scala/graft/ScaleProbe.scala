@@ -210,8 +210,12 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
-    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
-      .map(_.split(",").toSeq).getOrElse(defaultQueries)
+    // parsed ONCE (trimmed) — the custom-series filter below derives
+    // from this same list, so a "a, b" spec can't pass one filter and
+    // fail the other on whitespace
+    val explicitNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val names = explicitNames.getOrElse(defaultQueries)
     val out = args.headOption.getOrElse("SCALE_r9.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -328,10 +332,8 @@ object ScaleProbe {
     // filter when it is set, so a deep run can pick exactly its series;
     // with the filter unset every custom runs (the full-board default)
     val wantCustom: String => Boolean =
-      sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
-        case Some(qs) => qs.split(",").map(_.trim).toSet
-        case None => _ => true
-      }
+      explicitNames.map(ns => ns.toSet: String => Boolean)
+        .getOrElse(_ => true)
     val customs: Seq[(String, () => Seq[Point])] = Seq(
       // hits on a graph whose NODE count scales with the data: the
       // board's hits_scores pins a fixed 1000-node graph, so its
