@@ -1431,9 +1431,9 @@ object QueriesPipeline {
     * labels transitive chains of 4 boilerplate links — a LONGER
     * adversarial chain would split across cluster roots. The verb
     * path passes `converge = true` and iterates to the FIXPOINT
-    * instead (labels only decrease, so the label sum is a monotone
-    * potential; stop when it stops falling, cap 64 = the diameter of
-    * a 2⁶⁴-node path), trading one cheap aggregate per round for the
+    * instead with POINTER-DOUBLING added to each round (reach doubles
+    * per round, so 66 rounds cover any 64-bit-id diameter), trading
+    * one extra self-join and one cheap aggregate per round for the
     * unconditional guarantee the export documents. */
   private[graft] def leakageSplitAssign(d: org.apache.spark.sql.DataFrame,
       converge: Boolean = false): org.apache.spark.sql.DataFrame = {
@@ -1474,18 +1474,39 @@ object QueriesPipeline {
           labels = labels.localCheckpoint()
       }
     } else {
+      // CONVERGE: edge propagation alone moves a label ONE hop per
+      // round — a 100-link chain would defeat any fixed cap. Each
+      // round therefore ALSO pointer-doubles (relabel through the
+      // label's own label), so the reach doubles per round and 66
+      // rounds cover any diameter a 64-bit id space can hold (2⁶³,
+      // plus one round to observe the fixpoint, plus slack). Labels
+      // only decrease, so the label sum is a monotone potential:
+      // equal consecutive sums ⟺ fixpoint (an empty frame sums to
+      // the ZERO constant and exits on round two).
       var prev: java.math.BigDecimal = null
       var it = 0
       var done = false
-      while (!done && it < 64) {
+      while (!done && it < 66) {
         it += 1
         round()
-        labels = labels.localCheckpoint() // also materializes for the sum
-        val cur = labels
-          .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+        // checkpoint BEFORE the shortcut: the self-join must not sit
+        // on the union lineage (attribute rewrite trips there), and
+        // the doubling must not double the PLAN along with the reach
+        labels = labels.localCheckpoint()
+        val lk = labels.select(col("node").as("n2"), col("label").as("l2"))
+        labels = labels.join(lk, col("label") === col("n2"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("l2"), col("label")))
+              .as("label"))
+          .localCheckpoint() // also materializes for the sum
+        val cur = Option(labels
+            .agg(sum(col("label").cast("decimal(38,0)"))).head()
+            .getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
         done = prev != null && cur.compareTo(prev) == 0
         prev = cur
       }
+      require(done, "leakage-split label propagation did not converge")
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster"),
       (Queries.md5Long(col("label").cast("string")) % 10).as("coin"))
@@ -1941,12 +1962,14 @@ object QueriesPipeline {
     val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
     val tot = tf.agg(count(lit(1)).as("n_total"))
     // Overflow discipline for the 100 TB regime (both clamps applied
-    // identically in the oracle): a per-term cap at 10⁹ (a token rarer
-    // than one-in-a-billion counts as one-in-a-billion) keeps the
+    // identically in the oracle): a per-term cap at 10⁹ (a token
+    // rarer than one-in-a-billion counts as one-in-a-billion — the
+    // cap CAN bind below the grid cap, deliberately: past that rarity
+    // the exact ratio is noise, not difficulty signal) keeps the
     // per-doc SUM in range for any document under ~9·10⁹ tokens, and
-    // the sum is capped at 100·n_tokens+1 BEFORE the ×10⁴ — beyond
-    // that the score saturates the 10⁶ bp grid cap anyway, so results
-    // are unchanged wherever the raw arithmetic wouldn't wrap.
+    // the sum is capped at 100·n_tokens+1 BEFORE the ×10⁴ — that
+    // second clamp is invariance-preserving: it binds only where the
+    // score already saturates the 10⁶ bp grid cap.
     val diff = tf.join(cnt, "w").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(expr("""(least(sum(least(n_total DIV cnt, 1000000000)),

@@ -215,6 +215,11 @@ object ScaleProbe {
     // fail the other on whitespace
     val explicitNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // set-but-empty (e.g. an unset shell var interpolated to "") must
+    // fail loudly — an empty series list would write a PASS artifact
+    // that measured nothing
+    require(explicitNames.forall(_.nonEmpty),
+      "SPARK_GRAFT_SCALE_QUERIES is set but names no series")
     val names = explicitNames.getOrElse(defaultQueries)
     val out = args.headOption.getOrElse("SCALE_r9.json")
     val spark = SparkSession.builder()

@@ -153,6 +153,29 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
     assert(targets <= 3 * total && targets >= 3 * total - rows.size)
   }
 
+  test("leakageSplitAssign(converge) unifies a transitive chain LONGER " +
+    "than the fixed-round query could (pointer-doubling fixpoint)") {
+    import spark.implicits._
+    // 12 docs chained pairwise by unique 15-word bridges: doc i and
+    // doc i+1 share bridge_i, so star edges form the path 1-2-...-12
+    // (diameter 11 — edge propagation alone would need 11 rounds,
+    // more than the query's 8; doubling converges in ~4)
+    def words(tag: String, n: Int) =
+      (1 to n).map(j => s"$tag$j").mkString(" ")
+    val docs = (1 to 12).map { i =>
+      val prev = if (i > 1) words(s"b${i - 1}_", 15)
+        else words(s"solo${i}_", 15)
+      val next = if (i < 12) words(s"b${i}_", 15)
+        else words(s"tail${i}_", 15)
+      (i.toLong, s"$prev ${words(s"u${i}_", 5)} $next")
+    }.toDF("doc_id", "text")
+    val asg = QueriesPipeline.leakageSplitAssign(docs, converge = true)
+      .collect()
+    assert(asg.length == 12)
+    assert(asg.map(_.getLong(1)).distinct.length == 1, "one cluster root")
+    assert(asg.map(_.getString(2)).distinct.length == 1, "one split")
+  }
+
   test("dsir_select model join is broadcast and top-k is TakeOrdered") {
     val df = Queries.byName("dsir_select").build(spark, "/root/testdata/sf0.001")
     df.collect()
