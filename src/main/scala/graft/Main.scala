@@ -801,6 +801,13 @@ object Main {
           val (targetLang, keepBp) = (parts(0), parts(1).toLong)
           require(keepBp >= 1 && keepBp <= 10000,
             s"-dsir keep_bp out of (0, 10000]: $keepBp")
+          // truncate the gate lineage before this stage references it
+          // repeatedly (weights + cutoff + count + build): with
+          // -exactsubstr ahead of it, the accumulated plan TEXT alone
+          // (AQE renders it per executed stage) OOM'd the driver on a
+          // 500-doc corpus — caching doesn't shrink a plan, a
+          // checkpoint does
+          kept = kept.localCheckpoint()
           val before = kept.count()
           val target = (before * keepBp + 9999L) / 10000L
           // cached: the weight pipeline (corpus-wide token explode +
@@ -859,6 +866,18 @@ object Main {
             Queries.md5Long(col("doc_id").cast("string")) % shards)
           .select(col("shard"), col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"))
+        if (rest.contains("-curriculum") || rest.contains("-split")) {
+          // the assigners below reference the corpus frame SEVERAL
+          // times (token explode + join back; star edges + label
+          // init), and by here its lineage carries every gate the
+          // flags enabled (quality joins + exactsubstr rewrite + dsir
+          // weights + ccnet assign ...). Duplicating that subplan per
+          // reference blows the DRIVER heap in the optimizer long
+          // before any executor works — observed as a 500-doc OOM
+          // with -exactsubstr -dsir -split together. One eager
+          // checkpoint makes the assigners read a leaf.
+          corpus = corpus.localCheckpoint()
+        }
         if (rest.contains("-curriculum")) {
           // curriculum_order applied to the EXPORTED corpus: difficulty
           // quartile + within-(bucket, source) interleave rank columns;

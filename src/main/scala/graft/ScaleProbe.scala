@@ -429,6 +429,28 @@ object ScaleProbe {
           Point(n, sec, mb, err)
         }
       },
+      // the r12 export surface as one composition: the r11 flag set
+      // PLUS dsir selection, the leakage-safe split (fixpoint loop),
+      // curriculum order columns, and the epoch plan — kept as a
+      // SEPARATE series so corpus_export stays round-comparable
+      "corpus_export_full" -> { () =>
+        factors.map { n =>
+          spark.conf.set("spark.graft.inflate", n.toString)
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-scale-corpusf-$n").toString
+          val (sec, mb, err) = measure {
+            val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
+              "-neardup", "-exactsubstr", "-temperature",
+              "-ccnet", "head,middle", "-dsir", "en:8000",
+              "-split", "-curriculum", "-epochs"))
+            require(rc == 0, s"corpus export rc=$rc")
+          }
+          tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
+          System.err.println(f"[scale] corpus_export_full      n=$n%-4d " +
+            f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
+          Point(n, sec, mb, err)
+        }
+      },
       "conductor_round" -> { () =>
         spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
         factors.map { n =>
