@@ -88,6 +88,16 @@ object Bench {
       }
     }
     val loadAfter = loadAvg
+    // Self-labeling for contended runs: r12's committed headline was a
+    // load-19 artifact silently diffed against an idle detail (~19%
+    // apart, same code). Threshold: half the benched core count — on a
+    // 32-core container a pre-existing load average above cpus/2 means
+    // this JVM shared the machine with real work for most of the run,
+    // so the wall-clock totals overstate the engine's cost. The flag
+    // does not change any number; it tells a reader which artifact is
+    // trustworthy for round-over-round comparison.
+    val contendedThreshold = cpus.toInt / 2.0
+    val contended = loadBefore > contendedThreshold
     // one id stamped into BOTH artifacts of this invocation (the
     // parsed summary line and the detail file): a reader diffing a
     // headline against a detail can check they describe the SAME run
@@ -111,7 +121,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMin = results.filter(_._3 >= 0).map(_._3).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's artifact keeps only the tail of stdout, so the full
     // per-query map above survives for ~35 of 130+ queries — ALSO write
@@ -135,7 +145,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, med, _, _, _, _) => jstr(k) + ":" + r3(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}""")
     if (results.exists(_._5.isDefined)) {
       results.foreach { case (k, _, _, _, e, _) =>
         e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))

@@ -391,8 +391,20 @@ object QueriesCore {
     * unprunable |probe|×|bands| loop — the standard spatial-grid
     * decomposition, 1-D. All arithmetic is exact 64-bit integer. */
   /** The grid-cell interval join on any (band_id, lo, hi) × (o_orderkey,
-    * v) pair of frames — see [[rangeJoin]]. G must be ≥ the max band
-    * width so each band explodes to ≤ 2 cells. */
+    * v) pair of frames — see [[rangeJoin]]. A band explodes to
+    * ceil(width/G)+1 cells, so with G ≥ the max band width each band
+    * lands in ≤ 2 cells.
+    *
+    * GRID HAZARD (measured, SCALE_r12: 66×/decade in seconds at fixed
+    * G while shuffle stayed linear): a G much LARGER than the band
+    * widths packs many non-overlapping bands and probes into the same
+    * cell — the equi-join then emits candidate pairs quadratically
+    * within each cell and the exact re-check discards most of them,
+    * CPU burn that is INVISIBLE to shuffle-based superlinearity
+    * detection. A G much SMALLER than a band's width explodes that
+    * band to width/G build rows instead. Callers who can't bound both
+    * ends should use [[rangeJoinAuto]], which derives G from the
+    * observed width distribution. */
   private[graft] def rangeJoinOn(bands: org.apache.spark.sql.DataFrame,
       probe: org.apache.spark.sql.DataFrame, G: Long)
       : org.apache.spark.sql.DataFrame = {
@@ -406,10 +418,42 @@ object QueriesCore {
         sum(col("v")).as("sum_v"))
   }
 
+  /** Derive the grid size from the band-width distribution (r12
+    * verdict Next #5 — G was a caller obligation, and the probe showed
+    * the misfit failure mode is silent-in-shuffle):
+    *
+    *   G = max(p99 width, ceil(maxWidth / 64), 1)
+    *
+    * p99 rather than max, so ONE pathological band can't inflate every
+    * cell into the within-cell quadratic regime; the maxWidth/64 floor
+    * bounds the flip side (a band wider than G explodes to width/G
+    * build rows — never more than 65 cells per band). For any width
+    * distribution without a >64× p99-to-max spread this reduces to
+    * "cell tracks the typical band", the discipline the ×1000 probe
+    * series validated. One bounded aggregate over the bands side
+    * (approx_percentile sketch state, not a sort); the derived G only
+    * shapes the PLAN — the exact re-check makes the answer invariant
+    * to it. */
+  private[graft] def rangeJoinGrid(bands: org.apache.spark.sql.DataFrame)
+      : Long = {
+    val r = bands
+      .agg(expr("approx_percentile(hi - lo, 0.99, 10000)").as("p99"),
+        max(col("hi") - col("lo")).as("mx"), count(lit(1)).as("n"))
+      .head()
+    if (r.getLong(2) == 0L) 1L
+    else math.max(1L, math.max(r.getLong(0), (r.getLong(1) + 63L) / 64L))
+  }
+
+  /** [[rangeJoinOn]] with the grid derived from the data — the
+    * no-tuning-knob entry point. */
+  private[graft] def rangeJoinAuto(bands: org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rangeJoinOn(bands, probe, rangeJoinGrid(bands))
+
   val rangeJoin = Q(
     "range_join",
     (s, dir) => {
-      val G = 4096L // grid cell ≥ max band width (100 + 12*300 = 3700)
       val bands = t(s, dir, "part").select(
         col("p_partkey").as("band_id"),
         ((col("p_partkey") * 9973) % 100000).as("lo"),
@@ -417,7 +461,11 @@ object QueriesCore {
           (col("p_partkey") % 13) * 300).as("hi"))
       val probe = t(s, dir, "orders").select(
         col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
-      rangeJoinOn(bands, probe, G)
+      // grid auto-derived from the width distribution (widths are
+      // 100 + 300k, k in 0..12 → p99 = 3700, the max) — same answer
+      // as any valid fixed G, asserted by the oracle and the
+      // RangeJoinAuto spec
+      rangeJoinAuto(bands, probe)
     },
     Some("""
       SELECT p_partkey AS band_id,

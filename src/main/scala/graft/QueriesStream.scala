@@ -306,49 +306,67 @@ object QueriesStream {
     * PRIOR view by the same user — the point-in-time join every
     * feature/attribution pipeline needs and Spark has no native
     * operator for. NOT a range join (quadratic in events-per-user and
-    * unprunable): the two sides union with a type rank, one pass per
-    * user in (ts, rank) order carries the running latest view via a
-    * max(struct) frame ending at the current row, and the purchase
-    * rows keep the carried value — cost is ONE shuffle of the union,
-    * state O(1) per row. The rank orders views AFTER purchases at
-    * equal timestamps, so ts-ties never count as "prior" on either
-    * engine. Views are pre-reduced to one row per (user, ts) — max
-    * event_id — so the as-of value is deterministic under ts
-    * collisions; the window is per-user, bounded by a user's event
-    * count (the sessionize discipline). The oracle is DuckDB's native
+    * unprunable): the two sides union with a type rank, and a running
+    * latest-view carry in (ts, rank) order — a two-phase range-split
+    * scan since r13 ([[graft.ops.PrefixSum.groupedRunningMax]]), so a
+    * hot user's history spans partitions instead of one task (the r12
+    * watch-item; AsofSkewSpec holds the measured A/B). The rank
+    * orders views AFTER purchases at equal timestamps, so ts-ties
+    * never count as "prior" on either engine. Views are pre-reduced
+    * to one row per (user, ts) — max event_id — so the as-of value is
+    * deterministic under ts collisions. The oracle is DuckDB's native
     * ASOF LEFT JOIN with a strict inequality. */
+  /** The batch as-of enrichment on any events frame — see [[asofJoin]]
+    * for semantics. `twoPhase = true` (the default, and what the query
+    * runs) carries the running latest-view via
+    * [[graft.ops.PrefixSum.groupedRunningMax]] — the Blelloch scan
+    * that RANGE-SPLITS a hot user across partitions, closing the r12
+    * watch-item where the per-user window put a 10⁸-event bot user's
+    * whole history in ONE task by construction. `twoPhase = false` is
+    * the window phrasing, kept for the AsofSkewSpec A/B (exact
+    * row-set parity + measured task balance under a planted 90% hot
+    * user). Both are the same algebra: max over (ts, event) structs
+    * in (ts_us, tr) order, frame ending at the current row; purchase
+    * rows contribute null and are skipped by the aggregate, and the
+    * rank orders views AFTER purchases at equal timestamps, so
+    * ts-ties never count as "prior". */
+  private[graft] def asofEnriched(ev0: org.apache.spark.sql.DataFrame,
+      twoPhase: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.withColumn("ts_us", expr("ts div 1000")) // exact µs
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("view_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_event"))
+    val tagged = views
+      .select(col("user_id"), col("ts_us"), lit(1).as("tr"),
+        col("view_event"), lit(null).cast("long").as("purchase_event"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts_us"), lit(0).as("tr"),
+          lit(null).cast("long").as("view_event"), col("purchase_event")))
+    val lvVal = when(col("tr") === 1,
+      struct(col("ts_us").as("vts"), col("view_event").as("ve")))
+    val carried =
+      if (twoPhase)
+        graft.ops.PrefixSum.groupedRunningMax(tagged, col("user_id"),
+          struct(col("ts_us"), col("tr")), lvVal, "lv")
+      else {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(asc("ts_us"), asc("tr"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tagged.withColumn("lv", max(lvVal).over(w))
+      }
+    carried
+      .filter(col("tr") === 0)
+      .select(col("purchase_event"), col("user_id"),
+        col("lv.ve").as("view_event"),
+        (col("ts_us") - col("lv.vts")).as("gap_us"))
+  }
+
   val asofJoin = Q(
     "asof_join",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000")) // exact integer µs
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("event_id")).as("view_event"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("purchase_event"))
-      val tagged = views
-        .select(col("user_id"), col("ts_us"), lit(1).as("tr"),
-          col("view_event"), lit(null).cast("long").as("purchase_event"))
-        .unionByName(purchases
-          .select(col("user_id"), col("ts_us"), lit(0).as("tr"),
-            lit(null).cast("long").as("view_event"), col("purchase_event")))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(asc("ts_us"), asc("tr"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      // running latest view: max over (ts, event) structs — purchase
-      // rows contribute null and are skipped by the aggregate
-      tagged
-        .withColumn("lv",
-          max(when(col("tr") === 1,
-            struct(col("ts_us").as("vts"), col("view_event").as("ve"))))
-            .over(w))
-        .filter(col("tr") === 0)
-        .select(col("purchase_event"), col("user_id"),
-          col("lv.ve").as("view_event"),
-          (col("ts_us") - col("lv.vts")).as("gap_us"))
-    },
+    (s, dir) => asofEnriched(t(s, dir, "events")),
     Some("""
       WITH v AS (
         SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS view_event

@@ -377,6 +377,27 @@ object ScaleProbe {
           QueriesCore.rangeJoinOn(bands, probe, math.max(4L, 4096L / n))
         })
       },
+      // the same constant-selectivity series with NO caller-supplied
+      // grid: rangeJoinAuto derives G from the width distribution per
+      // decade (r12 verdict Next #5). If the derivation tracks the
+      // shrinking widths the series stays linear like the hand-tuned
+      // one above; a bad derivation reproduces the 66×/decade
+      // within-cell quadratic this instrument measured at fixed G.
+      "range_join_auto_kn" -> { () =>
+        withRetry("range_join_auto_kn",
+          () => measureBuilt("range_join_auto_kn") { n =>
+          import org.apache.spark.sql.functions._
+          val bands = Tables(spark, sfDir, "part").select(
+            col("p_partkey").as("band_id"),
+            ((col("p_partkey") * 9973) % 100000).as("lo"),
+            ((col("p_partkey") * 9973) % 100000 +
+              greatest(lit(1L),
+                expr(s"(100 + (p_partkey % 13) * 300) div $n"))).as("hi"))
+          val probe = Tables(spark, sfDir, "orders").select(
+            col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
+          QueriesCore.rangeJoinAuto(bands, probe)
+        })
+      },
       // semantic_dedup's candidate stage at its DOCUMENTED scale knob:
       // cluster count ∝ n (SemDeDup's own regime — the operator is
       // excluded from the standard ladder because fixed cluster count

@@ -48,7 +48,29 @@ object PrefixSum {
     * within each `group`, computed with partition-count parallelism.
     * All other columns pass through unchanged. */
   def groupedRunningSum(df: DataFrame, group: Column, ord: Column,
-      value: Column, out: String): DataFrame = {
+      value: Column, out: String): DataFrame =
+    scan(df, group, ord, value, out, isSum = true)
+
+  /** Append `out` = running MAX of `value` (any orderable type,
+    * including structs — nulls skipped, as the window skips them)
+    * over rows ordered by `ord` within each `group` — the same
+    * two-phase Blelloch scan with (max, greatest) in place of
+    * (sum, +). This is the carry shape for AS-OF joins: the r12
+    * verdict's watch-item #4 is the per-user window putting one hot
+    * user's whole history in one task; here the range partitioner
+    * splits that user across partitions in proportion to its mass.
+    *
+    * Unlike the sum variant, the offset join is NOT forced broadcast:
+    * an as-of group key (user_id) has data-sized cardinality, so the
+    * subtotal frame is ~|groups| rows — small next to the base (one
+    * row per (partition, group) slice) but not driver-sized. It joins
+    * hash-spread on (pid, group); AQE broadcasts it when it fits. */
+  def groupedRunningMax(df: DataFrame, group: Column, ord: Column,
+      value: Column, out: String): DataFrame =
+    scan(df, group, ord, value, out, isSum = false)
+
+  private def scan(df: DataFrame, group: Column, ord: Column,
+      value: Column, out: String, isSum: Boolean): DataFrame = {
     val s = df.sparkSession
     // range width follows the session's shuffle sizing, not just core
     // count: at real scale shuffle.partitions is tuned so a partition
@@ -82,28 +104,37 @@ object PrefixSum {
       .withColumn(s"${p}pid", spark_partition_id())
       .localCheckpoint(false)
     // phase 2 input: one subtotal row per (pid, group) slice
+    def combine(c: Column): Column = if (isSum) sum(c) else max(c)
+    val prevW = Window.partitionBy(col(s"${p}g")).orderBy(col(s"${p}pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val subtotals = base.groupBy(col(s"${p}pid"), col(s"${p}g"))
-      .agg(sum(col(s"${p}v")).as(s"${p}sub"))
-    val offsets = subtotals
+      .agg(combine(col(s"${p}v")).as(s"${p}sub"))
+    val offsets0 = subtotals
       .withColumn(s"${p}off",
-        coalesce(
-          sum(col(s"${p}sub")).over(
-            Window.partitionBy(col(s"${p}g")).orderBy(col(s"${p}pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        if (isSum) coalesce(combine(col(s"${p}sub")).over(prevW), lit(0L))
+        // max identity is null: a null offset means "no prior slice"
+        // and greatest() below skips it, exactly like the window
+        // skips null values
+        else combine(col(s"${p}sub")).over(prevW))
       .select(col(s"${p}pid").as(s"${p}jpid"), col(s"${p}g").as(s"${p}jg"),
         col(s"${p}off"))
-    // phase 2: partition-local scan + broadcast offset join (null-safe
-    // on the group key — null is a group, as it is for the window)
+    // sum groups are broadcastable by contract (languages, sources);
+    // max groups (as-of user ids) are data-sized — hash-join those
+    // and let AQE broadcast when the census fits
+    val offsets = if (isSum) broadcast(offsets0) else offsets0
+    // phase 2: partition-local scan + offset join (null-safe on the
+    // group key — null is a group, as it is for the window)
     base
       .withColumn(s"${p}local",
-        sum(col(s"${p}v")).over(
+        combine(col(s"${p}v")).over(
           Window.partitionBy(col(s"${p}pid"), col(s"${p}g"))
             .orderBy(col(s"${p}o"))))
-      .join(broadcast(offsets),
+      .join(offsets,
         col(s"${p}pid") === col(s"${p}jpid") &&
           (col(s"${p}g") <=> col(s"${p}jg")))
-      .withColumn(out, col(s"${p}local") + col(s"${p}off"))
+      .withColumn(out,
+        if (isSum) col(s"${p}local") + col(s"${p}off")
+        else greatest(col(s"${p}local"), col(s"${p}off")))
       .drop(s"${p}g", s"${p}o", s"${p}v", s"${p}pid", s"${p}local",
         s"${p}jpid", s"${p}jg", s"${p}off")
   }

@@ -105,8 +105,10 @@ object RewriteKeeperElection extends Rule[LogicalPlan]
     conf.getConfString("spark.graft.rewrite.keeperElection", "true")
       .toBoolean
 
-  /** `e` pins `rn` to exactly 1 (rn is 1-based and dense, so <= 1,
-    * < 2, = 1 are the same predicate). */
+  /** `e` pins `rn` to exactly 1. rn is 1-based with minimum value 1
+    * for all three accepted rank functions (row_number and dense_rank
+    * are dense; rank() is not, but rank >= 1 always holds), so <= 1,
+    * < 2, = 1 are the same predicate for every one of them. */
   private def pinsToOne(e: Expression, rn: Attribute): Boolean = e match {
     case EqualTo(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rn)
     case EqualTo(IntegerLiteral(1), a: Attribute) => a.semanticEquals(rn)

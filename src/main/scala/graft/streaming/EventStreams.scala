@@ -305,16 +305,41 @@ object EventStreams {
     * NEWER than its own second-layer ts (more than one distinct
     * future view ts ahead) is the one ordering contract left (the
     * sessionize discipline), and it degrades to no-match, never to a
-    * future view. */
-  def asofEnrich(events: Dataset[Event]): Dataset[AsofOut] = {
+    * future view.
+    *
+    * STATE BOUND (the r12 ADVICE item): keyed state is O(1) per user
+    * but the USER SET is unbounded on a long-running stream — a
+    * production deployment should pass `stateTtl` so idle users are
+    * evicted after that much processing-time inactivity. Semantics
+    * after eviction: a purchase by an evicted user re-enters as a
+    * fresh user and reports no prior view — the same answer a batch
+    * job over a TTL-windowed input gives. The default is None
+    * (NoTimeout, exact batch-twin row identity over any replay
+    * horizon) DELIBERATELY: arming ProcessingTimeTimeout makes
+    * FlatMapGroupsWithStateExec.shouldRunAnotherBatch always true, so
+    * the engine schedules micro-batches continuously to expire state
+    * — correct and cheap on a real trigger, but it livelocks
+    * processAllAvailable-style test harnesses and burns cycles on
+    * idle default-trigger streams. Opting in = choosing that trade
+    * for a bounded store. */
+  def asofEnrich(events: Dataset[Event],
+      stateTtl: Option[java.time.Duration] = None): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == "view" || e.event_type == "purchase")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofState, AsofOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+          .getOrElse(GroupStateTimeout.NoTimeout)) {
         (userId: Long, batch: Iterator[Event],
             state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: evict and emit nothing — the group
+            // was only invoked to expire
+            state.remove()
+            Iterator.empty
+          } else {
           val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
           var st = state.getOption.orNull
           batch.toSeq
@@ -344,7 +369,12 @@ object EventStreams {
               }
             }
           if (st != null) state.update(st)
+          // (re)arm the idle clock on every batch that touched the
+          // group — TTL is sliding inactivity, not absolute age
+          if (st != null) stateTtl.foreach(d =>
+            state.setTimeoutDuration(d.toMillis))
           out.iterator
+          }
       }
   }
 }

@@ -153,13 +153,17 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
     assert(targets <= 3 * total && targets >= 3 * total - rows.size)
   }
 
-  test("leakageSplitAssign(converge) unifies a transitive chain LONGER " +
-    "than the fixed-round query could (pointer-doubling fixpoint)") {
+  test("leakageSplitAssign unifies a transitive chain longer than any " +
+    "fixed round count (pointer-doubling fixpoint — the QUERY path: " +
+    "this is the same code leakage_split runs, r12 verdict Next #3)") {
     import spark.implicits._
     // 12 docs chained pairwise by unique 15-word bridges: doc i and
     // doc i+1 share bridge_i, so star edges form the path 1-2-...-12
     // (diameter 11 — edge propagation alone would need 11 rounds,
-    // more than the query's 8; doubling converges in ~4)
+    // more than the 8 fixed rounds the query ran before r13;
+    // doubling converges in ~4). Since r13 the query and the verb
+    // share this single fixpoint implementation, so this case covers
+    // BOTH surfaces.
     def words(tag: String, n: Int) =
       (1 to n).map(j => s"$tag$j").mkString(" ")
     val docs = (1 to 12).map { i =>
@@ -169,7 +173,7 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
         else words(s"tail${i}_", 15)
       (i.toLong, s"$prev ${words(s"u${i}_", 5)} $next")
     }.toDF("doc_id", "text")
-    val asg = QueriesPipeline.leakageSplitAssign(docs, converge = true)
+    val asg = QueriesPipeline.leakageSplitAssign(docs)
       .collect()
     assert(asg.length == 12)
     assert(asg.map(_.getLong(1)).distinct.length == 1, "one cluster root")

@@ -252,11 +252,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("asof_join is the union-scan shape: ZERO joins in the plan (a " +
-    "range join would be quadratic per user), one user-keyed window") {
+    "range join would be quadratic per user), range-split carry") {
     val p = plan("asof_join", execute = true)
-    assert(!p.contains("Join"), p)
+    // r13: the carry is the two-phase scan — windows key on
+    // (range-partition id, user), never on the user alone, so a hot
+    // user's history spans tasks; the only join is the (pid, user)
+    // offset join (hash-spread, AQE-broadcastable), never a range
+    // join on the events themselves
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
-    assert(p.contains("Window"), p) // the running carry, per user
+    assert(p.contains("Window"), p) // the partition-local running max
+    // the window is keyed by (range-partition id, user) — the _pspid
+    // working column proves the carry runs on the range-SPLIT frame,
+    // never on the raw user partition (the range exchange itself sits
+    // behind the scan's checkpoint leaf, invisible to explain; the
+    // task-balance proof lives in AsofSkewSpec)
+    assert(p.contains("_pspid"), p)
   }
 
   test("leakage_split builds star edges (hash-keyed joins), never " +
