@@ -31,8 +31,9 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main corpus    <sfDir> <outDir> [-shards N] [-neardup]
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
-  *                      [-dsir lang:keep_bp] [-split] [-curriculum]
-  *                      [-epochs]
+  *                      [-dsir lang:keep_bp]
+  *                      [-decontaminate <benchParquetDir>] [-pii]
+  *                      [-split] [-curriculum] [-epochs]
   * graft.Main bpe       <sfDir> <outDir>
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -881,6 +882,50 @@ object Main {
             .drop("bucket")
           ccnetDropped = before - kept.count()
         }
+        var contamDropped = 0L
+        var piiCache: Option[org.apache.spark.sql.DataFrame] = None
+        opt(rest, "-decontaminate").foreach { benchDir =>
+          // Benchmark decontamination gate (the decontaminate query's
+          // relation, applied): drop any kept doc sharing a word
+          // 8-gram with the benchmark corpus at <benchDir> (parquet
+          // with a `text` column — the eval sets a training run must
+          // not see). Benchmark grams are distinct and BROADCAST (an
+          // eval suite is thousands of documents, never corpus-sized),
+          // so the corpus-side cost is one gram explode + a broadcast
+          // semi-join — no shuffle keyed on gram text.
+          // one synthetic doc_id PER BENCH ROW: wordGrams8 windows by
+          // (doc_id, pos), so a shared id would interleave two docs'
+          // tokens at equal positions and scramble the grams
+          val bench = broadcast(QueriesPipeline.wordGrams8(
+              spark.read.parquet(benchDir)
+                .select(monotonically_increasing_id().as("doc_id"),
+                  col("text")))
+            .select(col("g")).distinct())
+          val hits = QueriesPipeline.wordGrams8(
+              kept.select(col("doc_id"), col("text")))
+            .join(bench, "g")
+            .select(col("doc_id")).distinct()
+          val before = kept.count()
+          kept = kept.join(hits, Seq("doc_id"), "left_anti")
+          contamDropped = before - kept.count()
+        }
+        var piiRedacted = 0L
+        if (rest.contains("-pii")) {
+          // PII scrub (pii_scrub's transform, applied): redact emails /
+          // IPv4s / phone-shaped numbers in the EXPORTED text to typed
+          // placeholders. Map-only (no shuffle); runs before the
+          // curriculum/split assigners so the exported text and every
+          // assignment computed from it stay self-consistent (the
+          // recompute-from-export spec discipline).
+          val counted = kept
+            .withColumn("_pii_n", QueriesPipeline.piiCount(col("text")))
+            .withColumn("text", QueriesPipeline.piiRedact(col("text")))
+            .cache() // consumed by the count aggregate AND the build
+          piiCache = Some(counted)
+          piiRedacted = counted.agg(coalesce(sum("_pii_n"), lit(0L)))
+            .head().getLong(0)
+          kept = counted.drop("_pii_n")
+        }
         var corpus = kept
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("shard",
@@ -953,7 +998,8 @@ object Main {
             if (reason == "keep") "docs_kept"
             else s"dropped_$reason",
             if (reason == "keep")
-              n - substrEmptied - mixtureDropped - ccnetDropped - dsirDropped
+              n - substrEmptied - mixtureDropped - ccnetDropped -
+                dsirDropped - contamDropped
             else n))
         }
         if (rest.contains("-exactsubstr")) {
@@ -974,6 +1020,16 @@ object Main {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "dropped_dsir", dsirDropped))
         }
+        if (opt(rest, "-decontaminate").isDefined) {
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "dropped_contaminated", contamDropped))
+        }
+        if (rest.contains("-pii")) {
+          // a TRANSFORM gauge, not a drop reason: how many PII spans
+          // were redacted in the exported text (docs are all kept)
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "pii_redacted", piiRedacted))
+        }
         if (rest.contains("-split")) {
           corpus.groupBy("split").count().collect().foreach(r =>
             metrics.append(Metrics.gauge(spark, 0, "corpus",
@@ -982,6 +1038,7 @@ object Main {
         labeled.unpersist()
         substrCache.foreach(_.unpersist())
         dsirCache.foreach(_.unpersist())
+        piiCache.foreach(_.unpersist())
         println(s"corpus: ${reasons.getOrElse("keep", 0L)} docs kept of " +
           s"${reasons.values.sum} into $shards shards " +
           reasons.toSeq.sortBy(_._1)

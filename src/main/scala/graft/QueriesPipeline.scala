@@ -118,6 +118,25 @@ object QueriesPipeline {
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   private val PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
 
+  /** Total PII hits (emails + IPv4s + phone-shaped numbers) in a text
+    * column — the count the `corpus -pii` metrics gauge sums. Pure
+    * codegen'd row-local expression. */
+  private[graft] def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(EMAIL_RE), lit(0))) +
+      size(regexp_extract_all(c, lit(IPV4_RE), lit(0))) +
+      size(regexp_extract_all(c, lit(PHONE_RE), lit(0)))).cast("long")
+
+  /** The scrub transform the pii_scrub query reports on, reusable by
+    * the export verb: typed placeholders, email first (an address
+    * containing an IP-shaped host is one email, not an email + an
+    * IP). */
+  private[graft] def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EMAIL_RE, "<EMAIL>"),
+        IPV4_RE, "<IP>"),
+      PHONE_RE, "<PHONE>")
+
   /** PII scrub: redact emails / IPv4 addresses / phone-shaped numbers to
     * typed placeholders and report per-doc hit counts plus the signature
     * of the scrubbed text. The corpus is synthetic word salad, so the
@@ -136,11 +155,7 @@ object QueriesPipeline {
         col("doc_id"), lit("@mail.test call 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" from 10."), col("doc_id") % 256, lit(".0.1"))
-      val scrubbed = regexp_replace(
-        regexp_replace(
-          regexp_replace(planted, EMAIL_RE, "<EMAIL>"),
-          IPV4_RE, "<IP>"),
-        PHONE_RE, "<PHONE>")
+      val scrubbed = piiRedact(planted)
       d.select(col("doc_id"),
         size(regexp_extract_all(planted, lit(EMAIL_RE), lit(0)))
           .cast("long").as("n_email"),
@@ -183,20 +198,29 @@ object QueriesPipeline {
     * (self-contamination) plus any natural collisions — non-vacuous on
     * every row of the benchmark.
     */
+  /** Distinct word 8-grams per document on any (doc_id, text) frame —
+    * the decontamination unit (shared by the query and the `corpus
+    * -decontaminate` gate). Window partitions are one document's
+    * tokens (bounded); grams hash-spread on their text. */
+  private[graft] def wordGrams8(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 to 7).map(j => lead(col("w"), j).over(w).as(s"w$j"))
+    val gramCols = col("w") +: (1 to 7).map(j => col(s"w$j"))
+    d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("w") +: leads: _*)
+      .where(col("w7").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"))
+      .distinct()
+  }
+
   val decontaminate = Q(
     "decontaminate",
     (s, dir) => {
-      val d = spread(t(s, dir, "documents"), col("doc_id"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val leads = (1 to 7).map(j => lead(col("w"), j).over(w).as(s"w$j"))
-      val gramCols = col("w") +: (1 to 7).map(j => col(s"w$j"))
-      val grams = d
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id") +: col("w") +: leads: _*)
-        .where(col("w7").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"))
-        .distinct()
+      val grams = wordGrams8(
+        spread(t(s, dir, "documents"), col("doc_id"))
+          .select(col("doc_id"), col("text")))
       val bench = broadcast(
         grams.where(col("doc_id") % 25 === 0).select(col("g")).distinct())
       grams.join(bench, "g")

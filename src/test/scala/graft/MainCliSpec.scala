@@ -743,6 +743,76 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     assert(splitSum == n, s"$splitSum != $n")
   }
 
+  test("corpus -decontaminate drops every benchmark-overlapping doc " +
+    "and -pii redacts the exported text; metrics conserve") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad, sum}
+    val root = Files.createTempDirectory("cli-corpus-decon").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    // a private sfDir: the sf0.001 documents with ONE SHARED 3-token
+    // PII prefix on EVERY doc (word salad has none naturally — the
+    // pii_scrub planting pattern). The prefix must be corpus-COMMON
+    // vocabulary: doc-unique (or small-modulus-class) PII tokens are
+    // rare by construction and trip the rarity OUTLIER gate on every
+    // planted doc (observed: 347/500 outlier drops at cnt≈100, whose
+    // n_total/cnt≈285 dwarfs the ≥40-per-token threshold); a prefix
+    // on all docs, by contrast, preserves the fixture's duplicate
+    // structure exactly (twins stay exact twins), and a 3-token
+    // shared HEAD can't create a shared 10-word line or 15-word span
+    // between non-twin word-salad docs.
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    src.withColumn("text",
+        concat(lit("user@x.example.org 10.9.0.9 555-0042 "), col("text")))
+      .write.mode("overwrite").parquet(s"$root/sf/documents.parquet")
+    // pass 1 (no flags): learn which docs the baseline gates keep, and
+    // take two kept docs' texts as the "benchmark" eval corpus
+    assert(v("corpus", s"$root/sf", s"$root/base", "-shards", "4") == 0)
+    val baseKept = spark.read.parquet(s"$root/base/corpus").cache()
+    // bench docs need at least one 8-gram to be findable
+    val bench = baseKept
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= 8)
+      .orderBy("doc_id").limit(2).select("text")
+    bench.write.mode("overwrite").parquet(s"$root/bench")
+    val nBase = baseKept.count()
+    assert(nBase > 0)
+    // pass 2: the gated export
+    assert(v("corpus", s"$root/sf", s"$root/out", "-shards", "4",
+      "-decontaminate", s"$root/bench", "-pii") == 0)
+    val corpus = spark.read.parquet(s"$root/out/corpus").cache()
+    // every bench-overlapping doc is gone: recomputing the overlap
+    // relation on the export finds NOTHING (8-gram semi-join against
+    // the bench grams — the decontaminate query's own unit)
+    val benchGrams = QueriesPipeline.wordGrams8(
+      spark.read.parquet(s"$root/bench")
+        .select(org.apache.spark.sql.functions
+          .monotonically_increasing_id().as("doc_id"), col("text")))
+      .select("g")
+    assert(QueriesPipeline.wordGrams8(
+        corpus.select(col("doc_id"), col("text")))
+      .join(benchGrams, "g").isEmpty)
+    // the two bench docs themselves (at least) dropped
+    val m = new graft.ops.Metrics.Table(spark, s"$root/out/metrics").read()
+    def g(n: String): Long = m.where(col("name") === n)
+      .select("value").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    assert(g("dropped_contaminated") >= 2,
+      s"dropped_contaminated=${g("dropped_contaminated")}")
+    assert(corpus.count() == nBase - g("dropped_contaminated"))
+    // PII: the exported text carries placeholders, never a raw hit —
+    // and every kept doc had exactly its 3 planted spans redacted
+    assert(corpus.agg(sum(QueriesPipeline.piiCount(col("text"))))
+      .head().getLong(0) == 0)
+    assert(corpus.where(col("text").contains("<EMAIL>")).count()
+      == corpus.count())
+    assert(g("pii_redacted") == 3 * corpus.count(),
+      s"pii_redacted=${g("pii_redacted")} kept=${corpus.count()}")
+    // conservation: docs_in == docs_kept + every dropped_* counter
+    val dropped = m.where(col("name").startsWith("dropped_"))
+      .agg(sum("value")).head().getLong(0)
+    assert(g("docs_in") == g("docs_kept") + dropped)
+    baseKept.unpersist(); corpus.unpersist()
+  }
+
   test("corpus -curriculum and -epochs: training order columns and the " +
     "epoch plan, both consistent with their oracle-checked assigners") {
     import org.apache.spark.sql.functions.col
