@@ -896,8 +896,12 @@ object Main {
           // one synthetic doc_id PER BENCH ROW: wordGrams8 windows by
           // (doc_id, pos), so a shared id would interleave two docs'
           // tokens at equal positions and scramble the grams
+          val benchDocs = spark.read.parquet(benchDir)
+          require(benchDocs.columns.contains("text"),
+            s"-decontaminate $benchDir needs a `text` column, has " +
+              benchDocs.columns.mkString(", "))
           val bench = broadcast(QueriesPipeline.wordGrams8(
-              spark.read.parquet(benchDir)
+              benchDocs
                 .select(monotonically_increasing_id().as("doc_id"),
                   col("text")))
             .select(col("g")).distinct())

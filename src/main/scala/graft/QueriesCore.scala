@@ -408,7 +408,12 @@ object QueriesCore {
   private[graft] def rangeJoinOn(bands: org.apache.spark.sql.DataFrame,
       probe: org.apache.spark.sql.DataFrame, G: Long)
       : org.apache.spark.sql.DataFrame = {
-    val cells = bands.withColumn("cell",
+    // empty/inverted intervals ([lo, hi) with hi <= lo) match nothing
+    // by definition — filtered BEFORE the cell explode, because
+    // sequence() auto-steps DOWNWARD when its bounds invert, so one
+    // malformed band with hi << lo would otherwise explode to
+    // (lo-hi)/G descending cells that the re-check then discards
+    val cells = bands.where(col("hi") > col("lo")).withColumn("cell",
       explode(sequence(expr("lo div " + G), expr("(hi - 1) div " + G))))
     probe.withColumn("cell", expr("v div " + G))
       .join(cells, "cell")

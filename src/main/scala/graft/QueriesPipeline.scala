@@ -1989,9 +1989,18 @@ object QueriesPipeline {
       // the histogram the quartile cuts run over must be BOUNDED
       // (the ccnet bp-grid discipline): clamp the heavy tail — a doc
       // 100x rarer-than-average per token is "hardest" regardless —
-      // so the one global cumsum window sees <= 1e6 rows at any
+      // so the one global running sum sees <= 1e6 rows at any
       // corpus size, never a doc-sized partition
       .withColumn("diff_q", least(col("diff_bp"), lit(1000000L)))
+      // pin the token-explode pipeline to ONE computation: diff feeds
+      // the histogram, the two PrefixSum scans' range-SAMPLING passes,
+      // their checkpoint materializations, AND the bucket join — five
+      // consumers that would each replay the corpus-wide explode
+      // (measured: +2.2 s at sf0.1 when the cumsum moved to PrefixSum
+      // without this pin). Lazy, so Bench's timed action pays the one
+      // materialization; the pinned rows are (doc_id, diff_bp, diff_q)
+      // — doc-count-sized, not token-sized.
+      .localCheckpoint(false)
     val hist = diff.groupBy("diff_q").agg(count(lit(1)).as("hcnt"))
     val ntot = hist.agg(sum("hcnt").as("ntot"))
     // The histogram cumsum is grid-clamped (≤ 10⁶ rows), but it used

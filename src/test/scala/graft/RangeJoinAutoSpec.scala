@@ -65,4 +65,19 @@ class RangeJoinAutoSpec extends AnyFunSuite with SparkSuite {
     val probe = Seq((1L, 5L)).toDF("o_orderkey", "v")
     assert(QueriesCore.rangeJoinAuto(bands, probe).isEmpty)
   }
+
+  test("an inverted interval (hi <= lo) matches nothing and never " +
+    "explodes a descending cell sequence") {
+    import spark.implicits._
+    // sequence() auto-steps downward on inverted bounds, so without
+    // the hi > lo pre-filter the (lo=10^9, hi=0) band would explode
+    // to ~10^9/G cells before the re-check discarded them all
+    val bands = Seq((1L, 10L, 20L), (2L, 1000000000L, 0L), (3L, 7L, 7L))
+      .toDF("band_id", "lo", "hi")
+    val probe = (0L until 50L).map(i => (i, i)).toDF("o_orderkey", "v")
+    val got = QueriesCore.rangeJoinOn(bands, probe, 8L)
+      .orderBy("band_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L))) // only the real band, its 10 probes
+  }
 }
