@@ -390,64 +390,22 @@ object QueriesCore {
     * hash-shuffle join with ≤ 2× build amplification instead of an
     * unprunable |probe|×|bands| loop — the standard spatial-grid
     * decomposition, 1-D. All arithmetic is exact 64-bit integer. */
-  /** The grid-cell interval join on any (band_id, lo, hi) × (o_orderkey,
-    * v) pair of frames — see [[rangeJoin]]. A band explodes to
-    * ceil(width/G)+1 cells, so with G ≥ the max band width each band
-    * lands in ≤ 2 cells.
-    *
-    * GRID HAZARD (measured, SCALE_r12: 66×/decade in seconds at fixed
-    * G while shuffle stayed linear): a G much LARGER than the band
-    * widths packs many non-overlapping bands and probes into the same
-    * cell — the equi-join then emits candidate pairs quadratically
-    * within each cell and the exact re-check discards most of them,
-    * CPU burn that is INVISIBLE to shuffle-based superlinearity
-    * detection. A G much SMALLER than a band's width explodes that
-    * band to width/G build rows instead. Callers who can't bound both
-    * ends should use [[rangeJoinAuto]], which derives G from the
-    * observed width distribution. */
+  /** The query's aggregate over [[graft.ops.RangeJoin.join]] (the
+    * public operator — its scaladoc holds the grid-hazard analysis)
+    * on (band_id, lo, hi) × (o_orderkey, v) frames. */
   private[graft] def rangeJoinOn(bands: org.apache.spark.sql.DataFrame,
       probe: org.apache.spark.sql.DataFrame, G: Long)
-      : org.apache.spark.sql.DataFrame = {
-    // empty/inverted intervals ([lo, hi) with hi <= lo) match nothing
-    // by definition — filtered BEFORE the cell explode, because
-    // sequence() auto-steps DOWNWARD when its bounds invert, so one
-    // malformed band with hi << lo would otherwise explode to
-    // (lo-hi)/G descending cells that the re-check then discards
-    val cells = bands.where(col("hi") > col("lo")).withColumn("cell",
-      explode(sequence(expr("lo div " + G), expr("(hi - 1) div " + G))))
-    probe.withColumn("cell", expr("v div " + G))
-      .join(cells, "cell")
-      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.RangeJoin.join(bands, probe, "lo", "hi", "v", Some(G))
       .groupBy("band_id")
       .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("min_o"),
         sum(col("v")).as("sum_v"))
-  }
 
-  /** Derive the grid size from the band-width distribution (r12
-    * verdict Next #5 — G was a caller obligation, and the probe showed
-    * the misfit failure mode is silent-in-shuffle):
-    *
-    *   G = max(p99 width, ceil(maxWidth / 64), 1)
-    *
-    * p99 rather than max, so ONE pathological band can't inflate every
-    * cell into the within-cell quadratic regime; the maxWidth/64 floor
-    * bounds the flip side (a band wider than G explodes to width/G
-    * build rows — never more than 65 cells per band). For any width
-    * distribution without a >64× p99-to-max spread this reduces to
-    * "cell tracks the typical band", the discipline the ×1000 probe
-    * series validated. One bounded aggregate over the bands side
-    * (approx_percentile sketch state, not a sort); the derived G only
-    * shapes the PLAN — the exact re-check makes the answer invariant
-    * to it. */
+  /** Grid derivation — see [[graft.ops.RangeJoin.grid]] (r12 verdict
+    * Next #5: G was a caller obligation, and the probe showed the
+    * misfit failure mode is silent-in-shuffle). */
   private[graft] def rangeJoinGrid(bands: org.apache.spark.sql.DataFrame)
-      : Long = {
-    val r = bands
-      .agg(expr("approx_percentile(hi - lo, 0.99, 10000)").as("p99"),
-        max(col("hi") - col("lo")).as("mx"), count(lit(1)).as("n"))
-      .head()
-    if (r.getLong(2) == 0L) 1L
-    else math.max(1L, math.max(r.getLong(0), (r.getLong(1) + 63L) / 64L))
-  }
+      : Long = graft.ops.RangeJoin.grid(bands, "lo", "hi")
 
   /** [[rangeJoinOn]] with the grid derived from the data — the
     * no-tuning-knob entry point. */

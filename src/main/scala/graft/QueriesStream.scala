@@ -334,34 +334,18 @@ object QueriesStream {
       twoPhase: Boolean = true): org.apache.spark.sql.DataFrame = {
     val ev = ev0.withColumn("ts_us", expr("ts div 1000")) // exact µs
     val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), col("ts_us"))
-      .agg(max(col("event_id")).as("view_event"))
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_event"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"),
         col("event_id").as("purchase_event"))
-    val tagged = views
-      .select(col("user_id"), col("ts_us"), lit(1).as("tr"),
-        col("view_event"), lit(null).cast("long").as("purchase_event"))
-      .unionByName(purchases
-        .select(col("user_id"), col("ts_us"), lit(0).as("tr"),
-          lit(null).cast("long").as("view_event"), col("purchase_event")))
-    val lvVal = when(col("tr") === 1,
-      struct(col("ts_us").as("vts"), col("view_event").as("ve")))
-    val carried =
-      if (twoPhase)
-        graft.ops.PrefixSum.groupedRunningMax(tagged, col("user_id"),
-          struct(col("ts_us"), col("tr")), lvVal, "lv")
-      else {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(asc("ts_us"), asc("tr"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        tagged.withColumn("lv", max(lvVal).over(w))
-      }
-    carried
-      .filter(col("tr") === 0)
-      .select(col("purchase_event"), col("user_id"),
-        col("lv.ve").as("view_event"),
-        (col("ts_us") - col("lv.vts")).as("gap_us"))
+    // AsofJoin pre-reduces views to one row per (user, ts) — max
+    // view_event — and carries the running latest via the range-split
+    // scan (or the window phrasing for the AsofSkewSpec A/B)
+    graft.ops.AsofJoin.enrich(purchases, views, Seq("user_id"),
+        "ts_us", "ts_us", strict = true, twoPhase = twoPhase)
+      .select(col("purchase_event"), col("user_id"), col("view_event"),
+        (col("ts_us") - col("ts_us_asof")).as("gap_us"))
   }
 
   val asofJoin = Q(
