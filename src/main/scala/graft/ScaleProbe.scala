@@ -450,12 +450,25 @@ object ScaleProbe {
           Point(n, sec, mb, err)
         }
       },
-      // the r12 export surface as one composition: the r11 flag set
+      // the FULL export surface as one composition: the r11 flag set
       // PLUS dsir selection, the leakage-safe split (fixpoint loop),
-      // curriculum order columns, and the epoch plan — kept as a
-      // SEPARATE series so corpus_export stays round-comparable
+      // curriculum order columns, the epoch plan, and (r13) the
+      // decontamination gate + PII scrub — kept as a SEPARATE series
+      // so corpus_export stays round-comparable. The benchmark corpus
+      // for -decontaminate is two base documents' texts, FIXED across
+      // inflation factors (an eval suite does not grow with the
+      // training pool — the broadcast gram set must stay constant
+      // while the corpus side scales).
       "corpus_export_full" -> { () =>
-        factors.map { n =>
+        import org.apache.spark.sql.functions.{col, size, split}
+        val benchDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-bench").toString
+        spark.conf.set("spark.graft.inflate", "1")
+        Tables(spark, sfDir, "documents")
+          .where(size(split(col("text"), " ")) >= 8)
+          .orderBy("doc_id").limit(2).select("text")
+          .write.mode("overwrite").parquet(s"$benchDir/bench")
+        val pts = factors.map { n =>
           spark.conf.set("spark.graft.inflate", n.toString)
           val root = java.nio.file.Files
             .createTempDirectory(s"graft-scale-corpusf-$n").toString
@@ -463,6 +476,7 @@ object ScaleProbe {
             val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
               "-neardup", "-exactsubstr", "-temperature",
               "-ccnet", "head,middle", "-dsir", "en:8000",
+              "-decontaminate", s"$benchDir/bench", "-pii",
               "-split", "-curriculum", "-epochs"))
             require(rc == 0, s"corpus export rc=$rc")
           }
@@ -471,6 +485,8 @@ object ScaleProbe {
             f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
           Point(n, sec, mb, err)
         }
+        tables.Install.deleteRecursively(java.nio.file.Paths.get(benchDir))
+        pts
       },
       "conductor_round" -> { () =>
         spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
