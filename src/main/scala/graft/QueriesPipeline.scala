@@ -362,6 +362,79 @@ object QueriesPipeline {
       GROUP BY 1"""
     })
 
+  /** SoftDeDup — REWEIGHT common documents instead of dropping them
+    * (He et al., "SoftDedup: an Efficient Data Reweighting Method for
+    * Speeding Up Language Model Pre-training", ACL 2024): hard dedup
+    * throws away the marginal information in near-copies; soft dedup
+    * keeps every doc but scales its sampling weight down by how
+    * COMMON its content is across the corpus. Commonness here is the
+    * mean cross-document frequency of the doc's 10-word lines (the
+    * line_dedup chunk unit, planted boilerplate included so the
+    * signal is non-vacuous): a fully-unique doc scores 10000 bp and
+    * keeps weight 10000 bp; a doc whose every line appears in k docs
+    * scores k*10000 and weighs 10000/k. Integer-exact end to end
+    * (weight_bp = 10^8 div commonness_bp), so both engines agree
+    * bit-for-bit; every document scores (the trailing short chunk is
+    * a line like any other), so soft dedup drops NOTHING — the point.
+    *
+    * Scale shape: the line explode is token-linear; line document-
+    * frequency is ONE map-side-combinable count keyed on the 60-bit
+    * line hash (constant shuffle width per line — the line_dedup
+    * discipline); the join back is hash-keyed; the per-doc agg is
+    * combinable. No window anywhere, nothing collected: two narrow
+    * shuffles at any corpus size. */
+  val softDedup = Q(
+    "soft_dedup",
+    (s, dir) => {
+      val boiler =
+        "cookie policy accepted please subscribe to our newsletter today now ok"
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val lines = d
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0),
+            (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
+        .select(col("doc_id"), col("line_no"),
+          Queries.md5Long(concat_ws(" ",
+            slice(col("ws"), col("line_no") * 10 + 1, lit(10)))).as("lh"))
+      val dfreq = lines.groupBy("lh")
+        .agg(countDistinct(col("doc_id")).as("cnt"))
+      lines.join(dfreq, "lh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"), sum(col("cnt")).as("tot"))
+        .select(col("doc_id"), col("n_lines"),
+          expr("(tot * 10000) DIV n_lines").as("commonness_bp"),
+          expr("100000000 DIV ((tot * 10000) DIV n_lines)").as("weight_bp"))
+    },
+    Some {
+      val lh = Queries.sqlMd5Long(
+        "array_to_string(ws[line_no*10+1 : line_no*10+10], ' ')")
+      s"""
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN 'cookie policy accepted please subscribe to our newsletter today now ok ' || text
+            ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM p),
+      l0 AS (
+        SELECT doc_id, ws,
+          unnest(range(0, CAST(CEIL(len(ws)/10.0) AS BIGINT))) AS line_no
+        FROM w),
+      l AS (SELECT doc_id, line_no, $lh AS lh FROM l0),
+      g AS (SELECT lh, COUNT(DISTINCT doc_id) AS cnt FROM l GROUP BY 1)
+      SELECT l.doc_id,
+        COUNT(*) AS n_lines,
+        (CAST(SUM(cnt) AS BIGINT) * 10000) // COUNT(*) AS commonness_bp,
+        CAST(100000000 // ((CAST(SUM(cnt) AS BIGINT) * 10000) // COUNT(*))
+          AS BIGINT) AS weight_bp
+      FROM l JOIN g USING (lh)
+      GROUP BY 1"""
+    })
+
   /** Per-document top-3 distinctive terms by an INTEGER-EXACT tf-idf
     * variant: score = (tf * n_docs * 10000) div df — linear inverse
     * document frequency instead of log(N/df), so the score is computed
@@ -2134,6 +2207,7 @@ object QueriesPipeline {
       FROM tgt"""))
 
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
+    softDedup,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,

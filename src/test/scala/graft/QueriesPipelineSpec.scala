@@ -29,6 +29,31 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(rows.exists(_.getAs[Long]("dup3_frac_bp") > 0))
   }
 
+  test("soft_dedup reweights instead of dropping: boilerplate-planted " +
+    "docs weigh less, unique docs keep full weight, nothing is lost") {
+    val rows = run("soft_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("commonness_bp"),
+        r.getAs[Long]("weight_bp")))).toMap
+    assert(rows.nonEmpty)
+    // every doc with at least one line is present (soft dedup DROPS
+    // nothing) and weights are a proper [1, 10000] bp scale
+    rows.values.foreach { case (c, w) =>
+      assert(c >= 10000, s"commonness $c below the unique floor")
+      assert(w >= 1 && w <= 10000, s"weight $w out of range")
+    }
+    // a fully-unique doc keeps exactly full weight; the planted
+    // boilerplate line (every 7th doc) must pull weight strictly below
+    val planted = rows.filter(_._1 % 7 == 0).values
+    assert(planted.nonEmpty && planted.forall(_._2 < 10000),
+      "planted boilerplate did not reduce weight")
+    assert(rows.values.exists(_._2 == 10000), "no unique doc at 10000 bp")
+    // window-free plan (the line_dedup discipline): a hot line must
+    // never become one task
+    val df = run("soft_dedup")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("quality_gopher stays in whole-stage codegen (no interpreted lambda)") {
     val df = run("quality_gopher")
     df.collect() // AQE finalizes (and codegen-wraps) on run
