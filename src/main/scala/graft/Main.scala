@@ -33,7 +33,7 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-ccnet head[,middle[,tail]]]
   *                      [-dsir lang:keep_bp]
   *                      [-decontaminate <benchParquetDir>] [-pii]
-  *                      [-split] [-curriculum] [-epochs]
+  *                      [-softdedup] [-split] [-curriculum] [-epochs]
   * graft.Main bpe       <sfDir> <outDir>
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -936,7 +936,8 @@ object Main {
             Queries.md5Long(col("doc_id").cast("string")) % shards)
           .select(col("shard"), col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_tokens"))
-        if (rest.contains("-curriculum") || rest.contains("-split")) {
+        if (rest.contains("-curriculum") || rest.contains("-split") ||
+            rest.contains("-softdedup")) {
           // the assigners below reference the corpus frame SEVERAL
           // times (token explode + join back; star edges + label
           // init), and by here its lineage carries every gate the
@@ -947,6 +948,18 @@ object Main {
           // with -exactsubstr -dsir -split together. One eager
           // checkpoint makes the assigners read a leaf.
           corpus = corpus.localCheckpoint()
+        }
+        if (rest.contains("-softdedup")) {
+          // soft_dedup applied to the EXPORTED text: every doc gains
+          // its sampling weight_bp (10^8 div mean line commonness) —
+          // a REWEIGHT column, not a gate; the training loader reads
+          // it to downsample common content without losing any doc.
+          // Post-gate like the other assigners, on the post-scrub
+          // text, so recompute-from-export reproduces the column.
+          val w = QueriesPipeline.softDedupWeights(
+              corpus.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("weight_bp"))
+          corpus = corpus.join(w, "doc_id")
         }
         if (rest.contains("-curriculum")) {
           // curriculum_order applied to the EXPORTED corpus: difficulty

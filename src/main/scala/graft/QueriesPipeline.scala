@@ -383,31 +383,38 @@ object QueriesPipeline {
     * discipline); the join back is hash-keyed; the per-doc agg is
     * combinable. No window anywhere, nothing collected: two narrow
     * shuffles at any corpus size. */
+  /** The soft-dedup weight assignment on any (doc_id, text) frame —
+    * see [[softDedup]] for semantics (also the `corpus -softdedup`
+    * column). Returns (doc_id, n_lines, commonness_bp, weight_bp). */
+  private[graft] def softDedupWeights(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lines = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
+      .select(col("doc_id"), col("line_no"),
+        Queries.md5Long(concat_ws(" ",
+          slice(col("ws"), col("line_no") * 10 + 1, lit(10)))).as("lh"))
+    val dfreq = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+    lines.join(dfreq, "lh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"), sum(col("cnt")).as("tot"))
+      .select(col("doc_id"), col("n_lines"),
+        expr("(tot * 10000) DIV n_lines").as("commonness_bp"),
+        expr("100000000 DIV ((tot * 10000) DIV n_lines)").as("weight_bp"))
+  }
+
   val softDedup = Q(
     "soft_dedup",
     (s, dir) => {
       val boiler =
         "cookie policy accepted please subscribe to our newsletter today now ok"
-      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      softDedupWeights(spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
-            .otherwise(col("text")).as("text"))
-      val lines = d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(0),
-            (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
-        .select(col("doc_id"), col("line_no"),
-          Queries.md5Long(concat_ws(" ",
-            slice(col("ws"), col("line_no") * 10 + 1, lit(10)))).as("lh"))
-      val dfreq = lines.groupBy("lh")
-        .agg(countDistinct(col("doc_id")).as("cnt"))
-      lines.join(dfreq, "lh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_lines"), sum(col("cnt")).as("tot"))
-        .select(col("doc_id"), col("n_lines"),
-          expr("(tot * 10000) DIV n_lines").as("commonness_bp"),
-          expr("100000000 DIV ((tot * 10000) DIV n_lines)").as("weight_bp"))
+            .otherwise(col("text")).as("text")))
     },
     Some {
       val lh = Queries.sqlMd5Long(

@@ -68,7 +68,10 @@ object ScaleProbe {
     "asof_join", "leakage_split", "dsir_select", "bpe_train",
     // curriculum_order: histogram quartiles + PrefixSum interleave
     // ranks — the two skew disciplines composed; both must stay linear
-    "curriculum_order")
+    "curriculum_order",
+    // r13: soft dedup — line-hash document frequency + join back; the
+    // line_dedup shuffle family, must stay linear like its siblings
+    "soft_dedup")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured

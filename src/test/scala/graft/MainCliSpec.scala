@@ -813,6 +813,28 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     baseKept.unpersist(); corpus.unpersist()
   }
 
+  test("corpus -softdedup: every exported doc carries a sampling " +
+    "weight, nothing drops, and the column recomputes from the export") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cli-corpus-soft").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    assert(v("corpus", sf, s"$root/base", "-shards", "4") == 0)
+    val nBase = spark.read.parquet(s"$root/base/corpus").count()
+    assert(v("corpus", sf, s"$root/out", "-shards", "4",
+      "-softdedup") == 0)
+    val corpus = spark.read.parquet(s"$root/out/corpus")
+    // a reweight, never a gate: same doc set as the unflagged export
+    assert(corpus.count() == nBase)
+    assert(corpus.where(col("weight_bp") < 1 || col("weight_bp") > 10000)
+      .isEmpty)
+    val again = QueriesPipeline.softDedupWeights(
+        corpus.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("weight_bp").as("w2"))
+    assert(corpus.select("doc_id", "weight_bp").join(again, "doc_id")
+      .where(col("weight_bp") =!= col("w2")).isEmpty)
+  }
+
   test("corpus -curriculum and -epochs: training order columns and the " +
     "epoch plan, both consistent with their oracle-checked assigners") {
     import org.apache.spark.sql.functions.col
