@@ -95,9 +95,12 @@ object Bench {
     // this JVM shared the machine with real work for most of the run,
     // so the wall-clock totals overstate the engine's cost. The flag
     // does not change any number; it tells a reader which artifact is
-    // trustworthy for round-over-round comparison.
+    // trustworthy for round-over-round comparison. BOTH ends of the
+    // run are tested: a run that starts idle but gains a noisy
+    // neighbor mid-run (loadAfter high) is just as polluted as one
+    // that starts loaded.
     val contendedThreshold = cpus.toInt / 2.0
-    val contended = loadBefore > contendedThreshold
+    val contended = math.max(loadBefore, loadAfter) > contendedThreshold
     // one id stamped into BOTH artifacts of this invocation (the
     // parsed summary line and the detail file): a reader diffing a
     // headline against a detail can check they describe the SAME run

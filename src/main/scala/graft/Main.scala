@@ -921,9 +921,16 @@ object Main {
           // curriculum/split assigners so the exported text and every
           // assignment computed from it stay self-consistent (the
           // recompute-from-export spec discipline).
+          // The gauge counts placeholders on the redaction OUTPUT
+          // (minus any already present), not raw pattern hits on the
+          // source: nested matches (IP-shaped host inside an email)
+          // are one redaction, not two.
           val counted = kept
-            .withColumn("_pii_n", QueriesPipeline.piiCount(col("text")))
-            .withColumn("text", QueriesPipeline.piiRedact(col("text")))
+            .withColumn("_pii_red", QueriesPipeline.piiRedact(col("text")))
+            .withColumn("_pii_n",
+              QueriesPipeline.piiPlaceholders(col("_pii_red")) -
+                QueriesPipeline.piiPlaceholders(col("text")))
+            .withColumn("text", col("_pii_red")).drop("_pii_red")
             .cache() // consumed by the count aggregate AND the build
           piiCache = Some(counted)
           piiRedacted = counted.agg(coalesce(sum("_pii_n"), lit(0L)))

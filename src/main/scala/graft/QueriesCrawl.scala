@@ -332,7 +332,12 @@ object QueriesCrawl {
       val prev = n.select((col("n_nationkey") + 15).as("host"),
         (col("n_nationkey") % 3).cast("long").as("prev_dns_failures"),
         (col("n_nationkey") * 100).cast("double").as("prev_score"))
-      cur.join(broadcast(prev), Seq("host"), "full_outer")
+      // no broadcast hint: Spark cannot broadcast either side of a
+      // full-outer join (every unmatched row of BOTH sides must
+      // surface), so a hint here is a no-op that only emits a
+      // HintErrorLogger WARN; both sides are host-keyed aggregates,
+      // the shuffle is already minimal
+      cur.join(prev, Seq("host"), "full_outer")
         .select(col("host"),
           coalesce(col("n_urls"), lit(0L)).as("n_urls"),
           coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),

@@ -126,6 +126,19 @@ object QueriesPipeline {
       size(regexp_extract_all(c, lit(IPV4_RE), lit(0))) +
       size(regexp_extract_all(c, lit(PHONE_RE), lit(0)))).cast("long")
 
+  private val PII_PLACEHOLDER_RE = "<EMAIL>|<IP>|<PHONE>"
+
+  /** Typed-placeholder occurrences in a text column. The export verb's
+    * `pii_redacted` gauge counts these on the [[piiRedact]] OUTPUT
+    * (minus any already present in the input): a raw [[piiCount]] over
+    * the source double-counts nested matches — an IP-shaped host or
+    * phone-shaped digits inside an email are separate pattern hits but
+    * removed by the single `<EMAIL>` replacement — so output-side
+    * counting is the number of spans actually redacted. */
+  private[graft] def piiPlaceholders(c: Column): Column =
+    size(regexp_extract_all(c, lit(PII_PLACEHOLDER_RE), lit(0)))
+      .cast("long")
+
   /** The scrub transform the pii_scrub query reports on, reusable by
     * the export verb: typed placeholders, email first (an address
     * containing an IP-shaped host is one email, not an email + an
@@ -373,7 +386,10 @@ object QueriesPipeline {
     * signal is non-vacuous): a fully-unique doc scores 10000 bp and
     * keeps weight 10000 bp; a doc whose every line appears in k docs
     * scores k*10000 and weighs 10000/k. Integer-exact end to end
-    * (weight_bp = 10^8 div commonness_bp), so both engines agree
+    * (weight_bp = 10^8 div commonness_bp, FLOORED AT 1 bp — a doc
+    * whose mean line document-frequency exceeds 10^4 would otherwise
+    * floor to weight 0, an effective drop that contradicts the
+    * reweights-never-drops contract), so both engines agree
     * bit-for-bit; every document scores (the trailing short chunk is
     * a line like any other), so soft dedup drops NOTHING — the point.
     *
@@ -403,7 +419,9 @@ object QueriesPipeline {
       .agg(count(lit(1)).as("n_lines"), sum(col("cnt")).as("tot"))
       .select(col("doc_id"), col("n_lines"),
         expr("(tot * 10000) DIV n_lines").as("commonness_bp"),
-        expr("100000000 DIV ((tot * 10000) DIV n_lines)").as("weight_bp"))
+        greatest(lit(1L),
+          expr("100000000 DIV ((tot * 10000) DIV n_lines)"))
+          .as("weight_bp"))
   }
 
   val softDedup = Q(
@@ -436,8 +454,9 @@ object QueriesPipeline {
       SELECT l.doc_id,
         COUNT(*) AS n_lines,
         (CAST(SUM(cnt) AS BIGINT) * 10000) // COUNT(*) AS commonness_bp,
-        CAST(100000000 // ((CAST(SUM(cnt) AS BIGINT) * 10000) // COUNT(*))
-          AS BIGINT) AS weight_bp
+        GREATEST(CAST(1 AS BIGINT),
+          CAST(100000000 // ((CAST(SUM(cnt) AS BIGINT) * 10000) // COUNT(*))
+            AS BIGINT)) AS weight_bp
       FROM l JOIN g USING (lh)
       GROUP BY 1"""
     })

@@ -34,11 +34,17 @@ object RangeJoin {
     * pathological interval can't inflate every cell into the
     * within-cell quadratic regime; the /64 floor bounds the flip side
     * (an interval wider than G explodes to ≤ 65 cells). One bounded
-    * aggregate (approx_percentile sketch state, never a sort). */
+    * aggregate (approx_percentile sketch state, never a sort).
+    * Widths are cast to long inside the aggregate (so int/short-typed
+    * axes work — approx_percentile/max return the INPUT type) and
+    * inverted intervals (hi <= lo) are excluded, matching [[join]]'s
+    * filter: a malformed negative width must not drag the p99 down. */
   def grid(intervals: DataFrame, lo: String, hi: String): Long = {
     val r = intervals
-      .agg(expr(s"approx_percentile($hi - $lo, 0.99, 10000)").as("p99"),
-        max(col(hi) - col(lo)).as("mx"), count(lit(1)).as("n"))
+      .where(col(hi) > col(lo))
+      .select((col(hi).cast("long") - col(lo).cast("long")).as("_rj_w"))
+      .agg(expr("approx_percentile(_rj_w, 0.99, 10000)").as("p99"),
+        max(col("_rj_w")).as("mx"), count(lit(1)).as("n"))
       .head()
     if (r.getLong(2) == 0L) 1L
     else math.max(1L, math.max(r.getLong(0), (r.getLong(1) + 63L) / 64L))

@@ -54,6 +54,24 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("soft_dedup floors the weight at 1 bp in the extreme-commonness " +
+    "regime: a doc whose lines appear in >10^4 docs is reweighted, " +
+    "never effectively dropped to weight 0") {
+    // 10001 single-line clones: commonness_bp = 10001*10000 > 10^8,
+    // so the un-floored integer division emits weight_bp = 0 — an
+    // effective drop contradicting the reweights-never-drops contract
+    val docs = spark.range(10001)
+      .select(col("id").as("doc_id"),
+        lit("all ten of these boiler words repeat in every single doc")
+          .as("text"))
+    val w = QueriesPipeline.softDedupWeights(docs)
+    val rows = w.collect()
+    assert(rows.length == 10001)
+    assert(rows.forall(_.getAs[Long]("commonness_bp") > 100000000L))
+    assert(rows.forall(_.getAs[Long]("weight_bp") == 1L),
+      "extreme-commonness weight must floor at 1 bp, not 0")
+  }
+
   test("quality_gopher stays in whole-stage codegen (no interpreted lambda)") {
     val df = run("quality_gopher")
     df.collect() // AQE finalizes (and codegen-wraps) on run

@@ -80,4 +80,24 @@ class RangeJoinAutoSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 10L))) // only the real band, its 10 probes
   }
+
+  test("int-typed axes: grid() casts widths to long inside the " +
+    "aggregate (approx_percentile/max return the INPUT type) and " +
+    "inverted intervals are excluded from the width distribution") {
+    import spark.implicits._
+    // int lo/hi — the r13 getLong would ClassCastException here
+    val bands = Seq((1L, 10, 20), (2L, 100, 300), (3L, 500, 400))
+      .toDF("band_id", "lo", "hi")
+    val g = graft.ops.RangeJoin.grid(bands, "lo", "hi")
+    // widths {10, 200}; the inverted (500,400) band contributes
+    // nothing (pre-r14 its -100 width skewed the p99 downward)
+    assert(g == 200L, s"g=$g")
+    val probe = Seq((7L, 15), (8L, 250), (9L, 450))
+      .toDF("o_orderkey", "v")
+    val got = graft.ops.RangeJoin.join(bands, probe, "lo", "hi", "v")
+      .orderBy("band_id")
+      .collect().map(r => (r.getAs[Long]("band_id"),
+        r.getAs[Long]("o_orderkey"))).toSeq
+    assert(got == Seq((1L, 7L), (2L, 8L)))
+  }
 }
