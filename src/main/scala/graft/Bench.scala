@@ -13,7 +13,23 @@ import org.apache.spark.sql.SparkSession
   * map carries the per-query best. A contended container inflates wall
   * clock uniformly — the median de-noises the individual spike, the min
   * approximates the uncontended cost, and the before/after system load
-  * averages let a reader judge whether the run was clean. */
+  * averages let a reader judge whether the run was clean.
+  *
+  * == Container-spread normalization (r13 verdict #1) ==
+  * Same-code wall clock was measured to differ ~24% NEAR-UNIFORMLY
+  * between container sessions even at load ~1 (CPU frequency scaling /
+  * steal — invisible to load averages), so raw wall diffs below that
+  * spread are noise. Two spread-invariant signals ship in every
+  * artifact:
+  *  - `cpu_sec`: per-query executor task CPU (min over reps, summed
+  *    from stage TaskMetrics.executorCpuTime). Scheduling contention
+  *    inflates wall but not CPU; compare THIS round-over-round.
+  *  - `calib_sec_before` / `calib_sec_after`: min-of-3 wall of a fixed
+  *    CPU-bound calibration workload (64M short-string md5 + sum, zero
+  *    shuffle) run before and after the board in the same JVM. Its
+  *    round-over-round ratio measures what CPU time can't (frequency):
+  *    divide a wall diff by the calib ratio before reading it as a
+  *    plan change; before≠after flags mid-run environment drift. */
 object Bench {
   private def jstr(s: String): String = Json.str(s)
 
@@ -54,11 +70,25 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
+    // fixed calibration workload (header): CPU-bound, shuffle-free,
+    // deterministic — its wall clock moves ONLY with the container's
+    // effective CPU speed, so its round-over-round ratio rescales the
+    // board's wall numbers. min-of-3 (same de-noising as the queries).
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 64000000L, 1L, cpus.toInt)
+        .selectExpr("md5(cast(id as string)) as h")
+        .selectExpr("sum(length(h)) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibBefore = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
       var shuffleMb = 0.0
+      val cpuReps = Vector.newBuilder[Double]
       val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
         meter.reset()
         val t0 = System.nanoTime()
@@ -79,14 +109,20 @@ object Bench {
         // stages before we read it (outside the timed window)
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
         shuffleMb = meter.mb
+        cpuReps += meter.cpuSec
         dt
       }.toVector
-      if (err.isDefined) (name, -1.0, -1.0, -1.0, err, times)
+      if (err.isDefined) BenchRow(name, -1.0, -1.0, -1.0, -1.0, err, times)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.length / 2), sorted.head, shuffleMb, None, times)
+        // min over reps: executor CPU is already contention-stable, the
+        // min strips first-rep codegen/page-cache residue
+        val cpuMin = cpuReps.result().min
+        BenchRow(name, sorted(sorted.length / 2), sorted.head, cpuMin,
+          shuffleMb, None, times)
       }
     }
+    val calibAfter = calibrate()
     val loadAfter = loadAvg
     // Self-labeling for contended runs: r12's committed headline was a
     // load-19 artifact silently diffed against an idle detail (~19%
@@ -107,24 +143,28 @@ object Bench {
     // — r11's artifacts came from different runs (one contended, one
     // idle) and read as phantom 7x regressions
     val runId = s"bench-${System.currentTimeMillis()}"
-    val qs = results.map { case (k, med, _, _, _, _) => jstr(k) + ":" + med }
+    def r3r(v: Double) = math.round(v * 1000) / 1000.0
+    val qs = results.map(r => jstr(r.name) + ":" + r.median)
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _, _, _) => jstr(k) + ":" + mn }
+    val mins = results.map(r => jstr(r.name) + ":" + r.min)
       .mkString("{", ",", "}")
-    val shufs = results.map { case (k, _, _, sh, _, _) =>
-      jstr(k) + ":" + (math.round(sh * 100) / 100.0) }
+    val cpus_ = results.map(r => jstr(r.name) + ":" + r3r(r.cpuSec))
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+    val shufs = results.map(r =>
+      jstr(r.name) + ":" + (math.round(r.shuffleMb * 100) / 100.0))
+      .mkString("{", ",", "}")
+    val errs = results.collect { case r if r.err.isDefined =>
+      jstr(r.name) + ":" + jstr(r.err.get) }
       .mkString("{", ",", "}")
     // per-rep raw times: a contended first rep (driver load, cold page
     // cache) is visible instead of silently folded into the median
-    def r3r(v: Double) = math.round(v * 1000) / 1000.0
-    val repsMap = results.map { case (k, _, _, _, _, ts) =>
-      jstr(k) + ":" + ts.map(r3r).mkString("[", ",", "]") }
+    val repsMap = results.map(r =>
+      jstr(r.name) + ":" + r.reps.map(r3r).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    val totalMin = results.filter(_._3 >= 0).map(_._3).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"queries":$qs,"min":$mins,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}"""
+    val total = results.filter(_.median >= 0).map(_.median).sum
+    val totalMin = results.filter(_.min >= 0).map(_.min).sum
+    val totalCpu = results.filter(_.cpuSec >= 0).map(_.cpuSec).sum
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"total_cpu":${r3r(totalCpu)},"calib_sec_before":${r3r(calibBefore)},"calib_sec_after":${r3r(calibAfter)},"queries":$qs,"min":$mins,"cpu_sec":$cpus_,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's artifact keeps only the tail of stdout, so the full
     // per-query map above survives for ~35 of 130+ queries — ALSO write
@@ -145,16 +185,21 @@ object Bench {
     // line is a compact summary guaranteed to fit: headline totals,
     // the full error map, and the slowest queries only.
     def r3(v: Double) = math.round(v * 1000) / 1000.0
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, med, _, _, _, _) => jstr(k) + ":" + r3(med) }
+    val slowest = results.filter(_.median >= 0).sortBy(-_.median).take(12)
+      .map(r => jstr(r.name) + ":" + r3(r.median))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}""")
-    if (results.exists(_._5.isDefined)) {
-      results.foreach { case (k, _, _, _, e, _) =>
-        e.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
-      }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"total_cpu":${r3(totalCpu)},"calib_sec_before":${r3(calibBefore)},"calib_sec_after":${r3(calibAfter)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}""")
+    if (results.exists(_.err.isDefined)) {
+      results.foreach(r =>
+        r.err.foreach(m => System.err.println(s"[bench] ${r.name} FAILED: $m")))
       sys.exit(1)
     }
     spark.stop()
   }
+
+  /** One benched query: wall median/min over reps, executor-CPU min
+    * (the spread-invariant number — header), last-rep shuffle volume. */
+  private final case class BenchRow(name: String, median: Double,
+    min: Double, cpuSec: Double, shuffleMb: Double,
+    err: Option[String], reps: Vector[Double])
 }

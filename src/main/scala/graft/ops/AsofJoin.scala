@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   * per-key window is a straggler BY CONSTRUCTION under hot keys
   * (AsofSkewSpec: max/mean task records 14.4 window vs 2.2 scan under
   * a planted 90% key). Cost: two narrow shuffles instead of one —
-  * measured ~2× the window's constant, still linear to ×1000.
+  * measured 2.6× the window's WALL constant at sf0.1 local[32]
+  * (same-container interleaved A/B, ASOF_AB_r14.json; executor CPU is
+  * ~13× — the scan's extra passes burn cores the window doesn't, but
+  * they parallelize, which is the point), still linear to ×1000
+  * (SCALE_r13_deep). The trade buys worst-case immunity with a
+  * constant-factor premium on well-distributed keys; callers with a
+  * guaranteed-unskewed key can take the window via the private
+  * `enrich(twoPhase = false)` A/B seam.
   *
   * Determinism: right rows are pre-reduced to ONE row per (key, ts) —
   * the max of the payload struct in the given column order — so the
