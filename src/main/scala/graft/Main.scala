@@ -34,7 +34,7 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-dsir lang:keep_bp]
   *                      [-decontaminate <benchParquetDir>] [-pii]
   *                      [-softdedup] [-split] [-curriculum] [-epochs]
-  * graft.Main bpe       <sfDir> <outDir>
+  * graft.Main bpe       <sfDir> <outDir> [-merges K]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -1069,14 +1069,19 @@ object Main {
             .map { case (k, v) => s"$k=$v" }.mkString("(", " ", ")"))
         corpus.unpersist()
         0
-      case "bpe" :: sfDir :: outDir :: _ =>
+      case "bpe" :: sfDir :: outDir :: rest =>
         // Train the BPE merge table on the corpus and report it plus
         // the per-language fertility audit — ONE bpeLoop run feeds
         // both outputs (the two queries would train twice).
+        // `-merges K` sets the training depth (default: the board's
+        // BPE_K); rounds run on the vocab-bounded table, so depth
+        // scales training time, not corpus passes.
         import org.apache.spark.sql.functions._
         val docs = Tables(spark, sfDir, "documents")
+        val depth = opt(rest, "-merges").map(_.toInt)
+          .getOrElse(QueriesPipeline.BPE_K)
         val (merges, fin) = QueriesPipeline.bpeLoop(
-          QueriesPipeline.bpeVocab(docs))
+          QueriesPipeline.bpeVocab(docs), depth)
         val mergesDf = merges.reduce(_ unionByName _).cache()
         mergesDf.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/merges")

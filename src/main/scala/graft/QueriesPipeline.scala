@@ -1810,7 +1810,13 @@ object QueriesPipeline {
       LIMIT 50"""
     })
 
-  private val BPE_K = 6
+  /** Board/oracle merge depth. Overridable via SPARK_GRAFT_BPE_K:
+    * BOTH surfaces read this once (the oracle SQL unrolls the same K),
+    * so correctness stays checkable at any depth a DuckDB unroll can
+    * stomach; deep ladders (K=64+) run the Scala side through
+    * [[bpeLoop]]'s k parameter (BpeDepthProbe / BpeDsirSpec A/B). */
+  private[graft] val BPE_K: Int =
+    sys.env.get("SPARK_GRAFT_BPE_K").map(_.toInt).getOrElse(6)
 
   /** BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016) as
     * DataFrame algebra: learn the first K merge rules over the corpus
@@ -1841,11 +1847,22 @@ object QueriesPipeline {
     * discipline) so the K-round plan stays linear, paid at action
     * time where Bench can see it. */
   /** The shared BPE training loop over a (word, freq) vocabulary:
-    * K rounds of elect-most-frequent-pair + greedy left-to-right merge,
-    * all relational (see [[bpeTrain]]'s scaladoc). Returns the K
-    * 1-row merge frames (rank, lft, rgt, merged, pair_count) and the
-    * final token frame (w, freq, i, tok) after all K merges. */
-  private[graft] def bpeLoop(vocab: org.apache.spark.sql.DataFrame)
+    * `depth` rounds of elect-most-frequent-pair + greedy left-to-right
+    * merge, all relational (see [[bpeTrain]]'s scaladoc). Returns the
+    * ≤depth 1-row merge frames (rank, lft, rgt, merged, pair_count)
+    * and the final token frame (w, freq, i, tok) after all merges.
+    *
+    * Depth scaling: every round runs on the vocabulary-bounded token
+    * frame (NEVER the corpus — that was paid once in the word count),
+    * each round's frame is lineage-truncated with a lazy
+    * localCheckpoint, and the election is a 1-row frame whose
+    * materialization doubles as the CONVERGENCE check — a fully-merged
+    * vocabulary stops the loop instead of burning the remaining
+    * rounds. Wall is therefore ∝ min(depth, rounds-to-convergence)
+    * with a vocab-sized constant (BPE_DEPTH_r14.json: K=8..64 ladder
+    * at sf0.1). */
+  private[graft] def bpeLoop(vocab: org.apache.spark.sql.DataFrame,
+      depth: Int = BPE_K)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     val win = Window.partitionBy("w").orderBy("i")
     val run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1856,17 +1873,31 @@ object QueriesPipeline {
             i => col("word").substr(i, lit(1))),
           array(lit("</w>")))).as(Seq("i", "tok")))
     var merges = Seq.empty[org.apache.spark.sql.DataFrame]
-    for (k <- 1 to BPE_K) {
+    var k = 0
+    var converged = false
+    while (k < depth && !converged) {
+      k += 1
+      // EAGER checkpoints (r14): lazy ones only truncate lineage once
+      // a full-partition job computes them, and the 1-row election's
+      // take-shaped actions never do — at depth 32+ the accumulated
+      // lineage overflowed the task-serializer stack. Eager pays the
+      // same vocab-bounded computation per round, just scheduled at
+      // build time, and caps the serialized plan at ONE round.
       val tk = toks
         .withColumn("i", row_number().over(win))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val elected = tk
         .withColumn("r", lead(col("tok"), 1).over(win))
         .where(col("r").isNotNull)
         .select(col("tok").as("lft"), col("r").as("rgt"), col("freq"))
         .groupBy("lft", "rgt").agg(sum(col("freq")).as("pair_count"))
         .orderBy(desc("pair_count"), asc("lft"), asc("rgt")).limit(1)
-        .localCheckpoint(false)
+        .localCheckpoint()
+      // the election is 1 row (or 0 at convergence) and already
+      // checkpointed: isEmpty is a cheap action that both materializes
+      // it for the reuses below and detects convergence — rounds past
+      // a fully-merged vocabulary would elect nothing forever
+      converged = elected.isEmpty
       merges :+= elected.select(lit(k).as("rank"), col("lft"), col("rgt"),
         concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
       // LEFT join on true, not crossJoin: a round may elect NOTHING

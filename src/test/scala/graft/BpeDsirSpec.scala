@@ -82,6 +82,31 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
     assert(got == expect, s"\n got: $got\n exp: $expect")
   }
 
+  test("bpeLoop at depth 40 matches the scalar Sennrich reference and " +
+    "stops at convergence (parameterized depth, r14: a tokenizer's " +
+    "ladder is hundreds of merges, not the board's 6)") {
+    import spark.implicits._
+    val text = "aaaa aaa abab abab ab ba baa aab aaaa abab xyxy xy yx " +
+      "zqzq zq qz banana bandana and ana nan"
+    val words = text.split(" ").groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val vocab = words.toSeq.toDF("word", "freq")
+    // this vocabulary fully merges in exactly 32 rounds, so depth 40
+    // exercises BOTH the deep ladder and the convergence stop
+    val expect = refBpe(words, 40)
+    val (merges, _) = QueriesPipeline.bpeLoop(vocab, 40)
+    val got = merges.reduce(_ unionByName _).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+      .toSeq
+    assert(got == expect, s"\n got: $got\n exp: $expect")
+    // the loop must stop at convergence instead of burning rounds 34-40
+    assert(got.length == 32 && got.length == expect.length)
+    assert(merges.length <= got.length + 1,
+      s"loop ran ${merges.length} rounds for ${got.length} merges — " +
+        "convergence did not stop it")
+  }
+
   test("bpe_train greedy overlap parity: aaa under (a,a) merges once") {
     // one word "aaa" x3 plus noise that keeps (a,a) the top pair:
     // round 1 must elect (a,a) with count 2*3 (overlap included) and
