@@ -889,10 +889,10 @@ object Main {
           // relation, applied): drop any kept doc sharing a word
           // 8-gram with the benchmark corpus at <benchDir> (parquet
           // with a `text` column — the eval sets a training run must
-          // not see). Benchmark grams are distinct and BROADCAST (an
-          // eval suite is thousands of documents, never corpus-sized),
-          // so the corpus-side cost is one gram explode + a broadcast
-          // semi-join — no shuffle keyed on gram text.
+          // not see). The join regime is census-chosen
+          // (contaminationHits): an eval suite's grams broadcast; a
+          // corpus-sized benchmark (10M+ grams) shuffle-joins on the
+          // gram text instead of OOMing the driver.
           // one synthetic doc_id PER BENCH ROW: wordGrams8 windows by
           // (doc_id, pos), so a shared id would interleave two docs'
           // tokens at equal positions and scramble the grams
@@ -900,14 +900,14 @@ object Main {
           require(benchDocs.columns.contains("text"),
             s"-decontaminate $benchDir needs a `text` column, has " +
               benchDocs.columns.mkString(", "))
-          val bench = broadcast(QueriesPipeline.wordGrams8(
+          val bench = QueriesPipeline.wordGrams8(
               benchDocs
                 .select(monotonically_increasing_id().as("doc_id"),
                   col("text")))
-            .select(col("g")).distinct())
-          val hits = QueriesPipeline.wordGrams8(
-              kept.select(col("doc_id"), col("text")))
-            .join(bench, "g")
+            .select(col("g")).distinct()
+          val hits = QueriesPipeline.contaminationHits(
+              QueriesPipeline.wordGrams8(
+                kept.select(col("doc_id"), col("text"))), bench)
             .select(col("doc_id")).distinct()
           val before = kept.count()
           kept = kept.join(hits, Seq("doc_id"), "left_anti")

@@ -441,8 +441,47 @@ object QueriesCore {
                                   + (p_partkey % 13) * 300
       GROUP BY 1"""))
 
+  /** [[rangeJoin]] invoked through the SQL table-function surface
+    * (r13 verdict Next #6): `range_join('bands', 'probe', 'lo', 'hi',
+    * 'v')` in a FROM clause plans [[graft.ops.RangeJoin]]'s grid-cell
+    * equi-join (self-derived G, exact re-check) instead of the
+    * BroadcastNestedLoop Spark gives the raw theta-join phrasing.
+    * Registered by GraftExtensions in product sessions; registered
+    * imperatively here so the query is green with and without
+    * extensions. Same oracle as `range_join`. */
+  val rangeJoinSql = Q(
+    "range_join_sql",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensureTableFunctions(s)
+      t(s, dir, "part").select(
+          col("p_partkey").as("band_id"),
+          ((col("p_partkey") * 9973) % 100000).as("lo"),
+          ((col("p_partkey") * 9973) % 100000 + 100 +
+            (col("p_partkey") % 13) * 300).as("hi"))
+        .createOrReplaceTempView("graft_sql_range_bands")
+      t(s, dir, "orders").select(
+          col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
+        .createOrReplaceTempView("graft_sql_range_probe")
+      s.sql("""
+        SELECT band_id, COUNT(*) AS n_orders, MIN(o_orderkey) AS min_o,
+               SUM(v) AS sum_v
+        FROM range_join('graft_sql_range_bands', 'graft_sql_range_probe',
+                        'lo', 'hi', 'v')
+        GROUP BY band_id""")
+    },
+    Some("""
+      SELECT p_partkey AS band_id,
+        COUNT(*) AS n_orders,
+        MIN(o_orderkey) AS min_o,
+        CAST(SUM(o_orderkey % 100000) AS BIGINT) AS sum_v
+      FROM part JOIN orders
+        ON o_orderkey % 100000 >= (p_partkey * 9973) % 100000
+       AND o_orderkey % 100000 < (p_partkey * 9973) % 100000 + 100
+                                  + (p_partkey % 13) * 300
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q1Pricing, q2TopCustomers, q3RegionRollup, injectMerge, updatedbLatest,
     generateTopn, hostCapSkewsafe, crawldbStats, dedupRank, domainStats,
-    protocolStatusStats, orphanDetect, rangeJoin)
+    protocolStatusStats, orphanDetect, rangeJoin, rangeJoinSql)
 }

@@ -228,17 +228,46 @@ object QueriesPipeline {
       .distinct()
   }
 
-  val decontaminate = Q(
-    "decontaminate",
+  /** Broadcast regime bound for the decontamination gram join: an
+    * eval SUITE's distinct 8-grams broadcast comfortably (HELM-scale
+    * suites are thousands of docs → low millions of grams ≈ 10^2 MB),
+    * but a user decontaminating against another CORPUS (10^7+ grams)
+    * must shuffle-join on the gram text instead — a forced broadcast
+    * there is a driver OOM, a silent skip is a correctness bug. */
+  private[graft] val DECONTAM_BROADCAST_GRAMS = 2000000L
+
+  /** (doc_id, n_shared_grams) for every corpus doc sharing ≥1 gram
+    * with the benchmark set, regime chosen by a ONE-aggregate census
+    * of the bench gram count: ≤ limit → broadcast hash join (map-side,
+    * no corpus shuffle); above → plain equi-join on the gram text,
+    * which shuffles BOTH sides hash-keyed on `g` — linear, skew-free
+    * (grams are near-unique by construction), and the only shape that
+    * survives a corpus-sized benchmark. Shared by the `decontaminate`
+    * query (auto), `decontaminate_shuffle` (forced big regime), and
+    * the `corpus -decontaminate` export gate. */
+  private[graft] def contaminationHits(
+      corpusGrams: org.apache.spark.sql.DataFrame,
+      benchGrams: org.apache.spark.sql.DataFrame,
+      broadcastLimit: Long = DECONTAM_BROADCAST_GRAMS)
+      : org.apache.spark.sql.DataFrame = {
+    val census = benchGrams.count()
+    val bench =
+      if (census <= broadcastLimit) broadcast(benchGrams)
+      else benchGrams
+    corpusGrams.join(bench, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+  }
+
+  private def decontaminateQ(name: String, broadcastLimit: Long) = Q(
+    name,
     (s, dir) => {
       val grams = wordGrams8(
         spread(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), col("text")))
-      val bench = broadcast(
-        grams.where(col("doc_id") % 25 === 0).select(col("g")).distinct())
-      grams.join(bench, "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("n_shared_grams"))
+      val bench =
+        grams.where(col("doc_id") % 25 === 0).select(col("g")).distinct()
+      contaminationHits(grams, bench, broadcastLimit)
     },
     Some {
       val grams =
@@ -252,6 +281,15 @@ object QueriesPipeline {
       FROM grams JOIN bench ON grams.g = bench.g
       GROUP BY 1"""
     })
+
+  val decontaminate = decontaminateQ("decontaminate",
+    DECONTAM_BROADCAST_GRAMS)
+
+  /** The BIG-benchmark regime of [[decontaminate]], forced (census
+    * limit 0): the gram join shuffles both sides instead of
+    * broadcasting — identical answer, the shape a 10M+-gram benchmark
+    * corpus needs. Oracle is regime-independent. */
+  val decontaminateShuffle = decontaminateQ("decontaminate_shuffle", 0L)
 
   /** Token-budget stratified sampling: sample each language down to an
     * expected per-language token budget with deterministic
@@ -2264,6 +2302,7 @@ object QueriesPipeline {
       FROM tgt"""))
 
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
+    decontaminateShuffle,
     softDedup,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,

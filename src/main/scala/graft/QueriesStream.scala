@@ -363,6 +363,46 @@ object QueriesStream {
       FROM p ASOF LEFT JOIN v
         ON p.user_id = v.user_id AND p.ts_us > v.ts_us"""))
 
+  /** [[asofJoin]] invoked through the SQL table-function surface
+    * (r13 verdict Next #6): the skew-safe operator reachable from a
+    * plain `spark.sql` FROM clause — `asof_join('purchases', 'views',
+    * 'user_id', 'ts_us', 'ts_us')` — so SQL-first users never fall
+    * back to the quadratic range-join phrasing. Registered by
+    * GraftExtensions in product sessions; the builder registers it
+    * imperatively here so the query is green with and without
+    * extensions. Same oracle as `asof_join` (DuckDB native ASOF). */
+  val asofJoinSql = Q(
+    "asof_join_sql",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensureTableFunctions(s)
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("view_event"))
+        .createOrReplaceTempView("graft_sql_asof_views")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_event"))
+        .createOrReplaceTempView("graft_sql_asof_purchases")
+      s.sql("""
+        SELECT purchase_event, user_id, view_event,
+               ts_us - ts_us_asof AS gap_us
+        FROM asof_join('graft_sql_asof_purchases', 'graft_sql_asof_views',
+                       'user_id', 'ts_us', 'ts_us')""")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS view_event
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_event
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_event, p.user_id, v.view_event,
+        p.ts_us - v.ts_us AS gap_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us > v.ts_us"""))
+
   val all: Seq[Q] = Seq(eventsHourly, sessionize, propsExtract,
-    dedupStreamBatch, slidingRate, tdigestValues, heavyHitters, asofJoin)
+    dedupStreamBatch, slidingRate, tdigestValues, heavyHitters, asofJoin,
+    asofJoinSql)
 }

@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.IntegerType
   *  - `bounded_sorted_list(expr, k)` as a SQL function, so the O(k)
   *    top-k aggregate ([[BoundedSortedList]]) is reachable from
   *    `spark.sql` queries, not only the Scala API;
+  *  - `asof_join(...)` / `range_join(...)` as TABLE functions
+  *    (r14): the skew-safe point-in-time join and the grid range
+  *    join, invokable from a SQL FROM clause over catalog tables or
+  *    temp views — SQL-first users get [[graft.ops.AsofJoin]] /
+  *    [[graft.ops.RangeJoin]]'s plans instead of a window straggler
+  *    or a BroadcastNestedLoop theta join;
   *  - [[RewriteBoundedTopK]], an optimizer rule rewriting the naive
   *    `slice(array_sort(collect_list(x)), 1, k)` phrasing — the shape
   *    users actually write — into the same aggregate, turning an
@@ -38,6 +44,8 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.boundedSortedListFunction)
+    ext.injectTableFunction(GraftExtensions.asofJoinTableFunction)
+    ext.injectTableFunction(GraftExtensions.rangeJoinTableFunction)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteWindowAggToJoin)
     ext.injectOptimizerRule(_ => RewriteKeeperElection)
@@ -60,6 +68,64 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "usage: bounded_sorted_list(expr, k) with k a positive INT literal")
     })
+
+  private def strLit(e: Expression, usage: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      s.toString
+    case _ => throw new IllegalArgumentException(usage)
+  }
+
+  /** SQL surface for the skew-safe as-of join (r13 verdict Next #6):
+    * `asof_join('left', 'right', 'k1,k2', 'left_ts', 'right_ts')` in a
+    * FROM clause — table names resolve through the session catalog
+    * (temp views included), so SQL-first users get
+    * [[graft.ops.AsofJoin]]'s two-phase carry without touching the
+    * Scala API. The builder runs at analysis time and returns the
+    * operator's analyzed plan. */
+  val asofJoinTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("asof_join"),
+    new ExpressionInfo("graft.ops.AsofJoin", "asof_join"),
+    (args: Seq[Expression]) => {
+      val usage = "usage: asof_join('left_table', 'right_table', " +
+        "'key1[,key2...]', 'left_ts', 'right_ts') with string literals"
+      if (args.length != 5) throw new IllegalArgumentException(usage)
+      val Seq(l, r, keys, lts, rts) = args.map(strLit(_, usage))
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.AsofJoin(spark.table(l), spark.table(r),
+          keys.split(",").map(_.trim).toSeq, lts, rts)
+        .queryExecution.analyzed
+    })
+
+  /** SQL surface for the grid range join:
+    * `range_join('intervals', 'points', 'lo', 'hi', 'v')` — every
+    * (interval × point) pair with v in [lo, hi), planned as
+    * [[graft.ops.RangeJoin]]'s cell equi-join. The self-deriving grid
+    * runs its one bounded aggregate at analysis time. */
+  val rangeJoinTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("range_join"),
+    new ExpressionInfo("graft.ops.RangeJoin", "range_join"),
+    (args: Seq[Expression]) => {
+      val usage = "usage: range_join('intervals_table', 'points_table', " +
+        "'lo', 'hi', 'v') with string literals"
+      if (args.length != 5) throw new IllegalArgumentException(usage)
+      val Seq(i, p, lo, hi, v) = args.map(strLit(_, usage))
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.RangeJoin.join(spark.table(i), spark.table(p), lo, hi, v)
+        .queryExecution.analyzed
+    })
+
+  /** Imperative registration of the SQL operator surface into a
+    * session built WITHOUT extensions (Verify/Bench default) —
+    * idempotent; product sessions get these via
+    * [[GraftExtensions.apply]]. */
+  def ensureTableFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerTableFunction(spark, asofJoinTableFunction)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerTableFunction(spark, rangeJoinTableFunction)
+  }
 }
 
 /** `slice(array_sort(collect_list(x)), 1, k)` holds every row of the

@@ -186,15 +186,41 @@ object EventStreams {
 
   /** Stateful sessionization: a >30-minute gap starts a new session.
     * Emits a session when it closes (next session opens) — the streaming
-    * form of the batch lag+running-sum twin; state is O(1) per user. */
-  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    * form of the batch lag+running-sum twin; state is O(1) per user.
+    *
+    * STATE BOUND (r13 verdict Next #7, the [[asofEnrich]] discipline):
+    * O(1) per user but the USER SET is unbounded on a long-running
+    * stream, so a production deployment should pass `stateTtl`. An
+    * idle-past-TTL user's OPEN session is emitted as closed on
+    * eviction (an inactivity close — the semantics a session gap
+    * already encodes; a later event starts the next session index
+    * fresh at 1, as for a new user). Default None = NoTimeout, exact
+    * batch-twin row identity — arming ProcessingTimeTimeout makes the
+    * engine schedule micro-batches continuously to expire state,
+    * which livelocks processAllAvailable-style harnesses (see
+    * [[asofEnrich]]'s scaladoc for the full trade). */
+  def sessionize(events: Dataset[Event],
+      stateTtl: Option[java.time.Duration] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+          .getOrElse(GroupStateTimeout.NoTimeout)) {
         (userId: Long, batch: Iterator[Event],
             state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: close and EMIT the open session (a
+            // session that outlives the TTL without new events has
+            // ended by definition), then evict the user
+            val st = state.getOption.orNull
+            state.remove()
+            if (st == null) Iterator.empty
+            else Iterator.single(SessionOut(userId, st.sessionIdx, st.n,
+              st.firstEvent, st.lastEvent, st.lastUs - st.startUs,
+              st.sumFx / 100.0))
+          } else {
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var st = state.getOption.orNull
           batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
@@ -215,7 +241,11 @@ object EventStreams {
             }
           }
           if (st != null) state.update(st)
+          // sliding inactivity clock, re-armed per touching batch
+          if (st != null) stateTtl.foreach(d =>
+            state.setTimeoutDuration(d.toMillis))
           out.iterator
+          }
       }
   }
 

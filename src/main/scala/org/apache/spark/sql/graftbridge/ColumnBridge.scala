@@ -34,6 +34,20 @@ object ColumnBridge {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
 
+  /** Register a table-valued function into THIS session's registry —
+    * the imperative twin of `SparkSessionExtensions.injectTableFunction`
+    * for sessions built without extensions (`tableFunctionRegistry` is
+    * private[sql], hence the bridge). Re-registration overwrites, so
+    * the call is idempotent. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+      fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan))
+      : Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .registerFunction(fn._1, fn._2, fn._3)
+
   /** True iff the session's CacheManager holds no cached plans —
     * `sharedState` is private[sql], and cache-hygiene tests (composed
     * iterative queries must leak zero cached blocks) need exactly this

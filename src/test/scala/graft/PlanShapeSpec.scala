@@ -77,6 +77,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 25-row ranges side
   }
 
+  test("decontaminate regimes: the census picks the broadcast hint, " +
+    "the forced-shuffle variant carries NO hint (r14: a 10M+-gram " +
+    "benchmark must never be force-broadcast)") {
+    def optimized(name: String): String = {
+      val df = Queries.byName(name).build(spark, dir)
+      df.queryExecution.optimizedPlan.toString
+    }
+    // small bench set (census <= limit): the gram join is hinted
+    // broadcast — map-side, no corpus shuffle
+    assert(optimized("decontaminate").contains("strategy=broadcast"),
+      optimized("decontaminate"))
+    // forced big regime (census limit 0): no hint anywhere — the
+    // planner sizes the join at runtime (AQE may still broadcast a
+    // TINY side, which is correct; what must not happen is a hint
+    // that would OVERRIDE size checks on an unbounded gram set)
+    assert(!optimized("decontaminate_shuffle").contains("strategy=broadcast"),
+      optimized("decontaminate_shuffle"))
+  }
+
   test("no cartesian products outside the brute-force baseline") {
     for (q <- Seq("minhash_lsh", "ngram_jaccard", "simhash", "embed_neardup",
         "updatedb_state_machine", "linkrank")) {

@@ -421,4 +421,80 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
           s"batch-only: ${(batch -- streamed).take(3)}")
     } finally q.stop()
   }
+
+  // TTL specs (r13 verdict Next #7): armed ProcessingTimeTimeout makes
+  // shouldRunAnotherBatch always true, so processAllAvailable-style
+  // waits can livelock — these poll the memory sink with a deadline
+  // under an explicit short processing-time trigger instead.
+
+  test("sessionize stateTtl: an idle user's open session is emitted " +
+    "as closed on eviction, and a later event starts fresh") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(),
+        stateTtl = Some(java.time.Duration.ofSeconds(1)))
+      .writeStream.format("memory").queryName("sessions_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def rows() = spark.table("sessions_ttl")
+      .as[EventStreams.SessionOut].collect()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 90000
+      while (rows().length < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows().length >= n,
+        s"sink has ${rows().length} rows, wanted $n (TTL never fired?)")
+    }
+    try {
+      // one OPEN session; nothing emits until the TTL evicts it
+      in.addData(
+        Event(1, 42, "view", base, 1.0),
+        Event(2, 42, "view", base + 1000000L, 2.0))
+      awaitRows(1)
+      val s = rows().head
+      assert(s.user_id == 42 && s.session_idx == 1)
+      assert(s.n_events == 2 && s.first_event == 1 && s.last_event == 2)
+      assert(s.duration_us == 1000000L && s.sum_value == 3.0)
+      // the user was EVICTED, not just flushed: the next activity is a
+      // brand-new user to the operator — session_idx restarts at 1
+      in.addData(Event(3, 42, "view", base + 2000000L, 4.0))
+      awaitRows(2) // its own eviction emits it
+      assert(rows().count(r => r.session_idx == 1 && r.user_id == 42) == 2)
+      assert(rows().exists(r => r.n_events == 1 && r.first_event == 3))
+    } finally q.stop()
+  }
+
+  test("asofEnrich stateTtl: an evicted user's next purchase reports " +
+    "no prior view (bounded store semantics)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(in.toDS(),
+        stateTtl = Some(java.time.Duration.ofSeconds(1)))
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def rows() = spark.table("asof_ttl").as[EventStreams.AsofOut].collect()
+    try {
+      in.addData(Event(1, 7, "view", base, 1.0))
+      // wait well past the TTL so the idle view-state is evicted
+      // (batches run continuously while a timeout is armed)
+      Thread.sleep(5000)
+      in.addData(Event(2, 7, "purchase", base + 1000000L, 2.0))
+      val deadline = System.currentTimeMillis() + 90000
+      while (rows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(rows().length == 1, s"got ${rows().length} rows")
+      val o = rows().head
+      // the view at base is LOST by construction: eviction == the
+      // TTL-windowed-input batch answer
+      assert(o.purchase_event == 2 && o.user_id == 7)
+      assert(o.view_event.isEmpty && o.gap_us.isEmpty, o)
+    } finally q.stop()
+  }
 }
