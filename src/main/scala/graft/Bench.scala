@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * into later measurements.
   *
   * Each query runs REPS times (default 3, `SPARK_GRAFT_BENCH_REPS`) in
-  * one JVM; the headline number per query is the MEDIAN and the "min"
+  * one JVM, INTERLEAVED round-robin across the board so one bursty
+  * noise window can't own all of a query's reps (comment at the loop);
+  * the headline number per query is the MEDIAN and the "min"
   * map carries the per-query best. A contended container inflates wall
   * clock uniformly — the median de-noises the individual spike, the min
   * approximates the uncontended cost, and the before/after system load
@@ -83,43 +85,61 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val calibBefore = calibrate()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Reps are INTERLEAVED round-robin (rep 1 of every query, then
+    // rep 2, ...), not run back-to-back per query: container noise is
+    // bursty on the tens-of-seconds scale, so back-to-back reps of one
+    // query all land in the same noise window and min-of-reps can't
+    // strip it — measured on this box as ~11-15% median per-query
+    // same-code spread between two full runs. Round-robin places a
+    // query's reps ~minutes apart, so its min samples independent
+    // windows. Codegen/plan caches are JVM-wide and survive the
+    // interleave; the block-manager cache is still cleared after every
+    // execution so intra-query .cache() calls can't leak across.
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      var err: Option[String] = None
-      var shuffleMb = 0.0
-      val cpuReps = Vector.newBuilder[Double]
-      val times = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
-        meter.reset()
-        val t0 = System.nanoTime()
-        // noop sink, not .count(): count() lets Catalyst prune every
-        // output column and eliminate left joins whose right side is a
-        // provably-unique aggregate, so join-shaped queries (index_docs,
-        // score_updater, doc_fingerprint) would bench as bare scans.
-        // The noop sink consumes all columns of every row — the full
-        // plan executes, nothing written.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          err = Some(e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).replace('\n', ' ').take(160))
-        }
-        spark.catalog.clearCache()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // flush the async listener bus so the meter has this query's
-        // stages before we read it (outside the timed window)
-        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
-        shuffleMb = meter.mb
-        cpuReps += meter.cpuSec
-        dt
-      }.toVector
-      if (err.isDefined) BenchRow(name, -1.0, -1.0, -1.0, -1.0, err, times)
+    val errs0 = scala.collection.mutable.Map.empty[String, String]
+    val wall = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val cpu = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val shuf = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; (name, fn) <- benched
+        if !errs0.contains(name)) {
+      meter.reset()
+      val t0 = System.nanoTime()
+      // noop sink, not .count(): count() lets Catalyst prune every
+      // output column and eliminate left joins whose right side is a
+      // provably-unique aggregate, so join-shaped queries (index_docs,
+      // score_updater, doc_fingerprint) would bench as bare scans.
+      // The noop sink consumes all columns of every row — the full
+      // plan executes, nothing written.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errs0(name) = e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).replace('\n', ' ').take(160)
+      }
+      spark.catalog.clearCache()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // flush the async listener bus so the meter has this query's
+      // stages before we read it (outside the timed window)
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      if (!errs0.contains(name)) {
+        wall(name) = wall(name) :+ dt
+        cpu(name) = cpu(name) :+ meter.cpuSec
+        shuf(name) = meter.mb
+      }
+    }
+    val results = benched.map { case (name, _) =>
+      if (errs0.contains(name))
+        BenchRow(name, -1.0, -1.0, -1.0, -1.0, Some(errs0(name)),
+          wall(name))
       else {
+        val times = wall(name)
         val sorted = times.sorted
-        // min over reps: executor CPU is already contention-stable, the
-        // min strips first-rep codegen/page-cache residue
-        val cpuMin = cpuReps.result().min
-        BenchRow(name, sorted(sorted.length / 2), sorted.head, cpuMin,
-          shuffleMb, None, times)
+        // min over reps: strips first-rep codegen/page-cache residue
+        // AND (via the interleave) per-window container noise
+        BenchRow(name, sorted(sorted.length / 2), sorted.head,
+          cpu(name).min, shuf(name), None, times)
       }
     }
     val calibAfter = calibrate()

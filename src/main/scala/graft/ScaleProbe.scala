@@ -88,7 +88,7 @@ object ScaleProbe {
     * static one, because the broadcast-vs-SMJ choice is made at
     * runtime and is exactly what changes between scale decades. */
   final case class Point(n: Int, sec: Double, shuffleMb: Double,
-      err: Option[String], joins: String = "")
+      err: Option[String], joins: String = "", cpuSec: Double = -1.0)
 
   /** Growth verdict for one query series: for each consecutive factor
     * pair, shuffle must grow ≤ slack×linear once past the noise floor.
@@ -270,7 +270,8 @@ object ScaleProbe {
     try Tables.names.foreach(t => Tables(spark, sfDir, t).limit(1).count())
     catch { case _: Throwable => () }
 
-    def measure(body: => Unit): (Double, Double, Option[String]) = {
+    def measure(body: => Unit)
+        : (Double, Double, Double, Option[String]) = {
       // leak detector: the meter is reset right after every reading,
       // so anything visible here arrived BETWEEN measurements — late
       // stage completions that would otherwise be silently attributed
@@ -294,22 +295,25 @@ object ScaleProbe {
       spark.catalog.clearCache()
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val mb = meter.mb
+      // executor task CPU: the spread-invariant cost (Bench header) —
+      // wall on a shared container is noisy, CPU is not
+      val cpu = meter.cpuSec
       meter.reset() // so the next leak check sees only late arrivals
-      (dt, mb, err)
+      (dt, mb, cpu, err)
     }
 
     def measureBuilt(name: String)(
         mk: Int => org.apache.spark.sql.DataFrame): Seq[Point] =
       factors.map { n =>
         spark.conf.set("spark.graft.inflate", n.toString)
-        val (sec, mb, err) = measure(
+        val (sec, mb, cpu, err) = measure(
           mk(n).write.format("noop").mode("overwrite").save())
         val joins = if (err.isEmpty)
           joinShape(bodyPlans.synchronized(bodyPlans.mkString("\n")))
         else ""
         System.err.println(f"[scale] $name%-24s n=$n%-4d ${sec}%8.2f s " +
           f"${mb}%10.2f MB shuffle [$joins] ${err.getOrElse("")}")
-        Point(n, sec, mb, err, joins)
+        Point(n, sec, mb, err, joins, cpu)
       }
     def measureQuery(name: String): Seq[Point] =
       measureBuilt(name)(_ => SparkEntry.queries(name)(spark, sfDir))
@@ -441,7 +445,7 @@ object ScaleProbe {
           spark.conf.set("spark.graft.inflate", n.toString)
           val root = java.nio.file.Files
             .createTempDirectory(s"graft-scale-corpus-$n").toString
-          val (sec, mb, err) = measure {
+          val (sec, mb, cpu, err) = measure {
             val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
               "-neardup", "-exactsubstr", "-temperature",
               "-ccnet", "head,middle"))
@@ -450,7 +454,7 @@ object ScaleProbe {
           tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
           System.err.println(f"[scale] corpus_export           n=$n%-4d " +
             f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
-          Point(n, sec, mb, err)
+          Point(n, sec, mb, err, "", cpu)
         }
       },
       // the FULL export surface as one composition: the r11 flag set
@@ -475,7 +479,7 @@ object ScaleProbe {
           spark.conf.set("spark.graft.inflate", n.toString)
           val root = java.nio.file.Files
             .createTempDirectory(s"graft-scale-corpusf-$n").toString
-          val (sec, mb, err) = measure {
+          val (sec, mb, cpu, err) = measure {
             val rc = Main.run(spark, Array("corpus", sfDir, s"$root/out",
               "-neardup", "-exactsubstr", "-temperature",
               "-ccnet", "head,middle", "-dsir", "en:8000",
@@ -486,7 +490,7 @@ object ScaleProbe {
           tables.Install.deleteRecursively(java.nio.file.Paths.get(root))
           System.err.println(f"[scale] corpus_export_full      n=$n%-4d " +
             f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
-          Point(n, sec, mb, err)
+          Point(n, sec, mb, err, "", cpu)
         }
         tables.Install.deleteRecursively(java.nio.file.Paths.get(benchDir))
         pts
@@ -494,12 +498,12 @@ object ScaleProbe {
       "conductor_round" -> { () =>
         spark.conf.set("spark.graft.inflate", "1") // conductor scales via seeds
         factors.map { n =>
-          val (sec, mb, err) = measure(conductorRound(spark, n))
+          val (sec, mb, cpu, err) = measure(conductorRound(spark, n))
           System.err.println(f"[scale] conductor_round          n=$n%-4d " +
             f"${sec}%8.2f s ${mb}%10.2f MB shuffle ${err.getOrElse("")}")
           // a conductor round is dozens of executions, not one plan — no
           // single join inventory to compare, so transitions don't apply
-          Point(n, sec, mb, err)
+          Point(n, sec, mb, err, "", cpu)
         }
       })
     // names that are custom series, not registry queries, run only in
@@ -535,6 +539,8 @@ object ScaleProbe {
     json ++= series.toSeq.sortBy(_._1).map { case (q, pts) =>
       "    " + jstr(q) + ": {" +
         "\"sec\": " + pts.map(p => r2(p.sec)).mkString("[", ",", "]") +
+        ", \"cpu_sec\": " +
+        pts.map(p => r2(p.cpuSec)).mkString("[", ",", "]") +
         ", \"shuffle_mb\": " +
         pts.map(p => r2(p.shuffleMb)).mkString("[", ",", "]") +
         ", \"joins\": " +
