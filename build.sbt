@@ -38,4 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // into startup/warmup, where the bench doesn't time it.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
+  // 148 benched queries × whole-stage-codegen classes overflow the
+  // default 240 MB JIT code cache; once flushing starts, a query's
+  // compiled methods are evicted between its interleaved bench reps
+  // and re-run interpreted/C1 (measured: ~2× total executor CPU,
+  // 5× on explode-heavy queries, at similar wall). A 1 GB reserve
+  // keeps every generated class C2-hot for the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
 )

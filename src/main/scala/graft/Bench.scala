@@ -47,6 +47,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen class cache thrashes on a
+      // 148-query interleaved board: a query's generated classes are
+      // evicted between its reps, each rep loads a FRESH class whose
+      // hot loops re-earn JIT from scratch — measured 5× executor CPU
+      // on explode-heavy queries at similar wall (and a bigger
+      // ReservedCodeCacheSize alone does not help: the JIT state dies
+      // with the class, not the cache). Static conf, so set here.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     // SPARK_GRAFT_EXTENSIONS=1 benches the board under GraftExtensions
     // (same knob as Verify — measure what the optimizer rules change)
     val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))

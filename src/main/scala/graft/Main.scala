@@ -76,12 +76,21 @@ object Main {
     * driver artifacts stay comparable across rounds — there the rules
     * are the A/B subject, not the default.) */
   private[graft] def session(): SparkSession = {
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .appName("graft")
+    // this engine's surface is 140+ distinct query shapes; Spark's
+    // default 100-entry codegen class cache thrashes across them, and
+    // an evicted generated class re-earns JIT from zero on its next
+    // use (measured in Bench: ~5× executor CPU on explode-heavy
+    // queries, ~25% whole-board wall). Static conf; override via
+    // SPARK_GRAFT_CODEGEN_CACHE ("" keeps Spark's default).
+    val cc = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000")
+    val b = if (cc.nonEmpty)
+      b0.config("spark.sql.codegen.cache.maxEntries", cc) else b0
     (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("0")) b
      else b.withExtensions(new graft.plans.GraftExtensions))
       .getOrCreate()
