@@ -229,6 +229,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 148 distinct query shapes thrash the default 100-entry
+      // codegen class cache (see Bench.scala / Main.session)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // NOTE: spark.driver.memory is NOT set here — in local mode the
       // driver JVM already exists, so the conf would be a silent no-op;
       // the heap comes from build.sbt's forked-JVM -Xmx

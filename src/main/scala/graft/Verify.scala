@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 148 distinct query shapes thrash the default 100-entry
+      // codegen class cache (see Bench.scala / Main.session)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     // SPARK_GRAFT_EXTENSIONS=1: run the whole board under
     // GraftExtensions (incl. the window-agg-to-join rewrite) — the
     // dogfood proof that the optimizer rules are answer-preserving on
