@@ -32,8 +32,9 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
   *                      [-dsir lang:keep_bp]
-  *                      [-decontaminate <benchParquetDir>] [-pii]
+  *                      [-decontaminate <benchDirOrGramStore>] [-pii]
   *                      [-softdedup] [-split] [-curriculum] [-epochs]
+  * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N]
   * graft.Main bpe       <sfDir> <outDir> [-merges K]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -896,28 +897,37 @@ object Main {
         opt(rest, "-decontaminate").foreach { benchDir =>
           // Benchmark decontamination gate (the decontaminate query's
           // relation, applied): drop any kept doc sharing a word
-          // 8-gram with the benchmark corpus at <benchDir> (parquet
-          // with a `text` column — the eval sets a training run must
-          // not see). The join regime is census-chosen
-          // (contaminationHits): an eval suite's grams broadcast; a
-          // corpus-sized benchmark (10M+ grams) shuffle-joins on the
-          // gram text instead of OOMing the driver.
+          // 8-gram with the benchmark corpus at <benchDir>. Two
+          // accepted layouts, auto-detected:
+          //  - a GramStore dir (`gramstore` verb): the frozen bucketed
+          //    gram table reads in place — the repeated-increment
+          //    shape (only increment-derived rows ever shuffle);
+          //  - a raw parquet dir with a `text` column: grams computed
+          //    in-plan, join regime census-chosen (contaminationHits —
+          //    eval suites broadcast, 10M+-gram corpora shuffle-join).
           // one synthetic doc_id PER BENCH ROW: wordGrams8 windows by
           // (doc_id, pos), so a shared id would interleave two docs'
           // tokens at equal positions and scramble the grams
-          val benchDocs = spark.read.parquet(benchDir)
-          require(benchDocs.columns.contains("text"),
-            s"-decontaminate $benchDir needs a `text` column, has " +
-              benchDocs.columns.mkString(", "))
-          val bench = QueriesPipeline.wordGrams8(
-              benchDocs
-                .select(monotonically_increasing_id().as("doc_id"),
-                  col("text")))
-            .select(col("g")).distinct()
-          val hits = QueriesPipeline.contaminationHits(
-              QueriesPipeline.wordGrams8(
-                kept.select(col("doc_id"), col("text"))), bench)
-            .select(col("doc_id")).distinct()
+          val hitsFull =
+            if (graft.ops.GramStore.isStore(benchDir))
+              graft.ops.GramStore.hits(
+                kept.select(col("doc_id"), col("text")),
+                graft.ops.GramStore.open(spark, benchDir))
+            else {
+              val benchDocs = spark.read.parquet(benchDir)
+              require(benchDocs.columns.contains("text"),
+                s"-decontaminate $benchDir needs a `text` column, has " +
+                  benchDocs.columns.mkString(", "))
+              val bench = QueriesPipeline.wordGrams8(
+                  benchDocs
+                    .select(monotonically_increasing_id().as("doc_id"),
+                      col("text")))
+                .select(col("g")).distinct()
+              QueriesPipeline.contaminationHits(
+                QueriesPipeline.wordGrams8(
+                  kept.select(col("doc_id"), col("text"))), bench)
+            }
+          val hits = hitsFull.select(col("doc_id")).distinct()
           val before = kept.count()
           kept = kept.join(hits, Seq("doc_id"), "left_anti")
           contamDropped = before - kept.count()
@@ -1077,6 +1087,19 @@ object Main {
           reasons.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString("(", " ", ")"))
         corpus.unpersist()
+        0
+      case "gramstore" :: benchDir :: storeDir :: rest =>
+        // Freeze a benchmark corpus's distinct word 8-grams as a
+        // bucketed store (graft.ops.GramStore) — `corpus -decontaminate
+        // <storeDir>` then probes it in place on every increment
+        // instead of recomputing/reshuffling the benchmark side per
+        // run. Re-run at benchmark-publish cadence.
+        val buckets = opt(rest, "-buckets").map(_.toInt).getOrElse(16)
+        graft.ops.GramStore.install(
+          spark.read.parquet(benchDir), storeDir, buckets)
+        val n = graft.ops.GramStore.open(spark, storeDir).count()
+        println(s"gramstore: $n distinct 8-grams into $buckets buckets " +
+          s"at $storeDir")
         0
       case "bpe" :: sfDir :: outDir :: rest =>
         // Train the BPE merge table on the corpus and report it plus

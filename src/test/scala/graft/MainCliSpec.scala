@@ -810,6 +810,23 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     val dropped = m.where(col("name").startsWith("dropped_"))
       .agg(sum("value")).head().getLong(0)
     assert(g("docs_in") == g("docs_kept") + dropped)
+    // r14: freeze the same benchmark as a bucketed GramStore and run
+    // the gated export against the STORE dir — -decontaminate
+    // auto-detects the layout and the export must be byte-identical
+    assert(v("gramstore", s"$root/bench", s"$root/store",
+      "-buckets", "4") == 0)
+    assert(graft.ops.GramStore.isStore(s"$root/store"))
+    assert(v("corpus", s"$root/sf", s"$root/out2", "-shards", "4",
+      "-decontaminate", s"$root/store", "-pii") == 0)
+    val corpus2 = spark.read.parquet(s"$root/out2/corpus")
+    assert(corpus2.count() == corpus.count())
+    assert(corpus.select("doc_id", "text")
+      .exceptAll(corpus2.select("doc_id", "text")).isEmpty)
+    val m2 = new graft.ops.Metrics.Table(spark, s"$root/out2/metrics").read()
+    val g2 = m2.where(col("name") === "dropped_contaminated")
+      .select("value").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    assert(g2 == g("dropped_contaminated"), s"store=$g2 inplan=" +
+      g("dropped_contaminated"))
     baseKept.unpersist(); corpus.unpersist()
   }
 
