@@ -35,7 +35,7 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-decontaminate <benchDirOrGramStore>] [-pii]
   *                      [-softdedup] [-split] [-curriculum] [-epochs]
   * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N]
-  * graft.Main bpe       <sfDir> <outDir> [-merges K]
+  * graft.Main bpe       <sfDir> <outDir> [-merges K] [-encode <docsDir>]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -1129,6 +1129,29 @@ object Main {
           println(s"fertility\t${r.getAs[String]("lang")}\t" +
             s"${r.getAs[Long]("n_words")}\t${r.getAs[Long]("n_tokens")}\t" +
             s"${r.getAs[Long]("fertility_bp")}")
+        }
+        // `-encode <parquetDocsDir>`: tokenize an EXTERNAL corpus with
+        // the just-trained frozen merges (bpeEncode — the runtime
+        // half) and write per-doc (doc_id, n_words, n_tokens)
+        opt(rest, "-encode").foreach { encDir =>
+          val enc = spark.read.parquet(encDir)
+          require(enc.columns.contains("doc_id") &&
+            enc.columns.contains("text"),
+            s"-encode $encDir needs doc_id + text columns, has " +
+              enc.columns.mkString(", "))
+          val frozen = mergesDf.orderBy("rank").collect()
+            .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+            .toSeq
+          val perWord = QueriesPipeline.bpeEncode(
+              QueriesPipeline.bpeVocab(enc), frozen)
+            .groupBy("w").agg(count(lit(1)).as("toks"))
+          enc.select(col("doc_id"), explode(split(col("text"), " "))
+              .as("w"))
+            .join(perWord, "w")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_words"),
+              sum(col("toks")).as("n_tokens"))
+            .write.mode("overwrite").parquet(s"$outDir/encoded")
         }
         mergesDf.unpersist(); fert.unpersist()
         0

@@ -1943,28 +1943,71 @@ object QueriesPipeline {
       // fixture converges in 3) and a cross join with an empty frame
       // would annihilate every token row; under the left join lft/rgt
       // are null, no pair matches, and the tokens pass through
-      toks = tk
-        .join(broadcast(elected.select(col("lft"), col("rgt"))),
-          lit(true), "left")
-        .withColumn("m", coalesce(
-          col("tok") === col("lft") &&
-            lead(col("tok"), 1).over(win) === col("rgt"), lit(false)))
-        .withColumn("st",
-          (col("m") && !coalesce(lag(col("m"), 1).over(win), lit(false)))
-            .cast("int"))
-        .withColumn("grp", sum(col("st")).over(run))
-        .withColumn("rs",
-          min(when(col("m"), col("i")))
-            .over(Window.partitionBy("w", "grp")))
-        .withColumn("act", col("m") && (col("i") - col("rs")) % 2 === 0)
-        .withColumn("cons",
-          coalesce(lag(col("act"), 1).over(win), lit(false)))
-        .where(!col("cons"))
-        .select(col("w"), col("freq"), col("i"),
-          when(col("act"), concat(col("lft"), col("rgt")))
-            .otherwise(col("tok")).as("tok"))
+      toks = bpeApplyPair(
+        tk.join(broadcast(elected.select(col("lft"), col("rgt"))),
+          lit(true), "left"),
+        col("lft"), col("rgt"))
     }
     (merges, toks)
+  }
+
+  /** One greedy left-to-right merge application of the pair (lft,
+    * rgt) over a (w, freq, i, tok, ...) token frame — the run-start
+    * cumsum + parity algebra shared by training ([[bpeLoop]], pair
+    * columns from the election join) and encoding ([[bpeEncode]],
+    * pair literals from a frozen merge table). Null lft/rgt (a round
+    * that elected nothing) matches no token and the frame passes
+    * through. Requires `i` to be a dense per-word position. */
+  private def bpeApplyPair(tk: org.apache.spark.sql.DataFrame,
+      lft: org.apache.spark.sql.Column, rgt: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val win = Window.partitionBy("w").orderBy("i")
+    val run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tk
+      .withColumn("m", coalesce(
+        col("tok") === lft &&
+          lead(col("tok"), 1).over(win) === rgt, lit(false)))
+      .withColumn("st",
+        (col("m") && !coalesce(lag(col("m"), 1).over(win), lit(false)))
+          .cast("int"))
+      .withColumn("grp", sum(col("st")).over(run))
+      .withColumn("rs",
+        min(when(col("m"), col("i")))
+          .over(Window.partitionBy("w", "grp")))
+      .withColumn("act", col("m") && (col("i") - col("rs")) % 2 === 0)
+      .withColumn("cons",
+        coalesce(lag(col("act"), 1).over(win), lit(false)))
+      .where(!col("cons"))
+      .select(col("w"), col("freq"), col("i"),
+        when(col("act"), concat(lft, rgt))
+          .otherwise(col("tok")).as("tok"))
+  }
+
+  /** ENCODE with a frozen merge table — the tokenizer's runtime half
+    * ([[bpeLoop]] learns the merges; this replays them, in rank
+    * order, on text the trainer never saw). Runs on the new corpus's
+    * VOCABULARY (word, freq): K merges cost K vocab-bounded relational
+    * passes (same eager-checkpoint discipline as training), the new
+    * corpus itself is touched only by the word count that built the
+    * vocab — so encoding 100 TB with a 32k-merge table is 32k passes
+    * over a few-million-row frame plus ONE corpus scan. Returns the
+    * final (w, freq, i, tok) token frame. */
+  private[graft] def bpeEncode(vocab: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val win = Window.partitionBy("w").orderBy("i")
+    var toks = vocab
+      .select(col("word").as("w"), col("freq"),
+        posexplode(concat(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))),
+          array(lit("</w>")))).as(Seq("i", "tok")))
+    for ((l, r) <- merges) {
+      val tk = toks
+        .withColumn("i", row_number().over(win))
+        .localCheckpoint()
+      toks = bpeApplyPair(tk, lit(l), lit(r))
+    }
+    toks
   }
 
   private[graft] def bpeVocab(docs: org.apache.spark.sql.DataFrame)
@@ -2109,6 +2152,111 @@ object QueriesPipeline {
         (CAST(SUM(n * tw) AS BIGINT) * 10000) // CAST(SUM(n) AS BIGINT)
           AS fertility_bp
       FROM lw JOIN tw ON lw.word = tw.w
+      GROUP BY 1"""
+    })
+
+  /** DuckDB twin of ONE [[bpeEncode]] merge application: round k of
+    * the u-chain replays the TRAINED pair e$k (from [[bpeSqlWith]]'s
+    * CTEs) on the unseen-token frame — no election, LEFT JOIN so an
+    * empty e$k (a converged training round) is the identity pass. */
+  private def bpeSqlApplyRound(k: Int): String = {
+    val prev = if (k == 1) "u0" else s"ut${k - 1}"
+    s""",
+      un$k AS (
+        SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+          tok
+        FROM $prev),
+      ux$k AS (
+        SELECT w, freq, i, tok, lft, rgt,
+          coalesce(tok = lft AND
+            lead(tok) OVER (PARTITION BY w ORDER BY i) = rgt, false) AS m
+        FROM un$k LEFT JOIN e$k ON true),
+      uy$k AS (
+        SELECT *, CASE WHEN m AND NOT coalesce(
+            lag(m) OVER (PARTITION BY w ORDER BY i), false)
+          THEN 1 ELSE 0 END AS st
+        FROM ux$k),
+      uz$k AS (
+        SELECT *, SUM(st) OVER (PARTITION BY w ORDER BY i
+          ROWS UNBOUNDED PRECEDING) AS grp
+        FROM uy$k),
+      ur$k AS (
+        SELECT *, MIN(CASE WHEN m THEN i END)
+          OVER (PARTITION BY w, grp) AS rs
+        FROM uz$k),
+      ua$k AS (
+        SELECT *, coalesce(m AND (i - rs) % 2 = 0, false) AS act
+        FROM ur$k),
+      ut$k AS (
+        SELECT w, freq, i,
+          CASE WHEN act THEN lft || rgt ELSE tok END AS tok
+        FROM (SELECT *, coalesce(lag(act)
+                OVER (PARTITION BY w ORDER BY i), false) AS cons
+              FROM ua$k)
+        WHERE NOT cons)"""
+  }
+
+  /** Tokenizer ENCODE on unseen text — train the merge table on the
+    * corpus, then tokenize a corpus the trainer never saw (every word
+    * doubled: `abc` → `abcabc`, a deterministic derivation both
+    * engines compute identically that yields genuinely novel
+    * vocabulary) and report per-document word/token counts. This is
+    * the runtime half a tokenizer ships: [[bpeLoop]] elects, this
+    * replays frozen merges in rank order ([[bpeEncode]]).
+    *
+    * Scale shape: the merge table is collected to the driver BY
+    * DESIGN (a tokenizer's ≤32k merges are a file, not a dataset);
+    * encoding runs K vocab-bounded passes on the unseen corpus's word
+    * table + one corpus-sized word count + one hash join back — the
+    * [[bpeLoop]] discipline applied at inference. */
+  val bpeEncodeQ = Q(
+    "bpe_encode",
+    (s, dir) => {
+      val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val (mergeFrames, _) = bpeLoop(bpeVocab(docs))
+      val merges = mergeFrames.flatMap(_.collect().toSeq)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+      val unseen = docs.select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(x, x))).as("text"))
+      val perWord = bpeEncode(bpeVocab(unseen), merges)
+        .groupBy("w").agg(count(lit(1)).as("toks"))
+      unseen
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(perWord, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("toks")).as("n_tokens"))
+    },
+    Some {
+      val applies = (1 to BPE_K).map(bpeSqlApplyRound).mkString
+      s"""
+      $bpeSqlWith,
+      ud AS (
+        SELECT doc_id,
+          array_to_string([x || x for x in string_split(text, ' ')],
+            ' ') AS utext
+        FROM documents),
+      uw0 AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(utext, ' ')) AS word FROM ud)
+        WHERE length(word) >= 1 GROUP BY 1),
+      u0 AS (
+        SELECT word AS w, freq,
+          unnest(range(1, length(word) + 2)) AS i,
+          unnest(list_append(
+            [substring(word, j, 1) for j in range(1, length(word) + 1)],
+            '</w>')) AS tok
+        FROM uw0)$applies,
+      pw AS (SELECT w, COUNT(*) AS toks FROM ut$BPE_K GROUP BY 1),
+      uwords AS (
+        SELECT doc_id, unnest(string_split(utext, ' ')) AS w FROM ud)
+      SELECT doc_id,
+        COUNT(*) AS n_words,
+        CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM uwords JOIN pw USING (w)
       GROUP BY 1"""
     })
 
@@ -2309,5 +2457,6 @@ object QueriesPipeline {
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
     ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility,
+    bpeEncodeQ,
     curriculumOrder, epochMix)
 }

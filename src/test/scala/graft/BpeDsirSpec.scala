@@ -107,6 +107,42 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
         "convergence did not stop it")
   }
 
+  test("bpeEncode replays frozen merges on unseen words identically " +
+    "to the scalar tokenizer (the runtime half: no election, rank " +
+    "order, greedy left-to-right per merge)") {
+    import spark.implicits._
+    val trainText = "aaaa aaa abab abab ab ba baa aab aaaa abab xyxy xy yx"
+    val trainWords = trainText.split(" ").groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val merges = refBpe(trainWords, 6).map(m => (m._1, m._2))
+    assert(merges.nonEmpty)
+    // unseen: never-trained words where learned merges partially
+    // apply, overlap-chain, or don't apply at all
+    val unseen = Seq("aaaaaaa", "abba", "xyab", "zzz", "ababab")
+    def scalarEncode(w: String): Seq[String] = {
+      var toks = w.map(_.toString).toVector :+ "</w>"
+      for ((a, b) <- merges) {
+        val nb = Vector.newBuilder[String]; var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += toks(i); i += 1 }
+        }
+        toks = nb.result()
+      }
+      toks
+    }
+    val vocab = unseen.map(w => (w, 1L)).toDF("word", "freq")
+    val got = QueriesPipeline.bpeEncode(vocab, merges)
+      .orderBy("w", "i").collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[String]("tok")))
+      .groupBy(_._1).map { case (w, rows) => w -> rows.map(_._2).toSeq }
+    unseen.foreach { w =>
+      assert(got(w) == scalarEncode(w),
+        s"$w: got ${got(w)} expected ${scalarEncode(w)}")
+    }
+  }
+
   test("bpe_train greedy overlap parity: aaa under (a,a) merges once") {
     // one word "aaa" x3 plus noise that keeps (a,a) the top pair:
     // round 1 must elect (a,a) with count 2*3 (overlap included) and

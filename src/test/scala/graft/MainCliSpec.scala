@@ -902,5 +902,18 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     val fert = spark.read.parquet(s"$root/out/fertility")
     val wantFert = Queries.byName("bpe_fertility").build(spark, sf)
     assert(fert.except(wantFert).isEmpty && wantFert.except(fert).isEmpty)
+    // r14: -encode tokenizes an external corpus with the frozen
+    // merges — encoding the TRAINING docs must reproduce the fertility
+    // audit's token arithmetic (sum over docs == sum over languages)
+    assert(v("bpe", sf, s"$root/out2", "-encode",
+      s"$sf/documents.parquet") == 0)
+    val enc = spark.read.parquet(s"$root/out2/encoded")
+    import org.apache.spark.sql.functions.{col, sum}
+    assert(enc.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    val encTokens = enc.agg(sum("n_tokens")).head().getLong(0)
+    val fertTokens = spark.read.parquet(s"$root/out2/fertility")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(encTokens == fertTokens, s"$encTokens != $fertTokens")
   }
 }
