@@ -1479,11 +1479,116 @@ object QueriesText {
                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
       FROM w GROUP BY 1"""))
 
+  /** BM25 ranked retrieval over the documents table — the scoring the
+    * reference DELEGATES to Solr/ES (its index writers ship documents
+    * out; the search itself happens off-engine), brought native so a
+    * user of this library can rank without an external cluster.
+    * Robertson/Spärck Jones BM25 with k1 = 1.2, b = 0.75, made
+    * INTEGER-EXACT so both engines agree bit-for-bit:
+    *
+    *  - idf in HALF-BIT units (the DSIR discipline):
+    *    idf_hb = L2(2N − 2df + 1) − L2(2df + 1), one exact integer
+    *    log2 probe per side — equals 2·log2((N − df + ½)/(df + ½))
+    *    floored, the classic smoothed idf (negative for terms in more
+    *    than half the corpus, as BM25 defines);
+    *  - tf normalization cleared of fractions by multiplying through
+    *    by 10·avgdl: tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl)) =
+    *    22·tf·avgdl / (10·tf·avgdl + 3·avgdl + 9·dl), taken in basis
+    *    points with ONE integer division (positive operands only;
+    *    the signed idf multiplies after);
+    *  - the query is self-contained and deterministic: the corpus
+    *    words ranked 10th-12th by (count DESC, word ASC).
+    *
+    * Scale shape: one token explode feeding three map-side-combinable
+    * counts (dl, term tf, term df); terms/df/stats are ≤12-row
+    * broadcasts; the only data-sized shuffles are keyed on doc_id;
+    * top-10 is TakeOrdered (no global sort materialized). */
+  val bm25Search = Q(
+    "bm25_search",
+    (s, dir) => {
+      // L2(x) = floor(2·log2 x) via the exact bitlen + √2-boundary
+      // probe (see dsirWeights' derivation; engine-exact for x < 2⁶²)
+      def l2(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        lit(2L) * (length(bin(x)) - 1) +
+          when(x.cast("double") >=
+            lit(1.4142135623730951) *
+              pow(lit(2.0), (length(bin(x)) - 1).cast("double")), 1L)
+            .otherwise(0L)
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+      val toks = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        expr("sum(dl) div count(1)").as("avgdl"))
+      val terms = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w")).limit(12)
+        .orderBy(asc("cnt"), desc("w")).limit(3)
+        .select("w")
+      val tf = toks.join(broadcast(terms), "w")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          ((l2(lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L) -
+            l2(lit(2L) * col("df") + 1L)) *
+            expr("""(22 * tf * avgdl * 10000)
+                    div (10 * tf * avgdl + 3 * avgdl + 9 * dl)"""))
+            .as("ts"))
+        .groupBy("doc_id")
+        .agg(sum(col("ts")).as("score_bp"),
+          count(lit(1)).as("n_matched"))
+        .orderBy(desc("score_bp"), asc("doc_id"))
+        .limit(10)
+    },
+    Some {
+      def l2(e: String): String = {
+        val bl = s"(length(format('{:b}', CAST(($e) AS BIGINT))) - 1)"
+        s"""(2 * $bl + CASE WHEN CAST(($e) AS DOUBLE) >=
+            1.4142135623730951 * power(2.0, $bl) THEN 1 ELSE 0 END)"""
+      }
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tk AS (SELECT doc_id, w FROM toks WHERE length(w) >= 1),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+        FROM dl),
+      wc AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY 1),
+      terms AS (
+        SELECT w FROM (
+          SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 12)
+        ORDER BY cnt ASC, w DESC LIMIT 3),
+      tf AS (
+        SELECT doc_id, tk.w, COUNT(*) AS tf
+        FROM tk JOIN terms ON tk.w = terms.w GROUP BY 1, 2),
+      dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
+      SELECT doc_id,
+        CAST(SUM((${l2("2 * n_docs - 2 * df + 1")} -
+                  ${l2("2 * df + 1")}) *
+          ((22 * tf * avgdl * 10000)
+            // (10 * tf * avgdl + 3 * avgdl + 9 * dl))) AS BIGINT)
+          AS score_bp,
+        COUNT(*) AS n_matched
+      FROM tf
+      JOIN dfq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+      ORDER BY score_bp DESC, doc_id
+      LIMIT 10"""
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
     flacStats, jpegStats, webpStats, incrementalDedup, tiffStats, icoStats,
-    bloomDedup)
+    bloomDedup, bm25Search)
 }

@@ -96,6 +96,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       optimized("decontaminate_shuffle"))
   }
 
+  test("bm25_search: term/df/stats sides broadcast, top-10 is " +
+    "TakeOrdered, no global sort materializes") {
+    val p = plan("bm25_search", execute = true)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only sort allowed is inside TakeOrderedAndProject's heap:
+    // a standalone Sort node would be a corpus-wide global sort
+    assert(!p.linesIterator.exists(l =>
+      l.trim.matches("""\(\d+\) Sort.*""")), p)
+  }
+
   test("no cartesian products outside the brute-force baseline") {
     for (q <- Seq("minhash_lsh", "ngram_jaccard", "simhash", "embed_neardup",
         "updatedb_state_machine", "linkrank")) {
