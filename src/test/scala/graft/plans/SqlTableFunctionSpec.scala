@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The SQL table-function surface (r14 verdict Next #6) beyond the two
+  * oracle-checked board queries: multi-key as-of, usage errors on
+  * malformed arguments, and idempotent re-registration. */
+class SqlTableFunctionSpec extends AnyFunSuite with SparkSuite {
+
+  private def register(): Unit =
+    GraftExtensions.ensureTableFunctions(spark)
+
+  test("asof_join TVF: comma-separated multi-key grouping — keys " +
+    "never match across groups") {
+    import spark.implicits._
+    register()
+    // (user, region) composite key: same user in another region must
+    // NOT inherit the view
+    Seq((1L, "eu", 100L, 10L), (1L, "us", 500L, 11L))
+      .toDF("user_id", "region", "ts", "view_event")
+      .createOrReplaceTempView("tvf_views")
+    Seq((1L, "eu", 200L, 20L), (1L, "us", 300L, 21L),
+        (2L, "eu", 400L, 22L))
+      .toDF("user_id", "region", "ts", "purchase_event")
+      .createOrReplaceTempView("tvf_purchases")
+    val got = spark.sql("""
+        SELECT purchase_event, view_event
+        FROM asof_join('tvf_purchases', 'tvf_views',
+                       'user_id, region', 'ts', 'ts')""")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(
+      20L -> 10L,  // (1, eu): view at 100 < 200
+      21L -> -1L,  // (1, us): only a FUTURE view (500) exists
+      22L -> -1L)) // (2, eu): user 2 never viewed
+  }
+
+  test("range_join TVF from SQL matches the Scala operator") {
+    import spark.implicits._
+    register()
+    Seq((1L, 10L, 20L), (2L, 100L, 300L))
+      .toDF("band_id", "lo", "hi")
+      .createOrReplaceTempView("tvf_bands")
+    Seq((7L, 15L), (8L, 250L), (9L, 450L))
+      .toDF("pk", "v").createOrReplaceTempView("tvf_points")
+    val got = spark.sql("""
+        SELECT band_id, pk
+        FROM range_join('tvf_bands', 'tvf_points', 'lo', 'hi', 'v')
+        ORDER BY band_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (2L, 8L)))
+  }
+
+  test("malformed arguments fail with the usage message, not a " +
+    "resolver stack") {
+    register()
+    // wrong arity
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM asof_join('a', 'b', 'k', 'ts')").collect())
+    assert(e1.getMessage.contains("usage: asof_join"), e1.getMessage)
+    // non-literal argument
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM range_join('tvf_bands', 'tvf_points', 'lo', 'hi', 1+1)")
+      .collect())
+    assert(e2.getMessage.contains("usage: range_join"), e2.getMessage)
+  }
+
+  test("re-registration is idempotent (extensions + imperative bridge " +
+    "can both run in one session)") {
+    register(); register()
+    import spark.implicits._
+    Seq((1L, 0L, 5L)).toDF("band_id", "lo", "hi")
+      .createOrReplaceTempView("tvf_b2")
+    Seq((9L, 3L)).toDF("pk", "v").createOrReplaceTempView("tvf_p2")
+    assert(spark.sql(
+      "SELECT * FROM range_join('tvf_b2', 'tvf_p2', 'lo', 'hi', 'v')")
+      .count() == 1L)
+  }
+}
