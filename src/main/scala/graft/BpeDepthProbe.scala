@@ -31,6 +31,7 @@ object BpeDepthProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter
@@ -67,6 +68,19 @@ object BpeDepthProbe {
       s"""{"k":$k,"learned":$learned,"sec":${r3(sec)},""" +
         s""""cpu_sec":${r3(cpu)},"shuffle_mb":${r3(mb)}}"""
     }
+    // ENCODE rung: replay the deepest rung's frozen merges on the
+    // corpus vocab — per-merge cost must match training's per-round
+    // constant (the broadcast-pair phrasing keeps one codegen class
+    // across all K passes; literal pairs would mint K classes)
+    val deepest = ks.max
+    val (mergeFrames, _) = QueriesPipeline.bpeLoop(vocab, deepest)
+    val frozen = mergeFrames.flatMap(_.collect().toSeq)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+    val (encLearned, encSec, encCpu, encMb) = timed {
+      val enc = QueriesPipeline.bpeEncode(vocab, frozen)
+      enc.count().toInt
+    }
     // vocab axis: synthetic big vocabulary, fixed K — corpus absent
     val big = spark.range(bigVocab)
       .select(md5(col("id").cast("string")).as("word"),
@@ -78,6 +92,9 @@ object BpeDepthProbe {
       s""""vocab_build_sec":${r3(vocabSec)},"vocab_build_cpu":${r3(vocabCpu)},""" +
       s""""vocab_build_shuffle_mb":${r3(vocabMb)},""" +
       s""""ladder":${rungs.mkString("[", ",", "]")},""" +
+      s""""encode":{"k":${frozen.length},"final_tokens":$encLearned,""" +
+      s""""sec":${r3(encSec)},"cpu_sec":${r3(encCpu)},""" +
+      s""""shuffle_mb":${r3(encMb)}},""" +
       s""""big_vocab":{"n_words":$bigVocab,"k":$bigK,"learned":$bigLearned,""" +
       s""""sec":${r3(bigSec)},"cpu_sec":${r3(bigCpu)},""" +
       s""""shuffle_mb":${r3(bigMb)}}}"""

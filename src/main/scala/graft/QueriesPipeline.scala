@@ -1991,9 +1991,18 @@ object QueriesPipeline {
     * corpus itself is touched only by the word count that built the
     * vocab — so encoding 100 TB with a 32k-merge table is 32k passes
     * over a few-million-row frame plus ONE corpus scan. Returns the
-    * final (w, freq, i, tok) token frame. */
+    * final (w, freq, i, tok) token frame.
+    *
+    * The pair rides in as a broadcast 1-row frame, NOT as literals:
+    * literals bake into the generated code, so 32k merges would mint
+    * 32k distinct codegen classes (exactly the class-cache/JIT thrash
+    * Bench measured at 5× CPU) — as broadcast DATA every round reuses
+    * one compiled plan shape, the same reason training's election
+    * join is cache-friendly. */
   private[graft] def bpeEncode(vocab: org.apache.spark.sql.DataFrame,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
     val win = Window.partitionBy("w").orderBy("i")
     var toks = vocab
       .select(col("word").as("w"), col("freq"),
@@ -2005,7 +2014,9 @@ object QueriesPipeline {
       val tk = toks
         .withColumn("i", row_number().over(win))
         .localCheckpoint()
-      toks = bpeApplyPair(tk, lit(l), lit(r))
+      val pair = Seq((l, r)).toDF("lft", "rgt")
+      toks = bpeApplyPair(tk.join(broadcast(pair), lit(true), "left"),
+        col("lft"), col("rgt"))
     }
     toks
   }
