@@ -1913,6 +1913,7 @@ object QueriesPipeline {
     var merges = Seq.empty[org.apache.spark.sql.DataFrame]
     var k = 0
     var converged = false
+    var prevTk: Option[org.apache.spark.sql.DataFrame] = None
     while (k < depth && !converged) {
       k += 1
       // EAGER checkpoints (r14): lazy ones only truncate lineage once
@@ -1947,6 +1948,14 @@ object QueriesPipeline {
         tk.join(broadcast(elected.select(col("lft"), col("rgt"))),
           lit(true), "left"),
         col("lft"), col("rgt"))
+      // round k's checkpoint is materialized (eager), so round k-1's
+      // blocks are dead — free them now instead of waiting for GC, or
+      // a deep ladder accumulates one block set per round and the
+      // late rounds pay the memory pressure (~2× per-round wall by
+      // round 100, measured in BPE_DEPTH probes)
+      prevTk.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+      prevTk = Some(tk)
     }
     (merges, toks)
   }
@@ -2010,6 +2019,7 @@ object QueriesPipeline {
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1))),
           array(lit("</w>")))).as(Seq("i", "tok")))
+    var prevTk: Option[org.apache.spark.sql.DataFrame] = None
     for ((l, r) <- merges) {
       val tk = toks
         .withColumn("i", row_number().over(win))
@@ -2017,6 +2027,9 @@ object QueriesPipeline {
       val pair = Seq((l, r)).toDF("lft", "rgt")
       toks = bpeApplyPair(tk.join(broadcast(pair), lit(true), "left"),
         col("lft"), col("rgt"))
+      prevTk.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+      prevTk = Some(tk)
     }
     toks
   }

@@ -34,6 +34,21 @@ object ColumnBridge {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
 
+  /** Free the block-manager storage behind an EAGER
+    * `localCheckpoint()` Dataset — iterative loops (BPE's per-round
+    * token frames) otherwise accumulate one dead block set per round
+    * until GC notices, and the late rounds of a deep ladder pay the
+    * memory pressure (measured: per-round wall ~2× by round 100).
+    * Only call once every DOWNSTREAM checkpoint derived from `df` is
+    * itself materialized: localCheckpoint truncates lineage, so the
+    * freed blocks are unrecoverable. No-op on non-LogicalRDD plans. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a table-valued function into THIS session's registry —
     * the imperative twin of `SparkSessionExtensions.injectTableFunction`
     * for sessions built without extensions (`tableFunctionRegistry` is
