@@ -195,6 +195,7 @@ object QueriesGraph {
       .distinct()
       .withColumn("score", lit(1.0))
     var nodes = nodes0
+    var deadNodes: Option[org.apache.spark.sql.DataFrame] = None
     // localCheckpoint every 5th iteration: truncates lineage so the
     // loop survives the reference's 10-iteration config without plan
     // blowup (SURVEY §2.10) while short runs stay a single job;
@@ -213,9 +214,15 @@ object QueriesGraph {
             (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
             .as("score"))
       // truncate lineage every 5 iterations, but not on the last one —
-      // the final plan is consumed exactly once anyway
-      if (it % 5 == 0 && it < LINKRANK_ITERS)
-        nodes = nodes.localCheckpoint()
+      // the final plan is consumed exactly once anyway. The previous
+      // 5th-iteration checkpoint is dead once the new one exists.
+      if (it % 5 == 0 && it < LINKRANK_ITERS) {
+        val c = nodes.localCheckpoint()
+        deadNodes.foreach(
+          org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+        deadNodes = Some(c)
+        nodes = c
+      }
     }
     val plan = nodes.select(col("url"), round(col("score"), 6).as("score"))
     if (finalEager) {
@@ -302,7 +309,12 @@ object QueriesGraph {
       .union(e.select(col("dst").as("url"))).distinct().cache()
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(0L))
-    for (_ <- 1 to iters) {
+    // previous iteration's ar/hr checkpoints die once this
+    // iteration's are materialized (auth/hub lazies over them were
+    // last read then) — free them instead of waiting for GC
+    var deadAr: Option[org.apache.spark.sql.DataFrame] = None
+    var deadHr: Option[org.apache.spark.sql.DataFrame] = None
+    for (itn <- 1 to iters) {
       // each normalization reads its sum frame TWICE (the join and
       // the max) — left lazy, the lineage would DOUBLE per half-step
       // (2^10 copies of the edge scan by iteration 5), so every
@@ -312,6 +324,13 @@ object QueriesGraph {
       val ar = e.join(hub, e("src") === hub("url"))
         .groupBy("dst").agg(sum(col("h")).as("ar"))
         .localCheckpoint()
+      // ar_k materialized from hub_{k-1} (over hr_{k-1}): the
+      // PREVIOUS iteration's pair is now dead
+      deadAr.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+      deadHr.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+      deadAr = Some(ar)
       auth = nodes.join(ar, nodes("url") === ar("dst"), "left")
         .crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
         .select(col("url"),
@@ -319,6 +338,7 @@ object QueriesGraph {
       val hr = e.join(auth, e("dst") === auth("url"))
         .groupBy("src").agg(sum(col("a")).as("hr"))
         .localCheckpoint()
+      deadHr = Some(hr)
       hub = nodes.join(hr, nodes("url") === hr("src"), "left")
         .crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
         .select(col("url"),

@@ -1635,19 +1635,30 @@ object QueriesPipeline {
     var prev: java.math.BigDecimal = null
     var it = 0
     var done = false
+    // each eager checkpoint supersedes the one it was computed from —
+    // free the dead blocks immediately (the BPE-ladder lesson: letting
+    // GC collect them bends deep loops to ~2x per-round cost)
+    var deadCkpt: Option[org.apache.spark.sql.DataFrame] = None
+    def ckptFree(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val c = df.localCheckpoint()
+      deadCkpt.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+      deadCkpt = Some(c)
+      c
+    }
     while (!done && it < 66) {
       it += 1
       round()
       // checkpoint BEFORE the shortcut: the self-join must not sit
       // on the union lineage (attribute rewrite trips there), and
       // the doubling must not double the PLAN along with the reach
-      labels = labels.localCheckpoint()
+      labels = ckptFree(labels)
       val lk = labels.select(col("node").as("n2"), col("label").as("l2"))
-      labels = labels.join(lk, col("label") === col("n2"), "left")
+      labels = ckptFree(labels.join(lk, col("label") === col("n2"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("l2"), col("label")))
-            .as("label"))
-        .localCheckpoint() // also materializes for the sum
+            .as("label"))) // also materializes for the sum
       val cur = Option(labels
           .agg(sum(col("label").cast("decimal(38,0)"))).head()
           .getDecimal(0))

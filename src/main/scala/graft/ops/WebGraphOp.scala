@@ -90,6 +90,7 @@ object WebGraphOp {
       .select(col("url"), col("num_inlinks"), col("num_outlinks"))
     var nodes = nodes0.withColumn("score", lit(1.0))
       .select(col("url"), col("score"))
+    var deadNodes: Option[org.apache.spark.sql.DataFrame] = None
     for (it <- 1 to iterations) {
       val contribs = edges
         .join(nodes, edges("src") === nodes("url"))
@@ -103,7 +104,13 @@ object WebGraphOp {
           (lit(0.15) + lit(0.85) *
             (coalesce(col("sum_fx"), lit(0L)).cast("double") / 1e9))
             .as("score"))
-      if (it % 5 == 0 && it < iterations) nodes = nodes.localCheckpoint()
+      if (it % 5 == 0 && it < iterations) {
+        val c = nodes.localCheckpoint()
+        deadNodes.foreach(
+          org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
+        deadNodes = Some(c)
+        nodes = c
+      }
     }
     nodes0.join(nodes, "url")
       .select(col("url"), col("num_inlinks"), col("num_outlinks"),
