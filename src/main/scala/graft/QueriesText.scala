@@ -889,13 +889,21 @@ object QueriesText {
         .localCheckpoint()
       val nodes = edges.select(col("a").as("node")).distinct()
       var labels = nodes.withColumn("label", col("node"))
+      var deadCkpt: Option[org.apache.spark.sql.DataFrame] = None
       for (it <- 1 to CC_ITERS) {
         val viaNbr = edges.join(labels, edges("b") === labels("node"))
           .select(col("a").as("node"), col("label"))
         labels = labels.unionByName(viaNbr)
           .groupBy("node").agg(min(col("label")).as("label"))
-        if (it % 5 == 0 && it < CC_ITERS)
-          labels = labels.localCheckpoint() // bound lineage like linkrank
+        if (it % 5 == 0 && it < CC_ITERS) {
+          // bound lineage like linkrank; the superseded checkpoint's
+          // blocks are dead once the new one materializes — free them
+          val c = labels.localCheckpoint()
+          deadCkpt.foreach(org.apache.spark.sql.graftbridge
+            .ColumnBridge.freeLocalCheckpoint)
+          deadCkpt = Some(c)
+          labels = c
+        }
       }
       labels.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_node"))
