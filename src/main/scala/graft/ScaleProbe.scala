@@ -71,7 +71,12 @@ object ScaleProbe {
     "curriculum_order",
     // r13: soft dedup — line-hash document frequency + join back; the
     // line_dedup shuffle family, must stay linear like its siblings
-    "soft_dedup")
+    "soft_dedup",
+    // r14: ranked retrieval (one token explode, three combinable
+    // counts, broadcast dims, TakeOrdered) and the tokenizer's
+    // frozen-replay half (vocab-bounded passes — the corpus enters
+    // only through the word count)
+    "bm25_search", "bpe_encode")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured
