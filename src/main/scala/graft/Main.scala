@@ -32,9 +32,9 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
   *                      [-dsir lang:keep_bp]
-  *                      [-decontaminate <benchDirOrGramStore>] [-pii]
+  *                      [-decontaminate <benchDirOrGramStore> [-norm]] [-pii]
   *                      [-softdedup] [-split] [-curriculum] [-epochs]
-  * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N]
+  * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N] [-norm]
   * graft.Main bpe       <sfDir> <outDir> [-merges K] [-encode <docsDir>]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
@@ -908,12 +908,22 @@ object Main {
           // one synthetic doc_id PER BENCH ROW: wordGrams8 windows by
           // (doc_id, pos), so a shared id would interleave two docs'
           // tokens at equal positions and scramble the grams
+          // -norm: lowercase + punctuation-fold both sides before
+          // gram matching (decontaminate_norm's transform) — a
+          // GramStore dir overrides the flag with its own `norm`
+          // sidecar, because probing a store with a DIFFERENT
+          // normalization than it was installed with never matches
+          val rawNorm = rest.contains("-norm")
           val hitsFull =
-            if (graft.ops.GramStore.isStore(benchDir))
+            if (graft.ops.GramStore.isStore(benchDir)) {
+              val storeNorm = graft.ops.GramStore.normalized(benchDir)
+              if (rawNorm && !storeNorm)
+                System.err.println(s"corpus: -norm ignored — gram store " +
+                  s"$benchDir was installed raw (re-run `gramstore -norm`)")
               graft.ops.GramStore.hits(
                 kept.select(col("doc_id"), col("text")),
-                graft.ops.GramStore.open(spark, benchDir))
-            else {
+                graft.ops.GramStore.open(spark, benchDir), storeNorm)
+            } else {
               val benchDocs = spark.read.parquet(benchDir)
               require(benchDocs.columns.contains("text"),
                 s"-decontaminate $benchDir needs a `text` column, has " +
@@ -921,11 +931,11 @@ object Main {
               val bench = QueriesPipeline.wordGrams8(
                   benchDocs
                     .select(monotonically_increasing_id().as("doc_id"),
-                      col("text")))
+                      col("text")), rawNorm)
                 .select(col("g")).distinct()
               QueriesPipeline.contaminationHits(
                 QueriesPipeline.wordGrams8(
-                  kept.select(col("doc_id"), col("text"))), bench)
+                  kept.select(col("doc_id"), col("text")), rawNorm), bench)
             }
           val hits = hitsFull.select(col("doc_id")).distinct()
           val before = kept.count()
@@ -947,8 +957,14 @@ object Main {
           val counted = kept
             .withColumn("_pii_red", QueriesPipeline.piiRedact(col("text")))
             .withColumn("_pii_n",
-              QueriesPipeline.piiPlaceholders(col("_pii_red")) -
-                QueriesPipeline.piiPlaceholders(col("text")))
+              // clamped at 0 per row: a redacted span that itself
+              // contained a literal placeholder token (e.g. an <IP>
+              // inside an email local-part) consumes more placeholders
+              // than it adds, and a negative row must not deflate the
+              // aggregate gauge
+              greatest(lit(0L),
+                QueriesPipeline.piiPlaceholders(col("_pii_red")) -
+                  QueriesPipeline.piiPlaceholders(col("text"))))
             .withColumn("text", col("_pii_red")).drop("_pii_red")
             .cache() // consumed by the count aggregate AND the build
           piiCache = Some(counted)
@@ -1095,11 +1111,13 @@ object Main {
         // instead of recomputing/reshuffling the benchmark side per
         // run. Re-run at benchmark-publish cadence.
         val buckets = opt(rest, "-buckets").map(_.toInt).getOrElse(16)
+        val norm = rest.contains("-norm")
         graft.ops.GramStore.install(
-          spark.read.parquet(benchDir), storeDir, buckets)
+          spark.read.parquet(benchDir), storeDir, buckets, norm)
         val n = graft.ops.GramStore.open(spark, storeDir).count()
-        println(s"gramstore: $n distinct 8-grams into $buckets buckets " +
-          s"at $storeDir")
+        println(s"gramstore: $n distinct " +
+          (if (norm) "normalized " else "") +
+          s"8-grams into $buckets buckets at $storeDir")
         0
       case "bpe" :: sfDir :: outDir :: rest =>
         // Train the BPE merge table on the corpus and report it plus

@@ -211,17 +211,40 @@ object QueriesPipeline {
     * (self-contamination) plus any natural collisions — non-vacuous on
     * every row of the benchmark.
     */
+  /** Decontamination text normalization: lowercase, fold every
+    * non-[a-z0-9] run to one space, trim — so a benchmark answer that
+    * drifted only in casing/punctuation ("The Answer is 42!" vs "the
+    * answer is 42") still matches the corpus copy. ASCII-alnum on
+    * purpose: both engines lowercase and strip identically, with no
+    * locale/Unicode-casing divergence in the matching alphabet. The
+    * DuckDB twin is [[sqlNormWords]]. */
+  private[graft] def normText(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Oracle twin of [[normText]] + tokenize: the DuckDB words
+    * expression for normalized gram matching. */
+  private[graft] def sqlNormWords(textExpr: String): String =
+    s"string_split(trim(regexp_replace(lower($textExpr), " +
+      "'[^a-z0-9]+', ' ', 'g')), ' ')"
+
   /** Distinct word 8-grams per document on any (doc_id, text) frame —
     * the decontamination unit (shared by the query and the `corpus
     * -decontaminate` gate). Window partitions are one document's
-    * tokens (bounded); grams hash-spread on their text. */
-  private[graft] def wordGrams8(d: org.apache.spark.sql.DataFrame)
+    * tokens (bounded); grams hash-spread on their text. With
+    * `normalize`, tokens come from [[normText]] instead of the raw
+    * space split (real decontamination pipelines fold case and
+    * punctuation before hashing — raw matching lets a format-drifted
+    * eval answer slip the gate). */
+  private[graft] def wordGrams8(d: org.apache.spark.sql.DataFrame,
+      normalize: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 to 7).map(j => lead(col("w"), j).over(w).as(s"w$j"))
     val gramCols = col("w") +: (1 to 7).map(j => col(s"w$j"))
-    d.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val toks = if (normalize) split(normText(col("text")), " ")
+               else split(col("text"), " ")
+    d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
       .select(col("doc_id") +: col("w") +: leads: _*)
       .where(col("w7").isNotNull)
       .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"))
@@ -250,29 +273,39 @@ object QueriesPipeline {
       benchGrams: org.apache.spark.sql.DataFrame,
       broadcastLimit: Long = DECONTAM_BROADCAST_GRAMS)
       : org.apache.spark.sql.DataFrame = {
-    val census = benchGrams.count()
+    // limit <= 0 pins the shuffle regime outright — the census could
+    // not change the decision, so don't pay a full bench-gram pass for
+    // it; otherwise PERSIST the bench side so the one-aggregate census
+    // and the join read the same blocks instead of computing the gram
+    // set twice (callers clear the cache after the query's action)
     val bench =
-      if (census <= broadcastLimit) broadcast(benchGrams)
-      else benchGrams
+      if (broadcastLimit <= 0L) benchGrams
+      else {
+        val cached = benchGrams.persist()
+        if (cached.count() <= broadcastLimit) broadcast(cached) else cached
+      }
     corpusGrams.join(bench, "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_shared_grams"))
   }
 
-  private def decontaminateQ(name: String, broadcastLimit: Long) = Q(
+  private def decontaminateQ(name: String, broadcastLimit: Long,
+      normalize: Boolean = false) = Q(
     name,
     (s, dir) => {
       val grams = wordGrams8(
         spread(t(s, dir, "documents"), col("doc_id"))
-          .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("text")), normalize)
       val bench =
         grams.where(col("doc_id") % 25 === 0).select(col("g")).distinct()
       contaminationHits(grams, bench, broadcastLimit)
     },
     Some {
+      val words = if (normalize) sqlNormWords("text")
+                  else "string_split(text, ' ')"
       val grams =
         s"""SELECT doc_id, unnest(list_distinct(
-              ${sqlWordGrams("string_split(text, ' ')", 8)})) AS g
+              ${sqlWordGrams(words, 8)})) AS g
             FROM documents"""
       s"""
       WITH grams AS ($grams),
@@ -290,6 +323,15 @@ object QueriesPipeline {
     * broadcasting — identical answer, the shape a 10M+-gram benchmark
     * corpus needs. Oracle is regime-independent. */
   val decontaminateShuffle = decontaminateQ("decontaminate_shuffle", 0L)
+
+  /** [[decontaminate]] with NORMALIZED matching ([[normText]]): grams
+    * built from lowercased, punctuation-folded tokens on BOTH sides,
+    * the way production decontamination hashes text — an eval answer
+    * that differs from its corpus leak only by casing or punctuation
+    * is caught here and slips the raw gate (DecontaminateNormSpec
+    * plants exactly that drift). Same census-picked regime. */
+  val decontaminateNorm = decontaminateQ("decontaminate_norm",
+    DECONTAM_BROADCAST_GRAMS, normalize = true)
 
   /** Token-budget stratified sampling: sample each language down to an
     * expected per-language token budget with deterministic
@@ -1864,8 +1906,14 @@ object QueriesPipeline {
     * so correctness stays checkable at any depth a DuckDB unroll can
     * stomach; deep ladders (K=64+) run the Scala side through
     * [[bpeLoop]]'s k parameter (BpeDepthProbe / BpeDsirSpec A/B). */
-  private[graft] val BPE_K: Int =
-    sys.env.get("SPARK_GRAFT_BPE_K").map(_.toInt).getOrElse(6)
+  private[graft] val BPE_K: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "6")
+    val k = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_BPE_K must be an integer, got '$raw'"))
+    require(k >= 1 && k <= 128, s"SPARK_GRAFT_BPE_K must be in [1, 128]" +
+      s" — the DuckDB oracle unrolls 2K CTE rounds — got $k")
+    k
+  }
 
   /** BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016) as
     * DataFrame algebra: learn the first K merge rules over the corpus
@@ -2485,7 +2533,7 @@ object QueriesPipeline {
       FROM tgt"""))
 
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
-    decontaminateShuffle,
+    decontaminateShuffle, decontaminateNorm,
     softDedup,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,

@@ -31,19 +31,27 @@ object GramStore {
 
   /** Materialize the benchmark's distinct word 8-grams, bucketed on
     * `g`. One synthetic doc_id per bench row (wordGrams8 windows per
-    * doc — a shared id would interleave two docs' tokens). */
-  def install(benchDocs: DataFrame, dir: String, buckets: Int): Unit = {
+    * doc — a shared id would interleave two docs' tokens). With
+    * `normalize`, grams are built from lowercased, punctuation-folded
+    * tokens (QueriesPipeline.normText) and the choice is recorded in a
+    * `norm` sidecar so [[hits]] callers normalize the INCREMENT side
+    * identically — a store and a probe normalizing differently would
+    * silently never match. */
+  def install(benchDocs: DataFrame, dir: String, buckets: Int,
+      normalize: Boolean = false): Unit = {
     require(benchDocs.columns.contains("text"),
       s"gram store input needs a `text` column, has " +
         benchDocs.columns.mkString(", "))
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val grams = graft.QueriesPipeline.wordGrams8(
         benchDocs.select(monotonically_increasing_id().as("doc_id"),
-          col("text")))
+          col("text")), normalize)
       .select("g").distinct()
     Bucketed.install(grams, tag(dir), s"$dir/grams", buckets, key = "g")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "buckets"), buckets.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "norm"), if (normalize) "1" else "0")
   }
 
   /** True iff `dir` holds a store written by [[install]]. */
@@ -51,14 +59,36 @@ object GramStore {
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "grams")) &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "buckets"))
 
+  /** Whether `dir` was installed with normalized matching. Stores from
+    * before the sidecar existed match raw (the only behavior they ever
+    * had). */
+  def normalized(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir, "norm")
+    java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.readString(p).trim == "1"
+  }
+
   /** Re-open a store (re-registers the bucketed layout in a fresh
-    * session's catalog; bucket count comes from the sidecar). */
+    * session's catalog; bucket count comes from the sidecar). A stale
+    * registration from an earlier install of the SAME directory with a
+    * DIFFERENT bucket count is dropped and re-registered — trusting it
+    * would serve a wrong CLUSTERED BY spec and mis-prune bucketed
+    * reads (the sidecar, written atomically with the data, is the
+    * source of truth). */
   def open(spark: SparkSession, dir: String): DataFrame = {
     val buckets = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "buckets")).trim.toInt
     val t = tag(dir)
-    if (!spark.catalog.tableExists(t))
+    val registeredBuckets =
+      if (!spark.catalog.tableExists(t)) None
+      else spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.map(_.numBuckets)
+    if (!registeredBuckets.contains(buckets)) {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
       Bucketed.register(spark, t, s"$dir/grams", buckets, key = "g")
+    }
     spark.table(t)
   }
 
@@ -69,9 +99,10 @@ object GramStore {
     * broadcast, if AQE sizes the increment under the threshold) and
     * the store's table scan satisfies the join's distribution in
     * place. */
-  def hits(increment: DataFrame, storeGrams: DataFrame): DataFrame =
+  def hits(increment: DataFrame, storeGrams: DataFrame,
+      normalize: Boolean = false): DataFrame =
     graft.QueriesPipeline.wordGrams8(
-        increment.select(col("doc_id"), col("text")))
+        increment.select(col("doc_id"), col("text")), normalize)
       .join(storeGrams, "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_shared_grams"))
