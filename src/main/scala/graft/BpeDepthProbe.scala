@@ -52,20 +52,21 @@ object BpeDepthProbe {
     }
     val nVocab = vocab.count()
     def ladder(v: org.apache.spark.sql.DataFrame, k: Int)
-        : (Int, Double, Double, Double) = {
+        : ((Int, Int), Double, Double, Double) = {
       val (learned, sec, cpu, mb) = timed {
         val (merges, _) = QueriesPipeline.bpeLoop(v, k)
-        // the loop's per-round isEmpty actions already materialized
-        // every election; count the learned merges (≤ k at
-        // convergence) so the rung is fully evaluated
-        merges.map(_.count()).sum.toInt
+        // elections are collected inside the loop (driver-resident
+        // merge table by design); count learned merges (≤ k at
+        // convergence) and PASSES — the r15 batching means
+        // passes ≤ merges, and wall ∝ passes
+        (merges.map(_.count()).sum.toInt, merges.length)
       }
       (learned, sec, cpu, mb)
     }
     QueriesPipeline.bpeLoop(vocab, 2) // untimed warmup
     val rungs = ks.map { k =>
-      val (learned, sec, cpu, mb) = ladder(vocab, k)
-      s"""{"k":$k,"learned":$learned,"sec":${r3(sec)},""" +
+      val ((learned, passes), sec, cpu, mb) = ladder(vocab, k)
+      s"""{"k":$k,"learned":$learned,"passes":$passes,"sec":${r3(sec)},""" +
         s""""cpu_sec":${r3(cpu)},"shuffle_mb":${r3(mb)}}"""
     }
     // ENCODE rung: replay the deepest rung's frozen merges on the
@@ -86,8 +87,8 @@ object BpeDepthProbe {
       .select(md5(col("id").cast("string")).as("word"),
         (col("id") % 100 + 1).as("freq"))
       .localCheckpoint()
-    val bigK = 8
-    val (bigLearned, bigSec, bigCpu, bigMb) = ladder(big, bigK)
+    val bigK = sys.env.getOrElse("SPARK_GRAFT_BPE_BIG_K", "8").toInt
+    val ((bigLearned, bigPasses), bigSec, bigCpu, bigMb) = ladder(big, bigK)
     val line = s"""{"metric":"bpe_depth","sf":"$sfDir","n_vocab":$nVocab,""" +
       s""""vocab_build_sec":${r3(vocabSec)},"vocab_build_cpu":${r3(vocabCpu)},""" +
       s""""vocab_build_shuffle_mb":${r3(vocabMb)},""" +
@@ -95,8 +96,9 @@ object BpeDepthProbe {
       s""""encode":{"k":${frozen.length},"final_tokens":$encLearned,""" +
       s""""sec":${r3(encSec)},"cpu_sec":${r3(encCpu)},""" +
       s""""shuffle_mb":${r3(encMb)}},""" +
+      s""""batch":${QueriesPipeline.BPE_B},""" +
       s""""big_vocab":{"n_words":$bigVocab,"k":$bigK,"learned":$bigLearned,""" +
-      s""""sec":${r3(bigSec)},"cpu_sec":${r3(bigCpu)},""" +
+      s""""passes":$bigPasses,"sec":${r3(bigSec)},"cpu_sec":${r3(bigCpu)},""" +
       s""""shuffle_mb":${r3(bigMb)}}}"""
     println(line)
     out.foreach(p => java.nio.file.Files.writeString(

@@ -1943,26 +1943,69 @@ object QueriesPipeline {
     * are lineage-truncated with lazy localCheckpoints (the linkrank
     * discipline) so the K-round plan stays linear, paid at action
     * time where Bench can see it. */
+  /** Batch width for BPE training: per relational pass, up to B
+    * pairwise token-disjoint top pairs are elected and applied in ONE
+    * sweep (see [[bpeLoop]]'s exactness argument). B=1 is r14's
+    * one-merge-per-pass behavior. */
+  private[graft] val BPE_B: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_BPE_B", "8")
+    val b = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_BPE_B must be an integer, got '$raw'"))
+    require(b >= 1 && b <= 1024,
+      s"SPARK_GRAFT_BPE_B must be in [1, 1024], got $b")
+    b
+  }
+
   /** The shared BPE training loop over a (word, freq) vocabulary:
-    * `depth` rounds of elect-most-frequent-pair + greedy left-to-right
-    * merge, all relational (see [[bpeTrain]]'s scaladoc). Returns the
-    * ≤depth 1-row merge frames (rank, lft, rgt, merged, pair_count)
-    * and the final token frame (w, freq, i, tok) after all merges.
+    * elect-most-frequent-pair + greedy left-to-right merge until
+    * `depth` merges are learned, all relational (see [[bpeTrain]]'s
+    * scaladoc). Returns per-pass merge frames (rank, lft, rgt, merged,
+    * pair_count) and the final token frame (w, freq, i, tok).
     *
-    * Depth scaling: every round runs on the vocabulary-bounded token
-    * frame (NEVER the corpus — that was paid once in the word count),
-    * each round's frame is lineage-truncated with a lazy
-    * localCheckpoint, and the election is a 1-row frame whose
-    * materialization doubles as the CONVERGENCE check — a fully-merged
-    * vocabulary stops the loop instead of burning the remaining
-    * rounds. Wall is therefore ∝ min(depth, rounds-to-convergence)
-    * with a vocab-sized constant (BPE_DEPTH_r14.json: K=8..64 ladder
-    * at sf0.1). */
+    * BATCHED passes (r15): one merge per vocabulary pass is provably
+    * linear in K but its per-pass constant (~2 s on a 100k-word vocab,
+    * BPE_DEPTH_r14.json) puts a real 32k-merge table at ~18 h — so
+    * each pass elects up to `batch` merges and applies them in one
+    * sweep. Exactness vs sequential greedy is preserved by
+    * construction, not hope:
+    *
+    *  1. candidates = top batch+1 pairs by (count DESC, lft, rgt) —
+    *     the +1 row is the strict-count sentinel;
+    *  2. take the maximal rank-PREFIX that is pairwise token-disjoint
+    *     (stop at the first pair sharing a token type with an earlier
+    *     one) — disjoint merges cannot destroy or create each other's
+    *     occurrences, so their counts at their own sequential election
+    *     equal the shared table's counts;
+    *  3. beyond the top pair, keep only pairs whose count is STRICTLY
+    *     above the first excluded pair's count (C_stop). Every pair
+    *     outside the batch has count ≤ C_stop, applying a batch pair
+    *     only lowers outside counts, and any NEWLY created pair (x,ab)
+    *     inherits count ≤ count(x,a) ≤ C_stop — so at each sequential
+    *     step the next batch pair wins on count alone, with no
+    *     tie-break hazard against new pairs' arbitrary lexicographic
+    *     position. The top pair itself is exact unconditionally (it
+    *     won the shared table).
+    *
+    *    On tied fixtures the cut degenerates to B'=1 (still exact);
+    *    on Zipf-shaped real counts B' ≈ batch. BpeDsirSpec A/Bs the
+    *    whole loop against the scalar Sennrich reference to depth 128.
+    *
+    * The ≤batch+1-row election is COLLECTED per pass — a tokenizer's
+    * merge table is driver-resident by design (same discipline as
+    * [[bpeEncode]]'s frozen merges) — and the batch rides back into
+    * the sweep as a broadcast B'-row frame joined on tok = lft, so
+    * every pass shares one codegen class. Per-pass frames are
+    * lineage-truncated with EAGER localCheckpoints and the superseded
+    * pass's blocks are freed explicitly (both r14 disciplines). Wall
+    * is ∝ min(depth, merges-to-convergence) / B' with a vocab-sized
+    * constant; the corpus-sized work stays the ONE word count that
+    * built `vocab`. */
   private[graft] def bpeLoop(vocab: org.apache.spark.sql.DataFrame,
-      depth: Int = BPE_K)
+      depth: Int = BPE_K, batch: Int = BPE_B)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
     val win = Window.partitionBy("w").orderBy("i")
-    val run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var toks = vocab
       .select(col("word").as("w"), col("freq"),
         posexplode(concat(
@@ -1974,49 +2017,73 @@ object QueriesPipeline {
     var converged = false
     var prevTk: Option[org.apache.spark.sql.DataFrame] = None
     while (k < depth && !converged) {
-      k += 1
-      // EAGER checkpoints (r14): lazy ones only truncate lineage once
-      // a full-partition job computes them, and the 1-row election's
-      // take-shaped actions never do — at depth 32+ the accumulated
-      // lineage overflowed the task-serializer stack. Eager pays the
-      // same vocab-bounded computation per round, just scheduled at
-      // build time, and caps the serialized plan at ONE round.
+      // EAGER checkpoint (r14): lazy ones only truncate lineage once a
+      // full-partition job computes them, which take-shaped election
+      // actions never run — at depth 32+ the accumulated lineage
+      // overflowed the task-serializer stack.
       val tk = toks
         .withColumn("i", row_number().over(win))
         .localCheckpoint()
-      val elected = tk
+      val width = math.min(batch, depth - k)
+      val top = tk
         .withColumn("r", lead(col("tok"), 1).over(win))
         .where(col("r").isNotNull)
         .select(col("tok").as("lft"), col("r").as("rgt"), col("freq"))
         .groupBy("lft", "rgt").agg(sum(col("freq")).as("pair_count"))
-        .orderBy(desc("pair_count"), asc("lft"), asc("rgt")).limit(1)
-        .localCheckpoint()
-      // the election is 1 row (or 0 at convergence) and already
-      // checkpointed: isEmpty is a cheap action that both materializes
-      // it for the reuses below and detects convergence — rounds past
-      // a fully-merged vocabulary would elect nothing forever
-      converged = elected.isEmpty
-      merges :+= elected.select(lit(k).as("rank"), col("lft"), col("rgt"),
-        concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
-      // LEFT join on true, not crossJoin: a round may elect NOTHING
-      // (vocabulary fully merged before BPE_K rounds — the "aaa"
-      // fixture converges in 3) and a cross join with an empty frame
-      // would annihilate every token row; under the left join lft/rgt
-      // are null, no pair matches, and the tokens pass through
-      toks = bpeApplyPair(
-        tk.join(broadcast(elected.select(col("lft"), col("rgt"))),
-          lit(true), "left"),
-        col("lft"), col("rgt"))
-      // round k's checkpoint is materialized (eager), so round k-1's
-      // blocks are dead — free them now instead of waiting for GC, or
-      // a deep ladder accumulates one block set per round and the
-      // late rounds pay the memory pressure (~2× per-round wall by
-      // round 100, measured in BPE_DEPTH probes)
+        .orderBy(desc("pair_count"), asc("lft"), asc("rgt"))
+        .limit(width + 1)
+        .collect() // ≤ batch+1 rows: merge-table-sized by design
+      converged = top.isEmpty
+      // even a converged pass must re-base the RETURNED token frame on
+      // THIS pass's live checkpoint: the stale expression still reads
+      // the prior pass's blocks, which are freed below
+      toks = tk
+      if (!converged) {
+        // maximal disjoint rank-prefix (step 2 above)
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix =
+          scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        var idx = 0
+        var stopped = false
+        while (!stopped && idx < top.length && prefix.length < width) {
+          val (l, r, c) =
+            (top(idx).getString(0), top(idx).getString(1),
+              top(idx).getLong(2))
+          if (used(l) || used(r)) stopped = true
+          else { prefix += ((l, r, c)); used += l; used += r; idx += 1 }
+        }
+        // strict-count cut (step 3): C_stop = first excluded pair's
+        // count; no excluded pair at all → 0 (every real count beats it)
+        val cStop = if (idx < top.length) top(idx).getLong(2) else 0L
+        val chosen =
+          (prefix.head +: prefix.tail.takeWhile(_._3 > cStop)).toSeq
+        merges :+= chosen.zipWithIndex.map { case ((l, r, c), j) =>
+          (k + 1 + j, l, r, l + r, c)
+        }.toDF("rank", "lft", "rgt", "merged", "pair_count")
+        // apply the whole batch in one sweep: join on tok = lft (batch
+        // lfts are distinct by disjointness, so multiplicity is 1 and
+        // unmatched tokens pass through with null lft/rgt); adjacent
+        // matches of DIFFERENT pairs are impossible (they would share
+        // a token type), so the run-parity algebra is untouched
+        toks = bpeApplyPair(
+          tk.join(broadcast(chosen.map(p => (p._1, p._2)).toDF("lft", "rgt")),
+            col("tok") === col("lft"), "left"),
+          col("lft"), col("rgt"))
+        k += chosen.length
+      }
+      // this pass's checkpoint is materialized (eager), so the prior
+      // pass's blocks are dead — free them now instead of waiting for
+      // GC (r14: unfreed blocks bent deep ladders to ~2× per-pass)
       prevTk.foreach(
         org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
       prevTk = Some(tk)
     }
-    (merges, toks)
+    // a vocabulary that converges before electing anything (empty
+    // corpus) still owes callers one reducible frame of the schema
+    val out = if (merges.nonEmpty) merges
+      else Seq(Seq.empty[(Int, String, String, String, Long)]
+        .toDF("rank", "lft", "rgt", "merged", "pair_count"))
+    (out, toks)
   }
 
   /** One greedy left-to-right merge application of the pair (lft,

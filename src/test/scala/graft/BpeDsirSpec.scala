@@ -107,6 +107,41 @@ class BpeDsirSpec extends AnyFunSuite with SparkSuite {
         "convergence did not stop it")
   }
 
+  test("batched bpeLoop at depth 128 matches the scalar Sennrich " +
+    "reference exactly AND needs far fewer passes than merges (r15: " +
+    "the strict-cut disjoint batch is the path to real 32k-merge " +
+    "depth; ties degrade the batch width, never the answer)") {
+    import spark.implicits._
+    // Zipf-ish synthetic vocabulary: 400 syllable words with spread
+    // frequencies (mod-97 residues), so top counts rarely tie and the
+    // batch actually fills — plus the organic tie/overlap hazards the
+    // smaller fixtures plant
+    val syll = Vector("ba", "na", "to", "ri", "ku", "me", "zo", "pi",
+      "la", "du")
+    val words: Map[String, Long] = (0 until 400).map { i =>
+      val w = syll(i % 10) + syll((i / 10) % 10) + syll((i / 100) % 4) +
+        ("s" * (i % 3))
+      w -> (1L + (i * 37) % 97)
+    }.toMap
+    val expect = refBpe(words, 128)
+    assert(expect.length == 128, s"fixture converged early: ${expect.length}")
+    val vocab = words.toSeq.toDF("word", "freq")
+    val (mergeFrames, _) = QueriesPipeline.bpeLoop(vocab, 128, batch = 8)
+    val got = mergeFrames.reduce(_ unionByName _).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+      .toSeq
+    assert(got == expect,
+      s"\n got: ${got.take(20)}...\n exp: ${expect.take(20)}...")
+    // the batching must be REAL: 128 merges in well under 128 passes.
+    // This 10-syllable fixture is adversarial for disjointness (every
+    // top pair shares one of a handful of characters early on), so the
+    // width here (~2/pass) is the FLOOR — the 16-char-alphabet
+    // big-vocab probe rung is where the ~B× win shows (BPE_DEPTH_r15)
+    assert(mergeFrames.length <= 96,
+      s"${mergeFrames.length} passes for 128 merges — batch never filled")
+  }
+
   test("bpeEncode replays frozen merges on unseen words identically " +
     "to the scalar tokenizer (the runtime half: no election, rank " +
     "order, greedy left-to-right per merge)") {
