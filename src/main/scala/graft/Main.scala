@@ -36,6 +36,7 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-softdedup] [-split] [-curriculum] [-epochs]
   * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N] [-norm]
   * graft.Main bpe       <sfDir> <outDir> [-merges K] [-encode <docsDir>]
+  * graft.Main search    <sfDir> <queriesParquetOrString> [-k N] [-o out]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -1172,6 +1173,36 @@ object Main {
             .write.mode("overwrite").parquet(s"$outDir/encoded")
         }
         mergesDf.unpersist(); fert.unpersist()
+        0
+      case "search" :: sfDir :: queriesArg :: rest =>
+        // BM25 ranked retrieval over the corpus (graft.ops.Bm25 — the
+        // search the reference ships out to Solr/ES, native): rank
+        // every document for N queries in ONE corpus pass, per-query
+        // top-k via the O(k) bounded aggregate. <queries> is either a
+        // parquet dir with (query_id, text) or a literal query string.
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val k = opt(rest, "-k").map(_.toInt).getOrElse(10)
+        val docs = Tables(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val queries =
+          if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(queriesArg))) {
+            val q = spark.read.parquet(queriesArg)
+            require(q.columns.contains("query_id") &&
+              q.columns.contains("text"),
+              s"search queries at $queriesArg need query_id + text " +
+                s"columns, has ${q.columns.mkString(", ")}")
+            q.select(col("query_id"), col("text"))
+          } else Seq((0L, queriesArg)).toDF("query_id", "text")
+        val ranked = graft.ops.Bm25.rank(docs, queries, k)
+        opt(rest, "-o").foreach(o =>
+          ranked.coalesce(1).write.mode("overwrite").parquet(o))
+        ranked.orderBy("query_id", "rank").collect().foreach { r =>
+          println(s"hit\t${r.getAs[Long]("query_id")}\t" +
+            s"${r.getAs[Int]("rank")}\t${r.getAs[Long]("doc_id")}\t" +
+            s"${r.getAs[Long]("score_bp")}\t${r.getAs[Long]("n_matched")}")
+        }
         0
       case "metrics" :: dir :: rest =>
         import org.apache.spark.sql.functions.col

@@ -333,6 +333,29 @@ object QueriesPipeline {
   val decontaminateNorm = decontaminateQ("decontaminate_norm",
     DECONTAM_BROADCAST_GRAMS, normalize = true)
 
+  /** [[decontaminate]] invoked through the SQL table-function surface
+    * (r15): `decontaminate_hits('corpus', 'bench')` in a FROM clause —
+    * the census-picked gate reachable without Scala (GraftExtensions
+    * in product sessions; registered imperatively here so the query is
+    * green with and without extensions — the asof_join_sql pattern).
+    * The bench view carries the RAW TEXT of every 25th document; its
+    * grams are re-derived inside the TVF, which is the same gram set
+    * the decontaminate query filters out of the corpus grams, so the
+    * oracle is shared. */
+  val decontamHitsSql = Q(
+    "decontam_hits_sql",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensureTableFunctions(s)
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      d.createOrReplaceTempView("graft_sql_decontam_corpus")
+      d.where(col("doc_id") % 25 === 0).select(col("text"))
+        .createOrReplaceTempView("graft_sql_decontam_bench")
+      s.sql("""SELECT * FROM decontaminate_hits(
+        'graft_sql_decontam_corpus', 'graft_sql_decontam_bench')""")
+    },
+    decontaminate.oracle)
+
   /** Token-budget stratified sampling: sample each language down to an
     * expected per-language token budget with deterministic
     * hash-Bernoulli selection — pass 1 aggregates per-language token
@@ -2600,7 +2623,7 @@ object QueriesPipeline {
       FROM tgt"""))
 
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
-    decontaminateShuffle, decontaminateNorm,
+    decontaminateShuffle, decontaminateNorm, decontamHitsSql,
     softDedup,
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,

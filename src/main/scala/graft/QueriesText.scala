@@ -1592,11 +1592,120 @@ object QueriesText {
       LIMIT 10"""
     })
 
+  /** Multi-query BM25 ([[graft.ops.Bm25]], r15): rank the corpus for
+    * THREE self-derived queries in one pass — queries are the corpus
+    * words ranked 10th-18th by (count DESC, word ASC), three terms
+    * each, built with the same double-orderBy-limit slices as
+    * [[bm25Search]] (no global window). Per-query top-5 via the O(k)
+    * bounded aggregate: no sort, no per-query straggler. The oracle
+    * re-derives the same queries with a ROW_NUMBER over the word
+    * counts. */
+  val bm25Multi = Q(
+    "bm25_multi",
+    (s, dir) => {
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      // persisted: the three query slices below are separate Union
+      // branches of one plan — uncached they would each recount the
+      // corpus words (callers clear the cache after the action)
+      val wc = d.select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .persist()
+      // terms ranked (3j+10)..(3j+12) under (cnt DESC, w): top-(3j+12)
+      // re-ordered ascending, bottom 3 — the bm25_search slice trick
+      def sliceText(j: Int) = wc
+        .orderBy(desc("cnt"), asc("w")).limit(3 * j + 12)
+        .orderBy(asc("cnt"), desc("w")).limit(3)
+        .agg(concat_ws(" ", array_sort(collect_list(col("w"))))
+          .as("text"))
+        .select(lit(j.toLong).as("query_id"), col("text"))
+      val queries = sliceText(0).unionByName(sliceText(1))
+        .unionByName(sliceText(2))
+      graft.ops.Bm25.rank(d, queries, 5)
+    },
+    Some {
+      import graft.functions.IntLog.sqlL2
+      s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tk AS (SELECT doc_id, w FROM toks WHERE length(w) >= 1),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+        FROM dl),
+      wc AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY 1),
+      ranked AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn
+        FROM wc),
+      qt AS (
+        SELECT CAST((rn - 10) // 3 AS BIGINT) AS query_id, w
+        FROM ranked WHERE rn >= 10 AND rn <= 18),
+      tf AS (
+        SELECT doc_id, tk.w, COUNT(*) AS tf
+        FROM tk JOIN (SELECT DISTINCT w FROM qt) q ON tk.w = q.w
+        GROUP BY 1, 2),
+      dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT query_id, doc_id,
+          CAST(SUM((${sqlL2("2 * n_docs - 2 * df + 1")} -
+                    ${sqlL2("2 * df + 1")}) *
+            ((22 * tf * avgdl * 10000)
+              // (10 * tf * avgdl + 3 * avgdl + 9 * dl))) AS BIGINT)
+            AS score_bp,
+          COUNT(*) AS n_matched
+        FROM tf
+        JOIN dfq USING (w)
+        JOIN dl USING (doc_id)
+        JOIN qt USING (w)
+        CROSS JOIN stats
+        GROUP BY 1, 2),
+      top AS (
+        SELECT query_id, doc_id, score_bp, n_matched,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_bp DESC, doc_id) AS rnk
+        FROM sc)
+      SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_bp,
+        CAST(n_matched AS BIGINT) AS n_matched
+      FROM top WHERE rnk <= 5"""
+    })
+
+  /** [[bm25Multi]] invoked through the SQL table-function surface:
+    * `bm25('docs', 'queries', 5)` in a FROM clause (GraftExtensions in
+    * product sessions; registered imperatively here so the query is
+    * green with and without extensions — the asof_join_sql pattern).
+    * Same oracle as bm25_multi. */
+  val bm25Sql = Q(
+    "bm25_sql",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensureTableFunctions(s)
+      val d = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      d.createOrReplaceTempView("graft_sql_bm25_docs")
+      val wc = d.select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .persist() // shared by the three slices (see bm25_multi)
+      def sliceText(j: Int) = wc
+        .orderBy(desc("cnt"), asc("w")).limit(3 * j + 12)
+        .orderBy(asc("cnt"), desc("w")).limit(3)
+        .agg(concat_ws(" ", array_sort(collect_list(col("w"))))
+          .as("text"))
+        .select(lit(j.toLong).as("query_id"), col("text"))
+      sliceText(0).unionByName(sliceText(1)).unionByName(sliceText(2))
+        .createOrReplaceTempView("graft_sql_bm25_queries")
+      s.sql("""SELECT * FROM
+        bm25('graft_sql_bm25_docs', 'graft_sql_bm25_queries', 5)""")
+    },
+    bm25Multi.oracle)
+
   val all: Seq[Q] = Seq(
     dedupExact, tokenStats, langId, qualityScore, outlinkExtract,
     trigramJaccard, docFingerprint, multimodalMeta, minhashLsh, simhash,
     htmlLang, bpeTokenStats, langIdNgram, corpusClean, dedupClusters,
     multimodalDims, audioMeta, videoFrames, pixelStats, audioStats,
     flacStats, jpegStats, webpStats, incrementalDedup, tiffStats, icoStats,
-    bloomDedup, bm25Search)
+    bloomDedup, bm25Search, bm25Multi, bm25Sql)
 }

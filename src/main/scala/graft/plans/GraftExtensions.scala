@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.boundedSortedListFunction)
     ext.injectTableFunction(GraftExtensions.asofJoinTableFunction)
     ext.injectTableFunction(GraftExtensions.rangeJoinTableFunction)
+    ext.injectTableFunction(GraftExtensions.bm25TableFunction)
+    ext.injectTableFunction(GraftExtensions.decontaminateHitsTableFunction)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteWindowAggToJoin)
     ext.injectOptimizerRule(_ => RewriteKeeperElection)
@@ -116,6 +118,66 @@ object GraftExtensions {
         .queryExecution.analyzed
     })
 
+  /** `bm25('docs', 'queries'[, k])` — per-query BM25 top-k
+    * ([[graft.ops.Bm25.rank]]) from a SQL FROM clause: docs table
+    * needs (doc_id, text), queries table (query_id, text); k defaults
+    * to 10 and must be a positive int literal (it sizes the bounded
+    * top-k aggregation buffer). */
+  val bm25TableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("bm25"),
+    new ExpressionInfo("graft.ops.Bm25", "bm25"),
+    (args: Seq[Expression]) => {
+      val usage = "usage: bm25('docs_table', 'queries_table'[, k]) " +
+        "with string literals and a positive INT literal k"
+      val k = args match {
+        case Seq(_, _) => 10
+        case Seq(_, _, Literal(k: Int, IntegerType)) if k > 0 => k
+        case _ => throw new IllegalArgumentException(usage)
+      }
+      val Seq(d, q) = args.take(2).map(strLit(_, usage))
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Bm25.rank(spark.table(d), spark.table(q), k)
+        .queryExecution.analyzed
+    })
+
+  /** `decontaminate_hits('corpus', 'bench'[, 'norm'])` — the
+    * census-picked contamination gate
+    * ([[graft.QueriesPipeline.contaminationHits]]) from SQL: every
+    * corpus doc (doc_id, text) sharing a word 8-gram with the bench
+    * table's text, optionally with normalized matching
+    * (decontaminate_norm's lowercase + punctuation fold on BOTH
+    * sides). The one-aggregate regime census runs at analysis time —
+    * the range_join TVF precedent. */
+  val decontaminateHitsTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("decontaminate_hits"),
+    new ExpressionInfo("graft.QueriesPipeline", "decontaminate_hits"),
+    (args: Seq[Expression]) => {
+      val usage = "usage: decontaminate_hits('corpus_table', " +
+        "'bench_table'[, 'norm'|'raw']) with string literals"
+      if (args.length < 2 || args.length > 3)
+        throw new IllegalArgumentException(usage)
+      val norm = args.length == 3 && (strLit(args(2), usage) match {
+        case "norm" => true
+        case "raw" => false
+        case _ => throw new IllegalArgumentException(usage)
+      })
+      val Seq(c, b) = args.take(2).map(strLit(_, usage))
+      val spark = org.apache.spark.sql.SparkSession.active
+      val corpus = spark.table(c)
+      val bench = spark.table(b)
+      val benchGrams = graft.QueriesPipeline.wordGrams8(
+          bench.select(
+            org.apache.spark.sql.functions.monotonically_increasing_id()
+              .as("doc_id"),
+            org.apache.spark.sql.functions.col("text")), norm)
+        .select("g").distinct()
+      graft.QueriesPipeline.contaminationHits(
+          graft.QueriesPipeline.wordGrams8(corpus, norm), benchGrams)
+        .queryExecution.analyzed
+    })
+
   /** Imperative registration of the SQL operator surface into a
     * session built WITHOUT extensions (Verify/Bench default) —
     * idempotent; product sessions get these via
@@ -125,6 +187,10 @@ object GraftExtensions {
       .registerTableFunction(spark, asofJoinTableFunction)
     org.apache.spark.sql.graftbridge.ColumnBridge
       .registerTableFunction(spark, rangeJoinTableFunction)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerTableFunction(spark, bm25TableFunction)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerTableFunction(spark, decontaminateHitsTableFunction)
   }
 }
 

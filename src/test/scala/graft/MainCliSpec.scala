@@ -916,4 +916,37 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
       .agg(sum("n_tokens")).head().getLong(0)
     assert(encTokens == fertTokens, s"$encTokens != $fertTokens")
   }
+
+  test("search verb: BM25 retrieval over the corpus — parquet query " +
+    "table and literal query string both match graft.ops.Bm25.rank") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-search").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // two deterministic query terms from the corpus itself
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(12)
+      .orderBy(asc("cnt"), desc("w")).limit(2)
+      .collect().map(_.getString(0)).sorted
+    val queries = Seq((0L, words(0)), (1L, words.mkString(" ")))
+      .toDF("query_id", "text")
+    queries.write.mode("overwrite").parquet(s"$root/queries")
+    assert(v("search", sf, s"$root/queries", "-k", "3",
+      "-o", s"$root/hits") == 0)
+    val got = spark.read.parquet(s"$root/hits")
+    val want = graft.ops.Bm25.rank(docs, queries, 3)
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // literal string = one-query table with query_id 0
+    assert(v("search", sf, words(0), "-k", "3",
+      "-o", s"$root/hits2") == 0)
+    val got2 = spark.read.parquet(s"$root/hits2")
+    val want2 = graft.ops.Bm25.rank(docs,
+      Seq((0L, words(0))).toDF("query_id", "text"), 3)
+    assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty)
+  }
 }

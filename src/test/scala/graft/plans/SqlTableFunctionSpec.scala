@@ -55,6 +55,58 @@ class SqlTableFunctionSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq((1L, 7L), (2L, 8L)))
   }
 
+  test("bm25 TVF: per-query top-k from SQL matches the Scala operator, " +
+    "k defaults to 10") {
+    import spark.implicits._
+    register()
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "apple cherry"),
+      (3L, "banana banana banana"), (4L, "durian elderberry fig"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_bm_docs")
+    val queries = Seq((0L, "apple"), (1L, "banana cherry"))
+      .toDF("query_id", "text")
+    queries.createOrReplaceTempView("tvf_bm_queries")
+    val got = spark.sql("""
+        SELECT query_id, rank, doc_id, score_bp, n_matched
+        FROM bm25('tvf_bm_docs', 'tvf_bm_queries', 2)
+        ORDER BY query_id, rank""").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val exp = graft.ops.Bm25.rank(docs, queries, 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == exp, s"\n got: $got\n exp: $exp")
+    // direction sanity: q0 'apple' ranks doc 1 (tf 2) above doc 2
+    assert(got.take(2).map(_._3) == Seq(1L, 2L), got)
+    // default k
+    assert(spark.sql(
+      "SELECT * FROM bm25('tvf_bm_docs', 'tvf_bm_queries')").count() > 0)
+  }
+
+  test("decontaminate_hits TVF: raw vs 'norm' matching from SQL — the " +
+    "format-drifted leak is caught only under 'norm'") {
+    import spark.implicits._
+    register()
+    val benchText =
+      "the quick brown fox jumps over the lazy dog tonight again"
+    Seq((10L, "The Quick, Brown FOX jumps  over the LAZY dog; " +
+          "tonight... Again!"),
+        (11L, benchText),
+        (12L, "nothing here overlaps the benchmark in any way at all ok"))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("tvf_dc_corpus")
+    Seq(Tuple1(benchText)).toDF("text")
+      .createOrReplaceTempView("tvf_dc_bench")
+    val raw = spark.sql("""SELECT doc_id FROM
+        decontaminate_hits('tvf_dc_corpus', 'tvf_dc_bench')""")
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(11L), raw)
+    val norm = spark.sql("""SELECT doc_id FROM
+        decontaminate_hits('tvf_dc_corpus', 'tvf_dc_bench', 'norm')""")
+      .collect().map(_.getLong(0)).toSet
+    assert(norm == Set(10L, 11L), norm)
+  }
+
   test("malformed arguments fail with the usage message, not a " +
     "resolver stack") {
     register()
@@ -67,6 +119,15 @@ class SqlTableFunctionSpec extends AnyFunSuite with SparkSuite {
       "SELECT * FROM range_join('tvf_bands', 'tvf_points', 'lo', 'hi', 1+1)")
       .collect())
     assert(e2.getMessage.contains("usage: range_join"), e2.getMessage)
+    // bm25: non-positive k
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM bm25('a', 'b', 0)").collect())
+    assert(e3.getMessage.contains("usage: bm25"), e3.getMessage)
+    // decontaminate_hits: bad mode literal
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT * FROM decontaminate_hits('a', 'b', 'fuzzy')").collect())
+    assert(e4.getMessage.contains("usage: decontaminate_hits"),
+      e4.getMessage)
   }
 
   test("re-registration is idempotent (extensions + imperative bridge " +
