@@ -439,6 +439,41 @@ object ScaleProbe {
             QueriesEmbed.semanticCandidates(asg)
           })
       },
+      // the frozen GramStore at depth (r15 verdict Next #6):
+      // GramStore.hits over ×1/×10/×100 increments against a FIXED
+      // multi-million-gram store. GramStoreSpec pins the zero-
+      // store-side-Exchange inventory at fixture scale; this measures
+      // the law — shuffle must grow with the INCREMENT only, the
+      // store's 1.7M-gram scan staying a constant in-place bucketed
+      // read (the DedupStore incremental precedent, SCALE_r13_deep).
+      // Run with SPARK_GRAFT_SCALE_PIN_SMJ=1: an AQE-broadcast tiny
+      // increment at ×1 would make the decade ratio measure a plan
+      // flip, not the growth law. The store is synthetic (350k docs ×
+      // 12 hash words ≈ 1.7M distinct 8-grams — HELM-suite scale),
+      // installed once OUTSIDE the measured windows.
+      "gramstore_increment_kn" -> { () =>
+        import org.apache.spark.sql.functions._
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-gramstore").toString
+        spark.conf.set("spark.graft.inflate", "1")
+        val bench = spark.range(350000L).select(
+          concat_ws(" ", (0 until 12).map(j =>
+            concat(lit(s"g${j}_"),
+              pmod(col("id") * (2654435761L + j), lit(1000000L)))): _*)
+            .as("text"))
+        graft.ops.GramStore.install(bench, storeDir, buckets = 32)
+        val store = graft.ops.GramStore.open(spark, storeDir)
+        val pts = withRetry("gramstore_increment_kn",
+          () => measureBuilt("gramstore_increment_kn") { _ =>
+            graft.ops.GramStore.hits(
+              Tables(spark, sfDir, "documents")
+                .select(col("doc_id"), col("text")),
+              store)
+          })
+        tables.Install.deleteRecursively(
+          java.nio.file.Paths.get(storeDir))
+        pts
+      },
       // the corpus EXPORT verb end-to-end — the actual 100 TB job:
       // quality gates + exact/line/span dedup + near-dup drop +
       // ExactSubstr span removal + temperature rebalance + ccnet
