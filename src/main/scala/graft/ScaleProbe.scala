@@ -76,7 +76,12 @@ object ScaleProbe {
     // counts, broadcast dims, TakeOrdered) and the tokenizer's
     // frozen-replay half (vocab-bounded passes — the corpus enters
     // only through the word count)
-    "bm25_search", "bpe_encode")
+    "bm25_search", "bpe_encode",
+    // r15: the tokenizer's decode half (vocab-sized token-frame
+    // groupBy + one corpus-keyed reassembly join) and the trained
+    // centroid classifier (one featurize pass + 65-row broadcast
+    // model — scoring shuffle must track the feature frame, ∝ n)
+    "bpe_decode", "centroid_score")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured

@@ -350,4 +350,63 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("bpe_decode roundtrips every document losslessly") {
+    val rows = run("bpe_decode").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")),
+      s"non-lossless decode: ${rows.filterNot(_.getAs[Boolean]("roundtrip_ok")).take(3).mkString(", ")}")
+  }
+
+  test("centroid_score genuinely learns the length gate " +
+    "(accuracy beats the majority baseline by >= 25 points)") {
+    val rows = run("centroid_score").collect()
+    val n = rows.length.toDouble
+    val acc = rows.count(r => r.getAs[Long]("pred") == r.getAs[Long]("y")) / n
+    val posFrac = rows.count(_.getAs[Long]("y") == 1L) / n
+    val majority = math.max(posFrac, 1 - posFrac)
+    assert(acc >= 0.90, s"accuracy $acc below 0.90")
+    assert(acc >= majority + 0.25,
+      s"accuracy $acc does not beat majority $majority — trainer not learning")
+  }
+
+  test("centroid_train separates a planted two-class corpus exactly") {
+    // Long docs (>= CentGate words) vs short docs: the trained decision
+    // boundary must classify every planted doc correctly.
+    import spark.implicits._
+    val long = (1L to 8L).map(i =>
+      (i, Array.fill(60)("tok" + (i % 5)).mkString(" ")))
+    val short = (9L to 16L).map(i =>
+      (i, Array.fill(10)("tok" + (i % 5)).mkString(" ")))
+    val docs = (long ++ short).toDF("doc_id", "text")
+    val feat = QueriesPipeline.centroidFeatures(docs).localCheckpoint()
+    val model = QueriesPipeline.centroidModel(feat)
+    assert(model.count() == QueriesPipeline.CentF + 1)
+    val nrm = model.groupBy()
+      .agg(sum(col("mu_pos") * col("mu_pos") -
+        col("mu_neg") * col("mu_neg")).as("nrm"))
+    val scored = feat.join(broadcast(model), "f")
+      .groupBy("doc_id")
+      .agg(max(col("y")).as("y"),
+        sum(col("x") * (col("mu_pos") - col("mu_neg"))).as("xd"))
+      .crossJoin(broadcast(nrm))
+      .select(col("doc_id"), col("y"),
+        when(lit(2L * QueriesPipeline.CentS) * col("xd") - col("nrm") > 0,
+          lit(1L)).otherwise(lit(-1L)).as("pred"))
+      .collect()
+    assert(scored.length == 16)
+    scored.foreach { r =>
+      assert(r.getAs[Long]("pred") == r.getAs[Long]("y"),
+        s"doc ${r.getAs[Long]("doc_id")} misclassified")
+    }
+  }
+
+  test("centroid_train touches the corpus once and broadcasts the model " +
+    "(no corpus-sized label join, model side broadcast in scoring)") {
+    val plan = run("centroid_score").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in centroid_score plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized SMJ in centroid_score plan:\n$plan")
+  }
 }
