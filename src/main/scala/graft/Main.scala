@@ -37,6 +37,7 @@ import graft.tables.{CrawlDbTable, Segment}
   * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N] [-norm]
   * graft.Main bpe       <sfDir> <outDir> [-merges K] [-encode <docsDir>]
   * graft.Main search    <sfDir> <queriesParquetOrString> [-k N] [-o out]
+  * graft.Main classify  <sfDir> [-model out] [-o out]
   * graft.Main parsetext  <file> [-type ct] [-extractor boilerpipe] [-limit N]
   * ```
   *
@@ -1173,6 +1174,33 @@ object Main {
             .write.mode("overwrite").parquet(s"$outDir/encoded")
         }
         mergesDf.unpersist(); fert.unpersist()
+        0
+      case "classify" :: sfDir :: rest =>
+        // Trained quality classifier (QueriesPipeline.centroid* —
+        // Rocchio nearest-centroid over hashed bag-of-words, label =
+        // the Gopher-style minimum-length gate): train on the corpus
+        // in ONE featurize pass, score every document against the
+        // 65-row broadcast model, print the summary. -model/-o write
+        // the model / scored frame as parquet.
+        import org.apache.spark.sql.functions._
+        val docs = Queries.spread(Tables(spark, sfDir, "documents"),
+          col("doc_id"))
+        val feat = QueriesPipeline.centroidFeatures(docs).localCheckpoint()
+        val model = QueriesPipeline.centroidModel(feat)
+        val scored = QueriesPipeline.centroidScore(feat, model)
+        opt(rest, "-model").foreach(m =>
+          model.coalesce(1).write.mode("overwrite").parquet(m))
+        opt(rest, "-o").foreach(o =>
+          scored.write.mode("overwrite").parquet(o))
+        val s = scored.groupBy().agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("ok"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("predpos"))
+          .collect()(0)
+        val n = s.getAs[Long]("n")
+        println(s"classify: n=$n acc_bp=${10000 * s.getAs[Long]("ok") / n} " +
+          s"pos=${s.getAs[Long]("pos")} pred_pos=${s.getAs[Long]("predpos")}")
         0
       case "search" :: sfDir :: queriesArg :: rest =>
         // BM25 ranked retrieval over the corpus (graft.ops.Bm25 — the

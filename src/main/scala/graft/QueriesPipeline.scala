@@ -2846,25 +2846,33 @@ object QueriesPipeline {
     * 65-row broadcast join and a doc-keyed combine — map-side except
     * the per-doc aggregate. The feature frame is localCheckpoint-ed so
     * train and score share one corpus pass. */
+  /** Score a featurized frame against a trained centroid model — the
+    * exact integer decision of [[centroidScoreQ]], shared by the
+    * query, the `classify` CLI verb, and the planted-corpus spec. */
+  private[graft] def centroidScore(feat: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nrm = model.groupBy()
+      .agg(sum(col("mu_pos") * col("mu_pos") -
+        col("mu_neg") * col("mu_neg")).as("nrm"))
+    feat.join(broadcast(model), "f")
+      .groupBy("doc_id")
+      .agg(max(col("y")).as("y"),
+        sum(col("x") * (col("mu_pos") - col("mu_neg"))).as("xd"))
+      .crossJoin(broadcast(nrm))
+      .select(col("doc_id"),
+        (lit(2L * CentS) * col("xd") - col("nrm")).as("score"),
+        when(lit(2L * CentS) * col("xd") - col("nrm") > 0, lit(1L))
+          .otherwise(lit(-1L)).as("pred"),
+        col("y"))
+  }
+
   val centroidScoreQ = Q(
     "centroid_score",
     (s, dir) => {
       val feat = centroidFeatures(
         spread(t(s, dir, "documents"), col("doc_id"))).localCheckpoint()
-      val model = centroidModel(feat)
-      val nrm = model.groupBy()
-        .agg(sum(col("mu_pos") * col("mu_pos") -
-          col("mu_neg") * col("mu_neg")).as("nrm"))
-      feat.join(broadcast(model), "f")
-        .groupBy("doc_id")
-        .agg(max(col("y")).as("y"),
-          sum(col("x") * (col("mu_pos") - col("mu_neg"))).as("xd"))
-        .crossJoin(broadcast(nrm))
-        .select(col("doc_id"),
-          (lit(2L * CentS) * col("xd") - col("nrm")).as("score"),
-          when(lit(2L * CentS) * col("xd") - col("nrm") > 0, lit(1L))
-            .otherwise(lit(-1L)).as("pred"),
-          col("y"))
+      centroidScore(feat, centroidModel(feat))
     },
     Some {
       s"""

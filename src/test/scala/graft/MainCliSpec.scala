@@ -949,4 +949,25 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
       Seq((0L, words(0))).toDF("query_id", "text"), 3)
     assert(got2.except(want2).isEmpty && want2.except(got2).isEmpty)
   }
+
+  test("classify verb: trains + scores the corpus, writes model and " +
+    "scored frame, matches the centroid_score query") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-classify").toString
+    val sf = "/root/testdata/sf0.001"
+    assert(Main.run(spark, Array("classify", sf,
+      "-model", s"$root/model", "-o", s"$root/scored")) == 0)
+    val model = spark.read.parquet(s"$root/model")
+    assert(model.count() == QueriesPipeline.CentF + 1)
+    assert(model.columns.sorted.toSeq == Seq("f", "mu_neg", "mu_pos"))
+    val got = spark.read.parquet(s"$root/scored")
+    val want = Queries.byName("centroid_score").build(spark, sf)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the verb's model is the trainer's model
+    val wantModel = QueriesPipeline.centroidModel(
+      QueriesPipeline.centroidFeatures(
+        Tables(spark, sf, "documents")))
+    assert(model.except(wantModel).isEmpty &&
+      wantModel.except(model).isEmpty)
+  }
 }

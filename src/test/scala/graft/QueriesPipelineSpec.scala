@@ -382,18 +382,7 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     val feat = QueriesPipeline.centroidFeatures(docs).localCheckpoint()
     val model = QueriesPipeline.centroidModel(feat)
     assert(model.count() == QueriesPipeline.CentF + 1)
-    val nrm = model.groupBy()
-      .agg(sum(col("mu_pos") * col("mu_pos") -
-        col("mu_neg") * col("mu_neg")).as("nrm"))
-    val scored = feat.join(broadcast(model), "f")
-      .groupBy("doc_id")
-      .agg(max(col("y")).as("y"),
-        sum(col("x") * (col("mu_pos") - col("mu_neg"))).as("xd"))
-      .crossJoin(broadcast(nrm))
-      .select(col("doc_id"), col("y"),
-        when(lit(2L * QueriesPipeline.CentS) * col("xd") - col("nrm") > 0,
-          lit(1L)).otherwise(lit(-1L)).as("pred"))
-      .collect()
+    val scored = QueriesPipeline.centroidScore(feat, model).collect()
     assert(scored.length == 16)
     scored.foreach { r =>
       assert(r.getAs[Long]("pred") == r.getAs[Long]("y"),
