@@ -25,6 +25,12 @@ object BpeBatchAb {
     val k = sys.env.getOrElse("SPARK_GRAFT_AB_K", "64").toInt
     val batch = sys.env.getOrElse("SPARK_GRAFT_AB_B", "8").toInt
     val nWords = sys.env.getOrElse("SPARK_GRAFT_BPE_VOCAB", "100000").toLong
+    // hex (default): md5 words, near-uniform freqs — the 16-char
+    // WORST case for disjoint-prefix width. zipf: base-26 letter
+    // words (variable length, 26-char alphabet) with freq ∝ 1/rank —
+    // the regime of a natural-language vocabulary, where elections
+    // tie less and the batch should fill wider.
+    val shape = sys.env.getOrElse("SPARK_GRAFT_AB_SHAPE", "hex")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,10 +40,21 @@ object BpeBatchAb {
     spark.sparkContext.setLogLevel("WARN")
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    val vocab = spark.range(nWords)
-      .select(md5(col("id").cast("string")).as("word"),
-        (col("id") % 100 + 1).as("freq"))
-      .localCheckpoint()
+    val vocab = (shape match {
+      case "zipf" =>
+        import spark.implicits._
+        def word(id: Long): String = {
+          var n = id; val sb = new StringBuilder
+          do { sb.append(('a' + (n % 26)).toInt.toChar); n /= 26 }
+          while (n > 0)
+          sb.toString
+        }
+        (0L until nWords)
+          .map(id => (word(id), nWords / (id + 1) + 1)).toDF("word", "freq")
+      case _ => spark.range(nWords)
+        .select(md5(col("id").cast("string")).as("word"),
+          (col("id") % 100 + 1).as("freq"))
+    }).localCheckpoint()
     def run(b: Int): (Double, Double, Int) = {
       meter.reset()
       val t0 = System.nanoTime()
@@ -55,7 +72,7 @@ object BpeBatchAb {
     val (btMin, sqMin) = (bt.map(_._1).min, sq.map(_._1).min)
     val (btCpu, sqCpu) = (bt.map(_._2).min, sq.map(_._2).min)
     println(s"""{"metric":"bpe_batch_ab","k":$k,"batch":$batch,""" +
-      s""""n_words":$nWords,"reps":$reps,""" +
+      s""""n_words":$nWords,"shape":"$shape","reps":$reps,""" +
       s""""batched_sec":${bt.map(p => r3(p._1)).mkString("[", ",", "]")},""" +
       s""""sequential_sec":${sq.map(p => r3(p._1)).mkString("[", ",", "]")},""" +
       s""""batched_passes":${bt.head._3},"sequential_passes":${sq.head._3},""" +

@@ -2009,9 +2009,15 @@ object QueriesPipeline {
     *     position. The top pair itself is exact unconditionally (it
     *     won the shared table).
     *
-    *    On tied fixtures the cut degenerates to B'=1 (still exact);
-    *    on Zipf-shaped real counts B' ≈ batch. BpeDsirSpec A/Bs the
-    *    whole loop against the scalar Sennrich reference to depth 128.
+    *    On tied fixtures the cut degenerates to B'=1 (still exact).
+    *    Measured widths (BPE_BATCH_AB_r15*.json, same-JVM A/B): flat
+    *    near-uniform counts fill B' ≈ 2.1-2.5 (2.3× wall); Zipf-skewed
+    *    counts concentrate the election on pairs sharing the hottest
+    *    tokens and the disjoint prefix truncates at B' ≈ 1.03 (1.14×
+    *    wall) — batching helps most where ties are dense and is never
+    *    harmful, exactness unconditional either way. BpeDsirSpec A/Bs
+    *    the whole loop against the scalar Sennrich reference to
+    *    depth 128.
     *
     * The ≤batch+1-row election is COLLECTED per pass — a tokenizer's
     * merge table is driver-resident by design (same discipline as
