@@ -2897,6 +2897,22 @@ object QueriesPipeline {
       FROM xd CROSS JOIN nrm"""
     })
 
+  /** [[centroidScoreQ]] invoked through the SQL table-function
+    * surface: `classify('docs')` in a FROM clause (GraftExtensions in
+    * product sessions; registered imperatively here so the query is
+    * green with and without extensions — the asof_join_sql pattern).
+    * Same oracle as centroid_score. */
+  val classifySql = Q(
+    "classify_sql",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensureTableFunctions(s)
+      spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("graft_sql_classify_docs")
+      s.sql("SELECT * FROM classify('graft_sql_classify_docs')")
+    },
+    centroidScoreQ.oracle)
+
   val all: Seq[Q] = Seq(qualityGopher, piiScrub, decontaminate,
     decontaminateShuffle, decontaminateNorm, decontamHitsSql,
     softDedup,
@@ -2906,5 +2922,6 @@ object QueriesPipeline {
     lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
     ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility,
     bpeEncodeQ, bpeDecodeQ,
-    curriculumOrder, epochMix, centroidTrainQ, centroidScoreQ)
+    curriculumOrder, epochMix, centroidTrainQ, centroidScoreQ,
+    classifySql)
 }

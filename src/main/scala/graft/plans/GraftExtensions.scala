@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.rangeJoinTableFunction)
     ext.injectTableFunction(GraftExtensions.bm25TableFunction)
     ext.injectTableFunction(GraftExtensions.decontaminateHitsTableFunction)
+    ext.injectTableFunction(GraftExtensions.classifyTableFunction)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteWindowAggToJoin)
     ext.injectOptimizerRule(_ => RewriteKeeperElection)
@@ -178,6 +179,28 @@ object GraftExtensions {
         .queryExecution.analyzed
     })
 
+  /** `classify('docs')` — the trained quality classifier
+    * ([[graft.QueriesPipeline.centroidScore]]) from SQL: train the
+    * Rocchio centroid model on the table's (doc_id, text) in one
+    * featurize pass and emit (doc_id, score, pred, y) for every
+    * document. Training is PART of the returned plan (class sums and
+    * the 65-row model are aggregates the engine broadcasts), so no
+    * action runs at analysis time. */
+  val classifyTableFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("classify"),
+    new ExpressionInfo("graft.QueriesPipeline", "classify"),
+    (args: Seq[Expression]) => {
+      val usage = "usage: classify('docs_table') with a string literal"
+      if (args.length != 1) throw new IllegalArgumentException(usage)
+      val d = strLit(args.head, usage)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val feat = graft.QueriesPipeline.centroidFeatures(spark.table(d))
+      graft.QueriesPipeline.centroidScore(feat,
+          graft.QueriesPipeline.centroidModel(feat))
+        .queryExecution.analyzed
+    })
+
   /** Imperative registration of the SQL operator surface into a
     * session built WITHOUT extensions (Verify/Bench default) —
     * idempotent; product sessions get these via
@@ -191,6 +214,8 @@ object GraftExtensions {
       .registerTableFunction(spark, bm25TableFunction)
     org.apache.spark.sql.graftbridge.ColumnBridge
       .registerTableFunction(spark, decontaminateHitsTableFunction)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .registerTableFunction(spark, classifyTableFunction)
   }
 }
 

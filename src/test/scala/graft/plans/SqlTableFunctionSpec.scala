@@ -107,6 +107,31 @@ class SqlTableFunctionSpec extends AnyFunSuite with SparkSuite {
     assert(norm == Set(10L, 11L), norm)
   }
 
+  test("classify TVF: trains + scores from SQL, matches the Scala op, " +
+    "and a planted long/short corpus separates exactly") {
+    import spark.implicits._
+    register()
+    val docs = ((1L to 6L).map(i =>
+        (i, Array.fill(60)("w" + (i % 3)).mkString(" "))) ++
+      (7L to 12L).map(i =>
+        (i, Array.fill(10)("w" + (i % 3)).mkString(" "))))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_cl_docs")
+    val got = spark.sql("""SELECT doc_id, score, pred, y
+        FROM classify('tvf_cl_docs') ORDER BY doc_id""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val feat = graft.QueriesPipeline.centroidFeatures(docs)
+    val exp = graft.QueriesPipeline.centroidScore(feat,
+        graft.QueriesPipeline.centroidModel(feat))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+    // planted separation: every long doc +1, every short doc -1
+    got.foreach { case (id, _, pred, y) =>
+      assert(pred == y && y == (if (id <= 6L) 1L else -1L), (id, pred, y))
+    }
+  }
+
   test("malformed arguments fail with the usage message, not a " +
     "resolver stack") {
     register()
@@ -128,6 +153,10 @@ class SqlTableFunctionSpec extends AnyFunSuite with SparkSuite {
       "SELECT * FROM decontaminate_hits('a', 'b', 'fuzzy')").collect())
     assert(e4.getMessage.contains("usage: decontaminate_hits"),
       e4.getMessage)
+    // classify: wrong arity
+    val e5 = intercept[Exception](spark.sql(
+      "SELECT * FROM classify('a', 'b')").collect())
+    assert(e5.getMessage.contains("usage: classify"), e5.getMessage)
   }
 
   test("re-registration is idempotent (extensions + imperative bridge " +
