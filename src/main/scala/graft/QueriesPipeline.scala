@@ -846,6 +846,134 @@ object QueriesPipeline {
       GROUP BY 1"""
     })
 
+  /** Interpolated Kneser-Ney bigram LM perplexity (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman 1998 eq. 4.26) — the REAL form of the
+    * CCNet language-model quality gate ([[lmBigramScore]] is the
+    * unsmoothed MLE signal; this is the smoothed model a production
+    * KenLM-style filter actually uses, at order 2). With absolute
+    * discount D = 3/4 multiplied through to integers:
+    *
+    *   P(w2|w1) = [ max(4*c(w1,w2) - 3, 0) * T  +  3 * R(w1) * L(w2) ]
+    *              / [ 4 * c(w1*) * T ]
+    *
+    * where c(w1*) = bigram tokens headed by w1, R(w1) = distinct
+    * continuations of w1 (the discount mass donor), L(w2) = distinct
+    * left contexts of w2 (the KN continuation count — how PROMISCUOUS
+    * a word is, not how frequent), T = distinct bigram types. Numerator
+    * and denominator are exact integers, so per-document cross-entropy
+    * is the half-bit log difference [[graft.functions.IntLog]] makes
+    * bit-exact cross-engine: hb = sum over bigrams of L2(den)-L2(num),
+    * bits_bp = hb * 5000 div n (basis-point bits/bigram).
+    *
+    * Every document is scored on its FORWARD sequence and its REVERSED
+    * sequence (the reversed bigrams are the swapped pairs - most are
+    * unseen in training, so the reversed score runs through the
+    * continuation backoff the smoothing exists for; an unsmoothed LM
+    * would be undefined there). Forward < reversed on average is the
+    * learnability proof the spec asserts. `greatest(R*L, 1)` floors the
+    * one degenerate case (a w2 never seen as a continuation) one
+    * half-bit above zero probability, identically in both engines.
+    *
+    * Scale shape: one corpus explode; the per-doc bigram window is
+    * doc-bounded (the [[lmBigramScore]] precedent); model counts are
+    * three hash-keyed combinable aggregates off ONE shared bigram-type
+    * frame; T rides as a 1-row broadcast; scoring is two broadcast-or-
+    * hash joins on Zipf keys AQE can split. Integer bound: num <
+    * 4*c12*T + 3*R*L needs c12*T < 2^60 - at corpus scales beyond
+    * that, downscale all counts by a common power of two first (the
+    * log difference shifts by a constant that cancels in ranking). */
+  /** [[knBigramPpl]]'s algebra over any (doc_id, text) frame — split
+    * out so the spec can plant a strongly-ordered corpus. */
+  private[graft] def knScore(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = d
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("w").as("w1"),
+          lead(col("w"), 1).over(wp).as("w2"))
+        .where(col("w2").isNotNull)
+        .localCheckpoint()
+      val types = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+      val heads = types.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("r"))
+      val lefts = types.groupBy("w2").agg(count(lit(1)).as("l"))
+      val tTot = types.groupBy().agg(count(lit(1)).as("t"))
+      val ev = bi.select(col("doc_id"), col("w1"), col("w2"),
+          lit(0L).as("rev"))
+        .unionByName(bi.select(col("doc_id"), col("w2").as("w1"),
+          col("w1").as("w2"), lit(1L).as("rev")))
+      val hb = ev
+        .join(types, Seq("w1", "w2"), "left")
+        .join(heads, "w1")
+        .join(lefts, "w2")
+        .crossJoin(broadcast(tTot))
+        .select(col("doc_id"), col("rev"),
+          (graft.functions.IntLog.l2(lit(4L) * col("c1") * col("t")) -
+            graft.functions.IntLog.l2(
+              greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - 3L,
+                lit(0L)) * col("t") +
+              lit(3L) * greatest(col("r") * col("l"), lit(1L))))
+            .as("hb"))
+      hb.groupBy("doc_id")
+        .agg(sum(when(col("rev") === 0L, lit(1L)).otherwise(0L))
+            .as("n_bigrams"),
+          sum(when(col("rev") === 0L, col("hb")).otherwise(0L))
+            .as("fwd_hb"),
+          sum(when(col("rev") === 1L, col("hb")).otherwise(0L))
+            .as("rev_hb"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("fwd_hb * 5000 div n_bigrams").as("fwd_bits_bp"),
+          expr("rev_hb * 5000 div n_bigrams").as("rev_bits_bp"))
+  }
+
+  val knBigramPpl = Q(
+    "kn_bigram_ppl",
+    (s, dir) => knScore(spread(t(s, dir, "documents"), col("doc_id"))),
+    Some {
+      val l2den = graft.functions.IntLog.sqlL2("4 * c1 * t")
+      val l2num = graft.functions.IntLog.sqlL2(
+        "GREATEST(4 * COALESCE(c12, 0) - 3, 0) * t + " +
+          "3 * GREATEST(r * l, 1)")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w,
+          unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents),
+      bi AS (
+        SELECT doc_id, w AS w1,
+          LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks QUALIFY w2 IS NOT NULL),
+      types AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      heads AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS r
+                FROM types GROUP BY 1),
+      lefts AS (SELECT w2, COUNT(*) AS l FROM types GROUP BY 1),
+      ttot AS (SELECT COUNT(*) AS t FROM types),
+      ev AS (
+        SELECT doc_id, w1, w2, 0 AS rev FROM bi
+        UNION ALL
+        SELECT doc_id, w2 AS w1, w1 AS w2, 1 AS rev FROM bi),
+      hb AS (
+        SELECT doc_id, rev, $l2den - $l2num AS hb
+        FROM ev
+        LEFT JOIN types USING (w1, w2)
+        JOIN heads USING (w1)
+        JOIN lefts USING (w2)
+        CROSS JOIN ttot)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN rev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bigrams,
+        CAST(SUM(CASE WHEN rev = 0 THEN hb ELSE 0 END) * 5000
+          // SUM(CASE WHEN rev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS fwd_bits_bp,
+        CAST(SUM(CASE WHEN rev = 1 THEN hb ELSE 0 END) * 5000
+          // SUM(CASE WHEN rev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS rev_bits_bp
+      FROM hb GROUP BY 1"""
+    })
+
   /** Cross-document repeated-SPAN detection — the exact-substring dedup
     * family (dedup at ≥W-token-run granularity rather than line or
     * whole-doc): every OVERLAPPING 15-word window is hashed, a window
@@ -2919,7 +3047,7 @@ object QueriesPipeline {
     sampleStratified, lineDedup, tfidfTopterms, winnowFingerprint,
     rarityScore, pipelineCompose, spanDedup, shardAssign, packEstimate,
     corpusMixture, sampleCap, packChunks, exactSubstrDedup, repetitionStats,
-    lmBigramScore, incrementalSubstr, mixtureTemperature, sourceDrift,
+    lmBigramScore, knBigramPpl, incrementalSubstr, mixtureTemperature, sourceDrift,
     ccnetBuckets, leakageSplit, dsirSelect, bpeTrain, bpeFertility,
     bpeEncodeQ, bpeDecodeQ,
     curriculumOrder, epochMix, centroidTrainQ, centroidScoreQ,

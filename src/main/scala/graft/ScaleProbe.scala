@@ -78,10 +78,12 @@ object ScaleProbe {
     // only through the word count)
     "bm25_search", "bpe_encode",
     // r15: the tokenizer's decode half (vocab-sized token-frame
-    // groupBy + one corpus-keyed reassembly join) and the trained
+    // groupBy + one corpus-keyed reassembly join), the trained
     // centroid classifier (one featurize pass + 65-row broadcast
-    // model — scoring shuffle must track the feature frame, ∝ n)
-    "bpe_decode", "centroid_score")
+    // model — scoring shuffle must track the feature frame, ∝ n),
+    // and the KN bigram LM (three combinable count aggs off one
+    // bigram-type frame + two Zipf-keyed scoring joins)
+    "bpe_decode", "centroid_score", "kn_bigram_ppl")
   // semantic_dedup is deliberately NOT probed: continuous-similarity
   // dedup at τ=0.9 has an irreducible LSH random-collision floor
   // (p₂ > 0 for any family ⇒ candidates grow ~p₂·n²/cells; measured

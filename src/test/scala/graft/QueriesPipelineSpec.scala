@@ -398,4 +398,37 @@ class QueriesPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-sized SMJ in centroid_score plan:\n$plan")
   }
+
+  test("kn_bigram_ppl: reversed text carries higher cross-entropy than " +
+    "forward on average (the LM learned sequence direction) and " +
+    "smoothing keeps every unseen reversed bigram finite") {
+    val rows = run("kn_bigram_ppl").collect()
+    assert(rows.nonEmpty)
+    val fwd = rows.map(_.getAs[Long]("fwd_bits_bp").toDouble)
+    val rev = rows.map(_.getAs[Long]("rev_bits_bp").toDouble)
+    assert(fwd.sum / fwd.length < rev.sum / rev.length,
+      s"forward ${fwd.sum / fwd.length} not below reversed " +
+        s"${rev.sum / rev.length} - LM learned nothing directional")
+    // smoothing: every doc has a finite positive reversed score even
+    // though most reversed bigrams are unseen in training
+    rows.foreach(r => assert(r.getAs[Long]("rev_bits_bp") > 0, r))
+  }
+
+  test("kn_bigram_ppl: planted strongly-ordered corpus - reversal is " +
+    "heavily penalized through the continuation backoff") {
+    import spark.implicits._
+    // 'a b c d e' repeated: all forward bigrams frequent, every
+    // reversed interior bigram ('b a', 'c b', ...) unseen in training.
+    val docs = (1L to 6L).map(i =>
+      (i, Seq.fill(12)("a b c d e").mkString(" "))).toDF("doc_id", "text")
+    val rows = QueriesPipeline.knScore(docs).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fwd_bits_bp")
+      val v = r.getAs[Long]("rev_bits_bp")
+      // finite (backoff, not zero-probability) AND at least 2 bits per
+      // bigram worse than forward
+      assert(v > f + 20000, s"rev $v not >> fwd $f")
+    }
+  }
 }
