@@ -32,7 +32,8 @@ import graft.tables.{CrawlDbTable, Segment}
   *                      [-exactsubstr] [-temperature]
   *                      [-ccnet head[,middle[,tail]]]
   *                      [-dsir lang:keep_bp]
-  *                      [-decontaminate <benchDirOrGramStore> [-norm]] [-pii]
+  *                      [-decontaminate <benchDirOrGramStore> [-norm]]
+  *                      [-classify] [-pii]
   *                      [-softdedup] [-split] [-curriculum] [-epochs]
   * graft.Main gramstore <benchParquetDir> <storeDir> [-buckets N] [-norm]
   * graft.Main bpe       <sfDir> <outDir> [-merges K] [-encode <docsDir>]
@@ -944,6 +945,26 @@ object Main {
           kept = kept.join(hits, Seq("doc_id"), "left_anti")
           contamDropped = before - kept.count()
         }
+        var classifyDropped = 0L
+        if (rest.contains("-classify")) {
+          // Trained quality-classifier gate (the centroid_* queries,
+          // applied — the FineWeb/RefinedWeb discipline: TRAIN the
+          // quality filter on the corpus, then RUN it in the export
+          // path): one featurize pass over the kept docs trains the
+          // Rocchio centroid model (65 rows, broadcast), and every
+          // document the model scores negative drops under its own
+          // reason. The distilled label is the Gopher-style
+          // minimum-length gate re-derived from hashed bag-of-words
+          // alone — deterministic, integer-exact, no RNG.
+          val feat = QueriesPipeline.centroidFeatures(
+            kept.select(col("doc_id"), col("text"))).localCheckpoint()
+          val neg = QueriesPipeline.centroidScore(feat,
+              QueriesPipeline.centroidModel(feat))
+            .where(col("pred") === -1L).select("doc_id")
+          val before = kept.count()
+          kept = kept.join(neg, Seq("doc_id"), "left_anti")
+          classifyDropped = before - kept.count()
+        }
         var piiRedacted = 0L
         if (rest.contains("-pii")) {
           // PII scrub (pii_scrub's transform, applied): redact emails /
@@ -1060,7 +1081,7 @@ object Main {
             else s"dropped_$reason",
             if (reason == "keep")
               n - substrEmptied - mixtureDropped - ccnetDropped -
-                dsirDropped - contamDropped
+                dsirDropped - contamDropped - classifyDropped
             else n))
         }
         if (rest.contains("-exactsubstr")) {
@@ -1084,6 +1105,10 @@ object Main {
         if (opt(rest, "-decontaminate").isDefined) {
           metrics.append(Metrics.gauge(spark, 0, "corpus",
             "dropped_contaminated", contamDropped))
+        }
+        if (rest.contains("-classify")) {
+          metrics.append(Metrics.gauge(spark, 0, "corpus",
+            "dropped_classify", classifyDropped))
         }
         if (rest.contains("-pii")) {
           // a TRANSFORM gauge, not a drop reason: how many PII spans

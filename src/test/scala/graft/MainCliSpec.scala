@@ -830,6 +830,43 @@ class MainCliSpec extends AnyFunSuite with SparkSuite {
     baseKept.unpersist(); corpus.unpersist()
   }
 
+  test("corpus -classify trains the centroid gate on the kept pool and " +
+    "drops exactly the model-negative docs; metrics conserve") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cli-corpus-classify").toString
+    def v(args: String*): Int = Main.run(spark, args.toArray)
+    val sf = "/root/testdata/sf0.001"
+    // pass 1: baseline gates only — the pool the classifier trains on
+    assert(v("corpus", sf, s"$root/base", "-shards", "4") == 0)
+    val pool = spark.read.parquet(s"$root/base/corpus").cache()
+    // pass 2: with the trained gate
+    assert(v("corpus", sf, s"$root/out", "-shards", "4",
+      "-classify") == 0)
+    val out = spark.read.parquet(s"$root/out/corpus").cache()
+    // recompute the gate from scratch on the pool: train on pool,
+    // score pool, keep pred = +1 — must equal the export's doc set
+    val feat = QueriesPipeline.centroidFeatures(
+      pool.select(col("doc_id"), col("text")))
+    val wantKept = QueriesPipeline.centroidScore(feat,
+        QueriesPipeline.centroidModel(feat))
+      .where(col("pred") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == wantKept,
+      s"export/${got.size} != recompute/${wantKept.size}; " +
+        s"diff=${(got -- wantKept) ++ (wantKept -- got)}")
+    // the gate actually fired (the synthetic corpus has short docs)
+    assert(got.size < pool.count(), "classifier gate dropped nothing")
+    // metrics: dropped_classify == pool - export, docs_kept == export
+    val m = new graft.ops.Metrics.Table(spark, s"$root/out/metrics")
+      .read().where(col("job") === "corpus")
+      .select("name", "value").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("dropped_classify") == pool.count() - got.size, m)
+    assert(m("docs_kept") == got.size, m)
+    pool.unpersist(); out.unpersist()
+  }
+
   test("corpus -softdedup: every exported doc carries a sampling " +
     "weight, nothing drops, and the column recomputes from the export") {
     import org.apache.spark.sql.functions.col
