@@ -57,21 +57,18 @@ object QueriesPipeline {
     "quality_gopher",
     (s, dir) => {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val toks = d
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("w"),
-          lead(col("w"), 1).over(w).as("w1"),
-          lead(col("w"), 2).over(w).as("w2"))
-      val g2 = toks.where(col("w1").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("g"))
+      // scalar grams (r15): the old posexplode + lead-window toks frame
+      // was consumed by BOTH branches uncached, so each re-ran the
+      // per-token Exchange+Sort; the gram scalar explodes each order
+      // directly with no window at all (same gram multisets)
+      def grams(n: Int) = d.select(col("doc_id"),
+        explode(graft.functions.Similarity.wordGramsAll(col("text"), n))
+          .as("g"))
+      val g2 = grams(2)
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
-      val g3 = toks.where(col("w2").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+      val g3 = grams(3)
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c") - 1).as("dup3"), sum(col("c")).as("n3"))
@@ -239,16 +236,18 @@ object QueriesPipeline {
   private[graft] def wordGrams8(d: org.apache.spark.sql.DataFrame,
       normalize: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 to 7).map(j => lead(col("w"), j).over(w).as(s"w$j"))
-    val gramCols = col("w") +: (1 to 7).map(j => col(s"w$j"))
-    val toks = if (normalize) split(normText(col("text")), " ")
-               else split(col("text"), " ")
-    d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
-      .select(col("doc_id") +: col("w") +: leads: _*)
-      .where(col("w7").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("g"))
-      .distinct()
+    // Codegen'd scalar grams (r15 optimization), NOT the
+    // posexplode + 7×lead window + global .distinct() this replaces:
+    // that form shuffled every corpus token into a per-doc sort just
+    // to pair adjacent words, then shuffled every gram AGAIN to dedup
+    // — two Exchanges where the plan needs zero. The scalar dedups
+    // per document, which is the same (doc_id, g) set whenever doc_id
+    // is unique per input row (every caller), and even under repeated
+    // doc_ids every consumer is dedup-insensitive (bench sides apply
+    // .distinct() on g; corpus sides aggregate countDistinct(g)).
+    val src = if (normalize) normText(col("text")) else col("text")
+    d.select(col("doc_id"),
+      explode(graft.functions.Similarity.wordGramsDistinct(src, 8)).as("g"))
   }
 
   /** Broadcast regime bound for the decontamination gram join: an
@@ -632,22 +631,17 @@ object QueriesPipeline {
     "winnow_fingerprint",
     (s, dir) => {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
-      val wp = Window.partitionBy("doc_id").orderBy("pos")
-      val toks = d.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val grams = toks.select(col("doc_id"), col("pos"),
-          concat_ws(" ", col("w"), lead(col("w"), 1).over(wp),
-            lead(col("w"), 2).over(wp), lead(col("w"), 3).over(wp),
-            lead(col("w"), 4).over(wp)).as("g"),
-          lead(col("w"), 4).over(wp).isNotNull.as("full_gram"))
-        .where(col("full_gram"))
-        .select(col("doc_id"), col("pos"), Queries.md5Long(col("g")).as("h"))
-      val sel = grams.select(col("doc_id"), col("pos"),
-          min(col("h")).over(wp.rowsBetween(0, 3)).as("mh"),
-          lead(col("h"), 3).over(wp).isNotNull.as("full_win"))
-        .where(col("full_win"))
-        .select(col("doc_id"), col("mh")).distinct()
-      sel.groupBy("doc_id")
+      // one scalar computes the whole selection (r15): gram hashes
+      // (bit-identical md5Long), the min-over-4 slide, and the per-doc
+      // dedup all happen row-locally — the old form shuffled every
+      // token into a per-doc sort TWICE (gram window + selection
+      // window) and then shuffled the survivors a third time for
+      // .distinct(); doc_id is unique here, so per-doc dedup ≡ the
+      // global distinct
+      d.select(col("doc_id"),
+          explode(graft.functions.Similarity.winnowMins(col("text"), 5, 4))
+            .as("mh"))
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"),
           sum(col("mh") % 1000000000L).as("fp_digest"))
     },
@@ -811,15 +805,16 @@ object QueriesPipeline {
     "lm_bigram_score",
     (s, dir) => {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
-      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      // scalar bigrams (r15): same (doc_id, w, g) multiset as the
+      // posexplode + lead-window form, without shuffling every token
+      // into a per-doc sort first; w is g's head token (tokens carry
+      // no spaces, so substring_index is exact)
       val bi = d
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("w"),
-          lead(col("w"), 1).over(wp).as("w1"))
-        .where(col("w1").isNotNull)
-        .select(col("doc_id"), col("w"),
-          concat_ws(" ", col("w"), col("w1")).as("g"))
+          explode(graft.functions.Similarity.wordGramsAll(col("text"), 2))
+            .as("g"))
+        .select(col("doc_id"), substring_index(col("g"), " ", 1).as("w"),
+          col("g"))
       val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
       val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
       bi.join(c2, "g").join(c1, "w")
@@ -886,13 +881,16 @@ object QueriesPipeline {
     * out so the spec can plant a strongly-ordered corpus. */
   private[graft] def knScore(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      // scalar bigrams (r15): the lead-window twin without the
+      // per-token Exchange+Sort (see lmBigramScore); tokens carry no
+      // spaces, so head/tail of g recover w1/w2 exactly
       val bi = d
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("w").as("w1"),
-          lead(col("w"), 1).over(wp).as("w2"))
-        .where(col("w2").isNotNull)
+          explode(graft.functions.Similarity.wordGramsAll(col("text"), 2))
+            .as("g"))
+        .select(col("doc_id"),
+          substring_index(col("g"), " ", 1).as("w1"),
+          substring_index(col("g"), " ", -1).as("w2"))
         .localCheckpoint()
       val types = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .localCheckpoint()
@@ -1566,20 +1564,17 @@ object QueriesPipeline {
           sum(col("c") - 1).as("dup_lines"),
           greatest(sum(col("c") * col("llen")), lit(1L)).as("line_chars"),
           sum((col("c") - 1) * col("llen")).as("dup_line_chars"))
-      def grams(n: Int) = {
-        val wp = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = d.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        val cols = col("w") +:
-          (1 until n).map(j => lead(col("w"), j).over(wp))
-        toks.select(col("doc_id"), concat_ws(" ", cols: _*).as("g"),
-            lead(col("w"), n - 1).over(wp).isNotNull.as("full"))
-          .where(col("full"))
+      // scalar grams (r15): wordGramsAll's empty-below-n semantics IS
+      // the old `lead(w, n-1) IS NOT NULL` filter — same gram multiset,
+      // no per-token Exchange+Sort+Window per order
+      def grams(n: Int) =
+        d.select(col("doc_id"),
+            explode(graft.functions.Similarity.wordGramsAll(col("text"), n))
+              .as("g"))
           .select(col("doc_id"), Queries.md5Long(col("g")).as("gh"),
             length(col("g")).cast("long").as("glen"))
           .groupBy("doc_id", "gh")
           .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
-      }
       val top4 = grams(4).groupBy("doc_id")
         .agg(max(col("c") * col("glen")).as("top4_chars"),
           sum(col("c") * col("glen")).as("tot4_chars"))
@@ -1692,15 +1687,15 @@ object QueriesPipeline {
     * bucket). */
   private[graft] def ccnetBucketAssign(
       d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    // scalar bigrams (r15): same (doc_id, lang, w, g) multiset as the
+    // posexplode + lead-window form it replaces, with no per-token
+    // Exchange+Sort (see lmBigramScore)
     val bi = d
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("lang"), col("w"),
-        lead(col("w"), 1).over(wp).as("w1"))
-      .where(col("w1").isNotNull)
-      .select(col("doc_id"), col("lang"), col("w"),
-        concat_ws(" ", col("w"), col("w1")).as("g"))
+        explode(graft.functions.Similarity.wordGramsAll(col("text"), 2))
+          .as("g"))
+      .select(col("doc_id"), col("lang"),
+        substring_index(col("g"), " ", 1).as("w"), col("g"))
     val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
     val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
     val scores = bi.join(c2, "g").join(c1, "w")
@@ -1971,16 +1966,17 @@ object QueriesPipeline {
           lit(1.4142135623730951) *
             pow(lit(2.0), (length(bin(x)) - 1).cast("double")), 1L)
           .otherwise(0L)
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = d
+    // scalar featurization (r15): unigrams are the split array itself,
+    // bigrams the codegen'd gram scalar — one explode over their
+    // concatenation replaces the old posexplode + lead-window + union
+    // (which shuffled and sorted every token per doc, then exploded
+    // the corpus twice). Same feature multiset: all tokens ∪ all
+    // adjacent pairs.
+    val feats = d
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("lang"), col("w"),
-        lead(col("w"), 1).over(wp).as("w1"))
-    val feats = toks.select(col("doc_id"), col("lang"), col("w").as("g"))
-      .unionByName(toks.where(col("w1").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          concat_ws(" ", col("w"), col("w1")).as("g")))
+        explode(concat(split(col("text"), " "),
+          graft.functions.Similarity.wordGramsAll(col("text"), 2)))
+          .as("g"))
       .select(col("doc_id"), col("lang"),
         pmod(Queries.md5Long(col("g")), lit(DSIR_B)).as("b"))
     val perDocBucket = feats

@@ -46,6 +46,30 @@ object Similarity {
   def wordShingles(text: Column, w: Int): Column =
     shingleCall("wordShingles", text, w)
 
+  /** Word n-grams keeping duplicates and order — the codegen'd scalar
+    * twin of `posexplode + lead(w, j).over(per-doc window) + concat_ws`
+    * (identical gram multiset per document, none of that form's
+    * Exchange + Sort + WindowExec over every token). Empty below n
+    * tokens. Used by the bigram-LM family and DSIR featurization. */
+  def wordGramsAll(text: Column, n: Int): Column =
+    shingleCall("wordGramsAll", text, n)
+
+  /** Deduped word n-grams, empty below n tokens — the decontamination
+    * gram unit (see QueriesPipeline.wordGrams8). */
+  def wordGramsDistinct(text: Column, n: Int): Column =
+    shingleCall("wordGramsDistinct", text, n)
+
+  /** Distinct winnowing-selected md5Long minima per document (see
+    * ShingleOps.winnowMins) — array<long>, empty below `win` grams. */
+  def winnowMins(text: Column, n: Int, win: Int): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ShingleOps"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "winnowMins",
+      Seq(ColumnBridge.expression(text), Literal(n), Literal(win)),
+      Seq(StringType, IntegerType, IntegerType)))
+
   /** MinHash family: ONE md5 per shingle, then affine rehashes
     * h_i(x) = (a_i·(md5(x) mod P) + b_i) mod P over a 30-bit prime —
     * 12× fewer md5 evaluations than a per-seed md5 family, and the
