@@ -809,6 +809,8 @@ object QueriesPipeline {
       // posexplode + lead-window form, without shuffling every token
       // into a per-doc sort first; w is g's head token (tokens carry
       // no spaces, so substring_index is exact)
+      // (per-(doc, g) pre-aggregation tried and reverted — see the
+      // ccnetBucketAssign comment)
       val bi = d
         .select(col("doc_id"),
           explode(graft.functions.Similarity.wordGramsAll(col("text"), 2))
@@ -1694,6 +1696,10 @@ object QueriesPipeline {
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.Similarity.wordGramsAll(col("text"), 2))
           .as("g"))
+      // (a per-(doc, g) pre-aggregation before these joins was tried
+      // in r15 and REVERTED: bigrams are near-unique within a doc, so
+      // the added full-cardinality groupBy cost more than the join
+      // rows it saved — measured in a paired order-controlled A/B)
       .select(col("doc_id"), col("lang"),
         substring_index(col("g"), " ", 1).as("w"), col("g"))
     val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
@@ -2153,18 +2159,51 @@ object QueriesPipeline {
     * is ∝ min(depth, merges-to-convergence) / B' with a vocab-sized
     * constant; the corpus-sized work stays the ONE word count that
     * built `vocab`. */
+  // --- BPE token-array scalar builders (r15, see functions/BpeOps:
+  // the per-merge pair listing and greedy application are word-local,
+  // so they run as codegen'd scalars over a token ARRAY column instead
+  // of exploding one row per token and paying 5 window functions + a
+  // row_number re-rank per merge pass) ---
+  private def bpeCall(fn: String, ret: org.apache.spark.sql.types.DataType,
+      args: Seq[org.apache.spark.sql.Column],
+      inTypes: Seq[org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Class.forName("graft.functions.BpeOps"), ret, fn,
+        args.map(org.apache.spark.sql.graftbridge.ColumnBridge.expression),
+        inTypes))
+
+  private val TokArr = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType)
+
+  private def bpeInit(word: org.apache.spark.sql.Column) =
+    bpeCall("initToks", TokArr, Seq(word),
+      Seq(org.apache.spark.sql.types.StringType))
+
+  private def bpePairs(tk: org.apache.spark.sql.Column) =
+    bpeCall("adjacentPairs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lft",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("rgt",
+            org.apache.spark.sql.types.StringType, nullable = false)))),
+      Seq(tk), Seq(TokArr))
+
+  private def bpeApply(tk: org.apache.spark.sql.Column,
+      lfts: org.apache.spark.sql.Column, rgts: org.apache.spark.sql.Column) =
+    bpeCall("applyMerges", TokArr, Seq(tk, lfts, rgts),
+      Seq(TokArr, TokArr, TokArr))
+
   private[graft] def bpeLoop(vocab: org.apache.spark.sql.DataFrame,
       depth: Int = BPE_K, batch: Int = BPE_B)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     val spark = vocab.sparkSession
     import spark.implicits._
-    val win = Window.partitionBy("w").orderBy("i")
     var toks = vocab
       .select(col("word").as("w"), col("freq"),
-        posexplode(concat(
-          transform(sequence(lit(1), length(col("word"))),
-            i => col("word").substr(i, lit(1))),
-          array(lit("</w>")))).as(Seq("i", "tok")))
+        bpeInit(col("word")).as("tk"))
     var merges = Seq.empty[org.apache.spark.sql.DataFrame]
     var k = 0
     var converged = false
@@ -2174,14 +2213,11 @@ object QueriesPipeline {
       // full-partition job computes them, which take-shaped election
       // actions never run — at depth 32+ the accumulated lineage
       // overflowed the task-serializer stack.
-      val tk = toks
-        .withColumn("i", row_number().over(win))
-        .localCheckpoint()
+      val tk = toks.localCheckpoint()
       val width = math.min(batch, depth - k)
       val top = tk
-        .withColumn("r", lead(col("tok"), 1).over(win))
-        .where(col("r").isNotNull)
-        .select(col("tok").as("lft"), col("r").as("rgt"), col("freq"))
+        .select(col("freq"), explode(bpePairs(col("tk"))).as("p"))
+        .select(col("p.lft").as("lft"), col("p.rgt").as("rgt"), col("freq"))
         .groupBy("lft", "rgt").agg(sum(col("freq")).as("pair_count"))
         .orderBy(desc("pair_count"), asc("lft"), asc("rgt"))
         .limit(width + 1)
@@ -2213,15 +2249,18 @@ object QueriesPipeline {
         merges :+= chosen.zipWithIndex.map { case ((l, r, c), j) =>
           (k + 1 + j, l, r, l + r, c)
         }.toDF("rank", "lft", "rgt", "merged", "pair_count")
-        // apply the whole batch in one sweep: join on tok = lft (batch
-        // lfts are distinct by disjointness, so multiplicity is 1 and
-        // unmatched tokens pass through with null lft/rgt); adjacent
-        // matches of DIFFERENT pairs are impossible (they would share
-        // a token type), so the run-parity algebra is untouched
-        toks = bpeApplyPair(
-          tk.join(broadcast(chosen.map(p => (p._1, p._2)).toDF("lft", "rgt")),
-            col("tok") === col("lft"), "left"),
-          col("lft"), col("rgt"))
+        // apply the whole batch in one row-local sweep (disjoint pairs
+        // — adjacent matches of DIFFERENT pairs are impossible, they
+        // would share a token type, so greedy-with-skip ≡ the r14
+        // run-parity algebra; BpeDsirSpec's batched depth-128 A/B is
+        // the referee). Pairs ride as array literals: literal VALUES
+        // live in the codegen references array, not the generated
+        // source, so every round of a given batch width reuses one
+        // compiled class (the broadcast-pair rationale, cheaper).
+        toks = tk.select(col("w"), col("freq"),
+          bpeApply(col("tk"),
+            array(chosen.map(p => lit(p._1)): _*),
+            array(chosen.map(p => lit(p._2)): _*)).as("tk"))
         k += chosen.length
       }
       // this pass's checkpoint is materialized (eager), so the prior
@@ -2239,79 +2278,47 @@ object QueriesPipeline {
     (out, toks)
   }
 
-  /** One greedy left-to-right merge application of the pair (lft,
-    * rgt) over a (w, freq, i, tok, ...) token frame — the run-start
-    * cumsum + parity algebra shared by training ([[bpeLoop]], pair
-    * columns from the election join) and encoding ([[bpeEncode]],
-    * pair literals from a frozen merge table). Null lft/rgt (a round
-    * that elected nothing) matches no token and the frame passes
-    * through. Requires `i` to be a dense per-word position. */
-  private def bpeApplyPair(tk: org.apache.spark.sql.DataFrame,
-      lft: org.apache.spark.sql.Column, rgt: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.DataFrame = {
-    val win = Window.partitionBy("w").orderBy("i")
-    val run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tk
-      .withColumn("m", coalesce(
-        col("tok") === lft &&
-          lead(col("tok"), 1).over(win) === rgt, lit(false)))
-      .withColumn("st",
-        (col("m") && !coalesce(lag(col("m"), 1).over(win), lit(false)))
-          .cast("int"))
-      .withColumn("grp", sum(col("st")).over(run))
-      .withColumn("rs",
-        min(when(col("m"), col("i")))
-          .over(Window.partitionBy("w", "grp")))
-      .withColumn("act", col("m") && (col("i") - col("rs")) % 2 === 0)
-      .withColumn("cons",
-        coalesce(lag(col("act"), 1).over(win), lit(false)))
-      .where(!col("cons"))
-      .select(col("w"), col("freq"), col("i"),
-        when(col("act"), concat(lft, rgt))
-          .otherwise(col("tok")).as("tok"))
-  }
-
   /** ENCODE with a frozen merge table — the tokenizer's runtime half
     * ([[bpeLoop]] learns the merges; this replays them, in rank
     * order, on text the trainer never saw). Runs on the new corpus's
-    * VOCABULARY (word, freq): K merges cost K vocab-bounded relational
-    * passes (same eager-checkpoint discipline as training), the new
-    * corpus itself is touched only by the word count that built the
-    * vocab — so encoding 100 TB with a 32k-merge table is 32k passes
-    * over a few-million-row frame plus ONE corpus scan. Returns the
-    * final (w, freq, i, tok) token frame.
-    *
-    * The pair rides in as a broadcast 1-row frame, NOT as literals:
-    * literals bake into the generated code, so 32k merges would mint
-    * 32k distinct codegen classes (exactly the class-cache/JIT thrash
-    * Bench measured at 5× CPU) — as broadcast DATA every round reuses
-    * one compiled plan shape, the same reason training's election
-    * join is cache-friendly. */
-  private[graft] def bpeEncode(vocab: org.apache.spark.sql.DataFrame,
+    * VOCABULARY (word, freq) as a token-ARRAY frame: each merge is one
+    * chained [[graft.functions.BpeOps.applyMerges]] scalar call, so a
+    * CHUNK of merges costs ONE vocab-bounded projection pass (r14 paid
+    * one window-stack pass + checkpoint PER merge). Chunks of 32 bound
+    * the expression depth; a localCheckpoint between chunks keeps the
+    * lineage flat at 32k-merge depth (superseded blocks freed). Pair
+    * literal VALUES live in the codegen references array, not the
+    * generated source, so every single-pair apply shares one compiled
+    * class — the r14 broadcast-pair rationale, without the join.
+    * Returns the final (w, freq, tk) ARRAY frame. */
+  private[graft] def bpeEncodeArr(vocab: org.apache.spark.sql.DataFrame,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    val spark = vocab.sparkSession
-    import spark.implicits._
-    val win = Window.partitionBy("w").orderBy("i")
-    var toks = vocab
+    var frame = vocab
       .select(col("word").as("w"), col("freq"),
-        posexplode(concat(
-          transform(sequence(lit(1), length(col("word"))),
-            i => col("word").substr(i, lit(1))),
-          array(lit("</w>")))).as(Seq("i", "tok")))
-    var prevTk: Option[org.apache.spark.sql.DataFrame] = None
-    for ((l, r) <- merges) {
-      val tk = toks
-        .withColumn("i", row_number().over(win))
+        bpeInit(col("word")).as("tk"))
+    var prevCk: Option[org.apache.spark.sql.DataFrame] = None
+    merges.grouped(32).foreach { chunk =>
+      var c = col("tk")
+      for ((l, r) <- chunk)
+        c = bpeApply(c, array(lit(l)), array(lit(r)))
+      val ck = frame.select(col("w"), col("freq"), c.as("tk"))
         .localCheckpoint()
-      val pair = Seq((l, r)).toDF("lft", "rgt")
-      toks = bpeApplyPair(tk.join(broadcast(pair), lit(true), "left"),
-        col("lft"), col("rgt"))
-      prevTk.foreach(
+      prevCk.foreach(
         org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
-      prevTk = Some(tk)
+      prevCk = Some(ck)
+      frame = ck
     }
-    toks
+    frame
   }
+
+  /** [[bpeEncodeArr]] exploded to the legacy (w, freq, i, tok) shape
+    * (i = dense 0-based position; consumers use it only to order
+    * tokens within a word). */
+  private[graft] def bpeEncode(vocab: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    bpeEncodeArr(vocab, merges)
+      .select(col("w"), col("freq"),
+        posexplode(col("tk")).as(Seq("i", "tok")))
 
   private[graft] def bpeVocab(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -2420,7 +2427,9 @@ object QueriesPipeline {
     * the loop once for both reports). */
   private[graft] def bpeFertilityFrom(docs: org.apache.spark.sql.DataFrame,
       fin: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tw = fin.groupBy("w").agg(count(lit(1)).as("tw"))
+    // fin is the (w, freq, tk) token-ARRAY frame (r15): tokens-per-word
+    // is the array size — no vocab-sized groupBy
+    val tw = fin.select(col("w"), size(col("tk")).cast("long").as("tw"))
     val lw = docs
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) >= 1)
@@ -2524,8 +2533,10 @@ object QueriesPipeline {
       val unseen = docs.select(col("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           x => concat(x, x))).as("text"))
-      val perWord = bpeEncode(bpeVocab(unseen), merges)
-        .groupBy("w").agg(count(lit(1)).as("toks"))
+      // token count per word = encoded array size (r15) — the old
+      // exploded groupBy(w) shuffle is gone
+      val perWord = bpeEncodeArr(bpeVocab(unseen), merges)
+        .select(col("w"), size(col("tk")).cast("long").as("toks"))
       unseen
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .join(perWord, "w")
@@ -2601,11 +2612,12 @@ object QueriesPipeline {
       val unseen = docs.select(col("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           x => concat(x, x))).as("text"))
-      val decodedWord = bpeEncode(bpeVocab(unseen), merges)
-        .groupBy("w")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("i"), col("tok")))),
-          x => x.getField("tok")), "").as("joined"))
+      // decode per word = join the token ARRAY in place (r15) — the
+      // old exploded groupBy(w) + collect_list/array_sort/transform
+      // (interpreted HOF) rebuild is gone; trailing `</w>` strips as 4
+      // chars of the joined string exactly as before
+      val decodedWord = bpeEncodeArr(bpeVocab(unseen), merges)
+        .select(col("w"), array_join(col("tk"), "").as("joined"))
         .select(col("w"),
           expr("substring(joined, 1, length(joined) - 4)").as("decw"))
       unseen
@@ -2666,6 +2678,11 @@ object QueriesPipeline {
     * bucket, intra). */
   private[graft] def curriculumAssign(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // (a per-(doc, word) pre-aggregation before the join was tried in
+    // r15 and REVERTED: the added groupBy cost more than the join rows
+    // it saved in a paired order-controlled A/B — token explodes with
+    // map-side partial aggregation are cheap, doc×vocab hash state is
+    // not)
     val tf = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
     val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))

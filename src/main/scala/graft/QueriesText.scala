@@ -190,21 +190,21 @@ object QueriesText {
       // while the cap costs nothing and bounds the row everywhere.)
       val d = d0.select(col("doc_id"),
         substring(col("text"), 1, NGRAM_TEXT_CAP).as("text"))
-      // ONE shuffle builds everything per doc: the 12 minhash minima,
-      // the size, and the 60-bit-hash set for exact intersection (longs
-      // intersect ~3x faster than 5-char strings and ship at 8B/elem).
-      // explode + agg, NOT higher-order array functions: the HOF lambda
-      // path is interpreted (no whole-stage codegen) and measured 2x
-      // slower; these aggs are map-side combined.
-      val sh = d.select(col("doc_id"),
-          explode(Similarity.charShingles(col("text"), 5)).as("sh"))
-        .withColumn("hb", Similarity.minhashBase(col("sh")))
-      val perAggs = Seq(
-        collect_list(col("hb")).as("hbs"),
-        count(lit(1)).as("n")) ++
-        (0 until MINHASH_H).map(i =>
-          Similarity.minhashAgg(col("hb"), i).as(s"m$i"))
-      val per = sh.groupBy("doc_id").agg(perAggs.head, perAggs.tail: _*)
+      // ZERO shuffles build everything per doc (r15): the whole profile
+      // — 12 minhash minima, size, and the 60-bit-hash set for exact
+      // intersection — is one codegen'd scalar over the shingle array
+      // (ProfileOps.minhashProfile; bit-identical to the explode +
+      // 14-aggregate groupBy it replaces, which shuffled one row per
+      // shingle — up to 64k rows/doc). Still cached: four consumers
+      // (bands, sizes, both hash-set sides) would each re-shingle.
+      val per = d.select(col("doc_id"),
+          Similarity.minhashProfile(
+            Similarity.charShingles(col("text"), 5), MINHASH_H).as("p"))
+        .where(col("p").isNotNull)
+        .select(Seq(col("doc_id"), col("p.hbs").as("hbs"),
+          col("p.n").as("n")) ++
+          (0 until MINHASH_H).map(i =>
+            col("p.ms").getItem(i).as(s"m$i")): _*)
         .cache()
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>
@@ -386,14 +386,14 @@ object QueriesText {
     "minhash_lsh",
     (s, dir) => {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
-      // explode + min-agg (codegen + map-side combine; see ngram_jaccard)
-      val sh = d.select(col("doc_id"),
-        explode(Similarity.wordShingles(col("text"), 3)).as("sh"))
-        .withColumn("hb", Similarity.minhashBase(col("sh")))
-      val sig = sh.groupBy("doc_id").agg(
-        Similarity.minhashAgg(col("hb"), 0).as("m0"),
-        (1 until MINHASH_H).map(i =>
-          Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
+      // one profile scalar, no per-shingle shuffle (see ngram_jaccard)
+      val sig = d.select(col("doc_id"),
+          Similarity.minhashProfile(
+            Similarity.wordShingles(col("text"), 3), MINHASH_H).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("doc_id") +:
+          (0 until MINHASH_H).map(i =>
+            col("p.ms").getItem(i).as(s"m$i")): _*)
         .cache() // reused by bands + both candidate sides
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>
@@ -477,14 +477,15 @@ object QueriesText {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
       val isPrior = col("doc_id") % 2 === 0
       // one signature pass over the union (in production: increment
-      // only — the prior side is read back from the store)
-      val sh = d.select(col("doc_id"),
-        explode(Similarity.wordShingles(col("text"), 3)).as("sh"))
-        .withColumn("hb", Similarity.minhashBase(col("sh")))
-      val sig = sh.groupBy("doc_id").agg(
-        Similarity.minhashAgg(col("hb"), 0).as("m0"),
-        (1 until MINHASH_H).map(i =>
-          Similarity.minhashAgg(col("hb"), i).as(s"m$i")): _*)
+      // only — the prior side is read back from the store); the
+      // profile scalar replaces the per-shingle shuffle (ngram_jaccard)
+      val sig = d.select(col("doc_id"),
+          Similarity.minhashProfile(
+            Similarity.wordShingles(col("text"), 3), MINHASH_H).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("doc_id") +:
+          (0 until MINHASH_H).map(i =>
+            col("p.ms").getItem(i).as(s"m$i")): _*)
         .cache() // bands + both verify sides
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>

@@ -8,23 +8,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashOps {
 
-  // MessageDigest is stateful; one instance per executor thread.
-  // digest(bytes) resets the instance, so reuse is safe.
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** First 60 bits of md5(s) as a non-negative long — bit-identical to
     * `java.lang.Long.parseLong(md5Hex(s).take(15), 16)`: hex chars
     * 1..15 are digest bytes 0..6 (56 bits) followed by the high nibble
     * of byte 7. Null input is handled by StaticInvoke's propagateNull.
+    * Backed by [[Md5Core]] (direct RFC 1321 over the UTF8String's own
+    * bytes, thread-local scratch — no MessageDigest dispatch, input
+    * copy, or 16-byte digest allocation per call); HashOpsSpec pins
+    * equality against the MessageDigest path across block boundaries.
     */
-  def md5Long(s: UTF8String): Long = {
-    val digest = mdLocal.get().digest(s.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
-    (v << 4) | ((digest(7) & 0xf0L) >>> 4)
-  }
+  def md5Long(s: UTF8String): Long = Md5Core.md5Long60(s)
 }

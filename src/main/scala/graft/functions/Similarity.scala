@@ -59,6 +59,29 @@ object Similarity {
   def wordGramsDistinct(text: Column, n: Int): Column =
     shingleCall("wordGramsDistinct", text, n)
 
+  /** Whole MinHash profile of a shingle-array column in one codegen'd
+    * scalar (see ProfileOps.minhashProfile): struct(hbs array<long>,
+    * n long, ms array<long>) ≡ collect_list(minhashBase) + count +
+    * the h minhashAgg minima, with no per-shingle shuffle. Null when
+    * the shingle array is null/empty (explode-drop semantics). */
+  def minhashProfile(shingles: Column, h: Int): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ProfileOps"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hbs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ms",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))),
+      "minhashProfile",
+      Seq(ColumnBridge.expression(shingles), Literal(h)),
+      Seq(ArrayType(StringType, containsNull = false), IntegerType)))
+
   /** Distinct winnowing-selected md5Long minima per document (see
     * ShingleOps.winnowMins) — array<long>, empty below `win` grams. */
   def winnowMins(text: Column, n: Int, win: Int): Column =

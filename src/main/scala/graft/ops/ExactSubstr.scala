@@ -43,22 +43,42 @@ object ExactSubstr {
     * per-document sorted collect bounded by one document. */
   def cleanFromStarts(d: DataFrame, starts: DataFrame,
       W: Int = 15): DataFrame = {
-    val toks = d.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val ds = starts.select(col("doc_id"), col("pos")).distinct()
-      .withColumn("ds", lit(1))
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
-    val cov = toks.join(ds, Seq("doc_id", "pos"), "left")
-      .select(col("doc_id"), col("pos"), col("w"),
-        coalesce(max(col("ds")).over(wp.rowsBetween(-(W - 1), 0)), lit(0))
-          .as("c"))
-    cov.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("c")).cast("long").as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("c") === 0, struct(col("pos"), col("w"))))),
-          x => x.getField("w")), " ").as("clean_text"))
+    // r15: the rebuild is one doc-local scalar (ProfileOps.cutSpans)
+    // over (text, collected start positions) — the old form exploded
+    // EVERY corpus token, joined the starts per (doc_id, pos), ran a
+    // MAX-over-(W−1)-rows window per doc, and re-assembled the text
+    // through an interpreted collect_list+array_sort+transform. Only
+    // the duplicated START positions (sparse by construction) shuffle
+    // now, grouped to one doc-sized array; coverage, counting, and the
+    // in-order rebuild happen row-locally with identical output.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    val ds = starts
+      .select(col("doc_id"), col("pos").cast("int").as("pos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+    def cut(text: org.apache.spark.sql.Column,
+        st: org.apache.spark.sql.Column) =
+      ColumnBridge.column(StaticInvoke(
+        Class.forName("graft.functions.ProfileOps"),
+        StructType(Seq(
+          StructField("n_tokens", LongType, nullable = false),
+          StructField("n_removed", LongType, nullable = false),
+          StructField("clean_text", StringType, nullable = false))),
+        "cutSpans",
+        Seq(ColumnBridge.expression(text), ColumnBridge.expression(st),
+          Literal(W)),
+        Seq(StringType, ArrayType(IntegerType, containsNull = false),
+          IntegerType),
+        propagateNull = false))
+    d.join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"), cut(col("text"), col("starts")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.n_removed").as("n_removed"),
+        col("r.clean_text").as("clean_text"))
   }
 
   /** The removal back half keyed by a DUPLICATED window-hash set

@@ -52,8 +52,42 @@ object PdfParse {
     0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
     .map(_.toByte)
 
+  // getInstance does a provider lookup per call — measurable when the
+  // R6 hardened hash (hash2B) runs ~100 rounds × (1 cipher + 1 digest)
+  // per encrypted doc. Instances are stateful; one per thread, reused
+  // (digest()/doFinal() reset them).
+  private val digests = new ThreadLocal[
+      java.util.HashMap[String, java.security.MessageDigest]] {
+    override def initialValue() =
+      new java.util.HashMap[String, java.security.MessageDigest]
+  }
+  private def digest(alg: String): java.security.MessageDigest = {
+    val m = digests.get()
+    var d = m.get(alg)
+    if (d == null) {
+      d = java.security.MessageDigest.getInstance(alg)
+      m.put(alg, d)
+    }
+    d.reset()
+    d
+  }
+  private val ciphers = new ThreadLocal[
+      java.util.HashMap[String, javax.crypto.Cipher]] {
+    override def initialValue() =
+      new java.util.HashMap[String, javax.crypto.Cipher]
+  }
+  private def cipher(transformation: String): javax.crypto.Cipher = {
+    val m = ciphers.get()
+    var c = m.get(transformation)
+    if (c == null) {
+      c = javax.crypto.Cipher.getInstance(transformation)
+      m.put(transformation, c)
+    }
+    c
+  }
+
   private def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = digest("MD5")
     parts.foreach(d.update)
     d.digest()
   }
@@ -85,7 +119,7 @@ object PdfParse {
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
   private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance(alg)
+    val d = digest(alg)
     parts.foreach(d.update)
     d.digest()
   }
@@ -94,7 +128,7 @@ object PdfParse {
     * the JDK's javax.crypto. `data.length` must be a block multiple. */
   private[ops] def aesCbc(encrypt: Boolean, key: Array[Byte],
       iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val c = cipher("AES/CBC/NoPadding")
     c.init(
       if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
       else javax.crypto.Cipher.DECRYPT_MODE,
@@ -105,7 +139,7 @@ object PdfParse {
 
   private[ops] def aesEcb(encrypt: Boolean, key: Array[Byte],
       data: Array[Byte]): Array[Byte] = {
-    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    val c = cipher("AES/ECB/NoPadding")
     c.init(
       if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
       else javax.crypto.Cipher.DECRYPT_MODE,

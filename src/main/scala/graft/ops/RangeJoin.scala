@@ -30,24 +30,39 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Grid size from the interval-width distribution:
-    * max(p99 width, ceil(maxWidth/64), 1). p99 rather than max, so ONE
-    * pathological interval can't inflate every cell into the
-    * within-cell quadratic regime; the /64 floor bounds the flip side
-    * (an interval wider than G explodes to ≤ 65 cells). One bounded
-    * aggregate (approx_percentile sketch state, never a sort).
-    * Widths are cast to long inside the aggregate (so int/short-typed
-    * axes work — approx_percentile/max return the INPUT type) and
-    * inverted intervals (hi <= lo) are excluded, matching [[join]]'s
-    * filter: a malformed negative width must not drag the p99 down. */
+    * max(ceil(p50 width / 4), ceil(maxWidth/64), 1).
+    *
+    * Why QUARTER-median (r15; the r12–r14 formula was the p99 width):
+    * the within-cell candidate count is |probe|·|intervals|·(avgW+G)/D
+    * — the irreducible match mass plus a waste term LINEAR IN G — so
+    * when many intervals overlap densely, any G at the width scale
+    * multiplies the exact-predicate re-checks several-fold (measured
+    * on the bench fixture: G=p99=3700 evaluated ~3× the candidates of
+    * G=p50/4=475 and put the whole join on ~27 grid cells — fewer
+    * cells than cores). G = p50/4 bounds the waste at ~25% of the true
+    * match mass for near-uniform widths while build amplification
+    * stays ≤ ~5 cells per typical interval; the ceil(maxWidth/64)
+    * floor still bounds ANY interval's explosion at ≤ 65 cells, so one
+    * pathological band cannot blow up the build side. The answer is
+    * invariant to G (exact re-check; RangeJoinAutoSpec pins parity
+    * against fixed grids on both sides of the derivation).
+    *
+    * One bounded aggregate (approx_percentile sketch state, never a
+    * sort). Widths are cast to long inside the aggregate (so
+    * int/short-typed axes work — approx_percentile/max return the
+    * INPUT type) and inverted intervals (hi <= lo) are excluded,
+    * matching [[join]]'s filter: a malformed negative width must not
+    * drag the median down. */
   def grid(intervals: DataFrame, lo: String, hi: String): Long = {
     val r = intervals
       .where(col(hi) > col(lo))
       .select((col(hi).cast("long") - col(lo).cast("long")).as("_rj_w"))
-      .agg(expr("approx_percentile(_rj_w, 0.99, 10000)").as("p99"),
+      .agg(expr("approx_percentile(_rj_w, 0.5, 10000)").as("p50"),
         max(col("_rj_w")).as("mx"), count(lit(1)).as("n"))
       .head()
     if (r.getLong(2) == 0L) 1L
-    else math.max(1L, math.max(r.getLong(0), (r.getLong(1) + 63L) / 64L))
+    else math.max(1L,
+      math.max((r.getLong(0) + 3L) / 4L, (r.getLong(1) + 63L) / 64L))
   }
 
   /** Every (interval row × point row) pair with `points(v)` in

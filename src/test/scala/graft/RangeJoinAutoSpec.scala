@@ -22,11 +22,13 @@ class RangeJoinAutoSpec extends AnyFunSuite with SparkSuite {
   private def fixtureProbe = Tables(spark, dir, "orders").select(
     col("o_orderkey"), (col("o_orderkey") % 100000).as("v"))
 
-  test("derived grid tracks the typical band width") {
-    // fixture widths are 100 + 300k, k in 0..12: p99 = max = 3700,
-    // far above the maxWidth/64 floor (58)
+  test("derived grid is a quarter of the typical band width (r15: " +
+    "the waste term of the cell join is linear in G, so G rides the " +
+    "p50/4 scale, not the p99 width)") {
+    // fixture widths are 100 + 300k, k in 0..12: p50 = 1900 →
+    // G = ceil(1900/4) = 475, far above the maxWidth/64 floor (58)
     val g = QueriesCore.rangeJoinGrid(fixtureBands)
-    assert(g == 3700L, s"g=$g")
+    assert(g == 475L, s"g=$g")
   }
 
   test("auto result is identical to any valid fixed-G result") {
@@ -90,8 +92,10 @@ class RangeJoinAutoSpec extends AnyFunSuite with SparkSuite {
       .toDF("band_id", "lo", "hi")
     val g = graft.ops.RangeJoin.grid(bands, "lo", "hi")
     // widths {10, 200}; the inverted (500,400) band contributes
-    // nothing (pre-r14 its -100 width skewed the p99 downward)
-    assert(g == 200L, s"g=$g")
+    // nothing (pre-r14 its -100 width skewed the quantile downward).
+    // p50 = 10 → ceil(10/4) = 3, lifted by the ceil(200/64) = 4
+    // explosion floor
+    assert(g == 4L, s"g=$g")
     val probe = Seq((7L, 15), (8L, 250), (9L, 450))
       .toDF("o_orderkey", "v")
     val got = graft.ops.RangeJoin.join(bands, probe, "lo", "hi", "v")
