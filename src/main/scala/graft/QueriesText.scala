@@ -197,10 +197,18 @@ object QueriesText {
       // 14-aggregate groupBy it replaces, which shuffled one row per
       // shingle — up to 64k rows/doc). Still cached: four consumers
       // (bands, sizes, both hash-set sides) would each re-shingle.
-      val per = d.select(col("doc_id"),
+      // null-guard on TEXT, not on the profile struct: a Filter over
+      // isNotNull(profile(...)) evaluates the whole profile in the
+      // FilterExec and AGAIN in the Project (operators don't share
+      // subexpressions) — guarding the input instead lets the two
+      // selects collapse into ONE Project whose field extractions
+      // share a single profile call via codegen subexpression
+      // elimination. Same rows: profile is null iff text is null
+      // (charShingles never returns empty for non-null text).
+      val per = d.where(col("text").isNotNull)
+        .select(col("doc_id"),
           Similarity.minhashProfile(
             Similarity.charShingles(col("text"), 5), MINHASH_H).as("p"))
-        .where(col("p").isNotNull)
         .select(Seq(col("doc_id"), col("p.hbs").as("hbs"),
           col("p.n").as("n")) ++
           (0 until MINHASH_H).map(i =>
@@ -387,10 +395,10 @@ object QueriesText {
     (s, dir) => {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
       // one profile scalar, no per-shingle shuffle (see ngram_jaccard)
-      val sig = d.select(col("doc_id"),
+      val sig = d.where(col("text").isNotNull)
+        .select(col("doc_id"),
           Similarity.minhashProfile(
             Similarity.wordShingles(col("text"), 3), MINHASH_H).as("p"))
-        .where(col("p").isNotNull)
         .select(col("doc_id") +:
           (0 until MINHASH_H).map(i =>
             col("p.ms").getItem(i).as(s"m$i")): _*)
@@ -479,10 +487,10 @@ object QueriesText {
       // one signature pass over the union (in production: increment
       // only — the prior side is read back from the store); the
       // profile scalar replaces the per-shingle shuffle (ngram_jaccard)
-      val sig = d.select(col("doc_id"),
+      val sig = d.where(col("text").isNotNull)
+        .select(col("doc_id"),
           Similarity.minhashProfile(
             Similarity.wordShingles(col("text"), 3), MINHASH_H).as("p"))
-        .where(col("p").isNotNull)
         .select(col("doc_id") +:
           (0 until MINHASH_H).map(i =>
             col("p.ms").getItem(i).as(s"m$i")): _*)

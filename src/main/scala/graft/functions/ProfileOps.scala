@@ -44,8 +44,16 @@ object ProfileOps {
       }
       i += 1
     }
+    // fromPrimitiveArray, NOT GenericArrayData(Array[Long]) — the
+    // latter BOXES every element (measured: a 64k-shingle doc's hbs
+    // boxed 64k Longs; across ngram_jaccard's corpus that was 320M
+    // allocations and a 4× wall regression at flat CPU, pure GC)
     new GenericInternalRow(Array[Any](
-      new GenericArrayData(hbs), n.toLong, new GenericArrayData(ms)))
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(hbs),
+      n.toLong,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(ms)))
   }
 
   /** ExactSubstr span removal for ONE document from its duplicated

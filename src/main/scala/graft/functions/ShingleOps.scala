@@ -133,11 +133,13 @@ object ShingleOps {
       seen.add(mn)
       p += 1
     }
-    val out = new Array[Any](seen.size)
+    val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
-    new GenericArrayData(out)
+    // primitive array — GenericArrayData(Array[Any]) would box
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   private def toArrayData(seen: java.util.LinkedHashSet[UTF8String])
