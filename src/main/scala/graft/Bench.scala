@@ -39,6 +39,39 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Best-effort cgroup CPU quota in cores (v2 cpu.max, then v1
+    * cfs_quota/period) — null when unlimited/absent. Lets a reader of
+    * a contended artifact see how much CPU the container was actually
+    * ENTITLED to, not just how loaded the host looked (r15 verdict
+    * hygiene item #2). */
+  private def cgroupQuotaCores: Option[Double] = try {
+    val v2 = java.nio.file.Paths.get("/sys/fs/cgroup/cpu.max")
+    if (java.nio.file.Files.exists(v2)) {
+      val parts = java.nio.file.Files.readString(v2).trim.split("\\s+")
+      if (parts(0) == "max") None
+      else Some(parts(0).toDouble / parts(1).toDouble)
+    } else {
+      val q = java.nio.file.Files.readString(java.nio.file.Paths
+        .get("/sys/fs/cgroup/cpu/cpu.cfs_quota_us")).trim.toLong
+      val p = java.nio.file.Files.readString(java.nio.file.Paths
+        .get("/sys/fs/cgroup/cpu/cpu.cfs_period_us")).trim.toLong
+      if (q <= 0 || p <= 0) None else Some(q.toDouble / p.toDouble)
+    }
+  } catch { case _: Exception => None }
+
+  /** (busy, total) jiffies across all host CPUs from /proc/stat —
+    * sampled before and after the board, their delta ratio is the
+    * whole-run host CPU utilization: a contended run self-describes
+    * with the fraction of machine CPU that was busy while it ran
+    * (load averages lag and saturate; this does not). */
+  private def procStatJiffies: Option[(Long, Long)] = try {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+    Some((f.sum - idle, f.sum))
+  } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +95,7 @@ object Bench {
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadAvg
+    val statBefore = procStatJiffies
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not in
     // whichever query happens to run first
     try {
@@ -152,6 +186,19 @@ object Bench {
     }
     val calibAfter = calibrate()
     val loadAfter = loadAvg
+    // whole-run host CPU utilization + container CPU entitlement —
+    // additive self-description fields (r15 verdict hygiene #2); the
+    // timing methodology and every pre-existing field are unchanged
+    val hostBusyFrac: Option[Double] = for {
+      (b0, t0) <- statBefore; (b1, t1) <- procStatJiffies
+      if t1 > t0
+    } yield (b1 - b0).toDouble / (t1 - t0)
+    val envFields =
+      s""""cgroup_cpu_quota_cores":${
+        cgroupQuotaCores.fold("null")(_.toString)},""" +
+      s""""host_cpu_busy_frac":${
+        hostBusyFrac.fold("null")(v =>
+          (math.round(v * 1000) / 1000.0).toString)}"""
     // Self-labeling for contended runs: r12's committed headline was a
     // load-19 artifact silently diffed against an idle detail (~19%
     // apart, same code). Threshold: half the benched core count — on a
@@ -192,7 +239,7 @@ object Bench {
     val total = results.filter(_.median >= 0).map(_.median).sum
     val totalMin = results.filter(_.min >= 0).map(_.min).sum
     val totalCpu = results.filter(_.cpuSec >= 0).map(_.cpuSec).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"total_cpu":${r3r(totalCpu)},"calib_sec_before":${r3r(calibBefore)},"calib_sec_after":${r3r(calibAfter)},"queries":$qs,"min":$mins,"cpu_sec":$cpus_,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","reps":$reps,"total_min":$totalMin,"total_cpu":${r3r(totalCpu)},"calib_sec_before":${r3r(calibBefore)},"calib_sec_after":${r3r(calibAfter)},"queries":$qs,"min":$mins,"cpu_sec":$cpus_,"shuffle_mb":$shufs,"rep_sec":$repsMap,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,$envFields,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's artifact keeps only the tail of stdout, so the full
     // per-query map above survives for ~35 of 130+ queries — ALSO write
@@ -202,9 +249,19 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     if (detailPath.nonEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(detailPath), fullLine + "\n")
-      catch { case e: Exception =>
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(detailPath), fullLine + "\n")
+        // ALSO keep a core-count-keyed copy: the driver benches the
+        // same board at two core counts and the second run used to
+        // overwrite the first's full per-query map (r15 verdict #2 —
+        // the 32-core driver detail was lost to the 8-core re-run);
+        // with the _c<cpus> sibling both run_ids survive per round
+        if (detailPath == "BENCH_DETAIL.json")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"BENCH_DETAIL_c$cpus.json"),
+            fullLine + "\n")
+      } catch { case e: Exception =>
         System.err.println(s"[bench] detail write failed: $e") }
     // The driver records only the last ~2000 chars of output and
     // json-parses what it finds there; with 100+ queries the full line
@@ -216,7 +273,7 @@ object Bench {
     val slowest = results.filter(_.median >= 0).sortBy(-_.median).take(12)
       .map(r => jstr(r.name) + ":" + r3(r.median))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"total_cpu":${r3(totalCpu)},"calib_sec_before":${r3(calibBefore)},"calib_sec_after":${r3(calibAfter)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run_id":"$runId","reps":$reps,"total_min":${r3(totalMin)},"total_cpu":${r3(totalCpu)},"calib_sec_before":${r3(calibBefore)},"calib_sec_after":${r3(calibAfter)},"n_queries":${results.size},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full per-query map shares this run_id in BENCH_DETAIL","errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,$envFields,"contended":$contended,"contended_threshold":$contendedThreshold,"sf":"$sfDir"}""")
     if (results.exists(_.err.isDefined)) {
       results.foreach(r =>
         r.err.foreach(m => System.err.println(s"[bench] ${r.name} FAILED: $m")))

@@ -157,19 +157,24 @@ object QueriesEmbed {
       val e = prepared(s, dir).cache()
       // train + assign through the SHARED coarse quantizer
       // ([[coarseCentroids]]/[[coarseScored]]; ties: lowest cell)
-      val scored = coarseScored(e)
-        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
-          col("ccos"))
       val wAsg = Window.partitionBy(col("vec_id"))
         .orderBy(desc("ccos"), asc("cell"))
-      val asg = scored.withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
-        .cache()
-      // --- search: each query scans its NPROBE nearest cells ---
-      val probes = scored.filter(col("vec_id") % 50 === 0)
+      // r16: one ranked pass, lazily checkpointed, covers BOTH the
+      // assignment (rn = 1) and the probes (rn ≤ NPROBE over query
+      // vectors) — `scored` used to be consumed twice, re-running the
+      // n×cells scoring crossJoin each time (the ivfpqFrames pin; the
+      // %50 filter is on the window's partition key, so filtering
+      // before or after ranking is the same frame)
+      val ranked = coarseScored(e)
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"),
+          col("ccos"))
         .withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") <= NPROBE)
+        .localCheckpoint(false)
+      val asg = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cell"))
+      // --- search: each query scans its NPROBE nearest cells ---
+      val probes = ranked.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
           col("nsq").as("nq"), col("cell").as("q_cell"))
       val pairs = probes.join(asg,
@@ -399,14 +404,27 @@ object QueriesEmbed {
     val e = e0.cache()
     // train + assign through the SHARED coarse quantizer
     // ([[coarseCentroids]]/[[coarseScored]])
-    val scored = coarseScored(e)
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), asc("cell"))
-    // --- assign + residual: rv = v − c_cell, element-wise exact ---
-    val asg = scored.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
+    // r16: ONE ranked pass, lazily checkpointed — `scored` used to be
+    // consumed twice (assignment rn=1 over all vectors, probes
+    // rn≤NPROBE over query vectors), each re-running the n×cells
+    // crossJoin + dotQ scoring. rn ≤ NPROBE covers both consumers
+    // (NPROBE ≥ 1; the window over the %50 filter equals the filtered
+    // window — the filter is on the partition key), and the pinned
+    // frame is ≤ NPROBE rows per vector.
+    val ranked = coarseScored(e)
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= NPROBE)
+      .select(col("vec_id"), col("label"), col("cell"), col("qv"),
+        col("cvec"), col("qcdot"), col("rn"))
+      .localCheckpoint(false)
+    // --- assign + residual: rv = v − c_cell, element-wise exact
+    //     (residQ: the codegen scalar twin of the interpreted
+    //     zip_with(qv, cvec, (a, c) => a − c) HOF it replaces) ---
+    val asg = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("cell"),
-        zip_with(col("qv"), col("cvec"), (a, c) => a - c).as("rv"))
+        Similarity.residQ(col("qv"), col("cvec")).as("rv"))
     // --- residual subspaces + one-Lloyd-step codebook per (m, label) ---
     val sub = asg.select(col("vec_id"), col("label"), col("cell"),
         explode(array((0 until PQ_M).map(m => struct(lit(m).as("m"),
@@ -435,9 +453,7 @@ object QueriesEmbed {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("m"), col("code"))
     // --- search: NPROBE cells per query; ADC over codes in those cells ---
-    val probes = scored.filter(col("vec_id") % 50 === 0)
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") <= NPROBE)
+    val probes = ranked.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"), col("qcdot"))
     val qsub = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"),

@@ -194,6 +194,20 @@ object QueriesGraph {
       .union(rawEdges.select(col("dst").as("url")))
       .distinct()
       .withColumn("score", lit(1.0))
+    // r16 NEGATIVE RESULT (kept as the buildHits contrast): rewriting
+    // this loop onto src-keyed score frames (the buildHits r16 shape —
+    // per-iteration left join against the src set instead of nodes0,
+    // one final nodes0 join) measured WORSE in the paired in-JVM A/B
+    // (OptAb16: cpu 2.5 → 32 s raw, still 2.5 → 6.8 s after pinning
+    // the src set as a checkpoint leaf; wall ~equal). This loop is
+    // LAZY between its 5-iteration checkpoints, and Spark reuses the
+    // one nodes0 exchange across all five nested references — the
+    // src-keyed frame defeated that reuse (its subtree is rewritten
+    // per nesting level by self-join deduplication, so nothing
+    // canonicalizes equal), turning a shared shuffle into per-level
+    // recompute. buildHits wins from the same idea only because its
+    // half-steps are EAGER checkpoints — there is no cross-level plan
+    // sharing to lose. Shipped: the r15 nodes0 form, unchanged.
     var nodes = nodes0
     var deadNodes: Option[org.apache.spark.sql.DataFrame] = None
     // localCheckpoint every 5th iteration: truncates lineage so the
@@ -307,21 +321,39 @@ object QueriesGraph {
     val e = edges.distinct().cache()
     val nodes = e.select(col("src").as("url"))
       .union(e.select(col("dst").as("url"))).distinct().cache()
+    // r16: the loop carries scores KEYED BY THE JOIN SIDE (src → h,
+    // dst → a) instead of a full per-node frame. The old per-half-step
+    // `nodes ⟕ sums ⨯ broadcast(max)` shape paid a |V|⋈|V| shuffle
+    // join plus a BroadcastNestedLoopJoin per half-step for rows the
+    // next join immediately discarded: ar covers every dst of e by
+    // construction (each dst has an inbound edge and hub covers every
+    // src), and hr covers every src, so the nodes frame is only needed
+    // ONCE — at the end, where src-only/dst-only nodes take the same
+    // coalesce(·, 0) the old left join produced each step. The 1-row
+    // max now rides into the next projection as a LITERAL — it is
+    // collected on the driver exactly as the old BroadcastExchange
+    // collected it, minus the BNL crossJoin (same integer arithmetic,
+    // amax/hmax interpolated as BIGINT casts).
+    // Each half-step still materializes (localCheckpoint): its sum
+    // frame is read twice (the max and the next join), and left lazy
+    // the lineage would double per half-step.
     var hub = nodes.withColumn("h", lit(1000000L))
-    var auth = nodes.withColumn("a", lit(0L))
+      .select(col("url").as("src"), col("h"))
+    var ar: DataFrame = null
+    var hr: DataFrame = null
+    var amax = 1L
+    var hmax = 1L
     // previous iteration's ar/hr checkpoints die once this
-    // iteration's are materialized (auth/hub lazies over them were
-    // last read then) — free them instead of waiting for GC
+    // iteration's are materialized — free them instead of waiting
+    // for GC
     var deadAr: Option[org.apache.spark.sql.DataFrame] = None
     var deadHr: Option[org.apache.spark.sql.DataFrame] = None
+    def maxOf(df: DataFrame, c: String): Long = {
+      val r = df.agg(max(col(c))).head()
+      if (r.isNullAt(0)) 1L else r.getLong(0) // empty graph: value unused
+    }
     for (itn <- 1 to iters) {
-      // each normalization reads its sum frame TWICE (the join and
-      // the max) — left lazy, the lineage would DOUBLE per half-step
-      // (2^10 copies of the edge scan by iteration 5), so every
-      // half-step materializes its |V|-sized score frame. This is
-      // the standard shape of a normalized graph loop at scale:
-      // per-iteration frontiers materialize, edges stream past them.
-      val ar = e.join(hub, e("src") === hub("url"))
+      val arK = e.join(hub, Seq("src"))
         .groupBy("dst").agg(sum(col("h")).as("ar"))
         .localCheckpoint()
       // ar_k materialized from hub_{k-1} (over hr_{k-1}): the
@@ -330,22 +362,28 @@ object QueriesGraph {
         org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
       deadHr.foreach(
         org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint)
-      deadAr = Some(ar)
-      auth = nodes.join(ar, nodes("url") === ar("dst"), "left")
-        .crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
-        .select(col("url"),
-          expr("coalesce(ar, 0) * 1000000 div amax").as("a"))
-      val hr = e.join(auth, e("dst") === auth("url"))
+      deadAr = Some(arK)
+      ar = arK
+      amax = maxOf(ar, "ar")
+      val auth = ar.select(col("dst"),
+        expr(s"ar * 1000000 div CAST($amax AS BIGINT)").as("a"))
+      val hrK = e.join(auth, Seq("dst"))
         .groupBy("src").agg(sum(col("a")).as("hr"))
         .localCheckpoint()
-      deadHr = Some(hr)
-      hub = nodes.join(hr, nodes("url") === hr("src"), "left")
-        .crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
-        .select(col("url"),
-          expr("coalesce(hr, 0) * 1000000 div hmax").as("h"))
+      deadHr = Some(hrK)
+      hr = hrK
+      hmax = maxOf(hr, "hr")
+      hub = hr.select(col("src"),
+        expr(s"hr * 1000000 div CAST($hmax AS BIGINT)").as("h"))
     }
-    val plan = hub.join(auth, "url")
-      .select(col("url"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+    val plan = nodes
+      .join(hr, nodes("url") === hr("src"), "left")
+      .join(ar, nodes("url") === ar("dst"), "left")
+      .select(col("url"),
+        expr(s"coalesce(hr, 0) * 1000000 div CAST($hmax AS BIGINT)")
+          .as("hub_fx"),
+        expr(s"coalesce(ar, 0) * 1000000 div CAST($amax AS BIGINT)")
+          .as("auth_fx"))
     if (finalEager) {
       val result = plan.localCheckpoint()
       e.unpersist(); nodes.unpersist()

@@ -232,7 +232,14 @@ object QueriesPipeline {
     * `normalize`, tokens come from [[normText]] instead of the raw
     * space split (real decontamination pipelines fold case and
     * punctuation before hashing — raw matching lets a format-drifted
-    * eval answer slip the gate). */
+    * eval answer slip the gate).
+    *
+    * CONTRACT: grams are deduped PER INPUT ROW, not globally — the
+    * output is the distinct (doc_id, g) set only while `doc_id` is
+    * unique per input row (true of every current caller). A new
+    * caller feeding repeated doc_ids must either dedup upstream or
+    * stay dedup-insensitive downstream (countDistinct-style
+    * aggregation over g), or it will silently double-count grams. */
   private[graft] def wordGrams8(d: org.apache.spark.sql.DataFrame,
       normalize: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
@@ -429,14 +436,13 @@ object QueriesPipeline {
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
             .otherwise(col("text")).as("text"))
+      // r16: line hashes from ONE scalar pass (ShingleOps.lineHashes,
+      // pinned by SpanLineHashSpec) — the explode(sequence)+slice form
+      // copied the token array into every exploded line row
       val lines = d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(0),
-            (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
-        .select(col("doc_id"), col("line_no"),
-          Queries.md5Long(concat_ws(" ",
-            slice(col("ws"), col("line_no") * 10 + 1, lit(10)))).as("lh"))
+        .select(col("doc_id"),
+          explode(graft.functions.Similarity.lineHashes(col("text"), 10))
+            .as("lh"))
       val groups = lines.groupBy("lh")
         .agg(min(col("doc_id")).as("keeper"),
           countDistinct(col("doc_id")).as("nd"))
@@ -506,14 +512,11 @@ object QueriesPipeline {
     * column). Returns (doc_id, n_lines, commonness_bp, weight_bp). */
   private[graft] def softDedupWeights(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // r16: line hashes from one scalar pass (the lineDedup rewire)
     val lines = d
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0),
-          (ceil(size(col("ws")) / 10.0) - 1).cast("int"))).as("line_no"))
-      .select(col("doc_id"), col("line_no"),
-        Queries.md5Long(concat_ws(" ",
-          slice(col("ws"), col("line_no") * 10 + 1, lit(10)))).as("lh"))
+      .select(col("doc_id"),
+        explode(graft.functions.Similarity.lineHashes(col("text"), 10))
+          .as("lh"))
     val dfreq = lines.groupBy("lh")
       .agg(countDistinct(col("doc_id")).as("cnt"))
     lines.join(dfreq, "lh")
@@ -817,6 +820,9 @@ object QueriesPipeline {
             .as("g"))
         .select(col("doc_id"), substring_index(col("g"), " ", 1).as("w"),
           col("g"))
+        // r16: lazy checkpoint — three consumers (c1, c2, the join)
+        // each re-ran the tokenize+explode (the ccnetBucketAssign pin)
+        .localCheckpoint(false)
       val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
       val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
       bi.join(c2, "g").join(c1, "w")
@@ -1002,14 +1008,16 @@ object QueriesPipeline {
         .select(col("doc_id"),
           when(col("doc_id") % 11 === 3, concat(lit(para + " "), col("text")))
             .otherwise(col("text")).as("text"))
+      // r16: the window hashes come from ONE scalar pass over the text
+      // (ShingleOps.spanHashes — same (doc_id, h) multiset, pinned by
+      // SpanLineHashSpec): the explode(sequence)+slice form it
+      // replaces retained the token ARRAY through the generator, so
+      // every one of the O(tokens) exploded rows materialized an
+      // O(tokens) array copy — quadratic bytes per document
       val wins = d
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= W)
         .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("ws")) - W)).as("p"), col("ws"))
-        .select(col("doc_id"),
-          Queries.md5Long(concat_ws(" ",
-            slice(col("ws"), col("p") + 1, lit(W)))).as("h"))
+          explode(graft.functions.Similarity.spanHashes(col("text"), W))
+            .as("h"))
       val g = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       // inner-join shape on purpose: docs shorter than W words have no
@@ -1702,6 +1710,14 @@ object QueriesPipeline {
       // rows it saved — measured in a paired order-controlled A/B)
       .select(col("doc_id"), col("lang"),
         substring_index(col("g"), " ", 1).as("w"), col("g"))
+      // r16: LAZY localCheckpoint — this occurrence frame feeds THREE
+      // consumers (c1, c2, and the score join), and uncached each one
+      // re-planned and re-ran the corpus tokenize+explode (the r15
+      // dump counted 18 Exchanges from the re-planned subtrees; a
+      // .cache() variant measured SLOWER in r15 — columnar compression
+      // build cost — where the checkpoint stores raw rows). Lazy, so
+      // the bench's timed action pays the one materialization.
+      .localCheckpoint(false)
     val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
     val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
     val scores = bi.join(c2, "g").join(c1, "w")
@@ -1709,6 +1725,10 @@ object QueriesPipeline {
       .agg(count(lit(1)).as("nb"), sum(expr("cw DIV cg")).as("ls"))
       .select(col("doc_id"), col("lang"),
         expr("(ls * 10000) DIV nb").as("score_bp"))
+      // the per-doc score frame ALSO has three consumers (hist, the
+      // language totals, and the final bucket join) — pin it too, so
+      // the 3-join aggregation above runs once, not three times
+      .localCheckpoint(false)
     val hist = scores.groupBy("lang", "score_bp")
       .agg(count(lit(1)).as("cnt"))
     val wl = Window.partitionBy("lang").orderBy("score_bp")
@@ -1792,15 +1812,16 @@ object QueriesPipeline {
   private[graft] def leakageSplitAssign(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val W = 15
+    // r16: per-doc-distinct window hashes in ONE scalar pass
+    // (ShingleOps.spanHashesDistinct — pinned by SpanLineHashSpec).
+    // Replaces the explode(sequence)+slice pipeline (which copied the
+    // whole token array into every exploded row — quadratic bytes per
+    // doc) AND its global `.distinct()` Exchange: doc_id is unique per
+    // input row, so per-doc dedup IS the (doc_id, h) distinct.
     val wins = d
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= W)
       .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("ws")) - W)).as("p"), col("ws"))
-      .select(col("doc_id"),
-        Queries.md5Long(concat_ws(" ",
-          slice(col("ws"), col("p") + 1, lit(W)))).as("h"))
-      .distinct()
+        explode(graft.functions.Similarity.spanHashesDistinct(
+          col("text"), W)).as("h"))
     val hubs = wins.groupBy("h").agg(min(col("doc_id")).as("mn"))
     val e0 = wins.join(hubs, "h")
       .filter(col("doc_id") =!= col("mn"))

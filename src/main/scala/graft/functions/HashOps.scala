@@ -38,6 +38,21 @@ object HashOps {
           s.numBytes())
       case _ => d.update(s.getBytes)
     }
+    finish(d)
+  }
+
+  /** [[md5Long]] over a byte RANGE of an existing buffer — lets a
+    * sliding-window hasher (ShingleOps.spanHashes/lineHashes) hash each
+    * window straight out of the document's own bytes with zero copies,
+    * instead of materializing every window string first. Bit-identical
+    * to md5Long(UTF8String.fromBytes(bytes, off, len)). */
+  def md5LongRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = mdLocal.get()
+    d.update(bytes, off, len)
+    finish(d)
+  }
+
+  private def finish(d: java.security.MessageDigest): Long = {
     val digest = d.digest()
     var v = 0L
     var i = 0

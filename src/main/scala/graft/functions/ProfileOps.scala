@@ -26,6 +26,9 @@ object ProfileOps {
     * Null/empty shingles → null (the explode-drops-the-doc semantics).
     */
   def minhashProfile(shingles: ArrayData, h: Int): InternalRow = {
+    require(h <= A.length,
+      s"minhashProfile supports at most ${A.length} hash family members" +
+        s" (got h=$h); enlarge the tabulated A/B tables to raise it")
     if (shingles == null) return null
     val n = shingles.numElements()
     if (n == 0) return null

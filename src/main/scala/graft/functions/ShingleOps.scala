@@ -142,6 +142,126 @@ object ShingleOps {
       .fromPrimitiveArray(out)
   }
 
+  /** md5Long of every overlapping w-word window, in position order and
+    * KEEPING duplicates — array<long>, entry i = hash of tokens
+    * [i, i+w). `posexplode` of it reproduces the (pos, h) rows of the
+    * `explode(sequence(0, size(ws)-w)) + md5Long(concat_ws(" ",
+    * slice(ws, p+1, w)))` pipeline it replaces — WITHOUT copying the
+    * whole token array into every exploded row (the generator retains
+    * `ws`, so each of the O(tokens) output rows used to materialize an
+    * O(tokens) array: quadratic bytes per document). Fewer than w
+    * tokens yields an EMPTY array (the `size(ws) >= w` guard).
+    *
+    * Zero-copy: `split(text, " ")` keeps empty tokens and rejoining
+    * with " " reproduces the original bytes, so the window string IS
+    * the byte range of `text` from token i's first byte to token
+    * (i+w-1)'s last — each hash runs straight over the document's own
+    * buffer (0x20 never occurs inside a UTF-8 multi-byte sequence, so
+    * byte-level token splitting is character-exact). */
+  def spanHashes(text: UTF8String, w: Int): ArrayData = {
+    if (text == null) return null
+    val (bytes, off, len) = textBytes(text)
+    val starts = tokenStarts(bytes, off, len)
+    val m = starts.length - w // = nTokens - w + 1
+    if (m < 1)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = starts(i)
+      out(i) = HashOps.md5LongRange(bytes, off + s, starts(i + w) - 1 - s)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** DISTINCT [[spanHashes]] (first-occurrence order): per-document
+    * dedup here ≡ the global `.distinct()` over (doc_id, h) rows it
+    * lets callers drop — one Exchange fewer. */
+  def spanHashesDistinct(text: UTF8String, w: Int): ArrayData = {
+    if (text == null) return null
+    val (bytes, off, len) = textBytes(text)
+    val starts = tokenStarts(bytes, off, len)
+    val m = starts.length - w
+    if (m < 1)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      val s = starts(i)
+      seen.add(HashOps.md5LongRange(bytes, off + s, starts(i + w) - 1 - s))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** md5Long of every NON-overlapping k-word chunk ("line"), in order,
+    * keeping duplicates, trailing short chunk included — the scalar
+    * twin of the `explode(sequence(0, ceil(size(ws)/k)-1)) +
+    * md5Long(concat_ws(" ", slice(ws, line_no*k+1, k)))` line splitter
+    * (line_dedup / soft_dedup), minus that form's per-row token-array
+    * copy. Every document yields at least one line (split of the empty
+    * string is [""], whose single short chunk hashes the empty
+    * string — identical to the column form). */
+  def lineHashes(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val (bytes, off, len) = textBytes(text)
+    val starts = tokenStarts(bytes, off, len)
+    val n = starts.length - 1
+    val lines = (n + k - 1) / k
+    val out = new Array[Long](lines)
+    var j = 0
+    while (j < lines) {
+      val s = starts(j * k)
+      val e = starts(math.min(n, (j + 1) * k)) - 1
+      out(j) = HashOps.md5LongRange(bytes, off + s, e - s)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** The UTF8String's bytes with zero copies when it is heap-backed
+    * (the common case for column data), one copy otherwise. */
+  private def textBytes(text: UTF8String): (Array[Byte], Int, Int) =
+    text.getBaseObject match {
+      case arr: Array[Byte] =>
+        (arr, (text.getBaseOffset -
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET).toInt,
+          text.numBytes())
+      case _ => val b = text.getBytes; (b, 0, b.length)
+    }
+
+  /** Byte start offsets of each space-separated token (empties kept —
+    * `split(text, " ")` semantics), plus a virtual start one past the
+    * end: token j's bytes are [starts(j), starts(j+1) − 1), and the
+    * window/chunk joining tokens [a, b) is exactly the byte range
+    * [starts(a), starts(b) − 1). */
+  private def tokenStarts(bytes: Array[Byte], off: Int, len: Int)
+      : Array[Int] = {
+    var n = 1
+    var i = 0
+    while (i < len) { if (bytes(off + i) == ' ') n += 1; i += 1 }
+    val starts = new Array[Int](n + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(off + i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(n) = len + 1
+    starts
+  }
+
   private def toArrayData(seen: java.util.LinkedHashSet[UTF8String])
       : ArrayData = {
     val out = new Array[Any](seen.size)

@@ -82,6 +82,41 @@ object Similarity {
       Seq(ColumnBridge.expression(shingles), Literal(h)),
       Seq(ArrayType(StringType, containsNull = false), IntegerType)))
 
+  private def longArrayShingleCall(fn: String, text: Column, k: Int)
+      : Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ShingleOps"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      fn, Seq(ColumnBridge.expression(text), Literal(k)),
+      Seq(StringType, IntegerType)))
+
+  /** md5Long of every overlapping w-word window, position order,
+    * duplicates kept (see ShingleOps.spanHashes) — posexplode of it
+    * reproduces the explode(sequence)+slice+concat_ws+md5Long window
+    * pipeline without copying the token array into every row. Empty
+    * below w tokens. */
+  def spanHashes(text: Column, w: Int): Column =
+    longArrayShingleCall("spanHashes", text, w)
+
+  /** Distinct [[spanHashes]] (first-occurrence order) — per-doc dedup
+    * ≡ a global distinct over (doc_id, h). */
+  def spanHashesDistinct(text: Column, w: Int): Column =
+    longArrayShingleCall("spanHashesDistinct", text, w)
+
+  /** md5Long of every non-overlapping k-word chunk, trailing short
+    * chunk included (see ShingleOps.lineHashes) — the line_dedup /
+    * soft_dedup line splitter as one scalar. */
+  def lineHashes(text: Column, k: Int): Column =
+    longArrayShingleCall("lineHashes", text, k)
+
+  /** Element-wise difference of two pre-quantized long arrays — the
+    * codegen twin of `zip_with(a, b, (x, y) => x - y)` (interpreted). */
+  def residQ(a: Column, b: Column): Column =
+    vecCall("residQ", ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false),
+      org.apache.spark.sql.types.LongType, a, b)
+
   /** Distinct winnowing-selected md5Long minima per document (see
     * ShingleOps.winnowMins) — array<long>, empty below `win` grams. */
   def winnowMins(text: Column, n: Int, win: Int): Column =

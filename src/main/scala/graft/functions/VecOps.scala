@@ -60,6 +60,27 @@ object VecOps {
     acc
   }
 
+  /** Element-wise difference of two pre-quantized long vectors — the
+    * residual rv = v − c of the IVFADC encode path
+    * (Similarity.residQ). Codegen twin of
+    * `zip_with(a, b, (x, y) => x − y)`, which Spark evaluates
+    * interpreted (HigherOrderFunction, no codegen). Same
+    * length-mismatch divergence as dotQ: zip_with null-pads to the
+    * longer length, this truncates to the shorter — embedding vectors
+    * are fixed-width, so behavior differs only on malformed input. */
+  def residQ(a: ArrayData, b: ArrayData): ArrayData = {
+    if (a == null || b == null) return null
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    val n = math.min(xs.length, ys.length)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = xs(i) - ys(i); i += 1 }
+    // primitive array — GenericArrayData(Array[Any]) would box
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Quantizing dot product of two FLOAT vectors (Similarity.dotFx). */
   def dotFx(a: ArrayData, b: ArrayData): Long = {
     if (a == null || b == null) return 0L

@@ -1,10 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.functions.Hashing
 
 /** ExactSubstr span-removal builders (Lee et al., "Deduplicating
   * Training Data Makes Language Models Better", ACL 2022), shared by
@@ -22,15 +19,17 @@ import graft.functions.Hashing
 object ExactSubstr {
 
   /** Overlapping W-token window hashes of a (doc_id, text) frame:
-    * (doc_id, pos, h) — the shared front half of the family. */
+    * (doc_id, pos, h) — the shared front half of the family.
+    *
+    * r16: one scalar pass (ShingleOps.spanHashes via posexplode —
+    * pinned row-identical to the explode(sequence)+slice form by
+    * SpanLineHashSpec, including the size ≥ W drop and null-text
+    * drop); the replaced form copied the whole token array into every
+    * exploded (doc, pos) row — quadratic bytes per document. */
   def windows(d: DataFrame, W: Int = 15): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= W)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("ws")) - W)).as("pos"), col("ws"))
-      .select(col("doc_id"), col("pos"),
-        Hashing.md5Long(concat_ws(" ",
-          slice(col("ws"), col("pos") + 1, lit(W)))).as("h"))
+    d.select(col("doc_id"),
+      posexplode(graft.functions.Similarity.spanHashes(col("text"), W))
+        .as(Seq("pos", "h")))
 
   /** The removal back half from pre-computed duplicated-window START
     * positions (`starts`: doc_id, pos — may contain duplicates; they
@@ -73,7 +72,11 @@ object ExactSubstr {
         Seq(StringType, ArrayType(IntegerType, containsNull = false),
           IntegerType),
         propagateNull = false))
-    d.join(ds, Seq("doc_id"), "left")
+    // null-text docs drop (the legacy posexplode(split(text)) form
+    // silently dropped them; without this filter the left join +
+    // propagateNull=false cut would emit them with null fields)
+    d.where(col("text").isNotNull)
+      .join(ds, Seq("doc_id"), "left")
       .select(col("doc_id"), cut(col("text"), col("starts")).as("r"))
       .select(col("doc_id"),
         col("r.n_tokens").as("n_tokens"),
