@@ -820,9 +820,12 @@ object QueriesPipeline {
             .as("g"))
         .select(col("doc_id"), substring_index(col("g"), " ", 1).as("w"),
           col("g"))
-        // r16: lazy checkpoint — three consumers (c1, c2, the join)
-        // each re-ran the tokenize+explode (the ccnetBucketAssign pin)
-        .localCheckpoint(false)
+        // r16: the ccnetBucketAssign localCheckpoint pin was TRIED here
+        // too (same three-consumer shape) and reverted on measurement:
+        // OptAb16b wall 0.432 pinned vs 0.395 unpinned, CPU identical
+        // (0.241) — recomputing the scalar explode three times is
+        // cheaper than storing the occurrence rows (ccnet wins because
+        // its frame carries lang and feeds the wider bucket join).
       val c1 = bi.groupBy("w").agg(count(lit(1)).as("cw"))
       val c2 = bi.groupBy("g").agg(count(lit(1)).as("cg"))
       bi.join(c2, "g").join(c1, "w")

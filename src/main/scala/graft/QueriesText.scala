@@ -1535,7 +1535,11 @@ object QueriesText {
       val toks = d.select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) >= 1)
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // r16: dl row-locally (see Bm25.scores) — one fewer corpus
+      // tokenize pass and no per-doc count shuffle
+      val dl = d.select(col("doc_id"),
+          graft.functions.Similarity.nonEmptyTokens(col("text")).as("dl"))
+        .where(col("dl") > 0)
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         expr("sum(dl) div count(1)").as("avgdl"))
       val terms = toks.groupBy("w").agg(count(lit(1)).as("cnt"))

@@ -229,6 +229,27 @@ object ShingleOps {
       .fromPrimitiveArray(out)
   }
 
+  /** Count of NON-EMPTY space-separated tokens — the codegen twin of
+    * `split(text, " ")` exploded, filtered `length(w) >= 1`, and
+    * counted per document (the BM25 document length dl): equals the
+    * number of maximal non-space byte runs, walked straight over the
+    * UTF8String's bytes (0x20 never occurs inside a UTF-8 multi-byte
+    * sequence). 0 for the empty and all-space strings — callers keep
+    * the legacy explode-drop row set with `.where(col > 0)`. */
+  def nonEmptyTokens(text: UTF8String): Long = {
+    val (bytes, off, len) = textBytes(text)
+    var n = 0L
+    var inTok = false
+    var i = 0
+    while (i < len) {
+      val sp = bytes(off + i) == ' '
+      if (!sp && !inTok) n += 1
+      inTok = !sp
+      i += 1
+    }
+    n
+  }
+
   /** The UTF8String's bytes with zero copies when it is heap-backed
     * (the common case for column data), one copy otherwise. */
   private def textBytes(text: UTF8String): (Array[Byte], Int, Int) =

@@ -110,6 +110,16 @@ object Similarity {
   def lineHashes(text: Column, k: Int): Column =
     longArrayShingleCall("lineHashes", text, k)
 
+  /** Count of non-empty space-separated tokens (the BM25 document
+    * length dl) — the codegen twin of explode(split) + length ≥ 1 +
+    * count per doc, with no explode pass and no per-doc shuffle. Null
+    * text gives null (explode-drop semantics via `.where(_ > 0)`). */
+  def nonEmptyTokens(text: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ShingleOps"),
+      org.apache.spark.sql.types.LongType, "nonEmptyTokens",
+      Seq(ColumnBridge.expression(text)), Seq(StringType)))
+
   /** Element-wise difference of two pre-quantized long arrays — the
     * codegen twin of `zip_with(a, b, (x, y) => x - y)` (interpreted). */
   def residQ(a: Column, b: Column): Column =

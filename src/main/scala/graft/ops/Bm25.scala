@@ -35,13 +35,20 @@ import graft.plans.BoundedTopK
 object Bm25 {
 
   /** (query_id, doc_id, score_bp, n_matched) for every document
-    * sharing ≥1 term with each query. `docs` needs (doc_id, text);
-    * `queries` needs (query_id, text). */
+    * sharing ≥1 term with each query. `docs` needs (doc_id, text) with
+    * doc_id unique per row (document length is computed row-locally,
+    * not re-aggregated); `queries` needs (query_id, text). */
   def scores(docs: DataFrame, queries: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // r16: dl row-locally (nonEmptyTokens scalar) instead of a second
+    // corpus tokenize + per-doc count shuffle — `> 0` keeps the legacy
+    // explode-drop row set (empty/all-space/null texts), so n_docs and
+    // avgdl are unchanged
+    val dl = docs.select(col("doc_id"),
+        graft.functions.Similarity.nonEmptyTokens(col("text")).as("dl"))
+      .where(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("sum(dl) div count(1)").as("avgdl"))
     // one contribution per DISTINCT query term (classic BM25; a user

@@ -109,6 +109,31 @@ class SpanLineHashSpec extends AnyFunSuite with SparkSuite {
     assert(scalar.select("doc_id").distinct().count() == docs.size)
   }
 
+  test("nonEmptyTokens equals the explode+filter+count dl pipeline") {
+    // the BM25 document length: explode(split) + length >= 1 + count
+    // per doc — docs with ZERO qualifying tokens must stay absent
+    val legacy = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val scalar = d
+      .select(col("doc_id"),
+        Similarity.nonEmptyTokens(col("text")).as("dl"))
+      .where(col("dl") > 0)
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows(scalar) == rows(legacy))
+    // the empty-text doc is dropped by BOTH forms
+    assert(rows(scalar).size == docs.size - 1)
+    // null text drops via null > 0 (explode-drop semantics)
+    import spark.implicits._
+    val withNull = Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Similarity.nonEmptyTokens(col("text")).as("dl"))
+      .where(col("dl") > 0)
+    assert(withNull.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("residQ equals zip_with subtraction on equal-length arrays") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
