@@ -1826,12 +1826,22 @@ object QueriesPipeline {
         explode(graft.functions.Similarity.spanHashesDistinct(
           col("text"), W)).as("h"))
     val hubs = wins.groupBy("h").agg(min(col("doc_id")).as("mn"))
+    // r16: lazy-pin e0 — the symmetrization consumes it TWICE and each
+    // copy replayed the whole corpus window-explode + hub join (the
+    // executed edges plan showed two full wins⋈hubs subtrees = 4
+    // corpus explodes); the pinned rows are edge-sized, the same class
+    // the eager edges checkpoint below already stores. The outer
+    // .distinct() is dropped as a PROVEN no-op: mn is its group's MIN
+    // and mn ≠ doc_id, so b < a on every e0 row and a < b on every
+    // swapped row — the two sides are disjoint and each is internally
+    // distinct, so the union carries no duplicates to remove.
     val e0 = wins.join(hubs, "h")
       .filter(col("doc_id") =!= col("mn"))
       .select(col("doc_id").as("a"), col("mn").as("b"))
       .distinct()
+      .localCheckpoint(false)
     val edges = e0.unionByName(
-        e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+        e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = d
       .select(col("doc_id").as("node"))
