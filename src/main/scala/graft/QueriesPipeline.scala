@@ -694,7 +694,11 @@ object QueriesPipeline {
       val tf = d.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val tot = tf.agg(count(lit(1)).as("n_total"))
+      // r16: n_total = Σ cnt — fold the vocabulary counts instead of
+      // re-exploding the corpus for a second full count pass; the
+      // vocab-keyed Exchange is shared with the join side (ReusedExchange
+      // in the plan), so the explode+partial-count executes once
+      val tot = cnt.agg(sum(col("cnt")).as("n_total"))
       tf.join(cnt, "w").crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
@@ -741,8 +745,10 @@ object QueriesPipeline {
       val tf = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
       val glob = tf.groupBy("w").agg(count(lit(1)).as("gcnt"))
+      // r16: n_total = Σ gcnt — fold the already-aggregated vocabulary
+      // instead of a second corpus explode+count pass (Exchange reused)
       val vocab = glob
-        .crossJoin(broadcast(tf.agg(count(lit(1)).as("n_total"))))
+        .crossJoin(broadcast(glob.agg(sum(col("gcnt")).as("n_total"))))
         .orderBy(desc("gcnt"), asc("w")).limit(50)
         .select(col("w"), expr("gcnt * 10000 div n_total").as("exp_bp"))
       val srcTot = tf.groupBy("source").agg(count(lit(1)).as("n_tokens"))
@@ -2720,7 +2726,9 @@ object QueriesPipeline {
     val tf = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
     val cnt = tf.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val tot = tf.agg(count(lit(1)).as("n_total"))
+    // r16: n_total = Σ cnt — one corpus explode pass, not two (the
+    // vocab Exchange is shared with the rarity join; see rarity_score)
+    val tot = cnt.agg(sum(col("cnt")).as("n_total"))
     // Overflow discipline for the 100 TB regime (both clamps applied
     // identically in the oracle): a per-term cap at 10⁹ (a token
     // rarer than one-in-a-billion counts as one-in-a-billion — the
