@@ -240,7 +240,18 @@ object QueriesText {
           greatest(col("na"), col("nb")))
       val sa = per.select(col("doc_id").as("a_id"), col("hbs").as("a_hbs"))
       val sb = per.select(col("doc_id").as("b_id"), col("hbs").as("b_hbs"))
-      candSized.join(sa, "a_id").join(sb, "b_id")
+      // r16: the verify stage's width must follow PAIR count, not the
+      // doc scan's byte size — the hash-set joins broadcast, so the
+      // array_intersect work (the query's cost center: ~20 CPU-s at
+      // sf0.1, ~30 ms/pair) inherits the stream side's width, which is
+      // the now-byte-derived spread width (10). Re-spreading the tiny
+      // pair rows (two ids + two ints each) to full core width costs a
+      // KB-scale exchange and restores the verify parallelism; at real
+      // scale pair count >> cores, so full width is the right target
+      // there too (StageProbe: stage cpu 20.7 over 10 tasks = 2.1
+      // s/task serialized; 0.73 s/task at 32).
+      candSized.repartition(s.sparkContext.defaultParallelism)
+        .join(sa, "a_id").join(sb, "b_id")
         .withColumn("inter",
           size(array_intersect(col("a_hbs"), col("b_hbs"))).cast("long"))
         .withColumn("jaccard",
