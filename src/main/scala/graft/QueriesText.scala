@@ -209,7 +209,11 @@ object QueriesText {
         .select(col("doc_id"),
           Similarity.minhashProfile(
             Similarity.charShingles(col("text"), 5), MINHASH_H).as("p"))
-        .select(Seq(col("doc_id"), col("p.hbs").as("hbs"),
+        // hbs sorted ONCE per doc (at cache build) so the pairwise
+        // verify below can merge-count instead of hash-set per pair —
+        // set-preserving, so |∩| is unchanged (r16, guide §1.2).
+        .select(Seq(col("doc_id"),
+          Similarity.sortedLongs(col("p.hbs")).as("hbs"),
           col("p.n").as("n")) ++
           (0 until MINHASH_H).map(i =>
             col("p.ms").getItem(i).as(s"m$i")): _*)
@@ -252,8 +256,13 @@ object QueriesText {
       // s/task serialized; 0.73 s/task at 32).
       candSized.repartition(s.sparkContext.defaultParallelism)
         .join(sa, "a_id").join(sb, "b_id")
+        // merge-count over the pre-sorted per-doc hash arrays — the
+        // exact twin of size(array_intersect(a,b)) (each common distinct
+        // value counts once) without the per-pair hash-set build and
+        // materialized intersection array (r16; InterCountSpec pins
+        // equality incl. duplicate/mod-P-collision inputs).
         .withColumn("inter",
-          size(array_intersect(col("a_hbs"), col("b_hbs"))).cast("long"))
+          Similarity.interCountSorted(col("a_hbs"), col("b_hbs")))
         .withColumn("jaccard",
           round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 4))

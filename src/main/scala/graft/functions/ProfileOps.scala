@@ -59,6 +59,50 @@ object ProfileOps {
         .fromPrimitiveArray(ms)))
   }
 
+  /** Ascending-sorted copy of a long array — applied once per document
+    * (at profile build / cache time) so the pairwise verify can merge
+    * instead of hash-joining. Sorting is set-preserving, so any
+    * set-semantics consumer (array_intersect, the merge counter below)
+    * is unaffected. */
+  def sortedLongs(a: ArrayData): ArrayData = {
+    if (a == null) return null
+    val xs = a.toLongArray()
+    java.util.Arrays.sort(xs)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(xs)
+  }
+
+  /** |distinct(a) ∩ distinct(b)| of two ASCENDING-SORTED long arrays
+    * (duplicates tolerated — each common value counts once): the exact
+    * twin of `size(array_intersect(a, b))`, as one allocation-free merge
+    * over the unsafe arrays instead of a per-pair hash-set build plus a
+    * materialized intersection array. O(|a|+|b|) like the hash form but
+    * with no per-element insert/probe or boxing; the per-doc sort that
+    * enables it runs once per document, not once per candidate pair. */
+  def interCountSorted(a: ArrayData, b: ArrayData): Long = {
+    if (a == null || b == null) return 0L
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var count = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        count += 1L
+        // skip duplicates of the matched value on both sides
+        i += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        j += 1
+        while (j < nb && b.getLong(j) == x) j += 1
+      }
+    }
+    count
+  }
+
   /** ExactSubstr span removal for ONE document from its duplicated
     * window START positions (sorted or not, duplicates tolerated):
     * token pos is covered iff some start lies in [pos-(W-1), pos] —

@@ -110,6 +110,30 @@ object Similarity {
   def lineHashes(text: Column, k: Int): Column =
     longArrayShingleCall("lineHashes", text, k)
 
+  /** Ascending sort of a long-array column (see ProfileOps.sortedLongs)
+    * — applied once per document so [[interCountSorted]] can merge. */
+  def sortedLongs(a: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ProfileOps"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false),
+      "sortedLongs", Seq(ColumnBridge.expression(a)),
+      Seq(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
+  /** `size(array_intersect(a, b))` of two ascending-sorted long arrays
+    * as one allocation-free merge (see ProfileOps.interCountSorted). */
+  def interCountSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ProfileOps"),
+      org.apache.spark.sql.types.LongType, "interCountSorted",
+      Seq(ColumnBridge.expression(a), ColumnBridge.expression(b)),
+      Seq(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      returnNullable = false))
+
   /** Count of non-empty space-separated tokens (the BM25 document
     * length dl) — the codegen twin of explode(split) + length ≥ 1 +
     * count per doc, with no explode pass and no per-doc shuffle. Null
