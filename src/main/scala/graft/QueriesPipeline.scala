@@ -2925,19 +2925,21 @@ object QueriesPipeline {
   private[graft] def centroidFeatures(
       docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val labeled = docs.select(col("doc_id"),
-      when(size(split(col("text"), " ")) >= CentGate, lit(1L))
-        .otherwise(lit(-1L)).as("y"),
-      col("text"))
-    labeled
+    // r16: the whole featurization is ONE row-local codegen scalar
+    // (ShingleOps.centroidFeat) — no per-token explode, no
+    // (doc, y, f) hash-aggregate Exchange, no bias-row union; the
+    // scalar emits the aggregated (f, x) pairs plus the bias pair
+    // directly (CentroidFeatSpec pins row-identity to the legacy
+    // explode + groupBy + union form, null text included). The two
+    // field extractions below share one scalar call via codegen
+    // subexpression elimination (the minhashProfile pattern).
+    docs.select(col("doc_id"),
+        graft.functions.Similarity.centroidFeat(
+          col("text"), CentF, CentGate).as("p"))
+      .select(col("doc_id"), col("p.y").as("y"),
+        explode(col("p.pairs")).as("fx"))
       .select(col("doc_id"), col("y"),
-        explode(split(col("text"), " ")).as("tok"))
-      .where(length(col("tok")) >= 1)
-      .select(col("doc_id"), col("y"),
-        pmod(Queries.md5Long(col("tok")), lit(CentF.toLong)).as("f"))
-      .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("x"))
-      .unionByName(labeled.select(col("doc_id"), col("y"),
-        lit(CentF.toLong).as("f"), lit(1L).as("x")))
+        col("fx.f").as("f"), col("fx.x").as("x"))
   }
 
   /** TRAIN the classifier — Rocchio / nearest-centroid (Rocchio 1971;

@@ -672,22 +672,17 @@ object QueriesText {
     "simhash",
     (s, dir) => {
       val d = spread(t(s, dir, "documents"), col("doc_id"))
-      // one shuffled row per token with 60 NARROW vote aggregates —
-      // not 60 exploded rows per token (a 60x shuffle-volume cut)
-      val tok = d.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) >= 2)
-        .withColumn("h60", Hashing.md5Long(col("token")))
-      val voteCols = (0 until SIMHASH_BITS).map { i =>
-        sum(when(expr(s"(shiftright(h60, $i) & 1) = 1"), 1).otherwise(-1))
-          .as(s"v$i")
-      }
-      val sh = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until SIMHASH_BITS).map(i =>
-            when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      // r16: the whole signature is ONE row-local codegen scalar
+      // (ShingleOps.simhash60) — no per-token shuffled row, no 60-vote
+      // aggregate (the previous shape's per-token Exchange is the term
+      // that grows with corpus size; SimhashScalarSpec pins
+      // row-identity incl. the no-qualifying-token doc drop, which the
+      // isNotNull filter reproduces). Filter sits ABOVE the cache so
+      // the scalar runs once per doc, at cache build.
+      val sh = d.select(col("doc_id"),
+          Similarity.simhash60(col("text"), 2).as("simhash"))
         .cache() // banded below then re-joined for the exact hamming
+        .where(col("simhash").isNotNull)
       val bandW = SIMHASH_BITS / SIMHASH_BANDS
       val bandCols = (0 until SIMHASH_BANDS).map { b =>
         struct(lit(b).as("band"),

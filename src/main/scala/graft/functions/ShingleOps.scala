@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -248,6 +250,113 @@ object ShingleOps {
       i += 1
     }
     n
+  }
+
+  /** 60-bit SimHash of the ≥2-char space-separated tokens of `text` —
+    * the row-local twin of `explode(split(text, " ")) +
+    * filter(length(tok) >= 2) + md5Long(tok) + groupBy(doc).agg(60 ±1
+    * vote sums) + Σ (v_i > 0) << i`. Bit-identical: integer vote sums
+    * are order-independent, the per-token hash is the same
+    * [[HashOps.md5LongRange]] bytes as md5Long(token), and byte-level
+    * token splitting is character-exact (0x20 never occurs inside a
+    * UTF-8 multi-byte sequence). Null when no token qualifies — the
+    * doc then has no rows in the vote aggregate, i.e. the groupBy-drop
+    * semantics callers preserve with `.where(isNotNull)`. */
+  def simhash60(text: UTF8String, minChars: Int): java.lang.Long = {
+    if (text == null) return null
+    val (bytes, off, len) = textBytes(text)
+    val starts = tokenStarts(bytes, off, len)
+    val n = starts.length - 1
+    val votes = new Array[Int](60)
+    var any = false
+    var j = 0
+    while (j < n) {
+      val s = starts(j)
+      val e = starts(j + 1) - 1 // token bytes are [s, e)
+      val bl = e - s
+      // character length ≥ minChars: a UTF-8 char is ≤ 4 bytes, so
+      // byteLen ≥ 4·minChars−3 always qualifies; below minChars bytes
+      // never does; in between, count non-continuation bytes
+      val ok =
+        if (bl < minChars) false
+        else if (bl >= 4 * (minChars - 1) + 1) true
+        else {
+          var c = 0
+          var i = s
+          while (i < e) {
+            if ((bytes(off + i) & 0xC0) != 0x80) c += 1
+            i += 1
+          }
+          c >= minChars
+        }
+      if (ok) {
+        any = true
+        val h = HashOps.md5LongRange(bytes, off + s, bl)
+        var i = 0
+        while (i < 60) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) return null
+    var sh = 0L
+    var i = 0
+    while (i < 60) {
+      if (votes(i) > 0) sh |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(sh)
+  }
+
+  /** Hashed-bag-of-words featurization of ONE document — the row-local
+    * twin of the centroid trainer's
+    * `explode(split(text, " ")) + filter(length ≥ 1) +
+    * pmod(md5Long(tok), nf) + groupBy(doc, y, f).count + bias-row
+    * union`: returns struct(y, pairs) where y = ±1 by the
+    * `size(split(text, " ")) >= gate` token-count gate (EMPTY tokens
+    * counted, exactly like size(split)) and pairs = the (f, count)
+    * rows for every occupied bucket plus the trailing (nf, 1) bias
+    * pair. Null text reproduces the legacy union semantics: the
+    * explode side contributed nothing and the bias side labeled the
+    * doc y = −1 (size(null) < gate), so pairs = [(nf, 1)] alone.
+    * Pair ORDER is bucket-ascending + bias last — consumers aggregate
+    * per f / per doc, so order never reaches any declared result. */
+  def centroidFeat(text: UTF8String, nf: Int, gate: Int): InternalRow = {
+    if (text == null) {
+      return new GenericInternalRow(Array[Any](-1L, new GenericArrayData(
+        Array[Any](new GenericInternalRow(Array[Any](nf.toLong, 1L))))))
+    }
+    val (bytes, off, len) = textBytes(text)
+    val starts = tokenStarts(bytes, off, len)
+    val n = starts.length - 1
+    val y = if (n >= gate) 1L else -1L
+    val counts = new Array[Long](nf)
+    var nz = 0
+    var j = 0
+    while (j < n) {
+      val s = starts(j)
+      val e = starts(j + 1) - 1 // token bytes are [s, e)
+      if (e > s) { // length(tok) >= 1
+        val f = (HashOps.md5LongRange(bytes, off + s, e - s) % nf).toInt
+        if (counts(f) == 0L) nz += 1
+        counts(f) += 1L
+      }
+      j += 1
+    }
+    val pairs = new Array[Any](nz + 1)
+    var k = 0
+    var f = 0
+    while (f < nf) {
+      if (counts(f) > 0L) {
+        pairs(k) = new GenericInternalRow(Array[Any](f.toLong, counts(f)))
+        k += 1
+      }
+      f += 1
+    }
+    pairs(nz) = new GenericInternalRow(Array[Any](nf.toLong, 1L))
+    new GenericInternalRow(Array[Any](y, new GenericArrayData(pairs)))
   }
 
   /** The UTF8String's bytes with zero copies when it is heap-backed

@@ -162,6 +162,40 @@ object Similarity {
       Seq(ColumnBridge.expression(text), Literal(n), Literal(win)),
       Seq(StringType, IntegerType, IntegerType)))
 
+  /** 60-bit SimHash of the ≥minChars-char tokens of a text column in
+    * one codegen'd scalar (see ShingleOps.simhash60) — replaces the
+    * per-token explode + shuffle + 60-vote aggregate. Null when no
+    * token qualifies (the groupBy-drop row set). */
+  def simhash60(text: Column, minChars: Int): Column =
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ShingleOps"),
+      org.apache.spark.sql.types.LongType, "simhash60",
+      Seq(ColumnBridge.expression(text), Literal(minChars)),
+      Seq(StringType, IntegerType)))
+
+  /** Hashed-bag-of-words featurization of a text column in one
+    * codegen'd scalar (see ShingleOps.centroidFeat): struct(y,
+    * pairs array<struct<f,x>>) — replaces the centroid trainer's
+    * per-token explode + hash-aggregate + bias-row union. */
+  def centroidFeat(text: Column, nf: Int, gate: Int): Column = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    ColumnBridge.column(StaticInvoke(
+      Class.forName("graft.functions.ShingleOps"),
+      StructType(Seq(
+        StructField("y", LongType, nullable = false),
+        StructField("pairs", ArrayType(StructType(Seq(
+          StructField("f", LongType, nullable = false),
+          StructField("x", LongType, nullable = false))),
+          containsNull = false), nullable = false))),
+      "centroidFeat",
+      Seq(ColumnBridge.expression(text), Literal(nf), Literal(gate)),
+      Seq(StringType, IntegerType, IntegerType),
+      // the scalar handles null text ITSELF (bias-only row, y = −1 —
+      // the legacy union side's contribution); propagateNull would
+      // null the whole struct and drop the doc
+      propagateNull = false))
+  }
+
   /** MinHash family: ONE md5 per shingle, then affine rehashes
     * h_i(x) = (a_i·(md5(x) mod P) + b_i) mod P over a 30-bit prime —
     * 12× fewer md5 evaluations than a per-seed md5 family, and the
