@@ -318,9 +318,16 @@ object QueriesGraph {
     // loop-invariant tables, cached like linkrank's edge cache: each
     // of the 10 half-step materializations would otherwise re-run
     // the scan+distinct shuffle (measured 8.4 s → ~3 s at sf0.1)
-    val e = edges.distinct().cache()
+    // r16: pinned with EAGER localCheckpoint, not .cache() — the
+    // columnar cache's compression build + 20 columnar re-reads cost
+    // ~10 executor-CPU-s at sf0.1 (StageProbe put ~11 of the query's
+    // ~16 CPU-s in the e/nodes builds; OptAb16l: CPU 12.1 → 1.9 s,
+    // 6.4×, wall flat, referee row-identical). Raw checkpoint blocks
+    // trade ~2-4× more pinned bytes for that CPU — the same measured
+    // call as ccnet_buckets' r16 pin.
+    val e = edges.distinct().localCheckpoint()
     val nodes = e.select(col("src").as("url"))
-      .union(e.select(col("dst").as("url"))).distinct().cache()
+      .union(e.select(col("dst").as("url"))).distinct().localCheckpoint()
     // r16: the loop carries scores KEYED BY THE JOIN SIDE (src → h,
     // dst → a) instead of a full per-node frame. The old per-half-step
     // `nodes ⟕ sums ⨯ broadcast(max)` shape paid a |V|⋈|V| shuffle
@@ -386,7 +393,9 @@ object QueriesGraph {
           .as("auth_fx"))
     if (finalEager) {
       val result = plan.localCheckpoint()
-      e.unpersist(); nodes.unpersist()
+      org.apache.spark.sql.graftbridge.ColumnBridge.freeLocalCheckpoint(e)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .freeLocalCheckpoint(nodes)
       result
     } else plan
   }

@@ -217,6 +217,11 @@ object QueriesText {
           col("p.n").as("n")) ++
           (0 until MINHASH_H).map(i =>
             col("p.ms").getItem(i).as(s"m$i")): _*)
+        // pin strategy MEASURED (r16): .cache() beats localCheckpoint
+        // here (wall 1.11/CPU 7.6 vs 1.24/8.1 in OptAb16i) — the
+        // wide hbs arrays compress well columnar and the 4 consumers
+        // re-read them, the opposite trade from buildHits' narrow
+        // 2-long edge rows where the checkpoint won 6.4× CPU.
         .cache()
       val nBands = MINHASH_H / MINHASH_BAND
       val bandCols = (0 until nBands).map { b =>

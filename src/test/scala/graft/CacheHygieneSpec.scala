@@ -36,12 +36,22 @@ class CacheHygieneSpec extends AnyFunSuite with SparkSuite {
 
   test("the lazy Q surfaces do cache (what Bench/Verify must clear)") {
     spark.catalog.clearCache()
-    val hits = Queries.byName("hits_scores").build(spark, dir)
-    assert(hits.count() > 0)
-    // the lazy surface left its loop caches in place — the documented
+    val lr = Queries.byName("linkrank").build(spark, dir)
+    assert(lr.count() > 0)
+    // the lazy surface left its loop cache in place — the documented
     // contract that Bench/Verify clear per query; prove the clear works
     assert(!ColumnBridge.cacheIsEmpty(spark))
     spark.catalog.clearCache()
     assert(ColumnBridge.cacheIsEmpty(spark))
+    // hits_scores pins its loop-invariant frames with EAGER
+    // localCheckpoint since r16 (measured: the columnar cache build
+    // cost ~10 CPU-s — OptAb16l): its loop state lives in RDD storage
+    // blocks, freed by the ContextCleaner once the frames are GC'd
+    // (exactly like the per-half-step loop checkpoints since r13) or
+    // eagerly by the finalEager hook — NOT in the CacheManager.
+    val hits = Queries.byName("hits_scores").build(spark, dir)
+    assert(hits.count() > 0)
+    assert(ColumnBridge.cacheIsEmpty(spark),
+      "hits_scores' checkpoint pin must not register cached plans")
   }
 }
