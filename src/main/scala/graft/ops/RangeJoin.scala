@@ -85,7 +85,23 @@ object RangeJoin {
       !points.columns.contains(cell), s"column $cell is reserved")
     val cells = intervals.where(col(hi) > col(lo)).withColumn(cell,
       explode(sequence(expr(s"$lo div $g"), expr(s"($hi - 1) div $g"))))
+    // r16: pin the join's reducer width with an explicit
+    // REPARTITION_BY_NUM on the cell key. The equi-join's cost is the
+    // within-cell candidate EXPANSION + exact re-check, not its input
+    // bytes — AQE's byte-based coalescing sees a KB-scale exchange and
+    // ran the whole join in ONE task at sf0.1 (StageProbe: a single
+    // 1.83 CPU-s / 1.83 s stage = the entire query wall). The explicit
+    // count replaces the coalescible ENSURE_REQUIREMENTS exchange (no
+    // extra shuffle) and is what pre-AQE Spark would plan:
+    // max(defaultParallelism, spark.sql.shuffle.partitions), both
+    // cluster-tuned — not a local[32] constant. The answer is
+    // partitioning-invariant (hash equi-join + exact re-check;
+    // RangeJoinAutoSpec unchanged).
+    val ses = points.sparkSession
+    val n = math.max(ses.sparkContext.defaultParallelism,
+      ses.sessionState.conf.numShufflePartitions)
     points.withColumn(cell, expr(s"$v div $g"))
+      .repartition(n, col(cell))
       .join(cells, cell)
       .filter(col(v) >= col(lo) && col(v) < col(hi))
       .drop(cell)
