@@ -401,9 +401,23 @@ object QueriesCrawl {
               lit(".com/a/./b/page"), col("c_custkey"), lit("?"))
               .as("url")))).as("x"))
         .select((col("k") * 3 + col("x.v")).as("vid"), col("x.url").as("url"))
+        // r16: the normalize regex chain + md5 is the query's cost and
+        // ran TWICE (keepers agg + join probe both consumed the frame)
+        // on ONE task (the customer scan is a single row-group and the
+        // explode's output is KB-scale, so AQE never splits it —
+        // per-row CPU invisible to byte heuristics, the flac_stats
+        // finding). Widen the tiny (vid, url) rows BEFORE the regex
+        // (explicit COUNT, as a column-only repartition would coalesce
+        // back to 1) and pin the normalized frame so the chain runs
+        // once (the ccnet 2-consumer pin; rows stored are
+        // output-shaped). StageProbe: 2× 1-task 0.86 CPU-s stages →
+        // wide; bench-subset wall below. Row-identical by
+        // construction: repartition + pin change no expression.
+        .repartition(s.sparkContext.defaultParallelism, col("vid"))
         .withColumn("normalized",
           graft.functions.Urls.normalizeCol(col("url")))
         .withColumn("nh", Queries.md5Long(col("normalized")))
+        .localCheckpoint(false)
       val keepers = variants.groupBy("nh")
         .agg(min(col("vid")).as("keeper_vid"),
           count(lit(1)).as("n_variants"))
